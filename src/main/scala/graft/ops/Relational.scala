@@ -1,0 +1,633 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2 categories A (scans), B (project/filter), C (joins),
+  * D (aggregations), F (sorts/top-k), G (set ops).
+  *
+  * Every query ends with a total-order ORDER BY incl. a unique tiebreak and
+  * emits doubles either bit-exactly (raw parquet values / DECIMAL-accumulated
+  * sums) or round(4) (statistical) — see [[graft.util.Det]].
+  *
+  * 100 TB posture (applies to every operator below): scans push filters +
+  * projection into parquet; joins to sub-broadcast-threshold dims are
+  * explicitly `broadcast()`; fact-fact joins shuffle on their equi keys with
+  * map-side partial aggregation before any exchange; nothing collects to the
+  * driver. The trailing global sort is the harness's determinism contract —
+  * at production scale the same queries run without it (or write
+  * range-partitioned sorted output).
+  */
+object Relational {
+
+  // ----- A. scans ----------------------------------------------------------
+
+  val scan_parquet: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_orderkey") % 100 === 7)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scan_pruned: Q = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .where(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scan_events_ns: Q = (s, d) =>
+    events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+
+  // ----- B. projection / filters ------------------------------------------
+
+  val proj_compute: Q = (s, d) =>
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double").as("disc_price"),
+        dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast("double").as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filt_conj: Q = (s, d) =>
+    orders(s, d)
+      .where(
+        col("o_orderpriority").like("%URGENT") &&
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice") > 150000 &&
+          col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val filt_case: Q = (s, d) =>
+    orders(s, d)
+      .withColumn(
+        "prio_class",
+        when(col("o_orderpriority").like("1-%") ||
+          col("o_orderpriority").like("2-%"), "high")
+          .when(col("o_orderpriority").like("3-%"), "mid")
+          .otherwise("low"))
+      .groupBy("prio_class")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy("prio_class")
+
+  val filt_between: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_shipdate").between(
+        lit("1998-01-01").cast("timestamp"),
+        lit("1998-03-31").cast("timestamp")))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ----- C. joins ----------------------------------------------------------
+
+  /** dim side ≤ 20k rows → explicit broadcast; at 100 TB the fact side
+    * streams map-side with zero shuffle for this join. */
+  val join_bhj: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("p_brand")
+
+  /** both sides large → shuffle on the join key; `merge` hint pins SMJ so the
+    * named query provably exercises sort-merge (asserted in tests). */
+  val join_smj: Q = (s, d) =>
+    lineitem(s, d)
+      .hint("merge")
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+
+  val join_left: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("spent"))
+      .orderBy("c_custkey")
+
+  val join_full: Q = (s, d) => {
+    val nc = customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val ns = supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    nc.join(ns, col("nk_c") === col("nk_s"), "full")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nk"),
+        col("n_cust"), col("n_supp"))
+      .orderBy("nk")
+  }
+
+  val join_semi: Q = (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val join_anti: Q = (s, d) =>
+    part(s, d)
+      .join(
+        lineitem(s, d).where(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  /** equi component (nation) carries the shuffle; the inequality is a
+    * post-join filter — stays a hash/merge join, never a BNLJ. */
+  val join_theta: Q = (s, d) =>
+    supplier(s, d)
+      .join(
+        customer(s, d),
+        col("s_nationkey") === col("c_nationkey") &&
+          col("s_acctbal") > col("c_acctbal"))
+      .select("s_suppkey", "c_custkey", "s_nationkey")
+      .orderBy("s_suppkey", "c_custkey")
+
+  /** interval self-join: pairs of events of the same user ≤ 30 min apart.
+    * Equi key user_id bounds the quadratic blow-up per key (~670 events/user
+    * at every SF — the generator scales users with SF, verified). */
+  val join_range: Q = (s, d) => {
+    val e  = events(s, d)
+    val e1 = e.select(col("user_id"), col("ts").as("ts1"),
+      col("event_id").as("id1"))
+    val e2 = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("event_id").as("id2"))
+    e1.join(e2,
+        col("user_id") === col("u2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 30 MINUTES") &&
+          col("id1") < col("id2"))
+      .select(col("user_id"), col("id1"), col("id2"),
+        (unix_timestamp(col("ts2")) - unix_timestamp(col("ts1")))
+          .as("gap_sec"))
+      .orderBy("id1", "id2")
+  }
+
+  /** as-of join: each purchase matched to the latest click of the same user
+    * at-or-before it (left: purchases with no prior click keep NULLs).
+    * Join on user + range, then keep rank-1 per purchase — the classic
+    * shuffle-friendly as-of formulation (no point lookup per row). */
+  val join_asof: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d)
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").desc, col("c_id").desc)
+    purch
+      .join(clicks, col("user_id") === col("cu") && col("c_ts") <= col("p_ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("gap_sec"))
+      .orderBy("p_id")
+  }
+
+  /** star join: fact (lineitem⋈orders, shuffled on the fact keys) against
+    * broadcast dims customer-is-large-but-joins-orders-first, then broadcast
+    * nation/region — revenue per region/nation. */
+  val join_star: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  // ----- D. aggregations ---------------------------------------------------
+
+  /** ★ flagship — TPC-H Q1 shape: filter → partial/final hash agg on
+    * (returnflag, linestatus) → 8 aggregates → sort. Map-side combine means
+    * the shuffle carries ≤ |groups|×|partitions| rows at any scale. */
+  val agg_pricing: Q = (s, d) =>
+    lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val agg_distinct: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch — engine-specific, no oracle (rows-only check); bounds are
+    * unit-tested against the exact count instead. */
+  val agg_approx: Q = (s, d) =>
+    events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  private def custNation: Q = (s, d) =>
+    customer(s, d).join(broadcast(nation(s, d)),
+      col("c_nationkey") === col("n_nationkey"))
+
+  /** ROLLUP/CUBE via SQL: the Dataset rollup().agg(grouping(...)) path trips
+    * Spark 4's ambiguous-self-join detector on the join-derived grouping
+    * columns; the SQL form resolves cleanly and plans identically (Expand +
+    * two-phase hash agg). */
+  private def groupingQuery(s: org.apache.spark.sql.SparkSession, d: String,
+      groupBy: String): org.apache.spark.sql.DataFrame = {
+    custNation(s, d).createOrReplaceTempView("graft_gsets_cn")
+    s.sql(s"""
+      SELECT cast(grouping(n_name) AS int)      AS g_nation,
+             cast(grouping(c_mktsegment) AS int) AS g_seg,
+             coalesce(n_name, 'ALL')            AS nation,
+             coalesce(c_mktsegment, 'ALL')      AS segment,
+             count(1)                           AS n,
+             cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS acct
+      FROM graft_gsets_cn
+      GROUP BY $groupBy
+      ORDER BY g_nation, g_seg, nation, segment
+    """)
+  }
+
+  val agg_rollup: Q = (s, d) => groupingQuery(s, d, "ROLLUP (n_name, c_mktsegment)")
+
+  val agg_cube: Q = (s, d) => groupingQuery(s, d, "CUBE (n_name, c_mktsegment)")
+
+  val agg_gsets: Q = (s, d) =>
+    groupingQuery(s, d, "GROUPING SETS ((n_name), (c_mktsegment), ())")
+
+  val agg_filter: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        count_if(col("event_type") === "purchase").as("n_purchase"),
+        count_if(col("event_type") === "click").as("n_click"),
+        coalesce(
+          sum(when(col("event_type") === "purchase", dec2(col("value")))),
+          lit(0).cast("decimal(18,2)")).cast("double").as("purchase_value"))
+      .orderBy("user_id")
+
+  val agg_collect: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types_seen"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val agg_stats: Q = (s, d) =>
+    events(s, d)
+      .withColumn("hr", hour(col("ts")).cast("double"))
+      .groupBy("event_type")
+      .agg(
+        r4(stddev_samp(col("value"))).as("sd_value"),
+        r4(var_samp(col("value"))).as("var_value"),
+        r4(corr(col("value"), col("hr"))).as("corr_value_hour"),
+        r4(covar_samp(col("value"), col("hr"))).as("covar_value_hour"))
+      .orderBy("event_type")
+
+  val agg_pctile: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"),
+        array(lit(0.5), lit(0.9))).as("pcts"))
+      .select(
+        col("o_orderstatus"),
+        r4(element_at(col("pcts"), 1)).as("p50"),
+        r4(element_at(col("pcts"), 2)).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** max_by/min_by with a (value, event_id) struct ordering key — unique, so
+    * deterministic even though `value` alone has duplicates (verified). */
+  val agg_minmax_by: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), struct(col("value"), col("event_id")))
+          .as("top_event"),
+        min_by(col("event_type"), struct(col("value"), col("event_id")))
+          .as("bottom_event"),
+        r4(max(col("value"))).as("max_value"))
+      .orderBy("user_id")
+
+  // ----- F. sorts / top-k --------------------------------------------------
+
+  val sort_multi: Q = (s, d) =>
+    customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy(
+        asc_nulls_last("c_mktsegment"),
+        desc("c_acctbal"),
+        asc("c_custkey"))
+
+  /** orderBy+limit → TakeOrderedAndProject (per-partition top-k, no global
+    * sort — the O(n log k) plan that survives 100 TB). */
+  val sort_topk: Q = (s, d) =>
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(50)
+
+  // ----- G. set operations -------------------------------------------------
+
+  val setop_union: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nk")
+
+  val setop_intersect: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val setop_except: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .exceptAll(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nk")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "scan_parquet" -> scan_parquet,
+    "scan_pruned" -> scan_pruned,
+    "scan_events_ns" -> scan_events_ns,
+    "proj_compute" -> proj_compute,
+    "filt_conj" -> filt_conj,
+    "filt_case" -> filt_case,
+    "filt_between" -> filt_between,
+    "join_bhj" -> join_bhj,
+    "join_smj" -> join_smj,
+    "join_left" -> join_left,
+    "join_full" -> join_full,
+    "join_semi" -> join_semi,
+    "join_anti" -> join_anti,
+    "join_theta" -> join_theta,
+    "join_range" -> join_range,
+    "join_asof" -> join_asof,
+    "join_star" -> join_star,
+    "agg_pricing" -> agg_pricing,
+    "agg_distinct" -> agg_distinct,
+    "agg_approx" -> agg_approx,
+    "agg_rollup" -> agg_rollup,
+    "agg_cube" -> agg_cube,
+    "agg_gsets" -> agg_gsets,
+    "agg_filter" -> agg_filter,
+    "agg_collect" -> agg_collect,
+    "agg_stats" -> agg_stats,
+    "agg_pctile" -> agg_pctile,
+    "agg_minmax_by" -> agg_minmax_by,
+    "sort_multi" -> sort_multi,
+    "sort_topk" -> sort_topk,
+    "setop_union" -> setop_union,
+    "setop_intersect" -> setop_intersect,
+    "setop_except" -> setop_except,
+  )
+
+  /** DuckDB 1.0 dialect oracle SQL. Aliases match the Spark output columns
+    * exactly (driver hashes after sorting columns by name). */
+  val oracle: Seq[(String, String)] = Seq(
+    "scan_parquet" ->
+      """SELECT * FROM lineitem WHERE l_orderkey % 100 = 7
+         ORDER BY l_orderkey, l_linenumber""",
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "scan_events_ns" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+    "proj_compute" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+             CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS DOUBLE) AS disc_price,
+             CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6)) AS DOUBLE) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "filt_conj" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderpriority LIKE '%URGENT' AND o_orderstatus IN ('F','O')
+           AND o_totalprice > 150000 AND o_custkey IS NOT NULL
+         ORDER BY o_orderkey""",
+    "filt_case" ->
+      """SELECT CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' THEN 'high'
+                     WHEN o_orderpriority LIKE '3-%' THEN 'mid' ELSE 'low' END AS prio_class,
+             count(1) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1 ORDER BY prio_class""",
+    "filt_between" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-03-31'
+         ORDER BY l_orderkey, l_linenumber""",
+    "join_bhj" ->
+      """SELECT p_brand, count(1) AS n_items,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_smj" ->
+      """SELECT o_orderpriority, count(1) AS n_lines,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "join_full" ->
+      """SELECT coalesce(c.nk_c, s.nk_s) AS nk, c.n_cust, s.n_supp
+         FROM (SELECT c_nationkey AS nk_c, count(1) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nk_s, count(1) AS n_supp FROM supplier GROUP BY 1) s
+           ON c.nk_c = s.nk_s
+         ORDER BY nk""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_partkey = p_partkey AND l_quantity >= 48)
+         ORDER BY p_partkey""",
+    "join_theta" ->
+      """SELECT s_suppkey, c_custkey, s_nationkey
+         FROM supplier JOIN customer
+           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         ORDER BY s_suppkey, c_custkey""",
+    "join_range" ->
+      """SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
+             date_diff('second', e1.ts, e2.ts) AS gap_sec
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+          AND e1.event_id < e2.event_id
+         ORDER BY id1, id2""",
+    "join_asof" ->
+      """WITH purch AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+                        FROM events WHERE event_type = 'purchase'),
+              clicks AS (SELECT user_id AS cu, ts AS c_ts, event_id AS c_id
+                         FROM events WHERE event_type = 'click'),
+              j AS (SELECT p_id, user_id, p_ts, c_id, c_ts,
+                        row_number() OVER (PARTITION BY p_id
+                                           ORDER BY c_ts DESC, c_id DESC) AS rn
+                    FROM purch LEFT JOIN clicks
+                      ON user_id = cu AND c_ts <= p_ts)
+         SELECT p_id, user_id, p_ts, c_id,
+             date_diff('second', c_ts, p_ts) AS gap_sec
+         FROM j WHERE rn = 1 ORDER BY p_id""",
+    "join_star" ->
+      """SELECT r_name, n_name, count(1) AS n_lines,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_price,
+             CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_disc,
+             count(1) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+             count(DISTINCT l_suppkey) AS nd_supps, count(1) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_rollup" ->
+      """SELECT CAST(grouping(n_name) AS INT) AS g_nation,
+             CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+             coalesce(n_name, 'ALL') AS nation,
+             coalesce(c_mktsegment, 'ALL') AS segment,
+             count(1) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY g_nation, g_seg, nation, segment""",
+    "agg_cube" ->
+      """SELECT CAST(grouping(n_name) AS INT) AS g_nation,
+             CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+             coalesce(n_name, 'ALL') AS nation,
+             coalesce(c_mktsegment, 'ALL') AS segment,
+             count(1) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (n_name, c_mktsegment)
+         ORDER BY g_nation, g_seg, nation, segment""",
+    "agg_gsets" ->
+      """SELECT CAST(grouping(n_name) AS INT) AS g_nation,
+             CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+             coalesce(n_name, 'ALL') AS nation,
+             coalesce(c_mktsegment, 'ALL') AS segment,
+             count(1) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+         ORDER BY g_nation, g_seg, nation, segment""",
+    "agg_filter" ->
+      """SELECT user_id,
+             count(1) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             count(1) FILTER (WHERE event_type = 'click') AS n_click,
+             coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_collect" ->
+      """SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+             count(1) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_stats" ->
+      """SELECT event_type,
+             round(stddev_samp(value), 4) AS sd_value,
+             round(var_samp(value), 4) AS var_value,
+             round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour,
+             round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_value_hour
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_pctile" ->
+      """SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_minmax_by" ->
+      """WITH mx AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY value DESC, event_id DESC) AS rn
+                     FROM events),
+              mn AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY value ASC, event_id ASC) AS rn
+                     FROM events),
+              mv AS (SELECT user_id, round(max(value), 4) AS max_value
+                     FROM events GROUP BY user_id)
+         SELECT mv.user_id, mx.event_type AS top_event,
+             mn.event_type AS bottom_event, mv.max_value
+         FROM mv JOIN mx ON mv.user_id = mx.user_id AND mx.rn = 1
+                 JOIN mn ON mv.user_id = mn.user_id AND mn.rn = 1
+         ORDER BY mv.user_id""",
+    "sort_multi" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+         ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC, c_custkey ASC""",
+    "sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+    "setop_union" ->
+      """SELECT nk, count(1) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "setop_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "setop_except" ->
+      """SELECT nk, count(1) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           EXCEPT ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+  )
+}

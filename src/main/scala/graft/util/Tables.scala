@@ -1,0 +1,66 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture-table readers (SURVEY.md §1.3, FIXTURES.md).
+  *
+  * 100 TB posture: every reader is a plain parquet scan, so Catalyst
+  * pushes filters/projections into the vectorized reader; at scale the
+  * same code reads a date-partitioned table with dynamic partition
+  * pruning — nothing here assumes single files.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
+    * to read natively (PARQUET_TYPE_ILLEGAL, verified — SURVEY.md §1.4).
+    * Runtime-settable legacy conf maps it to LongType epoch-nanos; integer
+    * `div 1000` (exact, no double rounding) then timestamp_micros yields
+    * the µs-truncated instant DuckDB produces natively for the same file.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Determinism combinators (SURVEY.md §7.6, FIXTURES.md §3).
+  *
+  * Cross-engine float policy: a double SUM over ~60k money values has
+  * order-dependent error ~1e-5 at magnitude ~1e8 — rounding to 4 decimals
+  * would flip at boundaries ~10% of the time. Money aggregates therefore
+  * accumulate in DECIMAL (exact, order-independent; inputs are 2-decimal
+  * money so DECIMAL(18,2)/(18,6) is lossless) and only the final scalar is
+  * cast back to double — bit-identical across engines and partition orders.
+  * Purely statistical doubles (corr, stddev) stay double + round(4): their
+  * relative error ~1e-13 is far below the 5e-5 boundary.
+  */
+object Det {
+  /** exact 2-decimal accumulator for raw money columns */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** exact 6-decimal accumulator for products of two/three 2-dec values */
+  def dec6(c: Column): Column = c.cast(DecimalType(24, 6))
+  /** order-independent money sum, emitted as double */
+  def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+  /** order-independent sum of a money product, emitted as double */
+  def moneySum6(c: Column): Column = sum(dec6(c)).cast("double")
+  /** exact-sum-based average, emitted as double (identical division both engines) */
+  def moneyAvg(c: Column): Column =
+    (sum(dec2(c)).cast("double") / count(lit(1))).cast("double")
+  def r4(c: Column): Column = round(c, 4)
+}
