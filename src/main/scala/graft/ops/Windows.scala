@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Det._
+
+/** SURVEY.md §2-E: window functions — ranking, offset, running frames,
+  * range frames, per-group top-k.
+  *
+  * Determinism: rank/dense_rank windows may order by a tied key (same rank
+  * for peers — deterministic output); row_number/ntile windows always carry
+  * a unique tiebreak. Window sums over money accumulate in DECIMAL.
+  *
+  * 100 TB posture: window partitions (order status, user, customer, brand)
+  * are the shuffle keys — state per partition is bounded; nothing requires a
+  * single global window.
+  */
+object Windows {
+
+  val win_rank: Q = (s, d) => {
+    val wTies = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"))
+    val wUniq = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        row_number().over(wUniq).as("rn"),
+        ntile(4).over(wUniq).as("quartile"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val win_lag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+          .as("gap_sec"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  val win_run: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** 7-day trailing sum per user: RANGE frame over epoch seconds — peers at
+    * the same second share the frame, so ties are deterministic. */
+  val win_range: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-604800L, 0L)
+    events(s, d)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("sec"),
+        sum(dec2(col("value"))).over(w).cast("double").as("trailing_7d"))
+      .orderBy("event_id")
+  }
+
+  val win_topk: Q = (s, d) => {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("revenue"), asc("p_partkey"))
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "win_rank" -> win_rank,
+    "win_lag" -> win_lag,
+    "win_run" -> win_run,
+    "win_range" -> win_range,
+    "win_topk" -> win_topk,
+  )
+
+  val oracle: Seq[(String, String)] = Seq(
+    "win_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS drnk,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn,
+             CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS quartile
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+    "win_lag" ->
+      """SELECT event_id, user_id, ts,
+             date_diff('second',
+                 lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                 ts) AS gap_sec,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+         FROM events ORDER BY event_id""",
+    "win_run" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_range" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+         FROM events ORDER BY event_id""",
+    "win_topk" ->
+      """WITH rev AS (
+           SELECT p_brand, p_partkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY p_brand, p_partkey),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY revenue DESC, p_partkey ASC) AS rn
+           FROM rev)
+         SELECT p_brand, p_partkey, revenue, CAST(rn AS INT) AS rn FROM ranked
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+  )
+}
