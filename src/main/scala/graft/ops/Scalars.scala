@@ -106,8 +106,8 @@ object Scalars {
       .select(
         col("doc_id"),
         size(col("m")).as("n_keys"),
-        coalesce(element_at(col("m"), "spark"), lit(0)).as("spark_cnt"),
-        coalesce(element_at(col("m"), "join"), lit(0)).as("join_cnt"),
+        coalesce(try_element_at(col("m"), lit("spark")), lit(0)).as("spark_cnt"),
+        coalesce(try_element_at(col("m"), lit("join")), lit(0)).as("join_cnt"),
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"))
       .orderBy("doc_id")
 

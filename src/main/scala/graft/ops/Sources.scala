@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.util.Tables._
+
+/** Decoded-payload feature record for [[Sources.llm_mm_features]]. */
+case class MMFeatures(doc_id: Long, width: Int, height: Int,
+    mean_intensity: Double)
+
+/** SURVEY.md §2-A sources beyond parquet: JSONL / CSV ingestion with
+  * explicit schemas, the Asana DataSource V2 connector (fixture replay —
+  * [[graft.asana.AsanaSource]]), and the multimodal binary-decode pipeline
+  * stub. Fixtures live in-repo (deterministic, hand-authored to the public
+  * Asana API shapes — FIXTURES.md §2).
+  */
+object Sources {
+
+  val fixtureDir = "/root/repo/fixtures/asana"
+
+  private val taskSchema = StructType.fromDDL(
+    "gid STRING, name STRING, notes STRING, completed BOOLEAN, " +
+      "num_likes LONG, created_at TIMESTAMP, modified_at TIMESTAMP, " +
+      "assignee STRUCT<gid: STRING, name: STRING>, " +
+      "tags ARRAY<STRUCT<gid: STRING, name: STRING>>, " +
+      "memberships ARRAY<STRUCT<project: STRUCT<gid: STRING, name: STRING>, " +
+      "section: STRUCT<gid: STRING, name: STRING>>>")
+
+  /** nested-JSON ingestion with explicit schema (no inference in prod paths)
+    * + struct/array flattening — the Asana task object shape. */
+  val scan_jsonl: Q = (s, _) =>
+    s.read.schema(taskSchema).json(s"$fixtureDir/tasks.jsonl")
+      .select(
+        col("gid"), col("name"), col("completed"), col("num_likes"),
+        col("created_at"),
+        col("assignee.name").as("assignee_name"),
+        size(col("tags")).as("n_tags"),
+        size(col("memberships")).as("n_memberships"))
+      .orderBy("gid")
+
+  private val csvSchema = StructType.fromDDL(
+    "gid STRING, name STRING, completed BOOLEAN, num_likes LONG, " +
+      "created_at TIMESTAMP, project_gid STRING")
+
+  val scan_csv: Q = (s, _) =>
+    s.read.option("header", "true").schema(csvSchema)
+      .csv(s"$fixtureDir/tasks_export.csv")
+      .orderBy("gid")
+
+  /** the DSv2 connector end-to-end: prune columns (opt_fields) + push the
+    * modified_since predicate; oracle replays the same page fixtures. */
+  val asana_scan: Q = (s, _) =>
+    s.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", fixtureDir)
+      .load()
+      .where(col("modified_at") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("gid", "name", "completed", "num_likes", "modified_at")
+      .orderBy("gid")
+
+  /** multi-entity denormalization through the connector: tasks per assignee
+    * (the task⋈user join every Asana ETL performs). */
+  val asana_denorm: Q = (s, _) => {
+    val tasks = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
+    val users = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "users").option("fixtureDir", fixtureDir).load()
+    tasks.as("t").join(users.as("u"),
+        col("t.assignee_gid") === col("u.gid"))
+      .groupBy(col("u.name").as("user_name"))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
+        sum(col("num_likes")).as("likes"))
+      .orderBy("user_name")
+  }
+
+  /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
+    * binary column and derives "image" features per partition via a typed
+    * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
+    * partition-parallel decode) a real image/audio decode uses. The decode
+    * itself is a STUB: this container has no codec libraries, so width/
+    * height/mean_intensity are deterministic functions of the bytes. */
+  val llm_mm_features: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MMFeatures(id,
+            64 + bytes.length % 64,
+            64 + (bytes.length / 64) % 64,
+            bytes.take(16).map(b => b & 0xff).sum / 16.0)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "scan_jsonl" -> scan_jsonl,
+    "scan_csv" -> scan_csv,
+    "asana_scan" -> asana_scan,
+    "asana_denorm" -> asana_denorm,
+    "llm_mm_features" -> llm_mm_features,
+  )
+
+  val oracle: Seq[(String, String)] = Seq(
+    "scan_jsonl" ->
+      s"""SELECT gid, name, completed, num_likes,
+              CAST(created_at AS TIMESTAMP) AS created_at,
+              assignee.name AS assignee_name,
+              CAST(len(tags) AS INT) AS n_tags,
+              CAST(len(memberships) AS INT) AS n_memberships
+          FROM read_json_auto('$fixtureDir/tasks.jsonl', format='newline_delimited')
+          ORDER BY gid""",
+    "scan_csv" ->
+      s"""SELECT gid, name, completed, num_likes,
+              CAST(created_at AS TIMESTAMP) AS created_at, project_gid
+          FROM read_csv_auto('$fixtureDir/tasks_export.csv', header=true)
+          ORDER BY gid""",
+    "asana_scan" ->
+      s"""SELECT gid, name, completed, num_likes,
+              CAST(modified_at AS TIMESTAMP) AS modified_at
+          FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited')
+          WHERE CAST(modified_at AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+          ORDER BY gid""",
+    "asana_denorm" ->
+      s"""SELECT u.name AS user_name, count(1) AS n_tasks,
+              sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS n_done,
+              sum(t.num_likes) AS likes
+          FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited') t
+          JOIN read_json_auto('$fixtureDir/users.jsonl', format='newline_delimited') u
+            ON t.assignee.gid = u.gid
+          GROUP BY u.name ORDER BY user_name""",
+    "llm_mm_features" ->
+      """SELECT doc_id,
+             CAST(64 + length(text) % 64 AS INT) AS width,
+             CAST(64 + (length(text) // 64) % 64 AS INT) AS height,
+             list_aggregate(list_transform(range(1, 17), i -> ascii(text[i])), 'sum') / 16.0 AS mean_intensity
+         FROM documents ORDER BY doc_id""",
+  )
+}
