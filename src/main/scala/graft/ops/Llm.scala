@@ -131,6 +131,11 @@ object Llm {
   private def embDouble(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     embeddings(s, d).withColumn("emb", col("embedding").cast("array<double>"))
 
+  /** Dot product via HOF expressions. Benched BOTH ways at sf0.1
+    * (SURVEY.md §4 contingency 1): a compiled Scala UDF while-loop made
+    * llm_simjoin 3× SLOWER (65.6s vs 20.9s) — the Catalyst→Scala Seq
+    * conversion boxes every element per pair, while the "interpreted" HOF
+    * operates on ArrayData in place. The HOF form stays. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector behavior (SURVEY.md §7.4): pagination
+  * partitioning, opt_fields-style pruning, modified_since pushdown, and
+  * incremental-sync monotonicity. */
+class AsanaConnectorSpec extends SparkTestBase {
+  private val dir = ops.Sources.fixtureDir
+
+  private def tasks: DataFrame =
+    spark.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", dir).load()
+
+  test("reads all pages (30 tasks over 3 page partitions)") {
+    assert(tasks.count() == 30)
+    assert(tasks.rdd.getNumPartitions == 3, "one partition per API page")
+  }
+
+  test("column pruning reaches the scan (opt_fields analogue)") {
+    val df = tasks.select("gid")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("asana.tasks[gid"), s"scan not pruned:\n$scan")
+    assert(df.collect().length == 30)
+  }
+
+  test("modified_since predicate is pushed and correct") {
+    val cutoff = "2024-01-15 00:00:00"
+    val got = tasks.where(col("modified_at") >= lit(cutoff).cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    // independent reference: Spark's own JSON reader over the same fixtures
+    val want = spark.read.json(s"$dir/tasks.jsonl")
+      .where(col("modified_at").cast("timestamp") >= lit(cutoff).cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("incremental sync is monotone: later cutoff yields a subset") {
+    def syncedAfter(c: String): Set[String] =
+      tasks.where(col("modified_at") >= lit(c).cast("timestamp"))
+        .select("gid").collect().map(_.getString(0)).toSet
+    val t1 = syncedAfter("2024-01-10 00:00:00")
+    val t2 = syncedAfter("2024-01-20 00:00:00")
+    assert(t2.subsetOf(t1) && t2.size < t1.size)
+  }
+
+  test("all five entities load with their schemas") {
+    for ((e, n) <- Seq("tasks" -> 30L, "projects" -> 3L, "users" -> 6L,
+        "tags" -> 5L, "stories" -> 60L)) {
+      val df = spark.read.format("graft.asana.AsanaSource")
+        .option("entity", e).option("fixtureDir", dir).load()
+      assert(df.count() == n, s"$e row count")
+    }
+  }
+
+  test("unknown entity fails with a clear message") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.asana.AsanaSource")
+        .option("entity", "nope").option("fixtureDir", dir).load().count()
+    }
+    assert(e.getMessage.contains("unknown asana entity"))
+  }
+
+  test("rate limiter accounts per-minute windows") {
+    val rl = new graft.asana.AsanaRateLimiter(150)
+    val t0 = 0L
+    assert((1 to 150).forall(_ => rl.acquire(t0)))
+    assert(!rl.acquire(t0), "151st request in a minute must exceed the ceiling")
+    assert(rl.acquire(t0 + 60001L), "new minute window resets the budget")
+  }
+}

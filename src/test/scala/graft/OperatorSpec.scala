@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture-invariant canaries (SURVEY.md §5.5) and operator cross-checks
+  * that the SQL oracle cannot express (sketches, signatures). */
+class OperatorSpec extends SparkTestBase {
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query in queries has distinct, well-formed output columns") {
+    // duplicate/auto-generated column names would break the driver's
+    // sort-columns-by-name hash compare
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.distinct.length == cols.length, s"$name: dup columns $cols")
+      assert(cols.forall(c => !c.contains("(")), s"$name: unaliased col in $cols")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("fixture canaries: documents/embeddings invariants hold") {
+    import graft.util.Tables._
+    val bad = documents(spark, sf)
+      .where(col("n_chars") =!= length(col("text"))).count()
+    assert(bad == 0, "n_chars == length(text) invariant broken")
+    val dims = embeddings(spark, sf)
+      .select(size(col("embedding")).as("d")).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq == Seq(64))
+    val labelRange = embeddings(spark, sf)
+      .agg(min("label"), max("label")).head()
+    assert(labelRange.getInt(0) >= 0 && labelRange.getInt(1) <= 9)
+  }
+
+  test("agg_approx HLL estimate within 15% of exact distinct count") {
+    val approx = ops.Relational.agg_approx(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.util.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.15, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("MinHash LSH candidates cover all true Jaccard >= 0.9 pairs") {
+    val truePairs = ops.Llm.llm_dedup_jaccard(spark, sf)
+      .where(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = ops.Llm.llm_minhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = truePairs -- candidates
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+  }
+
+  test("SimHash: near-dup pairs are much closer in Hamming space than random") {
+    val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
+    val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val dupDist = pairs.join(a, "doc_a").join(b, "doc_b")
+      .select(expr("avg(bit_count(ha ^ hb))")).head().getDouble(0)
+    assert(dupDist < 16.0, s"near-dup avg hamming $dupDist not << 32 (random)")
+  }
+
+  test("MinHashAgg signature estimates Jaccard for a known near-dup pair") {
+    val sig = ops.Llm.llm_minhash_agg(spark, sf)
+    assert(sig.count() == 500)
+    // deterministic across two runs (hash stability)
+    val twice = ops.Llm.llm_minhash_agg(spark, sf).collect().toSeq
+    assert(sig.collect().toSeq == twice)
+  }
+
+  test("window running sum final value equals the group total") {
+    val win = ops.Windows.win_run(spark, sf)
+      .groupBy("o_custkey").agg(max("running_spend").as("final"))
+    val grp = graft.util.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(graft.util.Det.moneySum(col("o_totalprice")).as("total"))
+    val diff = win.join(grp, "o_custkey")
+      .where(abs(col("final") - col("total")) > 1e-6).count()
+    assert(diff == 0)
+  }
+
+  test("set-op algebra: (cust u supp) distinct keys == intersect + two excepts") {
+    import graft.util.Tables._
+    val c = customer(spark, sf).select(col("c_nationkey").as("nk")).distinct()
+    val s2 = supplier(spark, sf).select(col("s_nationkey").as("nk")).distinct()
+    val both = c.intersect(s2).count()
+    val onlyC = c.except(s2).count()
+    val onlyS = s2.except(c).count()
+    val union = c.union(s2).distinct().count()
+    assert(union == both + onlyC + onlyS)
+  }
+
+  test("dedup idempotence: llm_dedup_exact output is duplicate-free") {
+    val out = ops.Llm.llm_dedup_exact(spark, sf)
+    assert(out.count() == out.select("text_key").distinct().count())
+  }
+
+  test("events nanos fix: ts range matches the documented Jan 2024 span") {
+    val mm = graft.util.Tables.events(spark, sf)
+      .agg(min("ts").cast("string"), max("ts").cast("string")).head()
+    assert(mm.getString(0).startsWith("2024-01-01"))
+    assert(mm.getString(1).startsWith("2024-01-3"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Engine-level invariants over generated inputs (SURVEY.md §5.3). Uses raw
+  * ScalaCheck generators with a fixed seed (deterministic, and avoids the
+  * scalatestplus bridge which isn't in the offline dependency cache);
+  * Spark-touching properties sample few cases — each is a Spark job. */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val tokenGen = Gen.listOfN(8, Gen.oneOf("spark", "join", "sort",
+    "batch", "window", "dup", "row", "key"))
+
+  test("jaccard formula: symmetric, reflexive, bounded") {
+    def jac(x: Set[String], y: Set[String]): Double =
+      if (x.isEmpty && y.isEmpty) 1.0
+      else x.intersect(y).size.toDouble / x.union(y).size
+    for (Seq(a, b) <- samples(Gen.listOfN(2, tokenGen), 100)) {
+      val (sa, sb) = (a.toSet, b.toSet)
+      assert(jac(sa, sb) == jac(sb, sa))
+      assert(jac(sa, sa) == 1.0)
+      assert(jac(sa, sb) >= 0.0 && jac(sa, sb) <= 1.0)
+    }
+  }
+
+  test("MinHashAgg: merge is commutative/associative; reduce order-free") {
+    val agg = graft.functions.MinHashAgg
+    for (shingles <- samples(Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty)), 50)) {
+      val left = shingles.foldLeft(agg.zero)((b, s) => agg.reduce(b, s))
+      val right = shingles.reverse.foldLeft(agg.zero)((b, s) => agg.reduce(b, s))
+      assert(left.toSeq == right.toSeq, "reduce must be order-insensitive")
+      val (xs, ys) = shingles.splitAt(3)
+      val merged = agg.merge(
+        xs.foldLeft(agg.zero)((b, s) => agg.reduce(b, s)),
+        ys.foldLeft(agg.zero)((b, s) => agg.reduce(b, s)))
+      assert(merged.toSeq == left.toSeq, "merge(partials) == sequential")
+    }
+  }
+
+  test("MinHash similarity estimates Jaccard on controlled overlap") {
+    val agg = graft.functions.MinHashAgg
+    def sig(ts: Seq[String]) = ts.foldLeft(agg.zero)((b, s) => agg.reduce(b, s))
+    val base = (0 until 100).map(i => s"sh$i")
+    val near = (0 until 90).map(i => s"sh$i") ++ (100 until 110).map(i => s"sh$i")
+    val far = (200 until 300).map(i => s"sh$i")
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    val nearEst = est(sig(base), sig(near))
+    val farEst = est(sig(base), sig(far))
+    assert(nearEst > 0.6, s"near-dup estimate $nearEst should be ~0.82")
+    assert(farEst < 0.2, s"disjoint estimate $farEst should be ~0")
+  }
+
+  test("set-op algebra on generated data: (A union B) except B is subset of A") {
+    import spark.implicits._
+    for (Seq(a, b) <- samples(Gen.listOfN(2, Gen.listOf(Gen.choose(0, 20))), 5)) {
+      val left = a.toDF("v").union(b.toDF("v")).except(b.toDF("v"))
+        .collect().map(_.getInt(0)).toSet
+      assert(left.subsetOf(a.toSet))
+    }
+  }
+
+  test("union-by-name is column-permutation safe") {
+    import spark.implicits._
+    val d1 = Seq((1, "x"), (2, "y")).toDF("id", "s")
+    val d2 = Seq(("z", 3)).toDF("s", "id")
+    val u = d1.unionByName(d2).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(u.toSet == Set((1, "x"), (2, "y"), (3, "z")))
+  }
+
+  test("slugify is idempotent (UDF stays SQL-replicable)") {
+    val slug: String => String = x =>
+      x.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", "")
+    for (s0 <- samples(Gen.asciiPrintableStr, 100)) {
+      assert(slug(slug(s0)) == slug(s0))
+    }
+  }
+}

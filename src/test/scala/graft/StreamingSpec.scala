@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** True Structured Streaming semantics (SURVEY.md §2-I unit-test-only rows):
+  * watermark late-data drop, AvailableNow file-source parity with batch,
+  * and streaming dedup — the behaviors the batch oracle cannot check. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark drops late rows (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_tumble")
+      .outputMode("update").start()
+    try {
+      // batch 1: two rows at 10:05 and 10:20 → watermark advances to 10:10
+      mem.addData((ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: a row 2h older than the watermark → must be dropped
+      mem.addData((ts("2024-01-01 08:00:00"), 9.0))
+      q.processAllAvailable()
+      // batch 3: an on-time row still lands
+      mem.addData((ts("2024-01-01 10:40:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT w, n FROM wm_tumble").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toList
+      assert(!rows.exists(_._1.startsWith("2024-01-01 08")),
+        s"late row leaked into results: $rows")
+      assert(rows.filter(_._1.startsWith("2024-01-01 10")).map(_._2).max == 3)
+    } finally q.stop()
+  }
+
+  test("AvailableNow file-source stream equals the batch aggregation") {
+    // the same window expression used by stream_tumble, executed as a real
+    // readStream over the events parquet (nanos ts read as long + converted)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("an_tumble")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT wstart, event_type, n FROM an_tumble")
+      .orderBy("wstart", "event_type").collect().toSeq
+    val batch = ops.Streaming.stream_tumble(spark, sf)
+      .select("wstart", "event_type", "n")
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val dedup = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dedup.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:05:00"), "a"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:10:00"), "a"), (ts("2024-01-01 10:10:00"), "b"))
+      q.processAllAvailable()
+      val ks = spark.sql("SELECT k FROM wm_dedup").collect().map(_.getString(0)).toList
+      assert(ks.sorted == List("a", "b"), s"expected one a and one b, got $ks")
+    } finally q.stop()
+  }
+}
