@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,7 +104,8 @@ class AsanaTable(entity: String, fixtureDir: String, schema: StructType)
   override def name(): String = s"asana.$entity"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AsanaScanBuilder(entity, fixtureDir, schema)
 }
@@ -164,6 +166,87 @@ class AsanaScan(entity: String, fixtureDir: String, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AsanaReaderFactory(entity, schema, modifiedSince)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AsanaMicroBatchStream(entity, fixtureDir, schema)
+}
+
+/** Sync-token offset: the Asana `/events?sync=<token>` resumable stream
+  * maps onto Spark's micro-batch offsets — the token here is the global
+  * record index across the ordered page files. */
+case class AsanaSyncOffset(token: Long) extends Offset {
+  override def json(): String = token.toString
+}
+
+/** Streaming half of the connector (SURVEY.md §2-I "incremental Asana
+  * sync"): each micro-batch covers the records that appeared since the
+  * last committed sync token; Spark checkpoints the token, so a restarted
+  * query resumes exactly where it left off — the `/events` sync-token loop
+  * expressed as a DSv2 `MicroBatchStream`. Offline, "new events arriving"
+  * = new page files/lines appearing under the fixture dir. */
+class AsanaMicroBatchStream(entity: String, fixtureDir: String,
+    schema: StructType) extends MicroBatchStream {
+
+  private def pageFiles(): Array[String] = {
+    val dir = new java.io.File(s"$fixtureDir/pages/$entity")
+    val pages =
+      if (dir.isDirectory)
+        dir.listFiles().filter(_.getName.endsWith(".jsonl")).map(_.getPath).sorted
+      else Array(s"$fixtureDir/$entity.jsonl")
+    pages
+  }
+
+  private def countLines(p: String): Long = {
+    val src = scala.io.Source.fromFile(p, "UTF-8")
+    try src.getLines().size.toLong finally src.close()
+  }
+
+  override def latestOffset(): Offset =
+    AsanaSyncOffset(pageFiles().map(countLines).sum)
+
+  override def initialOffset(): Offset = AsanaSyncOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    AsanaSyncOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  /** one partition per page file intersected with the [start, end) record
+    * range — pagination stays the unit of parallelism while streaming. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[AsanaSyncOffset].token
+    val hi = end.asInstanceOf[AsanaSyncOffset].token
+    var cum = 0L
+    val parts = Array.newBuilder[InputPartition]
+    for (p <- pageFiles()) {
+      val n = countLines(p)
+      val fileLo = cum
+      val fileHi = cum + n
+      val takeLo = math.max(lo, fileLo)
+      val takeHi = math.min(hi, fileHi)
+      if (takeLo < takeHi)
+        parts += AsanaStreamPartition(p, takeLo - fileLo, takeHi - fileLo)
+      cum = fileHi
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AsanaStreamReaderFactory(entity, schema)
+}
+
+case class AsanaStreamPartition(path: String, fromLine: Long, untilLine: Long)
+    extends InputPartition
+
+class AsanaStreamReaderFactory(entity: String, schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[AsanaStreamPartition]
+    new AsanaPageReader(sp.path, entity, schema, None,
+      sp.fromLine, sp.untilLine)
+  }
 }
 
 case class AsanaInputPartition(path: String) extends InputPartition
@@ -189,12 +272,14 @@ class AsanaRateLimiter(maxPerMinute: Int) extends Serializable {
 }
 
 class AsanaPageReader(path: String, entity: String, schema: StructType,
-    modifiedSince: Option[Long]) extends PartitionReader[InternalRow] {
+    modifiedSince: Option[Long], fromLine: Long = 0L,
+    untilLine: Long = Long.MaxValue) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val limiter = new AsanaRateLimiter(150)
   limiter.acquire(System.currentTimeMillis()) // one "request" per page
-  private val lines = readPage(path).iterator
+  private val lines = readPage(path)
+    .slice(fromLine.toInt, math.min(untilLine, Int.MaxValue).toInt).iterator
   private var current: InternalRow = _
 
   /** the HTTP seam: a live connector fetches GET …?limit=100&offset=token

@@ -344,6 +344,28 @@ object Relational {
         r4(max(col("value"))).as("max_value"))
       .orderBy("user_id")
 
+  /** pivot: long→wide per-user event counts over the (verified) closed
+    * event-type domain; values pinned explicitly so the output schema is
+    * static — the scalable form (dynamic pivot needs a distinct-scan first). */
+  val agg_pivot: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** unpivot (melt): the wide pivot back to long — includes the zero cells
+    * the long form never materialized, which is the semantic difference
+    * the oracle encodes with a domain cross join. */
+  val agg_unpivot: Q = (s, d) =>
+    agg_pivot(s, d)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"),
+          col("view")),
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   // ----- F. sorts / top-k --------------------------------------------------
 
   val sort_multi: Q = (s, d) =>
@@ -412,6 +434,8 @@ object Relational {
     "agg_stats" -> agg_stats,
     "agg_pctile" -> agg_pctile,
     "agg_minmax_by" -> agg_minmax_by,
+    "agg_pivot" -> agg_pivot,
+    "agg_unpivot" -> agg_unpivot,
     "sort_multi" -> sort_multi,
     "sort_topk" -> sort_topk,
     "setop_union" -> setop_union,
@@ -610,6 +634,23 @@ object Relational {
          FROM mv JOIN mx ON mv.user_id = mx.user_id AND mx.rn = 1
                  JOIN mn ON mv.user_id = mn.user_id AND mn.rn = 1
          ORDER BY mv.user_id""",
+    "agg_pivot" ->
+      """SELECT user_id,
+             count(1) FILTER (WHERE event_type = 'click') AS click,
+             count(1) FILTER (WHERE event_type = 'error') AS error,
+             count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(1) FILTER (WHERE event_type = 'signup') AS signup,
+             count(1) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+              t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+              c AS (SELECT user_id, event_type, count(1) AS n FROM events GROUP BY 1, 2)
+         SELECT u.user_id AS user_id, t.event_type AS event_type,
+             coalesce(c.n, 0) AS n
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         ORDER BY u.user_id, t.event_type""",
     "sort_multi" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
          ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC, c_custkey ASC""",

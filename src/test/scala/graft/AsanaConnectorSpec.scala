@@ -62,6 +62,36 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown asana entity"))
   }
 
+  test("streaming sync-token resume: restart continues from the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("asana_stream").toFile
+    val pages = new java.io.File(work, "pages/tasks")
+    pages.mkdirs()
+    val src = new java.io.File(s"$dir/pages/tasks")
+    def copy(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(src, name).toPath,
+        new java.io.File(pages, name).toPath)
+    copy("page_000.jsonl"); copy("page_001.jsonl")
+    val ckpt = new java.io.File(work, "ckpt").getPath
+    val out = new java.io.File(work, "out").getPath
+    // file sink (memory sink cannot recover from a checkpoint)
+    def runOnce(): Long = {
+      val stream = spark.readStream.format("graft.asana.AsanaSource")
+        .option("entity", "tasks").option("fixtureDir", work.getPath).load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 20, "first run drains pages 0-1")
+    // "new events arrive at the API": a third page appears; a restarted
+    // query with the same checkpoint must emit ONLY the new records
+    copy("page_002.jsonl")
+    assert(runOnce() == 30, "resume appends only page 2's 10 records")
+  }
+
   test("rate limiter accounts per-minute windows") {
     val rl = new graft.asana.AsanaRateLimiter(150)
     val t0 = 0L
