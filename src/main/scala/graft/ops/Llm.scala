@@ -426,6 +426,34 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus-cleaning pipeline — the composition a training-data
+    * run executes as ONE Spark DAG: quality scoring → language filter →
+    * near-dup removal (canonical = lowest doc_id of each J≥0.9 pair) →
+    * per-language survivor stats. All-integer outputs (counts + quality
+    * basis points) so the oracle compare is float-free. */
+  val llm_pipeline: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val scored = documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_cnt",
+        size(filter(toks, t => t.isin("a", "the", "of", "and"))))
+      .withColumn("long_cnt", size(filter(toks, t => length(t) > 5)))
+      .withColumn("bp", expr(
+        """(200 * (4 * (n_chars - (n_tokens - 1))
+              + 30 * (n_tokens - stop_cnt)
+              + 30 * long_cnt) + n_tokens) div (2 * n_tokens)"""))
+    val dupVictims = llm_dedup_jaccard(s, d)
+      .where(col("jac") >= 0.9)
+      .select(col("doc_b")).distinct()
+    scored
+      .where(col("bp") >= 5000 && col("lang").isin("en", "de", "fr"))
+      .join(dupVictims, col("doc_id") === col("doc_b"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("bp")).as("sum_quality_bp"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   // ----- multimodal / UDF --------------------------------------------------
 
   /** struct + map + binary round-trip: documents ⋈ embeddings into a
@@ -493,6 +521,7 @@ object Llm {
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
     "llm_fingerprint" -> llm_fingerprint,
+    "llm_pipeline" -> llm_pipeline,
     "llm_multimodal" -> llm_multimodal,
     "udf_scalar" -> udf_scalar,
     "llm_minhash_agg" -> llm_minhash_agg,
@@ -596,7 +625,7 @@ object Llm {
       """SELECT lang, source, count(1) AS n_docs,
              sum(n_chars) / count(1) AS avg_chars,
              sum(len(string_split(text, ' '))) / count(1) AS avg_tokens,
-             sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS n_bad
+             CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "llm_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
@@ -643,6 +672,38 @@ object Llm {
                      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
                  (h, c) -> (h * 1000003 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "llm_pipeline" ->
+      s"""WITH sh AS ($duckShingles),
+          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          victims AS (
+            SELECT DISTINCT doc_b FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
+          scored AS (
+            SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> length(t) > 5)) AS BIGINT) AS l,
+                n_chars
+            FROM documents),
+          bp AS (
+            SELECT doc_id, lang, q,
+                (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
+                    // (2 * q) AS bp
+            FROM scored)
+          SELECT lang, count(1) AS n_kept,
+              CAST(sum(bp) AS BIGINT) AS sum_quality_bp,
+              CAST(sum(q) AS BIGINT) AS sum_tokens
+          FROM bp
+          WHERE bp >= 5000 AND lang IN ('en', 'de', 'fr')
+            AND doc_id NOT IN (SELECT doc_b FROM victims)
+          GROUP BY lang ORDER BY lang""",
     "llm_multimodal" ->
       """SELECT doc_id,
              CAST(length(text) AS INT) AS text_len,

@@ -344,6 +344,38 @@ object Relational {
         r4(max(col("value"))).as("max_value"))
       .orderBy("user_id")
 
+  /** correlated scalar subquery (SQL form → Catalyst decorrelates to an
+    * aggregate + join): orders beating their customer's average. */
+  val sub_scalar: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("graft_sub_orders")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM graft_sub_orders o
+      WHERE o_totalprice > 1.5 * (
+        SELECT cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(1)
+        FROM graft_sub_orders i
+        WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
+  /** IN + NOT EXISTS subqueries (SQL form → RewritePredicateSubquery turns
+    * them into semi/anti joins — the rewrite the DSL joins bypass). */
+  val sub_in: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("graft_sub_cust")
+    orders(s, d).createOrReplaceTempView("graft_sub_orders2")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM graft_sub_cust
+      WHERE c_nationkey IN (SELECT c_nationkey FROM graft_sub_cust
+                            GROUP BY c_nationkey HAVING count(1) >= 5)
+        AND NOT EXISTS (SELECT 1 FROM graft_sub_orders2
+                        WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """)
+  }
+
   /** pivot: long→wide per-user event counts over the (verified) closed
     * event-type domain; values pinned explicitly so the output schema is
     * static — the scalable form (dynamic pivot needs a distinct-scan first). */
@@ -436,6 +468,8 @@ object Relational {
     "agg_minmax_by" -> agg_minmax_by,
     "agg_pivot" -> agg_pivot,
     "agg_unpivot" -> agg_unpivot,
+    "sub_scalar" -> sub_scalar,
+    "sub_in" -> sub_in,
     "sort_multi" -> sort_multi,
     "sort_topk" -> sort_topk,
     "setop_union" -> setop_union,
@@ -634,6 +668,23 @@ object Relational {
          FROM mv JOIN mx ON mv.user_id = mx.user_id AND mx.rn = 1
                  JOIN mn ON mv.user_id = mn.user_id AND mn.rn = 1
          ORDER BY mv.user_id""",
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(1)
+           FROM orders i
+           WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "sub_in" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer
+         WHERE c_nationkey IN (SELECT c_nationkey FROM customer
+                               GROUP BY c_nationkey HAVING count(1) >= 5)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
     "agg_pivot" ->
       """SELECT user_id,
              count(1) FILTER (WHERE event_type = 'click') AS click,

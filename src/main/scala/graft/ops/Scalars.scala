@@ -226,9 +226,9 @@ object Scalars {
          FROM documents ORDER BY doc_id""",
     "json_fns" ->
       """SELECT event_type,
-             sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-             sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) = CAST(props->>'$.k' AS BIGINT)
-                      THEN 1 ELSE 0 END) AS n_consistent,
+             CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) = CAST(props->>'$.k' AS BIGINT)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
              count(1) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "null_fns" ->

@@ -126,8 +126,8 @@ object Sources {
           ORDER BY gid""",
     "asana_denorm" ->
       s"""SELECT u.name AS user_name, count(1) AS n_tasks,
-              sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS n_done,
-              sum(t.num_likes) AS likes
+              CAST(sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+              CAST(sum(t.num_likes) AS BIGINT) AS likes
           FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited') t
           JOIN read_json_auto('$fixtureDir/users.jsonl', format='newline_delimited') u
             ON t.assignee.gid = u.gid
