@@ -115,7 +115,7 @@ class AsanaScanBuilder(entity: String, fixtureDir: String, full: StructType)
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = full
-  private var modifiedSinceMicros: Option[Long] = None
+  private var cutoffs: Seq[ModifiedCutoff] = Nil
   private var pushed: Array[Filter] = Array.empty
 
   /** opt_fields analogue: only the pruned columns are materialized. */
@@ -123,17 +123,22 @@ class AsanaScanBuilder(entity: String, fixtureDir: String, full: StructType)
     required = StructType(requiredSchema.fields.filter(f =>
       full.fieldNames.contains(f.name)))
 
-  /** modified_since analogue: accepts >=/> on modified_at; everything else
-    * is residual (Spark re-evaluates pushed filters anyway — acceptable). */
+  /** modified_since analogue: accepts >=/> on modified_at. EVERY accepted
+    * filter is enforced in the reader with its own inclusivity — a pushed
+    * filter Spark removes from the post-scan plan must be honored exactly
+    * (a strict > degraded to >= would leak boundary rows). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case GreaterThanOrEqual("modified_at", _: java.sql.Timestamp) => true
       case GreaterThan("modified_at", _: java.sql.Timestamp) => true
       case _ => false
     }
-    modifiedSinceMicros = accepted.collectFirst {
-      case GreaterThanOrEqual(_, ts: java.sql.Timestamp) => tsMicros(ts)
-      case GreaterThan(_, ts: java.sql.Timestamp) => tsMicros(ts)
+    cutoffs = accepted.toSeq.map {
+      case GreaterThanOrEqual(_, ts: java.sql.Timestamp) =>
+        ModifiedCutoff(tsMicros(ts), strict = false)
+      case GreaterThan(_, ts: java.sql.Timestamp) =>
+        ModifiedCutoff(tsMicros(ts), strict = true)
+      case f => throw new IllegalStateException(s"unaccepted filter $f")
     }
     pushed = accepted
     residual
@@ -145,27 +150,39 @@ class AsanaScanBuilder(entity: String, fixtureDir: String, full: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new AsanaScan(entity, fixtureDir, required,
-    modifiedSinceMicros)
+    cutoffs)
+}
+
+/** one pushed modified_at lower bound; strict=true for `>` */
+case class ModifiedCutoff(micros: Long, strict: Boolean) {
+  def passes(valueMicros: Long): Boolean =
+    if (strict) valueMicros > micros else valueMicros >= micros
+}
+
+/** page-file discovery shared by the batch and streaming scans — one
+  * definition so the two read paths can never desynchronize. */
+object AsanaPages {
+  def list(fixtureDir: String, entity: String): Array[String] = {
+    val dir = new java.io.File(s"$fixtureDir/pages/$entity")
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".jsonl")).map(_.getPath).sorted
+    else Array(s"$fixtureDir/$entity.jsonl")
+  }
 }
 
 class AsanaScan(entity: String, fixtureDir: String, schema: StructType,
-    modifiedSince: Option[Long]) extends Scan with Batch {
+    cutoffs: Seq[ModifiedCutoff]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   /** one partition per API page (fixture page file) — the API's natural
     * sharding; a real backfill fans these out across executors. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(s"$fixtureDir/pages/$entity")
-    val pages =
-      if (dir.isDirectory)
-        dir.listFiles().filter(_.getName.endsWith(".jsonl")).map(_.getPath).sorted
-      else Array(s"$fixtureDir/$entity.jsonl")
-    pages.map(p => AsanaInputPartition(p): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    AsanaPages.list(fixtureDir, entity)
+      .map(p => AsanaInputPartition(p): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AsanaReaderFactory(entity, schema, modifiedSince)
+    new AsanaReaderFactory(entity, schema, cutoffs)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AsanaMicroBatchStream(entity, fixtureDir, schema)
@@ -187,14 +204,7 @@ case class AsanaSyncOffset(token: Long) extends Offset {
 class AsanaMicroBatchStream(entity: String, fixtureDir: String,
     schema: StructType) extends MicroBatchStream {
 
-  private def pageFiles(): Array[String] = {
-    val dir = new java.io.File(s"$fixtureDir/pages/$entity")
-    val pages =
-      if (dir.isDirectory)
-        dir.listFiles().filter(_.getName.endsWith(".jsonl")).map(_.getPath).sorted
-      else Array(s"$fixtureDir/$entity.jsonl")
-    pages
-  }
+  private def pageFiles(): Array[String] = AsanaPages.list(fixtureDir, entity)
 
   private def countLines(p: String): Long = {
     val src = scala.io.Source.fromFile(p, "UTF-8")
@@ -244,7 +254,7 @@ class AsanaStreamReaderFactory(entity: String, schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[AsanaStreamPartition]
-    new AsanaPageReader(sp.path, entity, schema, None,
+    new AsanaPageReader(sp.path, entity, schema, Nil,
       sp.fromLine, sp.untilLine)
   }
 }
@@ -252,10 +262,10 @@ class AsanaStreamReaderFactory(entity: String, schema: StructType)
 case class AsanaInputPartition(path: String) extends InputPartition
 
 class AsanaReaderFactory(entity: String, schema: StructType,
-    modifiedSince: Option[Long]) extends PartitionReaderFactory {
+    cutoffs: Seq[ModifiedCutoff]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AsanaPageReader(p.asInstanceOf[AsanaInputPartition].path, entity,
-      schema, modifiedSince)
+      schema, cutoffs)
 }
 
 /** Accounting stub for the ~150 req/min standard-tier ceiling: counts
@@ -272,7 +282,7 @@ class AsanaRateLimiter(maxPerMinute: Int) extends Serializable {
 }
 
 class AsanaPageReader(path: String, entity: String, schema: StructType,
-    modifiedSince: Option[Long], fromLine: Long = 0L,
+    cutoffs: Seq[ModifiedCutoff], fromLine: Long = 0L,
     untilLine: Long = Long.MaxValue) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -301,9 +311,12 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
   }
 
   private def passesModifiedSince(node: JsonNode): Boolean =
-    modifiedSince.forall { cutoff =>
+    cutoffs.isEmpty || {
       val f = node.get("modified_at")
-      f != null && !f.isNull && parseTs(f.asText()) >= cutoff
+      f != null && !f.isNull && {
+        val v = parseTs(f.asText())
+        cutoffs.forall(_.passes(v))
+      }
     }
 
   private def parseTs(iso: String): Long = {

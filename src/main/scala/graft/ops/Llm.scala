@@ -63,7 +63,11 @@ object Llm {
     * shuffles each side once instead of twice and benched ~2× faster; at
     * scale, bucket width is bounded by posting-list length (vocab-driven),
     * never by corpus size — no cross join anywhere. */
-  val llm_dedup_jaccard: Q = (s, d) => {
+  /** all candidate pairs with RAW (unrounded) Jaccard — shared by the
+    * oracle-facing query (τ=0.8) and llm_pipeline's victim list (τ=0.9);
+    * thresholds must compare the raw ratio, never the display-rounded one. */
+  private def jaccardPairsRaw(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     import s.implicits._
     val buckets = shingleRows(s, d)
       .groupBy("sh")
@@ -83,12 +87,15 @@ object Llm {
       .toDF("doc_a", "doc_b", "sz_a", "sz_b")
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jac",
+      .withColumn("jac_raw",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jac") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), r4(col("jac")).as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  val llm_dedup_jaccard: Q = (s, d) =>
+    jaccardPairsRaw(s, d)
+      .where(col("jac_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), r4(col("jac_raw")).as("jac"))
+      .orderBy("doc_a", "doc_b")
 
   /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. Engine-
     * specific hashes → no SQL oracle (rows-only); the test suite asserts
@@ -442,8 +449,8 @@ object Llm {
         """(200 * (4 * (n_chars - (n_tokens - 1))
               + 30 * (n_tokens - stop_cnt)
               + 30 * long_cnt) + n_tokens) div (2 * n_tokens)"""))
-    val dupVictims = llm_dedup_jaccard(s, d)
-      .where(col("jac") >= 0.9)
+    val dupVictims = jaccardPairsRaw(s, d)
+      .where(col("jac_raw") >= 0.9)
       .select(col("doc_b")).distinct()
     scored
       .where(col("bp") >= 5000 && col("lang").isin("en", "de", "fr"))

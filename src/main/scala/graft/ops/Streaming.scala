@@ -76,14 +76,14 @@ object Streaming {
          GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "stream_session" ->
       """WITH flagged AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS brk
            FROM events),
          sess AS (
            SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
            FROM flagged)
          SELECT min(ts) AS s_start, user_id, count(1) AS n_events,

@@ -36,6 +36,28 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("strict > pushdown excludes the boundary row that >= includes") {
+    // task1000's modified_at is exactly 2024-01-05T08:00:00Z (fixture);
+    // both filters are pushed (removed from Spark's post-scan plan), so
+    // the reader's own inclusivity handling is what's under test
+    val boundary = "2024-01-05 08:00:00"
+    val ge = tasks.where(col("modified_at") >= lit(boundary).cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    val gt = tasks.where(col("modified_at") > lit(boundary).cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    assert(ge.contains("task1000") && !gt.contains("task1000"))
+    assert(ge -- gt == Set("task1000"))
+    // conjunction of two pushed cutoffs: the tighter one must win
+    val both = tasks.where(
+      col("modified_at") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("modified_at") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    val tight = tasks.where(
+      col("modified_at") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("gid").collect().map(_.getString(0)).toSet
+    assert(both == tight)
+  }
+
   test("incremental sync is monotone: later cutoff yields a subset") {
     def syncedAfter(c: String): Set[String] =
       tasks.where(col("modified_at") >= lit(c).cast("timestamp"))

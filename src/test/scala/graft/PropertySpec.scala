@@ -64,6 +64,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("skew salting: salted two-phase aggregation equals direct aggregation") {
+    // the 100 TB skew recipe (SURVEY.md §7.5): spread a hot key over N
+    // salts, partially aggregate per (key, salt), then merge — results must
+    // be identical to the direct group-by. DECIMAL accumulation keeps the
+    // equality exact (doubles would differ in sum order by construction).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val skewed = (1 to 20000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toDouble / 100))
+      .toDF("k", "v")
+    val direct = skewed.groupBy("k")
+      .agg(graft.util.Det.moneySum(col("v")).as("s"), count(lit(1)).as("n"))
+    val salted = skewed
+      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(8)))
+      .groupBy("k", "salt")
+      .agg(sum(graft.util.Det.dec2(col("v"))).as("ps"), count(lit(1)).as("pn"))
+      .groupBy("k")
+      .agg(sum(col("ps")).cast("double").as("s"), sum(col("pn")).as("n"))
+    assert(direct.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(direct).count() == 0)
+  }
+
   test("union-by-name is column-permutation safe") {
     import spark.implicits._
     val d1 = Seq((1, "x"), (2, "y")).toDF("id", "s")
