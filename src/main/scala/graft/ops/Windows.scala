@@ -81,8 +81,21 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  /** distribution functions: percent_rank/cume_dist are tie-stable (peers
+    * share a value), so the tied window needs no synthetic tiebreak. */
+  val win_dist: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus").orderBy(asc("o_totalprice"))
+    orders(s, d)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
+    "win_dist" -> win_dist,
     "win_lag" -> win_lag,
     "win_run" -> win_run,
     "win_range" -> win_range,
@@ -90,6 +103,11 @@ object Windows {
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    "win_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+             round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 4) AS pct_rank,
+             round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 4) AS cume
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
     "win_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
              CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS rnk,

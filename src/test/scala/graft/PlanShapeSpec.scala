@@ -71,4 +71,62 @@ class PlanShapeSpec extends SparkTestBase {
       assert(p.contains("BroadcastHashJoin"))
     }
   }
+
+  test("date-partitioned writes enable partition pruning at the scan") {
+    // the 100 TB layout (SURVEY.md §7.5): fact tables partitioned by a date
+    // key; a year predicate must prune directories, not filter rows
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.util.Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    withStaticPlan {
+      val df = spark.read.parquet(dir).where(col("o_year") === 1997)
+      val p = planOf(df)
+      assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+        s"year predicate not applied as a partition filter:\n$p")
+      val expected = graft.util.Tables.orders(spark, sf)
+        .where(year(col("o_orderdate")) === 1997).count()
+      assert(df.count() == expected)
+    }
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // pre-bucketing both sides on the join key removes the per-query
+    // exchange — the co-located-join strategy for repeated 100 TB joins
+    // DROP TABLE alone is not enough: the in-memory catalog of a fresh JVM
+    // has no entry, but the previous run's warehouse directory survives and
+    // saveAsTable refuses the location — remove both.
+    def reset(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) rm(loc)
+    }
+    reset("graft_cust_b")
+    reset("graft_ord_b")
+    graft.util.Tables.customer(spark, sf)
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_cust_b")
+    graft.util.Tables.orders(spark, sf)
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+    withStaticPlan {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("graft_cust_b").join(spark.table("graft_ord_b"),
+          org.apache.spark.sql.functions.col("c_custkey") ===
+            org.apache.spark.sql.functions.col("o_custkey"))
+        val p = planOf(j)
+        assert(p.contains("SortMergeJoin"))
+        assert(!p.contains("Exchange"),
+          s"bucketed join still shuffles:\n$p")
+        assert(j.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        "10485760")
+    }
+  }
 }
