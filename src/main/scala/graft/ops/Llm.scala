@@ -34,16 +34,20 @@ object Llm {
     documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.split(' ')
-        val shingles = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i + 2 < w.length) {
-          shingles.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
-          i += 1
+        if (text == null) Iterator.empty // declarative form dropped nulls too
+        else {
+          // limit = -1 keeps trailing empty tokens — Spark's split() and
+          // DuckDB's string_split both do; Scala's default split drops them
+          val w = text.split(" ", -1)
+          val shingles = scala.collection.mutable.LinkedHashSet[String]()
+          var i = 0
+          while (i + 2 < w.length) {
+            shingles.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+            i += 1
+          }
+          val sz = shingles.size
+          shingles.iterator.map(sh => (id, sh, sz))
         }
-        val sz = shingles.size
-        scala.collection.JavaConverters.asScalaIterator(shingles.iterator())
-          .map(sh => (id, sh, sz))
       }
       .toDF("doc_id", "sh", "sz")
   }

@@ -82,14 +82,17 @@ object Windows {
   }
 
   /** distribution functions: percent_rank/cume_dist are tie-stable (peers
-    * share a value), so the tied window needs no synthetic tiebreak. */
+    * share a value), so the tied window needs no synthetic tiebreak — and
+    * both are single divisions of identical small integers in either
+    * engine, so the raw doubles are bit-identical and need NO round()
+    * (float round() on ratios is the half-boundary divergence class). */
   val win_dist: Q = (s, d) => {
     val w = Window.partitionBy("o_orderstatus").orderBy(asc("o_totalprice"))
     orders(s, d)
       .select(
         col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
-        r4(percent_rank().over(w)).as("pct_rank"),
-        r4(cume_dist().over(w)).as("cume"))
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
@@ -105,8 +108,8 @@ object Windows {
   val oracle: Seq[(String, String)] = Seq(
     "win_dist" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
-             round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 4) AS pct_rank,
-             round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC), 4) AS cume
+             percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS pct_rank,
+             cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS cume
          FROM orders ORDER BY o_orderstatus, o_orderkey""",
     "win_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -72,23 +72,30 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  private def rmRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmRec)
+    f.delete(); ()
+  }
+
   test("date-partitioned writes enable partition pruning at the scan") {
     // the 100 TB layout (SURVEY.md §7.5): fact tables partitioned by a date
     // key; a year predicate must prune directories, not filter rows
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-    graft.util.Tables.orders(spark, sf)
-      .withColumn("o_year", year(col("o_orderdate")))
-      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
-    withStaticPlan {
-      val df = spark.read.parquet(dir).where(col("o_year") === 1997)
-      val p = planOf(df)
-      assert(p.contains("PartitionFilters: [isnotnull(o_year"),
-        s"year predicate not applied as a partition filter:\n$p")
-      val expected = graft.util.Tables.orders(spark, sf)
-        .where(year(col("o_orderdate")) === 1997).count()
-      assert(df.count() == expected)
-    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    try {
+      graft.util.Tables.orders(spark, sf)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir.getPath)
+      withStaticPlan {
+        val df = spark.read.parquet(dir.getPath).where(col("o_year") === 1997)
+        val p = planOf(df)
+        assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+          s"year predicate not applied as a partition filter:\n$p")
+        val expected = graft.util.Tables.orders(spark, sf)
+          .where(year(col("o_orderdate")) === 1997).count()
+        assert(df.count() == expected)
+      }
+    } finally rmRec(dir)
   }
 
   test("bucketed tables join without a shuffle") {
@@ -96,15 +103,14 @@ class PlanShapeSpec extends SparkTestBase {
     // exchange — the co-located-join strategy for repeated 100 TB joins
     // DROP TABLE alone is not enough: the in-memory catalog of a fresh JVM
     // has no entry, but the previous run's warehouse directory survives and
-    // saveAsTable refuses the location — remove both.
+    // saveAsTable refuses the location — remove both (at the configured
+    // warehouse dir, not a cwd-relative guess).
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
     def reset(t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) rm(loc)
+      val loc = new java.io.File(warehouse, t)
+      if (loc.exists()) rmRec(loc)
     }
     reset("graft_cust_b")
     reset("graft_ord_b")
@@ -115,6 +121,7 @@ class PlanShapeSpec extends SparkTestBase {
       .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("graft_ord_b")
     withStaticPlan {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val j = spark.table("graft_cust_b").join(spark.table("graft_ord_b"),
@@ -126,7 +133,7 @@ class PlanShapeSpec extends SparkTestBase {
           s"bucketed join still shuffles:\n$p")
         assert(j.count() > 0)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        "10485760")
+        prevThreshold)
     }
   }
 }
