@@ -127,6 +127,31 @@ class OperatorSpec extends SparkTestBase {
     assert(out.count() == out.select("text_key").distinct().count())
   }
 
+  test("sinks: csv and json round-trip a query result losslessly") {
+    import org.apache.spark.sql.types._
+    val out = ops.Relational.agg_pricing(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    try {
+      val csv = new java.io.File(dir, "csv").getPath
+      val json = new java.io.File(dir, "json").getPath
+      out.write.option("header", "true").csv(csv)
+      out.write.json(json)
+      val wantRows = out.collect().toSeq
+      val backCsv = spark.read.option("header", "true").schema(out.schema)
+        .csv(csv).orderBy("l_returnflag", "l_linestatus").collect().toSeq
+      val backJson = spark.read.schema(out.schema).json(json)
+        .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+      assert(backCsv == wantRows, "csv round-trip")
+      assert(backJson == wantRows, "json round-trip")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("events nanos fix: ts range matches the documented Jan 2024 span") {
     val mm = graft.util.Tables.events(spark, sf)
       .agg(min("ts").cast("string"), max("ts").cast("string")).head()
