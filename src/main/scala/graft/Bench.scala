@@ -40,8 +40,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.values.count(_ < 0)
+    // a partial run must never read as a (smaller ⇒ faster) full run
+    val total = if (failed > 0) -1.0 else results.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // the driver parses stdout, but sbt appends [success] noise after us
+    // (BENCH_r01 came back "parsed": null) — so also persist the line where
+    // a file read can't race log interleaving
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    // print after spark.stop() so no executor-shutdown logging lands between
+    // the metric line and end-of-stream
+    println(line)
   }
 }

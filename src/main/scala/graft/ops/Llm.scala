@@ -207,6 +207,15 @@ object Llm {
     * when the vector side outgrows the executors, the 100 TB path is the
     * LSH-bucketed candidate join (llm_minhash pattern / random-hyperplane
     * banding), not a bigger cross product. */
+  /** Broadcast-build row budget for the exact kernel: ≈1 GiB of 64-dim
+    * doubles — the same order of size at which Spark's own
+    * BroadcastExchange refuses a build side. The kernel materializes its
+    * build side exactly like BroadcastExchange does (executeCollect on the
+    * driver → torrent broadcast), so past this budget the correct tool is
+    * [[llm_simjoin_lsh]], the banded candidate path — and the guard says so
+    * instead of OOMing the driver. */
+  private val SimjoinBroadcastRows = 2000000L
+
   val llm_simjoin: Q = (s, d) => {
     import s.implicits._
     val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
@@ -216,6 +225,11 @@ object Llm {
       while (i < x.length) { acc += x(i) * y(i); i += 1 }
       acc
     }
+    val cnt = rows.count()
+    require(cnt <= SimjoinBroadcastRows,
+      s"llm_simjoin: build side has $cnt vectors, over the " +
+        s"$SimjoinBroadcastRows broadcast budget — use llm_simjoin_lsh " +
+        "(banded LSH candidates + exact rerank) at this scale")
     val side = rows.collect().sortBy(_._1)
       .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
     val bc = s.sparkContext.broadcast(side)
@@ -227,6 +241,79 @@ object Llm {
         .filter(_._3 >= 0.35)
     }
       .toDF("a", "b", "sim_raw")
+      .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
+      .orderBy("a", "b")
+  }
+
+  /** LSH banding shape: more bands (OR-amplification) raise recall at low
+    * cosine thresholds, fewer raise selectivity. 64 bands × 4 bits puts the
+    * per-pair miss probability at cosine 0.4 around (1−0.631⁴)⁶⁴ ≈ 2e-5 —
+    * needed because the fixtures are isotropic noise where "similar" means
+    * 0.4, LSH's hardest regime; a real near-dup corpus (τ ≥ 0.8) would use
+    * far fewer bands for the same recall. */
+  private val LshBands = 64
+  private val LshRowsPerBand = 4
+
+  /** Deterministic Rademacher hyperplanes (bands·rows planes × 64 dims, ±1
+    * entries from a splitmix64 of the cell index) — no driver randomness, so
+    * the signature of a vector is reproducible across runs and executors. */
+  private lazy val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(LshBands * LshRowsPerBand, 64) { (p, j) =>
+      var z = (p.toLong * 64L + j.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Dense-vector LSH similarity join — the 100 TB path next to
+    * [[llm_simjoin]]'s broadcast kernel. Random-hyperplane sign bits give
+    * each vector a signature; [[LshBands]] bands × [[LshRowsPerBand]] bits
+    * become band keys; candidates come from an equi-join on the key — one
+    * shuffle on the key, no cross product (the llm_minhash band pattern).
+    * Candidates are then exact-reranked with the same left-fold cosine, so
+    * every emitted sim is exact and bit-identical to llm_simjoin's; only
+    * recall is probabilistic (unit-tested: candidates ⊇ all pairs with
+    * cosine ≥ 0.4, and output ⊆ the exact join's output). Engine-specific
+    * hashes → rows-only check. */
+  val llm_simjoin_lsh: Q = (s, d) => {
+    import s.implicits._
+    val planes = hyperplanes
+    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+    // (vec_id, band_key): band_key packs (band index, that band's sign
+    // bits) into one int so the candidate join has a single equi-key
+    val nBands = LshBands; val rPerBand = LshRowsPerBand
+    val banded = rows.flatMap { case (id, v) =>
+      val sig = new Array[Boolean](nBands * rPerBand)
+      var p = 0
+      while (p < sig.length) {
+        val h = planes(p); var acc = 0.0; var j = 0
+        while (j < v.length) { acc += h(j) * v(j); j += 1 }
+        sig(p) = acc > 0; p += 1
+      }
+      (0 until nBands).iterator.map { b =>
+        var key = b
+        var r = 0
+        while (r < rPerBand) {
+          key = key << 1 | (if (sig(b * rPerBand + r)) 1 else 0); r += 1
+        }
+        (id, key)
+      }
+    }.toDF("vec_id", "band_key")
+    val l = banded.select(col("band_key"), col("vec_id").as("a"))
+    val r = banded.select(col("band_key").as("bk"), col("vec_id").as("b"))
+    val cand = l.join(r, col("band_key") === col("bk") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact rerank: join the two vectors back and apply the same threshold
+    // as llm_simjoin — candidate volume, not corpus volume, pays this join
+    val e = embDouble(s, d)
+    cand
+      .join(e.select(col("vec_id").as("a"), col("emb").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
+      .withColumn("sim_raw", dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))))
+      .where(col("sim_raw") >= 0.35)
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
       .orderBy("a", "b")
   }
@@ -533,6 +620,7 @@ object Llm {
     "llm_simhash" -> llm_simhash,
     "llm_knn" -> llm_knn,
     "llm_simjoin" -> llm_simjoin,
+    "llm_simjoin_lsh" -> llm_simjoin_lsh,
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
     "llm_tokenize" -> llm_tokenize,

@@ -62,6 +62,22 @@ class OperatorSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed true pairs: $missed")
   }
 
+  test("LSH simjoin: output subset of exact join, full recall above cos 0.4") {
+    val exact = ops.Llm.llm_simjoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = ops.Llm.llm_simjoin_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact.nonEmpty, "fixture should contain pairs with cosine >= 0.35")
+    // rerank is exact: every LSH row (ids AND sim value) appears in the
+    // exact join's output — no false positives, bit-identical cosines
+    val extras = lsh.toSet -- exact.toSet
+    assert(extras.isEmpty, s"LSH rows not in exact output: $extras")
+    // recall contract: every strong pair must survive banding
+    val strong = exact.filter(_._3 >= 0.4).map(t => (t._1, t._2)).toSet
+    val missed = strong -- lsh.map(t => (t._1, t._2)).toSet
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
     val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
     val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)
