@@ -52,6 +52,20 @@ class AsanaSource extends TableProvider {
   * flattened at the connector edge; the full nested shapes are exercised by
   * the `scan_jsonl` query with explicit StructType). */
 object AsanaSchemas {
+  /** custom_fields is the one genuinely dynamic schema region of the Asana
+    * API (per-workspace field definitions): the connector carries it as an
+    * array of TYPED structs — the union of the per-type value slots
+    * (enum_value.name flattened to enum_name at the connector edge, like
+    * every other nested gid) — and [[graft.ops.Sources.asana_custom_fields]]
+    * normalizes it to an EAV long table downstream. */
+  val customField: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("type", StringType),
+    StructField("enum_name", StringType),
+    StructField("number_value", DoubleType),
+    StructField("text_value", StringType)))
+
   val tasks: StructType = StructType(Seq(
     StructField("gid", StringType),
     StructField("name", StringType),
@@ -61,7 +75,8 @@ object AsanaSchemas {
     StructField("created_at", TimestampType),
     StructField("modified_at", TimestampType),
     StructField("assignee_gid", StringType),
-    StructField("parent", StringType)))
+    StructField("parent", StringType),
+    StructField("custom_fields", ArrayType(customField))))
 
   val projects: StructType = StructType(Seq(
     StructField("gid", StringType),
@@ -324,20 +339,26 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
-  private def toRow(node: JsonNode): InternalRow = {
-    val values = schema.fields.map { f =>
-      val n = fieldNode(node, f.name)
-      if (n == null || n.isNull) null
-      else f.dataType match {
-        case StringType => UTF8String.fromString(n.asText())
-        case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
-        case LongType => java.lang.Long.valueOf(n.asLong())
-        case TimestampType => java.lang.Long.valueOf(parseTs(n.asText()))
-        case dt => throw new IllegalArgumentException(s"unsupported $dt")
-      }
+  private def toRow(node: JsonNode): InternalRow =
+    InternalRow.fromSeq(schema.fields.toSeq.map(f =>
+      convert(fieldNode(node, f.name), f.dataType)))
+
+  private def convert(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case StringType => UTF8String.fromString(n.asText())
+      case BooleanType => java.lang.Boolean.valueOf(n.asBoolean())
+      case LongType => java.lang.Long.valueOf(n.asLong())
+      case DoubleType => java.lang.Double.valueOf(n.asDouble())
+      case TimestampType => java.lang.Long.valueOf(parseTs(n.asText()))
+      case ArrayType(et, _) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          (0 until n.size()).map(i => convert(n.get(i), et)))
+      case st: StructType =>
+        InternalRow.fromSeq(st.fields.toSeq.map(f =>
+          convert(fieldNode(n, f.name), f.dataType)))
+      case other => throw new IllegalArgumentException(s"unsupported $other")
     }
-    InternalRow.fromSeq(values.toSeq)
-  }
 
   /** flattening map: connector column → JSON path in the REST payload. */
   private def fieldNode(node: JsonNode, field: String): JsonNode =
@@ -348,6 +369,8 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
         val a = node.get("created_by"); if (a == null || a.isNull) null else a.get("gid")
       case "target_gid" =>
         val a = node.get("target"); if (a == null || a.isNull) null else a.get("gid")
+      case "enum_name" =>
+        val a = node.get("enum_value"); if (a == null || a.isNull) null else a.get("name")
       case other => node.get(other)
     }
 

@@ -66,7 +66,12 @@ object Scalars {
         r4(log10(col("l_extendedprice"))).as("log10_price"),
         pmod(col("l_orderkey"), lit(7)).as("mod7"),
         signum(col("l_discount") - 0.03).as("sign_disc"),
-        round(col("l_extendedprice") / 7, 2).as("seventh"),
+        // round(price/7, 2) computed as integer half-up cents via div —
+        // float round() on a composite ratio is the half-boundary
+        // divergence class CLAUDE.md bans (prices are cents-exact, so
+        // round(price*100) recovers the exact integer on both engines)
+        (expr("(2 * CAST(round(l_extendedprice * 100) AS BIGINT) + 7) div 14")
+          / 100.0).as("seventh"),
         bround(col("l_quantity") + 0.5, 0).as("qty_banker"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -198,7 +203,7 @@ object Scalars {
              round(log10(l_extendedprice), 4) AS log10_price,
              l_orderkey % 7 AS mod7,
              CAST(sign(l_discount - 0.03) AS DOUBLE) AS sign_disc,
-             round(l_extendedprice / 7, 2) AS seventh,
+             CAST((2 * CAST(round(l_extendedprice * 100) AS BIGINT) + 7) // 14 AS DOUBLE) / 100.0 AS seventh,
              round_even(l_quantity + 0.5, 0) AS qty_banker
          FROM lineitem WHERE l_orderkey % 50 = 0
          ORDER BY l_orderkey, l_linenumber""",
@@ -227,7 +232,8 @@ object Scalars {
     "json_fns" ->
       """SELECT event_type,
              CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-             CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) = CAST(props->>'$.k' AS BIGINT)
+             CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT)
+                             = CAST(TRY_CAST(props->>'$.k' AS INTEGER) AS BIGINT)
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
              count(1) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",

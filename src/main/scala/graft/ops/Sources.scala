@@ -73,6 +73,54 @@ object Sources {
       .orderBy("user_name")
   }
 
+  /** custom_fields EAV normalization — the Asana API's one genuinely
+    * dynamic schema region (per-workspace field definitions) turned into
+    * the long (task, field, type, value) table every downstream consumer
+    * can query without knowing the workspace's field set. The typed value
+    * slots collapse into one string via the union coalesce; at scale this
+    * is a single explode + projection, no shuffle until the sink. */
+  val asana_custom_fields: Q = (s, _) =>
+    s.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
+      .select(col("gid").as("task_gid"), explode(col("custom_fields")).as("cf"))
+      .select(
+        col("task_gid"),
+        col("cf.gid").as("field_gid"),
+        col("cf.name").as("field_name"),
+        col("cf.type").as("field_type"),
+        coalesce(col("cf.enum_name"),
+          col("cf.number_value").cast("string"),
+          col("cf.text_value")).as("value"))
+      .orderBy("task_gid", "field_gid", "value")
+
+  /** task⋈tags many-to-many denormalization: explode the nested tag array
+    * into the per-tag rollup (the classic work-graph pivot). */
+  val asana_tags_denorm: Q = (s, _) =>
+    s.read.schema(taskSchema).json(s"$fixtureDir/tasks.jsonl")
+      .select(col("gid"), col("completed"), col("num_likes"),
+        explode(col("tags")).as("tag"))
+      .groupBy(col("tag.name").as("tag_name"))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
+        sum(col("num_likes")).as("likes"))
+      .orderBy("tag_name")
+
+  /** comment-stream sessionization per task over the stories entity via the
+    * connector: bursts of activity separated by >30 min become sessions
+    * (session_window works identically in batch and streaming — the same
+    * query runs under readStream). */
+  val asana_stories_sessions: Q = (s, _) =>
+    s.read.format("graft.asana.AsanaSource")
+      .option("entity", "stories").option("fixtureDir", fixtureDir).load()
+      .groupBy(col("target_gid").as("task_gid"),
+        session_window(col("created_at"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("created_by_gid")).as("n_authors"))
+      .select(col("task_gid"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("n_authors"))
+      .orderBy("task_gid", "session_start")
+
   /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
     * binary column and derives "image" features per partition via a typed
     * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
@@ -101,6 +149,9 @@ object Sources {
     "scan_csv" -> scan_csv,
     "asana_scan" -> asana_scan,
     "asana_denorm" -> asana_denorm,
+    "asana_custom_fields" -> asana_custom_fields,
+    "asana_tags_denorm" -> asana_tags_denorm,
+    "asana_stories_sessions" -> asana_stories_sessions,
     "llm_mm_features" -> llm_mm_features,
   )
 
@@ -132,6 +183,41 @@ object Sources {
           JOIN read_json_auto('$fixtureDir/users.jsonl', format='newline_delimited') u
             ON t.assignee.gid = u.gid
           GROUP BY u.name ORDER BY user_name""",
+    "asana_custom_fields" ->
+      s"""WITH t AS (
+            SELECT gid AS task_gid, unnest(custom_fields) AS cf
+            FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited'))
+          SELECT task_gid, cf.gid AS field_gid, cf.name AS field_name,
+              cf.type AS field_type,
+              coalesce(cf.enum_value.name,
+                  CAST(CAST(cf.number_value AS DOUBLE) AS VARCHAR),
+                  cf.text_value) AS value
+          FROM t ORDER BY task_gid, field_gid, value NULLS FIRST""",
+    "asana_tags_denorm" ->
+      s"""SELECT tag.name AS tag_name, count(1) AS n_tasks,
+              CAST(sum(CASE WHEN completed THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+              CAST(sum(num_likes) AS BIGINT) AS likes
+          FROM (SELECT gid, completed, num_likes, unnest(tags) AS tag
+                FROM read_json_auto('$fixtureDir/tasks.jsonl', format='newline_delimited'))
+          GROUP BY tag.name ORDER BY tag_name""",
+    "asana_stories_sessions" ->
+      s"""WITH s AS (
+            SELECT target.gid AS task_gid, CAST(created_at AS TIMESTAMP) AS ts,
+                created_by.gid AS author
+            FROM read_json_auto('$fixtureDir/stories.jsonl', format='newline_delimited')),
+          marked AS (
+            SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY task_gid ORDER BY ts)
+                                <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+            FROM s),
+          sess AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY task_gid ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+          SELECT task_gid, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(1) AS n_events, count(DISTINCT author) AS n_authors
+          FROM sess GROUP BY task_gid, sid
+          ORDER BY task_gid, session_start""",
     "llm_mm_features" ->
       """SELECT doc_id,
              CAST(64 + length(text) % 64 AS INT) AS width,
