@@ -204,10 +204,30 @@ class AsanaScan(entity: String, fixtureDir: String, schema: StructType,
 }
 
 /** Sync-token offset: the Asana `/events?sync=<token>` resumable stream
-  * maps onto Spark's micro-batch offsets — the token here is the global
-  * record index across the ordered page files. */
-case class AsanaSyncOffset(token: Long) extends Offset {
-  override def json(): String = token.toString
+  * maps onto Spark's micro-batch offsets. The token is keyed PER page file
+  * (path → emitted line count), like Spark's own FileStreamSource log: a
+  * new file sorting before existing pages, or lines appended to an earlier
+  * page, only ever open new (file, range) slices — a checkpointed resume
+  * can neither re-emit nor skip records when the listing shifts. (A single
+  * global line index over the sorted listing would silently remap on any
+  * non-append change.) */
+case class AsanaSyncOffset(counts: Map[String, Long]) extends Offset {
+  /** canonical form — sorted keys, so equal offsets serialize identically */
+  override def json(): String =
+    counts.toSeq.sortBy(_._1)
+      .map { case (p, n) =>
+        "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + n }
+      .mkString("{", ",", "}")
+}
+
+object AsanaSyncOffset {
+  private val mapper = new ObjectMapper()
+  def parse(json: String): AsanaSyncOffset = {
+    val node = mapper.readTree(json)
+    val b = Map.newBuilder[String, Long]
+    node.fields().asScala.foreach(e => b += e.getKey -> e.getValue.asLong())
+    AsanaSyncOffset(b.result())
+  }
 }
 
 /** Streaming half of the connector (SURVEY.md §2-I "incremental Asana
@@ -221,41 +241,43 @@ class AsanaMicroBatchStream(entity: String, fixtureDir: String,
 
   private def pageFiles(): Array[String] = AsanaPages.list(fixtureDir, entity)
 
+  /** line counts memoized on (size, mtime) — latestOffset and partition
+    * planning within one micro-batch cycle re-read nothing unless the file
+    * actually changed. */
+  private val lineCountCache =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+
   private def countLines(p: String): Long = {
-    val src = scala.io.Source.fromFile(p, "UTF-8")
-    try src.getLines().size.toLong finally src.close()
+    val f = new java.io.File(p)
+    lineCountCache.getOrElseUpdate((p, f.length(), f.lastModified()), {
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().size.toLong finally src.close()
+    })
   }
 
   override def latestOffset(): Offset =
-    AsanaSyncOffset(pageFiles().map(countLines).sum)
+    AsanaSyncOffset(pageFiles().map(p => p -> countLines(p)).toMap)
 
-  override def initialOffset(): Offset = AsanaSyncOffset(0L)
+  override def initialOffset(): Offset = AsanaSyncOffset(Map.empty)
 
   override def deserializeOffset(json: String): Offset =
-    AsanaSyncOffset(json.trim.toLong)
+    AsanaSyncOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
-  /** one partition per page file intersected with the [start, end) record
-    * range — pagination stays the unit of parallelism while streaming. */
+  /** one partition per page file's [start, end) line range — pagination
+    * stays the unit of parallelism while streaming; files absent from the
+    * start offset contribute their whole range. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[AsanaSyncOffset].token
-    val hi = end.asInstanceOf[AsanaSyncOffset].token
-    var cum = 0L
-    val parts = Array.newBuilder[InputPartition]
-    for (p <- pageFiles()) {
-      val n = countLines(p)
-      val fileLo = cum
-      val fileHi = cum + n
-      val takeLo = math.max(lo, fileLo)
-      val takeHi = math.min(hi, fileHi)
-      if (takeLo < takeHi)
-        parts += AsanaStreamPartition(p, takeLo - fileLo, takeHi - fileLo)
-      cum = fileHi
-    }
-    parts.result()
+    val lo = start.asInstanceOf[AsanaSyncOffset].counts
+    val hi = end.asInstanceOf[AsanaSyncOffset].counts
+    hi.toSeq.sortBy(_._1).flatMap { case (p, fileHi) =>
+      val fileLo = lo.getOrElse(p, 0L)
+      if (fileLo < fileHi) Some(AsanaStreamPartition(p, fileLo, fileHi): InputPartition)
+      else None
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -121,6 +121,27 @@ object Sources {
         col("n_events"), col("n_authors"))
       .orderBy("task_gid", "session_start")
 
+  /** The production ETL's primary sink as a first-class query: a
+    * date-partitioned parquet write (the 100 TB layout — SURVEY.md §7.5:
+    * fact tables partitioned by a date derivative so every incremental run
+    * overwrites only its own partitions) followed by a read-back that
+    * proves the layout works: the year predicate becomes a partition
+    * filter at the scan (asserted in PlanShapeSpec), so a 1000-executor
+    * read touches 2 years of files, not the whole history. */
+  val sink_partitioned: Q = (s, d) => {
+    import graft.util.Det._
+    val out = "/tmp/graft_sink/partitioned_orders"
+    orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .where(col("o_year").isin(1994, 1995))
+      .groupBy("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
   /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
     * binary column and derives "image" features per partition via a typed
     * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
@@ -152,6 +173,7 @@ object Sources {
     "asana_custom_fields" -> asana_custom_fields,
     "asana_tags_denorm" -> asana_tags_denorm,
     "asana_stories_sessions" -> asana_stories_sessions,
+    "sink_partitioned" -> sink_partitioned,
     "llm_mm_features" -> llm_mm_features,
   )
 
@@ -218,6 +240,12 @@ object Sources {
               count(1) AS n_events, count(DISTINCT author) AS n_authors
           FROM sess GROUP BY task_gid, sid
           ORDER BY task_gid, session_start""",
+    "sink_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "llm_mm_features" ->
       """SELECT doc_id,
              CAST(64 + length(text) % 64 AS INT) AS width,

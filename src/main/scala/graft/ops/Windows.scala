@@ -32,6 +32,56 @@ object Windows {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** Skew-safe two-phase variant of [[win_rank]]: o_orderstatus has 3
+    * distinct values, so the direct window funnels the whole table through
+    * 3 tasks — a skew cliff at 100×. This plan ranges the order key into
+    * value buckets (equal prices can never straddle a bucket, so tie groups
+    * stay intact), ranks locally within (status, bucket) — bounded state,
+    * parallelism = statuses × buckets — then adds per-bucket offsets from a
+    * tiny (status × bucket) stats table joined back via broadcast. Output
+    * is provably identical to the direct window (equality-tested per row in
+    * WindowSaltSpec; same oracle SQL as win_rank). ntile is reconstructed
+    * from the global row_number with Spark's exact bucket-size rule
+    * (earlier tiles get the remainder). */
+  val win_rank_salted: Q = (s, d) => {
+    val wLocalTies = Window.partitionBy("o_orderstatus", "bkt")
+      .orderBy(desc("o_totalprice"))
+    val wLocalUniq = Window.partitionBy("o_orderstatus", "bkt")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wOff = Window.partitionBy("st").orderBy(desc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = orders(s, d)
+      .withColumn("bkt", floor(col("o_totalprice") / 10000.0))
+    val local = base.select(
+      col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("bkt"),
+      rank().over(wLocalTies).as("lrnk"),
+      dense_rank().over(wLocalTies).as("ldrnk"),
+      row_number().over(wLocalUniq).as("lrn"))
+    val stats = base
+      .groupBy(col("o_orderstatus").as("st"), col("bkt").as("b"))
+      .agg(count(lit(1)).as("cnt"), countDistinct("o_totalprice").as("nd"))
+      .withColumn("rows_before", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .withColumn("dist_before", coalesce(sum("nd").over(wOff), lit(0L)))
+      .withColumn("n_part", sum("cnt").over(Window.partitionBy("st")))
+      .drop("cnt", "nd")
+    local
+      .join(broadcast(stats),
+        col("o_orderstatus") === col("st") && col("bkt") === col("b"))
+      .withColumn("rnk", (col("lrnk") + col("rows_before")).cast("int"))
+      .withColumn("drnk", (col("ldrnk") + col("dist_before")).cast("int"))
+      .withColumn("rn", (col("lrn") + col("rows_before")).cast("int"))
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN rn <= (n_part div 4 + 1) * (n_part % 4)
+               THEN (rn - 1) div (n_part div 4 + 1) + 1
+               ELSE n_part % 4
+                    + (rn - 1 - (n_part div 4 + 1) * (n_part % 4))
+                      div (n_part div 4) + 1
+             END AS INT)"""))
+      .select("o_orderstatus", "o_orderkey", "o_totalprice",
+        "rnk", "drnk", "rn", "quartile")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   val win_lag: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     events(s, d)
@@ -98,6 +148,7 @@ object Windows {
 
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
+    "win_rank_salted" -> win_rank_salted,
     "win_dist" -> win_dist,
     "win_lag" -> win_lag,
     "win_run" -> win_run,
@@ -112,6 +163,15 @@ object Windows {
              cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS cume
          FROM orders ORDER BY o_orderstatus, o_orderkey""",
     "win_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS drnk,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn,
+             CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS quartile
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+    // the salted plan must produce exactly the direct window's answer,
+    // so its oracle IS the direct window
+    "win_rank_salted" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
              CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS rnk,
              CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS INT) AS drnk,

@@ -114,6 +114,38 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(runOnce() == 30, "resume appends only page 2's 10 records")
   }
 
+  test("streaming resume is per-file: a page sorting BEFORE committed ones adds only its rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("asana_stream_oo").toFile
+    val pages = new java.io.File(work, "pages/tasks")
+    pages.mkdirs()
+    val src = new java.io.File(s"$dir/pages/tasks")
+    def copy(name: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(src, name).toPath,
+        new java.io.File(pages, name).toPath)
+    copy("page_001.jsonl"); copy("page_002.jsonl")
+    val ckpt = new java.io.File(work, "ckpt").getPath
+    val out = new java.io.File(work, "out").getPath
+    def runOnce(): Long = {
+      val stream = spark.readStream.format("graft.asana.AsanaSource")
+        .option("entity", "tasks").option("fixtureDir", work.getPath).load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 20, "first run drains pages 1-2")
+    // page_000 arrives late and sorts FIRST: a global line-index token
+    // would remap pages 1-2 under it and re-emit/skip; the per-file token
+    // must emit exactly page_000's 10 records
+    copy("page_000.jsonl")
+    assert(runOnce() == 30, "resume adds only the out-of-order page's rows")
+    // and the union is exactly the 30 distinct task gids, no dup/no skip
+    assert(spark.read.parquet(out).select("gid").distinct().count() == 30)
+  }
+
   test("rate limiter accounts per-minute windows") {
     val rl = new graft.asana.AsanaRateLimiter(150)
     val t0 = 0L

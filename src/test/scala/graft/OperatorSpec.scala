@@ -116,6 +116,15 @@ class OperatorSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall@5 $recall (measured 0.85 at pin time)")
   }
 
+  test("salted two-phase rank equals the direct window row-for-row") {
+    val direct = ops.Windows.win_rank(spark, sf).collect().toSeq
+    val salted = ops.Windows.win_rank_salted(spark, sf).collect().toSeq
+    assert(direct.size == salted.size)
+    direct.zip(salted).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs: direct=$a salted=$b")
+    }
+  }
+
   test("window running sum final value equals the group total") {
     val win = ops.Windows.win_run(spark, sf)
       .groupBy("o_custkey").agg(max("running_spend").as("final"))

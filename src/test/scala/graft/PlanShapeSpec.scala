@@ -56,6 +56,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sink_partitioned read-back applies the year as a partition filter") {
+    withStaticPlan {
+      val p = planOf(ops.Sources.sink_partitioned(spark, sf))
+      val partFilters = p.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(partFilters.contains("o_year"),
+        s"year predicate not a partition filter:\n$p")
+    }
+  }
+
   test("agg_pricing uses two-phase hash aggregation") {
     withStaticPlan {
       val p = planOf(ops.Relational.agg_pricing(spark, sf))

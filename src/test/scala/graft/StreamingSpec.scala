@@ -64,6 +64,46 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join emits matches and expires late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // click-joins-impression inside 30 min: the canonical stream-stream
+    // inner join with watermarks on both sides and a time-range condition
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val l = imps.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+    val r = clicks.toDF().toDF("click_ts", "cad")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = l.join(r,
+      col("ad") === col("cad") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("ad"), col("imp_ts"), col("click_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), "a1"), (ts("2024-01-01 10:00:00"), "a2"))
+      q.processAllAvailable()
+      // in-range click joins; out-of-range (35 min later) click must not
+      clicks.addData((ts("2024-01-01 10:10:00"), "a1"), (ts("2024-01-01 10:35:00"), "a2"))
+      q.processAllAvailable()
+      // advance both watermarks far past the interval end
+      imps.addData((ts("2024-01-01 12:00:00"), "zz"))
+      clicks.addData((ts("2024-01-01 12:00:00"), "zz"))
+      q.processAllAvailable()
+      // a click for a1 arriving with event-time far behind the watermark:
+      // its matching state has been evicted, so no late duplicate appears
+      clicks.addData((ts("2024-01-01 10:11:00"), "a1"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad, click_ts FROM ss_join").collect()
+        .map(row => (row.getString(0), row.getTimestamp(1).toString)).toList
+      assert(rows.contains(("a1", "2024-01-01 10:10:00.0")), s"missing in-range match: $rows")
+      assert(!rows.exists(_._1 == "a2"), s"out-of-range click joined: $rows")
+      assert(rows.count(_._1 == "a1") == 1, s"evicted-state late click re-joined: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
