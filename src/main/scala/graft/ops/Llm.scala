@@ -251,8 +251,8 @@ object Llm {
     * needed because the fixtures are isotropic noise where "similar" means
     * 0.4, LSH's hardest regime; a real near-dup corpus (τ ≥ 0.8) would use
     * far fewer bands for the same recall. */
-  private val LshBands = 64
-  private val LshRowsPerBand = 4
+  private val LshBands = 256
+  private val LshRowsPerBand = 8
 
   /** Deterministic Rademacher hyperplanes (bands·rows planes × 64 dims, ±1
     * entries from a splitmix64 of the cell index) — no driver randomness, so
@@ -276,7 +276,8 @@ object Llm {
     * recall is probabilistic (unit-tested: candidates ⊇ all pairs with
     * cosine ≥ 0.4, and output ⊆ the exact join's output). Engine-specific
     * hashes → rows-only check. */
-  val llm_simjoin_lsh: Q = (s, d) => {
+  private[graft] def lshBanded(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     import s.implicits._
     val planes = hyperplanes
     val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
@@ -284,7 +285,7 @@ object Llm {
     // (vec_id, band_key): band_key packs (band index, that band's sign
     // bits) into one int so the candidate join has a single equi-key
     val nBands = LshBands; val rPerBand = LshRowsPerBand
-    val banded = rows.flatMap { case (id, v) =>
+    rows.flatMap { case (id, v) =>
       val sig = new Array[Boolean](nBands * rPerBand)
       var p = 0
       while (p < sig.length) {
@@ -301,18 +302,41 @@ object Llm {
         (id, key)
       }
     }.toDF("vec_id", "band_key")
+  }
+
+  private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val banded = lshBanded(s, d)
     val l = banded.select(col("band_key"), col("vec_id").as("a"))
     val r = banded.select(col("band_key").as("bk"), col("vec_id").as("b"))
-    val cand = l.join(r, col("band_key") === col("bk") && col("a") < col("b"))
+    l.join(r, col("band_key") === col("bk") && col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  val llm_simjoin_lsh: Q = (s, d) => {
+    import s.implicits._
+    val cand = lshCandidates(s, d)
     // exact rerank: join the two vectors back and apply the same threshold
-    // as llm_simjoin — candidate volume, not corpus volume, pays this join
+    // as llm_simjoin — candidate volume, not corpus volume, pays this join.
+    // The cosine runs in a typed kernel (primitive-array fast path, same
+    // left-fold as the simjoin kernel → bit-identical sims): per-pair HOF
+    // eval here benched 18 s at sf0.1 vs ~2 s for the kernel, because the
+    // noise fixtures make nearly every pair a candidate.
     val e = embDouble(s, d)
     cand
       .join(e.select(col("vec_id").as("a"), col("emb").as("va")), "a")
       .join(e.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
-      .withColumn("sim_raw", dot(col("va"), col("vb")) /
-        (norm(col("va")) * norm(col("vb"))))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (a, b, va, vb) =>
+        var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < va.length) {
+          d0 += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+          i += 1
+        }
+        (a, b, d0 / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      .toDF("a", "b", "sim_raw")
       .where(col("sim_raw") >= 0.35)
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
       .orderBy("a", "b")
