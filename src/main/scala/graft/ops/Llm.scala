@@ -342,6 +342,45 @@ object Llm {
       .orderBy("a", "b")
   }
 
+  /** [[llm_knn]] with the cosine as the native codegen expression
+    * [[graft.functions.CosineSimilarity]] (SURVEY §2-K preference (b))
+    * instead of HOF folds — the fused loop accumulates in the same index
+    * order, so output is bit-identical and the oracle is llm_knn's, but
+    * the scalar runs inside WholeStageCodegen with zero boxing (the Scala
+    * UDF attempt at the same job benched 3× slower from Seq conversion). */
+  val llm_knn_native: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = embDouble(s, d)
+    val q = e.where(col("vec_id") === 0).select(col("emb").as("qv"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw",
+        call_function("graft_cosine", col("emb"), col("qv")))
+      .orderBy(desc("sim_raw"), asc("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        r4(col("sim_raw")).as("sim"))
+      .orderBy(desc("sim"), asc("neighbor_id"))
+  }
+
+  /** embedding-cosine near-dup DEDUP (vs the pair-listing joins above):
+    * pairs with cosine ≥ 0.45 form dup groups; the survivor is the lowest
+    * vec_id of each group (union-by-min over one hop — exact for the
+    * fixture's pair-shaped clusters; iterate to fixpoint for deep chains),
+    * and every victim reports which survivor absorbed it. Same broadcast
+    * kernel as llm_simjoin, so the same guard + LSH scale story applies. */
+  val llm_dedup_embcos: Q = (s, d) => {
+    val pairs = llm_simjoin(s, d).where(col("sim") >= 0.45)
+    val victims = pairs.groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("absorbed_by"))
+    embeddings(s, d)
+      .join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("absorbed_by").isNull.as("survives"),
+        coalesce(col("absorbed_by"), col("vec_id")).as("canonical"))
+      .orderBy("vec_id")
+  }
+
   /** kNN (k=10) majority-vote label prediction: queries vec_id<20, corpus
     * vec_id≥20; vote ties broken by smallest label — fully deterministic. */
   val llm_knn_classify: Q = (s, d) => {
@@ -645,6 +684,8 @@ object Llm {
     "llm_knn" -> llm_knn,
     "llm_simjoin" -> llm_simjoin,
     "llm_simjoin_lsh" -> llm_simjoin_lsh,
+    "llm_dedup_embcos" -> llm_dedup_embcos,
+    "llm_knn_native" -> llm_knn_native,
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
     "llm_tokenize" -> llm_tokenize,
@@ -703,12 +744,35 @@ object Llm {
           top AS (SELECT * FROM sims ORDER BY sim_raw DESC, vec_id ASC LIMIT 10)
           SELECT vec_id AS neighbor_id, label, round(sim_raw, 4) AS sim
           FROM top ORDER BY sim DESC, neighbor_id ASC""",
+    // bit-identical to llm_knn by construction → same oracle
+    "llm_knn_native" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          sims AS (
+            SELECT vec_id, label, ${cos("embedding", "qv")} AS sim_raw
+            FROM embeddings, q WHERE vec_id <> 0),
+          top AS (SELECT * FROM sims ORDER BY sim_raw DESC, vec_id ASC LIMIT 10)
+          SELECT vec_id AS neighbor_id, label, round(sim_raw, 4) AS sim
+          FROM top ORDER BY sim DESC, neighbor_id ASC""",
     "llm_simjoin" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b,
               round(${cos("a.embedding", "b.embedding")}, 4) AS sim
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cos("a.embedding", "b.embedding")} >= 0.35
           ORDER BY a, b""",
+    "llm_dedup_embcos" ->
+      s"""WITH pairs AS (
+            SELECT a.vec_id AS pa, b.vec_id AS pb,
+                round(${cos("a.embedding", "b.embedding")}, 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cos("a.embedding", "b.embedding")} >= 0.35),
+          vict AS (
+            SELECT pb AS vec_id, min(pa) AS absorbed_by
+            FROM pairs WHERE sim >= 0.45 GROUP BY pb)
+          SELECT e.vec_id, e.label,
+              v.absorbed_by IS NULL AS survives,
+              coalesce(v.absorbed_by, e.vec_id) AS canonical
+          FROM embeddings e LEFT JOIN vict v ON e.vec_id = v.vec_id
+          ORDER BY e.vec_id""",
     "llm_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
           c AS (SELECT vec_id AS cid, label, embedding AS cv FROM embeddings WHERE vec_id >= 20),

@@ -78,6 +78,21 @@ class OperatorSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
   }
 
+  test("native cosine expression: bit-identical to HOF path, works from SQL") {
+    val hof = ops.Llm.llm_knn(spark, sf).collect().toSeq
+    val native = ops.Llm.llm_knn_native(spark, sf).collect().toSeq
+    assert(hof == native, "codegen'd cosine diverged from the HOF fold")
+    graft.functions.GraftFunctions.register(spark)
+    val orth = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
+      .head().getDouble(0)
+    assert(orth == 0.0)
+    val selfSim = spark.sql(
+      "SELECT graft_cosine(array(2.0d, 1.0d), array(2.0d, 1.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(selfSim - 1.0) < 1e-12)
+  }
+
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
     val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
     val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)

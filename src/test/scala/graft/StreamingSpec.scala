@@ -104,6 +104,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps per-key running state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // custom-state aggregation (SURVEY §2-I): per-user running (count, sum)
+    // that survives micro-batch boundaries via GroupState
+    val mem = MemoryStream[(String, Long)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[(String, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0L))
+          events.foreach { e => n += 1; total += e._2 }
+          state.update((n, total))
+          Iterator((user, n, total))
+      }
+      .toDF("user", "n", "total")
+    val q = counted.writeStream.format("memory").queryName("fmgws")
+      .outputMode("append").start()
+    try {
+      mem.addData(("u1", 5L), ("u1", 7L), ("u2", 1L))
+      q.processAllAvailable()
+      mem.addData(("u1", 3L))
+      q.processAllAvailable()
+      val last = spark.sql("SELECT user, n, total FROM fmgws").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last("u1") == ("u1", 3L, 15L), s"state lost across batches: $last")
+      assert(last("u2") == ("u2", 1L, 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
