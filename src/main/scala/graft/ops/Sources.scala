@@ -73,6 +73,20 @@ object Sources {
       .orderBy("user_name")
   }
 
+  /** ORC round-trip — the second columnar format Spark ships natively
+    * (predicate pushdown + column pruning work the same as parquet).
+    * DuckDB has no ORC reader, so the oracle runs the identical predicate
+    * over the source table — the round-trip is what's under test. */
+  val scan_orc: Q = (s, d) => {
+    val out = "/tmp/graft_sink/orc_part"
+    part(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .where(col("p_size") <= 20)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
   /** custom_fields EAV normalization — the Asana API's one genuinely
     * dynamic schema region (per-workspace field definitions) turned into
     * the long (task, field, type, value) table every downstream consumer
@@ -168,6 +182,7 @@ object Sources {
   val queries: Seq[(String, Q)] = Seq(
     "scan_jsonl" -> scan_jsonl,
     "scan_csv" -> scan_csv,
+    "scan_orc" -> scan_orc,
     "asana_scan" -> asana_scan,
     "asana_denorm" -> asana_denorm,
     "asana_custom_fields" -> asana_custom_fields,
@@ -191,6 +206,9 @@ object Sources {
               CAST(created_at AS TIMESTAMP) AS created_at, project_gid
           FROM read_csv_auto('$fixtureDir/tasks_export.csv', header=true)
           ORDER BY gid""",
+    "scan_orc" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+         FROM part WHERE p_size <= 20 ORDER BY p_partkey""",
     "asana_scan" ->
       s"""SELECT gid, name, completed, num_likes,
               CAST(modified_at AS TIMESTAMP) AS modified_at
