@@ -156,6 +156,27 @@ object Sources {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** Dynamic partition overwrite — the incremental-rerun semantic a 100 TB
+    * ETL depends on: re-running one day/year replaces ONLY that partition.
+    * The query does a full load, then re-writes just 1995 with
+    * partitionOverwriteMode=dynamic, and aggregates the read-back: if the
+    * rewrite had appended, 1995 would double; if it had overwritten
+    * statically, every other year would vanish — either way the oracle
+    * (the same aggregate over the source table) catches it. */
+  val sink_partition_overwrite: Q = (s, d) => {
+    val out = "/tmp/graft_sink/po_orders"
+    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    src.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    src.where(col("o_year") === 1995)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_year")
+  }
+
   /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
     * binary column and derives "image" features per partition via a typed
     * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
@@ -189,6 +210,7 @@ object Sources {
     "asana_tags_denorm" -> asana_tags_denorm,
     "asana_stories_sessions" -> asana_stories_sessions,
     "sink_partitioned" -> sink_partitioned,
+    "sink_partition_overwrite" -> sink_partition_overwrite,
     "llm_mm_features" -> llm_mm_features,
   )
 
@@ -264,6 +286,9 @@ object Sources {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders WHERE year(o_orderdate) IN (1994, 1995)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "sink_partition_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(1) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "llm_mm_features" ->
       """SELECT doc_id,
              CAST(64 + length(text) % 64 AS INT) AS width,
