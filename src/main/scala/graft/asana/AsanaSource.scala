@@ -224,6 +224,11 @@ object AsanaSyncOffset {
   private val mapper = new ObjectMapper()
   def parse(json: String): AsanaSyncOffset = {
     val node = mapper.readTree(json)
+    // fail loudly on anything but the per-file object form: a lenient
+    // parse of a legacy scalar token (or corrupt JSON) would yield an
+    // empty map and silently re-emit every committed record on resume
+    require(node != null && node.isObject,
+      s"asana sync offset must be a {path: lineCount} object, got: $json")
     val b = Map.newBuilder[String, Long]
     node.fields().asScala.foreach(e => b += e.getKey -> e.getValue.asLong())
     AsanaSyncOffset(b.result())
@@ -241,18 +246,25 @@ class AsanaMicroBatchStream(entity: String, fixtureDir: String,
 
   private def pageFiles(): Array[String] = AsanaPages.list(fixtureDir, entity)
 
-  /** line counts memoized on (size, mtime) — latestOffset and partition
-    * planning within one micro-batch cycle re-read nothing unless the file
-    * actually changed. */
+  /** line counts memoized per path, invalidated on (size, mtime) change —
+    * latestOffset and partition planning within one micro-batch cycle
+    * re-read nothing unless the file actually changed; one entry per file
+    * (a (path, size, mtime) KEY would leak one dead entry per append on a
+    * long-running stream). */
   private val lineCountCache =
-    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+    scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
 
   private def countLines(p: String): Long = {
     val f = new java.io.File(p)
-    lineCountCache.getOrElseUpdate((p, f.length(), f.lastModified()), {
-      val src = scala.io.Source.fromFile(p, "UTF-8")
-      try src.getLines().size.toLong finally src.close()
-    })
+    val (len, mtime) = (f.length(), f.lastModified())
+    lineCountCache.get(p) match {
+      case Some((`len`, `mtime`, n)) => n
+      case _ =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        val n = try src.getLines().size.toLong finally src.close()
+        lineCountCache(p) = (len, mtime, n)
+        n
+    }
   }
 
   override def latestOffset(): Offset =

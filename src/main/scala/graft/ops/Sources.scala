@@ -77,8 +77,13 @@ object Sources {
     * (predicate pushdown + column pruning work the same as parquet).
     * DuckDB has no ORC reader, so the oracle runs the identical predicate
     * over the source table — the round-trip is what's under test. */
+  /** per-sfDir sink roots so concurrent Verify runs at different scale
+    * factors can't overwrite each other's read-backs mid-scan */
+  private def sinkDir(d: String, name: String): String =
+    s"/tmp/graft_sink/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+
   val scan_orc: Q = (s, d) => {
-    val out = "/tmp/graft_sink/orc_part"
+    val out = sinkDir(d, "orc_part")
     part(s, d).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .where(col("p_size") <= 20)
@@ -102,8 +107,11 @@ object Sources {
         col("cf.gid").as("field_gid"),
         col("cf.name").as("field_name"),
         col("cf.type").as("field_type"),
+        // numbers render through DECIMAL(38,6): double→string formatting
+        // diverges between engines at ≥1e7 (scientific vs plain notation);
+        // fixed-scale decimal renders identically everywhere
         coalesce(col("cf.enum_name"),
-          col("cf.number_value").cast("string"),
+          col("cf.number_value").cast("decimal(38,6)").cast("string"),
           col("cf.text_value")).as("value"))
       .orderBy("task_gid", "field_gid", "value")
 
@@ -144,7 +152,7 @@ object Sources {
     * read touches 2 years of files, not the whole history. */
   val sink_partitioned: Q = (s, d) => {
     import graft.util.Det._
-    val out = "/tmp/graft_sink/partitioned_orders"
+    val out = sinkDir(d, "partitioned_orders")
     orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -164,7 +172,7 @@ object Sources {
     * statically, every other year would vanish — either way the oracle
     * (the same aggregate over the source table) catches it. */
   val sink_partition_overwrite: Q = (s, d) => {
-    val out = "/tmp/graft_sink/po_orders"
+    val out = sinkDir(d, "po_orders")
     val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
     src.write.mode("overwrite").partitionBy("o_year").parquet(out)
     src.where(col("o_year") === 1995)
@@ -252,7 +260,7 @@ object Sources {
           SELECT task_gid, cf.gid AS field_gid, cf.name AS field_name,
               cf.type AS field_type,
               coalesce(cf.enum_value.name,
-                  CAST(CAST(cf.number_value AS DOUBLE) AS VARCHAR),
+                  CAST(CAST(cf.number_value AS DECIMAL(38,6)) AS VARCHAR),
                   cf.text_value) AS value
           FROM t ORDER BY task_gid, field_gid, value NULLS FIRST""",
     "asana_tags_denorm" ->
