@@ -164,6 +164,39 @@ object Sources {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** Subtask-hierarchy flattening: every task resolved to its ROOT task
+    * (the `parent` chain — Asana nests subtasks arbitrarily deep), then a
+    * per-tree rollup. Spark has no recursive CTE; the scale-correct
+    * formulation is pointer jumping — each round joins the current
+    * gid→root mapping with itself, DOUBLING resolved depth, so 3 rounds
+    * cover depth 8 and k rounds depth 2^k (vs one join per level for the
+    * naive walk). The oracle is DuckDB's genuine WITH RECURSIVE — two
+    * totally different evaluation strategies agreeing on the answer. */
+  val asana_task_roots: Q = (s, _) => {
+    val tasks = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
+      .select(col("gid"), col("parent"), col("name"), col("completed"),
+        col("num_likes"))
+    var cur = tasks.select(col("gid"),
+      coalesce(col("parent"), col("gid")).as("root"))
+    for (_ <- 1 to 3) {
+      val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
+      cur = cur.join(hop, col("root") === col("hg"))
+        .select(col("gid"), col("hr").as("root"))
+    }
+    tasks.select(col("gid"), col("completed"), col("num_likes"))
+      .join(cur, "gid")
+      .groupBy("root")
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
+        sum(col("num_likes")).as("likes"))
+      .join(tasks.select(col("gid").as("root"), col("name").as("root_name")),
+        "root")
+      .select(col("root").as("root_gid"), col("root_name"),
+        col("n_tasks"), col("n_done"), col("likes"))
+      .orderBy("root_gid")
+  }
+
   /** Dynamic partition overwrite — the incremental-rerun semantic a 100 TB
     * ETL depends on: re-running one day/year replaces ONLY that partition.
     * The query does a full load, then re-writes just 1995 with
@@ -217,6 +250,7 @@ object Sources {
     "asana_custom_fields" -> asana_custom_fields,
     "asana_tags_denorm" -> asana_tags_denorm,
     "asana_stories_sessions" -> asana_stories_sessions,
+    "asana_task_roots" -> asana_task_roots,
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "llm_mm_features" -> llm_mm_features,
@@ -288,6 +322,25 @@ object Sources {
               count(1) AS n_events, count(DISTINCT author) AS n_authors
           FROM sess GROUP BY task_gid, sid
           ORDER BY task_gid, session_start""",
+    "asana_task_roots" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT gid, parent, name, completed, num_likes
+            FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited')),
+          up AS (
+            SELECT gid AS start, gid AS cur, parent FROM t
+            UNION ALL
+            SELECT up.start, t.gid AS cur, t.parent
+            FROM up JOIN t ON up.parent = t.gid),
+          roots AS (SELECT start AS gid, cur AS root FROM up WHERE parent IS NULL),
+          agg AS (
+            SELECT r.root, count(1) AS n_tasks,
+                CAST(sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+                CAST(sum(t.num_likes) AS BIGINT) AS likes
+            FROM roots r JOIN t ON r.gid = t.gid GROUP BY r.root)
+          SELECT a.root AS root_gid, t.name AS root_name,
+              a.n_tasks, a.n_done, a.likes
+          FROM agg a JOIN t ON a.root = t.gid
+          ORDER BY root_gid""",
     "sink_partitioned" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
              count(1) AS n_orders,
