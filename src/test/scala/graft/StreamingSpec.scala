@@ -138,6 +138,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stories sessionization emits the batch answer under readStream via the connector") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the same session_window the batch query uses, driven through the
+    // connector's MicroBatchStream in append mode: sessions finalize when
+    // the watermark passes, so a far-future sentinel page pushes every
+    // real session out
+    val work = java.nio.file.Files.createTempDirectory("asana_sess").toFile
+    val pages = new java.io.File(work, "pages/stories")
+    pages.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(s"${ops.Sources.fixtureDir}/stories.jsonl").toPath,
+      new java.io.File(pages, "page_000.jsonl").toPath)
+    val ckpt = new java.io.File(work, "ckpt").getPath
+    val out = new java.io.File(work, "out").getPath
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("graft.asana.AsanaSource")
+        .option("entity", "stories").option("fixtureDir", work.getPath).load()
+        .withWatermark("created_at", "1 minute")
+        .groupBy(col("target_gid"),
+          session_window(col("created_at"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("target_gid"), col("n_events"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    // sentinel stories far in the future → watermark passes all real
+    // sessions; append emits against the PREVIOUS batch's watermark, so a
+    // second sentinel batch is what flushes sessions bordering the old max
+    def sentinel(page: String, ts: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(pages, page))
+      w.println(s"""{"gid": "sentinel_$page", "created_at": "$ts", "created_by": {"gid": "u0"}, "type": "system", "text": "x", "target": {"gid": "sentinel_task"}}""")
+      w.close()
+    }
+    sentinel("page_001.jsonl", "2030-01-01T00:00:00.000Z")
+    runOnce()
+    sentinel("page_002.jsonl", "2031-01-01T00:00:00.000Z")
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .select("target_gid", "n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 != "sentinel_task").sorted.toSeq
+    val batch = ops.Sources.asana_stories_sessions(spark, sf)
+      .select(col("task_gid"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch,
+      s"streaming sessions ${streamed.take(5)}... != batch ${batch.take(5)}...")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
