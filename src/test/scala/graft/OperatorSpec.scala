@@ -148,6 +148,18 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("task root resolution reaches true roots (no resolved root has a parent)") {
+    val roots = ops.Sources.asana_task_roots(spark, sf)
+      .select(col("root_gid")).distinct()
+    val withParent = spark.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks")
+      .option("fixtureDir", ops.Sources.fixtureDir).load()
+      .where(col("parent").isNotNull).select(col("gid"))
+    val unresolved = roots
+      .join(withParent, roots("root_gid") === withParent("gid")).count()
+    assert(unresolved == 0, s"$unresolved roots still have parents")
+  }
+
   test("window running sum final value equals the group total") {
     val win = ops.Windows.win_run(spark, sf)
       .groupBy("o_custkey").agg(max("running_spend").as("final"))

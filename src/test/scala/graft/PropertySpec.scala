@@ -93,6 +93,33 @@ class PropertySpec extends SparkTestBase {
     assert(u.toSet == Set((1, "x"), (2, "y"), (3, "z")))
   }
 
+  test("pointer jumping resolves random forests exactly like the naive walk") {
+    // the asana_task_roots algorithm: k doubling rounds cover depth 2^k.
+    // Generate random forests (parent = some lower-numbered node or none),
+    // which bounds depth at n and guarantees acyclicity, then compare
+    // against a direct per-node walk.
+    val forestGen = for {
+      n <- Gen.choose(1, 40)
+      parents <- Gen.sequence[Seq[Option[Int]], Option[Int]](
+        (0 until n).map(i =>
+          if (i == 0) Gen.const(None)
+          else Gen.option(Gen.choose(0, i - 1))))
+    } yield parents
+    def walk(par: Seq[Option[Int]], i: Int): Int =
+      par(i) match { case Some(p) => walk(par, p); case None => i }
+    for (par <- samples(forestGen, 50)) {
+      // pointer jumping in plain Scala, mirroring the DataFrame joins
+      var cur = par.indices.map(i => par(i).getOrElse(i)).toArray
+      val rounds = math.max(1,
+        math.ceil(math.log(par.size.toDouble) / math.log(2)).toInt)
+      for (_ <- 1 to rounds) cur = cur.map(r => cur(r))
+      par.indices.foreach { i =>
+        assert(cur(i) == walk(par, i),
+          s"node $i resolved to ${cur(i)}, walk says ${walk(par, i)}")
+      }
+    }
+  }
+
   test("slugify is idempotent (UDF stays SQL-replicable)") {
     val slug: String => String = x =>
       x.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", "")
