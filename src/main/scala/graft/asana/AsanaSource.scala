@@ -267,8 +267,13 @@ class AsanaMicroBatchStream(entity: String, fixtureDir: String,
     }
   }
 
-  override def latestOffset(): Offset =
-    AsanaSyncOffset(pageFiles().map(p => p -> countLines(p)).toMap)
+  override def latestOffset(): Offset = {
+    val files = pageFiles()
+    // retire entries for rotated-away files — otherwise a long-running
+    // stream whose pages are deleted leaks one dead entry per file
+    lineCountCache.filterInPlace((p, _) => files.contains(p))
+    AsanaSyncOffset(files.map(p => p -> countLines(p)).toMap)
+  }
 
   override def initialOffset(): Offset = AsanaSyncOffset(Map.empty)
 

@@ -73,15 +73,15 @@ object Sources {
       .orderBy("user_name")
   }
 
+  // per-sfDir sink roots so concurrent Verify runs at different scale
+  // factors can't overwrite each other's read-backs mid-scan
+  private def sinkDir(d: String, name: String): String =
+    s"/tmp/graft_sink/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** ORC round-trip — the second columnar format Spark ships natively
     * (predicate pushdown + column pruning work the same as parquet).
     * DuckDB has no ORC reader, so the oracle runs the identical predicate
     * over the source table — the round-trip is what's under test. */
-  /** per-sfDir sink roots so concurrent Verify runs at different scale
-    * factors can't overwrite each other's read-backs mid-scan */
-  private def sinkDir(d: String, name: String): String =
-    s"/tmp/graft_sink/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-
   val scan_orc: Q = (s, d) => {
     val out = sinkDir(d, "orc_part")
     part(s, d).write.mode("overwrite").orc(out)
@@ -168,10 +168,15 @@ object Sources {
     * (the `parent` chain — Asana nests subtasks arbitrarily deep), then a
     * per-tree rollup. Spark has no recursive CTE; the scale-correct
     * formulation is pointer jumping — each round joins the current
-    * gid→root mapping with itself, DOUBLING resolved depth, so 3 rounds
-    * cover depth 8 and k rounds depth 2^k (vs one join per level for the
-    * naive walk). The oracle is DuckDB's genuine WITH RECURSIVE — two
-    * totally different evaluation strategies agreeing on the answer. */
+    * gid→root mapping with itself, DOUBLING resolved depth, so k rounds
+    * cover depth 2^k (vs one join per level for the naive walk). The
+    * bound is FIXED (4 rounds = depth 16, generous for Asana subtask
+    * nesting), not a convergence loop: a depth beyond it would resolve to
+    * a non-root ancestor — which the no-resolved-root-has-a-parent
+    * invariant test and the oracle diff both catch, and which a driver
+    * while-loop over count() would detect at the cost of an extra job per
+    * round. The oracle is DuckDB's genuine WITH RECURSIVE — two totally
+    * different evaluation strategies agreeing on the answer. */
   val asana_task_roots: Q = (s, _) => {
     val tasks = s.read.format("graft.asana.AsanaSource")
       .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
@@ -179,7 +184,7 @@ object Sources {
         col("num_likes"))
     var cur = tasks.select(col("gid"),
       coalesce(col("parent"), col("gid")).as("root"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 4) {
       val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
       cur = cur.join(hop, col("root") === col("hg"))
         .select(col("gid"), col("hr").as("root"))

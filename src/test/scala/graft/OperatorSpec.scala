@@ -91,14 +91,21 @@ class OperatorSpec extends SparkTestBase {
       "SELECT graft_cosine(array(2.0d, 1.0d), array(2.0d, 1.0d)) AS c")
       .head().getDouble(0)
     assert(math.abs(selfSim - 1.0) < 1e-12)
-    // HOF-parity edge semantics: length mismatch and null elements → null
-    val mismatch = spark.sql(
-      "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d)) AS c").head()
+    // HOF-parity edge semantics: length mismatch and null elements → null.
+    // Literal arrays would be constant-folded through nullSafeEval, so the
+    // expressions reference `id` to force the GENERATED code path too.
+    val mismatch = spark.range(1).selectExpr(
+      "graft_cosine(array(cast(id as double), 2.0d), array(cast(id as double))) AS c")
+      .head()
     assert(mismatch.isNullAt(0), "length mismatch must yield null, not crash")
-    val withNull = spark.sql(
-      "SELECT graft_cosine(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS c")
+    val withNull = spark.range(1).selectExpr(
+      "graft_cosine(array(cast(id as double), cast(null as double)), array(1.0d, 2.0d)) AS c")
       .head()
     assert(withNull.isNullAt(0), "null element must poison the result")
+    val okCol = spark.range(1).selectExpr(
+      "graft_cosine(array(cast(id+2 as double), 1.0d), array(cast(id+2 as double), 1.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(okCol - 1.0) < 1e-12, "codegen path self-similarity")
   }
 
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {

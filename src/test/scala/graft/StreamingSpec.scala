@@ -163,7 +163,9 @@ class StreamingSpec extends SparkTestBase {
       val q = stream.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      // a false return would leave the query running and the next runOnce
+      // racing it on the same checkpoint — fail clearly instead
+      assert(q.awaitTermination(120000), "AvailableNow run did not drain")
     }
     runOnce()
     // sentinel stories far in the future → watermark passes all real
