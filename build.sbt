@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench/verify drivers parse the LAST stdout line as a JSON metric;
+// sbt's "[success] Total time: N s" epilogue after the forked JVM exits
+// broke that parse two rounds running ("parsed": null). Suppress it, and
+// pass the forked JVM's streams through unprefixed (the default logged
+// strategy would prepend "[info] " to the metric line itself).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint so `sbt compile` output stays warning-free
+Global / excludeLintKeys += showSuccess

@@ -95,6 +95,17 @@ object AsanaSchemas {
     StructField("name", StringType),
     StructField("color", StringType)))
 
+  /** the multimodal pointer of the work graph: download_url + size +
+    * resource_subtype, parented to a task (GET /attachments?parent=…). */
+  val attachments: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("resource_subtype", StringType),
+    StructField("size", LongType),
+    StructField("download_url", StringType),
+    StructField("parent_gid", StringType),
+    StructField("created_at", TimestampType)))
+
   val stories: StructType = StructType(Seq(
     StructField("gid", StringType),
     StructField("created_at", TimestampType),
@@ -109,6 +120,7 @@ object AsanaSchemas {
     case "users" => users
     case "tags" => tags
     case "stories" => stories
+    case "attachments" => attachments
     case other => throw new IllegalArgumentException(
       s"unknown asana entity: $other")
   }
@@ -228,7 +240,13 @@ object AsanaSyncOffset {
     // parse of a legacy scalar token (or corrupt JSON) would yield an
     // empty map and silently re-emit every committed record on resume
     require(node != null && node.isObject,
-      s"asana sync offset must be a {path: lineCount} object, got: $json")
+      s"asana sync offset must be a {path: lineCount} object, got: $json. " +
+        "A scalar value means this checkpoint was written by a pre-per-file-" +
+        "offset build; a scalar line index cannot be attributed to files " +
+        "safely once the listing may have shifted, so there is no automatic " +
+        "migration. To recover: delete the query's checkpointLocation and " +
+        "restart — the stream replays from the beginning; dedupe re-emitted " +
+        "rows downstream (e.g. dropDuplicates on gid).")
     val b = Map.newBuilder[String, Long]
     node.fields().asScala.foreach(e => b += e.getKey -> e.getValue.asLong())
     AsanaSyncOffset(b.result())
@@ -408,6 +426,10 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
         val a = node.get("created_by"); if (a == null || a.isNull) null else a.get("gid")
       case "target_gid" =>
         val a = node.get("target"); if (a == null || a.isNull) null else a.get("gid")
+      // attachments carry parent as an object; the tasks entity's parent
+      // is a plain gid string and takes the default branch below
+      case "parent_gid" =>
+        val a = node.get("parent"); if (a == null || a.isNull) null else a.get("gid")
       case "enum_name" =>
         val a = node.get("enum_value"); if (a == null || a.isNull) null else a.get("name")
       case other => node.get(other)

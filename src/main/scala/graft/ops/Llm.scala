@@ -260,11 +260,12 @@ object Llm {
   private val LshBands = 256
   private val LshRowsPerBand = 8
 
-  /** Deterministic Rademacher hyperplanes (bands·rows planes × 64 dims, ±1
-    * entries from a splitmix64 of the cell index) — no driver randomness, so
-    * the signature of a vector is reproducible across runs and executors. */
-  private lazy val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(LshBands * LshRowsPerBand, 64) { (p, j) =>
+  /** Deterministic Rademacher hyperplanes (n planes × 64 dims, ±1 entries
+    * from a splitmix64 of the cell index) — no driver randomness, so the
+    * signature of a vector is reproducible across runs and executors, and
+    * a shorter plane set is always a prefix of a longer one. */
+  private def planesFor(n: Int): Array[Array[Double]] =
+    Array.tabulate(n, 64) { (p, j) =>
       var z = (p.toLong * 64L + j.toLong) + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -282,16 +283,15 @@ object Llm {
     * recall is probabilistic (unit-tested: candidates ⊇ all pairs with
     * cosine ≥ 0.4, and output ⊆ the exact join's output). Engine-specific
     * hashes → rows-only check. */
-  private[graft] def lshBanded(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+  private[graft] def lshBandedVecs(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      nBands: Int, rPerBand: Int): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val planes = hyperplanes
-    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])]
+    val planes = planesFor(nBands * rPerBand)
     // (vec_id, band_key): band_key packs (band index, that band's sign
     // bits) into one int so the candidate join has a single equi-key
-    val nBands = LshBands; val rPerBand = LshRowsPerBand
-    rows.flatMap { case (id, v) =>
+    vecs.flatMap { case (id, v) =>
       val sig = new Array[Boolean](nBands * rPerBand)
       var p = 0
       while (p < sig.length) {
@@ -310,13 +310,27 @@ object Llm {
     }.toDF("vec_id", "band_key")
   }
 
-  private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val banded = lshBanded(s, d)
+  /** candidate pairs from an equi-join on the band key — parameterized so
+    * the clustered-corpus selectivity test can run a banding shape tuned
+    * for a near-dup threshold (τ≥0.8 corpora need far fewer bands than the
+    * isotropic τ=0.4 default). */
+  private[graft] def lshCandidatesVecs(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      nBands: Int, rPerBand: Int): DataFrame = {
+    val banded = lshBandedVecs(vecs, nBands, rPerBand)
     val l = banded.select(col("band_key"), col("vec_id").as("a"))
     val r = banded.select(col("band_key").as("bk"), col("vec_id").as("b"))
     l.join(r, col("band_key") === col("bk") && col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    lshCandidatesVecs(
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])],
+      LshBands, LshRowsPerBand)
   }
 
   val llm_simjoin_lsh: Q = (s, d) => {
@@ -343,6 +357,25 @@ object Llm {
       .orderBy("a", "b")
   }
 
+  /** Budget-dispatched similarity join: counts the build side (with the
+    * same early-stopping limit+count the guard in [[llm_simjoin]] uses) and
+    * picks the exact broadcast kernel under the row budget, the banded-LSH
+    * candidate path above it — the dispatch a user-facing API performs so
+    * callers never hit the guard's require. Under the budget the output is
+    * llm_simjoin's exactly (same oracle); above it, llm_simjoin_lsh's
+    * (identical sims, probabilistic recall). */
+  private[graft] def simjoinAuto(s: org.apache.spark.sql.SparkSession,
+      d: String, budget: Long = SimjoinBroadcastRows): DataFrame = {
+    import s.implicits._
+    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+    val probe = math.min(budget + 1, Int.MaxValue.toLong).toInt
+    val cnt = rows.limit(probe).count()
+    if (cnt <= budget) llm_simjoin(s, d) else llm_simjoin_lsh(s, d)
+  }
+
+  val llm_simjoin_auto: Q = (s, d) => simjoinAuto(s, d)
+
   /** [[llm_knn]] with the cosine as the native codegen expression
     * [[graft.functions.CosineSimilarity]] (SURVEY §2-K preference (b))
     * instead of HOF folds — the fused loop accumulates in the same index
@@ -364,21 +397,70 @@ object Llm {
       .orderBy(desc("sim"), asc("neighbor_id"))
   }
 
+  /** Min-label connected components over an undirected edge list (cols
+    * `a`, `b`) — returns (gid, comp) where comp is the SMALLEST member id
+    * of the node's component. Each round combines neighbor-min hooking
+    * (comp := min over adjacent comps) with pointer jumping through the
+    * current labels (comp := comp(comp), the asana_task_roots doubling
+    * trick), so path-shaped components converge in O(log diameter) rounds
+    * instead of O(diameter); convergence is verified with one count job
+    * per round and bounded loudly at 30 rounds (a bound only an adversarial
+    * graph of depth ≫ 2^30 could hit). At 100 TB this is the standard
+    * two-phase CC shape: each round is one shuffle on gid + one on comp. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+      .distinct().cache()
+    // localCheckpoint per round truncates lineage — each round references
+    // the previous labels three times, so the un-truncated logical plan
+    // grows 3^rounds and OOMs Catalyst analysis long before the round
+    // bound trips (same hazard resolveRoots hit). On a real cluster
+    // prefer a reliable checkpoint dir; the per-round shape is identical.
+    var lab = sym.select(col("v").as("gid")).distinct()
+      .select(col("gid"), col("gid").as("comp")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      require(rounds < 30,
+        s"connected components did not converge within 30 rounds")
+      val nbr = sym
+        .join(lab.select(col("gid").as("u"), col("comp").as("uc")), "u")
+        .groupBy(col("v").as("gid")).agg(min("uc").as("nmin"))
+      val hooked = lab.join(nbr, Seq("gid"), "left")
+        .select(col("gid"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val next = hooked.join(
+          hooked.select(col("gid").as("cg"), col("comp").as("cc")),
+          col("comp") === col("cg"))
+        .select(col("gid"), col("cc").as("comp")).localCheckpoint()
+      changed = lab.join(next.select(col("gid"), col("comp").as("nc")), "gid")
+        .where(col("comp") =!= col("nc")).count()
+      lab = next
+      rounds += 1
+    }
+    sym.unpersist()
+    lab
+  }
+
   /** embedding-cosine near-dup DEDUP (vs the pair-listing joins above):
-    * pairs with cosine ≥ 0.45 form dup groups; the survivor is the lowest
-    * vec_id of each group (union-by-min over one hop — exact for the
-    * fixture's pair-shaped clusters; iterate to fixpoint for deep chains),
-    * and every victim reports which survivor absorbed it. Same broadcast
-    * kernel as llm_simjoin, so the same guard + LSH scale story applies. */
+    * pairs with cosine ≥ 0.45 form dup groups under TRANSITIVE closure —
+    * chains a~b~c share one canonical even when a~c falls below τ — via
+    * [[connectedComponents]] over the pair graph; the survivor is the
+    * lowest vec_id of each component, and every victim reports which
+    * survivor absorbed it (so canonical is always a true survivor, the
+    * round-2 one-hop caveat closed). Same broadcast kernel as
+    * llm_simjoin, so the same guard + LSH scale story applies. The oracle
+    * is a DuckDB recursive CTE computing reachability over the same
+    * pairs — a genuinely different closure strategy. */
   val llm_dedup_embcos: Q = (s, d) => {
     val pairs = llm_simjoin(s, d).where(col("sim") >= 0.45)
-    val victims = pairs.groupBy(col("b").as("vec_id"))
-      .agg(min(col("a")).as("absorbed_by"))
+    val comp = connectedComponents(pairs.select("a", "b"))
+      .select(col("gid").as("vec_id"), col("comp").as("comp"))
     embeddings(s, d)
-      .join(victims, Seq("vec_id"), "left")
+      .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
-        col("absorbed_by").isNull.as("survives"),
-        coalesce(col("absorbed_by"), col("vec_id")).as("canonical"))
+        (col("comp").isNull || col("comp") === col("vec_id")).as("survives"),
+        coalesce(col("comp"), col("vec_id")).as("canonical"))
       .orderBy("vec_id")
   }
 
@@ -685,6 +767,7 @@ object Llm {
     "llm_knn" -> llm_knn,
     "llm_simjoin" -> llm_simjoin,
     "llm_simjoin_lsh" -> llm_simjoin_lsh,
+    "llm_simjoin_auto" -> llm_simjoin_auto,
     "llm_dedup_embcos" -> llm_dedup_embcos,
     "llm_knn_native" -> llm_knn_native,
     "llm_knn_classify" -> llm_knn_classify,
@@ -760,19 +843,39 @@ object Llm {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cos("a.embedding", "b.embedding")} >= 0.35
           ORDER BY a, b""",
+    // at every verify scale the build side is far under the 2M-row budget,
+    // so the dispatcher provably takes the exact branch → llm_simjoin's
+    // oracle applies verbatim (the LSH branch is covered rows-only + by the
+    // dispatch-equality unit test)
+    "llm_simjoin_auto" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+              round(${cos("a.embedding", "b.embedding")}, 4) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ${cos("a.embedding", "b.embedding")} >= 0.35
+          ORDER BY a, b""",
+    // transitive closure on the oracle side too, but by a genuinely
+    // different strategy: recursive-CTE reachability (enumerate every
+    // (node, reachable node) pair, then min per node) vs Spark's
+    // hook + pointer-jump label propagation
     "llm_dedup_embcos" ->
-      s"""WITH pairs AS (
+      s"""WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS pa, b.vec_id AS pb,
                 round(${cos("a.embedding", "b.embedding")}, 4) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE ${cos("a.embedding", "b.embedding")} >= 0.35),
-          vict AS (
-            SELECT pb AS vec_id, min(pa) AS absorbed_by
-            FROM pairs WHERE sim >= 0.45 GROUP BY pb)
+          edges AS (
+            SELECT pa AS v, pb AS u FROM pairs WHERE sim >= 0.45
+            UNION
+            SELECT pb AS v, pa AS u FROM pairs WHERE sim >= 0.45),
+          reach AS (
+            SELECT v, v AS r FROM (SELECT DISTINCT v FROM edges)
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.v),
+          comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
           SELECT e.vec_id, e.label,
-              v.absorbed_by IS NULL AS survives,
-              coalesce(v.absorbed_by, e.vec_id) AS canonical
-          FROM embeddings e LEFT JOIN vict v ON e.vec_id = v.vec_id
+              (c.comp IS NULL OR c.comp = e.vec_id) AS survives,
+              coalesce(c.comp, e.vec_id) AS canonical
+          FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.v
           ORDER BY e.vec_id""",
     "llm_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

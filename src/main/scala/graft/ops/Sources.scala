@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.util.Tables._
@@ -73,17 +74,22 @@ object Sources {
       .orderBy("user_name")
   }
 
-  // per-sfDir sink roots so concurrent Verify runs at different scale
-  // factors can't overwrite each other's read-backs mid-scan
-  private def sinkDir(d: String, name: String): String =
-    s"/tmp/graft_sink/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+  // per-application + per-sfDir sink roots: the sfDir key stops concurrent
+  // Verify runs at different scale factors clobbering each other, and the
+  // applicationId stops two processes over the SAME sfDir (e.g. Bench and
+  // Verify at once) overwriting each other's read-backs mid-scan. Within
+  // one session the path is stable, so repeated runs overwrite in place.
+  private def sinkDir(s: org.apache.spark.sql.SparkSession, d: String,
+      name: String): String =
+    s"/tmp/graft_sink/${s.sparkContext.applicationId}/${name}_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** ORC round-trip — the second columnar format Spark ships natively
     * (predicate pushdown + column pruning work the same as parquet).
     * DuckDB has no ORC reader, so the oracle runs the identical predicate
     * over the source table — the round-trip is what's under test. */
   val scan_orc: Q = (s, d) => {
-    val out = sinkDir(d, "orc_part")
+    val out = sinkDir(s, d, "orc_part")
     part(s, d).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .where(col("p_size") <= 20)
@@ -152,7 +158,7 @@ object Sources {
     * read touches 2 years of files, not the whole history. */
   val sink_partitioned: Q = (s, d) => {
     import graft.util.Det._
-    val out = sinkDir(d, "partitioned_orders")
+    val out = sinkDir(s, d, "partitioned_orders")
     orders(s, d)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -164,33 +170,72 @@ object Sources {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** Pointer-jumping root resolution over a (gid, parent) edge set —
+    * factored out of [[asana_task_roots]] so deep/dangling chains can be
+    * unit-tested directly. Returns (gid, root).
+    *
+    * Two silent-data hazards are closed here (round-2 advice):
+    *  - a parent gid ABSENT from the dataset (deleted task, cross-
+    *    workspace pointer) terminates the chain — the task anchors its own
+    *    subtree — instead of being dropped by the inner self-join: parent
+    *    pointers are normalized through a left join so dangling ones
+    *    become null before any jumping happens;
+    *  - depth is NOT capped at a fixed round count: each round joins the
+    *    gid→root mapping with itself (DOUBLING resolved depth, so k rounds
+    *    cover depth 2^k — vs one join per level for the naive walk), and
+    *    the loop re-checks convergence after every round (one count job
+    *    per round — the explicit price of loud correctness) until no
+    *    resolved root still has a parent. Past 12 rounds (depth 4096, or
+    *    a parent CYCLE, which can never converge) it fails loudly instead
+    *    of returning a non-root ancestor. */
+  private[graft] def resolveRoots(tasks: DataFrame): DataFrame = {
+    val gids = tasks.select(col("gid").as("pg"))
+    // pg == parent when the parent exists in the dataset, null otherwise
+    val norm = tasks.select("gid", "parent")
+      .join(gids, col("parent") === col("pg"), "left")
+      .select(col("gid"), col("pg").as("parent"))
+      .cache()
+    val parentOf = norm.select(col("gid").as("rg"), col("parent").as("rp"))
+    // localCheckpoint per round truncates lineage — the self-join doubles
+    // the logical plan every round, and Catalyst's analysis on a 2^k-node
+    // plan OOMs the driver long before the round bound trips (observed on
+    // the cycle fixture). On a real cluster prefer a reliable checkpoint
+    // dir; the shape (materialize each round, plan stays O(1)) is the same.
+    var cur = norm.select(col("gid"),
+      coalesce(col("parent"), col("gid")).as("root")).localCheckpoint()
+    def unresolvedCount(m: DataFrame): Long =
+      m.join(parentOf, col("root") === col("rg"))
+        .where(col("rp").isNotNull).count()
+    var unresolved = unresolvedCount(cur)
+    var rounds = 0
+    while (unresolved > 0) {
+      require(rounds < 12,
+        s"root resolution did not converge within depth 2^12: $unresolved " +
+          "chains unresolved — parent cycle or pathological nesting")
+      val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
+      cur = cur.join(hop, col("root") === col("hg"))
+        .select(col("gid"), col("hr").as("root")).localCheckpoint()
+      unresolved = unresolvedCount(cur)
+      rounds += 1
+    }
+    norm.unpersist()
+    cur
+  }
+
   /** Subtask-hierarchy flattening: every task resolved to its ROOT task
     * (the `parent` chain — Asana nests subtasks arbitrarily deep), then a
     * per-tree rollup. Spark has no recursive CTE; the scale-correct
-    * formulation is pointer jumping — each round joins the current
-    * gid→root mapping with itself, DOUBLING resolved depth, so k rounds
-    * cover depth 2^k (vs one join per level for the naive walk). The
-    * bound is FIXED (4 rounds = depth 16, generous for Asana subtask
-    * nesting), not a convergence loop: a depth beyond it would resolve to
-    * a non-root ancestor — which the no-resolved-root-has-a-parent
-    * invariant test and the oracle diff both catch, and which a driver
-    * while-loop over count() would detect at the cost of an extra job per
-    * round. The oracle is DuckDB's genuine WITH RECURSIVE — two totally
-    * different evaluation strategies agreeing on the answer. */
+    * formulation is [[resolveRoots]]'s pointer jumping, run to verified
+    * convergence. The oracle is DuckDB's genuine WITH RECURSIVE — two
+    * totally different evaluation strategies agreeing on the answer (with
+    * the same dangling-parent normalization on both sides). */
   val asana_task_roots: Q = (s, _) => {
     val tasks = s.read.format("graft.asana.AsanaSource")
       .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
       .select(col("gid"), col("parent"), col("name"), col("completed"),
         col("num_likes"))
-    var cur = tasks.select(col("gid"),
-      coalesce(col("parent"), col("gid")).as("root"))
-    for (_ <- 1 to 4) {
-      val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
-      cur = cur.join(hop, col("root") === col("hg"))
-        .select(col("gid"), col("hr").as("root"))
-    }
     tasks.select(col("gid"), col("completed"), col("num_likes"))
-      .join(cur, "gid")
+      .join(resolveRoots(tasks.select("gid", "parent")), "gid")
       .groupBy("root")
       .agg(count(lit(1)).as("n_tasks"),
         sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
@@ -202,6 +247,52 @@ object Sources {
       .orderBy("root_gid")
   }
 
+  /** Task→project/section denormalization through `memberships[]` (the
+    * twin of [[asana_tags_denorm]] for the other nested array): each task
+    * membership becomes one row joined to its `projects` entity record,
+    * then a per-project rollup — sections in use, distinct tasks,
+    * completion, likes. One explode + one broadcast-sized join + one
+    * shuffle on project_gid; nothing quadratic at scale. */
+  val asana_memberships_denorm: Q = (s, _) => {
+    val m = s.read.schema(taskSchema).json(s"$fixtureDir/tasks.jsonl")
+      .select(col("gid").as("task_gid"), col("completed"), col("num_likes"),
+        explode(col("memberships")).as("m"))
+    val projects = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "projects").option("fixtureDir", fixtureDir).load()
+      .select(col("gid").as("project_gid"), col("name").as("project_name"),
+        col("archived"))
+    m.join(projects, col("m.project.gid") === col("project_gid"))
+      .groupBy("project_gid", "project_name", "archived")
+      .agg(count(lit(1)).as("n_memberships"),
+        countDistinct(col("m.section.gid")).as("n_sections"),
+        countDistinct(col("task_gid")).as("n_tasks"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
+        sum(col("num_likes")).as("likes"))
+      .orderBy("project_gid")
+  }
+
+  /** The `attachment` entity — the work graph's multimodal pointer
+    * (download_url + size + resource_subtype, SURVEY.md §1.1): attachments
+    * joined to their parent tasks through the connector, rolled up per
+    * subtype. A training-data pipeline pulling assets out of Asana starts
+    * exactly here: this rollup is the manifest a binary-fetch stage fans
+    * out over. */
+  val asana_attachments: Q = (s, _) => {
+    val att = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "attachments").option("fixtureDir", fixtureDir).load()
+    val tasks = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "tasks").option("fixtureDir", fixtureDir).load()
+      .select(col("gid").as("task_gid"), col("completed"))
+    att.join(tasks, col("parent_gid") === col("task_gid"))
+      .groupBy(col("resource_subtype").as("subtype"))
+      .agg(count(lit(1)).as("n_attachments"),
+        countDistinct(col("parent_gid")).as("n_tasks"),
+        sum(col("size")).as("total_bytes"),
+        max(col("size")).as("max_bytes"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_on_completed"))
+      .orderBy("subtype")
+  }
+
   /** Dynamic partition overwrite — the incremental-rerun semantic a 100 TB
     * ETL depends on: re-running one day/year replaces ONLY that partition.
     * The query does a full load, then re-writes just 1995 with
@@ -210,7 +301,7 @@ object Sources {
     * statically, every other year would vanish — either way the oracle
     * (the same aggregate over the source table) catches it. */
   val sink_partition_overwrite: Q = (s, d) => {
-    val out = sinkDir(d, "po_orders")
+    val out = sinkDir(s, d, "po_orders")
     val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
     src.write.mode("overwrite").partitionBy("o_year").parquet(out)
     src.where(col("o_year") === 1995)
@@ -256,6 +347,8 @@ object Sources {
     "asana_tags_denorm" -> asana_tags_denorm,
     "asana_stories_sessions" -> asana_stories_sessions,
     "asana_task_roots" -> asana_task_roots,
+    "asana_memberships_denorm" -> asana_memberships_denorm,
+    "asana_attachments" -> asana_attachments,
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "llm_mm_features" -> llm_mm_features,
@@ -328,9 +421,12 @@ object Sources {
           FROM sess GROUP BY task_gid, sid
           ORDER BY task_gid, session_start""",
     "asana_task_roots" ->
-      s"""WITH RECURSIVE t AS (
+      s"""WITH RECURSIVE raw AS (
             SELECT gid, parent, name, completed, num_likes
             FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited')),
+          t AS (
+            SELECT a.gid, p.gid AS parent, a.name, a.completed, a.num_likes
+            FROM raw a LEFT JOIN raw p ON a.parent = p.gid),
           up AS (
             SELECT gid AS start, gid AS cur, parent FROM t
             UNION ALL
@@ -346,6 +442,28 @@ object Sources {
               a.n_tasks, a.n_done, a.likes
           FROM agg a JOIN t ON a.root = t.gid
           ORDER BY root_gid""",
+    "asana_memberships_denorm" ->
+      s"""SELECT p.gid AS project_gid, p.name AS project_name, p.archived,
+              count(1) AS n_memberships,
+              count(DISTINCT m.section.gid) AS n_sections,
+              count(DISTINCT t.gid) AS n_tasks,
+              CAST(sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+              CAST(sum(t.num_likes) AS BIGINT) AS likes
+          FROM (SELECT gid, completed, num_likes, unnest(memberships) AS m
+                FROM read_json_auto('$fixtureDir/tasks.jsonl', format='newline_delimited')) t
+          JOIN read_json_auto('$fixtureDir/projects.jsonl', format='newline_delimited') p
+            ON m.project.gid = p.gid
+          GROUP BY 1, 2, 3 ORDER BY project_gid""",
+    "asana_attachments" ->
+      s"""SELECT a.resource_subtype AS subtype, count(1) AS n_attachments,
+              count(DISTINCT a.parent.gid) AS n_tasks,
+              CAST(sum(a.size) AS BIGINT) AS total_bytes,
+              CAST(max(a.size) AS BIGINT) AS max_bytes,
+              CAST(sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT) AS n_on_completed
+          FROM read_json_auto('$fixtureDir/attachments.jsonl', format='newline_delimited') a
+          JOIN read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited') t
+            ON a.parent.gid = t.gid
+          GROUP BY 1 ORDER BY subtype""",
     "sink_partitioned" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
              count(1) AS n_orders,

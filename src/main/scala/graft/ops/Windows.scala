@@ -146,10 +146,54 @@ object Windows {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** [[win_dist]] under the same skew treatment as [[win_rank_salted]]:
+    * percent_rank/cume_dist funnel the whole table through 3 status
+    * partitions; bucketing by price decomposes each into ~hundreds of
+    * independent bucket-windows plus a tiny broadcast stats join.
+    * percent_rank = (global rank − 1)/(n_part − 1) from the bucket-local
+    * rank + rows before the bucket; cume_dist = (rows_before + rows ≤
+    * current within the bucket)/n_part, where the local ≤-count is
+    * count(1) over the default RANGE frame (ties included) — buckets
+    * partition the VALUE axis, so every earlier bucket is strictly below.
+    * Bit-identical doubles to win_dist: both engines end at one IEEE
+    * division of the same integers, so the oracle IS win_dist's. */
+  val win_dist_salted: Q = (s, d) => {
+    val wLocal = Window.partitionBy("o_orderstatus", "bkt")
+      .orderBy(asc("o_totalprice"))
+    val wOff = Window.partitionBy("st").orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = orders(s, d)
+      .withColumn("bkt", floor(col("o_totalprice") / 10000.0))
+    val local = base.select(
+      col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("bkt"),
+      rank().over(wLocal).as("lrnk"),
+      count(lit(1)).over(wLocal).as("lle"))
+    val stats = base
+      .groupBy(col("o_orderstatus").as("st"), col("bkt").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rows_before", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .withColumn("n_part", sum("cnt").over(Window.partitionBy("st")))
+      .drop("cnt")
+    local
+      .join(broadcast(stats),
+        col("o_orderstatus") === col("st") && col("bkt") === col("b"))
+      .withColumn("pct_rank",
+        when(col("n_part") === 1, lit(0.0))
+          .otherwise((col("rows_before") + col("lrnk") - 1).cast("double")
+            / (col("n_part") - 1).cast("double")))
+      .withColumn("cume",
+        (col("rows_before") + col("lle")).cast("double")
+          / col("n_part").cast("double"))
+      .select("o_orderstatus", "o_orderkey", "o_totalprice",
+        "pct_rank", "cume")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
     "win_dist" -> win_dist,
+    "win_dist_salted" -> win_dist_salted,
     "win_lag" -> win_lag,
     "win_run" -> win_run,
     "win_range" -> win_range,
@@ -158,6 +202,13 @@ object Windows {
 
   val oracle: Seq[(String, String)] = Seq(
     "win_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS pct_rank,
+             cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS cume
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+    // the salted plan must produce exactly the direct window's answer,
+    // so its oracle IS win_dist's
+    "win_dist_salted" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
              percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS pct_rank,
              cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS cume

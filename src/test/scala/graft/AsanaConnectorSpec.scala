@@ -67,13 +67,32 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(t2.subsetOf(t1) && t2.size < t1.size)
   }
 
-  test("all five entities load with their schemas") {
+  test("all six entities load with their schemas") {
     for ((e, n) <- Seq("tasks" -> 30L, "projects" -> 3L, "users" -> 6L,
-        "tags" -> 5L, "stories" -> 60L)) {
+        "tags" -> 5L, "stories" -> 60L, "attachments" -> 14L)) {
       val df = spark.read.format("graft.asana.AsanaSource")
         .option("entity", e).option("fixtureDir", dir).load()
       assert(df.count() == n, s"$e row count")
     }
+  }
+
+  test("attachments: parent gid extracted from object, external refs null-size") {
+    val att = spark.read.format("graft.asana.AsanaSource")
+      .option("entity", "attachments").option("fixtureDir", dir).load()
+    // the fixture plants exactly one orphan (parent task deleted) so the
+    // asana_attachments inner join provably drops it on both engines
+    val orphans = att.join(tasks.select(col("gid").as("tg")),
+      col("parent_gid") === col("tg"), "left_anti")
+      .select("gid").collect().map(_.getString(0)).toSet
+    assert(orphans == Set("att13"), s"unexpected orphan set: $orphans")
+    // gdrive/external attachments carry no size (the API returns null);
+    // native asana uploads always do — the reader must preserve both
+    val nullSized = att.where(col("size").isNull)
+      .select("resource_subtype").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!nullSized.contains("asana"), "native upload lost its size")
+    assert(att.where(col("size").isNotNull).count() > 0)
+    assert(att.where(col("download_url").isNull).count() == 0)
   }
 
   test("unknown entity fails with a clear message") {

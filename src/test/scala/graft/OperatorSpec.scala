@@ -78,6 +78,45 @@ class OperatorSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
   }
 
+  test("LSH on a clustered corpus: candidates < 10% of all-pairs at recall >= 0.95") {
+    // The quantitative candidates ≪ all-pairs claim (previously asserted
+    // from theory): a NON-isotropic corpus shaped like real near-dup data —
+    // 20 clusters × 10 members, 64-d, members tightly around their center
+    // (within-cluster cos ≈ 0.94) — with a banding tuned for the τ≥0.8
+    // regime (40 bands × 12 rows) must emit a candidate set dominated by
+    // the true pairs, not the quadratic blow-up the isotropic fixture
+    // forces at τ=0.4. Fully deterministic: splitmix64 centers and noise.
+    import spark.implicits._
+    def sm(x0: Long): Double = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble)
+    }
+    val vecs: Seq[(Long, Array[Double])] =
+      (for (c <- 0 until 20; m <- 0 until 10) yield {
+        val id = (c * 10 + m).toLong
+        val v = Array.tabulate(64)(j =>
+          sm(c * 64L + j) + 0.25 * sm(1000000L + id * 64L + j))
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / n))
+      })
+    def cosv(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum
+    val truePairs = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      if cosv(vecs(i)._2, vecs(j)._2) >= 0.8
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val allPairs = vecs.size * (vecs.size - 1) / 2
+    assert(truePairs.size > 500, s"corpus should be clustered: ${truePairs.size}")
+    val cand = ops.Llm.lshCandidatesVecs(vecs.toDS(), 40, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.intersect(cand).size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall over ${truePairs.size} true pairs")
+    assert(cand.size < allPairs / 10,
+      s"candidates ${cand.size} not < 10% of all-pairs $allPairs")
+  }
+
   test("native cosine expression: bit-identical to HOF path, works from SQL") {
     val hof = ops.Llm.llm_knn(spark, sf).collect().toSeq
     val native = ops.Llm.llm_knn_native(spark, sf).collect().toSeq
@@ -106,6 +145,17 @@ class OperatorSpec extends SparkTestBase {
       "graft_cosine(array(cast(id+2 as double), 1.0d), array(cast(id+2 as double), 1.0d)) AS c")
       .head().getDouble(0)
     assert(math.abs(okCol - 1.0) < 1e-12, "codegen path self-similarity")
+  }
+
+  test("simjoin auto-dispatch: both branches reachable and branch-identical") {
+    // default budget (2M) >> fixture rows → exact broadcast-kernel branch
+    val auto = ops.Llm.simjoinAuto(spark, sf).collect().toSeq
+    val exact = ops.Llm.llm_simjoin(spark, sf).collect().toSeq
+    assert(auto == exact, "under-budget dispatch must equal llm_simjoin")
+    // budget=1 < fixture rows → LSH branch
+    val autoLsh = ops.Llm.simjoinAuto(spark, sf, budget = 1L).collect().toSeq
+    val lsh = ops.Llm.llm_simjoin_lsh(spark, sf).collect().toSeq
+    assert(autoLsh == lsh, "over-budget dispatch must equal llm_simjoin_lsh")
   }
 
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
@@ -155,6 +205,43 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("salted percent_rank/cume_dist equals the direct window row-for-row") {
+    // bit-identical doubles demanded, not approximate: both plans must end
+    // at the same IEEE division of the same integers
+    val direct = ops.Windows.win_dist(spark, sf).collect().toSeq
+    val salted = ops.Windows.win_dist_salted(spark, sf).collect().toSeq
+    assert(direct.size == salted.size)
+    direct.zip(salted).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs: direct=$a salted=$b")
+    }
+  }
+
+  test("connectedComponents: chains merge transitively, isolates keep themselves") {
+    import spark.implicits._
+    // the a~b, b~c chain round-2 ADVICE flags (no a~c edge), one plain
+    // pair given in descending order, and a 13-deep path that the 30-round
+    // hook+jump bound must resolve
+    val path = (0 until 13).map(i => (100L + i, 101L + i))
+    val edges = (Seq((1L, 2L), (2L, 3L), (11L, 10L)) ++ path).toDF("a", "b")
+    val comp = ops.Llm.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L, s"chain: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L, s"pair: $comp")
+    assert((100L to 113L).forall(comp(_) == 100L), s"deep path: $comp")
+  }
+
+  test("llm_dedup_embcos: every canonical is itself a survivor (true closure)") {
+    val res = ops.Llm.llm_dedup_embcos(spark, sf)
+      .select("vec_id", "survives", "canonical").cache()
+    val bad = res.select(col("canonical").as("c")).distinct()
+      .join(res, col("c") === col("vec_id"))
+      .where(!col("survives")).count()
+    assert(bad == 0, s"$bad canonicals point at non-survivors")
+    // and dedup actually happened on the fixture (some victim exists)
+    assert(res.where(!col("survives")).count() > 0)
+    res.unpersist()
+  }
+
   test("task root resolution reaches true roots (no resolved root has a parent)") {
     val roots = ops.Sources.asana_task_roots(spark, sf)
       .select(col("root_gid")).distinct()
@@ -165,6 +252,39 @@ class OperatorSpec extends SparkTestBase {
     val unresolved = roots
       .join(withParent, roots("root_gid") === withParent("gid")).count()
     assert(unresolved == 0, s"$unresolved roots still have parents")
+  }
+
+  test("resolveRoots: depth-17 chain fully resolves (beyond the old 4-round cap)") {
+    import spark.implicits._
+    // t0 <- t1 <- ... <- t17 (depth 17 > 2^4, the round-2 fixed bound)
+    val chain = (0 to 17).map(i =>
+      (s"t$i", if (i == 0) null else s"t${i - 1}"))
+    val edges = chain.toDF("gid", "parent")
+    val roots = ops.Sources.resolveRoots(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(roots.size == 18)
+    assert(roots.values.toSet == Set("t0"), s"non-root ancestors: $roots")
+  }
+
+  test("resolveRoots: parent cycle fails loudly instead of silently resolving") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "a"), ("c", null))
+      .toDF("gid", "parent")
+    val e = intercept[IllegalArgumentException] {
+      ops.Sources.resolveRoots(cyc).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
+  test("resolveRoots: dangling parent anchors its own subtree, drops nothing") {
+    import spark.implicits._
+    // "x" points at "ghost" (absent from the dataset: deleted task); x must
+    // become its own root and its child y must resolve to x, not vanish
+    val edges = Seq(("x", "ghost"), ("y", "x"), ("z", null))
+      .toDF("gid", "parent")
+    val roots = ops.Sources.resolveRoots(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(roots == Map("x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
   test("window running sum final value equals the group total") {
