@@ -114,6 +114,30 @@ object AsanaSchemas {
     StructField("text", StringType),
     StructField("target_gid", StringType)))
 
+  /** container over projects (GET /portfolios): `items[]` is materialized
+    * into the row by the sync job from GET /portfolios/{gid}/items, the
+    * same flattening every nested gid gets at the connector edge. */
+  val portfolios: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("color", StringType),
+    StructField("owner_gid", StringType),
+    StructField("created_at", TimestampType),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("gid", StringType)))))))
+
+  /** objective tracking (GET /goals): metric value slots kept integral
+    * (the API's number_value for count/percent metrics) so progress math
+    * downstream stays in exact integer arithmetic. */
+  val goals: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("team_gid", StringType),
+    StructField("status", StringType),
+    StructField("current_value", LongType),
+    StructField("target_value", LongType),
+    StructField("created_at", TimestampType)))
+
   def of(entity: String): StructType = entity match {
     case "tasks" => tasks
     case "projects" => projects
@@ -121,6 +145,8 @@ object AsanaSchemas {
     case "tags" => tags
     case "stories" => stories
     case "attachments" => attachments
+    case "portfolios" => portfolios
+    case "goals" => goals
     case other => throw new IllegalArgumentException(
       s"unknown asana entity: $other")
   }
@@ -430,6 +456,10 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
       // is a plain gid string and takes the default branch below
       case "parent_gid" =>
         val a = node.get("parent"); if (a == null || a.isNull) null else a.get("gid")
+      case "owner_gid" =>
+        val a = node.get("owner"); if (a == null || a.isNull) null else a.get("gid")
+      case "team_gid" =>
+        val a = node.get("team"); if (a == null || a.isNull) null else a.get("gid")
       case "enum_name" =>
         val a = node.get("enum_value"); if (a == null || a.isNull) null else a.get("name")
       case other => node.get(other)

@@ -408,16 +408,29 @@ object Llm {
     * graph of depth ≫ 2^30 could hit). At 100 TB this is the standard
     * two-phase CC shape: each round is one shuffle on gid + one on comp. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+    val symAll = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
-      .distinct().cache()
+      .distinct()
+    // the iteration runs ~6 shuffle stages per round; on a small pair
+    // graph (the common case after a similarity threshold) that's pure
+    // per-task overhead at the session's shuffle parallelism, so coalesce
+    // the loop to a handful of partitions below 1M edges — above the
+    // threshold the full-parallelism shape is unchanged
+    val nEdges = symAll.count()
+    val sym = (if (nEdges < (1L << 20)) symAll.coalesce(4) else symAll)
+      .cache()
     // localCheckpoint per round truncates lineage — each round references
     // the previous labels three times, so the un-truncated logical plan
     // grows 3^rounds and OOMs Catalyst analysis long before the round
     // bound trips (same hazard resolveRoots hit). On a real cluster
     // prefer a reliable checkpoint dir; the per-round shape is identical.
-    var lab = sym.select(col("v").as("gid")).distinct()
-      .select(col("gid"), col("gid").as("comp")).localCheckpoint()
+    // seed with the first hook already applied — comp = min(self, min
+    // neighbor) — so pair-shaped clusters (most dedup groups) converge in
+    // a single verification round
+    var lab = sym.groupBy(col("v").as("gid"))
+      .agg(min(col("u")).as("nmin"))
+      .select(col("gid"), least(col("gid"), col("nmin")).as("comp"))
+      .localCheckpoint()
     var rounds = 0
     var changed = 1L
     while (changed > 0) {

@@ -293,6 +293,43 @@ object Sources {
       .orderBy("subtype")
   }
 
+  /** Portfolio containers (SURVEY §1.1): portfolios exploded over their
+    * project items (explode_outer — an EMPTY portfolio must still report
+    * itself with zero counts), left-joined to the `projects` entity so a
+    * dangling item (deleted or cross-workspace project) counts as an item
+    * but not as a known project. One explode + broadcast-sized join. */
+  val asana_portfolios: Q = (s, _) => {
+    val pf = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "portfolios").option("fixtureDir", fixtureDir).load()
+    val projects = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "projects").option("fixtureDir", fixtureDir).load()
+      .select(col("gid").as("project_gid"), col("archived"))
+    pf.select(col("gid").as("portfolio_gid"),
+        col("name").as("portfolio_name"), col("owner_gid"),
+        explode_outer(col("items")).as("it"))
+      .join(projects, col("it.gid") === col("project_gid"), "left")
+      .groupBy("portfolio_gid", "portfolio_name", "owner_gid")
+      .agg(count(col("it.gid")).as("n_items"),
+        count(col("project_gid")).as("n_known_projects"),
+        sum(when(col("archived"), 1).otherwise(0)).as("n_archived"))
+      .orderBy("portfolio_gid")
+  }
+
+  /** Goal tracking (SURVEY §1.1): per-team/status rollup with progress in
+    * integer basis points — (current·10000) div target, never a float
+    * ratio, so no half-boundary rounding divergence between engines. */
+  val asana_goals: Q = (s, _) => {
+    s.read.format("graft.asana.AsanaSource")
+      .option("entity", "goals").option("fixtureDir", fixtureDir).load()
+      .withColumn("bp", expr("(current_value * 10000) div target_value"))
+      .groupBy("team_gid", "status")
+      .agg(count(lit(1)).as("n_goals"),
+        sum(col("current_value")).as("sum_current"),
+        sum(col("target_value")).as("sum_target"),
+        sum(col("bp")).as("sum_bp"))
+      .orderBy("team_gid", "status")
+  }
+
   /** Dynamic partition overwrite — the incremental-rerun semantic a 100 TB
     * ETL depends on: re-running one day/year replaces ONLY that partition.
     * The query does a full load, then re-writes just 1995 with
@@ -349,6 +386,8 @@ object Sources {
     "asana_task_roots" -> asana_task_roots,
     "asana_memberships_denorm" -> asana_memberships_denorm,
     "asana_attachments" -> asana_attachments,
+    "asana_portfolios" -> asana_portfolios,
+    "asana_goals" -> asana_goals,
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "llm_mm_features" -> llm_mm_features,
@@ -454,6 +493,28 @@ object Sources {
           JOIN read_json_auto('$fixtureDir/projects.jsonl', format='newline_delimited') p
             ON m.project.gid = p.gid
           GROUP BY 1, 2, 3 ORDER BY project_gid""",
+    // empty portfolios must survive: unnest via LEFT JOIN (a bare lateral
+    // unnest drops zero-item rows, Spark's explode_outer keeps them)
+    "asana_portfolios" ->
+      s"""SELECT pf.gid AS portfolio_gid, pf.name AS portfolio_name,
+              pf.owner.gid AS owner_gid,
+              count(u.it.gid) AS n_items,
+              count(p.gid) AS n_known_projects,
+              CAST(sum(CASE WHEN p.archived THEN 1 ELSE 0 END) AS BIGINT) AS n_archived
+          FROM read_json_auto('$fixtureDir/portfolios.jsonl', format='newline_delimited') pf
+          LEFT JOIN (SELECT gid AS pgid, unnest(items) AS it
+                     FROM read_json_auto('$fixtureDir/portfolios.jsonl', format='newline_delimited')) u
+            ON pf.gid = u.pgid
+          LEFT JOIN read_json_auto('$fixtureDir/projects.jsonl', format='newline_delimited') p
+            ON u.it.gid = p.gid
+          GROUP BY 1, 2, 3 ORDER BY portfolio_gid""",
+    "asana_goals" ->
+      s"""SELECT team.gid AS team_gid, status, count(1) AS n_goals,
+              CAST(sum(current_value) AS BIGINT) AS sum_current,
+              CAST(sum(target_value) AS BIGINT) AS sum_target,
+              CAST(sum((current_value * 10000) // target_value) AS BIGINT) AS sum_bp
+          FROM read_json_auto('$fixtureDir/goals.jsonl', format='newline_delimited')
+          GROUP BY 1, 2 ORDER BY team_gid, status""",
     "asana_attachments" ->
       s"""SELECT a.resource_subtype AS subtype, count(1) AS n_attachments,
               count(DISTINCT a.parent.gid) AS n_tasks,
