@@ -408,17 +408,19 @@ object Llm {
     * graph of depth ≫ 2^30 could hit). At 100 TB this is the standard
     * two-phase CC shape: each round is one shuffle on gid + one on comp. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // cache BEFORE the sizing count so the (possibly expensive) edge
+    // producer — e.g. the whole similarity kernel — materializes exactly
+    // once; the count then reads the cache
     val symAll = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
-      .distinct()
+      .distinct().cache()
+    val nEdges = symAll.count()
     // the iteration runs ~6 shuffle stages per round; on a small pair
     // graph (the common case after a similarity threshold) that's pure
     // per-task overhead at the session's shuffle parallelism, so coalesce
     // the loop to a handful of partitions below 1M edges — above the
     // threshold the full-parallelism shape is unchanged
-    val nEdges = symAll.count()
-    val sym = (if (nEdges < (1L << 20)) symAll.coalesce(4) else symAll)
-      .cache()
+    val sym = if (nEdges < (1L << 20)) symAll.coalesce(4) else symAll
     // localCheckpoint per round truncates lineage — each round references
     // the previous labels three times, so the un-truncated logical plan
     // grows 3^rounds and OOMs Catalyst analysis long before the round
@@ -451,7 +453,7 @@ object Llm {
       lab = next
       rounds += 1
     }
-    sym.unpersist()
+    symAll.unpersist()
     lab
   }
 

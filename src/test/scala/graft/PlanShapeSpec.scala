@@ -66,6 +66,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("win_dist_salted joins its stats side as a broadcast") {
+    // the skew-safe distribution plan must keep the per-bucket stats table
+    // on the broadcast side — a shuffled join would reintroduce the very
+    // exchange the salting exists to avoid
+    withStaticPlan {
+      val p = planOf(ops.Windows.win_dist_salted(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    }
+  }
+
   test("agg_pricing uses two-phase hash aggregation") {
     withStaticPlan {
       val p = planOf(ops.Relational.agg_pricing(spark, sf))
