@@ -695,6 +695,63 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling — the corpus-mix subsampling step:
+    * per-language keep-rates applied by integer hash bucketing on doc_id.
+    * The bucket is pure bounded integer arithmetic
+    * (((doc_id mod 1000003)·2654435761) mod 100) — deliberately NOT an
+    * engine hash (xxhash64 seeds are engine-specific, md5 costs a string
+    * round-trip), so assignment is reproducible across engines and reruns
+    * at any scale. Pure map; no shuffle but the output sort. */
+  val llm_sample: Q = (s, d) => {
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100L
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 80)
+      .when(col("lang") === "fr", 100)
+      .otherwise(25)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        bucket.as("bucket"), (bucket < rate).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split (80/10/10) on a second, coprime
+    * mixer so the assignment is independent of [[llm_sample]]'s, rolled
+    * up per (lang, split) with token totals — the manifest a training
+    * run consumes. */
+  val llm_split: Q = (s, d) => {
+    val bucket = (col("doc_id") % 999983L) * 2246822519L % 100L
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  /** Contiguous sequence packing — the batch-assembly step before
+    * training: docs pack into 2048-token bins by running token offset
+    * within independent (lang, shard) groups (shard = doc_id div 50),
+    * the way real packers shard a corpus so no global sequential state
+    * exists; a doc that straddles a boundary belongs to the bin it
+    * starts in. Window partitions are bounded by shard width at any
+    * scale; fill is reported in integer basis points, never a float. */
+  val llm_pack: Q = (s, d) => {
+    val w = Window.partitionBy("lang", "shard").orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .withColumn("shard", expr("doc_id div 50"))
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 2048"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("sum_tokens"))
+      .withColumn("fill_bp", expr("(sum_tokens * 10000) div 2048"))
+      .orderBy("lang", "shard", "bin")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a training-data
     * run executes as ONE Spark DAG: quality scoring → language filter →
     * near-dup removal (canonical = lowest doc_id of each J≥0.9 pair) →
@@ -794,6 +851,9 @@ object Llm {
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
     "llm_fingerprint" -> llm_fingerprint,
+    "llm_sample" -> llm_sample,
+    "llm_split" -> llm_split,
+    "llm_pack" -> llm_pack,
     "llm_pipeline" -> llm_pipeline,
     "llm_multimodal" -> llm_multimodal,
     "udf_scalar" -> udf_scalar,
@@ -988,6 +1048,36 @@ object Llm {
                      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
                  (h, c) -> (h * 1000003 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "llm_sample" ->
+      """SELECT doc_id, lang,
+             ((doc_id % 1000003) * 2654435761) % 100 AS bucket,
+             ((doc_id % 1000003) * 2654435761) % 100 <
+                 CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
+                      WHEN lang = 'fr' THEN 100 ELSE 25 END AS kept
+         FROM documents ORDER BY doc_id""",
+    "llm_split" ->
+      """SELECT lang,
+             CASE WHEN ((doc_id % 999983) * 2246822519) % 100 < 80 THEN 'train'
+                  WHEN ((doc_id % 999983) * 2246822519) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(1) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "llm_pack" ->
+      """WITH t AS (
+           SELECT doc_id, lang, doc_id // 50 AS shard,
+               len(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (
+           SELECT *, sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT lang, CAST(shard AS BIGINT) AS shard,
+             CAST((cum - tok) // 2048 AS BIGINT) AS bin,
+             count(1) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST((sum(tok) * 10000) // 2048 AS BIGINT) AS fill_bp
+         FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""",
     "llm_pipeline" ->
       s"""WITH sh AS ($duckShingles),
           ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),

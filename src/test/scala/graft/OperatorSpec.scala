@@ -287,6 +287,28 @@ class OperatorSpec extends SparkTestBase {
     assert(roots == Map("x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
+  test("sample/split/pack: deterministic partitions cover every doc exactly once") {
+    import graft.util.Tables._
+    val nDocs = documents(spark, sf).count()
+    // sample emits one verdict per doc
+    assert(ops.Llm.llm_sample(spark, sf).count() == nDocs)
+    // split strata partition the corpus
+    val splitTotal = ops.Llm.llm_split(spark, sf)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(splitTotal == nDocs)
+    // pack bins partition the corpus, and no bin is empty
+    val pack = ops.Llm.llm_pack(spark, sf).cache()
+    assert(pack.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(pack.where(col("n_docs") <= 0).count() == 0)
+    // bins within a shard are dense from 0 (contiguous packing)
+    val holes = pack.groupBy("lang", "shard")
+      .agg(min("bin").as("b0"), max("bin").as("b1"),
+        countDistinct("bin").as("nb"))
+      .where(col("b0") =!= 0 || col("nb") =!= col("b1") + 1).count()
+    assert(holes == 0, "bin ids must be dense per (lang, shard)")
+    pack.unpersist()
+  }
+
   test("window running sum final value equals the group total") {
     val win = ops.Windows.win_run(spark, sf)
       .groupBy("o_custkey").agg(max("running_spend").as("final"))
