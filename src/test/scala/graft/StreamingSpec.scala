@@ -191,6 +191,50 @@ class StreamingSpec extends SparkTestBase {
       s"streaming sessions ${streamed.take(5)}... != batch ${batch.take(5)}...")
   }
 
+  test("attachments stream incrementally with per-file offsets (no re-emission)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // entity-generic streaming: the new attachments entity split across
+    // two pages; the second page arrives after the first AvailableNow
+    // drain and ONLY its rows are emitted on resume — same per-file
+    // offset contract the tasks entity is tested under
+    val work = java.nio.file.Files.createTempDirectory("asana_att").toFile
+    val pages = new java.io.File(work, "pages/attachments")
+    pages.mkdirs()
+    import scala.jdk.CollectionConverters._
+    // explicit UTF-8: the container's default charset is ASCII and the
+    // fixture bytes are UTF-8
+    val all = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"${ops.Sources.fixtureDir}/attachments.jsonl"),
+      java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+    def writePage(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(pages, name).toPath,
+        lines.asJava, java.nio.charset.StandardCharsets.UTF_8)
+    writePage("page_000.jsonl", all.take(8))
+    val ckpt = new java.io.File(work, "ckpt").getPath
+    val out = new java.io.File(work, "out").getPath
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.asana.AsanaSource")
+        .option("entity", "attachments").option("fixtureDir", work.getPath)
+        .load()
+        .select("gid", "resource_subtype", "size")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not drain")
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 8)
+    writePage("page_001.jsonl", all.drop(8))
+    runOnce()
+    val streamed = spark.read.parquet(out).select("gid")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val batch = spark.read.format("graft.asana.AsanaSource")
+      .option("entity", "attachments")
+      .option("fixtureDir", ops.Sources.fixtureDir).load()
+      .select("gid").collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
