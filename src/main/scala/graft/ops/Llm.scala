@@ -361,17 +361,25 @@ object Llm {
     * same early-stopping limit+count the guard in [[llm_simjoin]] uses) and
     * picks the exact broadcast kernel under the row budget, the banded-LSH
     * candidate path above it — the dispatch a user-facing API performs so
-    * callers never hit the guard's require. Under the budget the output is
-    * llm_simjoin's exactly (same oracle); above it, llm_simjoin_lsh's
-    * (identical sims, probabilistic recall). */
+    * callers never hit the guard's require. The dispatch threshold is
+    * capped at [[SimjoinBroadcastRows]] (llm_simjoin's internal guard
+    * re-checks that bound, so a larger budget here could only re-arm the
+    * failure this dispatcher exists to prevent); lowering it below the
+    * cap is the test seam. The probe is an early-stopping limit+count —
+    * one bounded scan, duplicated once inside llm_simjoin's own guard on
+    * the exact branch: the price of keeping the two entry points
+    * independently safe. Under the budget the output is llm_simjoin's
+    * exactly (same oracle); above it, llm_simjoin_lsh's (identical sims,
+    * probabilistic recall). */
   private[graft] def simjoinAuto(s: org.apache.spark.sql.SparkSession,
       d: String, budget: Long = SimjoinBroadcastRows): DataFrame = {
     import s.implicits._
+    val eff = math.min(budget, SimjoinBroadcastRows)
     val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])]
-    val probe = math.min(budget + 1, Int.MaxValue.toLong).toInt
+    val probe = math.min(eff + 1, Int.MaxValue.toLong).toInt
     val cnt = rows.limit(probe).count()
-    if (cnt <= budget) llm_simjoin(s, d) else llm_simjoin_lsh(s, d)
+    if (cnt <= eff) llm_simjoin(s, d) else llm_simjoin_lsh(s, d)
   }
 
   val llm_simjoin_auto: Q = (s, d) => simjoinAuto(s, d)
@@ -428,33 +436,39 @@ object Llm {
     // prefer a reliable checkpoint dir; the per-round shape is identical.
     // seed with the first hook already applied — comp = min(self, min
     // neighbor) — so pair-shaped clusters (most dedup groups) converge in
-    // a single verification round
-    var lab = sym.groupBy(col("v").as("gid"))
-      .agg(min(col("u")).as("nmin"))
-      .select(col("gid"), least(col("gid"), col("nmin")).as("comp"))
-      .localCheckpoint()
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
-      require(rounds < 30,
-        s"connected components did not converge within 30 rounds")
-      val nbr = sym
-        .join(lab.select(col("gid").as("u"), col("comp").as("uc")), "u")
-        .groupBy(col("v").as("gid")).agg(min("uc").as("nmin"))
-      val hooked = lab.join(nbr, Seq("gid"), "left")
-        .select(col("gid"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      val next = hooked.join(
-          hooked.select(col("gid").as("cg"), col("comp").as("cc")),
-          col("comp") === col("cg"))
-        .select(col("gid"), col("cc").as("comp")).localCheckpoint()
-      changed = lab.join(next.select(col("gid"), col("comp").as("nc")), "gid")
-        .where(col("comp") =!= col("nc")).count()
-      lab = next
-      rounds += 1
-    }
-    symAll.unpersist()
-    lab
+    // a single verification round. try/finally so a non-convergence
+    // require can't leak the cached edge set into the session.
+    try {
+      var lab = sym.groupBy(col("v").as("gid"))
+        .agg(min(col("u")).as("nmin"))
+        .select(col("gid"), least(col("gid"), col("nmin")).as("comp"))
+        .localCheckpoint()
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        require(rounds < 30,
+          s"connected components did not converge within 30 rounds")
+        val nbr = sym
+          .join(lab.select(col("gid").as("u"), col("comp").as("uc")), "u")
+          .groupBy(col("v").as("gid")).agg(min("uc").as("nmin"))
+        // cache: the pointer-jump self-join reads `hooked` twice — without
+        // it the edge join + min aggregation above run once per side
+        val hooked = lab.join(nbr, Seq("gid"), "left")
+          .select(col("gid"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          .cache()
+        val next = hooked.join(
+            hooked.select(col("gid").as("cg"), col("comp").as("cc")),
+            col("comp") === col("cg"))
+          .select(col("gid"), col("cc").as("comp")).localCheckpoint()
+        hooked.unpersist()
+        changed = lab.join(next.select(col("gid"), col("comp").as("nc")), "gid")
+          .where(col("comp") =!= col("nc")).count()
+        lab = next
+        rounds += 1
+      }
+      lab
+    } finally symAll.unpersist()
   }
 
   /** embedding-cosine near-dup DEDUP (vs the pair-listing joins above):
@@ -697,13 +711,18 @@ object Llm {
 
   /** Deterministic stratified sampling — the corpus-mix subsampling step:
     * per-language keep-rates applied by integer hash bucketing on doc_id.
-    * The bucket is pure bounded integer arithmetic
-    * (((doc_id mod 1000003)·2654435761) mod 100) — deliberately NOT an
-    * engine hash (xxhash64 seeds are engine-specific, md5 costs a string
-    * round-trip), so assignment is reproducible across engines and reruns
-    * at any scale. Pure map; no shuffle but the output sort. */
+    * The bucket is pure bounded integer arithmetic — a multiplicative
+    * hash REDUCED MOD A PRIME before the final mod 100
+    * ((((doc_id mod p)·a) mod p) mod 100, p = 1000003): the inner mod p
+    * is what makes the bucket depend on all of doc_id mod p rather than
+    * collapsing to an affine map of doc_id mod 100 (two such hashes with
+    * different multipliers are pairwise independent — the classic
+    * (ax mod p) family). Deliberately NOT an engine hash (xxhash64 seeds
+    * are engine-specific, md5 costs a string round-trip), so assignment
+    * is reproducible across engines and reruns at any scale. Pure map;
+    * no shuffle but the output sort. */
   val llm_sample: Q = (s, d) => {
-    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100L
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 1000003L % 100L
     val rate = when(col("lang") === "en", 50)
       .when(col("lang") === "de", 80)
       .when(col("lang") === "fr", 100)
@@ -714,12 +733,14 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** Deterministic train/val/test split (80/10/10) on a second, coprime
-    * mixer so the assignment is independent of [[llm_sample]]'s, rolled
-    * up per (lang, split) with token totals — the manifest a training
-    * run consumes. */
+  /** Deterministic train/val/test split (80/10/10) on a second member of
+    * the same (ax mod p) hash family — different multiplier AND prime,
+    * so the assignment is pairwise independent of [[llm_sample]]'s and
+    * composing sample+split cannot skew the val/test fractions — rolled
+    * up per (lang, split) with token totals, the manifest a training run
+    * consumes. */
   val llm_split: Q = (s, d) => {
-    val bucket = (col("doc_id") % 999983L) * 2246822519L % 100L
+    val bucket = (col("doc_id") % 999983L) * 2246822519L % 999983L % 100L
     documents(s, d)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val")
@@ -1050,15 +1071,15 @@ object Llm {
          FROM documents ORDER BY doc_id""",
     "llm_sample" ->
       """SELECT doc_id, lang,
-             ((doc_id % 1000003) * 2654435761) % 100 AS bucket,
-             ((doc_id % 1000003) * 2654435761) % 100 <
+             ((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS bucket,
+             ((doc_id % 1000003) * 2654435761) % 1000003 % 100 <
                  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
                       WHEN lang = 'fr' THEN 100 ELSE 25 END AS kept
          FROM documents ORDER BY doc_id""",
     "llm_split" ->
       """SELECT lang,
-             CASE WHEN ((doc_id % 999983) * 2246822519) % 100 < 80 THEN 'train'
-                  WHEN ((doc_id % 999983) * 2246822519) % 100 < 90 THEN 'val'
+             CASE WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 80 THEN 'train'
+                  WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split,
              count(1) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens

@@ -78,11 +78,22 @@ object Sources {
   // Verify runs at different scale factors clobbering each other, and the
   // applicationId stops two processes over the SAME sfDir (e.g. Bench and
   // Verify at once) overwriting each other's read-backs mid-scan. Within
-  // one session the path is stable, so repeated runs overwrite in place.
+  // one session the path is stable, so repeated runs overwrite in place;
+  // a shutdown hook removes the application's tree so the dev loop
+  // (verify ×2 SFs + bench, each a fresh JVM) doesn't grow /tmp unboundedly.
+  private val sinkCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sinkDir(s: org.apache.spark.sql.SparkSession, d: String,
-      name: String): String =
-    s"/tmp/graft_sink/${s.sparkContext.applicationId}/${name}_" +
-      d.replaceAll("[^a-zA-Z0-9]", "_")
+      name: String): String = {
+    val appRoot = s"/tmp/graft_sink/${s.sparkContext.applicationId}"
+    if (sinkCleanup.compareAndSet(false, true)) {
+      def rm(f: java.io.File): Unit = {
+        val sub = f.listFiles(); if (sub != null) sub.foreach(rm)
+        f.delete(); ()
+      }
+      sys.addShutdownHook(rm(new java.io.File(appRoot)))
+    }
+    s"$appRoot/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+  }
 
   /** ORC round-trip — the second columnar format Spark ships natively
     * (predicate pushdown + column pruning work the same as parquet).
@@ -201,25 +212,28 @@ object Sources {
     // plan OOMs the driver long before the round bound trips (observed on
     // the cycle fixture). On a real cluster prefer a reliable checkpoint
     // dir; the shape (materialize each round, plan stays O(1)) is the same.
-    var cur = norm.select(col("gid"),
-      coalesce(col("parent"), col("gid")).as("root")).localCheckpoint()
-    def unresolvedCount(m: DataFrame): Long =
-      m.join(parentOf, col("root") === col("rg"))
-        .where(col("rp").isNotNull).count()
-    var unresolved = unresolvedCount(cur)
-    var rounds = 0
-    while (unresolved > 0) {
-      require(rounds < 12,
-        s"root resolution did not converge within depth 2^12: $unresolved " +
-          "chains unresolved — parent cycle or pathological nesting")
-      val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
-      cur = cur.join(hop, col("root") === col("hg"))
-        .select(col("gid"), col("hr").as("root")).localCheckpoint()
-      unresolved = unresolvedCount(cur)
-      rounds += 1
-    }
-    norm.unpersist()
-    cur
+    // try/finally so the non-convergence require (cycles) can't leak the
+    // cached edge normalization into the session
+    try {
+      var cur = norm.select(col("gid"),
+        coalesce(col("parent"), col("gid")).as("root")).localCheckpoint()
+      def unresolvedCount(m: DataFrame): Long =
+        m.join(parentOf, col("root") === col("rg"))
+          .where(col("rp").isNotNull).count()
+      var unresolved = unresolvedCount(cur)
+      var rounds = 0
+      while (unresolved > 0) {
+        require(rounds < 12,
+          s"root resolution did not converge within depth 2^12: $unresolved " +
+            "chains unresolved — parent cycle or pathological nesting")
+        val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
+        cur = cur.join(hop, col("root") === col("hg"))
+          .select(col("gid"), col("hr").as("root")).localCheckpoint()
+        unresolved = unresolvedCount(cur)
+        rounds += 1
+      }
+      cur
+    } finally norm.unpersist()
   }
 
   /** Subtask-hierarchy flattening: every task resolved to its ROOT task
@@ -317,11 +331,15 @@ object Sources {
 
   /** Goal tracking (SURVEY §1.1): per-team/status rollup with progress in
     * integer basis points — (current·10000) div target, never a float
-    * ratio, so no half-boundary rounding divergence between engines. */
+    * ratio, so no half-boundary rounding divergence between engines. A
+    * goal whose target is unset (the API returns 0/null for metric-less
+    * goals) contributes to the counts but not to sum_bp: nullif keeps the
+    * rollup alive where a bare div would abort the query under ANSI. */
   val asana_goals: Q = (s, _) => {
     s.read.format("graft.asana.AsanaSource")
       .option("entity", "goals").option("fixtureDir", fixtureDir).load()
-      .withColumn("bp", expr("(current_value * 10000) div target_value"))
+      .withColumn("bp",
+        expr("(current_value * 10000) div nullif(target_value, 0)"))
       .groupBy("team_gid", "status")
       .agg(count(lit(1)).as("n_goals"),
         sum(col("current_value")).as("sum_current"),
@@ -512,7 +530,7 @@ object Sources {
       s"""SELECT team.gid AS team_gid, status, count(1) AS n_goals,
               CAST(sum(current_value) AS BIGINT) AS sum_current,
               CAST(sum(target_value) AS BIGINT) AS sum_target,
-              CAST(sum((current_value * 10000) // target_value) AS BIGINT) AS sum_bp
+              CAST(sum((current_value * 10000) // nullif(target_value, 0)) AS BIGINT) AS sum_bp
           FROM read_json_auto('$fixtureDir/goals.jsonl', format='newline_delimited')
           GROUP BY 1, 2 ORDER BY team_gid, status""",
     "asana_attachments" ->

@@ -70,7 +70,7 @@ class AsanaConnectorSpec extends SparkTestBase {
   test("all eight entities load with their schemas") {
     for ((e, n) <- Seq("tasks" -> 30L, "projects" -> 3L, "users" -> 6L,
         "tags" -> 5L, "stories" -> 60L, "attachments" -> 14L,
-        "portfolios" -> 3L, "goals" -> 8L)) {
+        "portfolios" -> 3L, "goals" -> 9L)) {
       val df = spark.read.format("graft.asana.AsanaSource")
         .option("entity", e).option("fixtureDir", dir).load()
       assert(df.count() == n, s"$e row count")
