@@ -15,6 +15,29 @@ class PropertySpec extends SparkTestBase {
   private val tokenGen = Gen.listOfN(8, Gen.oneOf("spark", "join", "sort",
     "batch", "window", "dup", "row", "key"))
 
+  test("sample/split hash buckets are near-uniform and pairwise independent") {
+    // guards the prime-reduction fix: without the inner `% p` both mixers
+    // collapse to affine maps of id mod 100 — perfectly correlated, and
+    // only 100/gcd distinct buckets. Checked over a contiguous id range
+    // like real doc_ids, pure Scala mirror of the SQL arithmetic.
+    val n = 10000
+    def b1(id: Long) = id % 1000003L * 2654435761L % 1000003L % 100L
+    def b2(id: Long) = id % 999983L * 2246822519L % 999983L % 100L
+    val ids = (0L until n.toLong).toSeq
+    // near-uniform: every bucket within ±35% of the expected 100
+    for (bf <- Seq(b1 _, b2 _)) {
+      val counts = ids.groupBy(bf).view.mapValues(_.size)
+      assert(counts.size == 100, s"only ${counts.size} distinct buckets")
+      assert(counts.values.forall(c => c > 65 && c < 135),
+        s"bucket skew: min=${counts.values.min} max=${counts.values.max}")
+    }
+    // pairwise independent: P(kept by both) ≈ P(kept1)·P(kept2) — with
+    // the collapsed mixers this lands at 0.40/0.50 instead of ~0.40/0.45
+    val keptBoth = ids.count(i => b1(i) < 50 && b2(i) < 80).toDouble / n
+    assert(math.abs(keptBoth - 0.5 * 0.8) < 0.02,
+      s"joint keep rate $keptBoth != 0.40: assignments correlated")
+  }
+
   test("jaccard formula: symmetric, reflexive, bounded") {
     def jac(x: Set[String], y: Set[String]): Double =
       if (x.isEmpty && y.isEmpty) 1.0
