@@ -82,6 +82,23 @@ object Windows {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** Navigation functions over a FULL frame — first/last/nth of each
+    * customer's order history: the frame is pinned to the whole partition
+    * (unbounded/unbounded) so last_value is the true last rather than the
+    * running default, and the order key carries a unique tiebreak.
+    * nth_value(2) is null for single-order customers on both engines. */
+  val win_nav: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val win_lag: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     events(s, d)
@@ -195,6 +212,7 @@ object Windows {
     "win_dist" -> win_dist,
     "win_dist_salted" -> win_dist_salted,
     "win_lag" -> win_lag,
+    "win_nav" -> win_nav,
     "win_run" -> win_run,
     "win_range" -> win_range,
     "win_topk" -> win_topk,
@@ -236,6 +254,16 @@ object Windows {
                  ts) AS gap_sec,
              lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
          FROM events ORDER BY event_id""",
+    "win_nav" ->
+      """SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_order,
+             last_value(o_orderkey) OVER w AS last_order,
+             nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     "win_run" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
