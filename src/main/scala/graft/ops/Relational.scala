@@ -219,6 +219,54 @@ object Relational {
           .as("revenue"))
       .orderBy("r_name", "n_name")
 
+  /** Bucketed co-located join as a first-class query — the repeated-join
+    * strategy for 100 TB fact/dim pairs: both sides written bucketed on
+    * the join key (8 buckets, sorted within buckets), so the join plans
+    * as a zero-Exchange sort-merge join (the plan property is asserted in
+    * PlanShapeSpec's bucketed test; HERE the oracle proves bucketing
+    * changes the plan, never the answer — the same join/agg over the raw
+    * source files must hash-match). Table names carry the applicationId +
+    * sfDir so concurrent runs can't collide in the shared warehouse; a
+    * once-per-JVM shutdown hook removes this application's tables so the
+    * dev loop doesn't grow the warehouse unboundedly. */
+  val join_bucketed: Q = (s, d) => {
+    val tag = (s.sparkContext.applicationId + "_" + d)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val custT = s"graft_cust_$tag"; val ordT = s"graft_ord_$tag"
+    val warehouse = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+    def rm(f: java.io.File): Unit = {
+      val sub = f.listFiles(); if (sub != null) sub.foreach(rm)
+      f.delete(); ()
+    }
+    def reset(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(warehouse, t))
+    }
+    if (bucketCleanup.compareAndSet(false, true)) {
+      val appTag = s.sparkContext.applicationId
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      sys.addShutdownHook {
+        val entries = warehouse.listFiles()
+        if (entries != null)
+          entries.filter(_.getName.contains(appTag)).foreach(rm)
+      }
+    }
+    reset(custT); reset(ordT)
+    customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(custT)
+    orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable(ordT)
+    s.table(custT)
+      .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+  private val bucketCleanup =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   // ----- D. aggregations ---------------------------------------------------
 
   /** ★ flagship — TPC-H Q1 shape: filter → partial/final hash agg on
@@ -455,6 +503,7 @@ object Relational {
     "join_range" -> join_range,
     "join_asof" -> join_asof,
     "join_star" -> join_star,
+    "join_bucketed" -> join_bucketed,
     "agg_pricing" -> agg_pricing,
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
@@ -580,6 +629,13 @@ object Relational {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    // the bucketed tables are a physical-layout change only: the oracle is
+    // the identical join/agg over the raw source files
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
