@@ -288,9 +288,15 @@ object Llm {
       nBands: Int, rPerBand: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val planes = planesFor(nBands * rPerBand)
     // (vec_id, band_key): band_key packs (band index, that band's sign
-    // bits) into one int so the candidate join has a single equi-key
+    // bits) into one LONG — sign bits in the low rPerBand bits, band index
+    // above them — so the candidate join has a single equi-key and no
+    // banding shape can overflow into cross-band collisions (an Int key
+    // silently wrapped at rPerBand ≥ 24 with 256 bands)
+    require(rPerBand >= 1 && rPerBand <= 56 &&
+      nBands >= 1 && nBands.toLong <= (1L << (62 - rPerBand)),
+      s"banding shape $nBands x $rPerBand cannot pack into a Long key")
+    val planes = planesFor(nBands * rPerBand)
     vecs.flatMap { case (id, v) =>
       val sig = new Array[Boolean](nBands * rPerBand)
       var p = 0
@@ -300,10 +306,10 @@ object Llm {
         sig(p) = acc > 0; p += 1
       }
       (0 until nBands).iterator.map { b =>
-        var key = b
+        var key = b.toLong
         var r = 0
         while (r < rPerBand) {
-          key = key << 1 | (if (sig(b * rPerBand + r)) 1 else 0); r += 1
+          key = key << 1 | (if (sig(b * rPerBand + r)) 1L else 0L); r += 1
         }
         (id, key)
       }
@@ -436,18 +442,22 @@ object Llm {
     // prefer a reliable checkpoint dir; the per-round shape is identical.
     // seed with the first hook already applied — comp = min(self, min
     // neighbor) — so pair-shaped clusters (most dedup groups) converge in
-    // a single verification round. try/finally so a non-convergence
-    // require can't leak the cached edge set into the session.
+    // a single verification round. Iterate.checkpoint cuts lineage per
+    // round AND hands back the block handle, so each superseded round is
+    // released the moment the next materializes (not when ContextCleaner
+    // eventually notices). try/finally so a non-convergence require can't
+    // leak the cached edge set into the session.
     try {
-      var lab = sym.groupBy(col("v").as("gid"))
-        .agg(min(col("u")).as("nmin"))
-        .select(col("gid"), least(col("gid"), col("nmin")).as("comp"))
-        .localCheckpoint()
+      var cur = graft.util.Iterate.checkpoint(
+        sym.groupBy(col("v").as("gid"))
+          .agg(min(col("u")).as("nmin"))
+          .select(col("gid"), least(col("gid"), col("nmin")).as("comp")))
       var rounds = 0
       var changed = 1L
       while (changed > 0) {
         require(rounds < 30,
           s"connected components did not converge within 30 rounds")
+        val lab = cur._1
         val nbr = sym
           .join(lab.select(col("gid").as("u"), col("comp").as("uc")), "u")
           .groupBy(col("v").as("gid")).agg(min("uc").as("nmin"))
@@ -457,17 +467,20 @@ object Llm {
           .select(col("gid"),
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
           .cache()
-        val next = hooked.join(
-            hooked.select(col("gid").as("cg"), col("comp").as("cc")),
-            col("comp") === col("cg"))
-          .select(col("gid"), col("cc").as("comp")).localCheckpoint()
+        val next = graft.util.Iterate.checkpoint(
+          hooked.join(
+              hooked.select(col("gid").as("cg"), col("comp").as("cc")),
+              col("comp") === col("cg"))
+            .select(col("gid"), col("cc").as("comp")))
         hooked.unpersist()
-        changed = lab.join(next.select(col("gid"), col("comp").as("nc")), "gid")
+        changed = lab
+          .join(next._1.select(col("gid"), col("comp").as("nc")), "gid")
           .where(col("comp") =!= col("nc")).count()
-        lab = next
+        cur._2.unpersist(blocking = false)
+        cur = next
         rounds += 1
       }
-      lab
+      cur._1
     } finally symAll.unpersist()
   }
 

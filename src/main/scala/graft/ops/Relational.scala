@@ -233,24 +233,21 @@ object Relational {
     val tag = (s.sparkContext.applicationId + "_" + d)
       .replaceAll("[^a-zA-Z0-9]", "_")
     val custT = s"graft_cust_$tag"; val ordT = s"graft_ord_$tag"
-    val warehouse = new java.io.File(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-    def rm(f: java.io.File): Unit = {
-      val sub = f.listFiles(); if (sub != null) sub.foreach(rm)
-      f.delete(); ()
-    }
+    // Hadoop Path, not java.net.URI: Spark accepts plain paths (spaces
+    // and all) for warehouse.dir, which a bare URI parse rejects
+    val warehouse =
+      graft.util.AppCleanup.localFile(s.conf.get("spark.sql.warehouse.dir"))
     def reset(t: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $t")
-      rm(new java.io.File(warehouse, t))
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(warehouse, t))
     }
-    if (bucketCleanup.compareAndSet(false, true)) {
-      val appTag = s.sparkContext.applicationId
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      sys.addShutdownHook {
-        val entries = warehouse.listFiles()
-        if (entries != null)
-          entries.filter(_.getName.contains(appTag)).foreach(rm)
-      }
+    val appTag = s.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    graft.util.AppCleanup.onExit("graft_bucketed") {
+      val entries = warehouse.listFiles()
+      if (entries != null)
+        entries.filter(_.getName.contains(appTag))
+          .foreach(graft.util.AppCleanup.recursiveDelete)
     }
     reset(custT); reset(ordT)
     customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
@@ -264,9 +261,6 @@ object Relational {
         moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
   }
-  private val bucketCleanup =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-
   // ----- D. aggregations ---------------------------------------------------
 
   /** ★ flagship — TPC-H Q1 shape: filter → partial/final hash agg on

@@ -81,17 +81,11 @@ object Sources {
   // one session the path is stable, so repeated runs overwrite in place;
   // a shutdown hook removes the application's tree so the dev loop
   // (verify ×2 SFs + bench, each a fresh JVM) doesn't grow /tmp unboundedly.
-  private val sinkCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sinkDir(s: org.apache.spark.sql.SparkSession, d: String,
       name: String): String = {
     val appRoot = s"/tmp/graft_sink/${s.sparkContext.applicationId}"
-    if (sinkCleanup.compareAndSet(false, true)) {
-      def rm(f: java.io.File): Unit = {
-        val sub = f.listFiles(); if (sub != null) sub.foreach(rm)
-        f.delete(); ()
-      }
-      sys.addShutdownHook(rm(new java.io.File(appRoot)))
-    }
+    graft.util.AppCleanup.onExit("graft_sink")(
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(appRoot)))
     s"$appRoot/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
   }
 
@@ -212,27 +206,32 @@ object Sources {
     // plan OOMs the driver long before the round bound trips (observed on
     // the cycle fixture). On a real cluster prefer a reliable checkpoint
     // dir; the shape (materialize each round, plan stays O(1)) is the same.
+    // Iterate.checkpoint cuts lineage per round and releases each
+    // superseded round's blocks the moment the next materializes;
     // try/finally so the non-convergence require (cycles) can't leak the
     // cached edge normalization into the session
     try {
-      var cur = norm.select(col("gid"),
-        coalesce(col("parent"), col("gid")).as("root")).localCheckpoint()
+      var cur = graft.util.Iterate.checkpoint(norm.select(col("gid"),
+        coalesce(col("parent"), col("gid")).as("root")))
       def unresolvedCount(m: DataFrame): Long =
         m.join(parentOf, col("root") === col("rg"))
           .where(col("rp").isNotNull).count()
-      var unresolved = unresolvedCount(cur)
+      var unresolved = unresolvedCount(cur._1)
       var rounds = 0
       while (unresolved > 0) {
         require(rounds < 12,
           s"root resolution did not converge within depth 2^12: $unresolved " +
             "chains unresolved — parent cycle or pathological nesting")
-        val hop = cur.select(col("gid").as("hg"), col("root").as("hr"))
-        cur = cur.join(hop, col("root") === col("hg"))
-          .select(col("gid"), col("hr").as("root")).localCheckpoint()
-        unresolved = unresolvedCount(cur)
+        val hop = cur._1.select(col("gid").as("hg"), col("root").as("hr"))
+        val next = graft.util.Iterate.checkpoint(
+          cur._1.join(hop, col("root") === col("hg"))
+            .select(col("gid"), col("hr").as("root")))
+        unresolved = unresolvedCount(next._1)
+        cur._2.unpersist(blocking = false)
+        cur = next
         rounds += 1
       }
-      cur
+      cur._1
     } finally norm.unpersist()
   }
 

@@ -1,0 +1,29 @@
+package graft.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Materialization helper for iterative driver loops (pointer jumping,
+  * label propagation). Two properties every round needs:
+  *
+  *  - lineage CUT: the self-join otherwise grows the logical plan
+  *    exponentially and Catalyst analysis OOMs long before any round
+  *    bound trips (observed on a 3-node cycle fixture);
+  *  - DETERMINISTIC release: `Dataset.localCheckpoint` alone leaves each
+  *    superseded round's blocks to ContextCleaner's GC-driven
+  *    reclamation, so a long run on a big graph retains one label-table
+  *    copy per round in executor storage, evicting the deliberately
+  *    cached edge set. Holding the RDD handle lets the caller unpersist
+  *    the previous round the moment the new one is materialized.
+  *
+  * The Row round-trip costs one deserialization per round versus
+  * Dataset.localCheckpoint — the price of an unpersistable handle. */
+object Iterate {
+  /** Materialize df into a local checkpoint (eager), returning the
+    * re-wrapped DataFrame and the RDD handle to unpersist later. */
+  def checkpoint(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+}

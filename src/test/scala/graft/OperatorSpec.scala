@@ -300,6 +300,14 @@ class OperatorSpec extends SparkTestBase {
     val pack = ops.Llm.llm_pack(spark, sf).cache()
     assert(pack.agg(sum("n_docs")).head().getLong(0) == nDocs)
     assert(pack.where(col("n_docs") <= 0).count() == 0)
+    // density precondition: no fixture doc reaches the 2048-token target,
+    // so no doc can straddle 2+ boundaries — if the fixture ever grows a
+    // longer doc, bins may legitimately skip ids (straddle semantics) and
+    // the density assertion below must be relaxed, not llm_pack changed
+    val maxTok = documents(spark, sf)
+      .select(max(size(split(col("text"), " ")))).head().getInt(0)
+    assert(maxTok < 2048, s"fixture doc with $maxTok tokens breaks the " +
+      "no-straddle precondition this test relies on")
     // bins within a shard are dense from 0 (contiguous packing)
     val holes = pack.groupBy("lang", "shard")
       .agg(min("bin").as("b0"), max("bin").as("b1"),
