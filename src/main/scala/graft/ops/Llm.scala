@@ -722,6 +722,49 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** The COMPLETE training-data assembly as ONE Spark DAG — cleaning
+    * (quality threshold, language filter, near-dup removal: exactly
+    * [[llm_pipeline]]'s stages), then stratified sampling
+    * ([[llm_sample]]'s buckets), then train/val/test assignment
+    * ([[llm_split]]'s buckets), emitting the per-(lang, split) corpus
+    * manifest a training run consumes. Every stage is an already-verified
+    * operator composed unchanged; the sampling/split predicates are pure
+    * map-side arithmetic, so the whole tail costs zero extra shuffles
+    * over the cleaning pipeline. */
+  val llm_corpus: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val scored = documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_cnt",
+        size(filter(toks, t => t.isin("a", "the", "of", "and"))))
+      .withColumn("long_cnt", size(filter(toks, t => length(t) > 5)))
+      .withColumn("bp", expr(
+        """(200 * (4 * (n_chars - (n_tokens - 1))
+              + 30 * (n_tokens - stop_cnt)
+              + 30 * long_cnt) + n_tokens) div (2 * n_tokens)"""))
+    val dupVictims = jaccardPairsRaw(s, d)
+      .where(col("jac_raw") >= 0.9)
+      .select(col("doc_b")).distinct()
+    val sampleB = (col("doc_id") % 1000003L) * 2654435761L % 1000003L % 100L
+    val keepRate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 80)
+      .when(col("lang") === "fr", 100)
+      .otherwise(25)
+    val splitB = (col("doc_id") % 999983L) * 2246822519L % 999983L % 100L
+    scored
+      .where(col("bp") >= 5000 && col("lang").isin("en", "de", "fr"))
+      .join(dupVictims, col("doc_id") === col("doc_b"), "left_anti")
+      .where(sampleB < keepRate)
+      .withColumn("split",
+        when(splitB < 80, "train").when(splitB < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("bp")).as("sum_quality_bp"))
+      .orderBy("lang", "split")
+  }
+
   /** Deterministic stratified sampling — the corpus-mix subsampling step:
     * per-language keep-rates applied by integer hash bucketing on doc_id.
     * The bucket is pure bounded integer arithmetic — a multiplicative
@@ -888,6 +931,7 @@ object Llm {
     "llm_sample" -> llm_sample,
     "llm_split" -> llm_split,
     "llm_pack" -> llm_pack,
+    "llm_corpus" -> llm_corpus,
     "llm_pipeline" -> llm_pipeline,
     "llm_multimodal" -> llm_multimodal,
     "udf_scalar" -> udf_scalar,
@@ -1144,6 +1188,46 @@ object Llm {
           WHERE bp >= 5000 AND lang IN ('en', 'de', 'fr')
             AND doc_id NOT IN (SELECT doc_b FROM victims)
           GROUP BY lang ORDER BY lang""",
+    "llm_corpus" ->
+      s"""WITH sh AS ($duckShingles),
+          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          victims AS (
+            SELECT DISTINCT doc_b FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
+          scored AS (
+            SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> length(t) > 5)) AS BIGINT) AS l,
+                n_chars
+            FROM documents),
+          bp AS (
+            SELECT doc_id, lang, q,
+                (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
+                    // (2 * q) AS bp
+            FROM scored),
+          kept AS (
+            SELECT doc_id, lang, q, bp FROM bp
+            WHERE bp >= 5000 AND lang IN ('en', 'de', 'fr')
+              AND doc_id NOT IN (SELECT doc_b FROM victims)
+              AND ((doc_id % 1000003) * 2654435761) % 1000003 % 100 <
+                  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
+                       WHEN lang = 'fr' THEN 100 ELSE 25 END)
+          SELECT lang,
+              CASE WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 80 THEN 'train'
+                   WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              count(1) AS n_docs,
+              CAST(sum(q) AS BIGINT) AS sum_tokens,
+              CAST(sum(bp) AS BIGINT) AS sum_quality_bp
+          FROM kept GROUP BY 1, 2 ORDER BY lang, split""",
     "llm_multimodal" ->
       """SELECT doc_id,
              CAST(length(text) AS INT) AS text_len,
