@@ -76,6 +76,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_corpus adds zero exchanges over llm_pipeline") {
+    // the assembly tail (sampling + split) must stay map-side arithmetic:
+    // any new Exchange means a predicate accidentally became a shuffle
+    withStaticPlan {
+      def exchanges(p: String): Int =
+        p.linesIterator.count(_.contains("Exchange"))
+      val pipeline = exchanges(planOf(ops.Llm.llm_pipeline(spark, sf)))
+      val corpus = exchanges(planOf(ops.Llm.llm_corpus(spark, sf)))
+      assert(corpus <= pipeline,
+        s"llm_corpus has $corpus exchanges vs llm_pipeline's $pipeline")
+    }
+  }
+
   test("agg_pricing uses two-phase hash aggregation") {
     withStaticPlan {
       val p = planOf(ops.Relational.agg_pricing(spark, sf))
