@@ -306,6 +306,31 @@ object Sources {
       .orderBy("subtype")
   }
 
+  /** Schema evolution at the scan — the reality of a 100 TB lake where
+    * early files predate a column: two batches land with different
+    * schemas (the second adds o_orderpriority), read back as ONE dataset
+    * with mergeSchema, old files surfacing null for the new column — so
+    * `count(column)` doubles as the backfill progress meter. The oracle
+    * emulates the evolution with a CASE over the same year split. */
+  val scan_evolved: Q = (s, d) => {
+    import graft.util.Det._
+    val out = sinkDir(s, d, "evolved")
+    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    src.where(col("o_year") < 1995)
+      .select("o_orderkey", "o_year", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch1")
+    src.where(col("o_year") >= 1995)
+      .select("o_orderkey", "o_year", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/batch1", s"$out/batch2")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_year")
+  }
+
   /** Portfolio containers (SURVEY §1.1): portfolios exploded over their
     * project items (explode_outer — an EMPTY portfolio must still report
     * itself with zero counts), left-joined to the `projects` entity so a
@@ -405,6 +430,7 @@ object Sources {
     "asana_attachments" -> asana_attachments,
     "asana_portfolios" -> asana_portfolios,
     "asana_goals" -> asana_goals,
+    "scan_evolved" -> scan_evolved,
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "llm_mm_features" -> llm_mm_features,
@@ -510,6 +536,15 @@ object Sources {
           JOIN read_json_auto('$fixtureDir/projects.jsonl', format='newline_delimited') p
             ON m.project.gid = p.gid
           GROUP BY 1, 2, 3 ORDER BY project_gid""",
+    // the evolved scan's oracle emulates old-file nulls with a CASE over
+    // the same year split the writer used
+    "scan_evolved" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             count(CASE WHEN year(o_orderdate) >= 1995
+                        THEN o_orderpriority END) AS n_with_priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY o_year""",
     // empty portfolios must survive: unnest via LEFT JOIN (a bare lateral
     // unnest drops zero-item rows, Spark's explode_outer keeps them)
     "asana_portfolios" ->
