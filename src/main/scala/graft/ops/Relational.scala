@@ -300,6 +300,21 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** The second sketch family next to HLL: error-bounded percentile
+    * estimation (Greenwald-Khanna, accuracy 1000 → ≤ 0.1% rank error) —
+    * the way a 100 TB pipeline gets quantiles without a global sort.
+    * Deterministic for fixed input but engine-specific → rows-only check;
+    * the unit test bounds it against the exact percentiles. */
+  val agg_approx_pctile: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("apx"))
+      .select(col("o_orderstatus"),
+        element_at(col("apx"), 1).as("p50_apx"),
+        element_at(col("apx"), 2).as("p90_apx"))
+      .orderBy("o_orderstatus")
+
   private def custNation: Q = (s, d) =>
     customer(s, d).join(broadcast(nation(s, d)),
       col("c_nationkey") === col("n_nationkey"))
@@ -501,6 +516,7 @@ object Relational {
     "agg_pricing" -> agg_pricing,
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
+    "agg_approx_pctile" -> agg_approx_pctile,
     "agg_rollup" -> agg_rollup,
     "agg_cube" -> agg_cube,
     "agg_gsets" -> agg_gsets,

@@ -287,6 +287,18 @@ class OperatorSpec extends SparkTestBase {
     assert(roots == Map("x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
+  test("approx percentile within 2% of the exact per-group quantiles") {
+    val exact = ops.Relational.agg_pctile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val apx = ops.Relational.agg_approx_pctile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(apx.keySet == exact.keySet)
+    for ((k, (p50e, p90e)) <- exact; (p50a, p90a) = apx(k)) {
+      assert(math.abs(p50a - p50e) / p50e < 0.02, s"$k p50: $p50a vs $p50e")
+      assert(math.abs(p90a - p90e) / p90e < 0.02, s"$k p90: $p90a vs $p90e")
+    }
+  }
+
   test("sample/split/pack: deterministic partitions cover every doc exactly once") {
     import graft.util.Tables._
     val nDocs = documents(spark, sf).count()
