@@ -447,8 +447,11 @@ object Llm {
     // released the moment the next materializes (not when ContextCleaner
     // eventually notices). try/finally so a non-convergence require can't
     // leak the cached edge set into the session.
+    var cur: (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =
+      null
+    var done = false
     try {
-      var cur = graft.util.Iterate.checkpoint(
+      cur = graft.util.Iterate.checkpoint(
         sym.groupBy(col("v").as("gid"))
           .agg(min(col("u")).as("nmin"))
           .select(col("gid"), least(col("gid"), col("nmin")).as("comp")))
@@ -480,8 +483,15 @@ object Llm {
         cur = next
         rounds += 1
       }
+      done = true
       cur._1
-    } finally symAll.unpersist()
+    } finally {
+      symAll.unpersist()
+      // the RESULT keeps its blocks; only a thrown round (non-convergence)
+      // releases the in-flight label table instead of pinning it for the
+      // session's life
+      if (!done && cur != null) cur._2.unpersist(blocking = false)
+    }
   }
 
   /** embedding-cosine near-dup DEDUP (vs the pair-listing joins above):
@@ -722,18 +732,18 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
-  /** The COMPLETE training-data assembly as ONE Spark DAG — cleaning
-    * (quality threshold, language filter, near-dup removal: exactly
-    * [[llm_pipeline]]'s stages), then stratified sampling
-    * ([[llm_sample]]'s buckets), then train/val/test assignment
-    * ([[llm_split]]'s buckets), emitting the per-(lang, split) corpus
-    * manifest a training run consumes. Every stage is an already-verified
-    * operator composed unchanged; the sampling/split predicates are pure
-    * map-side arithmetic, so the whole tail costs zero extra shuffles
-    * over the cleaning pipeline. */
-  val llm_corpus: Q = (s, d) => {
+  // ---- shared assembly-stage helpers --------------------------------------
+  // llm_pipeline / llm_corpus / llm_sample / llm_split COMPOSE these; any
+  // tuning (bp formula, keep rates, split fractions, hash constants)
+  // happens here once, so the composed DAG can't drift from the stages it
+  // claims to reuse.
+
+  /** quality-scored documents: n_tokens, stop/long counts, integer-bp
+    * quality — the single source of the bp formula. */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val scored = documents(s, d)
+    documents(s, d)
       .withColumn("n_tokens", size(toks))
       .withColumn("stop_cnt",
         size(filter(toks, t => t.isin("a", "the", "of", "and"))))
@@ -742,22 +752,43 @@ object Llm {
         """(200 * (4 * (n_chars - (n_tokens - 1))
               + 30 * (n_tokens - stop_cnt)
               + 30 * long_cnt) + n_tokens) div (2 * n_tokens)"""))
-    val dupVictims = jaccardPairsRaw(s, d)
-      .where(col("jac_raw") >= 0.9)
+  }
+
+  /** J ≥ 0.9 near-dup victims (the doc_b of every pair). */
+  private def jaccardVictims(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    jaccardPairsRaw(s, d).where(col("jac_raw") >= 0.9)
       .select(col("doc_b")).distinct()
-    val sampleB = (col("doc_id") % 1000003L) * 2654435761L % 1000003L % 100L
-    val keepRate = when(col("lang") === "en", 50)
-      .when(col("lang") === "de", 80)
-      .when(col("lang") === "fr", 100)
-      .otherwise(25)
-    val splitB = (col("doc_id") % 999983L) * 2246822519L % 999983L % 100L
-    scored
+
+  /** the (ax mod p) mod 100 hash family — rationale in llm_sample's
+    * scaladoc; the two members use different multipliers AND primes so
+    * their assignments are pairwise independent. */
+  private[graft] val sampleBucket: Column =
+    (col("doc_id") % 1000003L) * 2654435761L % 1000003L % 100L
+  private[graft] val sampleKeepRate: Column =
+    when(col("lang") === "en", 50).when(col("lang") === "de", 80)
+      .when(col("lang") === "fr", 100).otherwise(25)
+  private[graft] val splitBucket: Column =
+    (col("doc_id") % 999983L) * 2246822519L % 999983L % 100L
+  private[graft] val splitLabel: Column =
+    when(splitBucket < 80, "train").when(splitBucket < 90, "val")
+      .otherwise("test")
+
+  /** The COMPLETE training-data assembly as ONE Spark DAG — cleaning
+    * (quality threshold, language filter, near-dup removal: exactly
+    * [[llm_pipeline]]'s stages), then stratified sampling
+    * ([[llm_sample]]'s buckets), then train/val/test assignment
+    * ([[llm_split]]'s buckets), emitting the per-(lang, split) corpus
+    * manifest a training run consumes. Every stage is the shared helper
+    * the standalone operator also runs; the sampling/split predicates are
+    * pure map-side arithmetic, so the whole tail costs zero extra
+    * shuffles over the cleaning pipeline (plan-asserted). */
+  val llm_corpus: Q = (s, d) => {
+    qualityScored(s, d)
       .where(col("bp") >= 5000 && col("lang").isin("en", "de", "fr"))
-      .join(dupVictims, col("doc_id") === col("doc_b"), "left_anti")
-      .where(sampleB < keepRate)
-      .withColumn("split",
-        when(splitB < 80, "train").when(splitB < 90, "val")
-          .otherwise("test"))
+      .join(jaccardVictims(s, d), col("doc_id") === col("doc_b"), "left_anti")
+      .where(sampleBucket < sampleKeepRate)
+      .withColumn("split", splitLabel)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -777,17 +808,12 @@ object Llm {
     * are engine-specific, md5 costs a string round-trip), so assignment
     * is reproducible across engines and reruns at any scale. Pure map;
     * no shuffle but the output sort. */
-  val llm_sample: Q = (s, d) => {
-    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 1000003L % 100L
-    val rate = when(col("lang") === "en", 50)
-      .when(col("lang") === "de", 80)
-      .when(col("lang") === "fr", 100)
-      .otherwise(25)
+  val llm_sample: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), col("lang"),
-        bucket.as("bucket"), (bucket < rate).as("kept"))
+        sampleBucket.as("bucket"),
+        (sampleBucket < sampleKeepRate).as("kept"))
       .orderBy("doc_id")
-  }
 
   /** Deterministic train/val/test split (80/10/10) on a second member of
     * the same (ax mod p) hash family — different multiplier AND prime,
@@ -795,17 +821,13 @@ object Llm {
     * composing sample+split cannot skew the val/test fractions — rolled
     * up per (lang, split) with token totals, the manifest a training run
     * consumes. */
-  val llm_split: Q = (s, d) => {
-    val bucket = (col("doc_id") % 999983L) * 2246822519L % 999983L % 100L
+  val llm_split: Q = (s, d) =>
     documents(s, d)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitLabel)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
       .orderBy("lang", "split")
-  }
 
   /** Contiguous sequence packing — the batch-assembly step before
     * training: docs pack into 2048-token bins by running token offset
@@ -834,28 +856,14 @@ object Llm {
     * near-dup removal (canonical = lowest doc_id of each J≥0.9 pair) →
     * per-language survivor stats. All-integer outputs (counts + quality
     * basis points) so the oracle compare is float-free. */
-  val llm_pipeline: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val scored = documents(s, d)
-      .withColumn("n_tokens", size(toks))
-      .withColumn("stop_cnt",
-        size(filter(toks, t => t.isin("a", "the", "of", "and"))))
-      .withColumn("long_cnt", size(filter(toks, t => length(t) > 5)))
-      .withColumn("bp", expr(
-        """(200 * (4 * (n_chars - (n_tokens - 1))
-              + 30 * (n_tokens - stop_cnt)
-              + 30 * long_cnt) + n_tokens) div (2 * n_tokens)"""))
-    val dupVictims = jaccardPairsRaw(s, d)
-      .where(col("jac_raw") >= 0.9)
-      .select(col("doc_b")).distinct()
-    scored
+  val llm_pipeline: Q = (s, d) =>
+    qualityScored(s, d)
       .where(col("bp") >= 5000 && col("lang").isin("en", "de", "fr"))
-      .join(dupVictims, col("doc_id") === col("doc_b"), "left_anti")
+      .join(jaccardVictims(s, d), col("doc_id") === col("doc_b"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("bp")).as("sum_quality_bp"),
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("lang")
-  }
 
   // ----- multimodal / UDF --------------------------------------------------
 
@@ -952,6 +960,46 @@ object Llm {
 
   private def cos(a: String, b: String): String =
     duckCos.replace("{A}", a).replace("{B}", b)
+
+  // oracle-side twins of the shared assembly helpers — single source for
+  // the cleaning CTEs and the hash-bucket arithmetic, mirroring
+  // qualityScored / jaccardVictims / sampleBucket / splitLabel above
+  private val duckCleanBase =
+    s"""sh AS ($duckShingles),
+          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          victims AS (
+            SELECT DISTINCT doc_b FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
+          scored AS (
+            SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
+                CAST(len(list_filter(string_split(text, ' '),
+                    t -> length(t) > 5)) AS BIGINT) AS l,
+                n_chars
+            FROM documents),
+          bp AS (
+            SELECT doc_id, lang, q,
+                (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
+                    // (2 * q) AS bp
+            FROM scored)"""
+  private val duckSampleBucket =
+    "((doc_id % 1000003) * 2654435761) % 1000003 % 100"
+  private val duckKeepRate =
+    """CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
+            WHEN lang = 'fr' THEN 100 ELSE 25 END"""
+  private val duckSplitBucket =
+    "((doc_id % 999983) * 2246822519) % 999983 % 100"
+  private val duckSplitLabel =
+    s"""CASE WHEN $duckSplitBucket < 80 THEN 'train'
+             WHEN $duckSplitBucket < 90 THEN 'val'
+             ELSE 'test' END"""
 
   val oracle: Seq[(String, String)] = Seq(
     "llm_dedup_exact" ->
@@ -1127,17 +1175,13 @@ object Llm {
                  (h, c) -> (h * 1000003 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
     "llm_sample" ->
-      """SELECT doc_id, lang,
-             ((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS bucket,
-             ((doc_id % 1000003) * 2654435761) % 1000003 % 100 <
-                 CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
-                      WHEN lang = 'fr' THEN 100 ELSE 25 END AS kept
+      s"""SELECT doc_id, lang,
+             $duckSampleBucket AS bucket,
+             $duckSampleBucket < $duckKeepRate AS kept
          FROM documents ORDER BY doc_id""",
     "llm_split" ->
-      """SELECT lang,
-             CASE WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 80 THEN 'train'
-                  WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split,
+      s"""SELECT lang,
+             $duckSplitLabel AS split,
              count(1) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
@@ -1157,30 +1201,7 @@ object Llm {
              CAST((sum(tok) * 10000) // 2048 AS BIGINT) AS fill_bp
          FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""",
     "llm_pipeline" ->
-      s"""WITH sh AS ($duckShingles),
-          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-          victims AS (
-            SELECT DISTINCT doc_b FROM pairs
-            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
-          scored AS (
-            SELECT doc_id, lang,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
-                CAST(len(list_filter(string_split(text, ' '),
-                    t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
-                CAST(len(list_filter(string_split(text, ' '),
-                    t -> length(t) > 5)) AS BIGINT) AS l,
-                n_chars
-            FROM documents),
-          bp AS (
-            SELECT doc_id, lang, q,
-                (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
-                    // (2 * q) AS bp
-            FROM scored)
+      s"""WITH $duckCleanBase
           SELECT lang, count(1) AS n_kept,
               CAST(sum(bp) AS BIGINT) AS sum_quality_bp,
               CAST(sum(q) AS BIGINT) AS sum_tokens
@@ -1189,41 +1210,14 @@ object Llm {
             AND doc_id NOT IN (SELECT doc_b FROM victims)
           GROUP BY lang ORDER BY lang""",
     "llm_corpus" ->
-      s"""WITH sh AS ($duckShingles),
-          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-          victims AS (
-            SELECT DISTINCT doc_b FROM pairs
-            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
-          scored AS (
-            SELECT doc_id, lang,
-                CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
-                CAST(len(list_filter(string_split(text, ' '),
-                    t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
-                CAST(len(list_filter(string_split(text, ' '),
-                    t -> length(t) > 5)) AS BIGINT) AS l,
-                n_chars
-            FROM documents),
-          bp AS (
-            SELECT doc_id, lang, q,
-                (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
-                    // (2 * q) AS bp
-            FROM scored),
+      s"""WITH $duckCleanBase,
           kept AS (
             SELECT doc_id, lang, q, bp FROM bp
             WHERE bp >= 5000 AND lang IN ('en', 'de', 'fr')
               AND doc_id NOT IN (SELECT doc_b FROM victims)
-              AND ((doc_id % 1000003) * 2654435761) % 1000003 % 100 <
-                  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80
-                       WHEN lang = 'fr' THEN 100 ELSE 25 END)
+              AND $duckSampleBucket < $duckKeepRate)
           SELECT lang,
-              CASE WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 80 THEN 'train'
-                   WHEN ((doc_id % 999983) * 2246822519) % 999983 % 100 < 90 THEN 'val'
-                   ELSE 'test' END AS split,
+              $duckSplitLabel AS split,
               count(1) AS n_docs,
               CAST(sum(q) AS BIGINT) AS sum_tokens,
               CAST(sum(bp) AS BIGINT) AS sum_quality_bp

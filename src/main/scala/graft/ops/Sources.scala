@@ -210,8 +210,11 @@ object Sources {
     // superseded round's blocks the moment the next materializes;
     // try/finally so the non-convergence require (cycles) can't leak the
     // cached edge normalization into the session
+    var cur: (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =
+      null
+    var done = false
     try {
-      var cur = graft.util.Iterate.checkpoint(norm.select(col("gid"),
+      cur = graft.util.Iterate.checkpoint(norm.select(col("gid"),
         coalesce(col("parent"), col("gid")).as("root")))
       def unresolvedCount(m: DataFrame): Long =
         m.join(parentOf, col("root") === col("rg"))
@@ -231,8 +234,14 @@ object Sources {
         cur = next
         rounds += 1
       }
+      done = true
       cur._1
-    } finally norm.unpersist()
+    } finally {
+      norm.unpersist()
+      // only a thrown round (cycle) releases the in-flight mapping; the
+      // returned result keeps its blocks
+      if (!done && cur != null) cur._2.unpersist(blocking = false)
+    }
   }
 
   /** Subtask-hierarchy flattening: every task resolved to its ROOT task

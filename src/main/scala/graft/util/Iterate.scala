@@ -17,12 +17,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   *    the previous round the moment the new one is materialized.
   *
   * The Row round-trip costs one deserialization per round versus
-  * Dataset.localCheckpoint — the price of an unpersistable handle. */
+  * Dataset.localCheckpoint — the price of an unpersistable handle. The
+  * blocks are persisted SERIALIZED (MEMORY_AND_DISK_SER, set before the
+  * checkpoint mark so localCheckpoint keeps the level): deserialized
+  * GenericRow storage would occupy 3-5x the footprint of the UnsafeRow
+  * blocks Dataset.localCheckpoint kept, defeating the release win. */
 object Iterate {
   /** Materialize df into a local checkpoint (eager), returning the
     * re-wrapped DataFrame and the RDD handle to unpersist later. */
   def checkpoint(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd.localCheckpoint()
+    val rdd = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    rdd.localCheckpoint()
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
