@@ -114,6 +114,13 @@ object AsanaSchemas {
     StructField("text", StringType),
     StructField("target_gid", StringType)))
 
+  /** ordered partition of a project (GET /projects/{gid}/sections). */
+  val sections: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("project_gid", StringType),
+    StructField("created_at", TimestampType)))
+
   /** container over projects (GET /portfolios): `items[]` is materialized
     * into the row by the sync job from GET /portfolios/{gid}/items, the
     * same flattening every nested gid gets at the connector edge. */
@@ -147,6 +154,7 @@ object AsanaSchemas {
     case "attachments" => attachments
     case "portfolios" => portfolios
     case "goals" => goals
+    case "sections" => sections
     case other => throw new IllegalArgumentException(
       s"unknown asana entity: $other")
   }
@@ -458,6 +466,8 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
         val a = node.get("parent"); if (a == null || a.isNull) null else a.get("gid")
       case "owner_gid" =>
         val a = node.get("owner"); if (a == null || a.isNull) null else a.get("gid")
+      case "project_gid" =>
+        val a = node.get("project"); if (a == null || a.isNull) null else a.get("gid")
       case "team_gid" =>
         val a = node.get("team"); if (a == null || a.isNull) null else a.get("gid")
       case "enum_name" =>

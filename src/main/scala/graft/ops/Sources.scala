@@ -293,6 +293,26 @@ object Sources {
       .orderBy("project_gid")
   }
 
+  /** Section-level board rollup — the kanban view as a query: exploded
+    * task memberships joined to the `sections` entity so section GIDs
+    * become NAMES, per-(project, section) counts and completion. An
+    * unused section (no tasks) drops out of the inner join on both
+    * engines. */
+  val asana_sections_board: Q = (s, _) => {
+    val m = s.read.schema(taskSchema).json(s"$fixtureDir/tasks.jsonl")
+      .select(col("gid").as("task_gid"), col("completed"),
+        explode(col("memberships")).as("m"))
+    val sec = s.read.format("graft.asana.AsanaSource")
+      .option("entity", "sections").option("fixtureDir", fixtureDir).load()
+      .select(col("gid").as("section_gid"), col("name").as("section_name"),
+        col("project_gid"))
+    m.join(sec, col("m.section.gid") === col("section_gid"))
+      .groupBy("project_gid", "section_gid", "section_name")
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(when(col("completed"), 1).otherwise(0)).as("n_done"))
+      .orderBy("project_gid", "section_gid")
+  }
+
   /** The `attachment` entity — the work graph's multimodal pointer
     * (download_url + size + resource_subtype, SURVEY.md §1.1): attachments
     * joined to their parent tasks through the connector, rolled up per
@@ -436,6 +456,7 @@ object Sources {
     "asana_stories_sessions" -> asana_stories_sessions,
     "asana_task_roots" -> asana_task_roots,
     "asana_memberships_denorm" -> asana_memberships_denorm,
+    "asana_sections_board" -> asana_sections_board,
     "asana_attachments" -> asana_attachments,
     "asana_portfolios" -> asana_portfolios,
     "asana_goals" -> asana_goals,
@@ -576,6 +597,16 @@ object Sources {
               CAST(sum((current_value * 10000) // nullif(target_value, 0)) AS BIGINT) AS sum_bp
           FROM read_json_auto('$fixtureDir/goals.jsonl', format='newline_delimited')
           GROUP BY 1, 2 ORDER BY team_gid, status""",
+    "asana_sections_board" ->
+      s"""SELECT s.project.gid AS project_gid, s.gid AS section_gid,
+              s.name AS section_name,
+              count(1) AS n_tasks,
+              CAST(sum(CASE WHEN t.completed THEN 1 ELSE 0 END) AS BIGINT) AS n_done
+          FROM (SELECT gid, completed, unnest(memberships) AS m
+                FROM read_json_auto('$fixtureDir/tasks.jsonl', format='newline_delimited')) t
+          JOIN read_json_auto('$fixtureDir/sections.jsonl', format='newline_delimited') s
+            ON t.m.section.gid = s.gid
+          GROUP BY 1, 2, 3 ORDER BY project_gid, section_gid""",
     "asana_attachments" ->
       s"""SELECT a.resource_subtype AS subtype, count(1) AS n_attachments,
               count(DISTINCT a.parent.gid) AS n_tasks,

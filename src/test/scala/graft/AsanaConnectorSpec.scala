@@ -67,10 +67,10 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(t2.subsetOf(t1) && t2.size < t1.size)
   }
 
-  test("all eight entities load with their schemas") {
+  test("all nine entities load with their schemas") {
     for ((e, n) <- Seq("tasks" -> 30L, "projects" -> 3L, "users" -> 6L,
         "tags" -> 5L, "stories" -> 60L, "attachments" -> 14L,
-        "portfolios" -> 3L, "goals" -> 9L)) {
+        "portfolios" -> 3L, "goals" -> 9L, "sections" -> 5L)) {
       val df = spark.read.format("graft.asana.AsanaSource")
         .option("entity", e).option("fixtureDir", dir).load()
       assert(df.count() == n, s"$e row count")
