@@ -82,8 +82,22 @@ object AsanaSchemas {
     StructField("gid", StringType),
     StructField("name", StringType),
     StructField("archived", BooleanType),
+    StructField("team_gid", StringType),
     StructField("created_at", TimestampType),
     StructField("modified_at", TimestampType)))
+
+  /** root container of the work graph (GET /workspaces). */
+  val workspaces: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("is_organization", BooleanType)))
+
+  /** org subdivision owning projects (GET /organizations/{gid}/teams). */
+  val teams: StructType = StructType(Seq(
+    StructField("gid", StringType),
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("organization_gid", StringType)))
 
   val users: StructType = StructType(Seq(
     StructField("gid", StringType),
@@ -155,6 +169,8 @@ object AsanaSchemas {
     case "portfolios" => portfolios
     case "goals" => goals
     case "sections" => sections
+    case "workspaces" => workspaces
+    case "teams" => teams
     case other => throw new IllegalArgumentException(
       s"unknown asana entity: $other")
   }
@@ -470,6 +486,8 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
         val a = node.get("project"); if (a == null || a.isNull) null else a.get("gid")
       case "team_gid" =>
         val a = node.get("team"); if (a == null || a.isNull) null else a.get("gid")
+      case "organization_gid" =>
+        val a = node.get("organization"); if (a == null || a.isNull) null else a.get("gid")
       case "enum_name" =>
         val a = node.get("enum_value"); if (a == null || a.isNull) null else a.get("name")
       case other => node.get(other)

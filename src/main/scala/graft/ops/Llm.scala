@@ -484,6 +484,9 @@ object Llm {
         rounds += 1
       }
       done = true
+      // bound retention to one live result across repeated invocations
+      // (Bench runs this three times per JVM)
+      graft.util.Iterate.registerResult("llm_cc", cur._2)
       cur._1
     } finally {
       symAll.unpersist()
@@ -500,12 +503,16 @@ object Llm {
     * [[connectedComponents]] over the pair graph; the survivor is the
     * lowest vec_id of each component, and every victim reports which
     * survivor absorbed it (so canonical is always a true survivor, the
-    * round-2 one-hop caveat closed). Same broadcast kernel as
-    * llm_simjoin, so the same guard + LSH scale story applies. The oracle
-    * is a DuckDB recursive CTE computing reachability over the same
-    * pairs — a genuinely different closure strategy. */
-  val llm_dedup_embcos: Q = (s, d) => {
-    val pairs = llm_simjoin(s, d).where(col("sim") >= 0.45)
+    * round-2 one-hop caveat closed). Pairs come through [[simjoinAuto]],
+    * so under the broadcast budget this runs the exact kernel (and the
+    * oracle checks it verbatim), past it the flagship dedup inherits the
+    * banded-LSH candidate path instead of tripping the guard — the same
+    * dispatch llm_simjoin_auto exposes, with `budget` as the test seam.
+    * The oracle is a DuckDB recursive CTE computing reachability over the
+    * same pairs — a genuinely different closure strategy. */
+  private[graft] def dedupEmbcos(s: org.apache.spark.sql.SparkSession,
+      d: String, budget: Long = SimjoinBroadcastRows): DataFrame = {
+    val pairs = simjoinAuto(s, d, budget).where(col("sim") >= 0.45)
     val comp = connectedComponents(pairs.select("a", "b"))
       .select(col("gid").as("vec_id"), col("comp").as("comp"))
     embeddings(s, d)
@@ -515,6 +522,8 @@ object Llm {
         coalesce(col("comp"), col("vec_id")).as("canonical"))
       .orderBy("vec_id")
   }
+
+  val llm_dedup_embcos: Q = (s, d) => dedupEmbcos(s, d)
 
   /** kNN (k=10) majority-vote label prediction: queries vec_id<20, corpus
     * vec_id≥20; vote ties broken by smallest label — fully deterministic. */

@@ -237,16 +237,22 @@ object Relational {
     // and all) for warehouse.dir, which a bare URI parse rejects
     val warehouse =
       graft.util.AppCleanup.localFile(s.conf.get("spark.sql.warehouse.dir"))
+    // the catalog lowercases table names on saveAsTable, so warehouse
+    // directories are lowercase even when the sfDir-derived tag isn't —
+    // the crash-leftover delete and the shutdown-hook filter must match
+    // the on-disk casing on a case-sensitive FS
     def reset(t: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $t")
-      graft.util.AppCleanup.recursiveDelete(new java.io.File(warehouse, t))
+      graft.util.AppCleanup.recursiveDelete(
+        new java.io.File(warehouse, t.toLowerCase))
     }
     val appTag = s.sparkContext.applicationId
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    graft.util.AppCleanup.onExit("graft_bucketed") {
+      .replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    graft.util.AppCleanup.onExit(
+      s"graft_bucketed_${s.sparkContext.applicationId}") {
       val entries = warehouse.listFiles()
       if (entries != null)
-        entries.filter(_.getName.contains(appTag))
+        entries.filter(_.getName.toLowerCase.contains(appTag))
           .foreach(graft.util.AppCleanup.recursiveDelete)
     }
     reset(custT); reset(ordT)

@@ -32,4 +32,19 @@ object Iterate {
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
+
+  private val lastResult =
+    new java.util.concurrent.ConcurrentHashMap[String, RDD[Row]]()
+
+  /** The FINAL round's blocks must outlive the loop (the returned DataFrame
+    * reads them), so the loop can't unpersist them — but they must not
+    * accumulate either: Bench invokes each iterative query three times per
+    * JVM (warmup + two passes), which would pin three label-table copies in
+    * executor storage. Registering the result under the query's key
+    * releases the PREVIOUS invocation's blocks the moment the new result is
+    * materialized, bounding retention to one live copy per query. */
+  def registerResult(key: String, rdd: RDD[Row]): Unit = {
+    val prev = lastResult.put(key, rdd)
+    if (prev != null && (prev ne rdd)) prev.unpersist(blocking = false)
+  }
 }

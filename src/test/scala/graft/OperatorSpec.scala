@@ -158,6 +158,17 @@ class OperatorSpec extends SparkTestBase {
     assert(autoLsh == lsh, "over-budget dispatch must equal llm_simjoin_lsh")
   }
 
+  test("dedup_embcos dispatch: LSH-branch pairs yield the same components") {
+    // past the broadcast budget the flagship dedup must inherit the banded
+    // LSH candidate path (not trip llm_simjoin's guard) and — because the
+    // fixture's every ≥0.45 pair survives banding (recall test above) —
+    // produce the identical closure
+    val exact = ops.Llm.llm_dedup_embcos(spark, sf).collect().toSeq
+    val viaLsh = ops.Llm.dedupEmbcos(spark, sf, budget = 1L).collect().toSeq
+    assert(viaLsh == exact,
+      "lowered-budget dispatch must produce the same dedup components")
+  }
+
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
     val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
     val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)

@@ -131,6 +131,18 @@ class PlanShapeSpec extends SparkTestBase {
     } finally rmRec(dir)
   }
 
+  test("sink_dpp read-back prunes fact partitions dynamically") {
+    // the dim-side era predicate is invisible to the fact statically — the
+    // executed plan must carry a dynamicpruningexpression on the fact
+    // scan's PartitionFilters (runtime pruning from the broadcast result),
+    // or the scan reads every year of a 100 TB history
+    withStaticPlan {
+      val p = planOf(ops.Sources.sink_dpp(spark, sf))
+      assert(p.contains("dynamicpruningexpression"),
+        s"no dynamic partition pruning in:\n$p")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     // pre-bucketing both sides on the join key removes the per-query
     // exchange — the co-located-join strategy for repeated 100 TB joins
