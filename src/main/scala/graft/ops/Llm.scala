@@ -322,12 +322,17 @@ object Llm {
     * isotropic τ=0.4 default). */
   private[graft] def lshCandidatesVecs(
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-      nBands: Int, rPerBand: Int): DataFrame = {
-    val banded = lshBandedVecs(vecs, nBands, rPerBand)
+      nBands: Int, rPerBand: Int): DataFrame =
+    bandSelfJoin(lshBandedVecs(vecs, nBands, rPerBand))
+      .select("a", "b").distinct()
+
+  /** the candidate self-join on the packed band key, shared by the
+    * in-flight and persisted-bucketed paths (and exposed pre-distinct so
+    * the plan test can assert the join's exchange count in isolation). */
+  private[graft] def bandSelfJoin(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band_key"), col("vec_id").as("a"))
     val r = banded.select(col("band_key").as("bk"), col("vec_id").as("b"))
     l.join(r, col("band_key") === col("bk") && col("a") < col("b"))
-      .select("a", "b").distinct()
   }
 
   private[graft] def lshCandidates(s: org.apache.spark.sql.SparkSession,
@@ -339,15 +344,15 @@ object Llm {
       LshBands, LshRowsPerBand)
   }
 
-  val llm_simjoin_lsh: Q = (s, d) => {
+  /** exact rerank: join the two vectors back and apply the same threshold
+    * as llm_simjoin — candidate volume, not corpus volume, pays this join.
+    * The cosine runs in a typed kernel (primitive-array fast path, same
+    * left-fold as the simjoin kernel → bit-identical sims): per-pair HOF
+    * eval here benched 18 s at sf0.1 vs ~2 s for the kernel, because the
+    * noise fixtures make nearly every pair a candidate. */
+  private[graft] def rerankExact(s: org.apache.spark.sql.SparkSession,
+      d: String, cand: DataFrame): DataFrame = {
     import s.implicits._
-    val cand = lshCandidates(s, d)
-    // exact rerank: join the two vectors back and apply the same threshold
-    // as llm_simjoin — candidate volume, not corpus volume, pays this join.
-    // The cosine runs in a typed kernel (primitive-array fast path, same
-    // left-fold as the simjoin kernel → bit-identical sims): per-pair HOF
-    // eval here benched 18 s at sf0.1 vs ~2 s for the kernel, because the
-    // noise fixtures make nearly every pair a candidate.
     val e = embDouble(s, d)
     cand
       .join(e.select(col("vec_id").as("a"), col("emb").as("va")), "a")
@@ -362,6 +367,59 @@ object Llm {
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
       .orderBy("a", "b")
   }
+
+  val llm_simjoin_lsh: Q = (s, d) => rerankExact(s, d, lshCandidates(s, d))
+
+  /** the band table persisted bucketed+sorted on band_key (8 buckets,
+    * join_bucketed's pattern applied to the dedup path): pay the banding
+    * and the layout ONCE, then every candidate self-join scans co-located
+    * buckets and plans with zero Exchange on the joined sides — for a
+    * 100 TB corpus deduplicated repeatedly (each incremental ingest batch
+    * re-joins against the full band table) the per-run shuffle of the
+    * dominant table disappears. Table name carries applicationId + sfDir
+    * so concurrent runs can't collide; the shutdown hook removes this
+    * application's warehouse entries (idempotent with join_bucketed's). */
+  private[graft] def lshBandTable(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val tag = (s.sparkContext.applicationId + "_" + d)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"graft_lshband_$tag"
+    val warehouse =
+      graft.util.AppCleanup.localFile(s.conf.get("spark.sql.warehouse.dir"))
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    // crash leftovers: the catalog is empty in a fresh JVM but the old
+    // directory survives and saveAsTable refuses the location (lowercased
+    // on disk, per the join_bucketed finding)
+    graft.util.AppCleanup.recursiveDelete(
+      new java.io.File(warehouse, t.toLowerCase))
+    val appTag = s.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    graft.util.AppCleanup.onExit(
+      s"graft_lshband_${s.sparkContext.applicationId}") {
+      val entries = warehouse.listFiles()
+      if (entries != null)
+        entries.filter(_.getName.toLowerCase.contains(appTag))
+          .foreach(graft.util.AppCleanup.recursiveDelete)
+    }
+    lshBandedVecs(
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])],
+      LshBands, LshRowsPerBand)
+      .write.bucketBy(8, "band_key").sortBy("band_key")
+      .mode("overwrite").saveAsTable(t)
+    s.table(t)
+  }
+
+  private[graft] def lshCandidatesBucketed(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bandSelfJoin(lshBandTable(s, d)).select("a", "b").distinct()
+
+  /** [[llm_simjoin_lsh]] over the persisted bucketed band table —
+    * identical candidates and bit-identical sims (equality unit-tested);
+    * the zero-Exchange candidate join is asserted in PlanShapeSpec. */
+  val llm_simjoin_lsh_bucketed: Q = (s, d) =>
+    rerankExact(s, d, lshCandidatesBucketed(s, d))
 
   /** Budget-dispatched similarity join: counts the build side (with the
     * same early-stopping limit+count the guard in [[llm_simjoin]] uses) and
@@ -560,29 +618,35 @@ object Llm {
     * Engine-specific traversal → no SQL oracle; the test suite measures
     * recall against the brute-force baseline (bounded on these isotropic
     * fixtures — noise is ANN's worst case, documented in BASELINE.md). */
-  val llm_ann_ivf: Q = (s, d) => {
+  private[graft] def dotArr(x: Array[Double], y: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+  private[graft] def cosArr(x: Array[Double], y: Array[Double]): Double =
+    dotArr(x, y) / (math.sqrt(dotArr(x, x)) * math.sqrt(dotArr(y, y)))
+
+  /** IVF probe over a given coarse quantizer: every vector assigned to
+    * its nearest centroid (one broadcast + kernel map pass — the inverted
+    * lists), queries probe their 4 nearest cells and exact-rerank only
+    * those lists. Shared by the untrained and Lloyd's-trained variants. */
+  private[graft] def ivfSearch(s: org.apache.spark.sql.SparkSession,
+      d: String, centroids: Array[(Long, Array[Double])]): DataFrame = {
     import s.implicits._
     val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])]
-    def dotArr(x: Array[Double], y: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < x.length) { acc += x(i) * y(i); i += 1 }
-      acc
-    }
-    def cos(x: Array[Double], y: Array[Double]): Double =
-      dotArr(x, y) / (math.sqrt(dotArr(x, x)) * math.sqrt(dotArr(y, y)))
-    val centroids = rows.filter(_._1 < 16).collect().sortBy(_._1)
     val bcCent = s.sparkContext.broadcast(centroids)
     // inverted lists: nearest centroid per vector (ties → lowest cell id)
     val assigned = rows.map { case (id, v) =>
-      val best = bcCent.value.map { case (cid, cv) => (cos(v, cv), cid) }
+      val best = bcCent.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
         .maxBy { case (sim, cid) => (sim, -cid) }
       (best._2, id, v)
     }
     // queries = vec_id < 20, probing their 4 nearest cells
     val queries = rows.filter(_._1 < 20).collect().sortBy(_._1).map {
       case (qid, qv) =>
-        val probes = bcCent.value.map { case (cid, cv) => (cos(qv, cv), cid) }
+        val probes = bcCent.value
+          .map { case (cid, cv) => (cosArr(qv, cv), cid) }
           .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
         (qid, qv, probes)
     }
@@ -590,7 +654,7 @@ object Llm {
     assigned.flatMap { case (cell, id, v) =>
       bcQ.value.iterator
         .filter { case (qid, _, probes) => probes.contains(cell) && qid != id }
-        .map { case (qid, qv, _) => (qid, id, cos(qv, v)) }
+        .map { case (qid, qv, _) => (qid, id, cosArr(qv, v)) }
     }
       .toDF("qid", "neighbor_id", "sim_raw")
       .withColumn("rn", row_number().over(Window.partitionBy("qid")
@@ -600,6 +664,85 @@ object Llm {
         col("rn"))
       .orderBy("qid", "rn")
   }
+
+  /** deterministic untrained quantizer: the embeddings of vec_id 0..15. */
+  private[graft] def ivfSeedCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 < 16).collect().sortBy(_._1)
+  }
+
+  val llm_ann_ivf: Q = (s, d) => ivfSearch(s, d, ivfSeedCentroids(s, d))
+
+  /** spherical k-means training for the coarse quantizer: Lloyd's
+    * iterations from the deterministic vec_id 0..15 init. Each round is
+    * ONE distributed pass — assign every vector to its nearest centroid
+    * by cosine and tree-aggregate the per-cell sums of UNIT vectors (k×dim
+    * doubles + k longs per partition, the classic Spark k-means shape) —
+    * so driver work stays bounded at k vectors per round regardless of
+    * corpus size. An emptied cell keeps its previous centroid (magnitude
+    * is irrelevant under cosine). At 100 TB unbalanced inverted lists
+    * wreck probe cost; training is what bounds the biggest list. */
+  private[graft] def trainIvfCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int = 4): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    trainIvfVecs(
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])],
+      ivfSeedCentroids(s, d).map(_._2), iters)
+  }
+
+  private[graft] def trainIvfVecs(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      seed: Array[Array[Double]], iters: Int): Array[(Long, Array[Double])] = {
+    val s = rows.sparkSession
+    var cent: Array[Array[Double]] = seed
+    val k = cent.length
+    val dim = cent(0).length
+    var it = 0
+    while (it < iters) {
+      val bc = s.sparkContext.broadcast(cent)
+      val (sums, counts) = rows.rdd.treeAggregate(
+        (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+        seqOp = { case ((acc, cnt), (_, v)) =>
+          val c = bc.value
+          var best = 0; var bs = -2.0; var i = 0
+          while (i < c.length) {
+            val sim = cosArr(v, c(i))
+            if (sim > bs) { bs = sim; best = i }
+            i += 1
+          }
+          val n = math.sqrt(dotArr(v, v))
+          var j = 0
+          while (j < dim) { acc(best)(j) += v(j) / n; j += 1 }
+          cnt(best) += 1
+          (acc, cnt)
+        },
+        combOp = { case ((a1, c1), (a2, c2)) =>
+          var i = 0
+          while (i < k) {
+            var j = 0
+            while (j < dim) { a1(i)(j) += a2(i)(j); j += 1 }
+            c1(i) += c2(i); i += 1
+          }
+          (a1, c1)
+        })
+      bc.destroy()
+      cent = Array.tabulate(k) { i =>
+        if (counts(i) == 0L) cent(i) else sums(i)
+      }
+      it += 1
+    }
+    cent.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  /** [[llm_ann_ivf]] with the quantizer trained by Lloyd's iterations —
+    * same probe machinery, same rows-only check; the unit tests assert
+    * recall@5 ≥ the untrained variant's and a bounded biggest inverted
+    * list (the property training exists to buy). */
+  val llm_ann_ivf_trained: Q = (s, d) =>
+    ivfSearch(s, d, trainIvfCentroids(s, d))
 
   // ----- text analysis -----------------------------------------------------
 
@@ -933,11 +1076,13 @@ object Llm {
     "llm_knn" -> llm_knn,
     "llm_simjoin" -> llm_simjoin,
     "llm_simjoin_lsh" -> llm_simjoin_lsh,
+    "llm_simjoin_lsh_bucketed" -> llm_simjoin_lsh_bucketed,
     "llm_simjoin_auto" -> llm_simjoin_auto,
     "llm_dedup_embcos" -> llm_dedup_embcos,
     "llm_knn_native" -> llm_knn_native,
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
+    "llm_ann_ivf_trained" -> llm_ann_ivf_trained,
     "llm_tokenize" -> llm_tokenize,
     "llm_token_count" -> llm_token_count,
     "llm_tfidf" -> llm_tfidf,

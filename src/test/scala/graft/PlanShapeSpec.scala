@@ -181,4 +181,24 @@ class PlanShapeSpec extends SparkTestBase {
         prevThreshold)
     }
   }
+
+  test("persisted LSH band table self-joins with zero Exchange") {
+    // pay the banding + bucketed layout once, then every candidate join
+    // scans co-located buckets — the repeated-dedup strategy at 100 TB.
+    // Broadcast disabled so the assertion pins the co-located SMJ, not a
+    // fixture-size broadcast that would vanish at scale.
+    withStaticPlan {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bt = ops.Llm.lshBandTable(spark, sf)
+        val j = ops.Llm.bandSelfJoin(bt)
+        val p = planOf(j)
+        assert(p.contains("SortMergeJoin"))
+        assert(!p.contains("Exchange"),
+          s"bucketed band self-join still shuffles:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
+    }
+  }
 }
