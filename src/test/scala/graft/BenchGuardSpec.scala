@@ -1,0 +1,77 @@
+package graft
+
+/** The per-query bench-profile guard (round-3 verdict #9): a regression
+  * that triples one query's cost — the llm_simjoin_lsh 4→12 s and
+  * scan_orc 0.37→1.66 s draws that ate the round-3 2×-gate headroom —
+  * must be caught by CI before a driver bench run, not discovered in it.
+  *
+  * Two tiers, mirroring where regressions can actually hide:
+  *  - every registered query runs at sf0.001 under a flat absolute budget
+  *    (min of two passes) — catches an accidental collect-loop, a lost
+  *    pushdown, or a new O(n²) kernel in ANY query;
+  *  - the heavy queries (≥ ~1 s in bench.json) re-run at sf0.1 against
+  *    per-query budgets = 2.5× their recorded steady-state cost, with the
+  *    same targeted pre-GC Bench applies, so the budget tests the plan,
+  *    not major-GC placement (the documented run-order effect).
+  *
+  * Regenerate the recorded baselines after a DELIBERATE profile change:
+  * `GRAFT_BENCH_REGEN=1 sbt "testOnly graft.BenchGuardSpec"` rewrites
+  * src/test/resources/bench_budget.json from fresh measurements.
+  */
+class BenchGuardSpec extends SparkTestBase {
+  private val sf01 = "/root/testdata/sf0.1"
+  private val budgetFile = new java.io.File(
+    "src/test/resources/bench_budget.json")
+
+  private def minOfTwo(fn: () => Long): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  test("sf0.001 smoke: no query exceeds the flat per-query budget") {
+    val budget = 2.0 // seconds; typical cost is 0.05-0.3 s at this SF
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val t = minOfTwo(() => q(spark, sf).count())
+        if (t > budget) Some(s"$name: ${f"$t%.2f"} s") else None
+    }
+    assert(over.isEmpty,
+      s"queries over the ${budget} s sf0.001 budget: ${over.mkString(", ")}")
+  }
+
+  test("sf0.1 heavy queries stay within 2.5x of their recorded cost") {
+    val heavy = Seq("llm_simjoin_lsh", "llm_simjoin_lsh_bucketed",
+      "llm_dedup_embcos", "llm_pipeline", "llm_corpus", "llm_minhash",
+      "join_bucketed", "llm_dedup_jaccard", "llm_langid", "scan_orc",
+      "sink_partition_overwrite")
+    val measured = heavy.map { name =>
+      // same shield Bench applies: the measurement budgets the query's own
+      // cost, not whichever major GC the preceding queries' garbage buys
+      System.gc()
+      name -> minOfTwo(() => SparkEntry.queries(name)(spark, sf01).count())
+    }
+    if (sys.env.get("GRAFT_BENCH_REGEN").contains("1")) {
+      val json = measured.map { case (n, t) => s""""$n": ${f"$t%.3f"}""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n")
+      java.nio.file.Files.write(budgetFile.toPath, json.getBytes("UTF-8"))
+      info(s"regenerated ${budgetFile.getPath}")
+    } else {
+      assert(budgetFile.exists(),
+        s"missing ${budgetFile.getPath} — run with GRAFT_BENCH_REGEN=1")
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
+      val base = """"([a-z_0-9]+)":\s*([0-9.]+)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val over = measured.flatMap { case (name, t) =>
+        val b = base.getOrElse(name,
+          fail(s"$name missing from ${budgetFile.getPath} — regen it"))
+        if (t > 2.5 * b) Some(s"$name: ${f"$t%.2f"} s vs budget ${f"${2.5 * b}%.2f"}")
+        else None
+      }
+      assert(over.isEmpty,
+        s"heavy queries over budget: ${over.mkString(", ")}")
+    }
+  }
+}
