@@ -31,21 +31,30 @@ class BenchGuardSpec extends SparkTestBase {
   }
 
   test("sf0.001 smoke: no query exceeds the flat per-query budget") {
-    val budget = 2.0 // seconds; typical cost is 0.05-0.3 s at this SF
+    // convergence-verified iterative queries (CC closure / pointer
+    // jumping) carry ~4 small fixed jobs per round regardless of SF —
+    // their floor is round overhead, not data, so they get a wider budget
+    val iterative = Set("llm_dedup_embcos", "llm_dedup_text",
+      "asana_task_roots")
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
+        val budget = if (iterative(name)) 4.0 else 2.0
+        // same shield Bench applies to the allocation-heavy queries: a
+        // 111-query sequence queues major GCs that land on whichever
+        // query runs next — budget the query, not the collector
+        if (iterative(name) || name.startsWith("llm_simjoin")) System.gc()
         val t = minOfTwo(() => q(spark, sf).count())
         if (t > budget) Some(s"$name: ${f"$t%.2f"} s") else None
     }
     assert(over.isEmpty,
-      s"queries over the ${budget} s sf0.001 budget: ${over.mkString(", ")}")
+      s"queries over the sf0.001 budget: ${over.mkString(", ")}")
   }
 
   test("sf0.1 heavy queries stay within 2.5x of their recorded cost") {
     val heavy = Seq("llm_simjoin_lsh", "llm_simjoin_lsh_bucketed",
-      "llm_dedup_embcos", "llm_pipeline", "llm_corpus", "llm_minhash",
-      "join_bucketed", "llm_dedup_jaccard", "llm_langid", "scan_orc",
-      "sink_partition_overwrite")
+      "llm_dedup_embcos", "llm_dedup_text", "llm_pipeline", "llm_corpus",
+      "llm_minhash", "join_bucketed", "llm_dedup_jaccard", "llm_langid",
+      "scan_orc", "sink_partition_overwrite")
     val measured = heavy.map { name =>
       // same shield Bench applies: the measurement budgets the query's own
       // cost, not whichever major GC the preceding queries' garbage buys

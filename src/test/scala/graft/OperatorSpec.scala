@@ -179,6 +179,24 @@ class OperatorSpec extends SparkTestBase {
       s"bucketed path diverged: ${bucketed.size} vs ${inflight.size} rows")
   }
 
+  test("llm_dedup_text: canonicals are survivors; victims match jaccard pairs") {
+    val out = ops.Llm.llm_dedup_text(spark, sf).collect()
+    val survivors = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val canonicals = out.map(r => r.getLong(3)).toSet
+    assert(canonicals.subsetOf(survivors),
+      s"non-survivor canonicals: ${canonicals -- survivors}")
+    // every doc named in a verified τ≥0.8 pair must sit in a group with
+    // at least one other member (its canonical differs OR it absorbs)
+    val paired = ops.Llm.llm_dedup_jaccard(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val grouped = out.filter(r =>
+      r.getLong(3) != r.getLong(0) ||
+        out.exists(o => o.getLong(0) != r.getLong(0) &&
+          o.getLong(3) == r.getLong(0))).map(_.getLong(0)).toSet
+    assert(paired.subsetOf(grouped),
+      s"paired docs left ungrouped: ${paired -- grouped}")
+  }
+
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
     val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
     val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)
