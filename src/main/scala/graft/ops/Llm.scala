@@ -220,6 +220,31 @@ object Llm {
   private val SimjoinBroadcastRows = 2000000L
 
   val llm_simjoin: Q = (s, d) => {
+    // limit+count stops scanning at the budget instead of paying a full
+    // pass just to learn the table is too big
+    val cnt = probeRows(s, d, SimjoinBroadcastRows)
+    require(cnt <= SimjoinBroadcastRows,
+      s"llm_simjoin: build side exceeds the $SimjoinBroadcastRows-row " +
+        "broadcast budget — use llm_simjoin_lsh (banded LSH candidates + " +
+        "exact rerank) at this scale")
+    simjoinExactUnguarded(s, d)
+  }
+
+  /** early-stopping row probe shared by the guard and the dispatcher —
+    * ONE bounded scan wherever the caller enters (the round-3 double-probe
+    * on the dispatcher's exact branch folded away). */
+  private def probeRows(s: org.apache.spark.sql.SparkSession, d: String,
+      budget: Long): Long = {
+    import s.implicits._
+    embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .limit(math.min(budget + 1, Int.MaxValue.toLong).toInt).count()
+  }
+
+  /** the broadcast kernel itself; callers MUST have applied the row-budget
+    * guard (llm_simjoin's require or simjoinAuto's dispatch probe). */
+  private def simjoinExactUnguarded(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     import s.implicits._
     val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])]
@@ -228,13 +253,6 @@ object Llm {
       while (i < x.length) { acc += x(i) * y(i); i += 1 }
       acc
     }
-    // limit+count stops scanning at the budget instead of paying a full
-    // pass just to learn the table is too big
-    val cnt = rows.limit((SimjoinBroadcastRows + 1).toInt).count()
-    require(cnt <= SimjoinBroadcastRows,
-      s"llm_simjoin: build side exceeds the $SimjoinBroadcastRows-row " +
-        "broadcast budget — use llm_simjoin_lsh (banded LSH candidates + " +
-        "exact rerank) at this scale")
     val side = rows.collect().sortBy(_._1)
       .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
     val bc = s.sparkContext.broadcast(side)
@@ -440,24 +458,19 @@ object Llm {
     * picks the exact broadcast kernel under the row budget, the banded-LSH
     * candidate path above it — the dispatch a user-facing API performs so
     * callers never hit the guard's require. The dispatch threshold is
-    * capped at [[SimjoinBroadcastRows]] (llm_simjoin's internal guard
-    * re-checks that bound, so a larger budget here could only re-arm the
-    * failure this dispatcher exists to prevent); lowering it below the
-    * cap is the test seam. The probe is an early-stopping limit+count —
-    * one bounded scan, duplicated once inside llm_simjoin's own guard on
-    * the exact branch: the price of keeping the two entry points
-    * independently safe. Under the budget the output is llm_simjoin's
-    * exactly (same oracle); above it, llm_simjoin_lsh's (identical sims,
-    * probabilistic recall). */
+    * capped at [[SimjoinBroadcastRows]] (a larger budget here could only
+    * re-arm the failure this dispatcher exists to prevent); lowering it
+    * below the cap is the test seam. The probe is an early-stopping
+    * limit+count — ONE bounded scan, shared with llm_simjoin's guard via
+    * probeRows, and the exact branch enters the kernel directly so the
+    * probe is not paid twice. Under the budget the output is
+    * llm_simjoin's exactly (same oracle); above it, llm_simjoin_lsh's
+    * (identical sims, probabilistic recall). */
   private[graft] def simjoinAuto(s: org.apache.spark.sql.SparkSession,
       d: String, budget: Long = SimjoinBroadcastRows): DataFrame = {
-    import s.implicits._
     val eff = math.min(budget, SimjoinBroadcastRows)
-    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])]
-    val probe = math.min(eff + 1, Int.MaxValue.toLong).toInt
-    val cnt = rows.limit(probe).count()
-    if (cnt <= eff) llm_simjoin(s, d) else llm_simjoin_lsh(s, d)
+    val cnt = probeRows(s, d, eff)
+    if (cnt <= eff) simjoinExactUnguarded(s, d) else llm_simjoin_lsh(s, d)
   }
 
   val llm_simjoin_auto: Q = (s, d) => simjoinAuto(s, d)
@@ -612,28 +625,35 @@ object Llm {
     * self-join and closes them with recursive-CTE reachability: a
     * different candidate strategy AND a different closure strategy). */
   val llm_dedup_text: Q = (s, d) => {
-    val sh = shingleRows(s, d)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val b = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    val verified = minhashCandidates(s, d)
-      .join(a, "doc_a")
-      .join(b, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
-      .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .where(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
-        >= 0.8)
-    val comp = connectedComponents(
-      verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
-      key = "llm_text_cc")
-      .select(col("gid").as("doc_id"), col("comp"))
-    documents(s, d)
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        (col("comp").isNull || col("comp") === col("doc_id")).as("survives"),
-        coalesce(col("comp"), col("doc_id")).as("canonical"))
-      .orderBy("doc_id")
+    // the shingle kernel feeds BOTH the MinHash signatures and the exact
+    // verify join; caching it lets Spark's canonicalized-plan cache serve
+    // the second consumer too (minhashCandidates builds an identical
+    // shingle plan). Safe to release after connectedComponents returns:
+    // the loop materializes the labels (localCheckpoint) eagerly.
+    val sh = shingleRows(s, d).cache()
+    try {
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"))
+      val b = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"),
+        col("sz").as("sz_b"))
+      val verified = minhashCandidates(s, d)
+        .join(a, "doc_a")
+        .join(b, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
+        .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          >= 0.8)
+      val comp = connectedComponents(
+        verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        key = "llm_text_cc")
+        .select(col("gid").as("doc_id"), col("comp"))
+      documents(s, d)
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          (col("comp").isNull || col("comp") === col("doc_id")).as("survives"),
+          coalesce(col("comp"), col("doc_id")).as("canonical"))
+        .orderBy("doc_id")
+    } finally sh.unpersist(blocking = false)
   }
 
   /** kNN (k=10) majority-vote label prediction: queries vec_id<20, corpus
