@@ -278,8 +278,8 @@ object Llm {
     * threshold where per-pair miss is ~1e-3; these constants are tuned for
     * isotropic noise at τ=0.4 — LSH's hardest regime — and a real near-dup
     * corpus (τ ≥ 0.8) would need far fewer bands. */
-  private val LshBands = 256
-  private val LshRowsPerBand = 8
+  private[graft] val LshBands = 256
+  private[graft] val LshRowsPerBand = 8
 
   /** Deterministic Rademacher hyperplanes (n planes × 64 dims, ±1 entries
     * from a splitmix64 of the cell index) — no driver randomness, so the

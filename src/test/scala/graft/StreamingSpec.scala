@@ -235,6 +235,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("incremental LSH dedup: streamed vectors join the persisted band table") {
+    // the 100 TB incremental-ingest shape: the full corpus's band table
+    // sits persisted (bucketed on band_key, pay-layout-once); an arriving
+    // batch streams in, gets banded by the SAME deterministic hyperplanes,
+    // and a stream-STATIC equi-join on band_key yields its near-dup
+    // candidates against the whole corpus without reshuffling it. Replaying
+    // the corpus itself as the stream must reproduce the batch candidate
+    // set exactly.
+    import spark.implicits._
+    val bandTable = ops.Llm.lshBandTable(spark, sf)
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+    val banded = ops.Llm.lshBandedVecs(stream,
+      ops.Llm.LshBands, ops.Llm.LshRowsPerBand)
+    val cand = banded
+      .join(bandTable.select(col("band_key").as("bk"), col("vec_id").as("b")),
+        col("band_key") === col("bk") && col("vec_id") < col("b"))
+      .select(col("vec_id").as("a"), col("b"))
+      .dropDuplicates("a", "b")
+    val q = cand.writeStream.format("memory").queryName("lsh_inc")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT a, b FROM lsh_inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = ops.Llm.lshCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed candidates diverge from batch: missing ${(batch -- streamed).take(5)}, extra ${(streamed -- batch).take(5)}")
+  }
+
   test("foreachBatch + dynamic partition overwrite = incremental upsert sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
