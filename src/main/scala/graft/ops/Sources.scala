@@ -496,6 +496,34 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** Small-file compaction — the sink-maintenance operator every
+    * incremental 100 TB pipeline needs: appends leave one file per writing
+    * task per batch, and a year of 15-minute batches turns a partition
+    * into tens of thousands of files whose open/footer cost dominates
+    * reads. The query builds a deliberately fragmented layout (repartition
+    * before the partitioned write → many files per year), then compacts:
+    * read back, repartition ON the partition column so each year's rows
+    * co-locate in one task, write to the compacted location (new files
+    * then swap, the way real compactors do — Spark refuses an in-place
+    * overwrite of a path it is reading). Content invariance is the oracle
+    * check; the file-count collapse (16× fewer) is unit-asserted. */
+  val sink_compact: Q = (s, d) => {
+    import graft.util.Det._
+    val fragDir = sinkDir(s, d, "compact_frag")
+    val outDir = sinkDir(s, d, "compact_done")
+    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    src.repartition(16)
+      .write.mode("overwrite").partitionBy("o_year").parquet(fragDir)
+    s.read.parquet(fragDir)
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
   /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
     * binary column and derives "image" features per partition via a typed
     * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
@@ -539,6 +567,7 @@ object Sources {
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "sink_dpp" -> sink_dpp,
+    "sink_compact" -> sink_compact,
     "llm_mm_features" -> llm_mm_features,
   )
 
@@ -738,6 +767,13 @@ object Sources {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders WHERE year(o_orderdate) <= 1994
          GROUP BY 1 ORDER BY 1""",
+    // compaction must be content-invariant: the aggregate over the
+    // compacted sink equals the same aggregate over the source table
+    "sink_compact" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "llm_mm_features" ->
       """SELECT doc_id,
              CAST(64 + length(text) % 64 AS INT) AS width,

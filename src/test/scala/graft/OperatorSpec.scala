@@ -462,6 +462,23 @@ class OperatorSpec extends SparkTestBase {
     assert(out.count() == out.select("text_key").distinct().count())
   }
 
+  test("sink_compact collapses the fragmented layout to one file per partition") {
+    ops.Sources.sink_compact(spark, sf).count()
+    val appRoot = new java.io.File(
+      s"/tmp/graft_sink/${spark.sparkContext.applicationId}")
+    def filesPerYear(prefix: String): Seq[Int] = {
+      val d = appRoot.listFiles().find(_.getName.startsWith(prefix)).get
+      d.listFiles().filter(_.getName.startsWith("o_year="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    }
+    val frag = filesPerYear("compact_frag_")
+    val done = filesPerYear("compact_done_")
+    assert(frag.nonEmpty && frag.forall(_ >= 8),
+      s"fixture layout not fragmented: $frag files per year")
+    assert(done.nonEmpty && done.forall(_ == 1),
+      s"compaction left multiple files per year: $done")
+  }
+
   test("sinks: csv and json round-trip a query result losslessly") {
     import org.apache.spark.sql.types._
     val out = ops.Relational.agg_pricing(spark, sf)
