@@ -496,6 +496,35 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** Malformed-input tolerance — the ingest reality a 100 TB pipeline
+    * meets on day one: scraped/exported JSONL always carries broken lines,
+    * and the scan must quarantine them WITHOUT dropping the batch or
+    * silently losing good rows. PERMISSIVE mode routes each unparseable
+    * line to `_corrupt_record` (all data fields null) while every valid
+    * line parses normally; the query rolls both up so the oracle checks
+    * the good rows' content AND the corrupt count in one result. The
+    * fixture's corrupt lines are self-terminating garbage — an
+    * UNTERMINATED object makes engines disagree about where the next
+    * record starts (measured: DuckDB swallowed the following valid line),
+    * which is a fact about malformed-input semantics worth pinning. */
+  val scan_jsonl_malformed: Q = (s, _) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("amount", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$fixtureDir/../malformed/records.jsonl")
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("kind")).as("kind"), col("amount"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("amount"), lit(0L)).as("sum_amount"))
+      .orderBy("kind")
+  }
+
   /** Small-file compaction — the sink-maintenance operator every
     * incremental 100 TB pipeline needs: appends leave one file per writing
     * task per batch, and a year of 15-minute batches turns a partition
@@ -568,6 +597,7 @@ object Sources {
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "sink_dpp" -> sink_dpp,
     "sink_compact" -> sink_compact,
+    "scan_jsonl_malformed" -> scan_jsonl_malformed,
     "llm_mm_features" -> llm_mm_features,
   )
 
@@ -767,6 +797,17 @@ object Sources {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders WHERE year(o_orderdate) <= 1994
          GROUP BY 1 ORDER BY 1""",
+    // DuckDB's ignore_errors turns each self-terminating corrupt line into
+    // an all-NULL row — the same per-line quarantine PERMISSIVE gives
+    // Spark, so the two engines agree on good content AND corrupt count
+    "scan_jsonl_malformed" ->
+      s"""SELECT coalesce(kind, '_corrupt') AS kind,
+              count(1) AS n,
+              CAST(coalesce(sum(amount), 0) AS BIGINT) AS sum_amount
+          FROM read_json('$fixtureDir/../malformed/records.jsonl',
+              format='newline_delimited', ignore_errors=true,
+              columns={'id':'BIGINT','kind':'VARCHAR','amount':'BIGINT'})
+          GROUP BY 1 ORDER BY 1""",
     // compaction must be content-invariant: the aggregate over the
     // compacted sink equals the same aggregate over the source table
     "sink_compact" ->
