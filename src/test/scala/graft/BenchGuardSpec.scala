@@ -54,7 +54,7 @@ class BenchGuardSpec extends SparkTestBase {
     val heavy = Seq("llm_simjoin_lsh", "llm_simjoin_lsh_bucketed",
       "llm_dedup_embcos", "llm_dedup_text", "llm_pipeline", "llm_corpus",
       "llm_minhash", "join_bucketed", "llm_dedup_jaccard", "llm_langid",
-      "scan_orc", "sink_partition_overwrite")
+      "scan_orc", "sink_partition_overwrite", "sink_compact")
     val measured = heavy.map { name =>
       // same shield Bench applies: the measurement budgets the query's own
       // cost, not whichever major GC the preceding queries' garbage buys
