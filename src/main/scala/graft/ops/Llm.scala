@@ -414,31 +414,19 @@ object Llm {
     // data), so a later invocation in the same JVM — bench's second pass,
     // every incremental re-dedup in the 100 TB story — reads the existing
     // bucketed table instead of rebuilding it. That reuse, not the first
-    // write, is what the persisted index buys.
-    if (bandTableBuilt.add(t)) {
-      val warehouse =
-        graft.util.AppCleanup.localFile(s.conf.get("spark.sql.warehouse.dir"))
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      // crash leftovers: the catalog is empty in a fresh JVM but the old
-      // directory survives and saveAsTable refuses the location (lowercased
-      // on disk, per the join_bucketed finding)
-      graft.util.AppCleanup.recursiveDelete(
-        new java.io.File(warehouse, t.toLowerCase))
-      val appTag = s.sparkContext.applicationId
-        .replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
-      graft.util.AppCleanup.onExit(
-        s"graft_lshband_${s.sparkContext.applicationId}") {
-        val entries = warehouse.listFiles()
-        if (entries != null)
-          entries.filter(_.getName.toLowerCase.contains(appTag))
-            .foreach(graft.util.AppCleanup.recursiveDelete)
-      }
+    // write, is what the persisted index buys. Memoized only AFTER the
+    // write succeeds: recording intent up front would poison every later
+    // invocation in the JVM when a first build fails mid-save.
+    if (!bandTableBuilt.contains(t)) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_lshband")
+      graft.util.AppCleanup.resetTable(s, t)
       lshBandedVecs(
         embDouble(s, d).select(col("vec_id"), col("emb"))
           .as[(Long, Array[Double])],
         LshBands, LshRowsPerBand)
         .write.bucketBy(8, "band_key").sortBy("band_key")
         .mode("overwrite").saveAsTable(t)
+      bandTableBuilt.add(t)
     }
     s.table(t)
   }
@@ -751,10 +739,11 @@ object Llm {
   /** spherical k-means training for the coarse quantizer: Lloyd's
     * iterations from the deterministic vec_id 0..15 init. Each round is
     * ONE distributed pass — assign every vector to its nearest centroid
-    * by cosine and tree-aggregate the per-cell sums of UNIT vectors (k×dim
-    * doubles + k longs per partition, the classic Spark k-means shape) —
-    * so driver work stays bounded at k vectors per round regardless of
-    * corpus size. An emptied cell keeps its previous centroid (magnitude
+    * by cosine and accumulate the per-cell sums of UNIT vectors (k×dim
+    * doubles + k longs per partition, the classic Spark k-means shape;
+    * partials folded on the driver in partition-index order so the float
+    * sums are run-to-run reproducible) — driver work stays bounded at
+    * k×partitions, regardless of corpus size. An emptied cell keeps its previous centroid (magnitude
     * is irrelevant under cosine). At 100 TB unbalanced inverted lists
     * wreck probe cost; training is what bounds the biggest list. */
   private[graft] def trainIvfCentroids(s: org.apache.spark.sql.SparkSession,
@@ -776,10 +765,18 @@ object Llm {
     var it = 0
     while (it < iters) {
       val bc = s.sparkContext.broadcast(cent)
-      val (sums, counts) = rows.rdd.treeAggregate(
-        (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
-        seqOp = { case ((acc, cnt), (_, v)) =>
-          val c = bc.value
+      // per-partition partials collected WITH their partition index and
+      // folded on the driver in index order: double addition is not
+      // associative, and treeAggregate's reduce merges partials in
+      // task-completion order — run-to-run jitter in centroid low bits
+      // can flip a near-tied cell assignment. Partials are k×dim doubles
+      // per partition (a few KB each), so the collect is bounded by
+      // partition count, not data.
+      val partials = rows.rdd.mapPartitionsWithIndex { (idx, part) =>
+        val c = bc.value
+        val acc = Array.fill(c.length)(new Array[Double](dim))
+        val cnt = new Array[Long](c.length)
+        part.foreach { case (_, v) =>
           var best = 0; var bs = -2.0; var i = 0
           while (i < c.length) {
             val sim = cosArr(v, c(i))
@@ -790,18 +787,20 @@ object Llm {
           var j = 0
           while (j < dim) { acc(best)(j) += v(j) / n; j += 1 }
           cnt(best) += 1
-          (acc, cnt)
-        },
-        combOp = { case ((a1, c1), (a2, c2)) =>
-          var i = 0
-          while (i < k) {
-            var j = 0
-            while (j < dim) { a1(i)(j) += a2(i)(j); j += 1 }
-            c1(i) += c2(i); i += 1
-          }
-          (a1, c1)
-        })
+        }
+        Iterator((idx, acc, cnt))
+      }.collect().sortBy(_._1)
       bc.destroy()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, acc, cnt) =>
+        var i = 0
+        while (i < k) {
+          var j = 0
+          while (j < dim) { sums(i)(j) += acc(i)(j); j += 1 }
+          counts(i) += cnt(i); i += 1
+        }
+      }
       cent = Array.tabulate(k) { i =>
         if (counts(i) == 0L) cent(i) else sums(i)
       }

@@ -233,29 +233,9 @@ object Relational {
     val tag = (s.sparkContext.applicationId + "_" + d)
       .replaceAll("[^a-zA-Z0-9]", "_")
     val custT = s"graft_cust_$tag"; val ordT = s"graft_ord_$tag"
-    // Hadoop Path, not java.net.URI: Spark accepts plain paths (spaces
-    // and all) for warehouse.dir, which a bare URI parse rejects
-    val warehouse =
-      graft.util.AppCleanup.localFile(s.conf.get("spark.sql.warehouse.dir"))
-    // the catalog lowercases table names on saveAsTable, so warehouse
-    // directories are lowercase even when the sfDir-derived tag isn't —
-    // the crash-leftover delete and the shutdown-hook filter must match
-    // the on-disk casing on a case-sensitive FS
-    def reset(t: String): Unit = {
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      graft.util.AppCleanup.recursiveDelete(
-        new java.io.File(warehouse, t.toLowerCase))
-    }
-    val appTag = s.sparkContext.applicationId
-      .replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
-    graft.util.AppCleanup.onExit(
-      s"graft_bucketed_${s.sparkContext.applicationId}") {
-      val entries = warehouse.listFiles()
-      if (entries != null)
-        entries.filter(_.getName.toLowerCase.contains(appTag))
-          .foreach(graft.util.AppCleanup.recursiveDelete)
-    }
-    reset(custT); reset(ordT)
+    graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_bucketed")
+    graft.util.AppCleanup.resetTable(s, custT)
+    graft.util.AppCleanup.resetTable(s, ordT)
     customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable(custT)
     orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")

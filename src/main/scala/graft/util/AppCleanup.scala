@@ -22,4 +22,31 @@ object AppCleanup {
     * local File via Hadoop's Path parsing, the way Spark itself does. */
   def localFile(confValue: String): java.io.File =
     new java.io.File(new org.apache.hadoop.fs.Path(confValue).toUri.getPath)
+
+  /** Drop a warehouse table AND its directory — the catalog of a fresh JVM
+    * has no entry for a crash leftover, but the directory survives and
+    * saveAsTable refuses the location. The catalog lowercases table names
+    * on saveAsTable, so the on-disk delete must match that casing. */
+  def resetTable(s: org.apache.spark.sql.SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    recursiveDelete(new java.io.File(
+      localFile(s.conf.get("spark.sql.warehouse.dir")), t.toLowerCase))
+  }
+
+  /** Register the once-per-application shutdown hook that removes every
+    * warehouse entry carrying this application's id (lowercased, matching
+    * the catalog's on-disk casing) — shared by all queries that persist
+    * bucketed tables, so the casing/URI rules live in one place. */
+  def registerWarehouseCleanup(s: org.apache.spark.sql.SparkSession,
+      key: String): Unit = {
+    val warehouse = localFile(s.conf.get("spark.sql.warehouse.dir"))
+    val appTag = s.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    onExit(s"${key}_${s.sparkContext.applicationId}") {
+      val entries = warehouse.listFiles()
+      if (entries != null)
+        entries.filter(_.getName.toLowerCase.contains(appTag))
+          .foreach(recursiveDelete)
+    }
+  }
 }

@@ -42,7 +42,14 @@ object Iterate {
     * JVM (warmup + two passes), which would pin three label-table copies in
     * executor storage. Registering the result under the query's key
     * releases the PREVIOUS invocation's blocks the moment the new result is
-    * materialized, bounding retention to one live copy per query. */
+    * materialized, bounding retention to one live copy per query.
+    *
+    * CONTRACT for callers: the blocks are localCheckpointed (lineage
+    * truncated, unrecoverable once dropped), so re-running the same query
+    * INVALIDATES the previously returned DataFrame — consume (collect/
+    * write) each invocation's result before invoking the query again.
+    * Verify, Bench, and the specs all do; a caller holding two live
+    * results of one query would need per-invocation keys instead. */
   def registerResult(key: String, rdd: RDD[Row]): Unit = {
     val prev = lastResult.put(key, rdd)
     if (prev != null && (prev ne rdd)) prev.unpersist(blocking = false)

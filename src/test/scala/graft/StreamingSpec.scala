@@ -259,7 +259,7 @@ class StreamingSpec extends SparkTestBase {
       .dropDuplicates("a", "b")
     val q = cand.writeStream.format("memory").queryName("lsh_inc")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "incremental LSH run did not drain")
     val streamed = spark.sql("SELECT a, b FROM lsh_inc").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val batch = ops.Llm.lshCandidates(spark, sf).collect()
