@@ -6,6 +6,8 @@ import org.apache.spark.sql.types.StructType
 import graft.util.Tables._
 
 /** Decoded-payload feature record for [[Sources.llm_mm_features]]. */
+case class MMFrame(doc_id: Long, frame_idx: Int, checksum: Long, p0: Double)
+
 case class MMFeatures(doc_id: Long, width: Int, height: Int,
     mean_intensity: Double)
 
@@ -525,6 +527,34 @@ object Sources {
       .orderBy("kind")
   }
 
+  /** Frame sampling over "video" binary payloads — the one-to-many batch
+    * shape real frame extraction produces (doc → sampled frames), with a
+    * pooled "resize" per frame: the payload splits into complete 32-byte
+    * frames, every 4th frame is sampled, and each sampled frame emits a
+    * checksum plus its first 4:1 average-pooled pixel. Decode is the same
+    * deterministic byte-arithmetic STUB as llm_mm_features (no codec libs
+    * in this container); the Spark-side plumbing — typed flatMap fan-out,
+    * per-frame rows, partition-parallel iteration — is the real thing.
+    * The fixture text is ASCII (the llm_mm_features oracle already relies
+    * on bytes == chars), so DuckDB mirrors the byte math with ascii(). */
+  val llm_mm_frames: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nFrames = bytes.length / 32
+        (0 until nFrames by 4).iterator.map { k =>
+          val frame = bytes.slice(k * 32, k * 32 + 32)
+          MMFrame(id, k,
+            frame.map(b => (b & 0xff).toLong).sum,
+            frame.take(4).map(b => b & 0xff).sum / 4.0)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Small-file compaction — the sink-maintenance operator every
     * incremental 100 TB pipeline needs: appends leave one file per writing
     * task per batch, and a year of 15-minute batches turns a partition
@@ -599,6 +629,7 @@ object Sources {
     "sink_compact" -> sink_compact,
     "scan_jsonl_malformed" -> scan_jsonl_malformed,
     "llm_mm_features" -> llm_mm_features,
+    "llm_mm_frames" -> llm_mm_frames,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -821,5 +852,20 @@ object Sources {
              CAST(64 + (length(text) // 64) % 64 AS INT) AS height,
              list_aggregate(list_transform(range(1, 17), i -> ascii(text[i])), 'sum') / 16.0 AS mean_intensity
          FROM documents ORDER BY doc_id""",
+    // frame k covers 1-based chars [k*32+1, k*32+32]; only complete
+    // frames, every 4th sampled — mirroring the typed flatMap's byte math
+    "llm_mm_frames" ->
+      """SELECT doc_id, CAST(k AS INT) AS frame_idx,
+             CAST(list_aggregate(list_transform(range(1, 33),
+                 i -> ascii(text[CAST(k * 32 + i AS INT)])), 'sum') AS BIGINT)
+               AS checksum,
+             list_aggregate(list_transform(range(1, 5),
+                 i -> ascii(text[CAST(k * 32 + i AS INT)])), 'sum') / 4.0
+               AS p0
+         FROM (SELECT doc_id, text,
+                   unnest(range(0, length(text) // 32)) AS k
+               FROM documents)
+         WHERE k % 4 = 0
+         ORDER BY doc_id, frame_idx""",
   )
 }
