@@ -10,7 +10,7 @@ package graft
   *    (min of two passes) — catches an accidental collect-loop, a lost
   *    pushdown, or a new O(n²) kernel in ANY query;
   *  - the heavy queries (≥ ~1 s in bench.json) re-run at sf0.1 against
-  *    per-query budgets = 2.5× their recorded steady-state cost, with the
+  *    per-query budgets = 3× their recorded steady-state cost, with the
   *    same targeted pre-GC Bench applies, so the budget tests the plan,
   *    not major-GC placement (the documented run-order effect).
   *
@@ -50,7 +50,13 @@ class BenchGuardSpec extends SparkTestBase {
       s"queries over the sf0.001 budget: ${over.mkString(", ")}")
   }
 
-  test("sf0.1 heavy queries stay within 2.5x of their recorded cost") {
+  test("sf0.1 heavy queries stay within 3x of their recorded cost") {
+    // Bench-style preamble: when the whole suite runs, earlier suites
+    // leave cached blocks and queued garbage that tax whichever heavy
+    // query measures first — start from a clean heap (the r3 lesson)
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(1000)
     val heavy = Seq("llm_simjoin_lsh", "llm_simjoin_lsh_bucketed",
       "llm_dedup_embcos", "llm_dedup_text", "llm_pipeline", "llm_corpus",
       "llm_minhash", "join_bucketed", "llm_dedup_jaccard", "llm_langid",
@@ -76,7 +82,7 @@ class BenchGuardSpec extends SparkTestBase {
       val over = measured.flatMap { case (name, t) =>
         val b = base.getOrElse(name,
           fail(s"$name missing from ${budgetFile.getPath} — regen it"))
-        if (t > 2.5 * b) Some(s"$name: ${f"$t%.2f"} s vs budget ${f"${2.5 * b}%.2f"}")
+        if (t > 3.0 * b) Some(s"$name: ${f"$t%.2f"} s vs budget ${f"${3.0 * b}%.2f"}")
         else None
       }
       assert(over.isEmpty,
