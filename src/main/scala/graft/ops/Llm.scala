@@ -644,6 +644,33 @@ object Llm {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** int8 scalar quantization of embeddings — the storage-scale op a
+    * 100 TB vector store runs before anything else (4× smaller than f32,
+    * 8× smaller than f64; IVF/LSH probes then rerank on the dequantized
+    * codes). Per-vector affine codes: floor((x−min)/scale) with
+    * scale=(max−min)/255 — floor, not round, because a half-boundary
+    * round diverges between engines (CLAUDE.md invariant) while floor on
+    * bit-identical IEEE inputs cannot. A constant vector (scale 0) maps
+    * to code 0. Output stays scalar (code sum, first code, extrema) so
+    * the oracle hash-compares without array columns; reconstruction
+    * error is bounded by scale/2 per coordinate by construction. */
+  val llm_embed_quantize: Q = (s, d) => {
+    val e = embDouble(s, d)
+      .withColumn("vmin", array_min(col("emb")))
+      .withColumn("vmax", array_max(col("emb")))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(col("emb"), _ => lit(0).cast("int")))
+        .otherwise(transform(col("emb"),
+          x => floor((x - col("vmin")) / col("scale")).cast("int"))))
+    e.select(col("vec_id"), col("vmin"), col("vmax"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x)
+          .as("code_sum"),
+        element_at(col("codes"), 1).as("code0"))
+      .orderBy("vec_id")
+  }
+
   /** kNN (k=10) majority-vote label prediction: queries vec_id<20, corpus
     * vec_id≥20; vote ties broken by smallest label — fully deterministic. */
   val llm_knn_classify: Q = (s, d) => {
@@ -1152,6 +1179,7 @@ object Llm {
     "llm_simjoin_auto" -> llm_simjoin_auto,
     "llm_dedup_embcos" -> llm_dedup_embcos,
     "llm_dedup_text" -> llm_dedup_text,
+    "llm_embed_quantize" -> llm_embed_quantize,
     "llm_knn_native" -> llm_knn_native,
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
@@ -1305,6 +1333,29 @@ object Llm {
               coalesce(c.comp, e.vec_id) AS canonical
           FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.v
           ORDER BY e.vec_id""",
+    // floor on bit-identical IEEE inputs is engine-stable (a half-boundary
+    // round is not — CLAUDE.md); the same affine code arithmetic in the
+    // same evaluation order hash-matches exactly
+    "llm_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, emb,
+               list_aggregate(emb, 'min') AS vmin,
+               list_aggregate(emb, 'max') AS vmax
+           FROM e),
+         q AS (
+           SELECT vec_id, emb, vmin, vmax, (vmax - vmin) / 255.0 AS scale
+           FROM m)
+         SELECT vec_id, vmin, vmax,
+             CAST(CASE WHEN scale = 0 THEN 0 ELSE
+                 list_aggregate(list_transform(emb,
+                     x -> CAST(floor((x - vmin) / scale) AS BIGINT)), 'sum')
+               END AS BIGINT) AS code_sum,
+             CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor((emb[1] - vmin) / scale) END AS INT) AS code0
+         FROM q ORDER BY vec_id""",
     // the all-pairs shingle self-join generates the pair set the LSH
     // candidates must cover (banding recall ≈ 0.9998 at τ=0.8 with these
     // deterministic hashes — proven equal by this very comparison), and
