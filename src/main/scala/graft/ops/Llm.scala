@@ -717,12 +717,22 @@ object Llm {
   /** IVF probe over a given coarse quantizer: every vector assigned to
     * its nearest centroid (one broadcast + kernel map pass — the inverted
     * lists), queries probe their 4 nearest cells and exact-rerank only
-    * those lists. Shared by the untrained and Lloyd's-trained variants. */
+    * those lists. Shared by the untrained, Lloyd's-trained, and
+    * quantized-store variants. */
   private[graft] def ivfSearch(s: org.apache.spark.sql.SparkSession,
       d: String, centroids: Array[(Long, Array[Double])]): DataFrame = {
     import s.implicits._
-    val rows = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])]
+    ivfSearchVecs(
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])],
+      centroids)
+  }
+
+  private[graft] def ivfSearchVecs(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
     val bcCent = s.sparkContext.broadcast(centroids)
     // inverted lists: nearest centroid per vector (ties → lowest cell id)
     val assigned = rows.map { case (id, v) =>
@@ -842,6 +852,38 @@ object Llm {
     * list (the property training exists to buy). */
   val llm_ann_ivf_trained: Q = (s, d) =>
     ivfSearch(s, d, trainIvfCentroids(s, d))
+
+  /** the int8 store as a typed Dataset: each vector replaced by its
+    * bin-center dequantization (vmin + (code + 0.5)·scale — per-coordinate
+    * error ≤ scale/2 by construction, property-tested). The same affine
+    * code arithmetic as [[llm_embed_quantize]]. */
+  private[graft] def dequantizedVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    import s.implicits._
+    embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val vmin = v.min
+        val scale = (v.max - vmin) / 255.0
+        val deq =
+          if (scale == 0.0) v
+          else v.map(x => vmin + (math.floor((x - vmin) / scale) + 0.5) * scale)
+        (id, deq)
+      }
+  }
+
+  /** IVF search over the int8-quantized store — the architecture a 100 TB
+    * vector corpus actually runs: codes live in the inverted lists (4–8×
+    * less storage and scan), probes assign and rerank on bin-center
+    * dequantized values. Same probe machinery as [[llm_ann_ivf]]; sims
+    * carry quantization error (≤ scale/2 per coordinate), so recall vs
+    * the full-precision ground truth is the unit-tested contract. */
+  val llm_ann_ivf_q8: Q = (s, d) => {
+    import s.implicits._
+    val rows = dequantizedVecs(s, d)
+    val centroids = rows.filter(_._1 < 16).collect().sortBy(_._1)
+    ivfSearchVecs(rows, centroids)
+  }
 
   // ----- text analysis -----------------------------------------------------
 
@@ -1184,6 +1226,7 @@ object Llm {
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
     "llm_ann_ivf_trained" -> llm_ann_ivf_trained,
+    "llm_ann_ivf_q8" -> llm_ann_ivf_q8,
     "llm_tokenize" -> llm_tokenize,
     "llm_token_count" -> llm_token_count,
     "llm_tfidf" -> llm_tfidf,

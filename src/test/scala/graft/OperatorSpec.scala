@@ -234,6 +234,24 @@ class OperatorSpec extends SparkTestBase {
     val recall = ann.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall@5 $recall (measured 0.85 at pin time)")
 
+    // quantized-store IVF: codes are 4-8x smaller, so the contract is
+    // recall against FULL-PRECISION ground truth plus the per-coordinate
+    // dequantization error bound (scale/2 by construction)
+    val q8 = ops.Llm.llm_ann_ivf_q8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ8 = q8.intersect(exact).size.toDouble / exact.size
+    assert(recallQ8 >= 0.6,
+      s"quantized IVF recall@5 $recallQ8 below the 0.6 floor")
+    val deq = ops.Llm.dequantizedVecs(spark, sf).collect().toMap
+    e.foreach { case (id, v) =>
+      val scale = (v.max - v.min) / 255.0
+      val dv = deq(id)
+      v.indices.foreach { i =>
+        assert(math.abs(dv(i) - v(i)) <= scale / 2 + 1e-12,
+          s"vec $id coord $i dequant error ${math.abs(dv(i) - v(i))} > scale/2 ${scale / 2}")
+      }
+    }
+
     // Lloyd's-trained quantizer on the same fixture: isotropic noise has
     // no structure to learn, so training is only required to hold the
     // same recall floor here (measured 0.78; the trained-beats-untrained
