@@ -415,18 +415,21 @@ object Llm {
     // every incremental re-dedup in the 100 TB story — reads the existing
     // bucketed table instead of rebuilding it. That reuse, not the first
     // write, is what the persisted index buys. Memoized only AFTER the
-    // write succeeds: recording intent up front would poison every later
-    // invocation in the JVM when a first build fails mid-save.
-    if (!bandTableBuilt.contains(t)) {
-      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_lshband")
-      graft.util.AppCleanup.resetTable(s, t)
-      lshBandedVecs(
-        embDouble(s, d).select(col("vec_id"), col("emb"))
-          .as[(Long, Array[Double])],
-        LshBands, LshRowsPerBand)
-        .write.bucketBy(8, "band_key").sortBy("band_key")
-        .mode("overwrite").saveAsTable(t)
-      bandTableBuilt.add(t)
+    // write succeeds (recording intent up front would poison every later
+    // invocation when a first build fails mid-save), under a lock so two
+    // concurrent first callers cannot race reset against in-flight write.
+    bandTableBuilt.synchronized {
+      if (!bandTableBuilt.contains(t)) {
+        graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_lshband")
+        graft.util.AppCleanup.resetTable(s, t)
+        lshBandedVecs(
+          embDouble(s, d).select(col("vec_id"), col("emb"))
+            .as[(Long, Array[Double])],
+          LshBands, LshRowsPerBand)
+          .write.bucketBy(8, "band_key").sortBy("band_key")
+          .mode("overwrite").saveAsTable(t)
+        bandTableBuilt.add(t)
+      }
     }
     s.table(t)
   }
@@ -654,11 +657,19 @@ object Llm {
     * to code 0. Output stays scalar (code sum, first code, extrema) so
     * the oracle hash-compares without array columns; reconstruction
     * error is bounded by scale/2 per coordinate by construction. */
+  /** levels−1 of the int8 affine code range 0..255 — one constant shared
+    * by the Catalyst path (llm_embed_quantize) and the typed path
+    * (dequantizedVecs) so the two dialects cannot drift on the divisor;
+    * the scale==0 (constant-vector) convention is likewise pinned in both:
+    * code 0, identity dequantization. The DuckDB oracle mirrors 255.0 by
+    * hand — it is checked every verify run. */
+  private[graft] val QuantLevels = 255.0
+
   val llm_embed_quantize: Q = (s, d) => {
     val e = embDouble(s, d)
       .withColumn("vmin", array_min(col("emb")))
       .withColumn("vmax", array_max(col("emb")))
-      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(QuantLevels))
       .withColumn("codes",
         when(col("scale") === 0.0,
           transform(col("emb"), _ => lit(0).cast("int")))
@@ -763,12 +774,20 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** the seed-centroid convention in ONE place (vec_id 0..15, sorted):
+    * the untrained, trained-init, and quantized-store variants must all
+    * derive their quantizer from the same rule or they silently diverge. */
+  private[graft] def seedCentroidsVecs(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])])
+      : Array[(Long, Array[Double])] =
+    rows.filter(_._1 < 16).collect().sortBy(_._1)
+
   /** deterministic untrained quantizer: the embeddings of vec_id 0..15. */
   private[graft] def ivfSeedCentroids(s: org.apache.spark.sql.SparkSession,
       d: String): Array[(Long, Array[Double])] = {
     import s.implicits._
-    embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 < 16).collect().sortBy(_._1)
+    seedCentroidsVecs(embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])])
   }
 
   val llm_ann_ivf: Q = (s, d) => ivfSearch(s, d, ivfSeedCentroids(s, d))
@@ -864,7 +883,7 @@ object Llm {
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val vmin = v.min
-        val scale = (v.max - vmin) / 255.0
+        val scale = (v.max - vmin) / QuantLevels
         val deq =
           if (scale == 0.0) v
           else v.map(x => vmin + (math.floor((x - vmin) / scale) + 0.5) * scale)
@@ -879,10 +898,8 @@ object Llm {
     * carry quantization error (≤ scale/2 per coordinate), so recall vs
     * the full-precision ground truth is the unit-tested contract. */
   val llm_ann_ivf_q8: Q = (s, d) => {
-    import s.implicits._
     val rows = dequantizedVecs(s, d)
-    val centroids = rows.filter(_._1 < 16).collect().sortBy(_._1)
-    ivfSearchVecs(rows, centroids)
+    ivfSearchVecs(rows, seedCentroidsVecs(rows))
   }
 
   // ----- text analysis -----------------------------------------------------

@@ -6,10 +6,11 @@ import org.apache.spark.sql.types.StructType
 import graft.util.Tables._
 
 /** Decoded-payload feature record for [[Sources.llm_mm_features]]. */
-case class MMFrame(doc_id: Long, frame_idx: Int, checksum: Long, p0: Double)
-
 case class MMFeatures(doc_id: Long, width: Int, height: Int,
     mean_intensity: Double)
+
+/** Per-sampled-frame record for [[Sources.llm_mm_frames]]. */
+case class MMFrame(doc_id: Long, frame_idx: Int, checksum: Long, p0: Double)
 
 /** SURVEY.md §2-A sources beyond parquet: JSONL / CSV ingestion with
   * explicit schemas, the Asana DataSource V2 connector (fixture replay —
