@@ -219,6 +219,34 @@ object Relational {
           .as("revenue"))
       .orderBy("r_name", "n_name")
 
+  /** Salted equi-join — the manual skew weapon when one join key carries
+    * a disproportionate share of the fact rows (AQE's skew-join split is
+    * the automatic version; salting is what you reach for when the skew
+    * is known and AQE's thresholds don't trigger, or on a static plan).
+    * Fact rows fan out over SALT sub-keys via a DETERMINISTIC per-row
+    * spreader that varies WITHIN the hot join key (l_linenumber — a salt
+    * derived from the join key itself would keep each hot key in one
+    * partition and salt nothing); the dim side replicates ×SALT with an
+    * exploded sequence. The join condition adds `salt` to the equi-keys,
+    * so the shuffle hash-partitions on (key, salt) and a hot orderkey
+    * spreads across SALT partitions. Result provably equals the unsalted
+    * join (same oracle; row-identity unit test). */
+  val join_salted: Q = (s, d) => {
+    val SALT = 8
+    val fact = lineitem(s, d)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
+    val dim = orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Bucketed co-located join as a first-class query — the repeated-join
     * strategy for 100 TB fact/dim pairs: both sides written bucketed on
     * the join key (8 buckets, sorted within buckets), so the join plans
@@ -498,6 +526,7 @@ object Relational {
     "join_range" -> join_range,
     "join_asof" -> join_asof,
     "join_star" -> join_star,
+    "join_salted" -> join_salted,
     "join_bucketed" -> join_bucketed,
     "agg_pricing" -> agg_pricing,
     "agg_distinct" -> agg_distinct,
@@ -625,6 +654,13 @@ object Relational {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    // salting is a physical-plan change only (fact fan-out + dim
+    // replication cancel): the oracle is the plain unsalted join
+    "join_salted" ->
+      """SELECT o_orderstatus, count(1) AS n_lines,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the bucketed tables are a physical-layout change only: the oracle is
     // the identical join/agg over the raw source files
     "join_bucketed" ->

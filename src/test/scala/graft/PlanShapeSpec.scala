@@ -182,6 +182,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("join_salted shuffles on (key, salt) so a hot key spreads") {
+    // broadcast suppressed: at fixture scale the dim would broadcast and
+    // no exchange would exist to salt — the assertion pins the shuffled
+    // shape the operator exists for
+    withStaticPlan {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = planOf(ops.Relational.join_salted(spark, sf))
+        assert("hashpartitioning\\(l_orderkey#\\d+L?, salt#".r
+          .findFirstIn(p).isDefined,
+          s"fact exchange does not partition on (l_orderkey, salt):\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
+    }
+  }
+
   test("persisted LSH band table self-joins with zero Exchange") {
     // pay the banding + bucketed layout once, then every candidate join
     // scans co-located buckets — the repeated-dedup strategy at 100 TB.
