@@ -1175,6 +1175,170 @@ object Llm {
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("lang")
 
+  // ----- training-data hygiene ---------------------------------------------
+  // The filtering/reweighting stages a 100 TB corpus build runs between
+  // ingestion and assembly: benchmark decontamination, intra-document
+  // repetition signals, PII redaction, and source-mixture reweighting.
+  // All four are oracle-checked (pure integer/string arithmetic, no
+  // engine-specific hashes).
+
+  /** (doc_id, g) — one row per DISTINCT 5-gram word shingle. 13-grams are
+    * the published decontamination convention; 5 fits the fixtures' short
+    * synthetic docs while exercising the identical plan. Same typed-kernel
+    * rationale as [[shingleRows]] (the declarative HOF form runs
+    * interpreted per element). */
+  private def gram5Rows(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val w = text.split(" ", -1)
+          val grams = scala.collection.mutable.LinkedHashSet[String]()
+          var i = 0
+          while (i + 4 < w.length) {
+            grams.add(
+              w(i) + " " + w(i + 1) + " " + w(i + 2) + " " + w(i + 3) +
+                " " + w(i + 4))
+            i += 1
+          }
+          grams.iterator.map(g => (id, g))
+        }
+      }
+      .toDF("doc_id", "g")
+  }
+
+  /** Benchmark decontamination — the eval-overlap filter every training
+    * run needs: documents sharing any 5-gram with the held-out eval set
+    * (deterministically doc_id % 37 == 0, standing in for MMLU et al.)
+    * are flagged with their distinct-overlap count. 100 TB shape: the
+    * eval side is a benchmark suite (MBs, never corpus-sized), so its
+    * distinct grams BROADCAST and the corpus side is probed map-side —
+    * the only shuffle is the per-doc hit count's partial agg. */
+  val llm_decontaminate: Q = (s, d) => {
+    val grams = gram5Rows(s, d)
+    val evalGrams = grams.where(col("doc_id") % 37 === 0)
+      .select("g").distinct()
+    val hits = grams.where(col("doc_id") % 37 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    documents(s, d).where(col("doc_id") % 37 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition signals (Gopher-style quality filters):
+    * per-doc duplicate-{2,3}-gram fraction and top-{2,3}-gram fraction,
+    * in integer basis points (a float ratio here would hit the
+    * half-boundary divergence CLAUDE.md bans). keep mirrors the published
+    * thresholds (dup2 < 0.20, dup3 < 0.18, top2 < 0.20). Scale shape:
+    * one typed flatMap emits (doc, n, gram) instances, the count and the
+    * per-doc rollup are both partial-agg'd shuffles keyed by doc —
+    * nothing is ever corpus-wide. */
+  val llm_repetition: Q = (s, d) => {
+    import s.implicits._
+    val grams = documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val w = t.split(" ", -1)
+          val two = (0 until w.length - 1).iterator
+            .map(i => (id, 2, w(i) + " " + w(i + 1)))
+          val three = (0 until w.length - 2).iterator
+            .map(i => (id, 3, w(i) + " " + w(i + 1) + " " + w(i + 2)))
+          two ++ three
+        }
+      }
+      .toDF("doc_id", "n", "g")
+    val per = grams.groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("dist"),
+        max(col("c")).as("topc"))
+      .withColumn("dup_bp", expr("(total - dist) * 10000 div total"))
+      .withColumn("top_bp", expr("topc * 10000 div total"))
+    val pivoted = per.groupBy("doc_id").agg(
+      max(when(col("n") === 2, col("dup_bp"))).as("dup2_bp"),
+      max(when(col("n") === 2, col("top_bp"))).as("top2_bp"),
+      max(when(col("n") === 3, col("dup_bp"))).as("dup3_bp"),
+      max(when(col("n") === 3, col("top_bp"))).as("top3_bp"))
+    documents(s, d).select("doc_id")
+      .join(pivoted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup2_bp"), lit(0L)).as("dup2_bp"),
+        coalesce(col("top2_bp"), lit(0L)).as("top2_bp"),
+        coalesce(col("dup3_bp"), lit(0L)).as("dup3_bp"),
+        coalesce(col("top3_bp"), lit(0L)).as("top3_bp"))
+      .withColumn("keep",
+        col("dup2_bp") < 2000 && col("dup3_bp") < 1800 &&
+          col("top2_bp") < 2000)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — regex scrub of emails and phone numbers. The
+    * fixtures' synthetic text contains no PII, so the query INJECTS it
+    * deterministically (doc_id % 5 → an email, doc_id % 7 → a phone) and
+    * then proves the scrubber removes exactly what was injected; the
+    * oracle replays both halves, so a regex-dialect drift between engines
+    * (Java vs RE2 — patterns kept to the common subset) fails the hash.
+    * Pure map at any scale; zero shuffles but the output sort. */
+  val llm_pii_scrub: Q = (s, d) => {
+    val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val phone = "555-[0-9]{4}"
+    documents(s, d)
+      .withColumn("injected", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("injected"), lit(email), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("injected"), lit(phone), lit(0)))
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("injected"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Source-mixture reweighting — the corpus-mix step that decides how
+    * much of each source a training run consumes: per-source token
+    * inventory → deterministic target weights (1 + src index mod 4,
+    * standing in for the curated mixture table) → downsample rates that
+    * hit each source's share of a half-total token budget, every step in
+    * integer arithmetic (div + basis points; a float chain here diverges
+    * across engines). 100 TB shape: one partial-agg'd groupBy over the
+    * corpus; the totals row is a broadcast cross join — per-source rates
+    * then drive [[llm_sample]]-style map-side bucketing downstream. */
+  val llm_mixture: Q = (s, d) => {
+    val per = documents(s, d)
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+      .withColumn("weight",
+        expr("CAST(1 + CAST(substring(source, 4) AS INT) % 4 AS BIGINT)"))
+    val tot = per.agg(sum(col("weight")).as("w_tot"),
+      sum(col("sum_tokens")).as("t_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("(t_tot div 2) * weight div w_tot"))
+      .withColumn("keep_bp",
+        least(lit(10000L), expr("target_tokens * 10000 div sum_tokens")))
+      .withColumn("est_tokens", expr("sum_tokens * keep_bp div 10000"))
+      .select("source", "n_docs", "sum_tokens", "weight", "target_tokens",
+        "keep_bp", "est_tokens")
+      .orderBy("source")
+  }
+
   // ----- multimodal / UDF --------------------------------------------------
 
   /** struct + map + binary round-trip: documents ⋈ embeddings into a
@@ -1251,6 +1415,10 @@ object Llm {
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
     "llm_fingerprint" -> llm_fingerprint,
+    "llm_decontaminate" -> llm_decontaminate,
+    "llm_repetition" -> llm_repetition,
+    "llm_pii_scrub" -> llm_pii_scrub,
+    "llm_mixture" -> llm_mixture,
     "llm_sample" -> llm_sample,
     "llm_split" -> llm_split,
     "llm_pack" -> llm_pack,
@@ -1540,6 +1708,106 @@ object Llm {
                      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
                  (h, c) -> (h * 1000003 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // eval set + overlap replayed from scratch: DuckDB re-derives the
+    // 5-gram sets declaratively vs Spark's typed kernel
+    "llm_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
+         hits AS (
+           SELECT doc_id, count(1) AS n_hits
+           FROM g JOIN ev USING (g)
+           WHERE doc_id % 37 <> 0 GROUP BY doc_id)
+         SELECT d.doc_id,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""",
+    "llm_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS g FROM w
+           UNION ALL
+           SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM w),
+         c AS (SELECT doc_id, n, g, count(1) AS c FROM g GROUP BY 1, 2, 3),
+         per AS (
+           SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total,
+               count(1) AS dist, max(c) AS topc
+           FROM c GROUP BY 1, 2),
+         bp AS (
+           SELECT doc_id, n,
+               (total - dist) * 10000 // total AS dup_bp,
+               topc * 10000 // total AS top_bp
+           FROM per),
+         px AS (
+           SELECT doc_id,
+               max(CASE WHEN n = 2 THEN dup_bp END) AS dup2_bp,
+               max(CASE WHEN n = 2 THEN top_bp END) AS top2_bp,
+               max(CASE WHEN n = 3 THEN dup_bp END) AS dup3_bp,
+               max(CASE WHEN n = 3 THEN top_bp END) AS top3_bp
+           FROM bp GROUP BY doc_id)
+         SELECT d.doc_id,
+             CAST(coalesce(dup2_bp, 0) AS BIGINT) AS dup2_bp,
+             CAST(coalesce(top2_bp, 0) AS BIGINT) AS top2_bp,
+             CAST(coalesce(dup3_bp, 0) AS BIGINT) AS dup3_bp,
+             CAST(coalesce(top3_bp, 0) AS BIGINT) AS top3_bp,
+             (coalesce(dup2_bp, 0) < 2000 AND coalesce(dup3_bp, 0) < 1800
+                 AND coalesce(top2_bp, 0) < 2000) AS keep
+         FROM documents d LEFT JOIN px USING (doc_id)
+         ORDER BY d.doc_id""",
+    // same injection, same patterns (common Java/RE2 subset); DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics
+    "llm_pii_scrub" ->
+      """WITH inj AS (
+           SELECT doc_id, text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                         '@example.com' ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' call 555-' ||
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS injected
+           FROM documents)
+         SELECT doc_id,
+             CAST(len(regexp_extract_all(injected,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(injected,
+                 '555-[0-9]{4}')) AS INT) AS n_phones,
+             regexp_replace(regexp_replace(injected,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+         FROM inj ORDER BY doc_id""",
+    "llm_mixture" ->
+      """WITH per AS (
+           SELECT source, count(1) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS sum_tokens,
+               CAST(1 + CAST(substr(source, 4) AS INT) % 4 AS BIGINT)
+                   AS weight
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(weight) AS BIGINT) AS w_tot,
+               CAST(sum(sum_tokens) AS BIGINT) AS t_tot
+           FROM per)
+         SELECT source, n_docs, sum_tokens, weight,
+             (t_tot // 2) * weight // w_tot AS target_tokens,
+             least(10000, (t_tot // 2) * weight // w_tot * 10000
+                 // sum_tokens) AS keep_bp,
+             sum_tokens * least(10000, (t_tot // 2) * weight // w_tot
+                 * 10000 // sum_tokens) // 10000 AS est_tokens
+         FROM per, tot ORDER BY source""",
     "llm_sample" ->
       s"""SELECT doc_id, lang,
              $duckSampleBucket AS bucket,

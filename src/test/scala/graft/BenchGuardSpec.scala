@@ -36,18 +36,27 @@ class BenchGuardSpec extends SparkTestBase {
     // their floor is round overhead, not data, so they get a wider budget
     val iterative = Set("llm_dedup_embcos", "llm_dedup_text",
       "asana_task_roots")
-    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
+    def measureOver(names: Seq[String]): Seq[String] = names.flatMap {
+      name =>
+        val q = SparkEntry.queries(name)
         val budget = if (iterative(name)) 4.0 else 2.0
         // same shield Bench applies to the allocation-heavy queries: a
         // 111-query sequence queues major GCs that land on whichever
         // query runs next — budget the query, not the collector
         if (iterative(name) || name.startsWith("llm_simjoin")) System.gc()
         val t = minOfTwo(() => q(spark, sf).count())
-        if (t > budget) Some(s"$name: ${f"$t%.2f"} s") else None
+        if (t > budget) Some(name) else None
     }
-    assert(over.isEmpty,
-      s"queries over the sf0.001 budget: ${over.mkString(", ")}")
+    // transient ambient draws don't reproduce from a fresh heap; real
+    // regressions do (same rationale as the heavy-query confirm pass)
+    val suspects = measureOver(SparkEntry.queries.keys.toSeq.sorted)
+    val confirmed = if (suspects.isEmpty) Nil else {
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(1000)
+      measureOver(suspects)
+    }
+    assert(confirmed.isEmpty,
+      s"queries over the sf0.001 budget (confirmed on re-measure): " +
+        confirmed.mkString(", "))
   }
 
   test("sf0.1 heavy queries stay within 3x of their recorded cost") {
@@ -79,14 +88,33 @@ class BenchGuardSpec extends SparkTestBase {
         java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
       val base = """"([a-z_0-9]+)":\s*([0-9.]+)""".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val over = measured.flatMap { case (name, t) =>
-        val b = base.getOrElse(name,
-          fail(s"$name missing from ${budgetFile.getPath} — regen it"))
-        if (t > 3.0 * b) Some(s"$name: ${f"$t%.2f"} s vs budget ${f"${3.0 * b}%.2f"}")
-        else None
+      def overBudget(pairs: Seq[(String, Double)]) =
+        pairs.flatMap { case (name, t) =>
+          val b = base.getOrElse(name,
+            fail(s"$name missing from ${budgetFile.getPath} — regen it"))
+          if (t > 3.0 * b)
+            Some(name -> s"$name: ${f"$t%.2f"} s vs budget ${f"${3.0 * b}%.2f"}")
+          else None
+        }
+      // ambient draws on this box reach 4-5x a query's steady cost (a
+      // 14.8 s llm_dedup_text was observed against a 2.7 s baseline with
+      // NO code change, passing clean minutes later) — a transient draw
+      // won't reproduce from a fresh heap, a real plan regression will,
+      // so only a CONFIRMED re-measurement fails the guard
+      val suspects = overBudget(measured)
+      val confirmed = if (suspects.isEmpty) Nil else {
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(1000)
+        overBudget(suspects.map { case (name, _) =>
+          System.gc()
+          name -> minOfTwo(() =>
+            SparkEntry.queries(name)(spark, sf01).count())
+        })
       }
-      assert(over.isEmpty,
-        s"heavy queries over budget: ${over.mkString(", ")}")
+      assert(confirmed.isEmpty,
+        s"heavy queries over budget (confirmed on re-measure from a " +
+          s"clean heap): ${confirmed.map(_._2).mkString(", ")}")
     }
   }
 }

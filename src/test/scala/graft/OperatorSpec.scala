@@ -528,4 +528,87 @@ class OperatorSpec extends SparkTestBase {
     assert(mm.getString(0).startsWith("2024-01-01"))
     assert(mm.getString(1).startsWith("2024-01-3"))
   }
+
+  test("llm_decontaminate matches an in-memory brute-force recompute") {
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams5(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 until w.length - 4).map(i => (i to i + 4).map(w).mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(_._1 % 37 == 0).flatMap(d => grams5(d._2)).toSet
+    val expected = docs.filter(_._1 % 37 != 0).map { case (id, t) =>
+      id -> grams5(t).count(evalGrams).toLong
+    }.toMap
+    val got = ops.Llm.llm_decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == expected.keySet,
+      "output must be exactly the non-eval docs")
+    got.foreach { case (id, (hits, flag)) =>
+      assert(hits == expected(id), s"doc $id: $hits vs ${expected(id)}")
+      assert(flag == (hits > 0), s"doc $id: flag/count disagree")
+    }
+    assert(got.values.exists(_._2), "fixture should contain contamination")
+    assert(got.values.exists(!_._2), "fixture should contain clean docs")
+  }
+
+  test("llm_repetition matches an in-memory brute-force recompute") {
+    def stats(w: Array[String], n: Int): (Long, Long) = {
+      val grams = (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+      if (grams.isEmpty) (0L, 0L)
+      else {
+        val total = grams.size.toLong
+        val byG = grams.groupBy(identity).map(_._2.size.toLong)
+        ((total - byG.size) * 10000 / total, byG.max * 10000 / total)
+      }
+    }
+    val expected = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val (d2, t2) = stats(w, 2); val (d3, _) = stats(w, 3)
+        r.getLong(0) -> ((d2, t2, d3))
+      }.toMap
+    ops.Llm.llm_repetition(spark, sf).collect().foreach { r =>
+      val (d2, t2, d3) = expected(r.getLong(0))
+      assert(r.getLong(1) == d2 && r.getLong(2) == t2 && r.getLong(3) == d3,
+        s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(5) ==
+        (d2 < 2000 && d3 < 1800 && t2 < 2000), s"keep for ${r.getLong(0)}")
+    }
+  }
+
+  test("llm_pii_scrub removes exactly the injected PII") {
+    val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+".r
+    val phone = "555-[0-9]{4}".r
+    val rows = ops.Llm.llm_pii_scrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val clean = r.getString(3)
+      assert(r.getInt(1) == (if (id % 5 == 0) 1 else 0), s"emails doc $id")
+      assert(r.getInt(2) == (if (id % 7 == 0) 1 else 0), s"phones doc $id")
+      assert(email.findFirstIn(clean).isEmpty, s"email survived in doc $id")
+      assert(phone.findFirstIn(clean).isEmpty, s"phone survived in doc $id")
+      if (id % 5 == 0) assert(clean.contains("<EMAIL>"), s"doc $id")
+      if (id % 7 == 0) assert(clean.contains("<PHONE>"), s"doc $id")
+    }
+  }
+
+  test("llm_mixture rates hit the half-total budget without oversampling") {
+    val rows = ops.Llm.llm_mixture(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    val tTot = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 4, s"weight ${r.getString(0)}")
+      assert(r.getLong(5) <= 10000, s"keep_bp ${r.getString(0)}")
+      assert(r.getLong(6) <= r.getLong(2),
+        s"est > inventory for ${r.getString(0)}")
+      assert(r.getLong(6) <= r.getLong(4),
+        s"est > target for ${r.getString(0)}")
+    }
+    assert(rows.map(_.getLong(6)).sum <= tTot / 2,
+      "sampling must stay inside the half-total token budget")
+    // rates must actually differentiate by weight (not all saturated)
+    assert(rows.map(_.getLong(5)).distinct.length > 1)
+  }
 }

@@ -218,4 +218,15 @@ class PlanShapeSpec extends SparkTestBase {
         prevThreshold)
     }
   }
+
+  test("llm_decontaminate probes the eval grams via broadcast") {
+    // the eval side is benchmark-suite-sized at any corpus scale — the
+    // contamination probe must be a map-side BroadcastHashJoin so the
+    // 100 TB corpus side is never shuffled for it
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_decontaminate(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"eval-gram probe is not broadcast:\n$p")
+    }
+  }
 }
