@@ -1339,6 +1339,24 @@ object Llm {
       .orderBy("source")
   }
 
+  /** Curriculum binning — the staged-training data order: per-language
+    * quality quartiles over the shared [[qualityScored]] basis points
+    * (ntile over a TOTAL order — bp desc, doc_id tiebreak — so tile
+    * assignment is deterministic on both engines), rolled up to the
+    * per-(lang, tile) manifest with quality bounds a curriculum scheduler
+    * consumes. Scale shape: window partitions are per-language (bounded
+    * count), the rollup is one partial-agg'd groupBy. */
+  val llm_curriculum: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(desc("bp"), asc("doc_id"))
+    qualityScored(s, d)
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy("lang", "tile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"))
+      .orderBy("lang", "tile")
+  }
+
   // ----- multimodal / UDF --------------------------------------------------
 
   /** struct + map + binary round-trip: documents ⋈ embeddings into a
@@ -1419,6 +1437,7 @@ object Llm {
     "llm_repetition" -> llm_repetition,
     "llm_pii_scrub" -> llm_pii_scrub,
     "llm_mixture" -> llm_mixture,
+    "llm_curriculum" -> llm_curriculum,
     "llm_sample" -> llm_sample,
     "llm_split" -> llm_split,
     "llm_pack" -> llm_pack,
@@ -1447,18 +1466,8 @@ object Llm {
   // oracle-side twins of the shared assembly helpers — single source for
   // the cleaning CTEs and the hash-bucket arithmetic, mirroring
   // qualityScored / jaccardVictims / sampleBucket / splitLabel above
-  private val duckCleanBase =
-    s"""sh AS ($duckShingles),
-          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-          victims AS (
-            SELECT DISTINCT doc_b FROM pairs
-            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
-          scored AS (
+  private val duckScoredBp =
+    """scored AS (
             SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
                 CAST(len(list_filter(string_split(text, ' '),
@@ -1472,6 +1481,19 @@ object Llm {
                 (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
                     // (2 * q) AS bp
             FROM scored)"""
+
+  private val duckCleanBase =
+    s"""sh AS ($duckShingles),
+          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          victims AS (
+            SELECT DISTINCT doc_b FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.9),
+          $duckScoredBp"""
   private val duckSampleBucket =
     "((doc_id % 1000003) * 2654435761) % 1000003 % 100"
   private val duckKeepRate =
@@ -1808,6 +1830,20 @@ object Llm {
              sum_tokens * least(10000, (t_tot // 2) * weight // w_tot
                  * 10000 // sum_tokens) // 10000 AS est_tokens
          FROM per, tot ORDER BY source""",
+    // ntile over the same TOTAL order (bp desc, doc_id) is deterministic
+    // on both engines; Spark emits 32-bit tile numbers → CAST to INT
+    "llm_curriculum" ->
+      s"""WITH $duckScoredBp,
+          t AS (
+            SELECT lang, q, bp,
+                CAST(ntile(4) OVER (
+                    PARTITION BY lang ORDER BY bp DESC, doc_id ASC)
+                  AS INT) AS tile
+            FROM bp)
+          SELECT lang, tile, count(1) AS n_docs,
+              CAST(sum(q) AS BIGINT) AS sum_tokens,
+              min(bp) AS min_bp, max(bp) AS max_bp
+          FROM t GROUP BY 1, 2 ORDER BY lang, tile""",
     "llm_sample" ->
       s"""SELECT doc_id, lang,
              $duckSampleBucket AS bucket,

@@ -584,6 +584,32 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** Sort-clustered sink — the layout move that makes NON-partition-column
+    * filters cheap at 100 TB: range-repartition on the filter column plus
+    * an in-partition sort gives every output file a disjoint
+    * [min, max] zone on that column, so a reader's footer/row-group
+    * min-max stats skip every file outside the predicate instead of
+    * opening all of them. partitionBy-value (sink_partitioned) covers
+    * low-cardinality keys; clustering covers continuous ones like dates,
+    * without the small-file explosion per-value partitioning would cause.
+    * Range partitioning keeps equal dates in ONE partition, so zones are
+    * strictly disjoint — unit-asserted; content invariance through the
+    * layout is the oracle check. */
+  val sink_clustered: Q = (s, d) => {
+    import graft.util.Det._
+    val outDir = sinkDir(s, d, "clustered")
+    lineitem(s, d)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey")
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31")))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("ship_month")
+  }
+
   /** Multimodal decode pipeline stub: treats the utf-8 payload as an opaque
     * binary column and derives "image" features per partition via a typed
     * Dataset mapPartitions — the exact plumbing (schema, batch iteration,
@@ -628,6 +654,7 @@ object Sources {
     "sink_partition_overwrite" -> sink_partition_overwrite,
     "sink_dpp" -> sink_dpp,
     "sink_compact" -> sink_compact,
+    "sink_clustered" -> sink_clustered,
     "scan_jsonl_malformed" -> scan_jsonl_malformed,
     "llm_mm_features" -> llm_mm_features,
     "llm_mm_frames" -> llm_mm_frames,
@@ -847,6 +874,13 @@ object Sources {
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "sink_clustered" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+             count(1) AS n_rows,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY 1 ORDER BY 1""",
     "llm_mm_features" ->
       """SELECT doc_id,
              CAST(64 + length(text) % 64 AS INT) AS width,

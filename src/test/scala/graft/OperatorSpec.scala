@@ -594,6 +594,30 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sink_clustered files carry strictly disjoint shipdate zones") {
+    ops.Sources.sink_clustered(spark, sf).count()
+    val appRoot = new java.io.File(
+      s"/tmp/graft_sink/${spark.sparkContext.applicationId}")
+    val dir = appRoot.listFiles().find(_.getName.startsWith("clustered_")).get
+    // ISO-formatted timestamps compare lexicographically, sidestepping
+    // the session's java8 datetime object type
+    val zones = spark.read.parquet(dir.getPath)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate")).cast("string").as("lo"),
+        max(col("l_shipdate")).cast("string").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(zones.length >= 2, "expected multiple clustered files")
+    // range partitioning keeps equal dates in ONE partition, so zones
+    // must be STRICTLY disjoint — this is exactly the property that lets
+    // footer min/max stats skip whole files under a date predicate
+    zones.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"zones overlap: $hi >= $lo")
+      case _ => ()
+    }
+  }
+
   test("llm_mixture rates hit the half-total budget without oversampling") {
     val rows = ops.Llm.llm_mixture(spark, sf).collect()
     assert(rows.length == 20, "one row per source")

@@ -229,4 +229,46 @@ class PlanShapeSpec extends SparkTestBase {
         s"eval-gram probe is not broadcast:\n$p")
     }
   }
+
+  test("AQE splits a skewed shuffle join at runtime (skew=true in plan)") {
+    // join_salted / win_*_salted are the manual skew recipes; AQE's
+    // OptimizeSkewedJoin is the zero-code path for 100 TB hot keys.
+    // Prove the session config actually fires it: a hot-key SMJ whose
+    // post-shuffle partition exceeds the (lowered, fixture-sized)
+    // thresholds must come out of the adaptive re-plan with skew=true
+    // on the join node.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skew splits happen at per-MAPPER granularity — a single-partition
+      // local Seq cannot be split, so build both sides with real map
+      // parallelism (8 slices)
+      val left = spark.range(0, 200000, 1, 8)
+        .select(when(col("id") % 20 === 0, concat(lit("c"), col("id")))
+          .otherwise(lit("HOT")).as("k"), col("id").as("v"))
+      val right = spark.range(0, 101, 1, 2)
+        .select(when(col("id") === 0, lit("HOT"))
+          .otherwise(concat(lit("c"), col("id"))).as("k"),
+          lit(1L).as("w"))
+      // no same-key aggregate downstream: a groupBy("k") above the join
+      // would REQUIRE the join's hash distribution, and AQE declines to
+      // split a skewed partition when the split breaks a required
+      // distribution (it would cost an extra shuffle)
+      val j = left.join(right, "k").select(col("v"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
