@@ -375,15 +375,41 @@ object Llm {
       d: String, cand: DataFrame): DataFrame = {
     import s.implicits._
     val e = embDouble(s, d)
-    cand
-      .join(e.select(col("vec_id").as("a"), col("emb").as("va")), "a")
-      .join(e.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
-      .select(col("a"), col("b"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (a, b, va, vb) =>
-        (a, b, graft.functions.CosineSimilarity.cosine(va, vb))
+    // Under the exact kernel's row budget the vector side broadcasts and
+    // pairs LOOK UP their vectors instead of joining them back: the join
+    // form deserializes a 64-dim array per pair SIDE through the Encoder
+    // (~1 GB of garbage per pass at sf0.1's candidate volume — benched
+    // 10.4 s against ~2 s for the lookup on the same candidates; the
+    // noise fixtures make nearly every pair a candidate). Same budget,
+    // same exposure, and the same cosine kernel as llm_simjoin, so sims
+    // stay bit-identical on either branch.
+    val scored =
+      if (probeRows(s, d, SimjoinBroadcastRows) <= SimjoinBroadcastRows) {
+        val vecs = e.select(col("vec_id"), col("emb"))
+          .as[(Long, Array[Double])].collect().toMap
+        val bc = s.sparkContext.broadcast(vecs)
+        cand.select(col("a"), col("b")).as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.map { case (a, b) =>
+              (a, b, graft.functions.CosineSimilarity.cosine(m(a), m(b)))
+            }
+          }
+          .toDF("a", "b", "sim_raw")
+      } else {
+        // vector side beyond broadcast: candidate volume, not corpus
+        // volume, pays these joins
+        cand
+          .join(e.select(col("vec_id").as("a"), col("emb").as("va")), "a")
+          .join(e.select(col("vec_id").as("b"), col("emb").as("vb")), "b")
+          .select(col("a"), col("b"), col("va"), col("vb"))
+          .as[(Long, Long, Array[Double], Array[Double])]
+          .map { case (a, b, va, vb) =>
+            (a, b, graft.functions.CosineSimilarity.cosine(va, vb))
+          }
+          .toDF("a", "b", "sim_raw")
       }
-      .toDF("a", "b", "sim_raw")
+    scored
       .where(col("sim_raw") >= 0.35)
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
       .orderBy("a", "b")
@@ -623,17 +649,32 @@ object Llm {
     // the loop materializes the labels (localCheckpoint) eagerly.
     val sh = shingleRows(s, d).cache()
     try {
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("sz").as("sz_a"))
-      val b = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"),
-        col("sz").as("sz_b"))
+      import s.implicits._
+      // exact verify over candidate PAIRS: each doc's distinct shingles
+      // collapse into ONE array row, so the candidate join moves two
+      // arrays per pair instead of ~|shingles| per-shingle rows (the
+      // row-explosion form shuffled the 27M-string shingle table into
+      // every candidate and benched 2× this). The intersection is a
+      // hash-set probe on the exact strings — no hashing shortcut, no
+      // ordering assumption — so the count (and the driver-proven
+      // equality vs the all-pairs oracle) stays structural.
+      val sets = sh.groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("shs"))
       val verified = minhashCandidates(s, d)
-        .join(a, "doc_a")
-        .join(b, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
-        .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .where(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
-          >= 0.8)
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")),
+          "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .as[(Long, Long, Array[String], Array[String])]
+        .flatMap { case (da, db, sa, sb) =>
+          val set = new java.util.HashSet[String](sa.length * 2)
+          sa.foreach(set.add)
+          val inter = sb.count(set.contains).toLong
+          val jac = inter.toDouble / (sa.length + sb.length - inter)
+          if (jac >= 0.8) Iterator.single((da, db)) else Iterator.empty
+        }
+        .toDF("doc_a", "doc_b")
       val comp = connectedComponents(
         verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
         key = "llm_text_cc")
@@ -1187,10 +1228,9 @@ object Llm {
     * synthetic docs while exercising the identical plan. Same typed-kernel
     * rationale as [[shingleRows]] (the declarative HOF form runs
     * interpreted per element). */
-  private def gram5Rows(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d)
+  private[graft] def gram5Of(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
@@ -1209,6 +1249,12 @@ object Llm {
       }
       .toDF("doc_id", "g")
   }
+
+  /** batch entry point; [[gram5Of]] also accepts a streaming documents
+    * DataFrame — the parity test drives the same kernel through a
+    * stream-static join. */
+  private def gram5Rows(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = gram5Of(documents(s, d))
 
   /** Benchmark decontamination — the eval-overlap filter every training
     * run needs: documents sharing any 5-gram with the held-out eval set

@@ -318,4 +318,40 @@ class StreamingSpec extends SparkTestBase {
       assert(ks.sorted == List("a", "b"), s"expected one a and one b, got $ks")
     } finally q.stop()
   }
+
+  test("decontamination runs as a stream-static join with batch parity") {
+    // the incremental-ingest shape of llm_decontaminate: new documents
+    // arrive as a stream, the eval-gram set is the static (broadcastable)
+    // side, and per-doc hit counts come out of the SAME typed 5-gram
+    // kernel the batch query runs (gram5Of accepts either plan)
+    val docs = graft.util.Tables.documents(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_decon").toFile
+    try {
+      docs.write.mode("overwrite").parquet(new java.io.File(work, "in").getPath)
+      val stream = spark.readStream.schema(docs.schema)
+        .parquet(new java.io.File(work, "in").getPath)
+      val evalGrams = ops.Llm.gram5Of(docs)
+        .where(col("doc_id") % 37 === 0).select("g").distinct()
+      val hits = ops.Llm.gram5Of(stream)
+        .where(col("doc_id") % 37 =!= 0)
+        .join(evalGrams, "g")
+        .groupBy("doc_id").count()
+      val q = hits.writeStream.format("memory").queryName("decon_stream")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not drain")
+      val streamed = spark.table("decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = ops.Llm.llm_decontaminate(spark, sf).collect()
+        .filter(_.getBoolean(2)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty, "fixture should contain contamination")
+      assert(streamed == batch,
+        s"stream-static decontamination diverged: $streamed vs $batch")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(work)
+    }
+  }
 }
