@@ -329,6 +329,37 @@ object Relational {
         element_at(col("apx"), 2).as("p90_apx"))
       .orderBy("o_orderstatus")
 
+  /** The third sketch family: count–min point-frequency estimation — how
+    * a 100 TB stream answers "how often did key k occur" without a
+    * per-key exact aggregate. Spark's `count_min_sketch` aggregate builds
+    * the binary sketch distributed (mergeable buffers → map-side
+    * combine); the driver deserializes it ONCE (a single bounded row, the
+    * IVF-constants pattern) and probes a fixed key set. Seeded →
+    * deterministic for fixed input, but the sketch layout is
+    * engine-specific → rows-only check; the CMS one-sided guarantee
+    * (exact ≤ estimate ≤ exact + ε·N at the configured confidence) is
+    * unit-tested per key. The exact counts ride along in the output so
+    * the overcount is visible in the result itself. */
+  val agg_cms: Q = (s, d) => {
+    import s.implicits._
+    val bytes = events(s, d)
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val keys = (0L until 20L).map(k => k -> cms.estimateCount(Long.box(k)))
+      .toDF("user_id", "est_count")
+    events(s, d)
+      .where(col("user_id") < 20)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("exact_count"))
+      .join(keys, Seq("user_id"), "right")
+      .select(col("user_id"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("est_count"))
+      .orderBy("user_id")
+  }
+
   private def custNation: Q = (s, d) =>
     customer(s, d).join(broadcast(nation(s, d)),
       col("c_nationkey") === col("n_nationkey"))
@@ -532,6 +563,7 @@ object Relational {
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
     "agg_approx_pctile" -> agg_approx_pctile,
+    "agg_cms" -> agg_cms,
     "agg_rollup" -> agg_rollup,
     "agg_cube" -> agg_cube,
     "agg_gsets" -> agg_gsets,

@@ -584,6 +584,35 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** Binary-file ingest — `format("binaryFile")`, Spark's mechanism for
+    * image/audio/video DIRECTORIES (one row per file: path, modification
+    * time, length, raw content bytes); the scan is distributed and
+    * partition-parallel, which is what makes a million-file multimodal
+    * corpus readable at all. The fixture directory is built once from the
+    * first 50 documents (driver loop bounded at 50 — building the
+    * fixture, not running the operator); features come off the content
+    * column exactly the way [[llm_mm_features]]' decode seam would
+    * consume it. Oracle: same id/length/md5 from the documents table
+    * (ASCII text → bytes == chars, the verified n_chars invariant). */
+  val scan_binaryfile: Q = (s, d) => {
+    val dir = sinkDir(s, d, "binfiles")
+    new java.io.File(dir).mkdirs()
+    documents(s, d).where(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_([0-9]+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Sort-clustered sink — the layout move that makes NON-partition-column
     * filters cheap at 100 TB: range-repartition on the filter column plus
     * an in-partition sort gives every output file a disjoint
@@ -660,6 +689,7 @@ object Sources {
     "sink_compact" -> sink_compact,
     "sink_clustered" -> sink_clustered,
     "scan_jsonl_malformed" -> scan_jsonl_malformed,
+    "scan_binaryfile" -> scan_binaryfile,
     "llm_mm_features" -> llm_mm_features,
     "llm_mm_frames" -> llm_mm_frames,
   )
@@ -878,6 +908,9 @@ object Sources {
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "scan_binaryfile" ->
+      """SELECT doc_id, n_chars AS n_bytes, md5(text) AS content_md5
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "sink_clustered" ->
       """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
              count(1) AS n_rows,

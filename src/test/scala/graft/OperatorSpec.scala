@@ -594,6 +594,19 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_cms estimates respect the count-min one-sided bound") {
+    val n = graft.util.Tables.events(spark, sf).count()
+    val eps = 0.001
+    ops.Relational.agg_cms(spark, sf).collect().foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact,
+        s"CMS undercounted user ${r.getLong(0)}: $est < $exact")
+      assert(est <= exact + (eps * n).ceil.toLong,
+        s"CMS overcount beyond eps*N for user ${r.getLong(0)}: " +
+          s"$est > $exact + ${(eps * n).ceil.toLong}")
+    }
+  }
+
   test("sink_clustered files carry strictly disjoint shipdate zones") {
     ops.Sources.sink_clustered(spark, sf).count()
     val appRoot = new java.io.File(
