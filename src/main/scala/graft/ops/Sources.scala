@@ -84,7 +84,7 @@ object Sources {
   // one session the path is stable, so repeated runs overwrite in place;
   // a shutdown hook removes the application's tree so the dev loop
   // (verify ×2 SFs + bench, each a fresh JVM) doesn't grow /tmp unboundedly.
-  private def sinkDir(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def sinkDir(s: org.apache.spark.sql.SparkSession, d: String,
       name: String): String = {
     val appRoot = s"/tmp/graft_sink/${s.sparkContext.applicationId}"
     // key carries the applicationId: the hook body captures appRoot, so a

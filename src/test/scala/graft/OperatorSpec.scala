@@ -594,6 +594,29 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF index probe equals an in-memory replay for query 0") {
+    import spark.implicits._
+    val all = graft.util.Tables.embeddings(spark, sf)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].collect()
+    val cent = ops.Llm.trainIvfCentroids(spark, sf)
+    def assign(v: Array[Double]): Long =
+      cent.map { case (cid, cv) => (ops.Llm.cosArr(v, cv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }._2
+    val qv = all.find(_._1 == 0L).get._2
+    val probes = cent.map { case (cid, cv) => (ops.Llm.cosArr(qv, cv), cid) }
+      .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
+    val expected = all
+      .filter { case (id, v) => id != 0L && probes.contains(assign(v)) }
+      .map { case (id, v) => (id, ops.Llm.cosArr(qv, v)) }
+      .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1).toSeq
+    val got = ops.Llm.llm_ann_ivf_indexed(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == expected,
+      s"index probe $got diverged from in-memory replay $expected")
+  }
+
   test("agg_cms estimates respect the count-min one-sided bound") {
     val n = graft.util.Tables.events(spark, sf).count()
     val eps = 0.001

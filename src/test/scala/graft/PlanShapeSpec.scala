@@ -230,6 +230,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_ann_ivf_indexed reads only the probed cells' partitions") {
+    // the persisted index's point: a probe's IO is nprobe directories,
+    // not the corpus — the scan must carry a PartitionFilters entry on
+    // the cell column (partition pruning), mirroring sink_dpp's static
+    // assertion
+    withStaticPlan {
+      val p = planOf(ops.Llm.ivfIndexProbe(spark, sf))
+      assert(p.contains("PartitionFilters: ["), s"no partition filter:\n$p")
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+        s"partition filter does not prune on cell:\n$p")
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in plan)") {
     // join_salted / win_*_salted are the manual skew recipes; AQE's
     // OptimizeSkewedJoin is the zero-code path for 100 TB hot keys.
