@@ -159,16 +159,29 @@ object Relational {
       .orderBy("s_suppkey", "c_custkey")
 
   /** interval self-join: pairs of events of the same user ≤ 30 min apart.
-    * Equi key user_id bounds the quadratic blow-up per key (~670 events/user
-    * at every SF — the generator scales users with SF, verified). */
+    *
+    * The equi-key is (user_id, 30-minute epoch bucket), not user_id alone:
+    * with only user_id (15 distinct values in the fixtures) SMJ buffers
+    * each user's full event list and evaluates the band as a post-join
+    * filter — O(events-per-user²) per key, and one hot user at 100× scale
+    * owns an entire straggler task. Bucketing by tb = epoch div 1800
+    * bounds candidates per join key by events-per-half-hour at ANY scale:
+    * a partner ≤ 30 min ahead lives in bucket tb or tb+1 (integer-second
+    * arithmetic, so the containment is exact), the earlier side fans out
+    * to those two keys via explode, and the exact band predicate filters
+    * inside each bounded bucket. The two fan-out keys are distinct, so no
+    * pair can match twice — no distinct needed, same oracle. */
   val join_range: Q = (s, d) => {
-    val e  = events(s, d)
+    val e = events(s, d)
+      .withColumn("tb", expr("unix_timestamp(ts) div 1800"))
     val e1 = e.select(col("user_id"), col("ts").as("ts1"),
-      col("event_id").as("id1"))
+        col("event_id").as("id1"),
+        explode(array(col("tb"), col("tb") + 1)).as("tb1"))
     val e2 = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
-      col("event_id").as("id2"))
+      col("event_id").as("id2"), col("tb").as("tb2"))
     e1.join(e2,
         col("user_id") === col("u2") &&
+          col("tb1") === col("tb2") &&
           col("ts2") > col("ts1") &&
           col("ts2") <= col("ts1") + expr("INTERVAL 30 MINUTES") &&
           col("id1") < col("id2"))

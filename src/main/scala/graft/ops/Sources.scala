@@ -528,6 +528,80 @@ object Sources {
       .orderBy("kind")
   }
 
+  /** Malformed-CSV quarantine — [[scan_jsonl_malformed]]'s contract for
+    * the OTHER ingest format real ETL breaks on at least as often: rows
+    * whose `amount` fails the LONG conversion are routed to
+    * `_corrupt_record` by PERMISSIVE mode, counted as their own group,
+    * and every clean row aggregates normally — no dropped batch, no
+    * silently lost rows. A row that is SHORT a trailing column is
+    * null-padded WITHOUT quarantine (measured: Spark sets no
+    * _corrupt_record for it — a fact about CSV malformed-input semantics
+    * worth pinning, the jsonl note's counterpart), and the fixture keeps
+    * one such row so the oracle proves both engines agree on it. The
+    * corruption is confined to FIELD-level damage so the oracle can read
+    * the same file with all-VARCHAR columns + null_padding and classify
+    * each line by the identical predicate — which lets DuckDB COUNT the
+    * quarantined lines (read_csv's ignore_errors would silently skip
+    * them and could not). */
+  val scan_csv_malformed: Q = (s, _) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("amount", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(s"$fixtureDir/../malformed/records.csv")
+      .select(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("kind")).as("kind"), col("amount"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("amount"), lit(0L)).as("sum_amount"))
+      .orderBy("kind")
+  }
+
+  /** Key-level MERGE/upsert over a partitioned parquet sink — the batch
+    * face of the foreachBatch incremental pattern StreamingSpec drives
+    * from a real stream (round-4 verdict #5): an update batch (corrected
+    * totals for a third of 1995's orders) merges into the existing
+    * table by anti-joining the touched partitions' current rows against
+    * the update keys, unioning the updates, and dynamic-overwriting ONLY
+    * the touched partitions. The merged rows stage to a separate
+    * directory first (Spark refuses an in-place overwrite of a path it
+    * is reading — new files then swap, like sink_compact); at 100 TB the
+    * rewrite cost is bounded by touched-partition volume, never table
+    * volume. The oracle replays the merge arithmetic statically: if the
+    * merge had appended, 1995's count would grow; if it had dropped
+    * non-updated rows, the count would shrink; if it had overwritten
+    * statically, every other year would vanish. */
+  val sink_upsert: Q = (s, d) => {
+    import graft.util.Det._
+    val out = sinkDir(s, d, "upsert_orders")
+    val stage = sinkDir(s, d, "upsert_stage")
+    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    src.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val updates = src
+      .where(col("o_year") === 1995 && col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val current = s.read.parquet(out).where(col("o_year") === 1995)
+    current
+      .join(updates.select(col("o_orderkey").as("uk")),
+        col("o_orderkey") === col("uk"), "left_anti")
+      .unionByName(updates)
+      .write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
   /** Frame sampling over "video" binary payloads — the one-to-many batch
     * shape real frame extraction produces (doc → sampled frames), with a
     * pooled "resize" per frame: the payload splits into complete 32-byte
@@ -594,16 +668,28 @@ object Sources {
     * column exactly the way [[llm_mm_features]]' decode seam would
     * consume it. Oracle: same id/length/md5 from the documents table
     * (ASCII text → bytes == chars, the verified n_chars invariant). */
+  /** fixture-build memo: at scale fixture-build is INGEST, not query —
+    * the bounded 50-doc collect+write runs once per (application, sfDir)
+    * so the measured operator is purely the binaryFile scan (round-4
+    * verdict #7). Same immutable-fixture assumption as the IVF index. */
+  private val binFixtureBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val scan_binaryfile: Q = (s, d) => {
     val dir = sinkDir(s, d, "binfiles")
-    new java.io.File(dir).mkdirs()
-    documents(s, d).where(col("doc_id") < 50)
-      .select(col("doc_id"), col("text")).collect()
-      .foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    binFixtureBuilt.synchronized {
+      if (!binFixtureBuilt.contains(dir)) {
+        new java.io.File(dir).mkdirs()
+        documents(s, d).where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        binFixtureBuilt.add(dir)
       }
+    }
     s.read.format("binaryFile").load(dir)
       .select(
         regexp_extract(col("path"), "doc_([0-9]+)\\.bin", 1)
@@ -689,6 +775,8 @@ object Sources {
     "sink_compact" -> sink_compact,
     "sink_clustered" -> sink_clustered,
     "scan_jsonl_malformed" -> scan_jsonl_malformed,
+    "scan_csv_malformed" -> scan_csv_malformed,
+    "sink_upsert" -> sink_upsert,
     "scan_binaryfile" -> scan_binaryfile,
     "llm_mm_features" -> llm_mm_features,
     "llm_mm_frames" -> llm_mm_frames,
@@ -901,6 +989,39 @@ object Sources {
               format='newline_delimited', ignore_errors=true,
               columns={'id':'BIGINT','kind':'VARCHAR','amount':'BIGINT'})
           GROUP BY 1 ORDER BY 1""",
+    // the oracle reads the same file with all-VARCHAR columns +
+    // null_padding (every line parses) and classifies each line by the
+    // same predicate PERMISSIVE applies — corrupt lines are COUNTED, not
+    // skipped the way ignore_errors would
+    "scan_csv_malformed" ->
+      s"""WITH raw AS (
+            SELECT * FROM read_csv('$fixtureDir/../malformed/records.csv',
+                header=true, null_padding=true, auto_detect=false,
+                columns={'id': 'VARCHAR', 'kind': 'VARCHAR',
+                         'amount': 'VARCHAR'})),
+          cls AS (
+            SELECT CASE WHEN amount IS NOT NULL
+                         AND NOT regexp_matches(amount, '^[0-9]+$$')
+                        THEN '_corrupt' ELSE kind END AS kind,
+                   CASE WHEN amount IS NOT NULL
+                         AND regexp_matches(amount, '^[0-9]+$$')
+                        THEN CAST(amount AS BIGINT) END AS amount
+            FROM raw)
+          SELECT kind, count(1) AS n,
+              CAST(coalesce(sum(amount), 0) AS BIGINT) AS sum_amount
+          FROM cls GROUP BY 1 ORDER BY 1""",
+    // the merge replayed statically: updated keys carry doubled totals,
+    // everything else is unchanged — counts catch append/drop/static-
+    // overwrite failure modes, the DECIMAL sum catches value corruption
+    "sink_upsert" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1995
+                                 AND o_orderkey % 3 = 0
+                                THEN 2 * o_totalprice
+                                ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // compaction must be content-invariant: the aggregate over the
     // compacted sink equals the same aggregate over the source table
     "sink_compact" ->
@@ -908,8 +1029,13 @@ object Sources {
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // n_bytes derives from the actual UTF-8 octet count, not n_chars —
+    // equal on the ASCII fixtures, but the assumption is now explicit
+    // and multi-byte text would still hash-match (ADVICE round 4)
     "scan_binaryfile" ->
-      """SELECT doc_id, n_chars AS n_bytes, md5(text) AS content_md5
+      """SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "sink_clustered" ->
       """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,

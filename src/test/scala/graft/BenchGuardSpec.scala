@@ -36,7 +36,7 @@ class BenchGuardSpec extends SparkTestBase {
     // their floor is round overhead, not data, so they get a wider budget
     val iterative = Set("llm_dedup_embcos", "llm_dedup_text",
       "asana_task_roots")
-    def measureOver(names: Seq[String]): Seq[String] = names.flatMap {
+    def measureOver(names: Seq[String]): Seq[(String, Double)] = names.flatMap {
       name =>
         val q = SparkEntry.queries(name)
         val budget = if (iterative(name)) 4.0 else 2.0
@@ -45,18 +45,24 @@ class BenchGuardSpec extends SparkTestBase {
         // query runs next — budget the query, not the collector
         if (iterative(name) || name.startsWith("llm_simjoin")) System.gc()
         val t = minOfTwo(() => q(spark, sf).count())
-        if (t > budget) Some(name) else None
+        if (t > budget) Some(name -> t) else None
     }
     // transient ambient draws don't reproduce from a fresh heap; real
-    // regressions do (same rationale as the heavy-query confirm pass)
+    // regressions do (same rationale as the heavy-query confirm pass).
+    // First-pass timings are LOGGED before the retry so a regression
+    // that happens to squeak under budget on the confirm still leaves
+    // its evidence in the test report (round-4 ADVICE).
     val suspects = measureOver(SparkEntry.queries.keys.toSeq.sorted)
     val confirmed = if (suspects.isEmpty) Nil else {
+      suspects.foreach { case (n, t) =>
+        info(f"first pass over sf0.001 budget: $n at $t%.2f s")
+      }
       spark.catalog.clearCache(); System.gc(); Thread.sleep(1000)
-      measureOver(suspects)
+      measureOver(suspects.map(_._1))
     }
     assert(confirmed.isEmpty,
       s"queries over the sf0.001 budget (confirmed on re-measure): " +
-        confirmed.mkString(", "))
+        confirmed.map { case (n, t) => f"$n (${t}%.2f s)" }.mkString(", "))
   }
 
   test("sf0.1 heavy queries stay within 3x of their recorded cost") {
@@ -69,7 +75,8 @@ class BenchGuardSpec extends SparkTestBase {
     val heavy = Seq("llm_simjoin_lsh", "llm_simjoin_lsh_bucketed",
       "llm_dedup_embcos", "llm_dedup_text", "llm_pipeline", "llm_corpus",
       "llm_minhash", "join_bucketed", "llm_dedup_jaccard", "llm_langid",
-      "scan_orc", "sink_partition_overwrite", "sink_compact")
+      "scan_orc", "sink_partition_overwrite", "sink_compact", "sink_upsert",
+      "llm_tfidf", "join_range")
     val measured = heavy.map { name =>
       // same shield Bench applies: the measurement budgets the query's own
       // cost, not whichever major GC the preceding queries' garbage buys
@@ -103,6 +110,10 @@ class BenchGuardSpec extends SparkTestBase {
       // so only a CONFIRMED re-measurement fails the guard
       val suspects = overBudget(measured)
       val confirmed = if (suspects.isEmpty) Nil else {
+        // log the first-pass evidence BEFORE retrying: a real regression
+        // that flakes under budget on the single confirm should still be
+        // visible in the report (round-4 ADVICE)
+        suspects.foreach { case (_, msg) => info(s"first pass: $msg") }
         spark.catalog.clearCache()
         System.gc()
         Thread.sleep(1000)

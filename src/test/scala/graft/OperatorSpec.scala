@@ -147,6 +147,19 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(okCol - 1.0) < 1e-12, "codegen path self-similarity")
   }
 
+  test("scan_csv_malformed quarantines exactly the damaged lines") {
+    // fixture damage: two unparseable amounts are quarantined; the short
+    // row is null-padded WITHOUT quarantine (measured Spark semantics —
+    // see the operator scaladoc), so purchase keeps 3 rows but only two
+    // amounts; every clean row aggregates normally
+    val rows = ops.Sources.scan_csv_malformed(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("_corrupt") == ((2L, 0L)), s"corrupt group: ${rows.get("_corrupt")}")
+    assert(rows("click") == ((2L, 263L)), s"click: ${rows.get("click")}")
+    assert(rows("view") == ((3L, 384L)), s"view: ${rows.get("view")}")
+    assert(rows("purchase") == ((3L, 249L)), s"purchase: ${rows.get("purchase")}")
+  }
+
   test("simjoin auto-dispatch: both branches reachable and branch-identical") {
     // default budget (2M) >> fixture rows → exact broadcast-kernel branch
     val auto = ops.Llm.simjoinAuto(spark, sf).collect().toSeq
@@ -156,6 +169,25 @@ class OperatorSpec extends SparkTestBase {
     val autoLsh = ops.Llm.simjoinAuto(spark, sf, budget = 1L).collect().toSeq
     val lsh = ops.Llm.llm_simjoin_lsh(spark, sf).collect().toSeq
     assert(autoLsh == lsh, "over-budget dispatch must equal llm_simjoin_lsh")
+  }
+
+  test("simjoin broadcast budget is byte-aware: high-dim refuses broadcast") {
+    import spark.implicits._
+    // 300 rows is far under any plausible ROW guard (the retired one waved
+    // 2M rows through) — but at dim 1024 the build side is 300×1024×8
+    // ≈ 2.4 MB, over a 1 MiB byte budget: the dispatch must refuse the
+    // broadcast and take the LSH branch. The same row count at dim 64
+    // (≈150 KB) fits. This is exactly the dim-1024 driver-OOM scenario
+    // the byte budget exists to prevent (round-4 verdict #4).
+    val hiDim = spark.range(300).map(i => (i.toLong, Array.fill(1024)(0.5)))
+    assert(!ops.Llm.fitsBroadcastBudget(hiDim, 1L << 20),
+      "high-dim build side must NOT fit the byte budget")
+    val loDim = spark.range(300).map(i => (i.toLong, Array.fill(64)(0.5)))
+    assert(ops.Llm.fitsBroadcastBudget(loDim, 1L << 20),
+      "low-dim build side of the same row count must fit")
+    // the derived row budget scales inversely with dim
+    assert(ops.Llm.rowBudgetFor(64, ops.Llm.SimjoinBroadcastBytes) ==
+      16 * ops.Llm.rowBudgetFor(1024, ops.Llm.SimjoinBroadcastBytes))
   }
 
   test("dedup_embcos dispatch: LSH-branch pairs yield the same components") {

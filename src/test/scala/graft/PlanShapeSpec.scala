@@ -39,6 +39,33 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("join_range joins on the (user_id, time-bucket) composite equi-key") {
+    withStaticPlan {
+      val df = ops.Relational.join_range(spark, sf)
+      val p = planOf(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"range join degenerated:\n$p")
+      // the shuffle key must carry the 30-min epoch bucket alongside
+      // user_id — with user_id alone (15 distinct values) every user's
+      // event list pairs quadratically inside one task (round-4 verdict
+      // #3); the bucket bounds candidates per key at any scale
+      // any EQUI join algorithm qualifies (tiny SFs broadcast; at scale
+      // the same keys shuffle) — what matters is the composite key set
+      val keys = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.leftKeys
+      }
+      assert(keys.exists(ks => ks.size >= 2 &&
+        ks.exists(_.toString.contains("user_id")) &&
+        ks.exists(_.toString.contains("tb"))),
+        s"composite (user_id, bucket) equi-key missing:\n$p")
+    }
+  }
+
   test("sort_topk plans TakeOrderedAndProject, not a global sort") {
     withStaticPlan {
       assert(planOf(ops.Relational.sort_topk(spark, sf))

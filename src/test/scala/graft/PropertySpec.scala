@@ -38,6 +38,60 @@ class PropertySpec extends SparkTestBase {
       s"joint keep rate $keptBoth != 0.40: assignments correlated")
   }
 
+  test("weighted sampling: keep is monotone in quality, Column = mirror") {
+    // monotonicity on the shared Scala mirror: a doc kept at bp stays
+    // kept at every bp' >= bp — the defining property of rate ∝ score
+    val cases = samples(for {
+      id <- Gen.chooseNum(0L, 10000000L)
+      a <- Gen.chooseNum(0L, 12000L)
+      b <- Gen.chooseNum(0L, 12000L)
+    } yield (id, math.min(a, b), math.max(a, b)), 2000)
+    assert(cases.nonEmpty)
+    for ((id, lo, hi) <- cases) {
+      def kept(bp: Long) = ops.Llm.weightedBucket10k(id) < math.min(10000L, bp)
+      assert(!kept(lo) || kept(hi), s"kept($id, $lo) but dropped at $hi")
+    }
+    // and the deployed Column computes the same function as the mirror
+    // (shared constants, but prove it end-to-end on the fixture rows)
+    ops.Llm.llm_sample_weighted(spark, sf)
+      .select("doc_id", "bucket", "keep_bp", "kept").collect()
+      .foreach { r =>
+        assert(r.getLong(1) == ops.Llm.weightedBucket10k(r.getLong(0)))
+        assert(r.getBoolean(3) == (r.getLong(1) < r.getLong(2)))
+      }
+  }
+
+  test("BPE: deterministic merges, round-trip, monotone compression") {
+    // hand-checkable training: (a,b) dominates the pair counts (25 vs 10
+    // and 5), so it must be the first merge; input order must not matter
+    val merges = ops.Llm.bpeTrain(Seq(("abab", 10L), ("abc", 5L)), 3)
+    assert(merges.head == (("a", "b")), s"first merge: ${merges.head}")
+    assert(merges == ops.Llm.bpeTrain(Seq(("abc", 5L), ("abab", 10L)), 3),
+      "training must not depend on vocab input order")
+    // properties over random words from the trained alphabet
+    val wordGen = Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val corpus = samples(wordGen, 60).map(w => w -> 1L)
+    val all = ops.Llm.bpeTrain(corpus, 30)
+    assert(all.nonEmpty)
+    for (w <- samples(wordGen, 100)) {
+      val enc = ops.Llm.bpeEncode(w, all)
+      assert(enc.mkString == w, s"round-trip broke: $w -> ${enc.toSeq}")
+      // a longer merge prefix never inflates the token count
+      val lens = (0 to all.length)
+        .map(k => ops.Llm.bpeEncode(w, all.take(k)).length)
+      assert(lens.zip(lens.tail).forall { case (a, b) => b <= a },
+        s"token count not monotone in merges for $w: $lens")
+    }
+    // fixture-level sanity: every word yields >= 1 token, and trained
+    // tokens can never be fewer than whole words
+    ops.Llm.llm_bpe(spark, sf)
+      .select("n_words", "n_bpe_tokens").collect()
+      .foreach { r =>
+        assert(r.getInt(1) >= r.getInt(0),
+          s"fewer tokens than words: ${r.toSeq}")
+      }
+  }
+
   test("jaccard formula: symmetric, reflexive, bounded") {
     def jac(x: Set[String], y: Set[String]): Double =
       if (x.isEmpty && y.isEmpty) 1.0
