@@ -390,6 +390,55 @@ class AsanaReaderFactory(entity: String, schema: StructType,
       schema, cutoffs)
 }
 
+/** Retry/backoff policy for the live-HTTP seam. The public Asana API
+  * documents 429 rate-limit responses carrying a `Retry-After` header
+  * (seconds) and standard 5xx transient failures; a live connector must
+  * retry those and fail fast on everything else. The policy is a PURE
+  * function of (status, attempt, retryAfter) — no clock, no randomness —
+  * so it unit-tests deterministically, and the sleep is injected so
+  * fixture replay and tests control time. Backoff is exponential from
+  * `baseMs`, capped at `maxBackoffMs`; a server-provided Retry-After
+  * wins (still capped — a hostile header cannot park an executor). */
+final case class AsanaRetryPolicy(maxRetries: Int = 5, baseMs: Long = 500L,
+    maxBackoffMs: Long = 30000L) extends Serializable {
+  def shouldRetry(status: Int, attempt: Int): Boolean =
+    attempt < maxRetries && (status == 429 || (status >= 500 && status < 600))
+  def backoffMs(attempt: Int, retryAfterSec: Option[Long]): Long =
+    retryAfterSec
+      .map(sec => math.min(math.max(0L, sec) * 1000L, maxBackoffMs))
+      .getOrElse(math.min(maxBackoffMs, baseMs << math.min(attempt, 20)))
+}
+
+/** one page-fetch outcome at the transport seam */
+sealed trait AsanaFetch extends Serializable
+final case class AsanaOk(lines: Seq[String]) extends AsanaFetch
+final case class AsanaHttpError(status: Int,
+    retryAfterSec: Option[Long] = None) extends AsanaFetch
+
+object AsanaRetry {
+  /** Drives a page fetch through the retry policy: retryable statuses
+    * back off and re-fetch, non-retryable or budget-exhausted failures
+    * throw loudly (a silently dropped page is data loss at ingest). The
+    * fixture transport always returns [[AsanaOk]]; a live transport
+    * returns [[AsanaHttpError]] from the HTTP status line. */
+  def fetchWithRetry(policy: AsanaRetryPolicy, sleep: Long => Unit)(
+      fetch: Int => AsanaFetch): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      fetch(attempt) match {
+        case AsanaOk(lines) => return lines
+        case AsanaHttpError(status, retryAfter) =>
+          if (!policy.shouldRetry(status, attempt))
+            throw new java.io.IOException(
+              s"asana fetch failed with HTTP $status after $attempt retries")
+          sleep(policy.backoffMs(attempt, retryAfter))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** Accounting stub for the ~150 req/min standard-tier ceiling: counts
   * acquisitions per minute window; in fixture-replay mode it never sleeps,
   * in a live implementation acquire() would block past the ceiling. */
@@ -415,11 +464,15 @@ class AsanaPageReader(path: String, entity: String, schema: StructType,
   private var current: InternalRow = _
 
   /** the HTTP seam: a live connector fetches GET …?limit=100&offset=token
-    * here; offline it streams the fixture page. */
-  private def readPage(p: String): Seq[String] = {
-    val src = scala.io.Source.fromFile(p, "UTF-8")
-    try src.getLines().toList finally src.close()
-  }
+    * here; offline it streams the fixture page. Every fetch — fixture or
+    * live — goes through [[AsanaRetry.fetchWithRetry]], so the 429/5xx
+    * retry+backoff path is the SAME code a live transport exercises
+    * (the fixture transport simply never errors). */
+  private def readPage(p: String): Seq[String] =
+    AsanaRetry.fetchWithRetry(AsanaRetryPolicy(), _ => ()) { _ =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try AsanaOk(src.getLines().toList) finally src.close()
+    }
 
   override def next(): Boolean = {
     while (lines.hasNext) {

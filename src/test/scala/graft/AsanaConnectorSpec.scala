@@ -13,6 +13,36 @@ class AsanaConnectorSpec extends SparkTestBase {
     spark.read.format("graft.asana.AsanaSource")
       .option("entity", "tasks").option("fixtureDir", dir).load()
 
+  test("retry policy: 429/5xx back off and recover, 4xx fail fast, budget bounded") {
+    import graft.asana._
+    val p = AsanaRetryPolicy(maxRetries = 4, baseMs = 100L, maxBackoffMs = 1000L)
+    // exponential from baseMs, capped
+    assert(p.backoffMs(0, None) == 100L)
+    assert(p.backoffMs(1, None) == 200L)
+    assert(p.backoffMs(10, None) == 1000L)
+    // a server-provided Retry-After wins, still capped; negatives clamp
+    assert(p.backoffMs(0, Some(2L)) == 1000L)
+    assert(p.backoffMs(3, Some(0L)) == 0L)
+    assert(p.backoffMs(0, Some(-5L)) == 0L)
+    // classification: rate-limit + transient retry, client errors do not
+    assert(p.shouldRetry(429, 0) && p.shouldRetry(503, 3))
+    assert(!p.shouldRetry(404, 0) && !p.shouldRetry(401, 0))
+    assert(!p.shouldRetry(429, 4), "budget must bound retries")
+    // a flaky transport (two 429s, then success) drains with the policy's
+    // sleeps — recorded via the injected sleeper, no wall-clock involved
+    var sleeps = List.empty[Long]
+    val lines = AsanaRetry.fetchWithRetry(p, ms => sleeps :+= ms) { attempt =>
+      if (attempt < 2) AsanaHttpError(429, Some(1L)) else AsanaOk(Seq("x", "y"))
+    }
+    assert(lines == Seq("x", "y"))
+    assert(sleeps == List(1000L, 1000L), s"sleeps: $sleeps")
+    // exhaustion is loud, never a silently dropped page
+    val e = intercept[java.io.IOException] {
+      AsanaRetry.fetchWithRetry(p, _ => ()) { _ => AsanaHttpError(503, Some(0L)) }
+    }
+    assert(e.getMessage.contains("503"))
+  }
+
   test("reads all pages (30 tasks over 3 page partitions)") {
     assert(tasks.count() == 30)
     assert(tasks.rdd.getNumPartitions == 3, "one partition per API page")
