@@ -29,9 +29,16 @@ object Llm {
     * ~10 s shingle-based query at sf0.1 — this loop does the identical set
     * construction in ~0.5 s. Shared by jaccard / minhash / the UDAF / the
     * pipeline, so the win applies four times. */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    shingleRowsOf(documents(s, d))
+
+  /** kernel over an arbitrary (doc_id, text) frame — also accepts a
+    * STREAMING frame (stateless flatMap), which is how the incremental
+    * dedup parity test drives micro-batches through the same code. */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    documents(s, d)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty // declarative form dropped nulls too
@@ -121,7 +128,7 @@ object Llm {
   /** (doc_id, band_key) — MinHash (k=64) signatures banded 16×4; the seed
     * folds into the hash input as a second column — one tuple hash per
     * (shingle, seed), no per-seed string concatenation. */
-  private def minhashBandedOf(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBandedOf(sh: DataFrame): DataFrame = {
     val sigCols = (0 until 64).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id")

@@ -268,6 +268,47 @@ class StreamingSpec extends SparkTestBase {
       s"streamed candidates diverge from batch: missing ${(batch -- streamed).take(5)}, extra ${(streamed -- batch).take(5)}")
   }
 
+  test("incremental text dedup: micro-batches probe the persisted MinHash band table") {
+    // the TEXT-side twin of the vector test above, driven through
+    // foreachBatch because the MinHash signature is a per-doc
+    // aggregation (a groupBy within the batch — not a stateless map, so
+    // stream-static alone can't express it): the corpus's band table
+    // sits persisted (bucketed, pay-layout-once); each arriving
+    // micro-batch re-derives its docs' bands through the SAME shingle +
+    // banding kernels and equi-joins the index for candidates against
+    // the whole corpus. Replaying the corpus as the stream must
+    // reproduce the batch candidate set exactly.
+    import spark.implicits._
+    val (band, _) = ops.Llm.dedupTextTables(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_textinc")
+      .toFile.getPath + "/cand"
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .select("doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ops.Llm.minhashBandedOf(
+            ops.Llm.shingleRowsOf(batch).select("doc_id", "sh"))
+          .join(band.select(col("band_key").as("bk"), col("doc_id").as("b")),
+            col("band_key") === col("bk") && col("doc_id") =!= col("b"))
+          .select(least(col("doc_id"), col("b")).as("doc_a"),
+            greatest(col("doc_id"), col("b")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "incremental text dedup did not drain")
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = ops.Llm.minhashCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed text candidates diverge from batch: " +
+        s"missing ${(batch -- streamed).take(5)}, " +
+        s"extra ${(streamed -- batch).take(5)}")
+  }
+
   test("foreachBatch + dynamic partition overwrite = incremental upsert sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
