@@ -241,59 +241,56 @@ object Llm {
   private[graft] def rowBudgetFor(dim: Int, budgetBytes: Long): Long =
     math.max(1L, budgetBytes / (8L * math.max(1, dim)))
 
-  /** vector width probed from one row (a 1-row job; an empty table gets
-    * dim 1 — any branch is trivially correct on zero rows). */
-  private def probeDim(s: org.apache.spark.sql.SparkSession,
-      d: String): Int =
-    embDouble(s, d).select(size(col("emb"))).take(1) match {
-      case Array(r) => math.max(1, r.getInt(0))
-      case _        => 1
-    }
-
-  /** the byte-aware row budget for this table's dim. */
-  private[graft] def simjoinRowBudget(s: org.apache.spark.sql.SparkSession,
-      d: String): Long = rowBudgetFor(probeDim(s, d), SimjoinBroadcastBytes)
-
-  val llm_simjoin: Q = (s, d) => {
-    // limit+count stops scanning at the budget instead of paying a full
-    // pass just to learn the table is too big
-    val rb = simjoinRowBudget(s, d)
-    val cnt = probeRows(s, d, rb)
-    require(cnt <= rb,
-      s"llm_simjoin: build side exceeds the $SimjoinBroadcastBytes-byte " +
-        s"broadcast budget ($rb rows at this dim) — use llm_simjoin_lsh " +
-        "(banded LSH candidates + exact rerank) at this scale")
-    simjoinExactUnguarded(s, d)
-  }
-
-  /** the dispatch predicate, exposed on a plain Dataset so the high-dim
-    * test can prove the byte-awareness without a fixture table: true ⇒
-    * the exact broadcast kernel fits `budgetBytes`. Early-stopping
-    * limit+count, like [[probeRows]]. */
+  /** THE dispatch predicate — every deployed guard (llm_simjoin's
+    * require, simjoinAuto, rerankExact's branch) routes through this one
+    * function, so the high-dim unit test drives the exact code the
+    * driver-OOM guard runs in production. Probes dim from one row (an
+    * empty table gets dim 1 — any branch is trivially correct on zero
+    * rows), derives the byte-aware row budget, optionally capped by the
+    * `rowCap` test/dispatch seam, and counts with an early-stopping
+    * limit+count so the scan never exceeds budget+1 rows. */
   private[graft] def fitsBroadcastBudget(
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-      budgetBytes: Long): Boolean = {
+      budgetBytes: Long, rowCap: Long = Long.MaxValue): Boolean = {
     val dim = vecs.take(1) match {
       case Array((_, v)) => math.max(1, v.length)
       case _             => 1
     }
-    val rb = rowBudgetFor(dim, budgetBytes)
+    val rb = math.min(rowCap, rowBudgetFor(dim, budgetBytes))
     vecs.limit(math.min(rb + 1, Int.MaxValue.toLong).toInt).count() <= rb
   }
 
-  /** early-stopping row probe shared by the guard and the dispatcher —
-    * ONE bounded scan wherever the caller enters (the round-3 double-probe
-    * on the dispatcher's exact branch folded away). */
-  private def probeRows(s: org.apache.spark.sql.SparkSession, d: String,
-      budget: Long): Long = {
+  private def vecsOf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])]
-      .limit(math.min(budget + 1, Int.MaxValue.toLong).toInt).count()
   }
 
-  /** the broadcast kernel itself; callers MUST have applied the row-budget
-    * guard (llm_simjoin's require or simjoinAuto's dispatch probe). */
+  /** fit decision memoized per (application, sfDir, rowCap): the inputs
+    * are immutable for the application's lifetime (the persisted-table
+    * memos' assumption, stated at [[ivfIndexDir]]), and simjoinAuto's
+    * LSH branch plus rerankExact used to re-probe dim and re-scan per
+    * query — two extra jobs per invocation on the bench hot path. */
+  private val broadcastFit =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def fitsBroadcastBudgetTable(s: org.apache.spark.sql.SparkSession,
+      d: String, rowCap: Long = Long.MaxValue): Boolean =
+    broadcastFit.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d + "|" + rowCap,
+      _ => fitsBroadcastBudget(vecsOf(s, d), SimjoinBroadcastBytes, rowCap)
+    ).booleanValue()
+
+  val llm_simjoin: Q = (s, d) => {
+    require(fitsBroadcastBudgetTable(s, d),
+      s"llm_simjoin: build side exceeds the $SimjoinBroadcastBytes-byte " +
+        "broadcast budget at this dim — use llm_simjoin_lsh (banded LSH " +
+        "candidates + exact rerank) at this scale")
+    simjoinExactUnguarded(s, d)
+  }
+
+  /** the broadcast kernel itself; callers MUST have applied the byte-
+    * budget guard (llm_simjoin's require or simjoinAuto's dispatch). */
   private def simjoinExactUnguarded(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import s.implicits._
@@ -436,9 +433,8 @@ object Llm {
     // stay bit-identical on either branch. Pairs whose id is missing
     // from the vector table are DROPPED, matching the over-budget join
     // branch's inner-join semantics (both branches must agree).
-    val rb = simjoinRowBudget(s, d)
     val scored =
-      if (probeRows(s, d, rb) <= rb) {
+      if (fitsBroadcastBudgetTable(s, d)) {
         val vecs = e.select(col("vec_id"), col("emb"))
           .as[(Long, Array[Double])].collect().toMap
         val bc = s.sparkContext.broadcast(vecs)
@@ -495,22 +491,19 @@ object Llm {
     // data), so a later invocation in the same JVM — bench's second pass,
     // every incremental re-dedup in the 100 TB story — reads the existing
     // bucketed table instead of rebuilding it. That reuse, not the first
-    // write, is what the persisted index buys. Memoized only AFTER the
-    // write succeeds (recording intent up front would poison every later
-    // invocation when a first build fails mid-save), under a lock so two
-    // concurrent first callers cannot race reset against in-flight write.
-    bandTableBuilt.synchronized {
-      if (!bandTableBuilt.contains(t)) {
-        graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_lshband")
-        graft.util.AppCleanup.resetTable(s, t)
-        lshBandedVecs(
-          embDouble(s, d).select(col("vec_id"), col("emb"))
-            .as[(Long, Array[Double])],
-          LshBands, LshRowsPerBand)
-          .write.bucketBy(8, "band_key").sortBy("band_key")
-          .mode("overwrite").saveAsTable(t)
-        bandTableBuilt.add(t)
-      }
+    // write, is what the persisted index buys. Memo/locking rules live
+    // in AppCleanup.buildOnce (record only after a successful build,
+    // lock spans reset+write), shared by all five persisted-artifact
+    // sites.
+    graft.util.AppCleanup.buildOnce(bandTableBuilt, t) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_lshband")
+      graft.util.AppCleanup.resetTable(s, t)
+      lshBandedVecs(
+        embDouble(s, d).select(col("vec_id"), col("emb"))
+          .as[(Long, Array[Double])],
+        LshBands, LshRowsPerBand)
+        .write.bucketBy(8, "band_key").sortBy("band_key")
+        .mode("overwrite").saveAsTable(t)
     }
     s.table(t)
   }
@@ -525,26 +518,24 @@ object Llm {
   val llm_simjoin_lsh_bucketed: Q = (s, d) =>
     rerankExact(s, d, lshCandidatesBucketed(s, d))
 
-  /** Budget-dispatched similarity join: counts the build side (with the
-    * same early-stopping limit+count the guard in [[llm_simjoin]] uses) and
-    * picks the exact broadcast kernel under the BYTE budget (rows × dim
-    * × 8 — [[simjoinRowBudget]]), the banded-LSH candidate path above it
-    * — the dispatch a user-facing API performs so callers never hit the
-    * guard's require. The dispatch threshold is capped at the byte-
-    * derived row budget (a larger budget here could only re-arm the
-    * driver OOM this dispatcher exists to prevent); lowering `budget`
-    * below the cap is the test seam. The probe is an early-stopping
-    * limit+count — ONE bounded scan, shared with llm_simjoin's guard via
-    * probeRows, and the exact branch enters the kernel directly so the
-    * probe is not paid twice. Under the budget the output is
-    * llm_simjoin's exactly (same oracle); above it, llm_simjoin_lsh's
-    * (identical sims, probabilistic recall). */
+  /** Budget-dispatched similarity join: picks the exact broadcast kernel
+    * when the build side fits the BYTE budget (rows × dim × 8 —
+    * [[fitsBroadcastBudget]], the same predicate llm_simjoin's guard
+    * runs), the banded-LSH candidate path above it — the dispatch a
+    * user-facing API performs so callers never hit the guard's require.
+    * The dispatch threshold is capped at the byte-derived row budget (a
+    * larger budget here could only re-arm the driver OOM this dispatcher
+    * exists to prevent); lowering `budget` below the cap is the test
+    * seam. The probe is memoized per (application, sfDir, cap), so
+    * repeated invocations and rerankExact's branch pay its jobs once per
+    * application. Under the budget the output is llm_simjoin's exactly
+    * (same oracle); above it, llm_simjoin_lsh's (identical sims,
+    * probabilistic recall). */
   private[graft] def simjoinAuto(s: org.apache.spark.sql.SparkSession,
-      d: String, budget: Long = Long.MaxValue): DataFrame = {
-    val eff = math.min(budget, simjoinRowBudget(s, d))
-    val cnt = probeRows(s, d, eff)
-    if (cnt <= eff) simjoinExactUnguarded(s, d) else llm_simjoin_lsh(s, d)
-  }
+      d: String, budget: Long = Long.MaxValue): DataFrame =
+    if (fitsBroadcastBudgetTable(s, d, rowCap = budget))
+      simjoinExactUnguarded(s, d)
+    else llm_simjoin_lsh(s, d)
 
   val llm_simjoin_auto: Q = (s, d) => simjoinAuto(s, d)
 
@@ -718,23 +709,20 @@ object Llm {
       .replaceAll("[^a-zA-Z0-9]", "_")
     val bandT = s"graft_mhband_$tag"
     val setsT = s"graft_docsets_$tag"
-    dedupTextBuilt.synchronized {
-      if (!dedupTextBuilt.contains(tag)) {
-        graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_mhband")
-        graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_docsets")
-        graft.util.AppCleanup.resetTable(s, bandT)
-        graft.util.AppCleanup.resetTable(s, setsT)
-        val sh = shingleRows(s, d).cache()
-        try {
-          minhashBandedOf(sh.select("doc_id", "sh"))
-            .write.bucketBy(8, "band_key").sortBy("band_key")
-            .mode("overwrite").saveAsTable(bandT)
-          sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
-            .write.bucketBy(8, "doc_id").sortBy("doc_id")
-            .mode("overwrite").saveAsTable(setsT)
-        } finally sh.unpersist(blocking = false)
-        dedupTextBuilt.add(tag)
-      }
+    graft.util.AppCleanup.buildOnce(dedupTextBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_mhband")
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_docsets")
+      graft.util.AppCleanup.resetTable(s, bandT)
+      graft.util.AppCleanup.resetTable(s, setsT)
+      val sh = shingleRows(s, d).cache()
+      try {
+        minhashBandedOf(sh.select("doc_id", "sh"))
+          .write.bucketBy(8, "band_key").sortBy("band_key")
+          .mode("overwrite").saveAsTable(bandT)
+        sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(setsT)
+      } finally sh.unpersist(blocking = false)
     }
     (s.table(bandT), s.table(setsT))
   }
@@ -1036,20 +1024,17 @@ object Llm {
       d: String): String = {
     import s.implicits._
     val dir = Sources.sinkDir(s, d, "ivf_index")
-    ivfIndexBuilt.synchronized {
-      if (!ivfIndexBuilt.contains(dir)) {
-        val bc = s.sparkContext.broadcast(trainIvfCentroids(s, d))
-        embDouble(s, d).select(col("vec_id"), col("emb"))
-          .as[(Long, Array[Double])]
-          .map { case (id, v) =>
-            val best = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
-              .maxBy { case (sim, cid) => (sim, -cid) }
-            (best._2, id, v)
-          }
-          .toDF("cell", "vec_id", "emb")
-          .write.mode("overwrite").partitionBy("cell").parquet(dir)
-        ivfIndexBuilt.add(dir)
-      }
+    graft.util.AppCleanup.buildOnce(ivfIndexBuilt, dir) {
+      val bc = s.sparkContext.broadcast(trainIvfCentroids(s, d))
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])]
+        .map { case (id, v) =>
+          val best = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
+            .maxBy { case (sim, cid) => (sim, -cid) }
+          (best._2, id, v)
+        }
+        .toDF("cell", "vec_id", "emb")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
     dir
   }
@@ -1231,7 +1216,12 @@ object Llm {
         val ms = bc.value
         val memo = scala.collection.mutable.HashMap[String, Int]()
         it.map { case (id, text, nChars) =>
-          val words = text.split(" ", -1).filter(_.nonEmpty)
+          // null guard matches every sibling kernel on this table
+          // (shingleRowsOf, gram5Of): a null-text doc counts zero tokens
+          // instead of killing the task
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ", -1).filter(_.nonEmpty)
           val nTok = words.foldLeft(0) { (acc, w) =>
             acc + memo.getOrElseUpdate(w, bpeEncode(w, ms).length)
           }
@@ -1405,15 +1395,12 @@ object Llm {
     val tag = (s.sparkContext.applicationId + "_" + d)
       .replaceAll("[^a-zA-Z0-9]", "_")
     val t = s"graft_victims_$tag"
-    victimsBuilt.synchronized {
-      if (!victimsBuilt.contains(tag)) {
-        graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_victims")
-        graft.util.AppCleanup.resetTable(s, t)
-        jaccardPairsRaw(s, d).where(col("jac_raw") >= 0.9)
-          .select(col("doc_b")).distinct()
-          .write.mode("overwrite").saveAsTable(t)
-        victimsBuilt.add(tag)
-      }
+    graft.util.AppCleanup.buildOnce(victimsBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_victims")
+      graft.util.AppCleanup.resetTable(s, t)
+      jaccardPairsRaw(s, d).where(col("jac_raw") >= 0.9)
+        .select(col("doc_b")).distinct()
+        .write.mode("overwrite").saveAsTable(t)
     }
     s.table(t)
   }

@@ -677,18 +677,15 @@ object Sources {
 
   val scan_binaryfile: Q = (s, d) => {
     val dir = sinkDir(s, d, "binfiles")
-    binFixtureBuilt.synchronized {
-      if (!binFixtureBuilt.contains(dir)) {
-        new java.io.File(dir).mkdirs()
-        documents(s, d).where(col("doc_id") < 50)
-          .select(col("doc_id"), col("text")).collect()
-          .foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-        binFixtureBuilt.add(dir)
-      }
+    graft.util.AppCleanup.buildOnce(binFixtureBuilt, dir) {
+      new java.io.File(dir).mkdirs()
+      documents(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
     }
     s.read.format("binaryFile").load(dir)
       .select(

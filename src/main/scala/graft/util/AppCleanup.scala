@@ -33,6 +33,19 @@ object AppCleanup {
       localFile(s.conf.get("spark.sql.warehouse.dir")), t.toLowerCase))
   }
 
+  /** Build-once memo shared by every persisted-artifact site (LSH band
+    * tables, IVF index, dedup working set, victim list, binary fixture):
+    * runs `build` the first time `tag` is seen in this JVM and records
+    * the tag only AFTER build returns — a failed build retries on the
+    * next call instead of poisoning every later invocation — under a
+    * lock spanning the whole build so two concurrent first callers
+    * cannot race a reset against an in-flight write. The subtle rules
+    * live here once instead of being re-audited per call site. */
+  def buildOnce(seen: java.util.Set[String], tag: String)(build: => Unit): Unit =
+    seen.synchronized {
+      if (!seen.contains(tag)) { build; seen.add(tag); () }
+    }
+
   /** Register the once-per-application shutdown hook that removes every
     * warehouse entry carrying this application's id (lowercased, matching
     * the catalog's on-disk casing) — shared by all queries that persist
