@@ -602,6 +602,45 @@ object Sources {
       .orderBy("o_year")
   }
 
+  /** JSONL EXPORT sink — the other half of the format story: every
+    * ingest format the engine reads it should also ship, because an
+    * Asana-ETL's deliverable IS a tabular export. Round-trip contract:
+    * write the table as JSON lines, read it back with the SOURCE's
+    * explicit schema (no inference in prod paths), and aggregate — the
+    * oracle computes the same aggregate over the source table, so any
+    * write/read value drift (double formatting, null handling) breaks
+    * the hash. Doubles survive exactly: Spark writes shortest
+    * round-trip representations. Distributed one-file-per-task write
+    * at any scale. */
+  val sink_export_jsonl: Q = (s, d) => {
+    import graft.util.Det._
+    val out = sinkDir(s, d, "export_jsonl")
+    val src = supplier(s, d)
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        moneySum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("s_nationkey")
+  }
+
+  /** CSV EXPORT sink — same round-trip contract as
+    * [[sink_export_jsonl]] for the format business consumers ask for
+    * first; header on, read back with the source's explicit schema
+    * (the writer quotes delimiters/quotes, the reader reverses it —
+    * value fidelity is what the oracle checks). */
+  val sink_export_csv: Q = (s, d) => {
+    import graft.util.Det._
+    val out = sinkDir(s, d, "export_csv")
+    val src = customer(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true").schema(src.schema).csv(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Frame sampling over "video" binary payloads — the one-to-many batch
     * shape real frame extraction produces (doc → sampled frames), with a
     * pooled "resize" per frame: the payload splits into complete 32-byte
@@ -774,6 +813,8 @@ object Sources {
     "scan_jsonl_malformed" -> scan_jsonl_malformed,
     "scan_csv_malformed" -> scan_csv_malformed,
     "sink_upsert" -> sink_upsert,
+    "sink_export_jsonl" -> sink_export_jsonl,
+    "sink_export_csv" -> sink_export_csv,
     "scan_binaryfile" -> scan_binaryfile,
     "llm_mm_features" -> llm_mm_features,
     "llm_mm_frames" -> llm_mm_frames,
@@ -1019,6 +1060,18 @@ object Sources {
                                 ELSE o_totalprice END
                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // export round-trips must be value-faithful: the aggregate over the
+    // re-read export equals the same aggregate over the source table
+    "sink_export_jsonl" ->
+      """SELECT s_nationkey, count(1) AS n_suppliers,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_acctbal
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+    "sink_export_csv" ->
+      """SELECT c_mktsegment, count(1) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_acctbal
+         FROM customer GROUP BY 1 ORDER BY 1""",
     // compaction must be content-invariant: the aggregate over the
     // compacted sink equals the same aggregate over the source table
     "sink_compact" ->
