@@ -144,14 +144,19 @@ object Llm {
       .select("doc_id", "band_key")
   }
 
-  /** candidate pairs from the band equi-join — shared by the in-flight
-    * path (here) and the persisted-table path in [[llm_dedup_text]]. */
-  private def minhashCandidatesOf(banded: DataFrame): DataFrame = {
+  /** the candidate self-join on the band key (pre-distinct, so the plan
+    * test can assert the join's exchange count in isolation — the
+    * bandSelfJoin pattern for the doc-side table). */
+  private[graft] def minhashBandSelfJoin(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band_key"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band_key").as("bk"), col("doc_id").as("doc_b"))
     l.join(r, col("band_key") === col("bk") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
   }
+
+  /** candidate pairs from the band equi-join — shared by the in-flight
+    * path (here) and the persisted-table path in [[llm_dedup_text]]. */
+  private def minhashCandidatesOf(banded: DataFrame): DataFrame =
+    minhashBandSelfJoin(banded).select("doc_a", "doc_b").distinct()
 
   private[graft] def minhashCandidates(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =

@@ -246,6 +246,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("persisted MinHash band table self-joins with zero Exchange") {
+    // llm_dedup_text's candidate join over the bucketed doc-side band
+    // table — the same pay-layout-once contract as the vector band
+    // table above, asserted on the same pre-distinct join shape
+    withStaticPlan {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (band, _) = ops.Llm.dedupTextTables(spark, sf)
+        val p = planOf(ops.Llm.minhashBandSelfJoin(band))
+        assert(p.contains("SortMergeJoin"))
+        assert(!p.contains("Exchange"),
+          s"bucketed MinHash band self-join still shuffles:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThreshold)
+    }
+  }
+
+  test("llm_tfidf tokenizes once: a single Generate in the plan") {
+    // the round-5 fix pinned: df comes from a count window OVER tf, so
+    // the explode(split(text)) subtree must appear exactly once — the
+    // groupBy-join-back form planned it twice and doubled the query
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_tfidf(spark, sf))
+      val n = p.linesIterator.count(_.contains("Generate explode"))
+      assert(n == 1, s"tokenize subtree appears $n times in:\n$p")
+    }
+  }
+
   test("llm_decontaminate probes the eval grams via broadcast") {
     // the eval side is benchmark-suite-sized at any corpus scale — the
     // contamination probe must be a map-side BroadcastHashJoin so the
