@@ -147,6 +147,23 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(okCol - 1.0) < 1e-12, "codegen path self-similarity")
   }
 
+  test("buildOnce: a failed build retries; a successful build memoizes") {
+    // the rule all five persisted-artifact sites rely on: recording the
+    // tag only after the build returns means a first build that dies
+    // mid-write is retried by the next caller instead of poisoning
+    // every later invocation with a half-written table
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    var calls = 0
+    intercept[RuntimeException] {
+      graft.util.AppCleanup.buildOnce(seen, "t") {
+        calls += 1; throw new RuntimeException("mid-build failure")
+      }
+    }
+    graft.util.AppCleanup.buildOnce(seen, "t") { calls += 1 }
+    graft.util.AppCleanup.buildOnce(seen, "t") { calls += 1 }
+    assert(calls == 2, s"expected retry-then-memoize, got $calls builds")
+  }
+
   test("scan_csv_malformed quarantines exactly the damaged lines") {
     // fixture damage: two unparseable amounts are quarantined; the short
     // row is null-padded WITHOUT quarantine (measured Spark semantics —
