@@ -575,15 +575,67 @@ object Llm {
     * per round and bounded loudly at 30 rounds (a bound only an adversarial
     * graph of depth ≫ 2^30 could hit). At 100 TB this is the standard
     * two-phase CC shape: each round is one shuffle on gid + one on comp. */
+  /** driver-budget for the small-graph closure: 2^19 symmetric edges ≈
+    * 8 MB of (v, u) longs — comfortably driver-sized, the simjoin
+    * kernel's budget-dispatch discipline applied to the closure. */
+  private[graft] val CcDriverBudgetEdges = 1L << 19
+
   private[graft] def connectedComponents(edges: DataFrame,
-      key: String = "llm_cc"): DataFrame = {
+      key: String = "llm_cc",
+      driverBudgetEdges: Long = CcDriverBudgetEdges): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
     // cache BEFORE the sizing count so the (possibly expensive) edge
     // producer — e.g. the whole similarity kernel — materializes exactly
     // once; the count then reads the cache
     val symAll = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
       .distinct().cache()
-    val nEdges = symAll.count()
+    try {
+      val nEdges = symAll.count()
+      if (nEdges <= driverBudgetEdges) {
+        // SMALL pair graph — the common case after a similarity
+        // threshold: the distributed loop below is pure per-job overhead
+        // here (~10 jobs for two rounds on a few hundred edges), so the
+        // closure runs as driver union-find over the collected edge
+        // list. Labels are re-assigned to each component's SMALLEST
+        // member after the union pass, so the output is independent of
+        // union order — identical to the distributed result (equality
+        // directly tested with driverBudgetEdges = 0 forcing the loop).
+        val es = symAll.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        es.foreach { case (v, u) =>
+          parent.getOrElseUpdate(v, v); parent.getOrElseUpdate(u, u)
+          val rv = find(v); val ru = find(u)
+          if (rv != ru) parent(ru) = rv
+        }
+        val nodes = parent.keys.toArray // snapshot: find() mutates parent
+        val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+        nodes.foreach { n =>
+          val r = find(n)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+        }
+        s.createDataset(nodes.toSeq.map(n => (n, minOfRoot(find(n)))))
+          .toDF("gid", "comp")
+      } else distributedComponents(symAll, nEdges, key)
+    } finally symAll.unpersist()
+  }
+
+  /** the beyond-budget closure: distributed hook + pointer-jump rounds
+    * (the 100 TB path). `sym` is cached by the caller and stays valid for
+    * the loop's lifetime; the returned labels are checkpointed, so the
+    * caller's unpersist cannot invalidate them. */
+  private def distributedComponents(symAll: DataFrame, nEdges: Long,
+      key: String): DataFrame = {
     // the iteration runs ~6 shuffle stages per round; on a small pair
     // graph (the common case after a similarity threshold) that's pure
     // per-task overhead at the session's shuffle parallelism, so coalesce
@@ -645,7 +697,7 @@ object Llm {
       graft.util.Iterate.registerResult(key, cur._2)
       cur._1
     } finally {
-      symAll.unpersist()
+      // (the caller's finally releases the cached edge set)
       // the RESULT keeps its blocks; only a thrown round (non-convergence)
       // releases the in-flight label table instead of pinning it for the
       // session's life

@@ -396,11 +396,19 @@ class OperatorSpec extends SparkTestBase {
     // hook+jump bound must resolve
     val path = (0 until 13).map(i => (100L + i, 101L + i))
     val edges = (Seq((1L, 2L), (2L, 3L), (11L, 10L)) ++ path).toDF("a", "b")
+    // default dispatch: these tiny graphs take the driver union-find
     val comp = ops.Llm.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L, s"chain: $comp")
     assert(comp(10L) == 10L && comp(11L) == 10L, s"pair: $comp")
     assert((100L to 113L).forall(comp(_) == 100L), s"deep path: $comp")
+    // budget 0 forces the distributed hook+jump loop (the 100 TB path) —
+    // it must produce the identical min-member labeling
+    val distributed = ops.Llm
+      .connectedComponents(edges, key = "cc_test", driverBudgetEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == comp,
+      s"driver and distributed closures diverge: $distributed vs $comp")
   }
 
   test("llm_dedup_embcos: every canonical is itself a survivor (true closure)") {
