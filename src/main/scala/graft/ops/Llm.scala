@@ -121,9 +121,15 @@ object Llm {
   /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. Engine-
     * specific hashes → no SQL oracle (rows-only); the test suite asserts
     * candidates ⊇ all J ≥ 0.9 pairs. Scale path: signatures are one
-    * groupBy; candidates are an equi-join on (band, band signature). */
+    * groupBy; candidates are an equi-join on (band, band signature) —
+    * served from the persisted bucketed band table ([[dedupTextTables]]):
+    * the hashes are deterministic, so the candidates are row-identical
+    * to the in-flight derivation (which [[minhashCandidates]] keeps for
+    * the parity/recall tests and the first build), and repeated candidate
+    * queries pay zero signature recomputation — the pay-layout-once
+    * story, shared with the flagship dedup. */
   val llm_minhash: Q = (s, d) =>
-    minhashCandidates(s, d).orderBy("doc_a", "doc_b")
+    minhashCandidatesOf(dedupTextTables(s, d)._1).orderBy("doc_a", "doc_b")
 
   /** (doc_id, band_key) — MinHash (k=64) signatures banded 16×4; the seed
     * folds into the hash input as a second column — one tuple hash per
