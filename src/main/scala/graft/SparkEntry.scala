@@ -16,12 +16,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
-      ops.Streaming.queries ++ ops.Llm.queries ++ ops.Sources.queries).toMap
+      ops.Streaming.queries ++ ops.Llm.queries ++ ops.Sources.queries ++
+      ops.Table.queries).toMap
 
   /** For each key in queries, equivalent SQL runnable by DuckDB 1.0 on the
     * same parquet tables. Omitted for non-SQL-expressible ops (sketches,
     * engine-specific hashes) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     (ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
-      ops.Streaming.oracle ++ ops.Llm.oracle ++ ops.Sources.oracle).toMap
+      ops.Streaming.oracle ++ ops.Llm.oracle ++ ops.Sources.oracle ++
+      ops.Table.oracle).toMap
 }

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+import graft.util.Tables.orders
+
+/** SURVEY.md §2-A table-format extension: snapshot/manifest table queries
+  * over [[graft.table.GraftTable]] — ACID-style commits, time travel,
+  * incremental changes, and manifest-stats file pruning, all on plain
+  * parquet (no Delta/Iceberg jars resolve offline; the format is the
+  * public Delta/Iceberg design re-expressed minimally).
+  *
+  * One fixture table is built ONCE per (application, sfDir) — the house
+  * buildOnce memo, same as the IVF index — with three commits:
+  *   v1 create  : orders with o_orderdate ≤ 1994, range-clustered
+  *   v2 append  : orders 1995+
+  *   v3 merge   : 1995 orders with o_orderkey % 3 = 0, price doubled
+  * so every query below reads a settled, deterministic history and the
+  * bench steady-state measures reads, not the one-time build. Each query
+  * replays the corresponding state as plain SQL over the source table for
+  * the DuckDB oracle — the format's bookkeeping is what's under test.
+  */
+object Table {
+
+  private val tableBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val statsCols = Seq("o_year", "o_orderkey")
+
+  /** Build the three-snapshot orders table; returns its root. */
+  private[graft] def ordersTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val root = Sources.sinkDir(s, d, "graft_table_orders")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src.where(col("o_year") <= 1994),
+        statsCols, clusterCols = statsCols)
+      GraftTable.append(s, root, src.where(col("o_year") >= 1995),
+        statsCols, clusterCols = statsCols)
+      GraftTable.merge(s, root,
+        src.where(col("o_year") === 1995 && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        keyCol = "o_orderkey", statsCols, clusterCols = statsCols)
+    }
+    root
+  }
+
+  /** Latest-snapshot read after the full create→append→merge history:
+    * the MERGE's doubled prices are visible, everything else unchanged —
+    * counts catch lost/duplicated files, the DECIMAL sum catches value
+    * corruption in the copy-on-write rewrite. */
+  val table_snapshot: Q = (s, d) => {
+    import graft.util.Det._
+    GraftTable.read(s, ordersTable(s, d))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** Time travel: snapshot 1 read AFTER two later commits exist — the
+    * append's rows and the merge's rewrites must both be invisible
+    * (snapshot isolation; old manifests reference only old files, and
+    * merge never mutates a file in place). */
+  val table_time_travel: Q = (s, d) => {
+    import graft.util.Det._
+    GraftTable.read(s, ordersTable(s, d), snapshot = Some(1))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** Incremental consumption: rows in files committed between snapshot 1
+    * and snapshot 2 — for the append commit this is exact row-level CDC
+    * (the appended files hold exactly the appended rows, at their
+    * pre-merge values). */
+  val table_changes: Q = (s, d) => {
+    import graft.util.Det._
+    GraftTable.changesBetween(s, ordersTable(s, d), 1, 2)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** Manifest-stats file pruning: the 1994 read plans only the files
+    * whose o_year range covers 1994 (GraftTableSpec asserts files read <
+    * files total; the range-clustered write is what makes the stats
+    * tight). The exact row predicate still applies — pruning is
+    * file-granular, correctness never depends on it. */
+  val table_prune: Q = (s, d) => {
+    import graft.util.Det._
+    val (df, _, _) =
+      GraftTable.readWhere(s, ordersTable(s, d), "o_year", 1994d, 1994d)
+    df.where(col("o_year") === 1994)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "table_snapshot" -> table_snapshot,
+    "table_time_travel" -> table_time_travel,
+    "table_changes" -> table_changes,
+    "table_prune" -> table_prune)
+
+  val oracle: Seq[(String, String)] = Seq(
+    // final state replayed statically: merge keys carry doubled totals
+    "table_snapshot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1995
+                                 AND o_orderkey % 3 = 0
+                                THEN 2 * o_totalprice
+                                ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // snapshot 1 = the pre-append, pre-merge slice at original prices
+    "table_time_travel" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) <= 1994
+         GROUP BY 1 ORDER BY 1""",
+    // the v1→v2 delta = exactly the appended slice, pre-merge values
+    "table_changes" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) >= 1995
+         GROUP BY 1 ORDER BY 1""",
+    // pruned read, post-merge state restricted to 1994 (merge touched
+    // only 1995 keys, so 1994 values are the originals)
+    "table_prune" ->
+      """SELECT o_orderstatus, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1994
+         GROUP BY 1 ORDER BY 1""")
+}

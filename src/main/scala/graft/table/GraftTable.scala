@@ -1,0 +1,287 @@
+package graft.table
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A minimal snapshot/manifest table format over plain parquet files —
+  * the offline-feasible answer to "no ACID table format" (SURVEY.md §2-A;
+  * no Delta/Iceberg jars can resolve here, build.sbt's unmanagedBase
+  * constraint). Public-knowledge design (the Delta/Iceberg papers):
+  *
+  *  - Data files are IMMUTABLE parquet files; each commit writes its rows
+  *    into a fresh `data/c-<uuid>/` subdirectory, never touching existing
+  *    files.
+  *  - A snapshot is a JSON manifest (`_graft/manifest-N.json`) listing
+  *    every live data file with its row count and per-column min/max
+  *    stats. Readers plan from the MANIFEST, not from directory listing —
+  *    orphans from failed writes are invisible by construction (no
+  *    cleanup races), and file-skipping needs zero parquet footer reads.
+  *  - Commits are ATOMIC and optimistic: the manifest is staged to a temp
+  *    file and published via `Files.createLink`, which atomically fails
+  *    with `FileAlreadyExistsException` if snapshot N was taken by a
+  *    concurrent writer (POSIX link(2) is create-if-absent; a plain
+  *    rename would silently overwrite the winner). Appends rebase and
+  *    retry; row-rewriting commits (merge) fail loudly instead of
+  *    guessing — the caller re-derives against the new snapshot.
+  *  - Every old manifest stays readable forever → snapshot isolation and
+  *    time travel for free; `changesBetween` diffs two manifests' file
+  *    lists for incremental consumption (exact row-level CDC for append
+  *    commits; rewritten-file granularity for merges).
+  *
+  * 100 TB posture: a commit costs O(files changed), never O(table) — a
+  * MERGE rewrites only the files whose key-range stats overlap the
+  * update keys (two-level pruning: stats overlap, then an
+  * `input_file_name` semi-join scans only the candidates). The manifest
+  * itself is a driver-side O(live files) JSON document; at ~10⁶ files
+  * the known evolution is Iceberg's manifest-list sharding — the commit
+  * protocol and stats layout here are unchanged by that split. */
+object GraftTable {
+
+  /** One immutable data file: path relative to the table root, row count,
+    * and min/max per tracked (numeric) column, all computed in a single
+    * distributed job at write time. Stats are doubles — exact for the
+    * int/date-derived columns tracked here; a production format keeps
+    * typed bounds. */
+  case class FileEntry(path: String, rows: Long,
+      mins: Map[String, Double], maxs: Map[String, Double])
+
+  case class Manifest(snapshot: Int, parent: Int, op: String,
+      schemaJson: String, files: List[FileEntry])
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def metaDir(root: String): JPath = Paths.get(root, "_graft")
+  private def manifestPath(root: String, v: Int): JPath =
+    metaDir(root).resolve(s"manifest-$v.json")
+
+  /** Latest snapshot id, from the manifest files actually present (no
+    * separate pointer file — a pointer can lag or tear; the listing is
+    * the truth and each manifest file is immutable once linked). 0 means
+    * the table does not exist yet. */
+  def latestSnapshot(root: String): Int = {
+    val dir = metaDir(root).toFile
+    val names = Option(dir.list()).getOrElse(Array.empty[String])
+    val re = "manifest-([0-9]+)\\.json".r
+    names.collect { case re(v) => v.toInt }.foldLeft(0)(math.max)
+  }
+
+  def manifest(root: String, v: Int): Manifest =
+    org.json4s.jackson.Serialization.read[Manifest](
+      new String(Files.readAllBytes(manifestPath(root, v)), "UTF-8"))
+
+  /** Atomically publish `m` as snapshot `m.snapshot`. Returns true if this
+    * writer won, false if a concurrent commit already took the id. The
+    * staged temp file carries the full content BEFORE the link, so a
+    * reader can never observe a partially-written manifest. */
+  private def tryCommit(root: String, m: Manifest): Boolean = {
+    Files.createDirectories(metaDir(root))
+    val tmp = metaDir(root).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    try {
+      try { Files.createLink(manifestPath(root, m.snapshot), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { Files.delete(tmp) }
+  }
+
+  /** Write `df`'s rows as immutable parquet files under a fresh commit
+    * subdirectory and return their manifest entries. One extra
+    * distributed job computes per-file row counts and min/max stats via
+    * `input_file_name` — no driver-side data movement, driver payload is
+    * O(files). `clusterCols` range-partitions the write so the stats are
+    * TIGHT (a file covers a narrow key band → pruning actually skips);
+    * an unclustered write would give every file near-global bounds. */
+  private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int): List[FileEntry] = {
+    val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
+    val dir = s"$root/$sub"
+    val clustered =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      else df.repartition(numFiles)
+    clustered.write.mode("overwrite").parquet(dir)
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toList
+      .map { r =>
+        val local = new org.apache.hadoop.fs.Path(r.getAs[String]("f"))
+          .toUri.getPath
+        require(local.startsWith(rootUri), s"file outside table root: $local")
+        FileEntry(local.stripPrefix(rootUri).stripPrefix("/"),
+          r.getAs[Long]("rows"),
+          statsCols.map(c => c -> r.getAs[Double](s"min_$c")).toMap,
+          statsCols.map(c => c -> r.getAs[Double](s"max_$c")).toMap)
+      }
+      .sortBy(_.path)
+  }
+
+  /** Name→type shape of a schema, nullability excluded (parquet read-back
+    * relaxes/tightens nullability freely; types and names are the
+    * contract an append must honor). */
+  private def shape(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(f => f.name -> f.dataType.sql)
+
+  /** Create snapshot 1. Fails loudly if the table already exists. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 8): Int = {
+    require(latestSnapshot(root) == 0, s"table already exists at $root")
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols, numFiles)
+    val m = Manifest(1, 0, "create", df.schema.json, entries)
+    require(tryCommit(root, m), s"concurrent create at $root")
+    1
+  }
+
+  /** Append-only commit. Optimistic: on a concurrent-writer collision the
+    * new files are already safely on disk and the file list is
+    * parent-independent, so the commit simply rebases onto the new
+    * latest and retries the link. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 8): Int = {
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols, numFiles)
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"append to non-existent table $root")
+      val parent = manifest(root, v)
+      require(shape(df.schema) ==
+        shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
+        s"append schema mismatch vs snapshot $v at $root")
+      val m = Manifest(v + 1, v, "append", parent.schemaJson,
+        parent.files ++ entries)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"append lost 20 commit races at $root")
+  }
+
+  /** Copy-on-write MERGE (upsert on `keyCol`): rows of `updates` replace
+    * same-key rows; new keys are inserted. Only files that can contain a
+    * matching key are rewritten:
+    *  1. stats pruning — candidate files are those whose [min,max] of
+    *     `keyCol` overlaps the updates' overall key range (driver-side,
+    *     zero I/O);
+    *  2. exact check — an `input_file_name` semi-join over ONLY the
+    *     candidates finds the files actually holding a matching key
+    *     (distributed; driver payload is the affected-file name list).
+    * Untouched files carry over by reference, so the commit cost scales
+    * with the update's key locality, not the table size. Single-attempt
+    * optimistic: the commit targets `baseSnapshot + 1` (base defaults to
+    * the latest at entry — pass it explicitly to pin the snapshot the
+    * update set was derived against); if a concurrent commit took that
+    * id, the rewrite is stale — fail loudly, caller re-derives. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4, baseSnapshot: Option[Int] = None): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"merge into non-existent table $root")
+    val parent = manifest(root, v)
+    require(shape(updates.schema) ==
+      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
+      s"merge schema mismatch vs snapshot $v at $root")
+    val Array(kLo, kHi) = updates
+      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => Array(Double.NaN, Double.NaN)
+        case r => Array(r.getDouble(0), r.getDouble(1))
+      }
+    val candidates =
+      if (kLo.isNaN) Nil // empty updates: nothing can match
+      else parent.files.filter(f =>
+        f.maxs.get(keyCol).forall(_ >= kLo) &&
+          f.mins.get(keyCol).forall(_ <= kHi))
+    val affectedPaths: List[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+        spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+            .toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+          .toList.sorted
+      }
+    val affected = parent.files.filter(f => affectedPaths.contains(f.path))
+    val survivors =
+      if (affected.isEmpty) updates
+      else {
+        val base = spark.read
+          .parquet(affected.map(f => s"$root/${f.path}"): _*)
+        base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti")
+          .select(base.columns.map(col): _*)
+          .unionByName(updates)
+      }
+    val entries =
+      writeFiles(spark, root, survivors, statsCols, clusterCols, numFiles)
+    val m = Manifest(v + 1, v, "merge", parent.schemaJson,
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"merge derived from stale snapshot $v at $root")
+    v + 1
+  }
+
+  /** Read a snapshot (latest when `snapshot` is None). Plans purely from
+    * the manifest's file list — orphaned files in `data/` are invisible.
+    * An empty file list still yields a correctly-typed empty frame. */
+  def read(spark: SparkSession, root: String,
+      snapshot: Option[Int] = None): DataFrame = {
+    val v = snapshot.getOrElse(latestSnapshot(root))
+    val m = manifest(root, v)
+    readEntries(spark, root, m, m.files)
+  }
+
+  private def readEntries(spark: SparkSession, root: String, m: Manifest,
+      files: List[FileEntry]): DataFrame = {
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Stats-pruned read: only files whose [min,max] of `colName` overlaps
+    * [lo, hi] are handed to the scan (the exact row-level predicate is
+    * still the caller's to apply — pruning is file-granular). Returns the
+    * frame plus (files read, files total) so tests and callers can assert
+    * skipping actually happened. */
+  def readWhere(spark: SparkSession, root: String, colName: String,
+      lo: Double, hi: Double,
+      snapshot: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = snapshot.getOrElse(latestSnapshot(root))
+    val m = manifest(root, v)
+    val kept = m.files.filter(f =>
+      f.maxs.get(colName).forall(_ >= lo) &&
+        f.mins.get(colName).forall(_ <= hi))
+    (readEntries(spark, root, m, kept), kept.size, m.files.size)
+  }
+
+  /** Rows in files added after `fromSnapshot`, up to and including
+    * `toSnapshot` — the incremental-consumption primitive. For
+    * append-only history this is EXACT row-level CDC (appended files hold
+    * exactly the appended rows); across a merge the granularity is the
+    * rewritten file (its unchanged survivor rows reappear), which is the
+    * standard file-format CDC contract absent row-level delete vectors. */
+  def changesBetween(spark: SparkSession, root: String, fromSnapshot: Int,
+      toSnapshot: Int): DataFrame = {
+    val from = manifest(root, fromSnapshot).files.map(_.path).toSet
+    val to = manifest(root, toSnapshot)
+    readEntries(spark, root, to, to.files.filterNot(f => from(f.path)))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftTable
+
+/** Contracts of the snapshot/manifest table format that the SQL oracle
+  * cannot express: commit atomicity and conflict behavior, snapshot
+  * isolation across a merge, manifest-over-listing orphan immunity,
+  * stats pruning actually skipping files, and merge's
+  * only-rewrite-affected-files cost bound. */
+class GraftTableSpec extends SparkTestBase {
+
+  private def freshRoot(): String = {
+    val dir = Files.createTempDirectory("graft_table_spec").toFile
+    graft.util.AppCleanup.onExit(s"graft_table_spec_${dir.getName}")(
+      graft.util.AppCleanup.recursiveDelete(dir))
+    dir.getAbsolutePath
+  }
+
+  private def idTable(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+  }
+
+  test("create/append: latest read equals the union; history readable") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    GraftTable.append(spark, root,
+      idTable(150).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    assert(GraftTable.latestSnapshot(root) == 2)
+    assert(GraftTable.read(spark, root).count() == 150)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 100)
+    val changed = GraftTable.changesBetween(spark, root, 1, 2)
+    assert(changed.count() == 50)
+    assert(changed.agg(min("id")).head().getLong(0) == 101L)
+  }
+
+  test("merge: upserts update + insert; only affected files rewritten") {
+    val root = freshRoot()
+    // 8 files clustered by id → each covers a ~125-wide band
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 8)
+    val v1Files = GraftTable.manifest(root, 1).files.map(_.path)
+    import spark.implicits._
+    // keys 1..10 (one band) updated, key 2000 (new) inserted
+    val updates = ((1 to 10).map(i => (i.toLong, s"upd$i")) :+
+      (2000L, "new")).toDF("id", "payload")
+    GraftTable.merge(spark, root, updates, "id", Seq("id"), Seq("id"),
+      numFiles = 1)
+    val m2 = GraftTable.manifest(root, 2)
+    val carried = m2.files.map(_.path).toSet.intersect(v1Files.toSet)
+    assert(carried.size >= 6,
+      s"merge should carry unaffected files by reference; kept $carried")
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 1001)
+    assert(latest.where(col("id") <= 10 &&
+      !col("payload").startsWith("upd")).count() == 0)
+    assert(latest.where(col("id") === 2000).count() == 1)
+    // snapshot isolation: v1 still shows pre-merge payloads
+    val v1 = GraftTable.read(spark, root, Some(1))
+    assert(v1.count() == 1000)
+    assert(v1.where(col("payload").startsWith("upd")).count() == 0)
+  }
+
+  test("stats pruning skips files and loses no rows") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 8)
+    val (df, kept, total) =
+      GraftTable.readWhere(spark, root, "id", 10d, 20d)
+    assert(total == 8 && kept < total, s"pruning kept $kept of $total")
+    assert(df.where(col("id").between(10, 20)).count() == 11)
+  }
+
+  test("reads plan from the manifest: orphan data files are invisible") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    // a failed job's leftover: a valid parquet file inside data/ that no
+    // manifest references
+    idTable(9999).where(col("id") > 9000)
+      .write.mode("overwrite").parquet(s"$root/data/c-orphan")
+    assert(GraftTable.read(spark, root).count() == 50)
+  }
+
+  test("commit conflict: second writer of a snapshot id loses atomically") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    // simulate a racing writer that already published snapshot 2
+    val stolen = GraftTable.manifest(root, 1).copy(snapshot = 2, parent = 1)
+    Files.write(Paths.get(root, "_graft", "manifest-2.json"),
+      org.json4s.jackson.Serialization.write(stolen)(
+        org.json4s.DefaultFormats).getBytes("UTF-8"))
+    // append rebases onto the thief's snapshot and commits as 3
+    val v = GraftTable.append(spark, root,
+      idTable(20).where(col("id") > 10), Seq("id"), Seq("id"), numFiles = 1)
+    assert(v == 3)
+    assert(GraftTable.read(spark, root).count() == 20)
+  }
+
+  test("merge from a stale snapshot fails loudly on commit") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    import spark.implicits._
+    val updates = Seq((1L, "upd")).toDF("id", "payload")
+    // the caller derived its updates against snapshot 1, then a thief
+    // published snapshot 2 before the merge committed: the pinned-base
+    // merge must NOT silently rebase (its rewrite is stale)
+    val stolen = GraftTable.manifest(root, 1).copy(snapshot = 2, parent = 1)
+    Files.write(Paths.get(root, "_graft", "manifest-2.json"),
+      org.json4s.jackson.Serialization.write(stolen)(
+        org.json4s.DefaultFormats).getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.merge(spark, root, updates, "id", Seq("id"), Seq("id"),
+        baseSnapshot = Some(1))
+    }
+    // and the table is untouched: latest is still the thief's snapshot
+    assert(GraftTable.latestSnapshot(root) == 2)
+  }
+
+  test("append with a mismatched schema fails loudly") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    import spark.implicits._
+    val wrong = Seq((11, "x")).toDF("id", "payload") // id INT, not BIGINT
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, wrong, Seq("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("empty-updates merge commits a no-op snapshot") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    val v = GraftTable.merge(spark, root, empty, "id", Seq("id"), Seq("id"))
+    assert(v == 2)
+    assert(GraftTable.read(spark, root).count() == 10)
+  }
+
+  test("fixture table: prune query reads fewer files than the snapshot") {
+    val root = ops.Table.ordersTable(spark, sf)
+    val (_, kept, total) =
+      GraftTable.readWhere(spark, root, "o_year", 1994d, 1994d)
+    assert(kept < total,
+      s"o_year=1994 should prune the clustered layout: $kept of $total")
+  }
+}
