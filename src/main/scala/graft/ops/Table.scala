@@ -102,11 +102,43 @@ object Table {
       .orderBy("o_orderstatus")
   }
 
+  /** Table-level compaction as a commit (vs [[Sources.sink_compact]]'s
+    * directory rewrite): a create plus four tiny appends — the streaming-
+    * ingest file shape — then one compact commit that collapses the small
+    * files while past snapshots stay readable. Built on its OWN root so
+    * the shared three-snapshot fixture table stays immutable for the
+    * other queries. The oracle is content-invariance: the post-compact
+    * aggregate equals the same aggregate over the source slice. */
+  val table_compact: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_compact")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .where(col("o_year") === 1996)
+      GraftTable.create(s, root, src.where(col("o_orderkey") % 5 === 0),
+        statsCols, clusterCols = statsCols, numFiles = 2)
+      (1 to 4).foreach { i =>
+        GraftTable.append(s, root,
+          src.where(col("o_orderkey") % 5 === i),
+          statsCols, clusterCols = statsCols, numFiles = 2)
+      }
+      GraftTable.compact(s, root, minRows = Long.MaxValue,
+        statsCols, clusterCols = statsCols, numFiles = 2)
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "table_snapshot" -> table_snapshot,
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
-    "table_prune" -> table_prune)
+    "table_prune" -> table_prune,
+    "table_compact" -> table_compact)
 
   val oracle: Seq[(String, String)] = Seq(
     // final state replayed statically: merge keys carry doubled totals
@@ -142,5 +174,13 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders WHERE year(o_orderdate) = 1994
+         GROUP BY 1 ORDER BY 1""",
+    // compaction is content-invariant: five small commits then one
+    // compact commit must aggregate exactly like the source slice
+    "table_compact" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1996
          GROUP BY 1 ORDER BY 1""")
 }

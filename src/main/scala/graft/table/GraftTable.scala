@@ -236,6 +236,62 @@ object GraftTable {
     v + 1
   }
 
+  /** Small-file compaction as a COMMIT: files of the latest snapshot
+    * holding fewer than `minRows` rows are rewritten together into
+    * `numFiles` larger ones; everything else carries over by reference.
+    * Content-invariant by construction (same rows, new layout), and old
+    * snapshots still reference the small files — readable until
+    * [[expireSnapshots]] reclaims them. The maintenance twin of the
+    * streaming ingest path: many tiny append commits, one compact, zero
+    * reader disruption (readers of N-1 are unaffected; new readers plan
+    * the compacted layout). */
+  def compact(spark: SparkSession, root: String, minRows: Long,
+      statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4): Int = {
+    val v = latestSnapshot(root)
+    require(v > 0, s"compact of non-existent table $root")
+    val parent = manifest(root, v)
+    val small = parent.files.filter(_.rows < minRows)
+    if (small.size < 2) return v // nothing to gain; no empty commit
+    val rewritten = spark.read
+      .schema(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])
+      .parquet(small.map(f => s"$root/${f.path}"): _*)
+    val entries =
+      writeFiles(spark, root, rewritten, statsCols, clusterCols, numFiles)
+    val smallPaths = small.map(_.path).toSet
+    val m = Manifest(v + 1, v, "compact", parent.schemaJson,
+      parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"compact derived from stale snapshot $v at $root")
+    v + 1
+  }
+
+  /** Snapshot expiration + vacuum: drop every manifest with id <
+    * `keepFrom`, then delete the data files no surviving manifest
+    * references. Time travel to expired snapshots stops working (their
+    * manifests are gone — loud FileNotFound, never silent wrong data);
+    * every surviving snapshot is untouched because its files are, by
+    * definition, still referenced. Deletion order matters for crash
+    * safety: manifests first, then files — a crash mid-vacuum leaves
+    * harmless orphans (invisible to readers), never a live manifest
+    * pointing at deleted files. */
+  def expireSnapshots(root: String, keepFrom: Int): Int = {
+    val latest = latestSnapshot(root)
+    require(keepFrom <= latest, s"keepFrom $keepFrom > latest $latest")
+    val expired = (1 until keepFrom).filter(v =>
+      Files.exists(manifestPath(root, v)))
+    val live = (keepFrom to latest)
+      .flatMap(v => manifest(root, v).files.map(_.path)).toSet
+    val dead = expired
+      .flatMap(v => manifest(root, v).files.map(_.path)).toSet -- live
+    expired.foreach(v => Files.delete(manifestPath(root, v)))
+    dead.foreach { p =>
+      Files.deleteIfExists(Paths.get(root, p)); ()
+    }
+    dead.size
+  }
+
   /** Read a snapshot (latest when `snapshot` is None). Plans purely from
     * the manifest's file list — orphaned files in `data/` are invisible.
     * An empty file list still yields a correctly-typed empty frame. */

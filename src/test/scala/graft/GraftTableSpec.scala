@@ -148,6 +148,69 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.read(spark, root).count() == 10)
   }
 
+  test("compact: small files merge, content invariant, old snapshot intact") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 1)
+    // five tiny append commits — the streaming-ingest shape
+    (1 to 5).foreach { i =>
+      GraftTable.append(spark, root,
+        idTable(100 + i * 10).where(col("id") > 100 + (i - 1) * 10),
+        Seq("id"), Seq("id"), numFiles = 1)
+    }
+    val before = GraftTable.manifest(root, 6)
+    assert(before.files.size == 6)
+    val v = GraftTable.compact(spark, root, minRows = 50, Seq("id"),
+      Seq("id"), numFiles = 1)
+    val after = GraftTable.manifest(root, v)
+    // the 100-row create file survives; the five 10-row appends collapse
+    assert(after.files.size == 2, s"expected 2 files, got ${after.files}")
+    assert(GraftTable.read(spark, root).count() == 150)
+    assert(GraftTable.read(spark, root, Some(6)).count() == 150)
+    // compacting an already-compact table is a no-op, not an empty commit
+    assert(GraftTable.compact(spark, root, minRows = 50, Seq("id"),
+      Seq("id")) == v)
+  }
+
+  test("expireSnapshots vacuums dead files; survivors stay readable") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    import spark.implicits._
+    GraftTable.merge(spark, root,
+      Seq((1L, "upd")).toDF("id", "payload"), "id", Seq("id"), Seq("id"),
+      numFiles = 1)
+    val deadCount = GraftTable.expireSnapshots(root, keepFrom = 2)
+    // exactly the one rewritten v1 file is reclaimable
+    assert(deadCount == 1, s"expected 1 dead file, got $deadCount")
+    assert(GraftTable.read(spark, root).count() == 100)
+    assert(GraftTable.read(spark, root)
+      .where(col("payload") === "upd").count() == 1)
+    intercept[Exception] { GraftTable.read(spark, root, Some(1)) }
+  }
+
+  test("incremental consumption: manifest-diff batches replay the table") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(40), Seq("id"), Seq("id"),
+      numFiles = 2)
+    (1 to 3).foreach { i =>
+      GraftTable.append(spark, root,
+        idTable(40 + i * 20).where(col("id") > 40 + (i - 1) * 20),
+        Seq("id"), Seq("id"), numFiles = 1)
+    }
+    // a downstream consumer checkpointing its last-seen snapshot and
+    // draining changesBetween per wake-up reconstructs the full table
+    val drained = (0 to 3).map { v =>
+      if (v == 0) GraftTable.read(spark, root, Some(1))
+      else GraftTable.changesBetween(spark, root, v, v + 1)
+    }
+    // v0 batch is snapshot 1 itself; union of all batches == latest
+    val replayed = drained.tail.foldLeft(drained.head)(_ unionByName _)
+    assert(replayed.count() == 100)
+    assert(replayed.select("id").distinct().count() ==
+      GraftTable.read(spark, root).count())
+  }
+
   test("fixture table: prune query reads fewer files than the snapshot") {
     val root = ops.Table.ordersTable(spark, sf)
     val (_, kept, total) =

@@ -341,6 +341,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch into GraftTable: streaming ingest = snapshot history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // streaming ingest through the table format: each micro-batch is one
+    // atomic append commit, so (a) a reader mid-stream sees a complete
+    // snapshot, never a half-written batch, and (b) the snapshot history
+    // IS the replay log — changesBetween hands a downstream consumer
+    // exactly the per-batch increments
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_table").toFile
+    graft.util.AppCleanup.onExit(s"graft_stream_table_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "payload")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val t = graft.table.GraftTable
+            if (t.latestSnapshot(root.getPath) == 0)
+              t.create(spark, root.getPath, batch, Seq("id"), Seq("id"),
+                numFiles = 1)
+            else
+              t.append(spark, root.getPath, batch, Seq("id"), Seq("id"),
+                numFiles = 1)
+            ()
+          }
+      }.start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      mem.addData((4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+      val t = graft.table.GraftTable
+      assert(t.latestSnapshot(root.getPath) == 3)
+      assert(t.read(spark, root.getPath).count() == 5)
+      // per-batch increments replay exactly
+      val b2 = t.changesBetween(spark, root.getPath, 1, 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(b2 == Set(3L), s"batch-2 increment wrong: $b2")
+      val b3 = t.changesBetween(spark, root.getPath, 2, 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(b3 == Set(4L, 5L), s"batch-3 increment wrong: $b3")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
