@@ -27,6 +27,7 @@ object Table {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val statsCols = Seq("o_year", "o_orderkey")
+  private val bloomCols = Seq("o_orderkey")
 
   /** Build the three-snapshot orders table; returns its root. */
   private[graft] def ordersTable(s: org.apache.spark.sql.SparkSession,
@@ -36,13 +37,14 @@ object Table {
       val src = orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
       GraftTable.create(s, root, src.where(col("o_year") <= 1994),
-        statsCols, clusterCols = statsCols)
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
       GraftTable.append(s, root, src.where(col("o_year") >= 1995),
-        statsCols, clusterCols = statsCols)
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
       GraftTable.merge(s, root,
         src.where(col("o_year") === 1995 && col("o_orderkey") % 3 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),
-        keyCol = "o_orderkey", statsCols, clusterCols = statsCols)
+        keyCol = "o_orderkey", statsCols, clusterCols = statsCols,
+        bloomCols = bloomCols)
     }
     root
   }
@@ -102,6 +104,25 @@ object Table {
       .orderBy("o_orderstatus")
   }
 
+  /** Bloom-pruned point lookup: 12 scattered keys fetched through
+    * [[GraftTable.readWhereKeyIn]] — range stats narrow the clustered
+    * files, the per-file key bloom drops the rest (GraftTableSpec proves
+    * the bloom prunes where ranges cannot). The probe keys are the 12
+    * smallest o_orderkey % 7 = 0 keys, derived from the source table so
+    * the oracle can name the same set in pure SQL; collecting 12 longs
+    * to the driver is the lookup's INPUT, not a data movement. */
+  val table_pointlookup: Q = (s, d) => {
+    val root = ordersTable(s, d)
+    val keys = orders(s, d)
+      .where(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey").orderBy("o_orderkey").limit(12)
+      .collect().map(_.getLong(0)).toSeq
+    val (df, _, _) = GraftTable.readWhereKeyIn(s, root, "o_orderkey", keys)
+    df.where(col("o_orderkey").isInCollection(keys))
+      .select(col("o_orderkey"), col("o_year"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Table-level compaction as a commit (vs [[Sources.sink_compact]]'s
     * directory rewrite): a create plus four tiny appends — the streaming-
     * ingest file shape — then one compact commit that collapses the small
@@ -138,6 +159,7 @@ object Table {
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
     "table_prune" -> table_prune,
+    "table_pointlookup" -> table_pointlookup,
     "table_compact" -> table_compact)
 
   val oracle: Seq[(String, String)] = Seq(
@@ -175,6 +197,19 @@ object Table {
                  AS sum_price
          FROM orders WHERE year(o_orderdate) = 1994
          GROUP BY 1 ORDER BY 1""",
+    // the same 12-key set named in pure SQL; values reflect the merge
+    // (none of the smallest %7 keys land in the doubled 1995 set at the
+    // shipped SFs, but the CASE keeps the oracle honest if one ever does)
+    "table_pointlookup" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+             CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 3 = 0
+                  THEN 2 * o_totalprice ELSE o_totalprice END
+                 AS o_totalprice
+         FROM orders
+         WHERE o_orderkey % 7 = 0 AND o_orderkey IN (
+             SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+             ORDER BY o_orderkey LIMIT 12)
+         ORDER BY o_orderkey""",
     // compaction is content-invariant: five small commits then one
     // compact commit must aggregate exactly like the source slice
     "table_compact" ->

@@ -44,14 +44,51 @@ object GraftTable {
     * and min/max per tracked (numeric) column, all computed in a single
     * distributed job at write time. Stats are doubles — exact for the
     * int/date-derived columns tracked here; a production format keeps
-    * typed bounds. */
+    * typed bounds. `bloom` optionally carries a base64-packed per-column
+    * bloom filter (see [[bloomPositions]]) for point-lookup file skipping
+    * where min/max ranges are too wide to help. */
   case class FileEntry(path: String, rows: Long,
-      mins: Map[String, Double], maxs: Map[String, Double])
+      mins: Map[String, Double], maxs: Map[String, Double],
+      bloom: Option[Map[String, String]] = None)
 
   case class Manifest(snapshot: Int, parent: Int, op: String,
       schemaJson: String, files: List[FileEntry])
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  /** Bloom sizing: a PRIME bit count so double-hashed probe positions
+    * disperse (CLAUDE.md's prime-mod convention), 3 probes. At 65521
+    * bits a ~10k-row file sits ~35% full → ~4% false-positive per absent
+    * key; 8 KiB packed per file per column. */
+  private[graft] val BloomBits = 65521
+  private[graft] val BloomK = 3
+
+  /** The k probe positions for a long key — ONE implementation shared by
+    * the build (inside the commit-time UDF) and the driver-side probe,
+    * so build/probe identity holds by construction instead of by keeping
+    * two formulas in sync. Seeded with Spark's own xxhash64-for-longs
+    * (XXH64.hashLong, seed 42); double hashing with the step drawn from
+    * the high bits, reduced mod the prime BEFORE the final mod. */
+  private[graft] def bloomPositions(key: Long): Array[Int] = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(key, 42L)
+    val p = BloomBits
+    val h1 = (((h % p) + p) % p).toInt
+    val step = (((h >>> 13) % (p - 1)) + 1).toInt
+    Array.tabulate(BloomK)(i => ((h1.toLong + i.toLong * step) % p).toInt)
+  }
+
+  private def packBloom(positions: Iterable[Int]): String = {
+    val bits = new Array[Byte]((BloomBits + 7) / 8)
+    positions.foreach { p =>
+      bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+    }
+    java.util.Base64.getEncoder.encodeToString(bits)
+  }
+
+  private[graft] def bloomMayContain(b64: String, key: Long): Boolean = {
+    val bits = java.util.Base64.getDecoder.decode(b64)
+    bloomPositions(key).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
 
   private def metaDir(root: String): JPath = Paths.get(root, "_graft")
   private def manifestPath(root: String, v: Int): JPath =
@@ -97,7 +134,7 @@ object GraftTable {
     * an unclustered write would give every file near-global bounds. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int): List[FileEntry] = {
+      numFiles: Int, bloomCols: Seq[String] = Nil): List[FileEntry] = {
     val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
     val dir = s"$root/$sub"
     val clustered =
@@ -105,22 +142,44 @@ object GraftTable {
         df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       else df.repartition(numFiles)
     clustered.write.mode("overwrite").parquet(dir)
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    def rel(fileUri: String): String = {
+      val local = new org.apache.hadoop.fs.Path(fileUri).toUri.getPath
+      require(local.startsWith(rootUri), s"file outside table root: $local")
+      local.stripPrefix(rootUri).stripPrefix("/")
+    }
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c")))
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    // one extra commit-time job per bloom column: distinct probe
+    // positions per file (≤ BloomBits ints each — bounded driver
+    // payload), packed to 8 KiB bitsets. A UDF, deliberately: the build
+    // MUST hash exactly like the driver-side probe, so both call
+    // bloomPositions — commit-time metadata, not a query hot path.
+    val posUdf = udf((k: java.lang.Long) =>
+      if (k == null) Array.empty[Int] else bloomPositions(k.longValue()))
+    val blooms: Map[String, Map[String, String]] = bloomCols.map { c =>
+      c -> spark.read.parquet(dir)
+        .select(input_file_name().as("f"),
+          explode(posUdf(col(c).cast("long"))).as("pos"))
+        .groupBy("f").agg(collect_set(col("pos")).as("ps"))
+        .collect()
+        .map(r => rel(r.getString(0)) ->
+          packBloom(r.getSeq[Int](1)))
+        .toMap
+    }.toMap
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toList
       .map { r =>
-        val local = new org.apache.hadoop.fs.Path(r.getAs[String]("f"))
-          .toUri.getPath
-        require(local.startsWith(rootUri), s"file outside table root: $local")
-        FileEntry(local.stripPrefix(rootUri).stripPrefix("/"),
-          r.getAs[Long]("rows"),
+        val p = rel(r.getAs[String]("f"))
+        val perFile = bloomCols
+          .flatMap(c => blooms(c).get(p).map(c -> _)).toMap
+        FileEntry(p, r.getAs[Long]("rows"),
           statsCols.map(c => c -> r.getAs[Double](s"min_$c")).toMap,
-          statsCols.map(c => c -> r.getAs[Double](s"max_$c")).toMap)
+          statsCols.map(c => c -> r.getAs[Double](s"max_$c")).toMap,
+          if (perFile.isEmpty) None else Some(perFile))
       }
       .sortBy(_.path)
   }
@@ -134,9 +193,10 @@ object GraftTable {
   /** Create snapshot 1. Fails loudly if the table already exists. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 8): Int = {
+      numFiles: Int = 8, bloomCols: Seq[String] = Nil): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
-    val entries = writeFiles(spark, root, df, statsCols, clusterCols, numFiles)
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols,
+      numFiles, bloomCols)
     val m = Manifest(1, 0, "create", df.schema.json, entries)
     require(tryCommit(root, m), s"concurrent create at $root")
     1
@@ -148,8 +208,9 @@ object GraftTable {
     * latest and retries the link. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 8): Int = {
-    val entries = writeFiles(spark, root, df, statsCols, clusterCols, numFiles)
+      numFiles: Int = 8, bloomCols: Seq[String] = Nil): Int = {
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols,
+      numFiles, bloomCols)
     var attempts = 0
     while (attempts < 20) {
       val v = latestSnapshot(root)
@@ -184,7 +245,8 @@ object GraftTable {
     * id, the rewrite is stale — fail loudly, caller re-derives. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 4, baseSnapshot: Option[Int] = None): Int = {
+      numFiles: Int = 4, baseSnapshot: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): Int = {
     val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"merge into non-existent table $root")
     val parent = manifest(root, v)
@@ -226,8 +288,8 @@ object GraftTable {
           .select(base.columns.map(col): _*)
           .unionByName(updates)
       }
-    val entries =
-      writeFiles(spark, root, survivors, statsCols, clusterCols, numFiles)
+    val entries = writeFiles(spark, root, survivors, statsCols,
+      clusterCols, numFiles, bloomCols)
     val m = Manifest(v + 1, v, "merge", parent.schemaJson,
       parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
     if (!tryCommit(root, m))
@@ -247,7 +309,7 @@ object GraftTable {
     * the compacted layout). */
   def compact(spark: SparkSession, root: String, minRows: Long,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 4): Int = {
+      numFiles: Int = 4, bloomCols: Seq[String] = Nil): Int = {
     val v = latestSnapshot(root)
     require(v > 0, s"compact of non-existent table $root")
     val parent = manifest(root, v)
@@ -256,8 +318,8 @@ object GraftTable {
     val rewritten = spark.read
       .schema(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])
       .parquet(small.map(f => s"$root/${f.path}"): _*)
-    val entries =
-      writeFiles(spark, root, rewritten, statsCols, clusterCols, numFiles)
+    val entries = writeFiles(spark, root, rewritten, statsCols,
+      clusterCols, numFiles, bloomCols)
     val smallPaths = small.map(_.path).toSet
     val m = Manifest(v + 1, v, "compact", parent.schemaJson,
       parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
@@ -325,6 +387,32 @@ object GraftTable {
     val kept = m.files.filter(f =>
       f.maxs.get(colName).forall(_ >= lo) &&
         f.mins.get(colName).forall(_ <= hi))
+    (readEntries(spark, root, m, kept), kept.size, m.files.size)
+  }
+
+  /** Point-lookup read: files survive only if BOTH their [min,max] range
+    * admits at least one probe key AND (when the file carries a bloom for
+    * `colName`) the bloom reports a possible hit for at least one key.
+    * Min/max prunes clustered layouts; the bloom is what prunes files
+    * whose key RANGE is wide but whose key SET is sparse — the append-
+    * heavy shape where range stats degenerate to near-global. No false
+    * negatives by bloom construction, so correctness never depends on
+    * the filter; the caller still applies the exact row predicate. */
+  def readWhereKeyIn(spark: SparkSession, root: String, colName: String,
+      keys: Seq[Long],
+      snapshot: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = snapshot.getOrElse(latestSnapshot(root))
+    val m = manifest(root, v)
+    val kept = m.files.filter { f =>
+      val rangeAdmits = keys.exists(k =>
+        f.maxs.get(colName).forall(_ >= k.toDouble) &&
+          f.mins.get(colName).forall(_ <= k.toDouble))
+      val bloomAdmits = f.bloom.flatMap(_.get(colName)) match {
+        case Some(b64) => keys.exists(k => bloomMayContain(b64, k))
+        case None => true
+      }
+      rangeAdmits && bloomAdmits
+    }
     (readEntries(spark, root, m, kept), kept.size, m.files.size)
   }
 

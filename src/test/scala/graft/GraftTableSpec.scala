@@ -148,6 +148,45 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.read(spark, root).count() == 10)
   }
 
+  test("bloom point lookup: prunes where range stats cannot; never drops " +
+      "a present key") {
+    val root = freshRoot()
+    // UNCLUSTERED layout: round-robin partitioning gives every file a
+    // near-global id range, so min/max stats keep everything — the
+    // worst case blooms exist for
+    GraftTable.create(spark, root, idTable(4000), Seq("id"), Seq.empty,
+      numFiles = 8, bloomCols = Seq("id"))
+    val (_, rangeKept, total) = GraftTable.readWhere(spark, root, "id", 77d, 77d)
+    assert(rangeKept == total, "unclustered ranges should not prune")
+    val (df, bloomKept, _) =
+      GraftTable.readWhereKeyIn(spark, root, "id", Seq(77L))
+    assert(bloomKept < total,
+      s"bloom should prune the unclustered layout: kept $bloomKept of $total")
+    assert(df.where(col("id") === 77).count() == 1)
+    // no false negatives: every probed present key is found through the
+    // pruned read (50 scattered keys)
+    (1 to 50).map(i => i * 79L % 4000 + 1).foreach { k =>
+      val (d2, _, _) = GraftTable.readWhereKeyIn(spark, root, "id", Seq(k))
+      assert(d2.where(col("id") === k).count() == 1, s"key $k lost")
+    }
+    // absent keys: usually zero files survive (false positives allowed,
+    // wrong rows never) — spot-check the frame is empty either way
+    val (dAbsent, _, _) =
+      GraftTable.readWhereKeyIn(spark, root, "id", Seq(999999L))
+    assert(dAbsent.where(col("id") === 999999L).count() == 0)
+  }
+
+  test("bloom build/probe identity: positions in range, deterministic") {
+    val ks = Seq(Long.MinValue, -1L, 0L, 1L, 42L, Long.MaxValue, 987654321L)
+    ks.foreach { k =>
+      val p1 = GraftTable.bloomPositions(k)
+      val p2 = GraftTable.bloomPositions(k)
+      assert(p1.toSeq == p2.toSeq)
+      assert(p1.length == GraftTable.BloomK)
+      assert(p1.forall(p => p >= 0 && p < GraftTable.BloomBits), s"$k: ${p1.toSeq}")
+    }
+  }
+
   test("compact: small files merge, content invariant, old snapshot intact") {
     val root = freshRoot()
     GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
