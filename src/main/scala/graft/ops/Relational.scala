@@ -448,6 +448,26 @@ object Relational {
 
   /** max_by/min_by with a (value, event_id) struct ordering key — unique, so
     * deterministic even though `value` alone has duplicates (verified). */
+  /** deterministic MODE per group: most frequent order priority per
+    * status. Spark has no mode() aggregate with a pinned tie rule (and
+    * DuckDB's mode() ties are engine-arbitrary), so both engines compute
+    * the same count + row_number formulation — highest count, then
+    * lexicographically smallest value — which is total-ordered by
+    * construction. Two-phase agg then a window over the tiny (status,
+    * priority) count table: the window input is ~groups, not rows. */
+  val agg_mode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("n"), asc("mode_priority"))
+    orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderstatus"), col("mode_priority"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   val agg_minmax_by: Q = (s, d) =>
     events(s, d)
       .groupBy("user_id")
@@ -585,6 +605,7 @@ object Relational {
     "agg_stats" -> agg_stats,
     "agg_pctile" -> agg_pctile,
     "agg_minmax_by" -> agg_minmax_by,
+    "agg_mode" -> agg_mode,
     "agg_pivot" -> agg_pivot,
     "agg_unpivot" -> agg_unpivot,
     "sub_scalar" -> sub_scalar,
@@ -785,6 +806,20 @@ object Relational {
              round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // both engines pin the same tie rule (count DESC, value ASC), so the
+    // result is deterministic where native mode() would be arbitrary
+    "agg_mode" ->
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               count(1) AS n
+           FROM orders GROUP BY 1, 2
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                         ORDER BY n DESC, mode_priority ASC) AS rn
+           FROM c
+         )
+         SELECT o_orderstatus, mode_priority, n FROM r WHERE rn = 1
+         ORDER BY o_orderstatus""",
     "agg_minmax_by" ->
       """WITH mx AS (SELECT user_id, event_type,
                         row_number() OVER (PARTITION BY user_id

@@ -148,6 +148,36 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  /** Gap-based batch sessionization — the batch twin of the streaming
+    * session_window queries (stream_session, asana_stories_sessions),
+    * expressed with pure window functions so the DuckDB oracle can prove
+    * it row-for-row: a session breaks when the gap to the previous event
+    * exceeds 30 minutes; session ids are the running sum of break flags.
+    * The gap compares epoch MICROseconds (unix_micros / epoch_us) — a
+    * seconds-truncated gap flips sessions at exact half-hour boundaries.
+    * (event_id tiebreak: same-µs events order deterministically.) At
+    * scale this is two window passes + one agg over the SAME
+    * user-partitioned shuffle — Catalyst reuses one Exchange. */
+  val win_session: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** distribution functions: percent_rank/cume_dist are tie-stable (peers
     * share a value), so the tied window needs no synthetic tiebreak — and
     * both are single divisions of identical small integers in either
@@ -216,9 +246,31 @@ object Windows {
     "win_run" -> win_run,
     "win_range" -> win_range,
     "win_topk" -> win_topk,
+    "win_session" -> win_session,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // same two-pass window formulation; the gap compares epoch_us on
+    // both engines (seconds truncation flips exact half-hour boundaries)
+    "win_session" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), g AS (
+           SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f
+         )
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(1) AS n_events, min(ts) AS session_start,
+             max(ts) AS session_end
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "win_dist" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
              percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) AS pct_rank,

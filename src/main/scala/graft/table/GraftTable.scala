@@ -205,10 +205,20 @@ object GraftTable {
   /** Append-only commit. Optimistic: on a concurrent-writer collision the
     * new files are already safely on disk and the file list is
     * parent-independent, so the commit simply rebases onto the new
-    * latest and retries the link. */
+    * latest and retries the link.
+    *
+    * `allowEvolution` permits ADD-ONLY schema evolution: `df` must still
+    * carry every existing column with its exact type, and its extra
+    * columns become part of the table schema from this snapshot on.
+    * Old files simply lack the new columns — the manifest-schema read
+    * fills them with null (the standard parquet-format contract), and
+    * time travel to pre-evolution snapshots serves the old shape
+    * because each manifest pins its own schema. Drops/renames/retypes
+    * stay loud errors: they would silently corrupt old-file reads. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 8, bloomCols: Seq[String] = Nil): Int = {
+      numFiles: Int = 8, bloomCols: Seq[String] = Nil,
+      allowEvolution: Boolean = false): Int = {
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols)
     var attempts = 0
@@ -216,10 +226,18 @@ object GraftTable {
       val v = latestSnapshot(root)
       require(v > 0, s"append to non-existent table $root")
       val parent = manifest(root, v)
-      require(shape(df.schema) ==
-        shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
-        s"append schema mismatch vs snapshot $v at $root")
-      val m = Manifest(v + 1, v, "append", parent.schemaJson,
+      val parentShape =
+        shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])
+      val newShape = shape(df.schema)
+      val evolved = allowEvolution && newShape != parentShape &&
+        newShape.startsWith(parentShape)
+      require(newShape == parentShape || evolved,
+        if (allowEvolution)
+          s"schema evolution is add-only: existing columns $parentShape " +
+            s"must prefix the new schema $newShape at $root"
+        else s"append schema mismatch vs snapshot $v at $root")
+      val m = Manifest(v + 1, v, if (evolved) "append_evolve" else "append",
+        if (evolved) df.schema.json else parent.schemaJson,
         parent.files ++ entries)
       if (tryCommit(root, m)) return v + 1
       attempts += 1

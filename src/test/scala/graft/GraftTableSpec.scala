@@ -125,6 +125,35 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("add-only schema evolution: old files null-fill, old snapshots " +
+      "keep their shape") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    import spark.implicits._
+    val evolved = Seq((11L, "v11", 0.5), (12L, "v12", 0.9))
+      .toDF("id", "payload", "score")
+    GraftTable.append(spark, root, evolved, Seq("id"), Seq("id"),
+      numFiles = 1, allowEvolution = true)
+    val latest = GraftTable.read(spark, root)
+    assert(latest.columns.toSeq == Seq("id", "payload", "score"))
+    assert(latest.where(col("score").isNull).count() == 10)
+    assert(latest.where(col("score").isNotNull).count() == 2)
+    // pre-evolution snapshot serves the pre-evolution shape
+    assert(GraftTable.read(spark, root, Some(1)).columns.toSeq ==
+      Seq("id", "payload"))
+    // the table schema is now the 3-col shape: an un-flagged append of
+    // the old 2-col shape mismatches...
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, idTable(1), Seq("id"), Seq("id"))
+    }
+    // ...and stays loud even when flagged — dropping is not add-only
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, idTable(1), Seq("id"), Seq("id"),
+        allowEvolution = true)
+    }
+  }
+
   test("append with a mismatched schema fails loudly") {
     val root = freshRoot()
     GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
