@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -90,6 +92,78 @@ class PropertySpec extends SparkTestBase {
         assert(r.getInt(1) >= r.getInt(0),
           s"fewer tokens than words: ${r.toSeq}")
       }
+  }
+
+  test("GraftTable model: random commit sequences read back as the model") {
+    // Model-based check of the table format: drive GraftTable through
+    // generated create/append/merge/compact sequences while maintaining a
+    // pure Map[key -> payload] model, then require (a) the latest read to
+    // equal the model after EVERY commit, and (b) time travel to every
+    // recorded snapshot to equal that snapshot's model — i.e. snapshot
+    // isolation holds across arbitrary histories, not just the
+    // hand-written ones in GraftTableSpec. Appends draw globally fresh
+    // keys (append is multiset; fresh keys keep the Map model exact) and
+    // merges upsert a mix of existing and new keys, so rows stay unique
+    // per key by construction. Compact must never change content and may
+    // legitimately decline to commit (<2 small files).
+    import spark.implicits._
+    sealed trait Op
+    case class Append(n: Int) extends Op
+    case class Merge(nExisting: Int, nNew: Int) extends Op
+    case object Compact extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> Gen.choose(1, 25).map(Append(_)),
+      4 -> Gen.zip(Gen.choose(0, 8), Gen.choose(0, 6))
+        .map { case (e, n) => Merge(e, n) },
+      2 -> Gen.const(Compact))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
+    def readBack(root: String, v: Option[Int]): Map[Long, String] =
+      graft.table.GraftTable.read(spark, root, v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((opsSeq, run) <- samples(Gen.listOfN(6, opGen), 2).zipWithIndex) {
+      val dir = Files.createTempDirectory(s"graft_table_model$run").toFile
+      graft.util.AppCleanup.onExit(s"graft_table_model_${dir.getName}")(
+        graft.util.AppCleanup.recursiveDelete(dir))
+      val root = dir.getAbsolutePath
+      var nextKey = 101L
+      def freshKeys(n: Int): Seq[Long] = {
+        val ks = nextKey until (nextKey + n); nextKey += n; ks
+      }
+      var model = (1L to 100L).map(k => k -> s"v$k").toMap
+      graft.table.GraftTable.create(spark, root, df(model.toSeq),
+        Seq("id"), Seq("id"), numFiles = 3)
+      // snapshot -> model at that snapshot (compact may not bump it)
+      var history = Map(1 -> model)
+      for ((op, step) <- opsSeq.zipWithIndex) {
+        val v = op match {
+          case Append(n) =>
+            val rows = freshKeys(n).map(k => k -> s"a$step-$k")
+            model ++= rows
+            graft.table.GraftTable.append(spark, root, df(rows),
+              Seq("id"), Seq("id"), numFiles = 2)
+          case Merge(nExisting, nNew) =>
+            val existing = model.keys.toSeq.sorted.take(nExisting)
+            val rows = (existing ++ freshKeys(nNew)).map(k => k -> s"m$step-$k")
+            if (rows.isEmpty) -1
+            else {
+              model ++= rows
+              graft.table.GraftTable.merge(spark, root, df(rows), "id",
+                Seq("id"), Seq("id"), numFiles = 2)
+            }
+          case Compact =>
+            graft.table.GraftTable.compact(spark, root, minRows = 30,
+              Seq("id"), Seq("id"), numFiles = 1)
+        }
+        if (v > 0) history += (v -> model)
+        assert(readBack(root, None) == model,
+          s"run $run step $step ($op): latest read diverged from model")
+      }
+      // time travel: every recorded snapshot still reads as its model
+      for ((v, m) <- history) {
+        assert(readBack(root, Some(v)) == m,
+          s"run $run: snapshot $v no longer reads as its model")
+      }
+    }
   }
 
   test("jaccard formula: symmetric, reflexive, bounded") {
