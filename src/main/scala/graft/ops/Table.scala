@@ -154,13 +154,68 @@ object Table {
       .orderBy("o_orderpriority")
   }
 
+  /** Row-level DELETE as a commit: the 1996 slice loses every key with
+    * o_orderkey % 7 = 2 via [[GraftTable.delete]] — copy-on-write, only
+    * the files holding a doomed key rewritten (GraftTableSpec proves the
+    * carry-by-reference bound and that the pre-delete snapshot still
+    * reads whole). Own root so the shared fixture stays immutable; the
+    * oracle replays the delete as a static NOT-predicate. */
+  val table_delete: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_delete")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .where(col("o_year") === 1996)
+      GraftTable.create(s, root, src,
+        statsCols, clusterCols = Seq("o_orderkey"), numFiles = 4)
+      GraftTable.delete(s, root,
+        src.where(col("o_orderkey") % 7 === 2).select("o_orderkey"),
+        keyCol = "o_orderkey", statsCols, clusterCols = Seq("o_orderkey"))
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Z-order layout: orders clustered by the interleaved-bits Morton
+    * code of (o_custkey, o_orderkey), so file min/max stats are tight in
+    * BOTH dimensions and either column's predicate skips files — the
+    * multi-column answer where single-column range clustering only ever
+    * serves one predicate (GraftTableSpec asserts files-read <
+    * files-total for each dimension separately). The read here is a
+    * customer-band scan, pruned through the o_custkey stats; the exact
+    * predicate still applies — pruning is file-granular. */
+  val table_zorder: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_zorder")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src,
+        statsCols = Seq("o_custkey", "o_orderkey"), clusterCols = Nil,
+        numFiles = 8, zorderCols = Seq("o_custkey", "o_orderkey"))
+    }
+    val (df, _, _) =
+      GraftTable.readWhere(s, root, "o_custkey", 1d, 200d)
+    df.where(col("o_custkey").between(1, 200))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "table_snapshot" -> table_snapshot,
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
     "table_prune" -> table_prune,
     "table_pointlookup" -> table_pointlookup,
-    "table_compact" -> table_compact)
+    "table_compact" -> table_compact,
+    "table_delete" -> table_delete,
+    "table_zorder" -> table_zorder)
 
   val oracle: Seq[(String, String)] = Seq(
     // final state replayed statically: merge keys carry doubled totals
@@ -217,5 +272,21 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders WHERE year(o_orderdate) = 1996
+         GROUP BY 1 ORDER BY 1""",
+    // the delete replayed statically: 1996 minus the % 7 = 2 keys
+    "table_delete" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1996
+           AND NOT o_orderkey % 7 = 2
+         GROUP BY 1 ORDER BY 1""",
+    // layout must not change content: the z-ordered customer-band read
+    // aggregates exactly like the plain predicate over the source
+    "table_zorder" ->
+      """SELECT o_orderstatus, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE o_custkey BETWEEN 1 AND 200
          GROUP BY 1 ORDER BY 1""")
 }

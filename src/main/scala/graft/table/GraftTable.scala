@@ -2,7 +2,7 @@ package graft.table
 
 import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -132,15 +132,60 @@ object GraftTable {
     * O(files). `clusterCols` range-partitions the write so the stats are
     * TIGHT (a file covers a narrow key band → pruning actually skips);
     * an unclustered write would give every file near-global bounds. */
+  /** Interleave the low 16 bits of two normalized longs into a 32-bit
+    * Z-value (Morton code) as a pure Column expression — stays inside
+    * whole-stage codegen, no UDF. Bit i of `a` lands at position 2i+1,
+    * bit i of `b` at 2i, so neither column dominates the ordering and
+    * range-partitioning by the result bounds BOTH columns' spread within
+    * each output file. */
+  private[graft] def zValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  /** Scale a numeric column to [0, 65535] given its global [lo, hi] —
+    * the value-linear normalization Iceberg's z-order transform uses
+    * (rank-based normalization would need a global sort per column;
+    * linear scaling needs one min/max agg and is monotone, which is all
+    * z-ordering requires — skewed columns just get coarser buckets). */
+  private def norm16(c: Column, lo: Double, hi: Double): Column = {
+    val span = math.max(hi - lo, 1e-12)
+    least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+        .cast("long")))
+  }
+
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int, bloomCols: Seq[String] = Nil): List[FileEntry] = {
+      numFiles: Int, bloomCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): List[FileEntry] = {
     val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
     val dir = s"$root/$sub"
-    val clustered =
-      if (clusterCols.nonEmpty)
-        df.repartitionByRange(numFiles, clusterCols.map(col): _*)
-      else df.repartition(numFiles)
+    // Z-order clustering: one extra min/max agg over the commit (not the
+    // table), then range-partition by the interleaved-bits expression so
+    // every file covers a compact rectangle in (c1, c2) space — file
+    // min/max stats become tight in BOTH dimensions and either column's
+    // predicate prunes. Falls back to plain range clustering when the
+    // commit is empty or degenerate.
+    val clustered = zorderCols match {
+      case Seq(c1, c2) =>
+        val bounds = df.agg(
+          min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+          min(col(c2)).cast("double"), max(col(c2)).cast("double"))
+          .collect()(0)
+        if (bounds.isNullAt(0)) df.repartition(numFiles)
+        else df.repartitionByRange(numFiles, zValue(
+          norm16(col(c1), bounds.getDouble(0), bounds.getDouble(1)),
+          norm16(col(c2), bounds.getDouble(2), bounds.getDouble(3))))
+      case Nil =>
+        if (clusterCols.nonEmpty)
+          df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+        else df.repartition(numFiles)
+      case other =>
+        throw new IllegalArgumentException(
+          s"zorderCols must name exactly 2 columns, got $other")
+    }
     clustered.write.mode("overwrite").parquet(dir)
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
     def rel(fileUri: String): String = {
@@ -159,7 +204,7 @@ object GraftTable {
     val posUdf = udf((k: java.lang.Long) =>
       if (k == null) Array.empty[Int] else bloomPositions(k.longValue()))
     val blooms: Map[String, Map[String, String]] = bloomCols.map { c =>
-      c -> spark.read.parquet(dir)
+      c -> spark.read.schema(df.schema).parquet(dir)
         .select(input_file_name().as("f"),
           explode(posUdf(col(c).cast("long"))).as("pos"))
         .groupBy("f").agg(collect_set(col("pos")).as("ps"))
@@ -168,7 +213,9 @@ object GraftTable {
           packBloom(r.getSeq[Int](1)))
         .toMap
     }.toMap
-    spark.read.parquet(dir)
+    // explicit schema: skips footer inference and keeps an all-rows-
+    // deleted rewrite (zero part files) a valid empty commit
+    spark.read.schema(df.schema).parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toList
@@ -193,10 +240,11 @@ object GraftTable {
   /** Create snapshot 1. Fails loudly if the table already exists. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 8, bloomCols: Seq[String] = Nil): Int = {
+      numFiles: Int = 8, bloomCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols)
+      numFiles, bloomCols, zorderCols)
     val m = Manifest(1, 0, "create", df.schema.json, entries)
     require(tryCommit(root, m), s"concurrent create at $root")
     1
@@ -313,6 +361,67 @@ object GraftTable {
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"merge derived from stale snapshot $v at $root")
+    v + 1
+  }
+
+  /** Copy-on-write row-level DELETE: rows whose `keyCol` appears in
+    * `deleteKeys` are removed. Same two-level pruning as [[merge]] —
+    * stats-range overlap narrows to candidate files, an
+    * `input_file_name` semi-join over only those finds the files
+    * actually holding a doomed key — and only the affected files are
+    * rewritten (minus their matching rows); everything else carries over
+    * by reference, so cost scales with the delete's key locality. A
+    * delete matching nothing declines to commit (returns the base
+    * snapshot — no empty commit, like [[compact]]); a delete emptying
+    * every affected file commits a manifest that simply drops them.
+    * Single-attempt optimistic like merge: a concurrent commit means the
+    * rewrite is stale — fail loudly, caller re-derives. */
+  def delete(spark: SparkSession, root: String, deleteKeys: DataFrame,
+      keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4, baseSnapshot: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"delete from non-existent table $root")
+    val parent = manifest(root, v)
+    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    val Array(kLo, kHi) = keys
+      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => Array(Double.NaN, Double.NaN)
+        case r => Array(r.getDouble(0), r.getDouble(1))
+      }
+    val candidates =
+      if (kLo.isNaN) Nil
+      else parent.files.filter(f =>
+        f.maxs.get(keyCol).forall(_ >= kLo) &&
+          f.mins.get(keyCol).forall(_ <= kHi))
+    val affectedPaths: List[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+        spark.read.schema(schema)
+          .parquet(candidates.map(f => s"$root/${f.path}"): _*)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+            .toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+          .toList.sorted
+      }
+    if (affectedPaths.isEmpty) return v // nothing matched; no empty commit
+    val affected = parent.files.filter(f => affectedPaths.contains(f.path))
+    val base = spark.read.schema(schema)
+      .parquet(affected.map(f => s"$root/${f.path}"): _*)
+    val survivors = base.join(keys, Seq(keyCol), "left_anti")
+      .select(base.columns.map(col): _*)
+    val entries = writeFiles(spark, root, survivors, statsCols,
+      clusterCols, numFiles, bloomCols)
+    val m = Manifest(v + 1, v, "delete", parent.schemaJson,
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"delete derived from stale snapshot $v at $root")
     v + 1
   }
 

@@ -125,6 +125,73 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("delete: rows gone, unaffected files carried, old snapshot whole") {
+    val root = freshRoot()
+    // 8 files clustered by id → each covers a ~125-wide band
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 8)
+    val v1Files = GraftTable.manifest(root, 1).files.map(_.path)
+    import spark.implicits._
+    // one band of doomed keys → at most a couple of files affected
+    val doomed = (101L to 140L).toDF("id")
+    val v = GraftTable.delete(spark, root, doomed, "id",
+      Seq("id"), Seq("id"), numFiles = 1)
+    assert(v == 2)
+    val m2 = GraftTable.manifest(root, 2)
+    val carried = m2.files.map(_.path).toSet.intersect(v1Files.toSet)
+    assert(carried.size >= 6,
+      s"delete should carry unaffected files by reference; kept $carried")
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 960)
+    assert(latest.where(col("id").between(101, 140)).count() == 0)
+    // snapshot isolation: v1 still reads whole
+    assert(GraftTable.read(spark, root, Some(1)).count() == 1000)
+    // a delete matching nothing declines to commit
+    assert(GraftTable.delete(spark, root, Seq(9999L).toDF("id"), "id",
+      Seq("id"), Seq("id")) == 2)
+    assert(GraftTable.latestSnapshot(root) == 2)
+  }
+
+  test("delete emptying every row of a file drops it from the manifest") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    import spark.implicits._
+    // every key of one 25-wide band → its file rewrites to zero rows
+    val v = GraftTable.delete(spark, root, (1L to 25L).toDF("id"), "id",
+      Seq("id"), Seq("id"), numFiles = 1)
+    assert(v == 2)
+    val m2 = GraftTable.manifest(root, 2)
+    // the rewrite had zero survivors: no replacement entries, and no
+    // 0-row ghost files in the manifest
+    assert(m2.files.size == 3 && m2.files.forall(_.rows > 0),
+      s"expected 3 live files, got ${m2.files.map(f => f.path -> f.rows)}")
+    assert(GraftTable.read(spark, root).count() == 75)
+    assert(GraftTable.read(spark, root)
+      .where(col("id") <= 25).count() == 0)
+  }
+
+  test("z-order: both dimensions prune files; content unchanged") {
+    val root = freshRoot()
+    import spark.implicits._
+    // two independent dimensions: x walks 0..999, y is a decorrelated
+    // permutation-ish mix — single-column range clustering on x would
+    // leave every file's y range near-global
+    val rows = (0L until 1000L)
+      .map(i => (i, i * 997L % 1000L, s"p$i")).toDF("x", "y", "payload")
+    GraftTable.create(spark, root, rows,
+      statsCols = Seq("x", "y"), clusterCols = Nil,
+      numFiles = 16, zorderCols = Seq("x", "y"))
+    val (dx, keptX, totalX) = GraftTable.readWhere(spark, root, "x", 0d, 99d)
+    val (dy, keptY, totalY) = GraftTable.readWhere(spark, root, "y", 0d, 99d)
+    assert(totalX == 16 && totalY == 16)
+    assert(keptX < totalX, s"x-pruning kept $keptX of $totalX")
+    assert(keptY < totalY, s"y-pruning kept $keptY of $totalY")
+    assert(dx.where(col("x") < 100).count() == 100)
+    assert(dy.where(col("y") < 100).count() == 100)
+    assert(GraftTable.read(spark, root).count() == 1000)
+  }
+
   test("add-only schema evolution: old files null-fill, old snapshots " +
       "keep their shape") {
     val root = freshRoot()
