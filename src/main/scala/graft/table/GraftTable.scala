@@ -481,6 +481,53 @@ object GraftTable {
     dead.size
   }
 
+  /** Delete data files referenced by NO live manifest — the leftovers of
+    * failed/abandoned writes and lost commit races (writeFiles lands
+    * files BEFORE the commit link, so a crash in between strands them).
+    * Readers plan from manifests and never see orphans; this is pure
+    * space reclamation, the Iceberg `remove_orphan_files` maintenance
+    * twin of [[expireSnapshots]] (which reclaims files of EXPIRED
+    * manifests — the two sets are disjoint by construction).
+    *
+    * Safety gate: `olderThanMs` skips files younger than that mtime age
+    * — an in-flight writer has landed its files but not yet linked its
+    * manifest, and sweeping those would break its commit. Production
+    * formats use the same age heuristic; 0 (sweep everything, test-only)
+    * must only be used when no writer can be in flight. Commit dirs left
+    * empty (nothing live, e.g. only a _SUCCESS marker remains) are
+    * removed with their markers. Returns the number of data files
+    * deleted. */
+  def removeOrphans(root: String, olderThanMs: Long): Int = {
+    val latest = latestSnapshot(root)
+    val live = (1 to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => manifest(root, v).files.map(_.path)).toSet
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val rootPath = Paths.get(root)
+    var removed = 0
+    import scala.jdk.CollectionConverters._
+    val commitDirs = Files.list(dataDir).iterator().asScala.toList
+    for (cd <- commitDirs if Files.isDirectory(cd)) {
+      val files = Files.walk(cd).iterator().asScala
+        .filter(Files.isRegularFile(_)).toList
+      // only parquet data files are sweep candidates; _SUCCESS/.crc
+      // markers stay while ANY data in the dir is live (a live file's
+      // checksum must not be stranded) and go only with a dead dir
+      val parquets = files.filter(_.getFileName.toString.endsWith(".parquet"))
+      val (kept, sweep) = parquets.partition { f =>
+        live(rootPath.relativize(f).toString) ||
+          Files.getLastModifiedTime(f).toMillis > cutoff
+      }
+      sweep.foreach { f => Files.delete(f); removed += 1 }
+      if (kept.isEmpty && sweep.nonEmpty)
+        Files.walk(cd).iterator().asScala.toList.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    }
+    removed
+  }
+
   /** Read a snapshot (latest when `snapshot` is None). Plans purely from
     * the manifest's file list — orphaned files in `data/` are invisible.
     * An empty file list still yields a correctly-typed empty frame. */

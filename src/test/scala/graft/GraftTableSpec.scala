@@ -125,6 +125,30 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("removeOrphans sweeps unreferenced files only; age gate holds") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.append(spark, root, idTable(80).where(col("id") > 50),
+      Seq("id"), Seq("id"), numFiles = 2)
+    // a failed write's leftover: parquet in data/ that no manifest lists
+    idTable(9999).where(col("id") > 9990)
+      .write.mode("overwrite").parquet(s"$root/data/c-orphan")
+    // age gate: a "fresh" orphan (all files are fresh here) is an
+    // in-flight writer's staging — must survive a guarded sweep
+    assert(GraftTable.removeOrphans(root, olderThanMs = 3600L * 1000) == 0)
+    assert(Files.isDirectory(Paths.get(root, "data", "c-orphan")))
+    // unguarded sweep (no writer in flight): orphans go, live data stays
+    val swept = GraftTable.removeOrphans(root, olderThanMs = 0L)
+    assert(swept >= 1, s"expected the orphan files swept, got $swept")
+    assert(!Files.exists(Paths.get(root, "data", "c-orphan")),
+      "dead commit dir should be removed with its markers")
+    assert(GraftTable.read(spark, root).count() == 80)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 50)
+    // idempotent: nothing left to sweep
+    assert(GraftTable.removeOrphans(root, olderThanMs = 0L) == 0)
+  }
+
   test("delete: rows gone, unaffected files carried, old snapshot whole") {
     val root = freshRoot()
     // 8 files clustered by id → each covers a ~125-wide band
