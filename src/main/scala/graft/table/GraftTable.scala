@@ -51,8 +51,17 @@ object GraftTable {
       mins: Map[String, Double], maxs: Map[String, Double],
       bloom: Option[Map[String, String]] = None)
 
+  /** `committedAtMs` is stamped by [[tryCommit]] at publish time (None
+    * only in pre-stamp manifests, read as epoch 0) — it feeds
+    * [[snapshotAsOf]] timestamp time travel. Commit time is the
+    * PUBLISH-side clock: monotone per table because a single filesystem
+    * orders the createLink calls; cross-writer clock skew can reorder
+    * timestamps relative to snapshot ids, so `snapshotAsOf` resolves by
+    * scanning ids and taking the max eligible id, never binary-searching
+    * timestamps. */
   case class Manifest(snapshot: Int, parent: Int, op: String,
-      schemaJson: String, files: List[FileEntry])
+      schemaJson: String, files: List[FileEntry],
+      committedAtMs: Option[Long] = None)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -113,7 +122,8 @@ object GraftTable {
     * writer won, false if a concurrent commit already took the id. The
     * staged temp file carries the full content BEFORE the link, so a
     * reader can never observe a partially-written manifest. */
-  private def tryCommit(root: String, m: Manifest): Boolean = {
+  private def tryCommit(root: String, m0: Manifest): Boolean = {
+    val m = m0.copy(committedAtMs = Some(System.currentTimeMillis()))
     Files.createDirectories(metaDir(root))
     val tmp = metaDir(root).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
@@ -527,6 +537,27 @@ object GraftTable {
     }
     removed
   }
+
+  /** The newest snapshot committed at or before `tsMs` (AS OF TIMESTAMP
+    * resolution). Scans present manifest ids and keeps the max eligible
+    * id — see the [[Manifest.committedAtMs]] note on why ids, not
+    * timestamps, are the scan axis. Pre-stamp manifests (no commit time
+    * recorded) are treated as epoch 0, i.e. always eligible. Fails
+    * loudly when `tsMs` predates the table. */
+  def snapshotAsOf(root: String, tsMs: Long): Int = {
+    val latest = latestSnapshot(root)
+    require(latest > 0, s"no table at $root")
+    val eligible = (1 to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .filter(v => manifest(root, v).committedAtMs.getOrElse(0L) <= tsMs)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMs predates every retained snapshot of $root")
+    eligible.max
+  }
+
+  /** Timestamp time travel: read the table as of wall-clock `tsMs`. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(snapshotAsOf(root, tsMs)))
 
   /** Read a snapshot (latest when `snapshot` is None). Plans purely from
     * the manifest's file list — orphaned files in `data/` are invisible.

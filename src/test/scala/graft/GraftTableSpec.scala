@@ -125,6 +125,26 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("timestamp time travel: AS OF resolves to the newest eligible " +
+      "snapshot; pre-table timestamps fail loudly") {
+    val root = freshRoot()
+    val t0 = System.currentTimeMillis() - 1
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    val afterCreate = System.currentTimeMillis()
+    Thread.sleep(25) // commit stamps are ms-granular; separate them
+    GraftTable.append(spark, root, idTable(80).where(col("id") > 50),
+      Seq("id"), Seq("id"), numFiles = 2)
+    assert(GraftTable.snapshotAsOf(root, afterCreate) == 1)
+    assert(GraftTable.readAsOf(spark, root, afterCreate).count() == 50)
+    assert(GraftTable.snapshotAsOf(root, System.currentTimeMillis()) == 2)
+    assert(GraftTable.readAsOf(spark, root,
+      System.currentTimeMillis()).count() == 80)
+    intercept[IllegalArgumentException] {
+      GraftTable.snapshotAsOf(root, t0)
+    }
+  }
+
   test("removeOrphans sweeps unreferenced files only; age gate holds") {
     val root = freshRoot()
     GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
