@@ -86,6 +86,27 @@ object GraftTable {
     Array.tabulate(BloomK)(i => ((h1.toLong + i.toLong * step) % p).toInt)
   }
 
+  /** Probe positions for a STRING key: same double-hash scheme, seeded
+    * with XXH64 over the UTF-8 bytes (Spark's own string hash kernel) so
+    * gid-keyed entity tables get point-lookup skipping too. Long and
+    * string keys never share a bloom column, so the two hash domains
+    * can't collide in one filter. */
+  private[graft] def bloomPositionsStr(key: String): Array[Int] = {
+    val bytes = key.getBytes("UTF-8")
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
+    val p = BloomBits
+    val h1 = (((h % p) + p) % p).toInt
+    val step = (((h >>> 13) % (p - 1)) + 1).toInt
+    Array.tabulate(BloomK)(i => ((h1.toLong + i.toLong * step) % p).toInt)
+  }
+
+  private[graft] def bloomMayContainStr(b64: String, key: String): Boolean = {
+    val bits = java.util.Base64.getDecoder.decode(b64)
+    bloomPositionsStr(key).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
   private def packBloom(positions: Iterable[Int]): String = {
     val bits = new Array[Byte]((BloomBits + 7) / 8)
     positions.foreach { p =>
@@ -170,6 +191,13 @@ object GraftTable {
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil): List[FileEntry] = {
+    // string stats would silently read back as 0.0 bounds through the
+    // double-typed min/max maps and mis-prune — strings get bloom
+    // skipping (readWhereKeyInStr), never range stats
+    statsCols.find(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      .foreach(c => throw new IllegalArgumentException(
+        s"statsCols must be numeric; '$c' is a string (use bloomCols)"))
     val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
     val dir = s"$root/$sub"
     // Z-order clustering: one extra min/max agg over the commit (not the
@@ -213,10 +241,16 @@ object GraftTable {
     // bloomPositions — commit-time metadata, not a query hot path.
     val posUdf = udf((k: java.lang.Long) =>
       if (k == null) Array.empty[Int] else bloomPositions(k.longValue()))
+    val posUdfStr = udf((k: String) =>
+      if (k == null) Array.empty[Int] else bloomPositionsStr(k))
     val blooms: Map[String, Map[String, String]] = bloomCols.map { c =>
+      val probe = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => posUdfStr(col(c))
+        case _ => posUdf(col(c).cast("long"))
+      }
       c -> spark.read.schema(df.schema).parquet(dir)
         .select(input_file_name().as("f"),
-          explode(posUdf(col(c).cast("long"))).as("pos"))
+          explode(probe).as("pos"))
         .groupBy("f").agg(collect_set(col("pos")).as("ps"))
         .collect()
         .map(r => rel(r.getString(0)) ->
@@ -617,6 +651,26 @@ object GraftTable {
         case None => true
       }
       rangeAdmits && bloomAdmits
+    }
+    (readEntries(spark, root, m, kept), kept.size, m.files.size)
+  }
+
+  /** Point-lookup read on a STRING key column (gid-keyed entity tables).
+    * Strings carry no range stats (min/max here are numeric doubles), so
+    * pruning is bloom-only: a file survives unless its bloom excludes
+    * every probe key; files without a bloom for `colName` always
+    * survive. No false negatives by construction — the caller still
+    * applies the exact row predicate. */
+  def readWhereKeyInStr(spark: SparkSession, root: String, colName: String,
+      keys: Seq[String],
+      snapshot: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = snapshot.getOrElse(latestSnapshot(root))
+    val m = manifest(root, v)
+    val kept = m.files.filter { f =>
+      f.bloom.flatMap(_.get(colName)) match {
+        case Some(b64) => keys.exists(k => bloomMayContainStr(b64, k))
+        case None => true
+      }
     }
     (readEntries(spark, root, m, kept), kept.size, m.files.size)
   }

@@ -316,6 +316,41 @@ class GraftTableSpec extends SparkTestBase {
     assert(dAbsent.where(col("id") === 999999L).count() == 0)
   }
 
+  test("string-key bloom lookup: prunes files, never drops a present key") {
+    val root = freshRoot()
+    import spark.implicits._
+    // gid-keyed entity shape: random-ish hex gids, clustered by a
+    // numeric surrogate so the gid SET per file is sparse — the exact
+    // layout where string range stats would be useless even if they
+    // existed and only a bloom can skip
+    val rows = (1 to 1000)
+      .map(i => (i.toLong, f"gid-${i * 2654435761L % 100003L}%06x", s"v$i"))
+      .toDF("seq", "gid", "payload")
+    GraftTable.create(spark, root, rows, Seq("seq"), Seq("seq"),
+      numFiles = 8, bloomCols = Seq("gid"))
+    val m = GraftTable.manifest(root, 1)
+    assert(m.files.forall(_.bloom.exists(_.contains("gid"))))
+    // probe 5 present gids scattered across the table
+    val probes = rows.where(col("seq") % 211 === 0)
+      .select("gid").collect().map(_.getString(0)).toSeq
+    assert(probes.size >= 4)
+    val (df, kept, total) =
+      GraftTable.readWhereKeyInStr(spark, root, "gid", probes)
+    assert(total == 8 && kept < total,
+      s"string bloom should prune: kept $kept of $total")
+    assert(df.where(col("gid").isInCollection(probes)).count() ==
+      probes.size, "bloom pruning must never drop a present key")
+    // an absent gid prunes everything with high probability (5 files ×
+    // ~4% fp rate); at worst it keeps a false-positive file or two
+    val (_, keptAbsent, _) =
+      GraftTable.readWhereKeyInStr(spark, root, "gid", Seq("gid-zzzzzz"))
+    assert(keptAbsent <= 2, s"absent key kept $keptAbsent files")
+    // string statsCols are rejected loudly, not silently mis-pruned
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, freshRoot(), rows, Seq("gid"), Seq("seq"))
+    }
+  }
+
   test("bloom build/probe identity: positions in range, deterministic") {
     val ks = Seq(Long.MinValue, -1L, 0L, 1L, 42L, Long.MaxValue, 987654321L)
     ks.foreach { k =>
