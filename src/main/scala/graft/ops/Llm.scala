@@ -1486,6 +1486,9 @@ object Llm {
     * and the Column cannot drift. */
   private[graft] val WeightedP = 1000033L
   private[graft] val WeightedA = 3266489917L
+  // llm_cap_source's ordering family member: fresh prime AND multiplier
+  private[graft] val CapP = 1000037L
+  private[graft] val CapA = 2654435789L
   private[graft] def weightedBucket10k(docId: Long): Long =
     docId % WeightedP * WeightedA % WeightedP % 10000L
   private[graft] val weightedBucket: Column =
@@ -1552,6 +1555,28 @@ object Llm {
         weightedBucket.as("bucket"),
         (weightedBucket < least(lit(10000L), col("bp"))).as("kept"))
       .orderBy("doc_id")
+
+  /** Per-source contribution cap (SURVEY §2-J corpus assembly): no
+    * source may contribute more than 10 documents — the standard guard
+    * against one crawl/dump dominating a training mix. WHICH docs
+    * survive is decided by a deterministic hash rank (a fresh
+    * (ax mod p) family member — prime reduced BEFORE the final mod per
+    * the house convention — with doc_id as the unique tiebreak), so the
+    * cap is reproducible across engines and reruns instead of an
+    * arbitrary head. One shuffle on source (the window partition key);
+    * at 100 TB the per-source row_number is the bounded-state path —
+    * rank state per partition, no global sort. A source with fewer
+    * than 10 docs keeps them all. */
+  val llm_cap_source: Q = (s, d) => {
+    val capBucket = (col("doc_id") % CapP) * CapA % CapP % 10000L
+    val w = Window.partitionBy("source").orderBy(capBucket.asc,
+      col("doc_id").asc)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 10)
+      .orderBy("source", "doc_id")
+  }
 
   /** Deterministic train/val/test split (80/10/10) on a second member of
     * the same (ax mod p) hash family — different multiplier AND prime,
@@ -1875,6 +1900,7 @@ object Llm {
     "llm_curriculum" -> llm_curriculum,
     "llm_sample" -> llm_sample,
     "llm_sample_weighted" -> llm_sample_weighted,
+    "llm_cap_source" -> llm_cap_source,
     "llm_split" -> llm_split,
     "llm_pack" -> llm_pack,
     "llm_corpus" -> llm_corpus,
@@ -2293,6 +2319,15 @@ object Llm {
               ((doc_id % 1000033) * 3266489917) % 1000033 % 10000
                   < least(10000, bp) AS kept
           FROM bp ORDER BY doc_id""",
+    // same (ax mod p) rank arithmetic inline; Spark row_number is 32-bit
+    "llm_cap_source" ->
+      """SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+           SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ((doc_id % 1000037) * 2654435789) % 1000037
+                     % 10000 ASC, doc_id ASC) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY source, doc_id""",
     "llm_split" ->
       s"""SELECT lang,
              $duckSplitLabel AS split,

@@ -236,6 +236,40 @@ object Windows {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** Ordered-stage funnel over the event stream: per user, the first
+    * view, the first click strictly AFTER that view, and the first
+    * purchase strictly after that click — depth = how far the user got,
+    * in order (a purchase before any view does NOT count; that ordering
+    * is what distinguishes a funnel from three filters). Stage-at-a-time
+    * conditional min-aggregations, each a partial-agg shuffle on
+    * user_id — per-user state is one timestamp per stage, bounded at any
+    * scale, and every stage joins on the SAME key so the exchanges
+    * reuse. Fixture timestamps are µs-exact in both engines (checked:
+    * zero sub-µs components), so the strict > compares identically. */
+  val win_funnel: Q = (s, d) => {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.join(c.select(col("user_id").as("cu"), col("first_click")),
+        col("user_id") === col("cu"), "left")
+      .join(p.select(col("user_id").as("pu"), col("first_purchase")),
+        col("user_id") === col("pu"), "left")
+      .select(col("user_id"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .otherwise(1).as("depth"),
+        col("first_view"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -247,9 +281,35 @@ object Windows {
     "win_range" -> win_range,
     "win_topk" -> win_topk,
     "win_session" -> win_session,
+    "win_funnel" -> win_funnel,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // stage-at-a-time conditional mins, same strict-after semantics;
+    // depth literal is 32-bit on both engines (CAST INT per convention)
+    "win_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS first_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.first_view
+           GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS first_purchase
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+           GROUP BY 1)
+         SELECT v.user_id,
+             CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS INT) AS depth,
+             v.first_view
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
     // same two-pass window formulation; the gap compares epoch_us on
     // both engines (seconds truncation flips exact half-hour boundaries)
     "win_session" ->
