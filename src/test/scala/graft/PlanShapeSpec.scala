@@ -116,6 +116,32 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("win_funnel aggregates partially and never nest-loops") {
+    withStaticPlan {
+      val p = planOf(ops.Windows.win_funnel(spark, sf))
+      // every stage is a conditional min-agg on user_id: partial
+      // aggregation must ride the map side (bounded shuffle payload at
+      // any scale), and no stage join may degenerate to nested-loop
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"funnel degenerated:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_"),
+        s"funnel stage aggregation lost its map-side combine:\n$p")
+    }
+  }
+
+  test("llm_cap_source shuffles once on the window partition key") {
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_cap_source(spark, sf))
+      // one hash exchange on source feeds the rank window; the only
+      // other exchange is the output-determinism range sort
+      val hashEx = "Exchange hashpartitioning".r
+        .findAllIn(p).length
+      assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+      assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+        s"rank window missing:\n$p")
+    }
+  }
+
   test("agg_pricing uses two-phase hash aggregation") {
     withStaticPlan {
       val p = planOf(ops.Relational.agg_pricing(spark, sf))
