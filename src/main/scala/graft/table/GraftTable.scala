@@ -572,6 +572,36 @@ object GraftTable {
     removed
   }
 
+  /** Commit history of the retained snapshots, newest first — the
+    * DESCRIBE HISTORY equivalent: snapshot id, parent, operation,
+    * commit timestamp (null for pre-stamp manifests), file count, and
+    * live row count per snapshot. Driver-side manifest reads only; no
+    * Spark jobs. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestSnapshot(root)
+    (1 to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .map { v =>
+        val m = manifest(root, v)
+        (m.snapshot, m.parent, m.op, m.committedAtMs,
+          m.files.size, m.files.map(_.rows).sum)
+      }
+      .sortBy(-_._1)
+      .toDF("snapshot", "parent", "op", "committed_at_ms",
+        "n_files", "n_rows")
+  }
+
+  /** Register a snapshot read as a temp view so the table is reachable
+    * from `spark.sql` (time travel via `snapshot`). Deliberately NOT a
+    * DSv2 connector: the manifest-planned read below IS a plain
+    * vectorized parquet FileScan with pushdown/codegen intact, which a
+    * custom DSv2 partition reader would forfeit for no semantic gain —
+    * the format's value is in the metadata layer, not the row path. */
+  def registerView(spark: SparkSession, name: String, root: String,
+      snapshot: Option[Int] = None): Unit =
+    read(spark, root, snapshot).createOrReplaceTempView(name)
+
   /** The newest snapshot committed at or before `tsMs` (AS OF TIMESTAMP
     * resolution). Scans present manifest ids and keeps the max eligible
     * id — see the [[Manifest.committedAtMs]] note on why ids, not

@@ -125,6 +125,27 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("history lists retained commits newest-first; SQL view reads " +
+      "a pinned snapshot") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.append(spark, root, idTable(80).where(col("id") > 50),
+      Seq("id"), Seq("id"), numFiles = 2)
+    val h = GraftTable.history(spark, root).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(2, 1), "newest first")
+    assert(h.map(_.getString(2)).toSeq == Seq("append", "create"))
+    assert(h.map(_.getLong(5)).toSeq == Seq(80L, 50L))
+    assert(h.forall(!_.isNullAt(3)), "commits must carry timestamps")
+    GraftTable.registerView(spark, "gt_hist_v1", root, Some(1))
+    GraftTable.registerView(spark, "gt_hist_latest", root)
+    assert(spark.sql("SELECT count(1) FROM gt_hist_v1").head().getLong(0)
+      == 50L)
+    assert(spark.sql(
+      "SELECT count(1) FROM gt_hist_latest WHERE id > 50").head()
+      .getLong(0) == 30L)
+  }
+
   test("timestamp time travel: AS OF resolves to the newest eligible " +
       "snapshot; pre-table timestamps fail loudly") {
     val root = freshRoot()
