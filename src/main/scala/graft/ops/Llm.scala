@@ -1416,6 +1416,32 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Top-5 word bigrams per language (count desc, bigram asc tiebreak) —
+    * the corpus vocabulary-statistics op that feeds tokenizer/merge-rule
+    * training and phrase-level quality checks. Adjacent-pair expansion
+    * is a pure HOF over the token array (sequence + element_at — stays
+    * declarative, no UDF); the fan-out is bounded by tokens-per-doc and
+    * immediately collapsed by a two-phase (lang, bigram) count whose
+    * map-side combine bounds the shuffle by distinct-bigram volume, not
+    * corpus size; the top-k window partitions on lang (bounded state).
+    * Docs under two tokens (incl. null text, which the >= 2 guard drops
+    * on both engines) contribute nothing. */
+  val llm_ngram_freq: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("n"), asc("bg"))
+    documents(s, d)
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> concat_ws(' ', element_at(split(text, ' '), i),
+                            element_at(split(text, ' '), i + 1)))"""))
+        .as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .orderBy("lang", "rk")
+  }
+
   // ---- shared assembly-stage helpers --------------------------------------
   // llm_pipeline / llm_corpus / llm_sample / llm_split COMPOSE these; any
   // tuning (bp formula, keep rates, split fractions, hash constants)
@@ -1893,6 +1919,7 @@ object Llm {
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
     "llm_fingerprint" -> llm_fingerprint,
+    "llm_ngram_freq" -> llm_ngram_freq,
     "llm_decontaminate" -> llm_decontaminate,
     "llm_repetition" -> llm_repetition,
     "llm_pii_scrub" -> llm_pii_scrub,
@@ -2192,6 +2219,23 @@ object Llm {
                      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
                  (h, c) -> (h * 1000003 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // same adjacency expansion as a list lambda; scalar range() excludes
+    // its upper bound, mirroring Spark's inclusive sequence(1, len - 1)
+    "llm_ngram_freq" ->
+      """WITH w AS (
+           SELECT lang, string_split(text, ' ') AS l FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         b AS (
+           SELECT lang, unnest(list_transform(range(1, len(l)),
+               i -> l[i] || ' ' || l[i + 1])) AS bg
+           FROM w),
+         c AS (SELECT lang, bg, count(1) AS n FROM b GROUP BY 1, 2),
+         r AS (
+           SELECT lang, bg, n, row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, bg ASC) AS rk
+           FROM c)
+         SELECT lang, bg, n, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
     // eval set + overlap replayed from scratch: DuckDB re-derives the
     // 5-gram sets declaratively vs Spark's typed kernel
     "llm_decontaminate" ->
