@@ -1430,11 +1430,15 @@ object Llm {
     val w = Window.partitionBy("lang")
       .orderBy(desc("n"), asc("bg"))
     documents(s, d)
-      .where(size(split(col("text"), " ")) >= 2)
+      // materialize the token array ONCE per row: element_at over an
+      // inline split(text) re-splits the string for every lambda index —
+      // O(tokens²) splits per doc (measured 3.4 s vs 1.0 s at sf0.1)
+      .select(col("lang"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 2)
       .select(col("lang"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-             i -> concat_ws(' ', element_at(split(text, ' '), i),
-                            element_at(split(text, ' '), i + 1)))"""))
+        """transform(sequence(1, size(l) - 1),
+             i -> concat_ws(' ', element_at(l, i),
+                            element_at(l, i + 1)))"""))
         .as("bg"))
       .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w))

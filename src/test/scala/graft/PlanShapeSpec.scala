@@ -301,6 +301,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_ngram_freq expands pairs once and combines map-side") {
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_ngram_freq(spark, sf))
+      // one Generate (the adjacent-pair explode) — a doubled expansion
+      // subtree would double the dominant cost, the llm_tfidf lesson
+      val gens = "Generate".r.findAllIn(p).length
+      assert(gens == 1, s"expected 1 Generate, got $gens:\n$p")
+      // the (lang, bigram) count must combine before its exchange so
+      // the shuffle carries distinct-bigram volume, not corpus volume
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        s"bigram count lost its map-side combine:\n$p")
+    }
+  }
+
   test("llm_decontaminate probes the eval grams via broadcast") {
     // the eval side is benchmark-suite-sized at any corpus scale — the
     // contamination probe must be a map-side BroadcastHashJoin so the
