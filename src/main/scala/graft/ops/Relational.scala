@@ -572,6 +572,41 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("nk")
 
+  /** multiset INTERSECT ALL (per-key multiplicity = min of the two
+    * sides, which Spark plans as a count-compare aggregate — a
+    * different operator from the distinct-izing intersect); rolled up
+    * per key so the oracle hashes counts, not row multiplicity
+    * ordering. */
+  val setop_intersect_all: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .intersectAll(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nk")
+
+  /** LATERAL correlated subquery join (SQL form): each nation's top-2
+    * customers by (acctbal desc, custkey asc — unique tiebreak).
+    * Exercises Catalyst's lateral-join decorrelation
+    * (DecorrelateInnerQuery), the planner path the DSL window top-k
+    * (win_topk) bypasses; the decorrelated plan is a ranked join, so
+    * per-nation state stays bounded at any scale. */
+  val join_lateral: Q = (s, d) => {
+    nation(s, d).createOrReplaceTempView("graft_lat_nation")
+    customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM graft_lat_nation n,
+      LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM graft_lat_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+      ) t
+      ORDER BY n.n_name, t.c_custkey
+    """)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "scan_parquet" -> scan_parquet,
     "scan_pruned" -> scan_pruned,
@@ -615,6 +650,8 @@ object Relational {
     "setop_union" -> setop_union,
     "setop_intersect" -> setop_intersect,
     "setop_except" -> setop_except,
+    "setop_intersect_all" -> setop_intersect_all,
+    "join_lateral" -> join_lateral,
   )
 
   /** DuckDB 1.0 dialect oracle SQL. Aliases match the Spark output columns
@@ -889,5 +926,21 @@ object Relational {
            SELECT c_nationkey AS nk FROM customer
            EXCEPT ALL SELECT s_nationkey FROM supplier)
          GROUP BY nk ORDER BY nk""",
+    "setop_intersect_all" ->
+      """SELECT nk, count(1) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           INTERSECT ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (
+           SELECT c_custkey, c_acctbal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey ASC
+           LIMIT 2
+         ) t
+         ORDER BY n.n_name, t.c_custkey""",
   )
 }
