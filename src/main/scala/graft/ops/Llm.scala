@@ -846,6 +846,20 @@ object Llm {
     * hand — it is checked every verify run. */
   private[graft] val QuantLevels = 255.0
 
+  /** Per-label mean embedding (the class centroid — the building block
+    * spherical k-means/IVF training iterates, here as a first-class
+    * query): posexplode to (label, dim, value), two-phase avg per
+    * (label, dim). The shuffle carries labels × dims partial sums —
+    * O(|labels|·dim·partitions), independent of row count at any
+    * scale — and the float32 inputs accumulate as doubles with the
+    * house r4 statistical rounding. */
+  val llm_embed_centroid: Q = (s, d) =>
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(r4(avg(col("x").cast("double"))).as("c"))
+      .orderBy("label", "pos")
+
   val llm_embed_quantize: Q = (s, d) => {
     val e = embDouble(s, d)
       .withColumn("vmin", array_min(col("emb")))
@@ -1909,6 +1923,7 @@ object Llm {
     "llm_dedup_embcos" -> llm_dedup_embcos,
     "llm_dedup_text" -> llm_dedup_text,
     "llm_embed_quantize" -> llm_embed_quantize,
+    "llm_embed_centroid" -> llm_embed_centroid,
     "llm_knn_native" -> llm_knn_native,
     "llm_knn_classify" -> llm_knn_classify,
     "llm_ann_ivf" -> llm_ann_ivf,
@@ -2079,6 +2094,13 @@ object Llm {
     // floor on bit-identical IEEE inputs is engine-stable (a half-boundary
     // round is not — CLAUDE.md); the same affine code arithmetic in the
     // same evaluation order hash-matches exactly
+    // dim index from a range cross join (list positions are 1-based in
+    // DuckDB, 0-based out of posexplode — i is the 0-based dim)
+    "llm_embed_centroid" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+             round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS c
+         FROM embeddings, range(0, 64) t(i)
+         GROUP BY 1, 2 ORDER BY label, pos""",
     "llm_embed_quantize" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
