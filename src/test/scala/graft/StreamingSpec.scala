@@ -138,6 +138,59 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine reaches the batch win_funnel depths") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // replay the REAL events table in global ts order across three
+    // micro-batches; because the feed is time-sorted, the greedy
+    // transition (take the first eligible event per stage) computes
+    // exactly the batch semantics (min view; min click strictly after
+    // it; min purchase strictly after that). Within a batch the
+    // iterator is re-sorted — flatMapGroupsWithState guarantees no
+    // intra-batch order.
+    val rows = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._2))
+    val mem = MemoryStream[(Long, String, Long)]
+    val depths = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Long, String, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (fv, fc, fp) = state.getOption.getOrElse((0L, 0L, 0L))
+          evs.toSeq.sortBy(_._3).foreach { case (_, typ, t) =>
+            typ match {
+              case "view" if fv == 0L => fv = t
+              case "click" if fv != 0L && t > fv && fc == 0L => fc = t
+              case "purchase" if fc != 0L && t > fc && fp == 0L => fp = t
+              case _ => ()
+            }
+          }
+          state.update((fv, fc, fp))
+          val depth = if (fp != 0L) 3 else if (fc != 0L) 2 else 1
+          if (fv == 0L) Iterator.empty else Iterator((user, depth))
+      }
+      .toDF("user_id", "depth")
+    val q = depths.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1))
+        .foreach { batch => mem.addData(batch.toSeq); q.processAllAvailable() }
+      // depth is monotone per user, so the max emitted = the final state
+      val streamed = spark.sql(
+        "SELECT user_id, max(depth) FROM funnel_stream GROUP BY 1")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = ops.Windows.win_funnel(spark, sf)
+        .select("user_id", "depth").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch,
+        s"stream/batch funnel drift: only-stream=${streamed.toSet -- batch.toSet}, " +
+          s"only-batch=${batch.toSet -- streamed.toSet}")
+    } finally q.stop()
+  }
+
   test("stories sessionization emits the batch answer under readStream via the connector") {
     import org.apache.spark.sql.streaming.Trigger
     // the same session_window the batch query uses, driven through the
