@@ -163,17 +163,24 @@ object GraftTable {
     * O(files). `clusterCols` range-partitions the write so the stats are
     * TIGHT (a file covers a narrow key band → pruning actually skips);
     * an unclustered write would give every file near-global bounds. */
-  /** Interleave the low 16 bits of two normalized longs into a 32-bit
-    * Z-value (Morton code) as a pure Column expression — stays inside
-    * whole-stage codegen, no UDF. Bit i of `a` lands at position 2i+1,
-    * bit i of `b` at 2i, so neither column dominates the ordering and
-    * range-partitioning by the result bounds BOTH columns' spread within
-    * each output file. */
-  private[graft] def zValue(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
-      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
-    }.reduce(_ + _)
+  /** Round-robin interleave of the low 16 bits of N normalized longs
+    * into a 16·N-bit Z-value (Morton code) as a pure Column
+    * expression — stays inside whole-stage codegen, no UDF. Column k's
+    * bit i lands at position i·N + (N−1−k), so no column dominates the
+    * ordering and range-partitioning by the result bounds EVERY
+    * column's spread within each output file. N ≤ 4 keeps the code in
+    * one long (64 bits) and reflects the practical z-order limit —
+    * each added dimension halves per-dimension selectivity. */
+  private[graft] def zValue(cols: Seq[Column]): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 4, s"zValue needs 2..4 columns, got $n")
+    (for {
+      i <- 0 until 16
+      (c, k) <- cols.zipWithIndex
+    } yield shiftright(c, i).bitwiseAND(lit(1L)) *
+        lit(1L << (i * n + (n - 1 - k))))
+      .reduce(_ + _)
+  }
 
   /** Scale a numeric column to [0, 65535] given its global [lo, hi] —
     * the value-linear normalization Iceberg's z-order transform uses
@@ -207,22 +214,24 @@ object GraftTable {
     // predicate prunes. Falls back to plain range clustering when the
     // commit is empty or degenerate.
     val clustered = zorderCols match {
-      case Seq(c1, c2) =>
-        val bounds = df.agg(
-          min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-          min(col(c2)).cast("double"), max(col(c2)).cast("double"))
-          .collect()(0)
+      case zs if zs.size >= 2 && zs.size <= 4 =>
+        // one min/max agg over the commit; column k's bounds land at
+        // row positions (2k, 2k+1)
+        val aggs = zs.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         if (bounds.isNullAt(0)) df.repartition(numFiles)
         else df.repartitionByRange(numFiles, zValue(
-          norm16(col(c1), bounds.getDouble(0), bounds.getDouble(1)),
-          norm16(col(c2), bounds.getDouble(2), bounds.getDouble(3))))
+          zs.zipWithIndex.map { case (c, k) =>
+            norm16(col(c), bounds.getDouble(2 * k),
+              bounds.getDouble(2 * k + 1)) }))
       case Nil =>
         if (clusterCols.nonEmpty)
           df.repartitionByRange(numFiles, clusterCols.map(col): _*)
         else df.repartition(numFiles)
       case other =>
         throw new IllegalArgumentException(
-          s"zorderCols must name exactly 2 columns, got $other")
+          s"zorderCols must name 2 to 4 columns, got $other")
     }
     clustered.write.mode("overwrite").parquet(dir)
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath

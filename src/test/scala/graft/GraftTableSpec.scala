@@ -285,6 +285,28 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.read(spark, root).count() == 1000)
   }
 
+  test("z-order generalizes to 3 columns: every dimension prunes") {
+    val root = freshRoot()
+    import spark.implicits._
+    // three pairwise-decorrelated permutation mixes of 0..999
+    val rows = (0L until 1000L)
+      .map(i => (i, i * 997L % 1000L, i * 499L % 1000L, s"p$i"))
+      .toDF("x", "y", "z", "payload")
+    GraftTable.create(spark, root, rows,
+      statsCols = Seq("x", "y", "z"), clusterCols = Nil,
+      numFiles = 16, zorderCols = Seq("x", "y", "z"))
+    for (c <- Seq("x", "y", "z")) {
+      val (df, kept, total) = GraftTable.readWhere(spark, root, c, 0d, 99d)
+      assert(total == 16 && kept < total, s"$c-pruning kept $kept of $total")
+      assert(df.where(col(c) < 100).count() == 100)
+    }
+    // 5 columns is out of contract — loud, not silently unclustered
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, freshRoot(), rows.withColumn("w", col("x")),
+        Seq("x"), Nil, zorderCols = Seq("x", "y", "z", "payload", "w"))
+    }
+  }
+
   test("add-only schema evolution: old files null-fill, old snapshots " +
       "keep their shape") {
     val root = freshRoot()
