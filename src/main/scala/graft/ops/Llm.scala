@@ -2094,13 +2094,17 @@ object Llm {
     // floor on bit-identical IEEE inputs is engine-stable (a half-boundary
     // round is not — CLAUDE.md); the same affine code arithmetic in the
     // same evaluation order hash-matches exactly
-    // dim index from a range cross join (list positions are 1-based in
-    // DuckDB, 0-based out of posexplode — i is the 0-based dim)
+    // generate_subscripts zips positionally with unnest (the Postgres
+    // convention), so the oracle is dim-agnostic like posexplode — no
+    // hardcoded 64 to silently break on a different-dim fixture
     "llm_embed_centroid" ->
-      """SELECT label, CAST(i AS INT) AS pos,
-             round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS c
-         FROM embeddings, range(0, 64) t(i)
-         GROUP BY 1, 2 ORDER BY label, pos""",
+      """WITH e AS (
+           SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS x
+           FROM embeddings)
+         SELECT label, CAST(pos AS INT) AS pos,
+             round(avg(CAST(x AS DOUBLE)), 4) AS c
+         FROM e GROUP BY 1, 2 ORDER BY label, pos""",
     "llm_embed_quantize" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
