@@ -489,7 +489,8 @@ object GraftTable {
     * the compacted layout). */
   def compact(spark: SparkSession, root: String, minRows: Long,
       statsCols: Seq[String], clusterCols: Seq[String],
-      numFiles: Int = 4, bloomCols: Seq[String] = Nil): Int = {
+      numFiles: Int = 4, bloomCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Int = {
     val v = latestSnapshot(root)
     require(v > 0, s"compact of non-existent table $root")
     val parent = manifest(root, v)
@@ -498,8 +499,11 @@ object GraftTable {
     val rewritten = spark.read
       .schema(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])
       .parquet(small.map(f => s"$root/${f.path}"): _*)
+    // zorderCols here = OPTIMIZE ZORDER: compact with minRows =
+    // Long.MaxValue reclusters the whole table into the multi-dim
+    // layout as one commit, past snapshots untouched
     val entries = writeFiles(spark, root, rewritten, statsCols,
-      clusterCols, numFiles, bloomCols)
+      clusterCols, numFiles, bloomCols, zorderCols)
     val smallPaths = small.map(_.path).toSet
     val m = Manifest(v + 1, v, "compact", parent.schemaJson,
       parent.files.filterNot(f => smallPaths(f.path)) ++ entries)

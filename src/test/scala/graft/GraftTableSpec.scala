@@ -285,6 +285,36 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.read(spark, root).count() == 1000)
   }
 
+  test("compact with zorderCols = OPTIMIZE ZORDER: reclusters in place") {
+    val root = freshRoot()
+    import spark.implicits._
+    // y = the house prime-mod mixer of x: near-uniform and decorrelated
+    // from contiguous x bands (y = 997x mod 1000 is NOT — its per-band
+    // y-ranges vary), so x-only clustering leaves y-pruning truly blind
+    val rows = (0L until 1000L)
+      .map(i => (i, i % 1000003L * 2654435761L % 1000003L % 1000L, s"p$i"))
+      .toDF("x", "y", "payload")
+    GraftTable.create(spark, root, rows, Seq("x", "y"), Seq("x"),
+      numFiles = 16)
+    val (_, keptBefore, _) = GraftTable.readWhere(spark, root, "y", 0d, 99d)
+    assert(keptBefore == 16, s"pre-zorder y-pruning should be blind")
+    val v = GraftTable.compact(spark, root, Long.MaxValue, Seq("x", "y"),
+      Nil, numFiles = 16, zorderCols = Seq("x", "y"))
+    assert(v == 2)
+    for (c <- Seq("x", "y")) {
+      val (df, kept, total) = GraftTable.readWhere(spark, root, c, 0d, 99d)
+      assert(total == 16 && kept < total,
+        s"post-zorder $c-pruning kept $kept of $total")
+      // pruning must lose no rows vs the source predicate (y is not a
+      // permutation under the mixer, so derive the expected count)
+      assert(df.where(col(c) < 100).count() ==
+        rows.where(col(c) < 100).count())
+    }
+    // content-invariant, and the pre-optimize snapshot still reads
+    assert(GraftTable.read(spark, root).count() == 1000)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 1000)
+  }
+
   test("z-order generalizes to 3 columns: every dimension prunes") {
     val root = freshRoot()
     import spark.implicits._
