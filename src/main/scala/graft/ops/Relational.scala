@@ -468,6 +468,22 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** fixed-width histogram of order value per status: 100k-wide buckets,
+    * top bucket open-ended. The bucket index goes through exact DECIMAL
+    * cents then integer division — a float `floor(price / 100000)`
+    * looks equivalent but is the half-boundary engine-divergence trap
+    * (CLAUDE.md); two-phase count, shuffle bounded by statuses ×
+    * buckets. */
+  val agg_hist: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderstatus"),
+        expr("""least(5, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) div 10000000)""")
+          .cast("int").as("bucket"))
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "bucket")
+
   val agg_minmax_by: Q = (s, d) =>
     events(s, d)
       .groupBy("user_id")
@@ -641,6 +657,7 @@ object Relational {
     "agg_pctile" -> agg_pctile,
     "agg_minmax_by" -> agg_minmax_by,
     "agg_mode" -> agg_mode,
+    "agg_hist" -> agg_hist,
     "agg_pivot" -> agg_pivot,
     "agg_unpivot" -> agg_unpivot,
     "sub_scalar" -> sub_scalar,
@@ -857,6 +874,13 @@ object Relational {
          )
          SELECT o_orderstatus, mode_priority, n FROM r WHERE rn = 1
          ORDER BY o_orderstatus""",
+    // same exact-cents integer bucketing; // is DuckDB's integer div
+    "agg_hist" ->
+      """SELECT o_orderstatus,
+             CAST(least(5, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) // 10000000) AS INT) AS bucket,
+             count(1) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""",
     "agg_minmax_by" ->
       """WITH mx AS (SELECT user_id, event_type,
                         row_number() OVER (PARTITION BY user_id

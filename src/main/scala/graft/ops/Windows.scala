@@ -122,6 +122,25 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Bounded-ROWS moving frame (2 PRECEDING..CURRENT — the moving-sum/
+    * average form): the third frame shape alongside win_run's unbounded
+    * ROWS and win_range's RANGE. The (date, orderkey) order is total, so
+    * the frame contents — and the DECIMAL sum — are deterministic; the
+    * window count is emitted instead of a float average so no division
+    * crosses engines. */
+  val win_moving: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("mv_sum"),
+        count(lit(1)).over(w).cast("int").as("n_win"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** 7-day trailing sum per user: RANGE frame over epoch seconds — peers at
     * the same second share the frame, so ties are deterministic. */
   val win_range: Q = (s, d) => {
@@ -282,6 +301,7 @@ object Windows {
     "win_topk" -> win_topk,
     "win_session" -> win_session,
     "win_funnel" -> win_funnel,
+    "win_moving" -> win_moving,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -310,6 +330,19 @@ object Windows {
          LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+    "win_moving" ->
+      """SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS mv_sum,
+             CAST(count(1) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS INT)
+               AS n_win
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     // same two-pass window formulation; the gap compares epoch_us on
     // both engines (seconds truncation flips exact half-hour boundaries)
     "win_session" ->
