@@ -175,7 +175,7 @@ object Sources {
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
     s.read.parquet(out)
-      .where(col("o_year").isin(1994, 1995))
+      .where(col("o_year").isin(1996, 1997))
       .groupBy("o_year", "o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("sum_price"))
@@ -467,7 +467,7 @@ object Sources {
     val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
     src.write.mode("overwrite").partitionBy("o_year").parquet(factOut)
     src.select(col("o_year").as("d_year")).distinct()
-      .withColumn("era", when(col("d_year") <= 1994, "early").otherwise("late"))
+      .withColumn("era", when(col("d_year") <= 1997, "early").otherwise("late"))
       .write.mode("overwrite").parquet(dimOut)
     val fact = s.read.parquet(factOut)
     val dim = s.read.parquet(dimOut).where(col("era") === "early")
@@ -714,6 +714,38 @@ object Sources {
   private val binFixtureBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** XML ingestion (Spark 4's built-in xml source — the spark-xml
+    * donation): the 1996 orders slice round-trips through an XML file
+    * written once per application, then is scanned back with an
+    * explicit schema and aggregated. Money crosses the text format as
+    * exact DECIMAL strings — double→XML→double would reformat the
+    * value; DECIMAL survives textually. The oracle replays the same
+    * aggregate straight from the orders table: the scan is what's
+    * under test, not the data. The slice year is 1996 — the fixture
+    * date range is 1995–2001. */
+  val scan_xml: Q = (s, d) => {
+    import graft.util.Det._
+    val dir = sinkDir(s, d, "xml_orders")
+    graft.util.AppCleanup.buildOnce(binFixtureBuilt, dir) {
+      orders(s, d)
+        .where(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).cast("string").as("o_totalprice"))
+        .coalesce(1)
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "order").option("rootTag", "orders")
+        .save(dir)
+    }
+    s.read.format("xml")
+      .option("rowTag", "order")
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice STRING")
+      .load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice").cast("double")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val scan_binaryfile: Q = (s, d) => {
     val dir = sinkDir(s, d, "binfiles")
     graft.util.AppCleanup.buildOnce(binFixtureBuilt, dir) {
@@ -816,6 +848,7 @@ object Sources {
     "sink_export_jsonl" -> sink_export_jsonl,
     "sink_export_csv" -> sink_export_csv,
     "scan_binaryfile" -> scan_binaryfile,
+    "scan_xml" -> scan_xml,
     "llm_mm_features" -> llm_mm_features,
     "llm_mm_frames" -> llm_mm_frames,
   )
@@ -1003,18 +1036,20 @@ object Sources {
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+         FROM orders WHERE year(o_orderdate) IN (1996, 1997)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "sink_partition_overwrite" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(1) AS n_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
-    // the dim's era predicate selects exactly the ≤1994 years — the oracle
-    // applies the equivalent static filter over the source table
+    // the dim's era predicate selects exactly the ≤1997 years (the fixture
+    // range is 1995–2001; a 1994 cut selects NOTHING — the round-6
+    // trivially-empty-result find) — the oracle applies the equivalent
+    // static filter over the source table
     "sink_dpp" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         FROM orders WHERE year(o_orderdate) <= 1994
+         FROM orders WHERE year(o_orderdate) <= 1997
          GROUP BY 1 ORDER BY 1""",
     // DuckDB's ignore_errors turns each self-terminating corrupt line into
     // an all-NULL row — the same per-line quarantine PERMISSIVE gives
@@ -1087,6 +1122,13 @@ object Sources {
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              md5(text) AS content_md5
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // the XML round-trip must aggregate exactly like the source slice
+    "scan_xml" ->
+      """SELECT o_orderstatus, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1996
+         GROUP BY 1 ORDER BY 1""",
     "sink_clustered" ->
       """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
              count(1) AS n_rows,

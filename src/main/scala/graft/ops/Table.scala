@@ -13,9 +13,12 @@ import graft.util.Tables.orders
   *
   * One fixture table is built ONCE per (application, sfDir) — the house
   * buildOnce memo, same as the IVF index — with three commits:
-  *   v1 create  : orders with o_orderdate ≤ 1994, range-clustered
-  *   v2 append  : orders 1995+
-  *   v3 merge   : 1995 orders with o_orderkey % 3 = 0, price doubled
+  *   v1 create  : orders through 1997, range-clustered
+  *   v2 append  : orders 1998+
+  *   v3 merge   : 1998 orders with o_orderkey % 3 = 0, price doubled
+  * (the fixture years are 1995–2001 — a split at 1994 would make the
+  * create commit EMPTY and time-travel/prune trivially-0-row, which is
+  * exactly what round 6 found and fixed)
   * so every query below reads a settled, deterministic history and the
   * bench steady-state measures reads, not the one-time build. Each query
   * replays the corresponding state as plain SQL over the source table for
@@ -36,12 +39,12 @@ object Table {
     graft.util.AppCleanup.buildOnce(tableBuilt, root) {
       val src = orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-      GraftTable.create(s, root, src.where(col("o_year") <= 1994),
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
         statsCols, clusterCols = statsCols, bloomCols = bloomCols)
-      GraftTable.append(s, root, src.where(col("o_year") >= 1995),
+      GraftTable.append(s, root, src.where(col("o_year") >= 1998),
         statsCols, clusterCols = statsCols, bloomCols = bloomCols)
       GraftTable.merge(s, root,
-        src.where(col("o_year") === 1995 && col("o_orderkey") % 3 === 0)
+        src.where(col("o_year") === 1998 && col("o_orderkey") % 3 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),
         keyCol = "o_orderkey", statsCols, clusterCols = statsCols,
         bloomCols = bloomCols)
@@ -88,16 +91,16 @@ object Table {
       .orderBy("o_year")
   }
 
-  /** Manifest-stats file pruning: the 1994 read plans only the files
-    * whose o_year range covers 1994 (GraftTableSpec asserts files read <
+  /** Manifest-stats file pruning: the 1996 read plans only the files
+    * whose o_year range covers 1996 (GraftTableSpec asserts files read <
     * files total; the range-clustered write is what makes the stats
     * tight). The exact row predicate still applies — pruning is
     * file-granular, correctness never depends on it. */
   val table_prune: Q = (s, d) => {
     import graft.util.Det._
     val (df, _, _) =
-      GraftTable.readWhere(s, ordersTable(s, d), "o_year", 1994d, 1994d)
-    df.where(col("o_year") === 1994)
+      GraftTable.readWhere(s, ordersTable(s, d), "o_year", 1996d, 1996d)
+    df.where(col("o_year") === 1996)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("sum_price"))
@@ -222,7 +225,7 @@ object Table {
     "table_snapshot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              count(1) AS n_orders,
-             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1995
+             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1998
                                  AND o_orderkey % 3 = 0
                                 THEN 2 * o_totalprice
                                 ELSE o_totalprice END
@@ -234,7 +237,7 @@ object Table {
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
-         FROM orders WHERE year(o_orderdate) <= 1994
+         FROM orders WHERE year(o_orderdate) <= 1997
          GROUP BY 1 ORDER BY 1""",
     // the v1→v2 delta = exactly the appended slice, pre-merge values
     "table_changes" ->
@@ -242,22 +245,22 @@ object Table {
              count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
-         FROM orders WHERE year(o_orderdate) >= 1995
+         FROM orders WHERE year(o_orderdate) >= 1998
          GROUP BY 1 ORDER BY 1""",
-    // pruned read, post-merge state restricted to 1994 (merge touched
-    // only 1995 keys, so 1994 values are the originals)
+    // pruned read, post-merge state restricted to 1996 (merge touched
+    // only 1998 keys, so 1996 values are the originals)
     "table_prune" ->
       """SELECT o_orderstatus, count(1) AS n_orders,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
-         FROM orders WHERE year(o_orderdate) = 1994
+         FROM orders WHERE year(o_orderdate) = 1996
          GROUP BY 1 ORDER BY 1""",
     // the same 12-key set named in pure SQL; values reflect the merge
-    // (none of the smallest %7 keys land in the doubled 1995 set at the
+    // (none of the smallest %7 keys land in the doubled 1998 set at the
     // shipped SFs, but the CASE keeps the oracle honest if one ever does)
     "table_pointlookup" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
-             CASE WHEN year(o_orderdate) = 1995 AND o_orderkey % 3 = 0
+             CASE WHEN year(o_orderdate) = 1998 AND o_orderkey % 3 = 0
                   THEN 2 * o_totalprice ELSE o_totalprice END
                  AS o_totalprice
          FROM orders

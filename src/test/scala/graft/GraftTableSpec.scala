@@ -529,8 +529,10 @@ class GraftTableSpec extends SparkTestBase {
   test("fixture table: prune query reads fewer files than the snapshot") {
     val root = ops.Table.ordersTable(spark, sf)
     val (_, kept, total) =
-      GraftTable.readWhere(spark, root, "o_year", 1994d, 1994d)
-    assert(kept < total,
-      s"o_year=1994 should prune the clustered layout: $kept of $total")
+      GraftTable.readWhere(spark, root, "o_year", 1996d, 1996d)
+    // a year INSIDE the data range (1995–2001): the prune must keep
+    // something (a 1994 probe would pass trivially by keeping nothing)
+    assert(kept > 0 && kept < total,
+      s"o_year=1996 should prune the clustered layout: $kept of $total")
   }
 }
