@@ -166,6 +166,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("z-order Morton code: decodes back to its inputs (2 and 3 dims)") {
+    // the Column bit-interleave must be a bijection on 16-bit inputs —
+    // a wrong shift would silently coarsen clustering (files still
+    // write, stats still prune, just worse), so no behavioral test
+    // catches it; the round-trip does. One Spark job evaluates the
+    // deployed Column over random tuples; a pure Scala mirror decodes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def decode(z: Long, n: Int, k: Int): Long =
+      (0 until 16).map(i => ((z >> (i * n + (n - 1 - k))) & 1L) << i).sum
+    val pairs = samples(Gen.zip(Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L)), 200)
+    val z2 = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.table.GraftTable.zValue(Seq(col("a"), col("b"))).as("z"))
+      .collect()
+    z2.foreach { r =>
+      assert(decode(r.getLong(2), 2, 0) == r.getLong(0) &&
+        decode(r.getLong(2), 2, 1) == r.getLong(1),
+        s"2-dim z ${r.getLong(2)} did not decode to ${(r.getLong(0), r.getLong(1))}")
+    }
+    val triples = samples(Gen.zip(Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)), 200)
+    val z3 = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.table.GraftTable.zValue(
+          Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect()
+    z3.foreach { r =>
+      (0 until 3).foreach { k =>
+        assert(decode(r.getLong(3), 3, k) == r.getLong(k),
+          s"3-dim z ${r.getLong(3)} slot $k decode mismatch")
+      }
+    }
+  }
+
   test("jaccard formula: symmetric, reflexive, bounded") {
     def jac(x: Set[String], y: Set[String]): Double =
       if (x.isEmpty && y.isEmpty) 1.0
