@@ -361,7 +361,13 @@ object GraftTable {
     * optimistic: the commit targets `baseSnapshot + 1` (base defaults to
     * the latest at entry — pass it explicitly to pin the snapshot the
     * update set was derived against); if a concurrent commit took that
-    * id, the rewrite is stale — fail loudly, caller re-derives. */
+    * id, the rewrite is stale — fail loudly, caller re-derives.
+    *
+    * `updates` is evaluated MORE THAN ONCE (key-range agg, semi-join,
+    * anti-join ∪ insert) — it must be deterministic. A nondeterministic
+    * frame (sample(), rand()-derived) can disagree between evaluations
+    * and silently lose or duplicate rows; cache or materialize such
+    * inputs first. Same contract as [[delete]]'s `deleteKeys`. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, baseSnapshot: Option[Int] = None,
@@ -428,7 +434,9 @@ object GraftTable {
     * snapshot — no empty commit, like [[compact]]); a delete emptying
     * every affected file commits a manifest that simply drops them.
     * Single-attempt optimistic like merge: a concurrent commit means the
-    * rewrite is stale — fail loudly, caller re-derives. */
+    * rewrite is stale — fail loudly, caller re-derives. `deleteKeys` is
+    * evaluated more than once and must be deterministic — see the
+    * [[merge]] contract note. */
   def delete(spark: SparkSession, root: String, deleteKeys: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, baseSnapshot: Option[Int] = None,
