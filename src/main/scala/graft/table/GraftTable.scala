@@ -156,13 +156,6 @@ object GraftTable {
     } finally { Files.delete(tmp) }
   }
 
-  /** Write `df`'s rows as immutable parquet files under a fresh commit
-    * subdirectory and return their manifest entries. One extra
-    * distributed job computes per-file row counts and min/max stats via
-    * `input_file_name` — no driver-side data movement, driver payload is
-    * O(files). `clusterCols` range-partitions the write so the stats are
-    * TIGHT (a file covers a narrow key band → pruning actually skips);
-    * an unclustered write would give every file near-global bounds. */
   /** Round-robin interleave of the low 16 bits of N normalized longs
     * into a 16·N-bit Z-value (Morton code) as a pure Column
     * expression — stays inside whole-stage codegen, no UDF. Column k's
@@ -194,6 +187,13 @@ object GraftTable {
         .cast("long")))
   }
 
+  /** Write `df`'s rows as immutable parquet files under a fresh commit
+    * subdirectory and return their manifest entries. One extra
+    * distributed job computes per-file row counts and min/max stats via
+    * `input_file_name` — no driver-side data movement, driver payload is
+    * O(files). `clusterCols` range-partitions the write so the stats are
+    * TIGHT (a file covers a narrow key band → pruning actually skips);
+    * an unclustered write would give every file near-global bounds. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String] = Nil,
