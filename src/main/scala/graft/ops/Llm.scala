@@ -1460,6 +1460,25 @@ object Llm {
       .orderBy("lang", "rk")
   }
 
+  /** Context-window chunking with overlap: each document splits into
+    * 64-token chunks on a 48-token stride (16 tokens of overlap — the
+    * standard trick so no span is ever cut across a boundary unseen).
+    * The complement of [[llm_pack]], which packs whole docs into bins;
+    * chunking SPLITS docs to the training context length. Pure
+    * declarative HOFs (sequence for the stride starts, slice for the
+    * window — the array bound once per row, the ngram lesson); the
+    * fan-out is tokens/stride per doc and carries only (doc_id,
+    * chunk_id, n_tok) rows, so the shuffle is chunk-count-bounded at
+    * any scale. */
+  val llm_chunk: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(l), 48), st -> size(slice(l, st, 64)))"))
+        .as(Seq("chunk_id", "n_tok")))
+      .orderBy("doc_id", "chunk_id")
+
   // ---- shared assembly-stage helpers --------------------------------------
   // llm_pipeline / llm_corpus / llm_sample / llm_split COMPOSE these; any
   // tuning (bp formula, keep rates, split fractions, hash constants)
@@ -1939,6 +1958,7 @@ object Llm {
     "llm_quality" -> llm_quality,
     "llm_fingerprint" -> llm_fingerprint,
     "llm_ngram_freq" -> llm_ngram_freq,
+    "llm_chunk" -> llm_chunk,
     "llm_decontaminate" -> llm_decontaminate,
     "llm_repetition" -> llm_repetition,
     "llm_pii_scrub" -> llm_pii_scrub,
@@ -2266,6 +2286,19 @@ object Llm {
            FROM c)
          SELECT lang, bg, n, CAST(rk AS INT) AS rk
          FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    // stride starts mirror Spark's inclusive sequence via the exclusive
+    // range(1, len+1, 48); chunk length is pure arithmetic — equal to
+    // size(slice(l, st, 64)) for every in-range start
+    "llm_chunk" ->
+      """WITH w AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n
+           FROM documents WHERE len(string_split(text, ' ')) >= 1),
+         c AS (
+           SELECT doc_id, unnest(range(1, n + 1, 48)) AS st, n FROM w)
+         SELECT doc_id,
+             CAST((st - 1) // 48 AS INT) AS chunk_id,
+             CAST(least(64, n - st + 1) AS INT) AS n_tok
+         FROM c ORDER BY doc_id, chunk_id""",
     // eval set + overlap replayed from scratch: DuckDB re-derives the
     // 5-gram sets declaratively vs Spark's typed kernel
     "llm_decontaminate" ->
