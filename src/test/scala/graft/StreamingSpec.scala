@@ -138,6 +138,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time state timeout closes idle sessions when the " +
+      "watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // per-user session via flatMapGroupsWithState with EventTimeTimeout:
+    // the session closes (emits) only when the WATERMARK passes
+    // last-event + 30 min — the state-expiry mechanism scale
+    // sessionization relies on (NoTimeout state lives forever)
+    val mem = MemoryStream[(String, Timestamp)]
+    val sessions = mem.toDS().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Int), (String, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, evs: Iterator[(String, Timestamp)],
+            state: GroupState[(Long, Long, Int)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator((user, n, (end - start) / 1000))
+          } else {
+            val times = evs.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(
+              (times.min, times.max, 0))
+            val st = (math.min(prev._1, times.min),
+              math.max(prev._2, times.max), prev._3 + times.size)
+            state.update(st)
+            state.setTimeoutTimestamp(st._2 + 30L * 60 * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user", "n_events", "dur_s")
+    val q = sessions.writeStream.format("memory").queryName("ett_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(("u1", ts("2024-01-01 10:00:00")),
+        ("u1", ts("2024-01-01 10:05:00")),
+        ("u1", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // u1's state must still be open: watermark hasn't reached 10:40
+      assert(spark.sql("SELECT * FROM ett_sessions").count() == 0)
+      // a far-future event advances the watermark past u1's timeout
+      mem.addData(("u2", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advances
+      mem.addData(("u2", ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT user, n_events, dur_s FROM ett_sessions").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      assert(closed.contains(("u1", 3, 600L)),
+        s"u1's 3-event 600 s session should have closed, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine reaches the batch win_funnel depths") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
