@@ -50,6 +50,28 @@ object Scalars {
         unix_timestamp(col("o_orderdate")).as("epoch_sec"))
       .orderBy("o_orderkey")
 
+  /** Calendar-spine gap filling: generate the June-2001 day spine
+    * (sequence of dates — rows from a generator, not a table), left-join
+    * the per-day order counts, and zero-fill the missing days — the
+    * date-dimension pattern every reporting layer needs (a plain groupBy
+    * silently DROPS empty days). At sf0.001 the month genuinely has
+    * gaps, so the fill path is exercised, not just compiled; the spine
+    * is 30 rows broadcast against the aggregated side. Dates cross
+    * engines as TIMESTAMP per the house rule. */
+  val dt_spine: Q = (s, d) => {
+    val spine = s.range(1).select(explode(expr(
+      """sequence(to_date('2001-06-01'), to_date('2001-06-30'),
+           interval 1 day)""")).as("day"))
+    val daily = orders(s, d)
+      .where(col("o_orderdate").between("2001-06-01", "2001-06-30"))
+      .groupBy(to_date(col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.join(daily, col("day") === col("od"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
   /** l_quantity is integer-valued (verified) so quantity+0.5 is an exact
     * binary .5 — bround (HALF_EVEN) is well-defined identically in both
     * engines. */
@@ -157,6 +179,7 @@ object Scalars {
   val queries: Seq[(String, Q)] = Seq(
     "str_fns" -> str_fns,
     "dt_fns" -> dt_fns,
+    "dt_spine" -> dt_spine,
     "math_fns" -> math_fns,
     "arr_fns" -> arr_fns,
     "arr_explode" -> arr_explode,
@@ -167,6 +190,21 @@ object Scalars {
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // generate_series is end-inclusive like Spark's sequence; empty days
+    // come back 0, not absent
+    "dt_spine" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(DATE '2001-06-01',
+               DATE '2001-06-30', INTERVAL 1 DAY)) AS day),
+         daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS od, count(1) AS cnt
+           FROM orders
+           WHERE o_orderdate BETWEEN '2001-06-01' AND '2001-06-30'
+           GROUP BY 1)
+         SELECT CAST(spine.day AS TIMESTAMP) AS day,
+             coalesce(cnt, 0) AS n_orders
+         FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.od
+         ORDER BY day""",
     "str_fns" ->
       """SELECT p_partkey,
              substring(p_name, 1, 6) AS name6,
