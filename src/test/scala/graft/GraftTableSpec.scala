@@ -463,6 +463,23 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("string bloom hash: in range, deterministic, keys disperse") {
+    val ks = Seq("", "a", "gid-000001", "gid-000002", "héllo-ünïcode",
+      "x" * 500)
+    ks.foreach { k =>
+      val p1 = GraftTable.bloomPositionsStr(k)
+      assert(p1.toSeq == GraftTable.bloomPositionsStr(k).toSeq)
+      assert(p1.length == GraftTable.BloomK)
+      assert(p1.forall(p => p >= 0 && p < GraftTable.BloomBits),
+        s"'$k': ${p1.toSeq}")
+    }
+    // distinct keys must not collapse onto one position set (the failure
+    // mode of hashing the reference instead of the bytes)
+    val sets = (1 to 200).map(i => GraftTable.bloomPositionsStr(s"gid-$i")
+      .toSet).toSet
+    assert(sets.size > 190, s"only ${sets.size} distinct position sets")
+  }
+
   test("compact: small files merge, content invariant, old snapshot intact") {
     val root = freshRoot()
     GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
