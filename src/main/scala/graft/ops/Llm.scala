@@ -84,13 +84,49 @@ object Llm {
     * shuffles each side once instead of twice and benched ~2× faster; at
     * scale, bucket width is bounded by posting-list length (vocab-driven),
     * never by corpus size — no cross join anywhere. */
+  /** Document-frequency cap for exact-Jaccard pair generation. A shingle
+    * shared by k documents fans out k²/2 candidate pairs AND a k-element
+    * aggregation buffer, so one stop-shingle ("in the end") across a skewed
+    * corpus is quadratic in corpus size. Dropping shingles with DF > cap
+    * bounds every bucket at cap²/2 pairs. Recall (prefix-filter argument): a
+    * pair at J ≥ 0.8 shares inter ≥ J/(1+J)·(sz_a+sz_b) ≈ 44% of its
+    * combined shingles — hundreds for natural text — and is missed only if
+    * EVERY shared shingle is a >cap stop-shingle, which for distinct 3-gram
+    * shingles is overwhelmingly improbable. The cap is part of the operator's
+    * semantics (sz and inter are both computed over the capped relation) and
+    * the DuckDB oracle applies the identical cap, so the result stays exactly
+    * checkable. 32 is a measured no-op on every fixture (max DF = 9 / 7 / 25
+    * at sf0.001 / 0.01 / 0.1) — the fixtures verify values, the cap guards
+    * the 100 TB shape. */
+  private[graft] val JaccardDfCap = 32
+
   /** all candidate pairs with RAW (unrounded) Jaccard — shared by the
     * oracle-facing query (τ=0.8) and llm_pipeline's victim list (τ=0.9);
     * thresholds must compare the raw ratio, never the display-rounded one. */
   private def jaccardPairsRaw(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame =
+    jaccardPairsOf(shingleRows(s, d).select("doc_id", "sh"))
+
+  /** kernel over an arbitrary (doc_id, sh) relation: DF-cap → per-doc size
+    * over kept shingles → bucket-pair with the size-ratio band (min/max ≥ τ
+    * is necessary for J ≥ τ) → one aggregation counts intersections. Versus
+    * the equivalent shingle self-join this shuffles each side once instead
+    * of twice and benched ~2× faster; post-cap, bucket width ≤
+    * [[JaccardDfCap]], so no collect_list buffer or pair loop can exceed a
+    * constant — the skewed-corpus guarantee SkewSpec exercises. */
+  private[graft] def jaccardPairsOf(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val buckets = shingleRows(s, d)
+    val keep = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= JaccardDfCap)
+      .select("sh")
+    // inner join reuses the groupBy's hash partitioning on sh; docs whose
+    // shingles are all stop-shingles drop out entirely (mirrored in SQL)
+    val sized = sh.join(keep, "sh")
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+    val buckets = sized
       .groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
       .select(col("docs"))
@@ -1983,6 +2019,27 @@ object Llm {
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
 
+  /** DF-capped pair CTEs — the oracle twin of [[jaccardPairsOf]]: drop
+    * shingles with document frequency > [[JaccardDfCap]], recompute per-doc
+    * sizes over the kept relation, then pair. Yields `pairs(doc_a, doc_b,
+    * sz_a, sz_b, inter)`. (llm_dedup_text keeps the UNcapped all-pairs
+    * oracle: its Spark side verifies LSH candidates against full shingle
+    * arrays, not this generator.) */
+  private val duckCappedPairs =
+    s"""sh AS ($duckShingles),
+          ex0 AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+          keep AS (
+            SELECT sh FROM (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh)
+            WHERE df <= $JaccardDfCap),
+          kept_sh AS (SELECT doc_id, ex0.sh FROM ex0 JOIN keep USING (sh)),
+          sized AS (SELECT doc_id, count(1) AS sz FROM kept_sh GROUP BY doc_id),
+          ex AS (SELECT k.doc_id, sz, k.sh FROM kept_sh k JOIN sized USING (doc_id)),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)"""
+
   private val duckCos =
     """list_aggregate(list_transform(range(1,65), i -> CAST({A}[i] AS DOUBLE) * CAST({B}[i] AS DOUBLE)), 'sum')
        / (sqrt(list_aggregate(list_transform(range(1,65), i -> CAST({A}[i] AS DOUBLE) * CAST({A}[i] AS DOUBLE)), 'sum'))
@@ -2011,13 +2068,7 @@ object Llm {
             FROM scored)"""
 
   private val duckCleanBase =
-    s"""sh AS ($duckShingles),
-          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
+    s"""$duckCappedPairs,
           victims AS (
             SELECT DISTINCT doc_b FROM pairs
             WHERE inter / (sz_a + sz_b - inter) >= 0.9),
@@ -2043,13 +2094,7 @@ object Llm {
            FROM keyed GROUP BY text_key)
          SELECT doc_id, text_key, n_copies FROM agg ORDER BY doc_id""",
     "llm_dedup_jaccard" ->
-      s"""WITH sh AS ($duckShingles),
-          ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sz AS sz_a, b.sz AS sz_b, count(1) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
+      s"""WITH $duckCappedPairs
           SELECT doc_a, doc_b,
               round(inter / (sz_a + sz_b - inter), 4) AS jac
           FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.8

@@ -246,6 +246,26 @@ class OperatorSpec extends SparkTestBase {
       s"paired docs left ungrouped: ${paired -- grouped}")
   }
 
+  test("jaccard DF cap: one stop-shingle across the corpus stays bounded") {
+    import spark.implicits._
+    // 300 docs all sharing one stop-shingle (df = 302 > cap) plus 10 unique
+    // shingles each; docs 9000/9001 additionally share 9 rare shingles.
+    // Uncapped, the stop bucket alone would emit 302*301/2 = 45451 pairs;
+    // capped, the only surviving candidate pair is the genuine near-dup.
+    val rows = (0L until 300L).flatMap { id =>
+      ("STOP SHINGLE X" +: (0 until 10).map(j => s"u${id}_$j")).map((id, _))
+    } ++ Seq(9000L, 9001L).flatMap { id =>
+      ("STOP SHINGLE X" +: (0 until 9).map(j => s"shared_$j") :+ s"only_$id")
+        .map((id, _))
+    }
+    val pairs = ops.Llm.jaccardPairsOf(rows.toDF("doc_id", "sh")).collect()
+    assert(pairs.length == 1, s"expected 1 bounded pair, got ${pairs.length}")
+    val r = pairs.head
+    assert((r.getLong(0), r.getLong(1)) == (9000L, 9001L))
+    // sz over KEPT shingles (stop dropped): 10 each, inter 9 → J = 9/11
+    assert(math.abs(r.getAs[Double]("jac_raw") - 9.0 / 11.0) < 1e-9)
+  }
+
   test("SimHash: near-dup pairs are much closer in Hamming space than random") {
     val sh = ops.Llm.llm_simhash(spark, sf).select("doc_id", "simhash")
     val pairs = ops.Llm.llm_dedup_jaccard(spark, sf).where(col("jac") >= 0.9)
