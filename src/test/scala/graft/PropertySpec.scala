@@ -166,7 +166,7 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("z-order Morton code: decodes back to its inputs (2 and 3 dims)") {
+  test("z-order Morton code: decodes back to its inputs (2, 3 and 4 dims)") {
     // the Column bit-interleave must be a bijection on 16-bit inputs —
     // a wrong shift would silently coarsen clustering (files still
     // write, stats still prune, just worse), so no behavioral test
@@ -175,7 +175,8 @@ class PropertySpec extends SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     def decode(z: Long, n: Int, k: Int): Long =
-      (0 until 16).map(i => ((z >> (i * n + (n - 1 - k))) & 1L) << i).sum
+      (0 until graft.table.GraftTable.zBits(n))
+        .map(i => ((z >> (i * n + (n - 1 - k))) & 1L) << i).sum
     val pairs = samples(Gen.zip(Gen.chooseNum(0L, 65535L),
       Gen.chooseNum(0L, 65535L)), 200)
     val z2 = pairs.toDF("a", "b")
@@ -198,6 +199,26 @@ class PropertySpec extends SparkTestBase {
       (0 until 3).foreach { k =>
         assert(decode(r.getLong(3), 3, k) == r.getLong(k),
           s"3-dim z ${r.getLong(3)} slot $k decode mismatch")
+      }
+    }
+    // 4 dims use 15 bits/dim: a 16-bit interleave would land column 0's
+    // bit 15 on the SIGN bit and signed range partitioning would swap
+    // the two halves of z-space (ADVICE r6) — so also assert the code
+    // stays non-negative at the max input
+    val quadMax = (1L << 15) - 1
+    val quads = samples(Gen.zip(Gen.chooseNum(0L, quadMax),
+      Gen.chooseNum(0L, quadMax), Gen.chooseNum(0L, quadMax),
+      Gen.chooseNum(0L, quadMax)), 200) :+ ((quadMax, quadMax, quadMax, quadMax))
+    val z4 = quads.toDF("a", "b", "c", "d")
+      .select(col("a"), col("b"), col("c"), col("d"),
+        graft.table.GraftTable.zValue(
+          Seq(col("a"), col("b"), col("c"), col("d"))).as("z"))
+      .collect()
+    z4.foreach { r =>
+      assert(r.getLong(4) >= 0L, s"4-dim z ${r.getLong(4)} hit the sign bit")
+      (0 until 4).foreach { k =>
+        assert(decode(r.getLong(4), 4, k) == r.getLong(k),
+          s"4-dim z ${r.getLong(4)} slot $k decode mismatch")
       }
     }
   }
