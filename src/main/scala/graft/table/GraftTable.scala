@@ -121,7 +121,7 @@ object GraftTable {
   }
 
   private def metaDir(root: String): JPath = Paths.get(root, "_graft")
-  private def manifestPath(root: String, v: Int): JPath =
+  private[table] def manifestPath(root: String, v: Int): JPath =
     metaDir(root).resolve(s"manifest-$v.json")
 
   /** Latest snapshot id, from the manifest files actually present (no
@@ -684,7 +684,7 @@ object GraftTable {
     readEntries(spark, root, m, m.files)
   }
 
-  private def readEntries(spark: SparkSession, root: String, m: Manifest,
+  private[table] def readEntries(spark: SparkSession, root: String, m: Manifest,
       files: List[FileEntry]): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)

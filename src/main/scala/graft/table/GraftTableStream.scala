@@ -1,0 +1,150 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Streaming offset for a [[GraftTable]]: the committed snapshot id.
+  * Snapshot ids are dense, monotone, and published atomically
+  * (createLink), so "everything up to snapshot v" is a complete,
+  * replayable offset — on recovery Spark hands the json back as a
+  * SerializedOffset, so [[GraftTableSource.getBatch]] parses `json`
+  * instead of pattern-matching this class. */
+case class GraftTableOffset(snapshot: Int) extends V1Offset {
+  override val json: String = snapshot.toString
+}
+
+/** `spark.readStream.format("graft.table.GraftTableStreamProvider")` —
+  * a Structured Streaming source that TAILS a [[GraftTable]], closing
+  * the incremental loop whose ingest half (foreachBatch → GraftTable
+  * commits) is already covered: one pipeline can now stream out of one
+  * graft table and upsert into another.
+  *
+  * Options: `path` (table root, required), `ignoreChanges` (bool,
+  * default false — see [[GraftTableSource.getBatch]]).
+  *
+  * Built on the v1 `StreamSourceProvider` seam — the same public seam
+  * Delta Lake's streaming source uses — because the v1 contract lets
+  * `getBatch` answer with a normally-planned DataFrame (manifest-planned
+  * vectorized parquet scan, pushdown and codegen intact). A DSv2
+  * MicroBatchStream would force a custom row-level PartitionReader and
+  * forfeit exactly the scan path the table format exists to preserve
+  * (same reasoning as [[GraftTable.registerView]]'s no-DSv2 note). */
+class GraftTableStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      """graft-table stream needs .option("path", <table root>)"""))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = rootOf(parameters)
+    val v = GraftTable.latestSnapshot(root)
+    require(v > 0, s"no graft table at $root to stream from")
+    (shortName(), DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
+      .asInstanceOf[StructType])
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(ctx.sparkSession, rootOf(parameters), parameters)
+}
+
+/** Micro-batch semantics (the Delta CDF-adjacent tailing model):
+  *
+  *  - The FIRST batch (start offset absent) is the full table at the
+  *    latest snapshot — one manifest-planned scan, like Delta's initial
+  *    snapshot. Tailing then proceeds per commit from that snapshot.
+  *  - Each subsequent batch covers the commits in `(start, end]`, one
+  *    manifest diff per commit: append-family commits emit exactly their
+  *    added files' rows (zero extra I/O — the new rows ARE the files);
+  *    compact commits are layout-only and emit nothing.
+  *  - merge/delete commits REWRITE files, so an append-tail cannot
+  *    represent them; without opt-in the source fails the stream loudly.
+  *    With `.option("ignoreChanges", true)` it re-emits the rewritten
+  *    files' rows (updates + re-delivered survivors; deletions vanish
+  *    silently) — exactly Delta's documented `ignoreChanges` contract,
+  *    so downstream consumers must key/dedup, which the spec test does.
+  *
+  * Scale: getOffset is a driver-side directory listing; getBatch plans
+  * only the commits' touched files, so a steady-state tail costs
+  * O(new data), never O(table). Offsets are snapshot ids, so a crashed
+  * stream resumes from the checkpoint without rescanning history —
+  * provided those manifests are retained (expireSnapshots keeps a
+  * resumable tail only back to `keepFrom`; streaming past an expired
+  * range fails loudly rather than silently skipping commits). */
+class GraftTableSource(spark: SparkSession, root: String,
+    parameters: Map[String, String]) extends Source {
+
+  private val ignoreChanges =
+    parameters.get("ignoreChanges").exists(_.trim.toBoolean)
+
+  override val schema: StructType = {
+    val v = GraftTable.latestSnapshot(root)
+    require(v > 0, s"no graft table at $root to stream from")
+    DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
+      .asInstanceOf[StructType]
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = GraftTable.latestSnapshot(root)
+    if (v < 1) None else Some(GraftTableOffset(v))
+  }
+
+  override def getBatch(start: Option[V1Offset],
+      end: V1Offset): DataFrame = {
+    val from = start.map(_.json.trim.toInt).getOrElse(0)
+    val to = end.json.trim.toInt
+    val batch =
+      if (from >= to) empty()
+      else if (from == 0) GraftTable.read(spark, root, Some(to))
+      else ((from + 1) to to).map(stepRows).reduce(_ unionByName
+        (_, allowMissingColumns = true))
+    // project to the stream's fixed schema: add-only evolution means
+    // later commits may carry extra columns the running stream must drop
+    StreamShim.toStreaming(
+      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  /** Rows contributed by commit `v` alone: the manifest file-diff
+    * against its parent. Needs both manifests retained. */
+  private def stepRows(v: Int): DataFrame = {
+    require(Files.exists(GraftTable.manifestPath(root, v - 1)) &&
+      Files.exists(GraftTable.manifestPath(root, v)),
+      s"snapshots ${v - 1}..$v of $root expired mid-stream; " +
+        "restart the stream from a fresh checkpoint")
+    val prev = GraftTable.manifest(root, v - 1)
+    val cur = GraftTable.manifest(root, v)
+    val prevPaths = prev.files.map(_.path).toSet
+    val added = cur.files.filterNot(f => prevPaths(f.path))
+    cur.op match {
+      case "create" | "append" | "append_evolve" =>
+        GraftTable.readEntries(spark, root, cur, added)
+      case "compact" => empty()
+      case other =>
+        if (!ignoreChanges) throw new UnsupportedOperationException(
+          s"snapshot $v of $root is a '$other' commit, which rewrites " +
+            "files; streaming past it re-delivers rewritten rows and " +
+            "drops deletions. Opt in with .option(\"ignoreChanges\", " +
+            "true) and deduplicate downstream by key.")
+        GraftTable.readEntries(spark, root, cur, added)
+    }
+  }
+
+  private def empty(): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource[$root]"
+}

@@ -498,6 +498,74 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("readStream over GraftTable: AvailableNow tail equals the batch " +
+      "read; checkpoint resumes per commit; merge gated by ignoreChanges") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_table_read_stream").toFile
+    graft.util.AppCleanup.onExit(s"graft_table_rs_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    val ckpt = new java.io.File(root, "_ckpt").getPath
+    def ids(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    t.create(spark, root.getPath, ids(1, 10), Seq("id"), Seq("id"),
+      numFiles = 2)                                              // v1
+    t.append(spark, root.getPath, ids(11, 20), Seq("id"), Seq("id"),
+      numFiles = 2)                                              // v2
+    t.append(spark, root.getPath, ids(21, 30), Seq("id"), Seq("id"),
+      numFiles = 1)                                              // v3
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def drain(ignoreChanges: Boolean = false): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", root.getPath)
+        .option("ignoreChanges", ignoreChanges.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect()
+            .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
+          got.synchronized { got ++= rows }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // run 1: initial batch = the full latest snapshot
+    drain()
+    assert(got.toSet == (1 to 30).map(i => (i.toLong, s"v$i")).toSet &&
+      got.size == 30, s"initial catch-up wrong: ${got.sorted}")
+    // run 2 from the same checkpoint: only the new commit's rows arrive
+    t.append(spark, root.getPath, ids(31, 40), Seq("id"), Seq("id"),
+      numFiles = 1)                                              // v4
+    drain()
+    assert(got.size == 40 &&
+      got.toSet == (1 to 40).map(i => (i.toLong, s"v$i")).toSet,
+      s"incremental tail wrong after append: ${got.sorted}")
+    assert(got.toSet == t.read(spark, root.getPath).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet,
+      "stream-read total must equal the batch read")
+    // a merge commit breaks the append-only tail: fail loudly...
+    t.merge(spark, root.getPath,
+      Seq((5L, "UPD5"), (6L, "UPD6")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), numFiles = 1)                  // v5
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain())
+    def rootCause(e: Throwable): Throwable =
+      if (e.getCause == null || e.getCause == e) e else rootCause(e.getCause)
+    assert(rootCause(ex).isInstanceOf[UnsupportedOperationException] &&
+      rootCause(ex).getMessage.contains("ignoreChanges"),
+      s"expected the ignoreChanges gate, got: ${rootCause(ex)}")
+    // ...then opt in: rewritten files re-deliver; dedup-by-key equals batch
+    drain(ignoreChanges = true)
+    val lastByKey = got.groupBy(_._1).map { case (k, vs) => (k, vs.last._2) }
+    assert(lastByKey == t.read(spark, root.getPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap,
+      "ignoreChanges tail + keyed dedup must reproduce the merged table")
+    assert(lastByKey(5L) == "UPD5" && lastByKey(6L) == "UPD6")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
