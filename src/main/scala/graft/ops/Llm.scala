@@ -1476,25 +1476,38 @@ object Llm {
     * corpus size; the top-k window partitions on lang (bounded state).
     * Docs under two tokens (incl. null text, which the >= 2 guard drops
     * on both engines) contribute nothing. */
-  val llm_ngram_freq: Q = (s, d) => {
-    val w = Window.partitionBy("lang")
-      .orderBy(desc("n"), asc("bg"))
-    documents(s, d)
+  /** Test seam for [[llm_ngram_freq]] (see [[capSource]]). The skew
+    * probe is an UPPER bound — bigrams per lang (tokens − 1 summed),
+    * computable without running the aggregation twice; distinct bigram
+    * rows per lang can only be fewer. Conservative dispatch costs one
+    * extra tiny window, never correctness. */
+  private[graft] def ngramFreq(s: org.apache.spark.sql.SparkSession,
+      d: String, skewThreshold: Long = 8000000L): DataFrame = {
+    val docs = documents(s, d)
       // materialize the token array ONCE per row: element_at over an
       // inline split(text) re-splits the string for every lambda index —
       // O(tokens²) splits per doc (measured 3.4 s vs 1.0 s at sf0.1)
       .select(col("lang"), split(col("text"), " ").as("l"))
       .where(size(col("l")) >= 2)
+    val probe = docs.groupBy("lang")
+      .agg(sum(size(col("l")).cast("long") - 1L).as("__n"))
+      .agg(max("__n")).collect()(0)
+    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val bigrams = docs
       .select(col("lang"), explode(expr(
         """transform(sequence(1, size(l) - 1),
              i -> concat_ws(' ', element_at(l, i),
                             element_at(l, i + 1)))"""))
         .as("bg"))
       .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
+    topKByKey(bigrams, Seq("lang"), Seq(desc("n"), asc("bg")),
+      hash(col("bg")), k = 5, maxPerKey = maxPerKey,
+      skewThreshold = skewThreshold)
+      .select(col("lang"), col("bg"), col("n"), col("__rk").as("rk"))
       .orderBy("lang", "rk")
   }
+
+  val llm_ngram_freq: Q = (s, d) => ngramFreq(s, d)
 
   /** Context-window chunking with overlap: each document splits into
     * 64-token chunks on a 48-token stride (16 tokens of overlap — the
@@ -1666,16 +1679,62 @@ object Llm {
     * at 100 TB the per-source row_number is the bounded-state path —
     * rank state per partition, no global sort. A source with fewer
     * than 10 docs keeps them all. */
-  val llm_cap_source: Q = (s, d) => {
+  /** Exact per-key top-k with automatic skew escalation — the
+    * [[simjoinAuto]] dispatch pattern applied to the window family.
+    * `maxPerKey` is the caller's (upper-bound) probe of the heaviest
+    * partition key; below `skewThreshold` the direct single window runs
+    * (one shuffle, k rows of state per key). Above it, the two-phase
+    * salted plan: row_number within (key, salt) prunes to each salt
+    * slice's local top-k — lossless, because any global top-k row ranks
+    * ≤ k within its own slice under the same total order — then the
+    * ≤ salts·k survivors per key re-rank in a second, tiny window.
+    * Unlike full rank reconstruction ([[graft.ops.Windows.win_rank_salted]])
+    * top-k needs no offset arithmetic, so the escalated plan is exact
+    * for ANY salt function: the salt only spreads rows, it never
+    * touches the output, so Spark's `hash` is fine here (the
+    * cross-engine (ax mod p) convention binds output-affecting
+    * assignments only). `order` must be a total order within each key
+    * (unique tiebreak) — the same determinism contract every direct
+    * window in this file already carries. Returns the pruned rows with
+    * their exact per-key rank as `__rk`. */
+  private[graft] def topKByKey(df: DataFrame, keys: Seq[String],
+      order: Seq[Column], saltBy: Column, k: Int, maxPerKey: Long,
+      skewThreshold: Long = 8000000L, salts: Int = 32): DataFrame = {
+    val wGlobal = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    if (maxPerKey <= skewThreshold)
+      df.withColumn("__rk", row_number().over(wGlobal))
+        .where(col("__rk") <= k)
+    else {
+      val wLocal = Window
+        .partitionBy((keys.map(col) :+ col("__salt")): _*)
+        .orderBy(order: _*)
+      df.withColumn("__salt", pmod(saltBy, lit(salts)))
+        .withColumn("__lrk", row_number().over(wLocal))
+        .where(col("__lrk") <= k)
+        .withColumn("__rk", row_number().over(wGlobal))
+        .where(col("__rk") <= k)
+        .drop("__salt", "__lrk")
+    }
+  }
+
+  /** Test seam for [[llm_cap_source]]: `skewThreshold` forces the salted
+    * path on fixtures. The probe is one tiny two-phase count-by-source —
+    * O(sources) rows to the driver, the simjoinAuto probe shape. */
+  private[graft] def capSource(s: org.apache.spark.sql.SparkSession,
+      d: String, skewThreshold: Long = 8000000L): DataFrame = {
     val capBucket = (col("doc_id") % CapP) * CapA % CapP % 10000L
-    val w = Window.partitionBy("source").orderBy(capBucket.asc,
-      col("doc_id").asc)
-    documents(s, d)
-      .select(col("source"), col("doc_id"),
-        row_number().over(w).as("rk"))
-      .where(col("rk") <= 10)
+    val docs = documents(s, d)
+    val probe = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).collect()(0)
+    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    topKByKey(docs.select("source", "doc_id"), Seq("source"),
+      Seq(capBucket.asc, col("doc_id").asc), col("doc_id"),
+      k = 10, maxPerKey = maxPerKey, skewThreshold = skewThreshold)
+      .select(col("source"), col("doc_id"), col("__rk").as("rk"))
       .orderBy("source", "doc_id")
   }
+
+  val llm_cap_source: Q = (s, d) => capSource(s, d)
 
   /** Deterministic train/val/test split (80/10/10) on a second member of
     * the same (ax mod p) hash family — different multiplier AND prime,

@@ -748,4 +748,35 @@ class OperatorSpec extends SparkTestBase {
     // rates must actually differentiate by weight (not all saturated)
     assert(rows.map(_.getLong(5)).distinct.length > 1)
   }
+
+  test("salted top-k escalation is row-identical to the direct window") {
+    import spark.implicits._
+    // the two dispatch arms of capSource/ngramFreq on the real fixture
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rowsOf(ops.Llm.capSource(spark, sf)) ==
+      rowsOf(ops.Llm.capSource(spark, sf, skewThreshold = 0L)),
+      "cap_source: salted path diverged from the direct window")
+    assert(rowsOf(ops.Llm.ngramFreq(spark, sf)) ==
+      rowsOf(ops.Llm.ngramFreq(spark, sf, skewThreshold = 0L)),
+      "ngram_freq: salted path diverged from the direct window")
+    // and the generic helper on a synthetic hot key: one key carries 90%
+    // of rows, ties included (same v for many ids — the rank order must
+    // still agree because the tiebreak is total)
+    val skewed = (1 to 2000).map { i =>
+      val key = if (i % 10 == 0) s"cold${i % 7}" else "HOT"
+      (key, (i * 131) % 50, i.toLong)
+    }.toDF("k", "v", "id")
+    val order = Seq(desc("v"), asc("id"))
+    def topk(threshold: Long) = ops.Llm.topKByKey(
+      skewed, Seq("k"), order, hash(col("id")), k = 7,
+      maxPerKey = 1800L, skewThreshold = threshold)
+      .select("k", "v", "id", "__rk")
+      .orderBy("k", "__rk").collect().map(_.toSeq).toSeq
+    val direct = topk(Long.MaxValue)
+    val salted = topk(0L)
+    assert(direct == salted,
+      s"hot-key fixture: salted=${salted.take(5)} direct=${direct.take(5)}")
+    assert(direct.count(_.head == "HOT") == 7, "k rows for the hot key")
+  }
 }

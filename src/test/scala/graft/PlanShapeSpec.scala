@@ -380,4 +380,27 @@ class PlanShapeSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("cap_source/ngram_freq escalate to the salted two-phase window " +
+      "when the probe trips; direct single-window plan otherwise") {
+    // the topKByKey dispatch (VERDICT r6 #4): under the threshold the
+    // plan must be ONE window partitioned by the bare key; over it, a
+    // local (key, __salt) window pruning to k before the global one
+    withStaticPlan {
+      def windowSpecs(p: String): Seq[String] =
+        "(?m)^.*Window \\[.*$".r.findAllIn(p).toSeq
+      val direct = planOf(ops.Llm.capSource(spark, sf))
+      assert(!direct.contains("__salt"),
+        s"unskewed fixture must not pay the salted path:\n$direct")
+      val salted = planOf(ops.Llm.capSource(spark, sf, skewThreshold = 0L))
+      val specs = windowSpecs(salted)
+      assert(specs.exists(_.contains("__salt")),
+        s"no (key, __salt) local window in:\n$salted")
+      assert(specs.size >= 2,
+        s"salted plan needs local + global windows, got:\n$salted")
+      val saltedN = planOf(ops.Llm.ngramFreq(spark, sf, skewThreshold = 0L))
+      assert(windowSpecs(saltedN).exists(_.contains("__salt")),
+        s"ngram_freq salted path missing its local window:\n$saltedN")
+    }
+  }
 }
