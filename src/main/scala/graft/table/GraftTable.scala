@@ -356,27 +356,6 @@ object GraftTable {
       s"append lost 20 commit races at $root")
   }
 
-  /** Copy-on-write MERGE (upsert on `keyCol`): rows of `updates` replace
-    * same-key rows; new keys are inserted. Only files that can contain a
-    * matching key are rewritten:
-    *  1. stats pruning — candidate files are those whose [min,max] of
-    *     `keyCol` overlaps the updates' overall key range (driver-side,
-    *     zero I/O);
-    *  2. exact check — an `input_file_name` semi-join over ONLY the
-    *     candidates finds the files actually holding a matching key
-    *     (distributed; driver payload is the affected-file name list).
-    * Untouched files carry over by reference, so the commit cost scales
-    * with the update's key locality, not the table size. Single-attempt
-    * optimistic: the commit targets `baseSnapshot + 1` (base defaults to
-    * the latest at entry — pass it explicitly to pin the snapshot the
-    * update set was derived against); if a concurrent commit took that
-    * id, the rewrite is stale — fail loudly, caller re-derives.
-    *
-    * `updates` is evaluated MORE THAN ONCE (key-range agg, semi-join,
-    * anti-join ∪ insert) — it must be deterministic. A nondeterministic
-    * frame (sample(), rand()-derived) can disagree between evaluations
-    * and silently lose or duplicate rows; cache or materialize such
-    * inputs first. Same contract as [[delete]]'s `deleteKeys`. */
   /** Key range of `df[keyCol]` for merge/delete stats pruning, guarded:
     * a string (or otherwise double-uncastable) key column would cast its
     * min/max to null and read as "no matching keys", silently turning
@@ -404,6 +383,27 @@ object GraftTable {
     }
   }
 
+  /** Copy-on-write MERGE (upsert on `keyCol`): rows of `updates` replace
+    * same-key rows; new keys are inserted. Only files that can contain a
+    * matching key are rewritten:
+    *  1. stats pruning — candidate files are those whose [min,max] of
+    *     `keyCol` overlaps the updates' overall key range (driver-side,
+    *     zero I/O);
+    *  2. exact check — an `input_file_name` semi-join over ONLY the
+    *     candidates finds the files actually holding a matching key
+    *     (distributed; driver payload is the affected-file name list).
+    * Untouched files carry over by reference, so the commit cost scales
+    * with the update's key locality, not the table size. Single-attempt
+    * optimistic: the commit targets `baseSnapshot + 1` (base defaults to
+    * the latest at entry — pass it explicitly to pin the snapshot the
+    * update set was derived against); if a concurrent commit took that
+    * id, the rewrite is stale — fail loudly, caller re-derives.
+    *
+    * `updates` is evaluated MORE THAN ONCE (key-range agg, semi-join,
+    * anti-join ∪ insert) — it must be deterministic. A nondeterministic
+    * frame (sample(), rand()-derived) can disagree between evaluations
+    * and silently lose or duplicate rows; cache or materialize such
+    * inputs first. Same contract as [[delete]]'s `deleteKeys`. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, baseSnapshot: Option[Int] = None,

@@ -153,6 +153,98 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("merge-vs-merge race: exactly one winner per snapshot id; the " +
+      "loser's retry re-derives from the new snapshot") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    import spark.implicits._
+    // deterministic without sleeps: both writers PIN base snapshot 1, so
+    // each derives a stale rewrite no matter how threads schedule; the
+    // atomic createLink admits exactly one manifest-2 and the other
+    // writer must surface ConcurrentModificationException — never a
+    // silent rebase of a rewrite derived against the wrong file set
+    val updA = Seq((1L, "A1"), (2L, "A2")).toDF("id", "payload")
+    val updB = Seq((50L, "B50"), (101L, "B101")).toDF("id", "payload")
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(updA, updB).map { u =>
+      new Thread(() => {
+        try {
+          GraftTable.merge(spark, root, u, "id", Seq("id"), Seq("id"),
+            numFiles = 1, baseSnapshot = Some(1)); ()
+        } catch { case t: Throwable => failures.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.size == 1,
+      s"exactly one stale loser expected, got ${failures.size}: $failures")
+    assert(failures.peek()
+      .isInstanceOf[java.util.ConcurrentModificationException])
+    assert(GraftTable.latestSnapshot(root) == 2)
+    // snapshot 2 holds base + exactly ONE update set, whichever won
+    val after2 = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aWon = after2(1L) == "A1"
+    val (winSet, loseSet) =
+      if (aWon) (Map(1L -> "A1", 2L -> "A2"), updB)
+      else (Map(50L -> "B50", 101L -> "B101"), updA)
+    winSet.foreach { case (k, v) => assert(after2(k) == v) }
+    assert(after2.size == (if (aWon) 100 else 101))
+    // the loser re-derives from the CURRENT snapshot (no pin) and lands
+    assert(GraftTable.merge(spark, root, loseSet, "id", Seq("id"),
+      Seq("id"), numFiles = 1) == 3)
+    val after3 = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after3.size == 101 && after3(1L) == "A1" && after3(2L) == "A2" &&
+      after3(50L) == "B50" && after3(101L) == "B101",
+      s"retry lost updates: ${after3.filterKeys(Set(1L, 2L, 50L, 101L))}")
+  }
+
+  test("merge racing an append: the append rebases, a stale merge " +
+      "re-derives, no rows lost either way") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    import spark.implicits._
+    // the merge pins base 1; the append's optimistic loop rebases itself.
+    // Whichever order the commits land, the OUTCOME is deterministic:
+    // both effects present at snapshot 3, snapshot isolation intact.
+    val mergeFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val upd = Seq((5L, "UPD5")).toDF("id", "payload")
+    val appender = new Thread(() => {
+      GraftTable.append(spark, root,
+        (101L to 120L).toDF("id")
+          .select(col("id"), concat(lit("v"), col("id")).as("payload")),
+        Seq("id"), Seq("id"), numFiles = 1); ()
+    })
+    val merger = new Thread(() => {
+      try {
+        GraftTable.merge(spark, root, upd, "id", Seq("id"), Seq("id"),
+          numFiles = 1, baseSnapshot = Some(1)); ()
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          mergeFailed.set(true)
+      }
+    })
+    Seq(appender, merger).foreach(_.start())
+    Seq(appender, merger).foreach(_.join(120000))
+    if (mergeFailed.get()) // append won 2: stale merge re-derives onto it
+      assert(GraftTable.merge(spark, root, upd, "id", Seq("id"),
+        Seq("id"), numFiles = 1) == 3)
+    assert(GraftTable.latestSnapshot(root) == 3)
+    val finalState = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(finalState.size == 120, s"rows lost: ${finalState.size}")
+    assert(finalState(5L) == "UPD5")
+    assert((101L to 120L).forall(i => finalState(i) == s"v$i"))
+    // snapshot isolation: the pre-race snapshot still reads unmodified
+    val v1 = GraftTable.read(spark, root, Some(1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1.size == 100 && v1(5L) == "v5")
+  }
+
   test("history lists retained commits newest-first; SQL view reads " +
       "a pinned snapshot") {
     val root = freshRoot()
