@@ -1898,16 +1898,68 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** PII redaction — regex scrub of emails and phone numbers. The
-    * fixtures' synthetic text contains no PII, so the query INJECTS it
-    * deterministically (doc_id % 5 → an email, doc_id % 7 → a phone) and
-    * then proves the scrubber removes exactly what was injected; the
-    * oracle replays both halves, so a regex-dialect drift between engines
-    * (Java vs RE2 — patterns kept to the common subset) fails the hash.
-    * Pure map at any scale; zero shuffles but the output sort. */
+  // ---- PII detectors (shared by llm_pii_scrub and the idempotence
+  // property test). Patterns stay in the Java∩RE2 common subset (\b,
+  // classes, bounded repeats — no lookaround) so Spark and DuckDB
+  // tokenize identically.
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+  private[graft] val PiiPhoneRe = "555-[0-9]{4}"
+  private[graft] val PiiIbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+  private[graft] val PiiCardRe = "\\b[0-9]{16}\\b"
+  /** Luhn-valid 16-digit test vectors (the public card-network test
+    * numbers) for the injected fixture; the check digit makes each a
+    * true positive the checksum must accept. */
+  private[graft] val PiiTestCards = Seq("4111111111111111",
+    "4012888888881881", "5555555555554444", "5105105105105100")
+  /** A card-SHAPED number whose checksum fails (4111…12): the detector
+    * must count 0 and the scrub must leave it in place — the difference
+    * between a Luhn validator and a bare digit-run regex. */
+  private[graft] val PiiBadCard = "4111111111111112"
+
+  /** Luhn checksum over a 16-char digit string as a pure Column
+    * expression: double the digits at odd 1-based positions (= every
+    * second from the right, starting second-from-right), subtract 9 on
+    * overflow, valid iff the sum is ≡ 0 (mod 10). Codegen-friendly —
+    * 16 substrings + arithmetic, no UDF. */
+  private[graft] def luhnOk16(c: Column): Column = {
+    val sum = (1 to 16).map { i =>
+      val dd = substring(c, i, 1).cast("int")
+      if (i % 2 == 1) when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)
+      else dd
+    }.reduce(_ + _)
+    sum % 10 === 0
+  }
+
+  /** The Luhn-validated card candidates of `c`, in match order. */
+  private[graft] def cardCandidates(c: Column): Column =
+    filter(regexp_extract_all(c, lit(PiiCardRe), lit(0)), luhnOk16 _)
+
+  /** Full scrub chain: emails, phones, IBANs by pattern; 16-digit card
+    * candidates only when the Luhn checksum validates (fold the valid
+    * candidate list over the string — `aggregate` HOF, no UDF).
+    * Idempotent by construction: no replacement token re-matches any
+    * detector (property-tested). */
+  private[graft] def piiScrub(c: Column): Column = {
+    val pre = regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIbanRe, "<IBAN>")
+    aggregate(cardCandidates(c), pre,
+      (acc, card) => replace(acc, card, lit("<CARD>")))
+  }
+
+  /** PII redaction — emails and phones by pattern, IBANs by pattern,
+    * credit cards by pattern + Luhn checksum. The fixtures' synthetic
+    * text contains no PII, so the query INJECTS it deterministically
+    * (doc_id % 5 → email, % 7 → phone, % 11 → a German-shaped IBAN,
+    * % 13 → a Luhn-VALID test card, % 17 → a card-shaped Luhn-INVALID
+    * number that must survive) and proves the scrubber removes exactly
+    * the validated set; the oracle replays injection, checksum and fold,
+    * so any regex- or arithmetic-dialect drift fails the hash. Pure map
+    * at any scale; zero shuffles but the output sort. */
   val llm_pii_scrub: Q = (s, d) => {
-    val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
-    val phone = "555-[0-9]{4}"
+    val validCard = PiiTestCards.zipWithIndex.tail
+      .foldLeft(when(col("doc_id") % 4 === 0, lit(PiiTestCards.head))) {
+        case (w, (c, i)) => w.when(col("doc_id") % 4 === i, lit(c))
+      }
     documents(s, d)
       .withColumn("injected", concat(col("text"),
         when(col("doc_id") % 5 === 0,
@@ -1916,14 +1968,24 @@ object Llm {
         when(col("doc_id") % 7 === 0,
           concat(lit(" call 555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" pay DE44"),
+            lpad((col("doc_id") % 1000000).cast("string"), 18, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" card "), validCard))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(s" card $PiiBadCard"))
           .otherwise(lit(""))))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("injected"), lit(email), lit(0)))
+        size(regexp_extract_all(col("injected"), lit(PiiEmailRe), lit(0)))
           .as("n_emails"),
-        size(regexp_extract_all(col("injected"), lit(phone), lit(0)))
+        size(regexp_extract_all(col("injected"), lit(PiiPhoneRe), lit(0)))
           .as("n_phones"),
-        regexp_replace(regexp_replace(col("injected"), email, "<EMAIL>"),
-          phone, "<PHONE>").as("clean"))
+        size(regexp_extract_all(col("injected"), lit(PiiIbanRe), lit(0)))
+          .as("n_ibans"),
+        size(cardCandidates(col("injected"))).as("n_cards"),
+        piiScrub(col("injected")).as("clean"))
       .orderBy("doc_id")
   }
 
@@ -2461,11 +2523,20 @@ object Llm {
                  AND coalesce(top2_bp, 0) < 2000) AS keep
          FROM documents d LEFT JOIN px USING (doc_id)
          ORDER BY d.doc_id""",
-    // same injection, same patterns (common Java/RE2 subset); DuckDB's
-    // regexp_replace needs the explicit 'g' flag to match Spark's
-    // replace-all semantics
-    "llm_pii_scrub" ->
-      """WITH inj AS (
+    // same injection, same patterns (common Java/RE2 subset), same Luhn
+    // arithmetic (generated once, spliced into both dialects) and the
+    // same candidate-list fold (list_reduce needs its init prepended —
+    // DuckDB has no fold-with-initial). regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all semantics.
+    "llm_pii_scrub" -> {
+      val luhn = (1 to 16).map { i =>
+        val dd = s"CAST(substring(c, $i, 1) AS INT)"
+        if (i % 2 == 1)
+          s"(CASE WHEN 2 * $dd > 9 THEN 2 * $dd - 9 ELSE 2 * $dd END)"
+        else dd
+      }.mkString(" + ")
+      val cardList = PiiTestCards.map(c => s"'$c'").mkString(", ")
+      s"""WITH inj AS (
            SELECT doc_id, text ||
                CASE WHEN doc_id % 5 = 0
                     THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -2473,17 +2544,41 @@ object Llm {
                CASE WHEN doc_id % 7 = 0
                     THEN ' call 555-' ||
                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    ELSE '' END AS injected
-           FROM documents)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' pay DE44' ||
+                         lpad(CAST(doc_id % 1000000 AS VARCHAR), 18, '0')
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN ' card ' ||
+                         ([$cardList])[CAST(doc_id % 4 AS INT) + 1]
+                    ELSE '' END ||
+               CASE WHEN doc_id % 17 = 0
+                    THEN ' card $PiiBadCard' ELSE '' END AS injected
+           FROM documents),
+         det AS (
+           SELECT doc_id, injected,
+               list_filter(regexp_extract_all(injected, '$PiiCardRe'),
+                 c -> ($luhn) % 10 = 0) AS cards
+           FROM inj)
          SELECT doc_id,
              CAST(len(regexp_extract_all(injected,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,
+                 '$PiiEmailRe')) AS INT) AS n_emails,
              CAST(len(regexp_extract_all(injected,
-                 '555-[0-9]{4}')) AS INT) AS n_phones,
-             regexp_replace(regexp_replace(injected,
-                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
-                 '555-[0-9]{4}', '<PHONE>', 'g') AS clean
-         FROM inj ORDER BY doc_id""",
+                 '$PiiPhoneRe')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(injected,
+                 '$PiiIbanRe')) AS INT) AS n_ibans,
+             CAST(len(cards) AS INT) AS n_cards,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(regexp_replace(regexp_replace(injected,
+                     '$PiiEmailRe', '<EMAIL>', 'g'),
+                     '$PiiPhoneRe', '<PHONE>', 'g'),
+                     '$PiiIbanRe', '<IBAN>', 'g'),
+                 cards),
+               (acc, c) -> replace(acc, c, '<CARD>')) AS clean
+         FROM det ORDER BY doc_id"""
+    },
     "llm_mixture" ->
       """WITH per AS (
            SELECT source, count(1) AS n_docs,

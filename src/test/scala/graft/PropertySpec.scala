@@ -223,6 +223,48 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("PII scrub: idempotent, Luhn-selective, token-safe on generated " +
+      "mixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // strings interleaving clean words with every detector's true and
+    // near-miss forms; one Spark pass scrubs 200 of them twice
+    val word = Gen.oneOf("alpha", "bravo", "Carlo", "DE", "4111", "x99")
+    val pii = Gen.oneOf(
+      Gen.const("bob.smith@mail.example"),
+      Gen.const("555-0199"),
+      Gen.const("DE44000000000000123456"),
+      Gen.oneOf(ops.Llm.PiiTestCards),        // Luhn-valid: must vanish
+      Gen.const(ops.Llm.PiiBadCard),          // card-shaped, bad checksum
+      Gen.const("555-12"),                    // phone near-miss
+      Gen.const("DE1")                        // iban near-miss
+    )
+    val mix = Gen.listOfN(10, Gen.frequency(3 -> word, 2 -> pii))
+      .map(_.mkString(" "))
+    val inputs = samples(mix, 200)
+    val out = inputs.toDF("s")
+      .select(col("s"), ops.Llm.piiScrub(col("s")).as("once"))
+      .select(col("s"), col("once"),
+        ops.Llm.piiScrub(col("once")).as("twice"))
+      .collect()
+    out.foreach { r =>
+      val (s, once, twice) =
+        (r.getString(0), r.getString(1), r.getString(2))
+      assert(once == twice, s"scrub not idempotent on: $s\n -> $once")
+      ops.Llm.PiiTestCards.foreach(c =>
+        assert(!once.contains(c), s"valid card $c survived in: $once"))
+      assert(!once.contains("@"), s"email survived in: $once")
+      assert(!s.contains(ops.Llm.PiiBadCard) ||
+        once.contains(ops.Llm.PiiBadCard),
+        s"Luhn-invalid number was wrongly redacted: $s -> $once")
+    }
+    // the near-misses must pass through untouched (no over-redaction)
+    val misses = Seq("call 555-12 now", "DE1 is a code", "word alpha")
+    val kept = misses.toDF("s")
+      .select(ops.Llm.piiScrub(col("s")).as("c")).collect().map(_.getString(0))
+    assert(kept.toSeq == misses, s"near-misses altered: ${kept.toSeq}")
+  }
+
   test("jaccard formula: symmetric, reflexive, bounded") {
     def jac(x: Set[String], y: Set[String]): Double =
       if (x.isEmpty && y.isEmpty) 1.0
