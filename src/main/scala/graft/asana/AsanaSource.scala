@@ -452,6 +452,125 @@ class AsanaRateLimiter(maxPerMinute: Int) extends Serializable {
   }
 }
 
+/** Write-back half of the connector (the ETL story was read-only): batch
+  * field updates PUT back to entities, completing the contract a sync
+  * pipeline needs (read → transform → write results back to the work
+  * graph). Shapes follow the public REST surface (developers.asana.com):
+  * `PUT /api/1.0/<entity>/<gid>` with an `{"data": {...}}` envelope, one
+  * request per row, under the same ~150 req/min ceiling and 429/5xx
+  * retry semantics as reads.
+  *
+  * Offline discipline: the TRANSPORT is the seam — a live implementation
+  * issues the HTTP PUT; the fixture transport appends each request to a
+  * per-partition JSONL journal so tests can round-trip what was "sent".
+  * Every request — fixture or live — is driven through
+  * [[AsanaRetry.fetchWithRetry]] with the SAME [[AsanaRetryPolicy]] as
+  * the read path, and the rate gate blocks via the injected clock+sleep,
+  * so throttling and backoff unit-test deterministically with fake time.
+  *
+  * Scale: one executor-side pass (`mapPartitions`), no shuffle, no
+  * driver collect of the data — only the per-partition [[PutStats]]
+  * rows (O(partitions)) return to the driver. Per-partition limiters
+  * each honor the per-minute ceiling; a cluster-wide budget divides
+  * `maxPerMinute` by the write parallelism (callers control that via
+  * `df.repartition` / `coalesce` before writing). */
+object AsanaWriteBack {
+
+  /** (url, envelopeJson, attempt) → outcome. Must be Serializable — it
+    * ships to executors. */
+  type Transport = (String, String, Int) => AsanaFetch
+
+  /** Per-partition accounting: rows PUT, HTTP requests issued (incl.
+    * retries), retries alone, and total injected-throttle sleep. */
+  final case class PutStats(rows: Long, requests: Long, retries: Long,
+      throttledMs: Long) {
+    def +(o: PutStats): PutStats = PutStats(rows + o.rows,
+      requests + o.requests, retries + o.retries,
+      throttledMs + o.throttledMs)
+  }
+
+  /** Fixture-replay transport: "sends" land as
+    * `{"url": ..., "data": ...}` JSONL lines in
+    * `outDir/put-<partition>.jsonl` — one journal per partition, so
+    * concurrent tasks never interleave writes. */
+  def fixtureTransport(outDir: String): Transport = {
+    (url: String, envelope: String, _: Int) => {
+      val pid = Option(org.apache.spark.TaskContext.get())
+        .map(_.partitionId()).getOrElse(0)
+      val dir = java.nio.file.Paths.get(outDir)
+      java.nio.file.Files.createDirectories(dir)
+      val line = s"""{"url":"$url","put":$envelope}""" + "\n"
+      java.nio.file.Files.write(dir.resolve(s"put-$pid.jsonl"),
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      AsanaOk(Seq(envelope)) // live Asana echoes the updated entity
+    }
+  }
+
+  /** PUT one partition's rows: rate-gate, then retry-drive each request.
+    * `rows` are (gid, dataJson) — dataJson is the inner `data` object.
+    * Blocking past the ceiling advances only the INJECTED clock/sleep,
+    * so fixture replay never wall-sleeps. */
+  def putPartition(rows: Iterator[(String, String)], entity: String,
+      policy: AsanaRetryPolicy, maxPerMinute: Int,
+      clock: () => Long, sleep: Long => Unit,
+      transport: Transport): PutStats = {
+    val limiter = new AsanaRateLimiter(maxPerMinute)
+    var n = 0L; var reqs = 0L; var retries = 0L; var throttled = 0L
+    rows.foreach { case (gid, dataJson) =>
+      while (!limiter.acquire(clock())) {
+        sleep(1000L); throttled += 1000L
+      }
+      val url = s"https://app.asana.com/api/1.0/$entity/$gid"
+      val envelope = s"""{"data":$dataJson}"""
+      AsanaRetry.fetchWithRetry(policy, sleep) { attempt =>
+        reqs += 1
+        if (attempt > 0) retries += 1
+        transport(url, envelope, attempt)
+      }
+      n += 1
+    }
+    PutStats(n, reqs, retries, throttled)
+  }
+
+  /** Distributed write-back: one PUT per row of `df`, `gidCol` naming
+    * the entity and `fieldCols` the updated fields. Returns the summed
+    * [[PutStats]]. Field values serialize as JSON scalars (strings
+    * escaped via Jackson; null fields are sent as null — Asana clears
+    * the field, same as the REST API). */
+  def writeBack(df: org.apache.spark.sql.DataFrame, entity: String,
+      gidCol: String, fieldCols: Seq[String],
+      policy: AsanaRetryPolicy = AsanaRetryPolicy(),
+      maxPerMinute: Int = 150,
+      transport: Transport): PutStats = {
+    import org.apache.spark.sql.functions.col
+    val cols = (gidCol +: fieldCols).map(col)
+    val rows = df.select(cols: _*).rdd.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      val pairs = it.map { r =>
+        val obj = mapper.createObjectNode()
+        fieldCols.zipWithIndex.foreach { case (f, i) =>
+          r.get(i + 1) match {
+            case null => obj.putNull(f)
+            case s: String => obj.put(f, s)
+            case b: java.lang.Boolean => obj.put(f, b.booleanValue())
+            case l: java.lang.Long => obj.put(f, l.longValue())
+            case i2: java.lang.Integer => obj.put(f, i2.intValue())
+            case d: java.lang.Double => obj.put(f, d.doubleValue())
+            case other => obj.put(f, other.toString)
+          }
+        }
+        (r.get(0).toString, mapper.writeValueAsString(obj))
+      }
+      Iterator.single(putPartition(pairs, entity, policy, maxPerMinute,
+        () => System.currentTimeMillis(), ms => Thread.sleep(ms),
+        transport))
+    }.collect()
+    rows.foldLeft(PutStats(0, 0, 0, 0))(_ + _)
+  }
+}
+
 class AsanaPageReader(path: String, entity: String, schema: StructType,
     cutoffs: Seq[ModifiedCutoff], fromLine: Long = 0L,
     untilLine: Long = Long.MaxValue) extends PartitionReader[InternalRow] {

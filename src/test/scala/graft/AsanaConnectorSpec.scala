@@ -203,4 +203,74 @@ class AsanaConnectorSpec extends SparkTestBase {
     assert(!rl.acquire(t0), "151st request in a minute must exceed the ceiling")
     assert(rl.acquire(t0 + 60001L), "new minute window resets the budget")
   }
+
+  test("write-back round-trips through the fixture transport: every task " +
+      "update journaled exactly once, fields intact") {
+    import graft.asana.AsanaWriteBack
+    val out = java.nio.file.Files
+      .createTempDirectory("asana_writeback").toFile
+    graft.util.AppCleanup.onExit(s"asana_wb_${out.getName}")(
+      graft.util.AppCleanup.recursiveDelete(out))
+    // the pipeline shape: read via the connector, transform, PUT back
+    val updates = tasks
+      .select(col("gid"), concat(lit("[synced] "), col("name")).as("name"),
+        col("completed"))
+    val stats = AsanaWriteBack.writeBack(updates, "tasks", "gid",
+      Seq("name", "completed"),
+      transport = AsanaWriteBack.fixtureTransport(out.getPath))
+    assert(stats.rows == 30 && stats.requests == 30 && stats.retries == 0,
+      s"expected 30 clean PUTs, got $stats")
+    val sent = spark.read.json(s"${out.getPath}/*.jsonl")
+      .select(col("url"), col("put.data.name").as("name"),
+        col("put.data.completed").as("completed"))
+      .collect()
+    assert(sent.length == 30, "one journal line per task")
+    val byGid = sent.map { r =>
+      val url = r.getString(0)
+      assert(url.startsWith("https://app.asana.com/api/1.0/tasks/"),
+        s"REST shape broken: $url")
+      url.split("/").last -> (r.getString(1), r.getBoolean(2))
+    }.toMap
+    val expected = updates.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(byGid == expected, "journaled PUT bodies must equal the updates")
+  }
+
+  test("write-back routes 429s through the retry policy and blocks at " +
+      "the rate ceiling on injected time only") {
+    import graft.asana._
+    // deterministic fake time: the clock advances ONLY via sleep()
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sleep: Long => Unit = ms => { sleeps += ms; now += ms }
+    // transport 429s (Retry-After: 2s) on every first attempt per gid,
+    // then succeeds — the read path's policy must drive the recovery
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+    val flaky: AsanaWriteBack.Transport = (url, env, attempt) => {
+      val k = url.split("/").last
+      attempts(k) = attempts.getOrElse(k, 0) + 1
+      if (attempts(k) == 1) AsanaHttpError(429, retryAfterSec = Some(2L))
+      else AsanaOk(Seq(env))
+    }
+    val rows = (1 to 5).map(i => (s"gid$i", s"""{"name":"n$i"}""")).iterator
+    val stats = AsanaWriteBack.putPartition(rows, "tasks",
+      AsanaRetryPolicy(), maxPerMinute = 2, clock = () => now,
+      sleep = sleep, transport = flaky)
+    assert(stats.rows == 5 && stats.requests == 10 && stats.retries == 5,
+      s"each gid: one 429 + one success, got $stats")
+    // every retry slept exactly the server's Retry-After (capped policy)
+    assert(sleeps.count(_ == 2000L) == 5,
+      s"Retry-After backoffs wrong: $sleeps")
+    // ceiling of 2/min: gid3 and gid5 must block until the next window;
+    // the throttle slept in injected seconds, never wall time
+    assert(stats.throttledMs > 0, "rate gate never engaged at 2/min")
+    assert(now >= stats.throttledMs + 5 * 2000L,
+      "clock must advance by throttle + backoff sleeps")
+    // a 400 fails fast through the same seam: no retry, loud error
+    val bad: AsanaWriteBack.Transport = (_, _, _) => AsanaHttpError(400)
+    val e = intercept[java.io.IOException](
+      AsanaWriteBack.putPartition(Iterator(("g", "{}")), "tasks",
+        AsanaRetryPolicy(), 150, () => 0L, _ => (), bad))
+    assert(e.getMessage.contains("400"))
+  }
 }
