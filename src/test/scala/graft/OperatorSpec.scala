@@ -658,16 +658,28 @@ class OperatorSpec extends SparkTestBase {
   test("llm_pii_scrub removes exactly the injected PII") {
     val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+".r
     val phone = "555-[0-9]{4}".r
+    val iban = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b".r
     val rows = ops.Llm.llm_pii_scrub(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val id = r.getLong(0); val clean = r.getString(3)
+      val id = r.getLong(0); val clean = r.getString(5)
       assert(r.getInt(1) == (if (id % 5 == 0) 1 else 0), s"emails doc $id")
       assert(r.getInt(2) == (if (id % 7 == 0) 1 else 0), s"phones doc $id")
+      assert(r.getInt(3) == (if (id % 11 == 0) 1 else 0), s"ibans doc $id")
+      // n_cards counts only Luhn-VALID candidates: the % 17 injection is
+      // card-shaped but checksum-invalid and must not count
+      assert(r.getInt(4) == (if (id % 13 == 0) 1 else 0), s"cards doc $id")
       assert(email.findFirstIn(clean).isEmpty, s"email survived in doc $id")
       assert(phone.findFirstIn(clean).isEmpty, s"phone survived in doc $id")
+      assert(iban.findFirstIn(clean).isEmpty, s"iban survived in doc $id")
       if (id % 5 == 0) assert(clean.contains("<EMAIL>"), s"doc $id")
       if (id % 7 == 0) assert(clean.contains("<PHONE>"), s"doc $id")
+      if (id % 11 == 0) assert(clean.contains("<IBAN>"), s"doc $id")
+      if (id % 13 == 0) assert(clean.contains("<CARD>"), s"doc $id")
+      ops.Llm.PiiTestCards.foreach(c => assert(!clean.contains(c),
+        s"valid card survived in doc $id"))
+      if (id % 17 == 0) assert(clean.contains(ops.Llm.PiiBadCard),
+        s"Luhn-invalid number wrongly redacted in doc $id")
     }
   }
 
