@@ -26,7 +26,16 @@ case class GraftTableOffset(snapshot: Int) extends V1Offset {
   * graft table and upsert into another.
   *
   * Options: `path` (table root, required), `ignoreChanges` (bool,
-  * default false — see [[GraftTableSource.getBatch]]).
+  * default false — see [[GraftTableSource.getBatch]]), and
+  * `readChanges` (bool) + `keyCol` for CDC mode: instead of table
+  * rows, the stream emits ROW-LEVEL change rows (`_change_type` ∈
+  * insert/delete/update_preimage/update_postimage plus
+  * `_commit_snapshot`) computed per commit by
+  * [[GraftTable.changesBetweenRows]] — merge/delete commits stream
+  * exactly, so CDC mode needs no `ignoreChanges` escape hatch. The
+  * Delta `readChangeFeed` analogue, closing the incremental loop
+  * end-to-end: one pipeline can stream another table's changes and
+  * upsert them onward.
   *
   * Built on the v1 `StreamSourceProvider` seam — the same public seam
   * Delta Lake's streaming source uses — because the v1 contract lets
@@ -50,8 +59,9 @@ class GraftTableStreamProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     val v = GraftTable.latestSnapshot(root)
     require(v > 0, s"no graft table at $root to stream from")
-    (shortName(), DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
-      .asInstanceOf[StructType])
+    val base = DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
+      .asInstanceOf[StructType]
+    (shortName(), GraftTableSource.withCdcColumns(base, parameters))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -83,17 +93,34 @@ class GraftTableStreamProvider extends StreamSourceProvider
   * provided those manifests are retained (expireSnapshots keeps a
   * resumable tail only back to `keepFrom`; streaming past an expired
   * range fails loudly rather than silently skipping commits). */
+object GraftTableSource {
+  /** CDC mode widens the stream schema with the change metadata. */
+  private[table] def withCdcColumns(base: StructType,
+      parameters: Map[String, String]): StructType =
+    if (!parameters.get("readChanges").exists(_.trim.toBoolean)) base
+    else base
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_snapshot", org.apache.spark.sql.types.IntegerType)
+}
+
 class GraftTableSource(spark: SparkSession, root: String,
     parameters: Map[String, String]) extends Source {
 
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.trim.toBoolean)
+  private val readChanges =
+    parameters.get("readChanges").exists(_.trim.toBoolean)
+  private val keyCol = parameters.get("keyCol")
+  require(!readChanges || keyCol.exists(_.nonEmpty),
+    """CDC mode needs .option("keyCol", <merge key>) to row-diff """ +
+      "merge/delete commits")
 
   override val schema: StructType = {
     val v = GraftTable.latestSnapshot(root)
     require(v > 0, s"no graft table at $root to stream from")
-    DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
-      .asInstanceOf[StructType]
+    GraftTableSource.withCdcColumns(
+      DataType.fromJson(GraftTable.manifest(root, v).schemaJson)
+        .asInstanceOf[StructType], parameters)
   }
 
   override def getOffset: Option[V1Offset] = {
@@ -107,6 +134,16 @@ class GraftTableSource(spark: SparkSession, root: String,
     val to = end.json.trim.toInt
     val batch =
       if (from >= to) empty()
+      else if (readChanges && from == 0)
+        // initial CDC batch: the starting snapshot's rows as inserts
+        // (Delta readChangeFeed's starting-version semantics)
+        GraftTable.read(spark, root, Some(to))
+          .withColumn("_change_type", org.apache.spark.sql.functions
+            .lit("insert"))
+          .withColumn("_commit_snapshot", org.apache.spark.sql.functions
+            .lit(to))
+      else if (readChanges)
+        GraftTable.changesBetweenRows(spark, root, from, to, keyCol.get)
       else if (from == 0) GraftTable.read(spark, root, Some(to))
       else ((from + 1) to to).map(stepRows).reduce(_ unionByName
         (_, allowMissingColumns = true))

@@ -566,6 +566,80 @@ class StreamingSpec extends SparkTestBase {
     assert(lastByKey(5L) == "UPD5" && lastByKey(6L) == "UPD6")
   }
 
+  test("CDC readStream over GraftTable: row-level change rows stream " +
+      "per commit and replay to the live table") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_table_cdc_stream").toFile
+    graft.util.AppCleanup.onExit(s"graft_cdc_rs_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    val ckpt = new java.io.File(root, "_ckpt").getPath
+    t.create(spark, root.getPath,
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 2)                        // v1
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Int)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", root.getPath)
+        .option("readChanges", "true").option("keyCol", "id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getAs[Long]("id"),
+            r.getAs[String]("payload"), r.getAs[String]("_change_type"),
+            r.getAs[Int]("_commit_snapshot")))
+          got.synchronized { got ++= rows }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // run 1: the starting snapshot arrives as inserts
+    drain()
+    assert(got.toSet ==
+      (1 to 10).map(i => (i.toLong, s"v$i", "insert", 1)).toSet)
+    // commits: append, merge (update 3 + insert 100), delete 9, compact
+    t.append(spark, root.getPath,
+      (11 to 15).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1)                        // v2
+    t.merge(spark, root.getPath,
+      Seq((3L, "UPD3"), (100L, "new")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), numFiles = 1)                  // v3
+    t.delete(spark, root.getPath, Seq(9L).toDF("id"), "id",
+      Seq("id"), Seq("id"))                                      // v4
+    t.compact(spark, root.getPath, minRows = Long.MaxValue,
+      Seq("id"), Seq("id"), numFiles = 1)                        // v5
+    // run 2 from the checkpoint: the streamed delta must equal the
+    // batch row-level CDC over the same commit range, merge and delete
+    // included — CDC mode needs no ignoreChanges escape
+    val before = got.size
+    drain()
+    val streamed = got.drop(before).toSet
+    val batchCdc = t.changesBetweenRows(spark, root.getPath, 1, 5, "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"), r.getAs[Int]("_commit_snapshot")))
+      .toSet
+    assert(streamed == batchCdc,
+      s"streamed CDC != batch CDC:\n streamed=$streamed\n batch=$batchCdc")
+    assert(streamed.exists(_._3 == "update_preimage") &&
+      streamed.exists(_._3 == "update_postimage") &&
+      streamed.exists(_._3 == "delete"), s"change types missing: $streamed")
+    assert(!streamed.exists(_._4 == 5), "compact must stream no changes")
+    // replaying every streamed change over the initial state rebuilds
+    // the live table exactly
+    val replayed = got.sortBy(_._4).foldLeft(Map.empty[Long, String]) {
+      case (m, (id, p, "insert", _)) => m + (id -> p)
+      case (m, (id, p, "update_postimage", _)) => m + (id -> p)
+      case (m, (id, _, "delete", _)) => m - id
+      case (m, _) => m // preimages carry no state
+    }
+    val live = t.read(spark, root.getPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed == live, "CDC replay must rebuild the live table")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
