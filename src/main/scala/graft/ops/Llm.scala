@@ -1466,6 +1466,35 @@ object Llm {
           (h, c) => (h * 1000003L + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Unigram language-model quality scoring — the CCNet-style LM filter
+    * a training-data pipeline runs after heuristic quality: train token
+    * unigram counts over the corpus itself, then score each document by
+    * its average negative log2-likelihood under the add-one-smoothed
+    * model (low bits ≈ in-distribution prose, high bits ≈ gibberish /
+    * boilerplate-mix). One explode feeds BOTH the model (two-phase
+    * count by token — shuffle bounded by vocabulary, not corpus) and
+    * the scoring join (token → count; vocabulary-sized build side, so
+    * Spark broadcasts it when small and shuffles when not — either is
+    * the right 100 TB plan); the N/V totals ride along as a broadcast
+    * 1-row cross join. The per-doc average rounds through [[r4]] — the
+    * statistical-double convention (agg_stats precedent): identical
+    * formula text on both engines, with the last-ulp libm drift
+    * absorbed by the 1e-4 grid. */
+  val llm_lm_score: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val cnt = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    toks.join(cnt, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        r4(avg((log(col("n") + col("v")) - log(col("c") + 1)) /
+          log(lit(2.0)))).as("nll_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Top-5 word bigrams per language (count desc, bigram asc tiebreak) —
     * the corpus vocabulary-statistics op that feeds tokenizer/merge-rule
     * training and phrase-level quality checks. Adjacent-pair expansion
@@ -1475,12 +1504,14 @@ object Llm {
     * map-side combine bounds the shuffle by distinct-bigram volume, not
     * corpus size; the top-k window partitions on lang (bounded state).
     * Docs under two tokens (incl. null text, which the >= 2 guard drops
-    * on both engines) contribute nothing. */
-  /** Test seam for [[llm_ngram_freq]] (see [[capSource]]). The skew
-    * probe is an UPPER bound — bigrams per lang (tokens − 1 summed),
-    * computable without running the aggregation twice; distinct bigram
-    * rows per lang can only be fewer. Conservative dispatch costs one
-    * extra tiny window, never correctness. */
+    * on both engines) contribute nothing.
+    *
+    * This is the test seam form (see [[capSource]]): `skewThreshold`
+    * forces the salted arm. The skew probe is an UPPER bound — bigrams
+    * per lang (tokens − 1 summed), computable without running the
+    * aggregation twice; distinct bigram rows per lang can only be
+    * fewer. Conservative dispatch costs one extra tiny window, never
+    * correctness. */
   private[graft] def ngramFreq(s: org.apache.spark.sql.SparkSession,
       d: String, skewThreshold: Long = 8000000L): DataFrame = {
     val docs = documents(s, d)
@@ -2113,6 +2144,7 @@ object Llm {
     "llm_textstats" -> llm_textstats,
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
+    "llm_lm_score" -> llm_lm_score,
     "llm_fingerprint" -> llm_fingerprint,
     "llm_ngram_freq" -> llm_ngram_freq,
     "llm_chunk" -> llm_chunk,
@@ -2428,6 +2460,22 @@ object Llm {
              CAST((200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
                  // (2 * q) AS DOUBLE) / 10000.0 AS quality
          FROM f ORDER BY doc_id""",
+    // identical formula text on both engines — (ln(n+v) − ln(c+1)) /
+    // ln(2), averaged then round(…, 4) — so only last-ulp libm drift
+    // can differ, absorbed by the 1e-4 grid (agg_stats precedent)
+    "llm_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         cnt AS (SELECT t, count(1) AS c FROM tok GROUP BY t),
+         tot AS (
+           SELECT CAST(sum(c) AS DOUBLE) AS n,
+               CAST(count(1) AS DOUBLE) AS v
+           FROM cnt)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tok,
+             round(avg((ln(n + v) - ln(c + 1)) / ln(2)), 4) AS nll_bits
+         FROM tok JOIN cnt USING (t) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_fingerprint" ->
       """SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
