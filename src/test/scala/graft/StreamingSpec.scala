@@ -640,6 +640,78 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed == live, "CDC replay must rebuild the live table")
   }
 
+  test("closed loop: CDC stream replicates one GraftTable into another " +
+      "through foreachBatch merge/delete") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_repl_src").toFile
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_repl_dst").toFile
+    Seq(src, dst).foreach(f =>
+      graft.util.AppCleanup.onExit(s"graft_repl_${f.getName}")(
+        graft.util.AppCleanup.recursiveDelete(f)))
+    val ckpt = new java.io.File(src, "_ckpt").getPath
+    t.create(spark, src.getPath,
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 2)                        // v1
+    def replicate(): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", src.getPath)
+        .option("readChanges", "true").option("keyCol", "id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // apply the change feed in commit order: upserts (insert +
+          // update_postimage) then deletes, one pass per source commit
+          // so the replica's history mirrors the source's semantics
+          val commits = b.select("_commit_snapshot").distinct()
+            .collect().map(_.getInt(0)).sorted
+          commits.foreach { v =>
+            val step = b.where(col("_commit_snapshot") === v).cache()
+            try {
+              val ups = step
+                .where(col("_change_type").isin("insert", "update_postimage"))
+                .select("id", "payload")
+              val dels = step.where(col("_change_type") === "delete")
+                .select("id")
+              if (!ups.isEmpty) {
+                if (t.latestSnapshot(dst.getPath) == 0)
+                  t.create(spark, dst.getPath, ups, Seq("id"), Seq("id"),
+                    numFiles = 2)
+                else t.merge(spark, dst.getPath, ups, "id", Seq("id"),
+                  Seq("id"), numFiles = 1)
+              }
+              if (!dels.isEmpty)
+                t.delete(spark, dst.getPath, dels, "id", Seq("id"),
+                  Seq("id"))
+            } finally { step.unpersist(); () }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    replicate() // initial snapshot lands as the replica's create
+    def stateOf(root: String) = t.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stateOf(dst.getPath) == stateOf(src.getPath))
+    // mixed source commits, then one catch-up run from the checkpoint
+    t.append(spark, src.getPath,
+      (21 to 25).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1)                        // v2
+    t.merge(spark, src.getPath,
+      Seq((7L, "UPD7"), (30L, "new30")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), numFiles = 1)                  // v3
+    t.delete(spark, src.getPath, Seq(2L, 21L).toDF("id"), "id",
+      Seq("id"), Seq("id"))                                      // v4
+    replicate()
+    val (s2, d2) = (stateOf(src.getPath), stateOf(dst.getPath))
+    assert(d2 == s2, s"replica diverged:\n src=$s2\n dst=$d2")
+    assert(s2(7L) == "UPD7" && !s2.contains(2L) && s2.contains(30L))
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
