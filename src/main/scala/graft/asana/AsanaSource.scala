@@ -499,7 +499,11 @@ object AsanaWriteBack {
         .map(_.partitionId()).getOrElse(0)
       val dir = java.nio.file.Paths.get(outDir)
       java.nio.file.Files.createDirectories(dir)
-      val line = s"""{"url":"$url","put":$envelope}""" + "\n"
+      // the url embeds a caller-supplied gid: JSON-escape it instead of
+      // raw interpolation (a quote/backslash in a gid would corrupt the
+      // journal line into a _corrupt_record the round-trip silently drops)
+      val urlJson = new ObjectMapper().writeValueAsString(url)
+      val line = s"""{"url":$urlJson,"put":$envelope}""" + "\n"
       java.nio.file.Files.write(dir.resolve(s"put-$pid.jsonl"),
         line.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -538,7 +542,11 @@ object AsanaWriteBack {
     * the entity and `fieldCols` the updated fields. Returns the summed
     * [[PutStats]]. Field values serialize as JSON scalars (strings
     * escaped via Jackson; null fields are sent as null — Asana clears
-    * the field, same as the REST API). */
+    * the field, same as the REST API). `maxPerMinute` is the
+    * CLUSTER-WIDE budget: it divides across the write partitions
+    * (floor, min 1/partition) so the aggregate rate honors the API
+    * ceiling no matter the parallelism — 8 partitions at the 150/min
+    * default gate at 18/min each, not 8 × 150. */
   def writeBack(df: org.apache.spark.sql.DataFrame, entity: String,
       gidCol: String, fieldCols: Seq[String],
       policy: AsanaRetryPolicy = AsanaRetryPolicy(),
@@ -546,7 +554,10 @@ object AsanaWriteBack {
       transport: Transport): PutStats = {
     import org.apache.spark.sql.functions.col
     val cols = (gidCol +: fieldCols).map(col)
-    val rows = df.select(cols: _*).rdd.mapPartitions { it =>
+    val selected = df.select(cols: _*)
+    val perPartition = math.max(1,
+      maxPerMinute / math.max(1, selected.rdd.getNumPartitions))
+    val rows = selected.rdd.mapPartitions { it =>
       val mapper = new ObjectMapper()
       val pairs = it.map { r =>
         val obj = mapper.createObjectNode()
@@ -563,7 +574,7 @@ object AsanaWriteBack {
         }
         (r.get(0).toString, mapper.writeValueAsString(obj))
       }
-      Iterator.single(putPartition(pairs, entity, policy, maxPerMinute,
+      Iterator.single(putPartition(pairs, entity, policy, perPartition,
         () => System.currentTimeMillis(), ms => Thread.sleep(ms),
         transport))
     }.collect()

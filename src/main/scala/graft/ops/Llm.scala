@@ -1520,10 +1520,12 @@ object Llm {
       // O(tokens²) splits per doc (measured 3.4 s vs 1.0 s at sf0.1)
       .select(col("lang"), split(col("text"), " ").as("l"))
       .where(size(col("l")) >= 2)
-    val probe = docs.groupBy("lang")
-      .agg(sum(size(col("l")).cast("long") - 1L).as("__n"))
-      .agg(max("__n")).collect()(0)
-    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val maxPerKey = memoProbe(s, d, "ngram_freq") {
+      val r = docs.groupBy("lang")
+        .agg(sum(size(col("l")).cast("long") - 1L).as("__n"))
+        .agg(max("__n")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     val bigrams = docs
       .select(col("lang"), explode(expr(
         """transform(sequence(1, size(l) - 1),
@@ -1748,6 +1750,22 @@ object Llm {
     }
   }
 
+  /** Skew probes memoized per (application, sfDir): the fixture tables
+    * are immutable for the application's lifetime (the [[broadcastFit]]
+    * assumption) and the probe answers a plan-shape question, so paying
+    * its scan once per application — not once per query invocation — is
+    * the bench-hot-path discipline simjoinAuto set. ngram_freq's probe
+    * would otherwise re-split every document per call (~1 s at sf0.1);
+    * cap_source's would rescan for a count-by-source. */
+  private val skewProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def memoProbe(s: org.apache.spark.sql.SparkSession, d: String,
+      id: String)(run: => Long): Long =
+    skewProbe.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d + "|" + id,
+      _ => java.lang.Long.valueOf(run)).longValue()
+
   /** Test seam for [[llm_cap_source]]: `skewThreshold` forces the salted
     * path on fixtures. The probe is one tiny two-phase count-by-source —
     * O(sources) rows to the driver, the simjoinAuto probe shape. */
@@ -1755,9 +1773,11 @@ object Llm {
       d: String, skewThreshold: Long = 8000000L): DataFrame = {
     val capBucket = (col("doc_id") % CapP) * CapA % CapP % 10000L
     val docs = documents(s, d)
-    val probe = docs.groupBy("source").agg(count(lit(1)).as("__n"))
-      .agg(max("__n")).collect()(0)
-    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val maxPerKey = memoProbe(s, d, "cap_source") {
+      val r = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+        .agg(max("__n")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     topKByKey(docs.select("source", "doc_id"), Seq("source"),
       Seq(capBucket.asc, col("doc_id").asc), col("doc_id"),
       k = 10, maxPerKey = maxPerKey, skewThreshold = skewThreshold)
@@ -1967,14 +1987,19 @@ object Llm {
 
   /** Full scrub chain: emails, phones, IBANs by pattern; 16-digit card
     * candidates only when the Luhn checksum validates (fold the valid
-    * candidate list over the string — `aggregate` HOF, no UDF).
-    * Idempotent by construction: no replacement token re-matches any
-    * detector (property-tested). */
+    * candidate list over the string — `aggregate` HOF, no UDF). Each
+    * fold step replaces the candidate with its \b boundaries restored —
+    * a plain substring replace would also hit a LONGER digit run that
+    * merely contains the card's digits (e.g. a 17-digit reference id),
+    * over-redacting non-PII; candidates are digits-only so embedding
+    * them in a regex needs no escaping. Idempotent by construction: no
+    * replacement token re-matches any detector (property-tested). */
   private[graft] def piiScrub(c: Column): Column = {
     val pre = regexp_replace(regexp_replace(regexp_replace(c,
       PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIbanRe, "<IBAN>")
     aggregate(cardCandidates(c), pre,
-      (acc, card) => replace(acc, card, lit("<CARD>")))
+      (acc, card) => regexp_replace(acc,
+        concat(lit("\\b"), card, lit("\\b")), lit("<CARD>")))
   }
 
   /** PII redaction — emails and phones by pattern, IBANs by pattern,
@@ -2624,7 +2649,8 @@ object Llm {
                      '$PiiPhoneRe', '<PHONE>', 'g'),
                      '$PiiIbanRe', '<IBAN>', 'g'),
                  cards),
-               (acc, c) -> replace(acc, c, '<CARD>')) AS clean
+               (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b',
+                 '<CARD>', 'g')) AS clean
          FROM det ORDER BY doc_id"""
     },
     "llm_mixture" ->

@@ -788,14 +788,24 @@ object GraftTable {
     * semantically); the per-step diff joins only rewritten-file rows, so
     * cost scales with the commits' touched data, not table size. Works
     * across add-only schema evolution — pre-evolution change rows
-    * null-fill the later columns. */
+    * null-fill the later columns. `fromSnapshot = 0` means full history:
+    * the create commit's step diffs against an empty parent, so its rows
+    * arrive as inserts. Every manifest in `fromSnapshot..toSnapshot`
+    * must still be retained — an expired range fails loudly rather than
+    * silently skipping commits. */
   def changesBetweenRows(spark: SparkSession, root: String,
       fromSnapshot: Int, toSnapshot: Int, keyCol: String): DataFrame = {
-    require(fromSnapshot < toSnapshot,
-      s"need fromSnapshot < toSnapshot, got $fromSnapshot >= $toSnapshot")
+    require(fromSnapshot >= 0 && fromSnapshot < toSnapshot,
+      s"need 0 <= fromSnapshot < toSnapshot, got $fromSnapshot, $toSnapshot")
+    (math.max(fromSnapshot, 1) to toSnapshot).foreach(v => require(
+      Files.exists(manifestPath(root, v)),
+      s"snapshot $v of $root expired; row-level CDC over $fromSnapshot.." +
+        s"$toSnapshot is unreconstructible"))
     val steps = ((fromSnapshot + 1) to toSnapshot).map { v =>
-      val prev = manifest(root, v - 1)
       val cur = manifest(root, v)
+      val prev =
+        if (v == 1) cur.copy(snapshot = 0, files = Nil) // pre-create: empty
+        else manifest(root, v - 1)
       val prevPaths = prev.files.map(_.path).toSet
       val curPaths = cur.files.map(_.path).toSet
       val added = cur.files.filterNot(f => prevPaths(f.path))

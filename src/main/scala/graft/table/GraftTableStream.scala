@@ -147,10 +147,18 @@ class GraftTableSource(spark: SparkSession, root: String,
       else if (from == 0) GraftTable.read(spark, root, Some(to))
       else ((from + 1) to to).map(stepRows).reduce(_ unionByName
         (_, allowMissingColumns = true))
-    // project to the stream's fixed schema: add-only evolution means
-    // later commits may carry extra columns the running stream must drop
-    StreamShim.toStreaming(
-      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    // project to the stream's fixed schema, evolution-safe BOTH ways:
+    // later commits may carry extra columns the running stream must
+    // drop, and a checkpoint replay of batches that predate an
+    // append_evolve builds frames MISSING columns the (latest-manifest)
+    // stream schema has — those null-fill, same as the batch read
+    val have = batch.columns.toSet
+    StreamShim.toStreaming(batch.select(schema.fields.toIndexedSeq.map {
+      f =>
+        if (have(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+    }: _*))
   }
 
   /** Rows contributed by commit `v` alone: the manifest file-diff

@@ -521,6 +521,14 @@ class GraftTableSpec extends SparkTestBase {
     val v4 = GraftTable.read(spark, root).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v4 == replayed, "CDC replay must reproduce the latest snapshot")
+    // full history (fromSnapshot = 0): the create commit's rows arrive
+    // as inserts at snapshot 1, then the same deltas as above
+    val full = GraftTable.changesBetweenRows(spark, root, 0, 4, "id")
+      .groupBy("_commit_snapshot", "_change_type").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(full((1, "insert")) == 100L, s"create step wrong: $full")
+    assert(full((2, "update_preimage")) == 5L &&
+      full((3, "delete")) == 6L, s"later steps wrong: $full")
   }
 
   test("merge/delete on a non-numeric or all-null key fail loudly") {

@@ -259,10 +259,16 @@ class PropertySpec extends SparkTestBase {
         s"Luhn-invalid number was wrongly redacted: $s -> $once")
     }
     // the near-misses must pass through untouched (no over-redaction)
-    val misses = Seq("call 555-12 now", "DE1 is a code", "word alpha")
-    val kept = misses.toDF("s")
+    val misses = Seq("call 555-12 now", "DE1 is a code", "word alpha",
+      "ref 41111111111111119 stays") // 17 digits: contains a valid card's
+    val kept = misses.toDF("s")      // digits but is NOT a candidate
       .select(ops.Llm.piiScrub(col("s")).as("c")).collect().map(_.getString(0))
     assert(kept.toSeq == misses, s"near-misses altered: ${kept.toSeq}")
+    // and a candidate NEXT TO a longer digit run redacts only itself
+    val both = Seq("pay 4111111111111111 ref 41111111111111119").toDF("s")
+      .select(ops.Llm.piiScrub(col("s")).as("c")).head().getString(0)
+    assert(both == "pay <CARD> ref 41111111111111119",
+      s"boundary-less card replace corrupted neighbors: $both")
   }
 
   test("jaccard formula: symmetric, reflexive, bounded") {
