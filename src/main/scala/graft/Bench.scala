@@ -35,7 +35,8 @@ object Bench {
     // nothing.
     val gcBefore = Set("llm_simjoin", "llm_simjoin_lsh", "llm_simjoin_auto",
       "llm_simjoin_lsh_bucketed", "llm_dedup_embcos", "llm_dedup_text",
-      "llm_minhash", "llm_pipeline", "llm_corpus", "llm_tfidf")
+      "llm_minhash", "llm_pipeline", "llm_corpus", "llm_tfidf",
+      "llm_dedup_keep_best")
     // a failed query must be visible as -1, never as a (fast-looking)
     // time-to-failure folded into the total
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

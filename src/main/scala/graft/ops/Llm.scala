@@ -154,6 +154,43 @@ object Llm {
       .select(col("doc_a"), col("doc_b"), r4(col("jac_raw")).as("jac"))
       .orderBy("doc_a", "doc_b")
 
+  /** Quality-aware survivor selection over the same capped exact-Jaccard
+    * τ ≥ 0.8 pair relation as [[llm_dedup_jaccard]] — the refinement the
+    * published web-corpus pipelines apply after near-dup grouping: within
+    * each transitive dup group keep the HIGHEST-quality member (shared
+    * [[qualityScored]] integer basis points, so the comparison is exact
+    * cross-engine; ties break to the smallest doc_id so the choice is a
+    * total order), not the smallest-id one, and every document reports
+    * which keeper absorbed it. Cost over min-id dedup is one window per
+    * component on an already-shuffled relation — the pair kernel and the
+    * closure dominate, and both are the 100 TB shapes (DF-capped buckets,
+    * budget-dispatched union-find). */
+  val llm_dedup_keep_best: Q = (s, d) => {
+    val edges = jaccardPairsRaw(s, d).where(col("jac_raw") >= 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    keepBestSurvivors(qualityScored(s, d).select("doc_id", "bp"), edges)
+  }
+
+  /** kernel of [[llm_dedup_keep_best]], unit-testable on synthetic
+    * (doc_id, bp) + (a, b) inputs: argmax-bp (tie → min doc_id) per
+    * connected component; documents in no component keep themselves. */
+  private[graft] def keepBestSurvivors(scored: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges)
+      .select(col("gid").as("doc_id"), col("comp"))
+    // first() over the (bp desc, doc_id asc) order reads the partition
+    // head — the argmax — from every row's default running frame
+    val w = Window.partitionBy("grp").orderBy(desc("bp"), asc("doc_id"))
+    scored.join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("keeper", first(col("doc_id")).over(w))
+      .select(col("doc_id"),
+        (col("bp").cast("double") / 10000.0).as("quality"),
+        (col("doc_id") === col("keeper")).as("survives"),
+        col("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. Engine-
     * specific hashes → no SQL oracle (rows-only); the test suite asserts
     * candidates ⊇ all J ≥ 0.9 pairs. Scale path: signatures are one
@@ -1787,6 +1824,40 @@ object Llm {
 
   val llm_cap_source: Q = (s, d) => capSource(s, d)
 
+  /** Per-source TOKEN budget (not doc count): in corpus-shuffled order —
+    * the (ax mod p) bucket, then doc_id — each source contributes docs
+    * until its cumulative token count passes [[TokenBudget]]. The running
+    * sum is computed in two phases so one giant source cannot serialize
+    * into a single task: (1) per-(source, bucket) subtotals — an ordinary
+    * two-phase hash agg; (2) an exclusive prefix sum over the ≤
+    * [[TbBuckets]] bucket rows per source — a window over a relation whose
+    * size is sources × buckets, independent of corpus size, broadcast back;
+    * (3) a within-bucket running sum, parallel across (source, bucket)
+    * partitions. The composed cum_tok equals the single global window's
+    * answer exactly (same total order) — which is what the oracle computes,
+    * making the equivalence itself the checked claim. */
+  private[graft] val TokenBudget = 800L
+  private[graft] val TbBuckets = 1000L
+
+  val llm_token_budget: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bkt", (col("doc_id") % CapP) * CapA % CapP % TbBuckets)
+    val per = docs.groupBy("source", "bkt").agg(sum("n_tok").as("bt"))
+    val wb = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = per.withColumn("boff", coalesce(sum("bt").over(wb), lit(0L)))
+      .select("source", "bkt", "boff")
+    val wr = Window.partitionBy("source", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(off), Seq("source", "bkt"))
+      .withColumn("cum_tok", col("boff") + sum("n_tok").over(wr))
+      .withColumn("kept", col("cum_tok") <= TokenBudget)
+      .select("doc_id", "source", "n_tok", "cum_tok", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split (80/10/10) on a second member of
     * the same (ax mod p) hash family — different multiplier AND prime,
     * so the assignment is pairwise independent of [[llm_sample]]'s and
@@ -2145,6 +2216,7 @@ object Llm {
   val queries: Seq[(String, Q)] = Seq(
     "llm_dedup_exact" -> llm_dedup_exact,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
+    "llm_dedup_keep_best" -> llm_dedup_keep_best,
     "llm_minhash" -> llm_minhash,
     "llm_simhash" -> llm_simhash,
     "llm_knn" -> llm_knn,
@@ -2181,6 +2253,7 @@ object Llm {
     "llm_sample" -> llm_sample,
     "llm_sample_weighted" -> llm_sample_weighted,
     "llm_cap_source" -> llm_cap_source,
+    "llm_token_budget" -> llm_token_budget,
     "llm_split" -> llm_split,
     "llm_pack" -> llm_pack,
     "llm_corpus" -> llm_corpus,
@@ -2277,6 +2350,32 @@ object Llm {
               round(inter / (sz_a + sz_b - inter), 4) AS jac
           FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.8
           ORDER BY doc_a, doc_b""",
+    // same capped pair relation closed by recursive-CTE reachability (vs
+    // Spark's union-find/hook+jump), argmax by first_value over the same
+    // exact-integer bp order — a different closure AND a different argmax
+    "llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckCappedPairs,
+          edges AS (
+            SELECT doc_a AS v, doc_b AS u FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.8
+            UNION
+            SELECT doc_b AS v, doc_a AS u FROM pairs
+            WHERE inter / (sz_a + sz_b - inter) >= 0.8),
+          reach AS (
+            SELECT v, v AS r FROM (SELECT DISTINCT v FROM edges)
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.v),
+          comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+          $duckScoredBp,
+          g AS (
+            SELECT bp.doc_id, bp.bp, coalesce(c.comp, bp.doc_id) AS grp
+            FROM bp LEFT JOIN comp c ON bp.doc_id = c.v)
+          SELECT doc_id, CAST(bp AS DOUBLE) / 10000.0 AS quality,
+              doc_id = first_value(doc_id) OVER kw AS survives,
+              first_value(doc_id) OVER kw AS keeper
+          FROM g
+          WINDOW kw AS (PARTITION BY grp ORDER BY bp DESC, doc_id ASC)
+          ORDER BY doc_id""",
     "llm_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
           sims AS (
@@ -2708,6 +2807,22 @@ object Llm {
                      % 10000 ASC, doc_id ASC) AS rk
            FROM documents) t
          WHERE rk <= 10 ORDER BY source, doc_id""",
+    // ONE global running-sum window per source — deliberately the naive
+    // formulation: proving the Spark side's two-phase (bucket-subtotal +
+    // prefix + within-bucket) decomposition equals it IS the check
+    "llm_token_budget" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ((doc_id % $CapP) * $CapA) % $CapP % $TbBuckets AS bkt
+           FROM documents)
+         SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER cw AS BIGINT) AS cum_tok,
+             CAST(sum(n_tok) OVER cw AS BIGINT) <= $TokenBudget AS kept
+         FROM t
+         WINDOW cw AS (PARTITION BY source ORDER BY bkt, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY doc_id""",
     "llm_split" ->
       s"""SELECT lang,
              $duckSplitLabel AS split,

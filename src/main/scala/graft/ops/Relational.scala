@@ -327,6 +327,32 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** The HLL family's RE-AGGREGATION half — the pattern that actually
+    * carries distinct counts at 100 TB: build DataSketches HLL sketches
+    * once at the finest grain (here per (returnflag, linestatus); in
+    * production persisted as a sketch TABLE at ingest), then answer any
+    * coarser rollup by merging sketch BYTES — `hll_union_agg` — instead
+    * of rescanning rows. One row-scan builds all sketches; the rollup
+    * aggregates 6 binary values. `approx_count_distinct` (agg_approx)
+    * cannot do this: its HLL++ buffer is not exposed for re-use. Sketch
+    * bytes are engine-specific → rows-only check; OperatorSpec bounds
+    * every estimate against exact countDistinct AND asserts
+    * union-consistency (merged fine sketches track a directly-built
+    * coarse sketch within 2% — not bit-equal: a DataSketches union drops
+    * the insertion-order HIP estimator for the register-only composite
+    * one, which is exactly what makes the merge order-independent). */
+  val agg_hll_merge: Q = (s, d) => {
+    val sketches = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+    sketches
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+        .as("approx_orders"),
+        count(lit(1)).cast("int").as("n_sketches"))
+      .orderBy("l_returnflag")
+  }
+
   /** The second sketch family next to HLL: error-bounded percentile
     * estimation (Greenwald-Khanna, accuracy 1000 → ≤ 0.1% rank error) —
     * the way a 100 TB pipeline gets quantiles without a global sort.
@@ -646,6 +672,7 @@ object Relational {
     "agg_pricing" -> agg_pricing,
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
+    "agg_hll_merge" -> agg_hll_merge,
     "agg_approx_pctile" -> agg_approx_pctile,
     "agg_cms" -> agg_cms,
     "agg_rollup" -> agg_rollup,

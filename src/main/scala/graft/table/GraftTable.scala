@@ -524,8 +524,12 @@ object GraftTable {
   def compact(spark: SparkSession, root: String, minRows: Long,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, bloomCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Int = {
-    val v = latestSnapshot(root)
+      zorderCols: Seq[String] = Nil,
+      baseSnapshot: Option[Int] = None): Int = {
+    // baseSnapshot pins the derivation for the race tests (merge's seam):
+    // a compact derived against a superseded file set must fail loudly,
+    // never silently resurrect rows a concurrent merge/delete rewrote
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"compact of non-existent table $root")
     val parent = manifest(root, v)
     val small = parent.files.filter(_.rows < minRows)

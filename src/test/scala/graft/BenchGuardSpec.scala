@@ -35,7 +35,7 @@ class BenchGuardSpec extends SparkTestBase {
     // jumping) carry ~4 small fixed jobs per round regardless of SF —
     // their floor is round overhead, not data, so they get a wider budget
     val iterative = Set("llm_dedup_embcos", "llm_dedup_text",
-      "asana_task_roots")
+      "asana_task_roots", "llm_dedup_keep_best")
     def measureOver(names: Seq[String]): Seq[(String, Double)] = names.flatMap {
       name =>
         val q = SparkEntry.queries(name)
@@ -76,7 +76,7 @@ class BenchGuardSpec extends SparkTestBase {
       "llm_dedup_embcos", "llm_dedup_text", "llm_pipeline", "llm_corpus",
       "llm_minhash", "join_bucketed", "llm_dedup_jaccard", "llm_langid",
       "scan_orc", "sink_partition_overwrite", "sink_compact", "sink_upsert",
-      "llm_tfidf", "join_range")
+      "llm_tfidf", "join_range", "llm_dedup_keep_best")
     val measured = heavy.map { name =>
       // same shield Bench applies: the measurement budgets the query's own
       // cost, not whichever major GC the preceding queries' garbage buys

@@ -153,6 +153,34 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftTable.latestSnapshot(root) == 2)
   }
 
+  test("compact derived from a stale snapshot fails loudly — never " +
+      "resurrects rows a concurrent merge rewrote") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    import spark.implicits._
+    // a merge rewrites the file holding id=1 → snapshot 2; a compact
+    // that planned its rewrite against snapshot 1's file set would copy
+    // the PRE-merge row back in — the commit must reject it instead
+    GraftTable.merge(spark, root, Seq((1L, "UPD1")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), numFiles = 1)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.compact(spark, root, minRows = Long.MaxValue,
+        statsCols = Seq("id"), clusterCols = Seq("id"), numFiles = 1,
+        baseSnapshot = Some(1))
+    }
+    assert(GraftTable.latestSnapshot(root) == 2)
+    val after = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 100 && after(1L) == "UPD1")
+    // and an un-pinned compact derives from the live snapshot and lands
+    assert(GraftTable.compact(spark, root, minRows = Long.MaxValue,
+      statsCols = Seq("id"), clusterCols = Seq("id"), numFiles = 1) == 3)
+    val c = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c.size == 100 && c(1L) == "UPD1")
+  }
+
   test("merge-vs-merge race: exactly one winner per snapshot id; the " +
       "loser's retry re-derives from the new snapshot") {
     val root = freshRoot()

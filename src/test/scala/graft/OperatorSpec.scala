@@ -50,6 +50,56 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_hll_merge: union of fine sketches ≡ direct coarse sketch, " +
+      "and both within 5% of exact") {
+    // the re-aggregation claim: merging per-(rf,ls) sketch bytes answers
+    // the coarse rollup. NOT bit-equal to a direct coarse sketch — a
+    // DataSketches union discards the insertion-order HIP estimator and
+    // falls back to the composite (register-only) estimator — but the
+    // register state is merge-order independent, so the merged estimate
+    // is deterministic and must track the direct build tightly (≤2%
+    // observed 0.6% on this fixture) and the truth within 5%
+    val merged = ops.Relational.agg_hll_merge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val coarse = li.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(12)))
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nls = li.select("l_returnflag", "l_linestatus").distinct()
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (rf, e) =>
+      val (est, n) = merged(rf)
+      assert(n == nls(rf).toInt, s"$rf: merged $n sketches, want ${nls(rf)}")
+      assert(math.abs(est - coarse(rf)).toDouble / coarse(rf) <= 0.02,
+        s"$rf: union-of-fine $est vs direct coarse ${coarse(rf)}")
+      assert(math.abs(est - e) / e <= 0.05, s"$rf: est $est vs exact $e")
+    }
+  }
+
+  test("keepBestSurvivors: argmax-quality keeper per component, " +
+      "min-id tiebreak, singletons keep themselves") {
+    import spark.implicits._
+    // {1,2,3} chained with a bp tie between 2 and 3 → keeper 2 (min id);
+    // {10,11} → keeper 11 (higher bp); 20 isolated → keeps itself
+    val scored = Seq((1L, 5000L), (2L, 7000L), (3L, 7000L),
+      (10L, 1000L), (11L, 9000L), (20L, 4000L)).toDF("doc_id", "bp")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = ops.Llm.keepBestSurvivors(scored, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == ((0.5, false, 2L)))
+    assert(out(2L) == ((0.7, true, 2L)))
+    assert(out(3L) == ((0.7, false, 2L)))
+    assert(out(10L) == ((0.1, false, 11L)))
+    assert(out(11L) == ((0.9, true, 11L)))
+    assert(out(20L) == ((0.4, true, 20L)))
+  }
+
   test("MinHash LSH candidates cover all true Jaccard >= 0.9 pairs") {
     val truePairs = ops.Llm.llm_dedup_jaccard(spark, sf)
       .where(col("jac") >= 0.9)
