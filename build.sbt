@@ -26,7 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector for the batch-shaped bench/verify workload:
+  // G1's pause-time goal spends CPU on concurrent marking that a
+  // sum-of-query-times metric pays for directly. Measured on the full
+  // 158-query sf0.1 bench (same host window, back to back):
+  //   8g  G1       84.4 s      8g  ParallelGC 63.5 s
+  //   28g G1       79.3 s      28g ParallelGC 58.9-61.0 s
+  // — the collector choice alone is ~25%; the larger heap adds ~3 s by
+  // cutting major-GC frequency for the allocation-heavy pair kernels.
+  "-XX:+UseParallelGC",
 )
 // The bench/verify drivers parse the LAST stdout line as a JSON metric;
 // sbt's "[success] Total time: N s" epilogue after the forked JVM exits
