@@ -25,17 +25,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4.x refuses
-    * to read natively (PARQUET_TYPE_ILLEGAL, verified — SURVEY.md §1.4).
-    * Runtime-settable legacy conf maps it to LongType epoch-nanos; integer
-    * `div 1000` (exact, no double rounding) then timestamp_micros yields
-    * the µs-truncated instant DuckDB produces natively for the same file.
-    */
+  /** events.parquet's `ts` encoding has varied across driver-generated
+    * fixture generations: rounds 1–6 shipped INT64 TIMESTAMP(NANOS), which
+    * Spark 4.x refuses to read natively (PARQUET_TYPE_ILLEGAL, verified —
+    * SURVEY.md §1.4) and the runtime-settable legacy conf maps to LongType
+    * epoch-nanos; the round-7 regeneration ships TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which reads natively as TIMESTAMP_NTZ. This
+    * reader accepts BOTH by branching on the materialized schema and emits
+    * the same column either way: a µs-precision TIMESTAMP_LTZ (session tz
+    * is pinned UTC, so NTZ→LTZ preserves the wall-clock instant; for the
+    * nanos form, integer `div 1000` — exact, no double rounding — then
+    * timestamp_micros yields the µs-truncated instant DuckDB produces
+    * natively for the same file). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
 
