@@ -191,6 +191,82 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Non-overlapping window width (tokens) for [[llm_dedup_substr]]. */
+  private[graft] val SubstrW = 16
+
+  /** Exactly [[SubstrW]] tokens of boilerplate, prepended to every third
+    * document in BOTH engines (the llm_pii_scrub injected-fixture pattern):
+    * the fixture text is random tokens with no natural 16-token repeats, so
+    * without injection the operator would be verified only as a no-op. With
+    * it, every doc_id % 3 == 0 document shares window 0 and the oracle
+    * proves the survivor choice and the byte-exact reassembly. */
+  private[graft] val SubstrBoiler =
+    "terms of service all rights reserved content provided as is " +
+      "without warranty of any kind whatsoever"
+
+  /** Substring-level dedup — the windowed, shuffle-friendly approximation
+    * of suffix-array exact-substring dedup (the published result: removing
+    * repeated ~50-token passages, not whole near-dup documents, is what
+    * deduplicating web corpora actually requires — boilerplate headers,
+    * license blocks and quoted passages recur across otherwise-distinct
+    * pages). Each document is cut into non-overlapping [[SubstrW]]-token
+    * windows; a FULL window whose exact text occurs elsewhere in the corpus
+    * (or earlier in the same document) is dropped unless it is the globally
+    * first occurrence (min (doc_id, win_id) — a total order, so the
+    * survivor set is deterministic); trailing partial windows never
+    * participate. Output per document: window/drop/token accounting plus
+    * the md5 of the reassembled kept text, so the oracle verifies the
+    * rewritten corpus byte-exactly, not just the counts.
+    *
+    * 100 TB shape: two shuffles — one hash-agg on the window text to build
+    * the (survivor, occurrence-count) table (partial aggregation absorbs
+    * hot boilerplate windows map-side; the agg state per key is 16 bytes,
+    * never a posting list), one shuffle back on doc_id to reassemble. No
+    * self-join, no quadratic bucket: cost is linear in corpus tokens /
+    * [[SubstrW]]. The suffix-array construction this approximates cannot
+    * shuffle at all. */
+  val llm_dedup_substr: Q = (s, d) =>
+    substrDedupOf(documents(s, d)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(lit(SubstrBoiler + " "), col("text"))).otherwise(col("text"))))
+
+  /** kernel over an arbitrary (doc_id, text) frame — unit-testable on
+    * planted within-doc and cross-doc repeats. */
+  private[graft] def substrDedupOf(docs: DataFrame): DataFrame = {
+    val win = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 1) // sequence(1,0) is an error, not empty
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(l), $SubstrW), st -> slice(l, st, $SubstrW))"))
+        .as(Seq("win_id", "wtoks")))
+      .select(col("doc_id"), col("win_id").cast("int").as("win_id"),
+        array_join(col("wtoks"), " ").as("wtext"),
+        size(col("wtoks")).as("wlen"))
+    // survivor key = min (doc_id, win_id), packed into one long so both
+    // engines aggregate a primitive (win_id < 1e6 by fixture contract)
+    // surv derives FROM win — alias its key so the probe join is not an
+    // ambiguous self-reference
+    val surv = win.where(col("wlen") === SubstrW)
+      .groupBy("wtext")
+      .agg(min(col("doc_id") * 1000000L + col("win_id")).as("skey"))
+      .select(col("wtext").as("s_wtext"), col("skey"))
+    val kept = win
+      .join(surv,
+        col("wtext") === col("s_wtext") && col("wlen") === SubstrW, "left")
+      .withColumn("keep", col("wlen") < SubstrW ||
+        col("doc_id") * 1000000L + col("win_id") === col("skey"))
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).cast("long").as("n_dup_win"),
+        sum(when(col("keep"), col("wlen")).otherwise(0)).cast("long")
+          .as("n_tok_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("win_id"), col("wtext"))))),
+          x => x.getField("wtext")), " ")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. Engine-
     * specific hashes → no SQL oracle (rows-only); the test suite asserts
     * candidates ⊇ all J ≥ 0.9 pairs. Scale path: signatures are one
@@ -2217,6 +2293,7 @@ object Llm {
     "llm_dedup_exact" -> llm_dedup_exact,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
+    "llm_dedup_substr" -> llm_dedup_substr,
     "llm_minhash" -> llm_minhash,
     "llm_simhash" -> llm_simhash,
     "llm_knn" -> llm_knn,
@@ -2350,6 +2427,38 @@ object Llm {
               round(inter / (sz_a + sz_b - inter), 4) AS jac
           FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.8
           ORDER BY doc_a, doc_b""",
+    // windows via range() + 1-based inclusive list slicing (DuckDB 1.0 has
+    // no UNNEST WITH ORDINALITY — measured) vs Spark's transform/sequence
+    // slicing; string_agg skips the NULLed-out dropped windows,
+    // coalesce('') matches Spark's empty-array join
+    "llm_dedup_substr" ->
+      s"""WITH inj AS (
+           SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '$SubstrBoiler ' || text
+                    ELSE text END AS text
+           FROM documents),
+         win AS (
+           SELECT doc_id, CAST(g AS INT) AS win_id,
+               array_to_string(l[(g*16+1):(g*16+16)], ' ') AS wtext,
+               CAST(len(l[(g*16+1):(g*16+16)]) AS INT) AS wlen
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM inj),
+                UNNEST(range((len(l)+15)//16)) AS t(g)),
+         surv AS (
+           SELECT wtext, min(doc_id * 1000000 + win_id) AS skey
+           FROM win WHERE wlen = 16 GROUP BY wtext),
+         kept AS (
+           SELECT w.doc_id, w.win_id, w.wtext, w.wlen,
+               (w.wlen < 16 OR w.doc_id * 1000000 + w.win_id = s.skey) AS keep
+           FROM win w LEFT JOIN surv s ON w.wtext = s.wtext AND w.wlen = 16)
+         SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_win,
+             CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_win,
+             CAST(sum(CASE WHEN keep THEN wlen ELSE 0 END) AS BIGINT)
+               AS n_tok_kept,
+             md5(coalesce(string_agg(CASE WHEN keep THEN wtext END,
+                 ' ' ORDER BY win_id), '')) AS text_md5
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
     // same capped pair relation closed by recursive-CTE reachability (vs
     // Spark's union-find/hook+jump), argmax by first_value over the same
     // exact-integer bp order — a different closure AND a different argmax

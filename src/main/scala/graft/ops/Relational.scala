@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 import graft.util.Det._
@@ -157,6 +158,30 @@ object Relational {
           col("s_acctbal") > col("c_acctbal"))
       .select("s_suppkey", "c_custkey", "s_nationkey")
       .orderBy("s_suppkey", "c_custkey")
+
+  /** null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other — the dimension-with-unknown-bucket join plain `=` would
+    * silently drop. Both sides derive a nullable bucket (nationkey % 7,
+    * 0 → NULL) so the null-null match is actually exercised, not
+    * vacuously true. Scale note: EqualNullSafe is still an EQUI key to
+    * Catalyst — hash-partitionable (null hashes like any value), so the
+    * join stays BHJ/SMJ and never degrades to a nested loop; that's the
+    * reason to prefer `<=>` over the `(a = b OR (a IS NULL AND b IS
+    * NULL))` rewrite, which is non-equi and forces BNLJ. */
+  val join_nullsafe: Q = (s, d) => {
+    def bucket(c: Column): Column =
+      when(c % 7 === 0, lit(null)).otherwise(c % 7).cast("int")
+    val sup = supplier(s, d)
+      .select(bucket(col("s_nationkey")).as("k"), col("s_suppkey"))
+    val cust = customer(s, d)
+      .select(bucket(col("c_nationkey")).as("ck"), col("c_custkey"))
+    sup.join(cust, sup("k") <=> cust("ck"))
+      .groupBy(sup("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("s_suppkey")).as("n_sup"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+      .orderBy(asc_nulls_first("k"))
+  }
 
   /** interval self-join: pairs of events of the same user ≤ 30 min apart.
     *
@@ -553,6 +578,34 @@ object Relational {
     """)
   }
 
+  /** NOT IN under three-valued logic — the classic SQL trap, proven
+    * cross-engine: `x NOT IN (subquery)` is FALSE-or-UNKNOWN (never TRUE)
+    * for EVERY x when the subquery yields any NULL, so a WHERE it guards
+    * keeps ZERO rows. Per row: the null-free NOT IN projected as a
+    * boolean; corpus-wide: the survivor count under the SAME set with
+    * NULLs mixed in — zero, the trap — via an uncorrelated scalar
+    * subquery. The poisoned branch deliberately sits in WHERE context:
+    * there UNKNOWN excludes the row identically on both engines, whereas
+    * a PROJECTED null-poisoned NOT IN diverges (measured at sf0.001:
+    * Spark's ExistenceJoin collapses UNKNOWN to false, DuckDB keeps
+    * NULL). Catalyst plans NOT IN as a null-aware anti join — still an
+    * equi-shaped join, not per-row subquery re-execution. */
+  val sub_notin_null: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("graft_sub_cust3")
+    s.sql("""
+      SELECT c_custkey, c_nationkey,
+             c_nationkey NOT IN (SELECT c_nationkey FROM graft_sub_cust3
+                                 WHERE c_mktsegment = 'BUILDING') AS notin_clean,
+             (SELECT count(1) FROM graft_sub_cust3 c2
+              WHERE c2.c_nationkey NOT IN
+                  (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                               THEN c_nationkey END
+                   FROM graft_sub_cust3)) AS n_poisoned_survivors
+      FROM graft_sub_cust3
+      ORDER BY c_custkey
+    """)
+  }
+
   /** pivot: long→wide per-user event counts over the (verified) closed
     * event-type domain; values pinned explicitly so the output schema is
     * static — the scalable form (dynamic pivot needs a distinct-scan first). */
@@ -664,6 +717,7 @@ object Relational {
     "join_semi" -> join_semi,
     "join_anti" -> join_anti,
     "join_theta" -> join_theta,
+    "join_nullsafe" -> join_nullsafe,
     "join_range" -> join_range,
     "join_asof" -> join_asof,
     "join_star" -> join_star,
@@ -689,6 +743,7 @@ object Relational {
     "agg_unpivot" -> agg_unpivot,
     "sub_scalar" -> sub_scalar,
     "sub_in" -> sub_in,
+    "sub_notin_null" -> sub_notin_null,
     "sort_multi" -> sort_multi,
     "sort_topk" -> sort_topk,
     "setop_union" -> setop_union,
@@ -771,6 +826,18 @@ object Relational {
          FROM supplier JOIN customer
            ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
          ORDER BY s_suppkey, c_custkey""",
+    "join_nullsafe" ->
+      """SELECT s.k, count(1) AS n_pairs,
+             count(DISTINCT s.s_suppkey) AS n_sup,
+             count(DISTINCT c.c_custkey) AS n_cust
+         FROM (SELECT CASE WHEN s_nationkey % 7 = 0 THEN NULL
+                           ELSE CAST(s_nationkey % 7 AS INT) END AS k,
+                      s_suppkey FROM supplier) s
+         JOIN (SELECT CASE WHEN c_nationkey % 7 = 0 THEN NULL
+                           ELSE CAST(c_nationkey % 7 AS INT) END AS k,
+                      c_custkey FROM customer) c
+           ON s.k IS NOT DISTINCT FROM c.k
+         GROUP BY s.k ORDER BY s.k NULLS FIRST""",
     "join_range" ->
       """SELECT e1.user_id, e1.event_id AS id1, e2.event_id AS id2,
              date_diff('second', e1.ts, e2.ts) AS gap_sec
@@ -932,6 +999,17 @@ object Relational {
            FROM orders i
            WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+    "sub_notin_null" ->
+      """SELECT c_custkey, c_nationkey,
+             c_nationkey NOT IN (SELECT c_nationkey FROM customer
+                                 WHERE c_mktsegment = 'BUILDING') AS notin_clean,
+             (SELECT count(1) FROM customer c2
+              WHERE c2.c_nationkey NOT IN
+                  (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+                               THEN c_nationkey END
+                   FROM customer)) AS n_poisoned_survivors
+         FROM customer
+         ORDER BY c_custkey""",
     "sub_in" ->
       """SELECT c_custkey, c_mktsegment
          FROM customer

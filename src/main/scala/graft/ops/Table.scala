@@ -227,6 +227,35 @@ object Table {
       .orderBy("o_orderstatus")
   }
 
+  /** RESTORE as the undo-a-bad-load story, on its own table (the shared
+    * fixture's 3-commit history must stay untouched for the other
+    * queries): v1 create (≤ 1997) → v2 append 1998+ (the "bad load") →
+    * v3 restore(1) (metadata-only undo — zero data movement at any
+    * scale) → v4 append ≥ 1999 (the corrected reload). The latest read
+    * must show 1998 absent and everything else intact; the bad commit
+    * stays time-travelable (GraftTableSpec proves that and the no-op /
+    * expired-target edges). */
+  val table_restore: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_restore")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      GraftTable.append(s, root, src.where(col("o_year") >= 1998),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      GraftTable.restore(root, 1)
+      GraftTable.append(s, root, src.where(col("o_year") >= 1999),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "table_snapshot" -> table_snapshot,
     "table_time_travel" -> table_time_travel,
@@ -236,9 +265,19 @@ object Table {
     "table_pointlookup" -> table_pointlookup,
     "table_compact" -> table_compact,
     "table_delete" -> table_delete,
+    "table_restore" -> table_restore,
     "table_zorder" -> table_zorder)
 
   val oracle: Seq[(String, String)] = Seq(
+    // restore(1) undid the 1998+ append; the corrected reload re-added
+    // only 1999+ — so the final state is simply "everything but 1998"
+    "table_restore" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) <> 1998
+         GROUP BY 1 ORDER BY 1""",
     // final state replayed statically: merge keys carry doubled totals
     "table_snapshot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -110,6 +110,25 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** LOCF gap-fill (forward fill): sparsify `value` to purchase events
+    * only, then carry the last non-null observation forward per user in
+    * (ts, event_id) total order — the time-series densification every
+    * sensor/price pipeline runs. `last(ignoreNulls)` over a running ROWS
+    * frame; the filled value is a raw parquet double (no arithmetic), so
+    * output is bit-exact cross-engine with no rounding. Scale: state per
+    * partition is one value; the shuffle key is user_id like every other
+    * events window. */
+  val win_fill: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("v", when(col("event_type") === "purchase", col("value")))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+      .orderBy("event_id")
+  }
+
   val win_run: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey")
       .orderBy(asc("o_orderdate"), asc("o_orderkey"))
@@ -302,6 +321,7 @@ object Windows {
     "win_session" -> win_session,
     "win_funnel" -> win_funnel,
     "win_moving" -> win_moving,
+    "win_fill" -> win_fill,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -420,6 +440,17 @@ object Windows {
              CAST(sum(CAST(value AS DECIMAL(18,2)))
                  OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+         FROM events ORDER BY event_id""",
+    // IGNORE NULLS is the engine-native LOCF on both sides; the frame and
+    // total order match Spark's exactly, values are raw parquet doubles
+    "win_fill" ->
+      """SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN value END AS v,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_fill
          FROM events ORDER BY event_id""",
     "win_topk" ->
       """WITH rev AS (

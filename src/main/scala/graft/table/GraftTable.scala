@@ -551,6 +551,36 @@ object GraftTable {
     v + 1
   }
 
+  /** RESTORE: roll the table back to snapshot `toSnapshot` as a NEW
+    * commit (the public Delta RESTORE semantic) — the live file list and
+    * the pinned schema become exactly the target manifest's, but history
+    * is preserved: the bad commits stay time-travelable and the restore
+    * itself is an auditable entry, never a destructive rewind of the
+    * manifest chain. Zero data movement at any scale: the target's files
+    * are immutable and still on disk (restore to an EXPIRED snapshot is a
+    * loud NoSuchFile from [[manifest]] — expireSnapshots deleted its
+    * manifest, and possibly its files, precisely so nothing can silently
+    * read a half-vacuumed state). Optimistic like [[append]]: the file
+    * list is parent-independent, so a lost commit race rebases and
+    * retries. Restoring to the current latest would be an empty commit —
+    * returns the latest unchanged instead. */
+  def restore(root: String, toSnapshot: Int): Int = {
+    require(toSnapshot > 0, s"restore target must be >= 1, got $toSnapshot")
+    val target = manifest(root, toSnapshot)
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(toSnapshot <= v, s"restore target $toSnapshot > latest $v")
+      if (toSnapshot == v) return v
+      val m = Manifest(v + 1, v, s"restore($toSnapshot)",
+        target.schemaJson, target.files)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"restore lost 20 commit races at $root")
+  }
+
   /** Snapshot expiration + vacuum: drop every manifest with id <
     * `keepFrom`, then delete the data files no surviving manifest
     * references. Time travel to expired snapshots stops working (their

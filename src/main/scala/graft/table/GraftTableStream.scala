@@ -92,7 +92,20 @@ class GraftTableStreamProvider extends StreamSourceProvider
   * stream resumes from the checkpoint without rescanning history —
   * provided those manifests are retained (expireSnapshots keeps a
   * resumable tail only back to `keepFrom`; streaming past an expired
-  * range fails loudly rather than silently skipping commits). */
+  * range fails loudly rather than silently skipping commits).
+  *
+  * `.option("maxSnapshotsPerTrigger", n)` bounds how many commits one
+  * micro-batch may cover (the Delta maxFilesPerTrigger analog): a stream
+  * started against — or restarted far behind — a long history digests it
+  * in n-commit batches instead of one unbounded catch-up batch whose
+  * union/diff plan grows with the backlog. The cap floor is tracked off
+  * getBatch's end offsets, which the engine replays from the checkpoint
+  * on restart before asking for a new offset, so the cap never rewinds a
+  * committed batch. Caveat: Trigger.AvailableNow latches the drain
+  * target from ONE getOffset call at query start, so combining it with
+  * the cap stops n commits in — use the default trigger (+
+  * processAllAvailable or a stop condition) for a rate-limited drain,
+  * as the spec test does. */
 object GraftTableSource {
   /** CDC mode widens the stream schema with the change metadata. */
   private[table] def withCdcColumns(base: StructType,
@@ -114,6 +127,15 @@ class GraftTableSource(spark: SparkSession, root: String,
   require(!readChanges || keyCol.exists(_.nonEmpty),
     """CDC mode needs .option("keyCol", <merge key>) to row-diff """ +
       "merge/delete commits")
+  private val maxSnapshotsPerTrigger =
+    parameters.get("maxSnapshotsPerTrigger").map(_.trim.toInt)
+  require(maxSnapshotsPerTrigger.forall(_ >= 1),
+    s"maxSnapshotsPerTrigger must be >= 1, got $maxSnapshotsPerTrigger")
+  // highest end offset a getBatch has served: the rate-limit floor. On
+  // restart the engine first replays the checkpointed batch through
+  // getBatch, which re-seeds this before any new getOffset — so the cap
+  // is always relative to committed progress, never below it.
+  @volatile private var servedThrough: Int = 0
 
   override val schema: StructType = {
     val v = GraftTable.latestSnapshot(root)
@@ -125,13 +147,18 @@ class GraftTableSource(spark: SparkSession, root: String,
 
   override def getOffset: Option[V1Offset] = {
     val v = GraftTable.latestSnapshot(root)
-    if (v < 1) None else Some(GraftTableOffset(v))
+    val capped = maxSnapshotsPerTrigger match {
+      case Some(n) => math.min(v, servedThrough + n)
+      case None => v
+    }
+    if (capped < 1) None else Some(GraftTableOffset(capped))
   }
 
   override def getBatch(start: Option[V1Offset],
       end: V1Offset): DataFrame = {
     val from = start.map(_.json.trim.toInt).getOrElse(0)
     val to = end.json.trim.toInt
+    servedThrough = math.max(servedThrough, to)
     val batch =
       if (from >= to) empty()
       else if (readChanges && from == 0)

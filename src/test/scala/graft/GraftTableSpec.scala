@@ -587,6 +587,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(eNull.getMessage.contains("null"))
   }
 
+  test("restore: rolls back bad commits as a new auditable snapshot; " +
+      "bad history stays time-travelable; latest-target is a no-op") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    GraftTable.append(spark, root,
+      idTable(150).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    import spark.implicits._
+    GraftTable.merge(spark, root,
+      Seq((5L, "corrupted")).toDF("id", "payload"), "id", Seq("id"),
+      Seq("id"))
+    // undo append+merge in one metadata-only commit
+    val v = GraftTable.restore(root, 1)
+    assert(v == 4)
+    assert(GraftTable.latestSnapshot(root) == 4)
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 100)
+    assert(latest.where(col("id") === 5).select("payload")
+      .head().getString(0) == "v5")
+    // restored file list IS snapshot 1's — zero data movement
+    assert(GraftTable.manifest(root, 4).files.map(_.path).toSet ==
+      GraftTable.manifest(root, 1).files.map(_.path).toSet)
+    // the bad commits remain auditable history
+    assert(GraftTable.read(spark, root, Some(3))
+      .where(col("id") === 5).select("payload").head()
+      .getString(0) == "corrupted")
+    assert(GraftTable.history(spark, root)
+      .where(col("op") === "restore(1)").count() == 1)
+    // restoring to the current latest commits nothing
+    assert(GraftTable.restore(root, 4) == 4)
+    assert(GraftTable.latestSnapshot(root) == 4)
+    // writes continue normally on top of the restored state
+    GraftTable.append(spark, root,
+      idTable(120).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 1)
+    assert(GraftTable.read(spark, root).count() == 120)
+    // a restore target whose manifest was expired fails loudly
+    GraftTable.expireSnapshots(root, keepFrom = 4)
+    intercept[Exception] { GraftTable.restore(root, 2) }
+  }
+
   test("expireSnapshots with a smaller keepFrom after a larger one no-ops") {
     val root = freshRoot()
     GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),

@@ -649,11 +649,44 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
-  test("events nanos fix: ts range matches the documented Jan 2024 span") {
+  test("events ts normalization: ts range matches the documented Jan 2024 " +
+      "span (whatever encoding this fixture generation shipped)") {
     val mm = graft.util.Tables.events(spark, sf)
       .agg(min("ts").cast("string"), max("ts").cast("string")).head()
     assert(mm.getString(0).startsWith("2024-01-01"))
     assert(mm.getString(1).startsWith("2024-01-3"))
+    // the emitted type is LTZ µs regardless of the file's encoding
+    assert(graft.util.Tables.events(spark, sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("llm_dedup_substr kernel: first occurrence survives, within-doc and " +
+      "cross-doc repeats drop, reassembly is byte-exact") {
+    import spark.implicits._
+    val W = ops.Llm.SubstrW
+    // 16 distinct tokens = one full window
+    val blk = (0 until W).map(i => s"t$i").mkString(" ")
+    val blk2 = (0 until W).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: blk + tail — the global first occurrence of blk
+      (1L, s"$blk alpha beta"),
+      // doc 2: blk twice (cross-doc AND within-doc repeat) + distinct blk2
+      (2L, s"$blk $blk2 $blk"),
+      // doc 3: unique content only
+      (3L, "solo content here")).toDF("doc_id", "text")
+    val out = ops.Llm.substrDedupOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 keeps everything (owns the min (doc_id, win_id) for blk)
+    assert(out(1L) == ((2L, 0L, W + 2L, md5hex(s"$blk alpha beta"))))
+    // doc 2 loses BOTH blk copies (survivor is doc 1's), keeps blk2
+    assert(out(2L) == ((3L, 2L, W.toLong, md5hex(blk2))))
+    // doc 3: single partial window, never eligible for dedup
+    assert(out(3L) == ((1L, 0L, 3L, md5hex("solo content here"))))
   }
 
   test("llm_decontaminate matches an in-memory brute-force recompute") {

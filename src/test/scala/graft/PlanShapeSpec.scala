@@ -66,6 +66,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("join_nullsafe stays an equi join (EqualNullSafe key), never BNLJ") {
+    withStaticPlan {
+      // the whole point of <=> over the (a = b OR both-null) rewrite: the
+      // null-safe comparison is hash-partitionable, so Catalyst keeps a
+      // real equi algorithm; the rewrite forces BroadcastNestedLoopJoin
+      val p = planOf(ops.Relational.join_nullsafe(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"null-safe join degenerated:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi join present:\n$p")
+    }
+  }
+
   test("sort_topk plans TakeOrderedAndProject, not a global sort") {
     withStaticPlan {
       assert(planOf(ops.Relational.sort_topk(spark, sf))

@@ -44,12 +44,18 @@ class StreamingSpec extends SparkTestBase {
 
   test("AvailableNow file-source stream equals the batch aggregation") {
     // the same window expression used by stream_tumble, executed as a real
-    // readStream over the events parquet (nanos ts read as long + converted)
+    // readStream over the events parquet (ts normalized exactly as
+    // Tables.events does — the fixture has shipped both NANOS-as-long and
+    // native-µs encodings across driver generations)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val tsConv =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsConv)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
@@ -101,6 +107,58 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains(("a1", "2024-01-01 10:10:00.0")), s"missing in-range match: $rows")
       assert(!rows.exists(_._1 == "a2"), s"out-of-range click joined: $rows")
       assert(rows.count(_._1 == "a1") == 1, s"evicted-state late click re-joined: $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join null-pads unmatched rows only after " +
+      "the watermark closes their match window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the outer complement of the interval-join test: an impression with
+    // no click must eventually emit (ad, null) — but ONLY once the
+    // watermark proves no in-range click can still arrive; until then the
+    // engine holds it in state and emits nothing for it
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val l = imps.toDF().toDF("imp_ts", "ad")
+      .withWatermark("imp_ts", "10 minutes")
+    val r = clicks.toDF().toDF("click_ts", "cad")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = l.join(r,
+      col("ad") === col("cad") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("ad"), col("imp_ts"), col("click_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_left")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), "a1"),
+        (ts("2024-01-01 10:00:00"), "a2"))
+      clicks.addData((ts("2024-01-01 10:10:00"), "a1"))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT ad FROM ss_left WHERE click_ts IS NULL")
+        .collect()
+      assert(early.isEmpty,
+        s"null-padded row emitted before the watermark closed: " +
+          s"${early.toList}")
+      // advance both watermarks far past a2's 30-min window + 10-min lag
+      imps.addData((ts("2024-01-01 12:00:00"), "zz"))
+      clicks.addData((ts("2024-01-01 12:00:00"), "zz"))
+      q.processAllAvailable()
+      // one more tick so the state store finalizes evictions
+      imps.addData((ts("2024-01-01 13:00:00"), "zz2"))
+      clicks.addData((ts("2024-01-01 13:00:00"), "zz2"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad, click_ts FROM ss_left").collect()
+        .map(row => (row.getString(0), Option(row.getTimestamp(1))
+          .map(_.toString).orNull)).toList
+      assert(rows.contains(("a1", "2024-01-01 10:10:00.0")),
+        s"matched row missing: $rows")
+      assert(rows.contains(("a2", null)),
+        s"unmatched impression never null-padded: $rows")
+      assert(rows.count(_._1 == "a2") == 1,
+        s"outer row emitted more than once: $rows")
     } finally q.stop()
   }
 
@@ -495,6 +553,53 @@ class StreamingSpec extends SparkTestBase {
       val b3 = t.changesBetween(spark, root.getPath, 2, 3)
         .select("id").collect().map(_.getLong(0)).toSet
       assert(b3 == Set(4L, 5L), s"batch-3 increment wrong: $b3")
+    } finally q.stop()
+  }
+
+  test("maxSnapshotsPerTrigger rate-limits the GraftTable stream: a long " +
+      "history drains in bounded batches, totals equal the batch read") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_table_rate").toFile
+    graft.util.AppCleanup.onExit(s"graft_table_rate_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    def ids(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    t.create(spark, root.getPath, ids(1, 10), Seq("id"), Seq("id"),
+      numFiles = 1)                                              // v1
+    (1 to 5).foreach { k =>                                      // v2..v6
+      t.append(spark, root.getPath, ids(10 * k + 1, 10 * k + 10),
+        Seq("id"), Seq("id"), numFiles = 1)
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // default trigger + processAllAvailable: getOffset is re-polled per
+    // batch so the cap advances two commits at a time (the AvailableNow
+    // latch would stop at the first capped offset — documented caveat)
+    val q = spark.readStream
+      .format("graft.table.GraftTableStreamProvider")
+      .option("path", root.getPath)
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(_.getAs[Long]("id"))
+        got.synchronized { got ++= rows; batchSizes += rows.length }; ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // 6 commits at cap 2: initial batch covers v1..v2 (full read at
+      // snapshot 2), then (2,4], (4,6] — 3 non-empty batches minimum
+      assert(batchSizes.count(_ > 0) >= 3,
+        s"history not digested in capped batches: $batchSizes")
+      assert(batchSizes.max <= 30,
+        s"a batch exceeded the 2-commit bound: $batchSizes")
+      assert(got.sorted == (1L to 60L).toList,
+        s"rate-limited drain lost/duplicated rows: ${got.sorted}")
+      assert(got.size == t.read(spark, root.getPath).count(),
+        "stream totals must equal the batch read")
     } finally q.stop()
   }
 
