@@ -641,6 +641,29 @@ object Sources {
       .orderBy("c_mktsegment")
   }
 
+  /** Plain-TEXT export sink — the LLM-corpus deliverable format (one
+    * document per line): doc texts written via the `text` source, read
+    * back as lines and re-keyed by content md5 to rejoin doc ids (line
+    * order is partition-dependent, content is not), then a token-count
+    * rollup proves the round trip lost no characters. The fixture texts
+    * are newline-free single-space token strings, so line == document
+    * exactly; a production exporter escapes embedded newlines first —
+    * that normalization is llm_pii_scrub-style text surgery, not a sink
+    * concern. */
+  val sink_export_text: Q = (s, d) => {
+    val out = sinkDir(s, d, "export_text")
+    val docs = documents(s, d)
+    docs.select("text").write.mode("overwrite").text(out)
+    val back = s.read.text(out)
+      .select(md5(col("value")).as("text_key"),
+        size(split(col("value"), " ")).as("n_tokens"))
+    docs.select(col("doc_id"), md5(col("text")).as("text_key"))
+      .join(back, "text_key")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), sum("n_tokens").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over "video" binary payloads — the one-to-many batch
     * shape real frame extraction produces (doc → sampled frames), with a
     * pooled "resize" per frame: the payload splits into complete 32-byte
@@ -847,6 +870,7 @@ object Sources {
     "sink_upsert" -> sink_upsert,
     "sink_export_jsonl" -> sink_export_jsonl,
     "sink_export_csv" -> sink_export_csv,
+    "sink_export_text" -> sink_export_text,
     "scan_binaryfile" -> scan_binaryfile,
     "scan_xml" -> scan_xml,
     "llm_mm_features" -> llm_mm_features,
@@ -1102,6 +1126,15 @@ object Sources {
              CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_acctbal
          FROM supplier GROUP BY 1 ORDER BY 1""",
+    // text round-trip replayed as a self-join on content (the md5
+    // re-key joins each doc to every identical line; fixtures have no
+    // exact dups, so n_lines = 1 — the oracle encodes the general rule)
+    "sink_export_text" ->
+      """SELECT d.doc_id, count(1) AS n_lines,
+             CAST(sum(len(string_split(d2.text, ' '))) AS BIGINT)
+                 AS n_tokens
+         FROM documents d JOIN documents d2 ON d.text = d2.text
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "sink_export_csv" ->
       """SELECT c_mktsegment, count(1) AS n_customers,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

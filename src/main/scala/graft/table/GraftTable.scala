@@ -156,6 +156,59 @@ object GraftTable {
     } finally { Files.delete(tmp) }
   }
 
+  private def tagPath(root: String, name: String): JPath = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    metaDir(root).resolve(s"tag-$name.json")
+  }
+
+  /** Pin `name` to snapshot `snapshot` (Iceberg-style named ref). A tag
+    * is a RETENTION ROOT: [[expireSnapshots]] keeps every tagged
+    * manifest and its files regardless of `keepFrom`, so `prod-2024` can
+    * outlive routine expiry — delete the tag first to release it. Tags
+    * are immutable once placed (createLink create-if-absent, same atomic
+    * publish as manifests): re-pointing a name is remove + re-tag, two
+    * auditable steps, never a silent overwrite. */
+  def tag(root: String, name: String, snapshot: Int): Unit = {
+    require(snapshot >= 1 && snapshot <= latestSnapshot(root),
+      s"tag target $snapshot outside [1, ${latestSnapshot(root)}] at $root")
+    require(Files.exists(manifestPath(root, snapshot)),
+      s"tag target $snapshot is expired at $root")
+    val tmp = metaDir(root).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, s"""{"snapshot":$snapshot}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    try {
+      try Files.createLink(tagPath(root, name), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"tag '$name' already exists at $root (remove + re-tag to move)")
+      }
+    } finally Files.delete(tmp)
+  }
+
+  def removeTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(tagPath(root, name))
+
+  /** All tags as name → snapshot id. */
+  def tags(root: String): Map[String, Int] = {
+    val re = "tag-(.+)\\.json".r
+    val names = Option(metaDir(root).toFile.list())
+      .getOrElse(Array.empty[String])
+    names.collect { case re(n) => n }.map { n =>
+      val txt = new String(Files.readAllBytes(tagPath(root, n)), "UTF-8")
+      n -> "\"snapshot\":([0-9]+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    }.toMap
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val t = tags(root).getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' at $root"))
+    read(spark, root, Some(t))
+  }
+
   /** Bits interleaved per dimension: 16 for 2–3 columns, 15 for 4 — a
     * 16×4 code would put column 0's bit 15 at position 63, the SIGN
     * bit, and repartitionByRange orders longs signed: the two halves of
@@ -593,12 +646,15 @@ object GraftTable {
   def expireSnapshots(root: String, keepFrom: Int): Int = {
     val latest = latestSnapshot(root)
     require(keepFrom <= latest, s"keepFrom $keepFrom > latest $latest")
+    // tagged snapshots are retention roots (see [[tag]]): their manifests
+    // and files survive any keepFrom until the tag is removed
+    val tagged = tags(root).values.toSet
     val expired = (1 until keepFrom).filter(v =>
-      Files.exists(manifestPath(root, v)))
+      !tagged(v) && Files.exists(manifestPath(root, v)))
     // existence-filter like history()/snapshotAsOf(): after an earlier
     // expire with a larger keepFrom, ids below it are already gone — a
     // later call with a smaller keepFrom must no-op, not NoSuchFile
-    val live = (keepFrom to latest)
+    val live = ((keepFrom to latest) ++ tagged.filter(_ < keepFrom))
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => manifest(root, v).files.map(_.path)).toSet
     val dead = expired

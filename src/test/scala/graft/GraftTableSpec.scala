@@ -587,6 +587,43 @@ class GraftTableSpec extends SparkTestBase {
     assert(eNull.getMessage.contains("null"))
   }
 
+  test("tags: named refs read their snapshot, survive expiry as " +
+      "retention roots, release on removal, never silently re-point") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.append(spark, root,
+      idTable(150).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.append(spark, root,
+      idTable(200).where(col("id") > 150), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.tag(root, "baseline", 1)
+    assert(GraftTable.tags(root) == Map("baseline" -> 1))
+    assert(GraftTable.readTag(spark, root, "baseline").count() == 100)
+    // a tag never silently re-points
+    intercept[IllegalStateException] { GraftTable.tag(root, "baseline", 2) }
+    // expiry keeps the tagged manifest AND its files
+    GraftTable.expireSnapshots(root, keepFrom = 3)
+    assert(GraftTable.readTag(spark, root, "baseline").count() == 100)
+    assert(!Files.exists(Paths.get(root, "_graft", "manifest-2.json")),
+      "untagged v2 should be expired")
+    // history still lists the tagged snapshot
+    assert(GraftTable.history(spark, root)
+      .where(col("snapshot") === 1).count() == 1)
+    // removing the tag releases it: the next expiry reclaims v1
+    assert(GraftTable.removeTag(root, "baseline"))
+    GraftTable.expireSnapshots(root, keepFrom = 3)
+    assert(!Files.exists(Paths.get(root, "_graft", "manifest-1.json")))
+    intercept[NoSuchElementException] {
+      GraftTable.readTag(spark, root, "baseline")
+    }
+    // tagging an expired snapshot fails loudly
+    intercept[IllegalArgumentException] { GraftTable.tag(root, "old", 1) }
+    // the surviving table is intact
+    assert(GraftTable.read(spark, root).count() == 200)
+  }
+
   test("restore: rolls back bad commits as a new auditable snapshot; " +
       "bad history stays time-travelable; latest-target is a no-op") {
     val root = freshRoot()
