@@ -914,6 +914,67 @@ object Llm {
 
   val llm_dedup_embcos: Q = (s, d) => dedupEmbcos(s, d)
 
+  /** Cosine threshold for [[llm_dedup_semantic]] — the same
+    * fixture-scaled 0.45 the embcos dedup uses (measured: the synthetic
+    * near-isotropic embeddings top out at cos ≈ 0.51, with 14 pairs ≥
+    * 0.45 at sf0.01 — the threshold must sit where the fixture actually
+    * has near-dups; real SemDeDup runs τ ≈ 0.95 on contrastive
+    * embeddings). */
+  private[graft] val SemDedupTau = 0.45
+
+  /** SemDeDup (published method: cluster embeddings, then dedup by exact
+    * cosine ONLY within each cluster): the clustering is what makes
+    * semantic dedup tractable — pair work drops from n² to Σ|cell|² ≈
+    * n²/k, and k grows with the corpus in production, so each cell's
+    * all-pairs stays bounded. Clusters come from the SAME Lloyd's-trained
+    * coarse quantizer as the IVF family (one trained artifact serving
+    * both ANN and dedup, as a real platform ships it); within a cell,
+    * a vector is dropped when a smaller-id member sits at cos ≥ τ (min-id
+    * survivor = deterministic; the published heuristic keeps one point
+    * per high-sim clique — this is that rule with a total order). The
+    * cell self-join shuffles once on the cell id; the pair predicate
+    * runs the codegen [[graft.functions.CosineSimilarity]] kernel.
+    * Engine-specific k-means → rows-only; PropertySpec bounds it:
+    * planted exact duplicates always dedup to the min id, and the
+    * within-cell pair set equals a brute-force recompute. */
+  val llm_dedup_semantic: Q = (s, d) => {
+    import s.implicits._
+    semDedupOf(
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])],
+      trainIvfCentroids(s, d), SemDedupTau)
+  }
+
+  /** kernel of [[llm_dedup_semantic]] — unit-testable on synthetic
+    * vectors and centroids. */
+  private[graft] def semDedupOf(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      centroids: Array[(Long, Array[Double])], tau: Double): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assigned = rows.map { case (id, v) =>
+      val cell = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }._2
+      (cell, id, v)
+    }.toDF("cell", "vec_id", "emb")
+    val l = assigned
+      .select(col("cell"), col("vec_id").as("a"), col("emb").as("ea"))
+    val r = assigned
+      .select(col("cell"), col("vec_id").as("b"), col("emb").as("eb"))
+    val victims = l.join(r, Seq("cell"))
+      .where(col("a") < col("b") &&
+        call_function("graft_cosine", col("ea"), col("eb")) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .join(victims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("dup"), lit(true)).as("survives"))
+      .orderBy("vec_id")
+  }
+
   /** end-to-end TEXT near-dedup in the shape a 100 TB corpus needs:
     * MinHash+LSH candidate pairs (sub-quadratic — one signature groupBy +
     * one band equi-join), exact shingle-Jaccard verification of ONLY the
@@ -2320,6 +2381,7 @@ object Llm {
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
     "llm_dedup_substr" -> llm_dedup_substr,
+    "llm_dedup_semantic" -> llm_dedup_semantic,
     "llm_minhash" -> llm_minhash,
     "llm_simhash" -> llm_simhash,
     "llm_knn" -> llm_knn,

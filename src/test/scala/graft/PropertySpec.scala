@@ -283,6 +283,85 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("substr dedup conserves tokens: kept + 16·dropped == doc total; " +
+      "a corpus with no repeated full window drops nothing") {
+    import spark.implicits._
+    val W = ops.Llm.SubstrW
+    // random corpora from a tiny vocab: repeats of full 16-token windows
+    // DO occur across docs (vocab^16 is huge but shared prefixes are
+    // generated deliberately below); conservation must hold regardless
+    val docGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d"))
+    for ((docs, round) <- samples(Gen.listOfN(6, docGen), 8).zipWithIndex) {
+      val planted = docs.zipWithIndex.map { case (toks, i) =>
+        // plant a shared window in half the docs so dedup genuinely fires
+        val t = if (i % 2 == 0) (0 until W).map(j => s"p$j") ++ toks else toks
+        (i.toLong, t.mkString(" "))
+      }
+      val out = ops.Llm.substrDedupOf(planted.toDF("doc_id", "text"))
+        .collect()
+      assert(out.length == planted.size, s"round $round lost a doc")
+      out.foreach { r =>
+        val total = planted(r.getLong(0).toInt)._2.split(" ", -1).length
+        assert(r.getLong(3) + W * r.getLong(2) == total,
+          s"round $round doc ${r.getLong(0)}: kept ${r.getLong(3)} + " +
+            s"$W*${r.getLong(2)} dropped != $total")
+      }
+      // the planted window survives exactly once (min doc_id = 0)
+      val dropped = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(dropped(0L) == 0L || planted.size < 2,
+        s"round $round: survivor doc 0 lost its own first occurrence")
+    }
+    // distinct-token corpus: no full window can repeat → zero drops
+    val uniq = (0 until 4).map { i =>
+      (i.toLong, (0 until 40).map(j => s"u${i}_$j").mkString(" "))
+    }
+    assert(ops.Llm.substrDedupOf(uniq.toDF("doc_id", "text"))
+      .agg(org.apache.spark.sql.functions.sum("n_dup_win")).head()
+      .getLong(0) == 0L)
+  }
+
+  test("semantic dedup kernel: planted duplicates dedup to the min id " +
+      "within their cluster; pair set equals brute force per cell") {
+    import spark.implicits._
+    def unit(seedVals: Seq[Double]): Array[Double] = {
+      val n = math.sqrt(seedVals.map(x => x * x).sum)
+      seedVals.map(_ / n).toArray
+    }
+    // two well-separated centroids; members jittered around each, plus
+    // exact duplicates planted in both clusters
+    val c0 = unit(Seq(1, 0, 0, 0)); val c1 = unit(Seq(0, 1, 0, 0))
+    val base = Seq(
+      1L -> unit(Seq(1, 0.1, 0, 0)), 2L -> unit(Seq(1, -0.1, 0, 0)),
+      3L -> unit(Seq(1, 0.1, 0, 0)), // dup of 1 (same cluster)
+      10L -> unit(Seq(0.1, 1, 0, 0)), 11L -> unit(Seq(-0.1, 1, 0, 0)),
+      12L -> unit(Seq(0.1, 1, 0, 0)), // dup of 10
+      20L -> unit(Seq(0, 1, 0.9, 0))) // cluster-1 outlier, no dup
+    val out = ops.Llm.semDedupOf(base.toDS(),
+      Array(0L -> c0, 1L -> c1), tau = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._2 && !out(3L)._2, s"dup of 1 must drop: $out")
+    assert(out(10L)._2 && !out(12L)._2, s"dup of 10 must drop: $out")
+    assert(Seq(2L, 11L, 20L).forall(out(_)._2), s"non-dups must survive: $out")
+    // cluster assignment is nearest-centroid
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0))
+    assert(Seq(10L, 11L, 12L, 20L).forall(out(_)._1 == 1))
+    // pair set ⊇/⊆ brute force: recompute within-cell cos pairs in memory
+    def cos(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (a, b) => a * b }.sum /
+        (math.sqrt(x.map(a => a * a).sum) * math.sqrt(y.map(a => a * a).sum))
+    val cells = base.groupBy { case (id, v) =>
+      if (cos(v, c0) >= cos(v, c1)) 0 else 1 }
+    val bruteVictims = cells.values.flatMap { members =>
+      for {
+        (a, va) <- members; (b, vb) <- members
+        if a < b && cos(va, vb) >= 0.999
+      } yield b
+    }.toSet
+    assert(out.filterNot(_._2._2).keySet == bruteVictims,
+      s"kernel victims must equal brute force: $out vs $bruteVictims")
+  }
+
   test("MinHashAgg: merge is commutative/associative; reduce order-free") {
     val agg = graft.functions.MinHashAgg
     for (shingles <- samples(Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty)), 50)) {
