@@ -79,6 +79,24 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_dedup_substr and llm_dedup_semantic stay equi-shaped — " +
+      "no cross product anywhere in either dedup plan") {
+    withStaticPlan {
+      // substr: window fan-out → hash agg on wtext → equi probe join →
+      // doc_id reassembly; semantic: cell-key self-join. Neither may
+      // degrade to CartesianProduct/BNLJ — that's the difference between
+      // linear/n²-over-k and n² at corpus scale.
+      for ((name, df) <- Seq(
+          "llm_dedup_substr" -> ops.Llm.llm_dedup_substr(spark, sf),
+          "llm_dedup_semantic" -> ops.Llm.llm_dedup_semantic(spark, sf))) {
+        val p = planOf(df)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name degenerated to a cross product:\n$p")
+      }
+    }
+  }
+
   test("sort_topk plans TakeOrderedAndProject, not a global sort") {
     withStaticPlan {
       assert(planOf(ops.Relational.sort_topk(spark, sf))

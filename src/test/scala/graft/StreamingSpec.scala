@@ -306,6 +306,59 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LOCF carries the last purchase value forward and " +
+      "reaches the batch win_fill fills") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming twin of win_fill: per-user last-purchase-value state
+    // carried across micro-batches; the feed is (ts, event_id)-ordered
+    // like the funnel test, so each event's emitted fill equals the
+    // batch window's running last(ignoreNulls) at that row exactly
+    val rows = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")))
+      .as[(Long, Long, String, Double, Long)].collect()
+      .sortBy(r => (r._5, r._2))
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val filled = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[(Long, Long, String, Double, Long)],
+            state: GroupState[Double]) =>
+          var last = state.getOption
+          val out = evs.toSeq.sortBy(e => (e._5, e._2)).map { e =>
+            if (e._3 == "purchase") last = Some(e._4)
+            (e._2, last)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_id", "v_fill")
+    val q = filled.writeStream.format("memory").queryName("locf_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1))
+        .foreach { batch => mem.addData(batch.toSeq); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT event_id, v_fill FROM locf_stream")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val batch = ops.Windows.win_fill(spark, sf)
+        .select("event_id", "v_fill").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(streamed.size == batch.size, "row-count drift")
+      val drift = batch.collect {
+        case (id, v) if streamed.get(id).exists(_ != v) =>
+          (id, v, streamed(id))
+      }
+      assert(drift.isEmpty, s"stream/batch LOCF drift (first 5): " +
+        s"${drift.take(5)}")
+    } finally q.stop()
+  }
+
   test("stories sessionization emits the batch answer under readStream via the connector") {
     import org.apache.spark.sql.streaming.Trigger
     // the same session_window the batch query uses, driven through the
