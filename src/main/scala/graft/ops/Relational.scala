@@ -466,6 +466,12 @@ object Relational {
           lit(0).cast("decimal(18,2)")).cast("double").as("purchase_value"))
       .orderBy("user_id")
 
+  /** Per-group list aggregate. Scale contract: collect_set/collect_list
+    * buffers are unbounded in GROUP SIZE — that is the operator's
+    * semantics, so per-key cardinality bounds are the CALLER's contract
+    * at 100 TB (here the domain is the closed event-type set, ≤ 5
+    * elements per group by construction; an open-domain collect needs a
+    * slice/top-k cap first). */
   val agg_collect: Q = (s, d) =>
     events(s, d)
       .groupBy("user_id")
