@@ -113,7 +113,8 @@ object Llm {
     * the equivalent shingle self-join this shuffles each side once instead
     * of twice and benched ~2× faster; post-cap, bucket width ≤
     * [[JaccardDfCap]], so no collect_list buffer or pair loop can exceed a
-    * constant — the skewed-corpus guarantee SkewSpec exercises. */
+    * constant — the skewed-corpus guarantee OperatorSpec's hot-shingle
+    * cap test exercises (AQE skew-join proof in PlanShapeSpec). */
   private[graft] def jaccardPairsOf(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
@@ -184,8 +185,8 @@ object Llm {
     * generator every round. */
   private def jaccardEdges08(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val tag = (s.sparkContext.applicationId + "_" + d)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
     val t = s"graft_edges08_$tag"
     graft.util.AppCleanup.buildOnce(edges08Built, tag) {
       graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_edges08")
@@ -669,8 +670,8 @@ object Llm {
   private[graft] def lshBandTable(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import s.implicits._
-    val tag = (s.sparkContext.applicationId + "_" + d)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
     val t = s"graft_lshband_$tag"
     // pay the layout ONCE per (application, sfDir): the banding is
     // deterministic (splitmix-seeded hyperplanes over immutable source
@@ -1004,8 +1005,8 @@ object Llm {
 
   private[graft] def dedupTextTables(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) = {
-    val tag = (s.sparkContext.applicationId + "_" + d)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
     val bandT = s"graft_mhband_$tag"
     val setsT = s"graft_docsets_$tag"
     graft.util.AppCleanup.buildOnce(dedupTextBuilt, tag) {
@@ -1800,8 +1801,8 @@ object Llm {
 
   private def jaccardVictims(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val tag = (s.sparkContext.applicationId + "_" + d)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
     val t = s"graft_victims_$tag"
     graft.util.AppCleanup.buildOnce(victimsBuilt, tag) {
       graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_victims")

@@ -296,8 +296,8 @@ object Relational {
     * once-per-JVM shutdown hook removes this application's tables so the
     * dev loop doesn't grow the warehouse unboundedly. */
   val join_bucketed: Q = (s, d) => {
-    val tag = (s.sparkContext.applicationId + "_" + d)
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
     val custT = s"graft_cust_$tag"; val ordT = s"graft_ord_$tag"
     graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_bucketed")
     graft.util.AppCleanup.resetTable(s, custT)

@@ -93,7 +93,7 @@ object Sources {
     // first session's
     graft.util.AppCleanup.onExit(s"graft_sink_${s.sparkContext.applicationId}")(
       graft.util.AppCleanup.recursiveDelete(new java.io.File(appRoot)))
-    s"$appRoot/${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    s"$appRoot/${name}_" + graft.util.AppCleanup.tagOf(d)
   }
 
   /** ORC round-trip — the second columnar format Spark ships natively
@@ -707,9 +707,17 @@ object Sources {
     import graft.util.Det._
     val fragDir = sinkDir(s, d, "compact_frag")
     val outDir = sinkDir(s, d, "compact_done")
-    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
-    src.repartition(16)
-      .write.mode("overwrite").partitionBy("o_year").parquet(fragDir)
+    // fixture-build memo: the fragmented layout is the operator's INPUT,
+    // not the operator — rebuilding it on every invocation made both bench
+    // passes pay two full partitioned writes (18.3 s driver vs 1.3 s local
+    // in round 7; min-of-two cannot absorb I/O that repeats in both
+    // passes). Built once per (application, sfDir), like scan_xml /
+    // scan_binaryfile, so the measured work is the compaction itself.
+    graft.util.AppCleanup.buildOnce(binFixtureBuilt, fragDir) {
+      orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("o_year").parquet(fragDir)
+    }
     s.read.parquet(fragDir)
       .repartition(col("o_year"))
       .write.mode("overwrite").partitionBy("o_year").parquet(outDir)

@@ -33,6 +33,17 @@ object AppCleanup {
       localFile(s.conf.get("spark.sql.warehouse.dir")), t.toLowerCase))
   }
 
+  /** Collision-free readable tag for per-(application, sfDir) artifact
+    * names: the sanitized form ALONE collapses raw strings that differ
+    * only in punctuation (".../sf0.01" vs ".../sf0_01") into one tag, and
+    * the second caller would silently read the first directory's persisted
+    * artifact (round-7 ADVICE). A hex MurmurHash3 of the raw string
+    * disambiguates; the sanitized prefix keeps names greppable. Hex is
+    * lowercase-stable, so catalog lowercasing can't split the tag. */
+  def tagOf(raw: String): String =
+    raw.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(raw))
+
   /** Build-once memo shared by every persisted-artifact site (LSH band
     * tables, IVF index, dedup working set, victim list, binary fixture):
     * runs `build` the first time `tag` is seen in this JVM and records
