@@ -200,6 +200,44 @@ object Table {
       .orderBy("o_orderpriority")
   }
 
+  /** Merge-on-read DELETE + upsert via deletion vectors
+    * ([[GraftTable.deleteMor]]/[[GraftTable.mergeMor]]): the 1996 slice
+    * loses its o_orderkey % 7 = 2 keys with ZERO data-file rewrite (the
+    * commit writes per-file ordinal sidecars), then an upsert doubles the
+    * % 5 = 0 keys' prices by DV-marking the old versions and appending
+    * only the new rows — commit cost O(rows changed) where the
+    * copy-on-write twin ([[table_delete]]) pays O(bytes of touched
+    * files), which is the difference that keeps an update-heavy 100 TB
+    * pipeline's commits small. GraftTableSpec proves the no-rewrite
+    * bound, DV-exact time travel, compaction materialization, row-level
+    * CDC across DV commits, and the stale-snapshot race. Own root; the
+    * oracle replays both commits statically. */
+  val table_delete_mor: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_mor")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .where(col("o_year") === 1996)
+      GraftTable.create(s, root, src,
+        statsCols, clusterCols = Seq("o_orderkey"), numFiles = 4)
+      GraftTable.deleteMor(s, root,
+        src.where(col("o_orderkey") % 7 === 2).select("o_orderkey"),
+        keyCol = "o_orderkey")
+      // doubling keeps the DECIMAL accumulation exact cross-engine
+      // (exponent bump), same as the shared fixture's merge
+      GraftTable.mergeMor(s, root,
+        src.where(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 2)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        keyCol = "o_orderkey", statsCols, clusterCols = Seq("o_orderkey"))
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Z-order layout: orders clustered by the interleaved-bits Morton
     * code of (o_custkey, o_orderkey), so file min/max stats are tight in
     * BOTH dimensions and either column's predicate skips files — the
@@ -265,6 +303,7 @@ object Table {
     "table_pointlookup" -> table_pointlookup,
     "table_compact" -> table_compact,
     "table_delete" -> table_delete,
+    "table_delete_mor" -> table_delete_mor,
     "table_restore" -> table_restore,
     "table_zorder" -> table_zorder)
 
@@ -351,6 +390,17 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders WHERE year(o_orderdate) = 1996
+         GROUP BY 1 ORDER BY 1""",
+    // both MOR commits replayed statically: 1996 minus the % 7 = 2 keys
+    // (DV delete), with % 5 = 0 survivors at doubled prices (DV upsert)
+    "table_delete_mor" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 5 = 0
+                                THEN 2 * o_totalprice
+                                ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1996
+           AND NOT o_orderkey % 7 = 2
          GROUP BY 1 ORDER BY 1""",
     // the delete replayed statically: 1996 minus the % 7 = 2 keys
     "table_delete" ->

@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * 100 TB posture: a commit costs O(files changed), never O(table) — a
   * MERGE rewrites only the files whose key-range stats overlap the
-  * update keys (two-level pruning: stats overlap, then an
-  * `input_file_name` semi-join scans only the candidates). The manifest
+  * update keys (two-level pruning: stats overlap, then a provenance
+  * semi-join scans only the candidates), and the merge-on-read variants
+  * ([[deleteMor]]/[[mergeMor]]) drop even that to O(rows changed) via
+  * per-file deletion-vector sidecars, deferring the rewrite to
+  * [[compact]] — the update-heavy-pipeline shape. The manifest
   * itself is a driver-side O(live files) JSON document; at ~10⁶ files
   * the known evolution is Iceberg's manifest-list sharding — the commit
   * protocol and stats layout here are unchanged by that split. */
@@ -46,10 +49,24 @@ object GraftTable {
     * int/date-derived columns tracked here; a production format keeps
     * typed bounds. `bloom` optionally carries a base64-packed per-column
     * bloom filter (see [[bloomPositions]]) for point-lookup file skipping
-    * where min/max ranges are too wide to help. */
+    * where min/max ranges are too wide to help.
+    *
+    * `dv` optionally names a DELETION-VECTOR sidecar (relative path, see
+    * [[deleteMor]]): a sorted list of row ordinals within THIS file whose
+    * rows are logically deleted — the merge-on-read alternative to
+    * rewriting the file (the public Delta deletion-vector / Iceberg
+    * positional-delete design). Sidecars are immutable like data files; a
+    * new DV commit writes a NEW sidecar and repoints the entry, so every
+    * old manifest still pins its exact old row set. `dvRows` caches the
+    * ordinal count for live-row accounting without opening the sidecar.
+    * Range/bloom stats stay those of the PHYSICAL file — a DV can only
+    * make them conservative (never a false prune). */
   case class FileEntry(path: String, rows: Long,
       mins: Map[String, Double], maxs: Map[String, Double],
-      bloom: Option[Map[String, String]] = None)
+      bloom: Option[Map[String, String]] = None,
+      dv: Option[String] = None, dvRows: Option[Long] = None) {
+    def liveRows: Long = rows - dvRows.getOrElse(0L)
+  }
 
   /** `committedAtMs` is stamped by [[tryCommit]] at publish time (None
     * only in pre-stamp manifests, read as epoch 0) — it feeds
@@ -118,6 +135,27 @@ object GraftTable {
   private[graft] def bloomMayContain(b64: String, key: Long): Boolean = {
     val bits = java.util.Base64.getDecoder.decode(b64)
     bloomPositions(key).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
+  /** Write a deletion-vector sidecar (sorted ordinals as big-endian
+    * longs) under `data/dv/` and return its table-relative path. Binary,
+    * not JSON: a DV is O(deleted rows) and lives next to the data, not in
+    * the driver-side manifest — the manifest carries only the path +
+    * count. CREATE_NEW: sidecars are immutable, like data files. */
+  private def writeDv(root: String, positions: Array[Long]): String = {
+    val rel = s"data/dv/dv-${java.util.UUID.randomUUID().toString}.bin"
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    val bb = java.nio.ByteBuffer.allocate(8 * positions.length)
+    positions.sorted.foreach(bb.putLong)
+    Files.write(p, bb.array(), StandardOpenOption.CREATE_NEW)
+    rel
+  }
+
+  private[table] def readDvPositions(root: String, rel: String): Array[Long] = {
+    val bytes = Files.readAllBytes(Paths.get(root, rel))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 
   private def metaDir(root: String): JPath = Paths.get(root, "_graft")
@@ -473,25 +511,24 @@ object GraftTable {
         f.maxs.get(keyCol).forall(_ >= kLo) &&
           f.mins.get(keyCol).forall(_ <= kHi))
     }
+    // DV-aware on both legs: detection must not flag (and the rewrite
+    // must not resurrect) rows an earlier merge-on-read commit already
+    // deleted — readEntries* apply the parent's deletion vectors, and the
+    // copy-on-write rewrite therefore MATERIALIZES them (new entries
+    // carry no DV)
     val affectedPaths: List[String] =
       if (candidates.isEmpty) Nil
-      else {
-        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-        spark.read.parquet(candidates.map(f => s"$root/${f.path}"): _*)
-          .select(col(keyCol), input_file_name().as("__f"))
-          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-            "left_semi")
-          .select("__f").distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-            .toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
-          .toList.sorted
-      }
+      else readEntriesWithPos(spark, root, parent, candidates)
+        .select(col(keyCol), col("__rel"))
+        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_semi")
+        .select("__rel").distinct().collect()
+        .map(_.getString(0)).toList.sorted
     val affected = parent.files.filter(f => affectedPaths.contains(f.path))
     val survivors =
       if (affected.isEmpty) updates
       else {
-        val base = spark.read
-          .parquet(affected.map(f => s"$root/${f.path}"): _*)
+        val base = readEntries(spark, root, parent, affected)
         base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
           "left_anti")
           .select(base.columns.map(col): _*)
@@ -528,7 +565,6 @@ object GraftTable {
     val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"delete from non-existent table $root")
     val parent = manifest(root, v)
-    val schema = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
     val keys = deleteKeys.select(col(keyCol)).distinct()
     val candidates = prunableKeyRange(keys, keyCol, "delete") match {
       case None => Nil
@@ -536,23 +572,18 @@ object GraftTable {
         f.maxs.get(keyCol).forall(_ >= kLo) &&
           f.mins.get(keyCol).forall(_ <= kHi))
     }
+    // DV-aware, same as merge: an already-DV-deleted row neither flags
+    // its file nor survives the rewrite (which materializes the DV)
     val affectedPaths: List[String] =
       if (candidates.isEmpty) Nil
-      else {
-        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-        spark.read.schema(schema)
-          .parquet(candidates.map(f => s"$root/${f.path}"): _*)
-          .select(col(keyCol), input_file_name().as("__f"))
-          .join(keys, Seq(keyCol), "left_semi")
-          .select("__f").distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-            .toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
-          .toList.sorted
-      }
+      else readEntriesWithPos(spark, root, parent, candidates)
+        .select(col(keyCol), col("__rel"))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select("__rel").distinct().collect()
+        .map(_.getString(0)).toList.sorted
     if (affectedPaths.isEmpty) return v // nothing matched; no empty commit
     val affected = parent.files.filter(f => affectedPaths.contains(f.path))
-    val base = spark.read.schema(schema)
-      .parquet(affected.map(f => s"$root/${f.path}"): _*)
+    val base = readEntries(spark, root, parent, affected)
     val survivors = base.join(keys, Seq(keyCol), "left_anti")
       .select(base.columns.map(col): _*)
     val entries = writeFiles(spark, root, survivors, statsCols,
@@ -562,6 +593,115 @@ object GraftTable {
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"delete derived from stale snapshot $v at $root")
+    v + 1
+  }
+
+  /** Mark rows of `parent`'s stats-candidate files whose `keyCol` matches
+    * `keys` as deleted, by (file, row ordinal). Returns the per-file NEW
+    * ordinals (DV-aware read, so already-deleted rows can't re-mark).
+    * Driver payload is O(rows deleted by THIS commit) — the positional
+    * metadata itself, not data movement; the same bound Delta's DV writer
+    * carries. */
+  private def dvMark(spark: SparkSession, root: String, parent: Manifest,
+      candidates: List[FileEntry], keys: DataFrame,
+      keyCol: String): Map[String, Array[Long]] = {
+    if (candidates.isEmpty) Map.empty
+    else readEntriesWithPos(spark, root, parent, candidates)
+      .select(col(keyCol), col("__rel"), col("__ri"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select("__rel", "__ri").collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
+  }
+
+  /** Fold new deletion ordinals into `parent`'s entries: a marked file
+    * gets a fresh immutable sidecar holding the UNION of its old and new
+    * ordinals (old manifests keep pointing at the old sidecar — time
+    * travel across DV commits is exact); a file whose every row is now
+    * deleted drops out of the manifest entirely. */
+  private def applyDvMarks(root: String, parent: Manifest,
+      marks: Map[String, Array[Long]]): List[FileEntry] =
+    parent.files.flatMap { f =>
+      marks.get(f.path) match {
+        case None => Some(f)
+        case Some(newPos) =>
+          val all = (f.dv.map(readDvPositions(root, _))
+            .getOrElse(Array.empty[Long]) ++ newPos).distinct.sorted
+          if (all.length >= f.rows) None
+          else Some(f.copy(dv = Some(writeDv(root, all)),
+            dvRows = Some(all.length.toLong)))
+      }
+    }
+
+  /** MERGE-ON-READ row-level DELETE: instead of rewriting affected files
+    * ([[delete]]), doomed rows are recorded in per-file deletion-vector
+    * sidecars and readers anti-join them ([[readEntriesWithPos]]) — the
+    * public Delta deletion-vector / Iceberg positional-delete design.
+    * Commit cost is O(rows deleted), NOT O(bytes of touched files): an
+    * update-heavy incremental pipeline at 100 TB pays kilobytes of
+    * ordinals per commit where copy-on-write would rewrite gigabytes;
+    * the rewrite is deferred to [[compact]] (materializeDvs), which
+    * also bounds accumulated read-side DV cost. Same two-level pruning
+    * (stats range, then an exact provenance semi-join), same
+    * deterministic-`deleteKeys` contract, and the same single-attempt
+    * optimistic commit as [[delete]] — DVs derived against a superseded
+    * snapshot must fail loudly, never blind-stack on someone else's
+    * commit. A delete matching nothing returns the base snapshot
+    * uncommitted. */
+  def deleteMor(spark: SparkSession, root: String, deleteKeys: DataFrame,
+      keyCol: String, baseSnapshot: Option[Int] = None): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"delete from non-existent table $root")
+    val parent = manifest(root, v)
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    val candidates = prunableKeyRange(keys, keyCol, "delete") match {
+      case None => Nil
+      case Some((kLo, kHi)) => parent.files.filter(f =>
+        f.maxs.get(keyCol).forall(_ >= kLo) &&
+          f.mins.get(keyCol).forall(_ <= kHi))
+    }
+    val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
+    if (marks.isEmpty) return v // nothing matched; no empty commit
+    val m = Manifest(v + 1, v, "delete_mor", parent.schemaJson,
+      applyDvMarks(root, parent, marks))
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"delete_mor derived from stale snapshot $v at $root")
+    v + 1
+  }
+
+  /** MERGE-ON-READ upsert: matched base rows are deletion-vector-marked
+    * in place (no file rewrite) and ALL update rows land as fresh
+    * appended files — so a commit costs O(update bytes + deleted-row
+    * ordinals) regardless of how wide the touched base files are, the
+    * property that makes frequent upserts viable at 100 TB.
+    * [[compact]] later folds DV'd files into clean ones. Same schema,
+    * determinism, and stale-snapshot contracts as [[merge]]. */
+  def mergeMor(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4, baseSnapshot: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"merge into non-existent table $root")
+    val parent = manifest(root, v)
+    require(shape(updates.schema) ==
+      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
+      s"merge schema mismatch vs snapshot $v at $root")
+    val keys = updates.select(col(keyCol)).distinct()
+    val candidates = prunableKeyRange(updates, keyCol, "merge") match {
+      case None => Nil
+      case Some((kLo, kHi)) => parent.files.filter(f =>
+        f.maxs.get(keyCol).forall(_ >= kLo) &&
+          f.mins.get(keyCol).forall(_ <= kHi))
+    }
+    val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
+    val entries = writeFiles(spark, root, updates, statsCols,
+      clusterCols, numFiles, bloomCols)
+    val m = Manifest(v + 1, v, "merge_mor", parent.schemaJson,
+      applyDvMarks(root, parent, marks) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"merge_mor derived from stale snapshot $v at $root")
     v + 1
   }
 
@@ -578,18 +718,27 @@ object GraftTable {
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
-      baseSnapshot: Option[Int] = None): Int = {
+      baseSnapshot: Option[Int] = None,
+      materializeDvs: Boolean = false): Int = {
     // baseSnapshot pins the derivation for the race tests (merge's seam):
     // a compact derived against a superseded file set must fail loudly,
     // never silently resurrect rows a concurrent merge/delete rewrote
     val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"compact of non-existent table $root")
     val parent = manifest(root, v)
-    val small = parent.files.filter(_.rows < minRows)
-    if (small.size < 2) return v // nothing to gain; no empty commit
-    val rewritten = spark.read
-      .schema(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])
-      .parquet(small.map(f => s"$root/${f.path}"): _*)
+    // liveRows, not rows: a file mostly eaten by deletion vectors IS a
+    // small file for layout purposes. materializeDvs additionally pulls
+    // every DV'd file into the rewrite — the deferred-rewrite half of the
+    // merge-on-read bargain ([[deleteMor]]): DVs accumulate read-side
+    // anti-join cost until one compact commit folds them away.
+    val small = parent.files.filter(f =>
+      f.liveRows < minRows || (materializeDvs && f.dv.nonEmpty))
+    if (small.size < 2 && !small.exists(_.dv.nonEmpty))
+      return v // nothing to gain; no empty commit
+    // read through readEntries, NOT a raw parquet scan: the rewrite must
+    // apply the small files' deletion vectors (materializing them), never
+    // resurrect their deleted rows
+    val rewritten = readEntries(spark, root, parent, small)
     // zorderCols here = OPTIMIZE ZORDER: compact with minRows =
     // Long.MaxValue reclusters the whole table into the multi-dim
     // layout as one commit, past snapshots untouched
@@ -654,11 +803,16 @@ object GraftTable {
     // existence-filter like history()/snapshotAsOf(): after an earlier
     // expire with a larger keepFrom, ids below it are already gone — a
     // later call with a smaller keepFrom must no-op, not NoSuchFile
+    // dv sidecars are reference-counted exactly like data files: an
+    // expired manifest's superseded sidecar is reclaimable, a sidecar any
+    // surviving manifest still points at is not
     val live = ((keepFrom to latest) ++ tagged.filter(_ < keepFrom))
       .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => manifest(root, v).files.map(_.path)).toSet
+      .flatMap(v => manifest(root, v).files
+        .flatMap(f => f.path :: f.dv.toList)).toSet
     val dead = expired
-      .flatMap(v => manifest(root, v).files.map(_.path)).toSet -- live
+      .flatMap(v => manifest(root, v).files
+        .flatMap(f => f.path :: f.dv.toList)).toSet -- live
     expired.foreach(v => Files.delete(manifestPath(root, v)))
     dead.foreach { p =>
       Files.deleteIfExists(Paths.get(root, p)); ()
@@ -686,7 +840,8 @@ object GraftTable {
     val latest = latestSnapshot(root)
     val live = (1 to latest)
       .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => manifest(root, v).files.map(_.path)).toSet
+      .flatMap(v => manifest(root, v).files
+        .flatMap(f => f.path :: f.dv.toList)).toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -697,10 +852,15 @@ object GraftTable {
     for (cd <- commitDirs if Files.isDirectory(cd)) {
       val files = Files.walk(cd).iterator().asScala
         .filter(Files.isRegularFile(_)).toList
-      // only parquet data files are sweep candidates; _SUCCESS/.crc
-      // markers stay while ANY data in the dir is live (a live file's
-      // checksum must not be stranded) and go only with a dead dir
-      val parquets = files.filter(_.getFileName.toString.endsWith(".parquet"))
+      // parquet data files and .bin dv sidecars are sweep candidates
+      // (a crashed delete_mor strands its sidecar exactly like a crashed
+      // write strands its parquet); _SUCCESS/.crc markers stay while ANY
+      // data in the dir is live (a live file's checksum must not be
+      // stranded) and go only with a dead dir
+      val parquets = files.filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") || n.endsWith(".bin")
+      }
       val (kept, sweep) = parquets.partition { f =>
         live(rootPath.relativize(f).toString) ||
           Files.getLastModifiedTime(f).toMillis > cutoff
@@ -725,8 +885,10 @@ object GraftTable {
       .filter(v => Files.exists(manifestPath(root, v)))
       .map { v =>
         val m = manifest(root, v)
+        // liveRows: a DV'd snapshot's row count reflects what a reader
+        // gets, not the physical bytes (identical for DV-free history)
         (m.snapshot, m.parent, m.op, m.committedAtMs,
-          m.files.size, m.files.map(_.rows).sum)
+          m.files.size, m.files.map(_.liveRows).sum)
       }
       .sortBy(-_._1)
       .toDF("snapshot", "parent", "op", "committed_at_ms",
@@ -780,8 +942,50 @@ object GraftTable {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+    else if (files.forall(_.dv.isEmpty))
+      // fast path — identical plan to the pre-DV format: a plain
+      // vectorized parquet scan, zero metadata-column or join overhead
+      spark.read.schema(schema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*)
+    else readEntriesWithPos(spark, root, m, files).drop("__rel", "__ri")
+  }
+
+  /** DV-aware read that keeps each row's provenance: `__rel` (the file's
+    * table-relative path) and `__ri` (the row's ordinal within it), from
+    * Spark's parquet `_metadata.file_path` / `_metadata.row_index`
+    * columns — the native primitive positional deletes need (the scan
+    * stays vectorized; the hidden columns cost no extra I/O). Rows whose
+    * (file, ordinal) appear in a referenced deletion vector are dropped
+    * by a broadcast anti-join. Driver/broadcast payload is O(deleted
+    * ordinals across the files read) — DV size is bounded by compaction
+    * ([[compact]] materializes DVs), the same discipline that caps
+    * Delta's DV cardinality; a production variant would map sidecar loads
+    * into the scan tasks, changing nothing about this plan shape. */
+  private[table] def readEntriesWithPos(spark: SparkSession, root: String,
+      m: Manifest, files: List[FileEntry]): DataFrame = {
+    import spark.implicits._
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("__rel", "string").add("__ri", "long"))
+    val base = spark.read.schema(schema)
       .parquet(files.map(f => s"$root/${f.path}"): _*)
+      .select(col("*"),
+        // table-relative path derived IN the plan, so the match with
+        // FileEntry.path is scheme/root-form independent (file_path is
+        // a URI; the manifest stores data/c-<uuid>/<part> suffixes)
+        regexp_extract(col("_metadata.file_path"),
+          "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
+        col("_metadata.row_index").as("__ri"))
+    val dvd = files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) base
+    else {
+      val dvDf = dvd.flatMap(f =>
+          readDvPositions(root, f.dv.get).map(p => (f.path, p)))
+        .toDF("__rel", "__ri")
+      base.join(broadcast(dvDf), Seq("__rel", "__ri"), "left_anti")
+    }
   }
 
   /** Stats-pruned read: only files whose [min,max] of `colName` overlaps
@@ -896,10 +1100,16 @@ object GraftTable {
       val prev =
         if (v == 1) cur.copy(snapshot = 0, files = Nil) // pre-create: empty
         else manifest(root, v - 1)
-      val prevPaths = prev.files.map(_.path).toSet
-      val curPaths = cur.files.map(_.path).toSet
-      val added = cur.files.filterNot(f => prevPaths(f.path))
-      val removed = prev.files.filterNot(f => curPaths(f.path))
+      // identity is (path, dv), not path alone: a merge-on-read commit
+      // changes a file's ROW SET by repointing its deletion vector while
+      // the physical path stays put — the entry counts as removed (old DV
+      // state) and re-added (new DV state), and the row diff below then
+      // sees DV'd rows vanish. readEntries applies each side's own DV,
+      // so carried-over rows cancel in the full-outer join as before.
+      val prevIds = prev.files.map(f => (f.path, f.dv)).toSet
+      val curIds = cur.files.map(f => (f.path, f.dv)).toSet
+      val added = cur.files.filterNot(f => prevIds((f.path, f.dv)))
+      val removed = prev.files.filterNot(f => curIds((f.path, f.dv)))
       val step: DataFrame = cur.op match {
         case "create" | "append" | "append_evolve" =>
           readEntries(spark, root, cur, added)

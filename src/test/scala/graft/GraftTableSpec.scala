@@ -844,4 +844,181 @@ class GraftTableSpec extends SparkTestBase {
     assert(kept > 0 && kept < total,
       s"o_year=1996 should prune the clustered layout: $kept of $total")
   }
+
+  test("deleteMor: rows vanish with ZERO data-file rewrite; DV commits " +
+      "stack; every old snapshot pins its exact row set") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 8)
+    val v1Paths = GraftTable.manifest(root, 1).files.map(_.path).toSet
+    GraftTable.deleteMor(spark, root,
+      (1L to 50L by 2).toDF("id"), "id")
+    val m2 = GraftTable.manifest(root, 2)
+    // the merge-on-read bargain: the physical file set is UNTOUCHED
+    assert(m2.files.map(_.path).toSet == v1Paths,
+      "delete_mor must not rewrite or drop any data file")
+    assert(m2.files.exists(_.dv.nonEmpty), "expected a deletion vector")
+    assert(m2.files.map(_.liveRows).sum == 975L)
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 975)
+    assert(latest.where(col("id") <= 50 && col("id") % 2 === 1)
+      .count() == 0)
+    // a second DV delete unions into fresh sidecars; snapshots 1 and 2
+    // still read their own exact row sets through their own sidecars
+    GraftTable.deleteMor(spark, root, (2L to 50L by 2).toDF("id"), "id")
+    assert(GraftTable.read(spark, root).count() == 950)
+    assert(GraftTable.read(spark, root, Some(2)).count() == 975)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 1000)
+    // no-match delete declines to commit (no empty commit)
+    assert(GraftTable.deleteMor(spark, root, Seq(9999L).toDF("id"),
+      "id") == 3)
+    // deleting every remaining row drops every entry from the manifest;
+    // the read stays a correctly-typed empty frame
+    GraftTable.deleteMor(spark, root, (1L to 1000L).toDF("id"), "id")
+    assert(GraftTable.manifest(root, 4).files.isEmpty)
+    assert(GraftTable.read(spark, root).count() == 0)
+  }
+
+  test("mergeMor: upsert appends only the update rows; base files " +
+      "untouched; old versions DV-masked") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 8)
+    val v1Paths = GraftTable.manifest(root, 1).files.map(_.path).toSet
+    val updates = ((1 to 10).map(i => (i.toLong, s"upd$i")) :+
+      (2000L, "new")).toDF("id", "payload")
+    GraftTable.mergeMor(spark, root, updates, "id", Seq("id"), Seq("id"),
+      numFiles = 1)
+    val m2 = GraftTable.manifest(root, 2)
+    val m2Paths = m2.files.map(_.path).toSet
+    // every base file carries over physically; exactly the appended
+    // update file is new — the O(rows changed) commit-cost shape
+    assert(v1Paths.subsetOf(m2Paths), "mergeMor must not drop base files")
+    assert((m2Paths -- v1Paths).size == 1,
+      s"expected exactly one appended file, got ${m2Paths -- v1Paths}")
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 1001)
+    assert(latest.where(col("id") <= 10 &&
+      !col("payload").startsWith("upd")).count() == 0,
+      "old versions of matched keys must be DV-masked")
+    assert(latest.where(col("id") === 2000).count() == 1)
+    assert(GraftTable.read(spark, root, Some(1))
+      .where(col("payload").startsWith("upd")).count() == 0)
+  }
+
+  test("compact materializes deletion vectors: DVs fold away, content " +
+      "invariant, prior DV snapshot still exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(1000), Seq("id"), Seq("id"),
+      numFiles = 4)
+    GraftTable.deleteMor(spark, root, (1L to 100L by 2).toDF("id"), "id")
+    val before = GraftTable.read(spark, root)
+      .orderBy("id").collect().toSeq
+    GraftTable.compact(spark, root, minRows = 0L, Seq("id"), Seq("id"),
+      numFiles = 2, materializeDvs = true)
+    val m3 = GraftTable.manifest(root, 3)
+    assert(m3.op == "compact")
+    assert(m3.files.forall(_.dv.isEmpty),
+      "materializing compact must leave no deletion vectors")
+    val after = GraftTable.read(spark, root).orderBy("id").collect().toSeq
+    assert(after == before, "compaction must be content-invariant")
+    // snapshot 2 still reads through its sidecar (950 rows), snapshot 1
+    // pre-delete (1000)
+    assert(GraftTable.read(spark, root, Some(2)).count() == 950)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 1000)
+  }
+
+  test("row-level CDC across DV commits: deletes and update pairs " +
+      "emitted, untouched rows silent") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.deleteMor(spark, root, (1L to 5L).toDF("id"), "id")
+    val del = GraftTable.changesBetweenRows(spark, root, 1, 2, "id")
+    assert(del.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("delete" -> 5L),
+      "a DV delete must emit exactly its doomed rows as deletes")
+    val updates = Seq((6L, "upd6"), (7L, "upd7"), (200L, "new"))
+      .toDF("id", "payload")
+    GraftTable.mergeMor(spark, root, updates, "id", Seq("id"), Seq("id"),
+      numFiles = 1)
+    val upd = GraftTable.changesBetweenRows(spark, root, 2, 3, "id")
+    assert(upd.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+        "insert" -> 1L),
+      "a DV upsert must emit update pairs + the insert, nothing else")
+  }
+
+  test("DV sidecars are reference-counted: expiry reclaims superseded " +
+      "ones, orphan sweep covers stranded ones") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.deleteMor(spark, root, (1L to 5L).toDF("id"), "id")
+    GraftTable.deleteMor(spark, root, (6L to 10L).toDF("id"), "id")
+    val dv2 = GraftTable.manifest(root, 2).files.flatMap(_.dv)
+    val dv3 = GraftTable.manifest(root, 3).files.flatMap(_.dv)
+    assert(dv2.nonEmpty && dv3.nonEmpty && dv2 != dv3)
+    GraftTable.expireSnapshots(root, keepFrom = 3)
+    dv2.foreach(p => assert(!Files.exists(Paths.get(root, p)),
+      s"superseded sidecar $p should be vacuumed with its manifest"))
+    dv3.foreach(p => assert(Files.exists(Paths.get(root, p)),
+      s"live sidecar $p must survive expiry"))
+    assert(GraftTable.read(spark, root).count() == 90)
+    // a stranded sidecar (crashed writer) is an orphan like any data file
+    val stray = Paths.get(root, "data/dv/dv-stray.bin")
+    Files.write(stray, Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    Thread.sleep(10)
+    assert(GraftTable.removeOrphans(root, olderThanMs = 0) >= 1)
+    assert(!Files.exists(stray))
+    assert(GraftTable.read(spark, root).count() == 90)
+  }
+
+  test("deleteMor/mergeMor from a stale snapshot fail loudly — DVs " +
+      "never blind-stack on a concurrent commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.append(spark, root,
+      idTable(150).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 1)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.deleteMor(spark, root, (1L to 5L).toDF("id"), "id",
+        baseSnapshot = Some(1))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.mergeMor(spark, root,
+        Seq((1L, "upd")).toDF("id", "payload"), "id", Seq("id"),
+        Seq("id"), baseSnapshot = Some(1))
+    }
+    // table state untouched by the failed attempts
+    assert(GraftTable.read(spark, root).count() == 150)
+  }
+
+  test("CoW merge/delete on a DV'd table apply the vectors: no " +
+      "resurrection, and the rewrite materializes them") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.deleteMor(spark, root, (1L to 10L).toDF("id"), "id")
+    // CoW delete on the same (single) file: must rewrite WITHOUT the
+    // DV'd rows and without a dv on the new entry
+    GraftTable.delete(spark, root, Seq(11L).toDF("id"), "id",
+      Seq("id"), Seq("id"), numFiles = 1)
+    val m3 = GraftTable.manifest(root, 3)
+    assert(m3.files.forall(_.dv.isEmpty))
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 89)
+    assert(latest.where(col("id") <= 11).count() == 0,
+      "CoW rewrite must not resurrect DV-deleted rows")
+  }
 }
