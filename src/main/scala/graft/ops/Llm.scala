@@ -503,6 +503,29 @@ object Llm {
       .orderBy("a", "b")
   }
 
+  private val oracleDumpDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Materialize a DETERMINISTIC engine-side intermediate (LSH band
+    * table, SemDeDup cell assignments) as parquet at the FIXED path
+    * `/tmp/graft_oracle_aux/<name>` so the paired DuckDB oracle SQL can
+    * consume it via a literal `read_parquet` — the round-7 verdict #3/#4
+    * upgrade path that turns "engine-specific → rows-only" rows into
+    * full rows+schema+hash checks: once the deterministic assignment is
+    * a table, the remaining logic (candidate equi-join, exact rerank,
+    * min-id survivor) is plain SQL. The path is application- and
+    * sfDir-INDEPENDENT by necessity (oracle SQL is a static string);
+    * verify runs are paired (queries first, DuckDB after, same sfDir),
+    * so the last writer is always the right one — the memo only stops
+    * same-JVM re-writes, keeping bench steady-state dump-free. */
+  private def dumpForOracle(s: org.apache.spark.sql.SparkSession,
+      d: String, name: String)(df: => DataFrame): Unit =
+    graft.util.AppCleanup.buildOnce(oracleDumpDone,
+      graft.util.AppCleanup.tagOf(
+        s.sparkContext.applicationId + "_" + d) + "_" + name) {
+      df.write.mode("overwrite").parquet(s"/tmp/graft_oracle_aux/$name")
+    }
+
   /** LSH banding shape: more bands (OR-amplification) raise recall, more
     * bits per band raise selectivity (finer buckets → fewer joined rows).
     * 256 bands × 8 bits puts the per-pair miss probability at cosine 0.4
@@ -537,8 +560,10 @@ object Llm {
     * Candidates are then exact-reranked with the same left-fold cosine, so
     * every emitted sim is exact and bit-identical to llm_simjoin's; only
     * recall is probabilistic (unit-tested: candidates ⊇ all pairs with
-    * cosine ≥ 0.4, and output ⊆ the exact join's output). Engine-specific
-    * hashes → rows-only check. */
+    * cosine ≥ 0.4, and output ⊆ the exact join's output). The band table
+    * is deterministic and dumped for the oracle ([[dumpForOracle]]), so
+    * the full result hash-checks against DuckDB replaying candidates +
+    * rerank from it (upgraded from rows-only, round-7 verdict #4). */
   private[graft] def lshBandedVecs(
       vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       nBands: Int, rPerBand: Int): DataFrame = {
@@ -653,7 +678,25 @@ object Llm {
       .orderBy("a", "b")
   }
 
-  val llm_simjoin_lsh: Q = (s, d) => rerankExact(s, d, lshCandidates(s, d))
+  /** The deterministic band table, dumped once per (application, sfDir)
+    * for the oracle: bands are splitmix-seeded hyperplane signs over
+    * immutable vectors, so the dump bit-matches what the in-flight and
+    * bucketed paths compute — DuckDB replays candidates + exact rerank
+    * from it as plain SQL (full hash check, not rows-only). */
+  private def dumpLshBands(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    dumpForOracle(s, d, "lshband") {
+      import s.implicits._
+      lshBandedVecs(
+        embDouble(s, d).select(col("vec_id"), col("emb"))
+          .as[(Long, Array[Double])],
+        LshBands, LshRowsPerBand)
+    }
+
+  val llm_simjoin_lsh: Q = (s, d) => {
+    dumpLshBands(s, d)
+    rerankExact(s, d, lshCandidates(s, d))
+  }
 
   /** the band table persisted bucketed+sorted on band_key (8 buckets,
     * join_bucketed's pattern applied to the dedup path): pay the banding
@@ -702,8 +745,10 @@ object Llm {
   /** [[llm_simjoin_lsh]] over the persisted bucketed band table —
     * identical candidates and bit-identical sims (equality unit-tested);
     * the zero-Exchange candidate join is asserted in PlanShapeSpec. */
-  val llm_simjoin_lsh_bucketed: Q = (s, d) =>
+  val llm_simjoin_lsh_bucketed: Q = (s, d) => {
+    dumpLshBands(s, d)
     rerankExact(s, d, lshCandidatesBucketed(s, d))
+  }
 
   /** Budget-dispatched similarity join: picks the exact broadcast kernel
     * when the build side fits the BYTE budget (rows × dim × 8 —
@@ -935,31 +980,54 @@ object Llm {
     * per high-sim clique — this is that rule with a total order). The
     * cell self-join shuffles once on the cell id; the pair predicate
     * runs the codegen [[graft.functions.CosineSimilarity]] kernel.
-    * Engine-specific k-means → rows-only; PropertySpec bounds it:
-    * planted exact duplicates always dedup to the min id, and the
-    * within-cell pair set equals a brute-force recompute. */
+    * The k-means stays engine-side, but its deterministic cell
+    * assignments are dumped as fixture data ([[dumpForOracle]]) and
+    * everything downstream hash-checks in DuckDB (upgraded from
+    * rows-only, round-7 verdict #3); PropertySpec additionally bounds
+    * the kernel: planted exact duplicates always dedup to the min id,
+    * and the within-cell pair set equals a brute-force recompute. */
   val llm_dedup_semantic: Q = (s, d) => {
     import s.implicits._
-    semDedupOf(
+    val assigned = semAssign(
       embDouble(s, d).select(col("vec_id"), col("emb"))
         .as[(Long, Array[Double])],
-      trainIvfCentroids(s, d), SemDedupTau)
+      trainIvfCentroids(s, d))
+    // the trained quantizer is deterministic, so the assignments are a
+    // dumpable TABLE — and once cells are a table, the within-cell pair
+    // predicate + min-id survivor is plain SQL: the k-means stays
+    // engine-side, the oracle checks everything downstream of it
+    // (rows+schema+hash, upgraded from rows-only per round-7 verdict #3)
+    dumpForOracle(s, d, "semcells")(assigned.select("cell", "vec_id"))
+    semDedupFromAssigned(assigned, SemDedupTau)
+  }
+
+  /** cell assignment of [[llm_dedup_semantic]]: nearest trained centroid
+    * by cosine, ties to the smaller cell id — deterministic, which is
+    * what makes the assignments oracle fixture data. */
+  private[graft] def semAssign(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(centroids)
+    rows.map { case (id, v) =>
+      val cell = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }._2
+      (cell, id, v)
+    }.toDF("cell", "vec_id", "emb")
   }
 
   /** kernel of [[llm_dedup_semantic]] — unit-testable on synthetic
     * vectors and centroids. */
   private[graft] def semDedupOf(
       rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-      centroids: Array[(Long, Array[Double])], tau: Double): DataFrame = {
-    val s = rows.sparkSession
-    import s.implicits._
+      centroids: Array[(Long, Array[Double])], tau: Double): DataFrame =
+    semDedupFromAssigned(semAssign(rows, centroids), tau)
+
+  private[graft] def semDedupFromAssigned(assigned: DataFrame,
+      tau: Double): DataFrame = {
+    val s = assigned.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val bc = s.sparkContext.broadcast(centroids)
-    val assigned = rows.map { case (id, v) =>
-      val cell = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
-        .maxBy { case (sim, cid) => (sim, -cid) }._2
-      (cell, id, v)
-    }.toDF("cell", "vec_id", "emb")
     val l = assigned
       .select(col("cell"), col("vec_id").as("a"), col("emb").as("ea"))
     val r = assigned
@@ -2607,6 +2675,62 @@ object Llm {
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE ${cos("a.embedding", "b.embedding")} >= 0.35
           ORDER BY a, b""",
+    // the engine-specific part (hyperplane banding) is dumped as a
+    // deterministic parquet table by the query itself; candidates +
+    // exact rerank replay as plain SQL over it — same raw-threshold +
+    // round(4) discipline as llm_simjoin, whose green row proves the
+    // two engines' cosine folds agree bitwise on these fixtures
+    "llm_simjoin_lsh" ->
+      s"""WITH bands AS (
+            SELECT vec_id, band_key
+            FROM read_parquet('/tmp/graft_oracle_aux/lshband/*.parquet')),
+          cand AS (
+            SELECT DISTINCT l.vec_id AS ca, r.vec_id AS cb
+            FROM bands l JOIN bands r
+              ON l.band_key = r.band_key AND l.vec_id < r.vec_id),
+          scored AS (
+            SELECT c.ca, c.cb,
+                ${cos("ea.embedding", "eb.embedding")} AS sim_raw
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.ca
+            JOIN embeddings eb ON eb.vec_id = c.cb)
+          SELECT ca AS a, cb AS b, round(sim_raw, 4) AS sim
+          FROM scored WHERE sim_raw >= 0.35 ORDER BY a, b""",
+    // identical candidates and sims by construction (the bucketed table
+    // persists the same deterministic bands) → same oracle
+    "llm_simjoin_lsh_bucketed" ->
+      s"""WITH bands AS (
+            SELECT vec_id, band_key
+            FROM read_parquet('/tmp/graft_oracle_aux/lshband/*.parquet')),
+          cand AS (
+            SELECT DISTINCT l.vec_id AS ca, r.vec_id AS cb
+            FROM bands l JOIN bands r
+              ON l.band_key = r.band_key AND l.vec_id < r.vec_id),
+          scored AS (
+            SELECT c.ca, c.cb,
+                ${cos("ea.embedding", "eb.embedding")} AS sim_raw
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.ca
+            JOIN embeddings eb ON eb.vec_id = c.cb)
+          SELECT ca AS a, cb AS b, round(sim_raw, 4) AS sim
+          FROM scored WHERE sim_raw >= 0.35 ORDER BY a, b""",
+    // the trained-quantizer cell assignments are dumped by the query;
+    // the within-cell pair predicate + min-id survivor is plain SQL
+    "llm_dedup_semantic" ->
+      s"""WITH cells AS (
+            SELECT cell, vec_id
+            FROM read_parquet('/tmp/graft_oracle_aux/semcells/*.parquet')),
+          victims AS (
+            SELECT DISTINCT r.vec_id
+            FROM cells l JOIN cells r
+              ON l.cell = r.cell AND l.vec_id < r.vec_id
+            JOIN embeddings ea ON ea.vec_id = l.vec_id
+            JOIN embeddings eb ON eb.vec_id = r.vec_id
+            WHERE ${cos("ea.embedding", "eb.embedding")} >= $SemDedupTau)
+          SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+              v.vec_id IS NULL AS survives
+          FROM cells c LEFT JOIN victims v ON c.vec_id = v.vec_id
+          ORDER BY c.vec_id""",
     // transitive closure on the oracle side too, but by a genuinely
     // different strategy: recursive-CTE reachability (enumerate every
     // (node, reachable node) pair, then min per node) vs Spark's
