@@ -656,6 +656,65 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("capped GraftTable stream restarted from its checkpoint " +
+      "mid-history: the rate-limit floor re-seeds from committed " +
+      "progress — no duplicates, no stall (round-7 ADVICE)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_table_restart").toFile
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_table_restart_ckpt").toFile
+    Seq(root, ckpt).foreach(f =>
+      graft.util.AppCleanup.onExit(s"graft_table_restart_${f.getName}")(
+        graft.util.AppCleanup.recursiveDelete(f)))
+    def ids(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    t.create(spark, root.getPath, ids(1, 10), Seq("id"), Seq("id"),
+      numFiles = 1)                                              // v1
+    (1 to 5).foreach { k =>                                      // v2..v6
+      t.append(spark, root.getPath, ids(10 * k + 1, 10 * k + 10),
+        Seq("id"), Seq("id"), numFiles = 1)
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // AvailableNow latches its drain target from ONE getOffset, so with
+    // cap 2 each run advances exactly two commits and stops — a
+    // mid-history stop by construction. Every run builds a FRESH source
+    // instance (servedThrough = 0): progress across runs exists only if
+    // the engine replays the committed batch through getBatch before
+    // asking for a new offset, re-seeding the floor — the exact
+    // restart-reseed assumption this test pins. If that replay ever
+    // vanished, the capped offset would regress to the committed one and
+    // the run would re-serve or stall, failing the per-run assertions.
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", root.getPath)
+        .option("maxSnapshotsPerTrigger", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(_.getAs[Long]("id"))
+          got.synchronized { got ++= rows }; ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce() // batch 0: full read at the capped snapshot 2 → ids 1..20
+    assert(got.sorted.toList == (1L to 20L).toList,
+      s"first capped run must serve snapshots 1..2 once: ${got.sorted}")
+    runOnce() // restart: floor re-seeds to 2, batch covers (2, 4]
+    assert(got.sorted.toList == (1L to 40L).toList,
+      s"restart must resume at commit 3, no re-serve: ${got.sorted}")
+    runOnce() // (4, 6] — history fully drained across three restarts
+    assert(got.sorted.toList == (1L to 60L).toList,
+      s"capped restarts lost or duplicated rows: ${got.sorted}")
+    assert(got.size == t.read(spark, root.getPath).count(),
+      "restarted drain totals must equal the batch read")
+  }
+
   test("readStream over GraftTable: AvailableNow tail equals the batch " +
       "read; checkpoint resumes per commit; merge gated by ignoreChanges") {
     import spark.implicits._
@@ -796,6 +855,25 @@ class StreamingSpec extends SparkTestBase {
     val live = t.read(spark, root.getPath).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(replayed == live, "CDC replay must rebuild the live table")
+    // run 3: merge-on-read commits stream exactly too — a DV delete
+    // emits only its doomed rows, a DV upsert emits update pairs + the
+    // insert, with zero file rewrite behind them (the (path, dv) diff
+    // identity in changesBetweenRows is what the stream leans on)
+    t.deleteMor(spark, root.getPath, Seq(4L).toDF("id"), "id")     // v6
+    t.mergeMor(spark, root.getPath,
+      Seq((5L, "MOR5"), (300L, "new300")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), numFiles = 1)                    // v7
+    val beforeMor = got.size
+    drain()
+    val morStreamed = got.drop(beforeMor).toSet
+    assert(morStreamed.filter(_._4 == 6) ==
+      Set((4L, "v4", "delete", 6)),
+      s"DV delete must stream exactly its doomed row: $morStreamed")
+    assert(morStreamed.filter(_._4 == 7) ==
+      Set((5L, "v5", "update_preimage", 7),
+        (5L, "MOR5", "update_postimage", 7),
+        (300L, "new300", "insert", 7)),
+      s"DV upsert must stream update pair + insert: $morStreamed")
   }
 
   test("closed loop: CDC stream replicates one GraftTable into another " +
