@@ -65,6 +65,26 @@ class BenchGuardSpec extends SparkTestBase {
         confirmed.map { case (n, t) => f"$n (${t}%.2f s)" }.mkString(", "))
   }
 
+  test("bench_expected resource parses and covers every registered query") {
+    // Bench's adaptive GC shield reads this classpath resource; a query
+    // missing from it falls back to the blunt 0.75 s retry threshold, so
+    // adding a query without regenerating (scripts/regen_bench_expected.py
+    // from a stable local bench.json) silently weakens the shield —
+    // fail here instead, the bench_budget.json regen discipline
+    val in = getClass.getResourceAsStream("/graft/bench_expected.json")
+    assert(in != null, "missing resource graft/bench_expected.json — " +
+      "run scripts/regen_bench_expected.py after a local bench")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val expected = """"([a-zA-Z_0-9]+)":\s*([0-9.]+)""".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(expected.values.forall(v => v > 0 && v < 60),
+      "implausible steady costs in bench_expected.json")
+    val missing = SparkEntry.queries.keySet -- expected.keySet
+    assert(missing.isEmpty,
+      s"queries missing from bench_expected.json (regen it): $missing")
+  }
+
   test("sf0.1 heavy queries stay within 3x of their recorded cost") {
     // Bench-style preamble: when the whole suite runs, earlier suites
     // leave cached blocks and queued garbage that tax whichever heavy
