@@ -294,28 +294,46 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. Engine-
-    * specific hashes → no SQL oracle (rows-only); the test suite asserts
-    * candidates ⊇ all J ≥ 0.9 pairs. Scale path: signatures are one
-    * groupBy; candidates are an equi-join on (band, band signature) —
-    * served from the persisted bucketed band table ([[dedupTextTables]]):
-    * the hashes are deterministic, so the candidates are row-identical
-    * to the in-flight derivation (which [[minhashCandidates]] keeps for
-    * the parity/recall tests and the first build), and repeated candidate
-    * queries pay zero signature recomputation — the pay-layout-once
-    * story, shared with the flagship dedup. */
-  val llm_minhash: Q = (s, d) =>
+  /** MinHash (k=64) + LSH (16 bands × 4 rows) candidate pairs. The
+    * engine-specific part (xxhash64 seeds) ends at the signature table,
+    * which is deterministic — the query dumps it ([[dumpForOracle]]) and
+    * the paired DuckDB oracle replays banding + candidate equi-join as
+    * plain SQL (full hash check, upgraded from rows-only; the recall
+    * test — candidates ⊇ all J ≥ 0.9 pairs — stays). Scale path:
+    * signatures are one groupBy; candidates are an equi-join on (band,
+    * band signature) — served from the persisted bucketed band table
+    * ([[dedupTextTables]]): the hashes are deterministic, so the
+    * candidates are row-identical to the in-flight derivation (which
+    * [[minhashCandidates]] keeps for the parity/recall tests and the
+    * first build), and repeated candidate queries pay zero signature
+    * recomputation — the pay-layout-once story, shared with the
+    * flagship dedup. */
+  val llm_minhash: Q = (s, d) => {
+    dumpForOracle(s, d, "mhsig") {
+      minhashSigsOf(shingleRows(s, d).select("doc_id", "sh"))
+    }
     minhashCandidatesOf(dedupTextTables(s, d)._1).orderBy("doc_a", "doc_b")
+  }
 
-  /** (doc_id, band_key) — MinHash (k=64) signatures banded 16×4; the seed
-    * folds into the hash input as a second column — one tuple hash per
-    * (shingle, seed), no per-seed string concatenation. */
-  private[graft] def minhashBandedOf(sh: DataFrame): DataFrame = {
+  /** (doc_id, sig[64]) — the MinHash signature table; the seed folds into
+    * the hash input as a second column — one tuple hash per (shingle,
+    * seed), no per-seed string concatenation. Deterministic given the
+    * corpus, so it doubles as the oracle's fixture dump. */
+  private[graft] def minhashSigsOf(sh: DataFrame): DataFrame = {
     val sigCols = (0 until 64).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.drop(1): _*)
       .withColumn("sig", array((0 until 64).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+  }
+
+  /** (doc_id, band_key) — signatures banded 16×4 into one string key per
+    * band (concat_ws of band index + that band's 4 longs: injective, so
+    * key equality ⟺ (band, s1..s4) tuple equality — the form the oracle
+    * joins on). */
+  private[graft] def minhashBandedOf(sh: DataFrame): DataFrame =
+    minhashSigsOf(sh)
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(15))).as("band"))
       .withColumn("band_key", concat_ws(",", col("band").cast("string"),
@@ -324,7 +342,6 @@ object Llm {
         element_at(col("sig"), col("band") * 4 + 3).cast("string"),
         element_at(col("sig"), col("band") * 4 + 4).cast("string")))
       .select("doc_id", "band_key")
-  }
 
   /** the candidate self-join on the band key (pre-distinct, so the plan
     * test can assert the join's exchange count in isolation — the
@@ -344,13 +361,26 @@ object Llm {
       d: String): DataFrame =
     minhashCandidatesOf(minhashBandedOf(shingleRows(s, d).select("doc_id", "sh")))
 
-  /** 64-bit SimHash over token frequencies (bit votes via per-bit sums,
-    * reassembled with bit_or of disjoint powers). Engine-specific → no
-    * oracle; hamming-proximity of near-dup pairs is unit-tested. */
-  val llm_simhash: Q = (s, d) =>
+  /** one row per token OCCURRENCE (multiplicity feeds the bit votes):
+    * the engine-specific part of SimHash ends at this xxhash64 table, so
+    * dumping it lets the oracle replay everything downstream. */
+  private def simhashTokens(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
+      .select("doc_id", "h")
+
+  /** 64-bit SimHash over token frequencies (bit votes via per-bit sums,
+    * reassembled with bit_or of disjoint powers). The token-hash table is
+    * deterministic and dumped for the oracle ([[dumpForOracle]]); DuckDB
+    * replays the WHOLE bit-vote pipeline — bit explode, ±1 votes, per-bit
+    * sums, power reassembly, popcount — as plain SQL (full hash check,
+    * upgraded from rows-only; Hamming-proximity of near-dup pairs stays
+    * unit-tested). */
+  val llm_simhash: Q = (s, d) => {
+    dumpForOracle(s, d, "simhashtok") { simhashTokens(s, d) }
+    simhashTokens(s, d)
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(63))).as("b"))
       .withColumn("vote",
@@ -363,6 +393,7 @@ object Llm {
       .select(col("doc_id"), col("simhash"),
         expr("bit_count(simhash)").as("popcount"))
       .orderBy("doc_id")
+  }
 
   // ----- similarity search -------------------------------------------------
 
@@ -1375,12 +1406,29 @@ object Llm {
     cent.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 
+  /** the 16 trained centroid vectors (k × dim doubles, the entire
+    * engine-specific output of Lloyd's) dumped for the oracle: given the
+    * centroids as a table, EVERYTHING downstream — nearest-cell
+    * assignment (argmax cosine, tie → lowest cell), probe selection
+    * (top-4 cells per query), candidate union, exact rerank, top-5 —
+    * replays as plain SQL. Shared by the trained and indexed variants
+    * (same quantizer, memoized dump). */
+  private def dumpTrainedCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    dumpForOracle(s, d, "ivftrcent") {
+      import s.implicits._
+      trainIvfCentroids(s, d).toSeq.toDF("cid", "cv")
+    }
+
   /** [[llm_ann_ivf]] with the quantizer trained by Lloyd's iterations —
-    * same probe machinery, same rows-only check; the unit tests assert
-    * recall@5 ≥ the untrained variant's and a bounded biggest inverted
-    * list (the property training exists to buy). */
-  val llm_ann_ivf_trained: Q = (s, d) =>
+    * same probe machinery; full oracle via [[dumpTrainedCentroids]]
+    * (upgraded from rows-only, r8); the unit tests keep recall@5 ≥ the
+    * untrained variant's and a bounded biggest inverted list (the
+    * property training exists to buy). */
+  val llm_ann_ivf_trained: Q = (s, d) => {
+    dumpTrainedCentroids(s, d)
     ivfSearch(s, d, trainIvfCentroids(s, d))
+  }
 
   /** The persisted-index ANN variant — the disk shape of a real IVF
     * index: inverted lists written ONCE as a cell-PARTITIONED parquet
@@ -1441,7 +1489,8 @@ object Llm {
       .toDF("neighbor_id", "sim_raw")
   }
 
-  val llm_ann_ivf_indexed: Q = (s, d) =>
+  val llm_ann_ivf_indexed: Q = (s, d) => {
+    dumpTrainedCentroids(s, d)
     ivfIndexProbe(s, d)
       // orderBy+limit plans TakeOrderedAndProject — distributed top-k
       // over the probed lists, no global sort; the 5-row window after it
@@ -1452,6 +1501,7 @@ object Llm {
         Window.orderBy(desc("sim_raw"), asc("neighbor_id"))))
       .select(col("neighbor_id"), r4(col("sim_raw")).as("sim"), col("rn"))
       .orderBy("rn")
+  }
 
   /** the int8 store as a typed Dataset: each vector replaced by its
     * bin-center dequantization (vmin + (code + 0.5)·scale — per-coordinate
@@ -2533,6 +2583,67 @@ object Llm {
   private def cos(a: String, b: String): String =
     duckCos.replace("{A}", a).replace("{B}", b)
 
+  /** oracle-side replay of the WHOLE IVF traversal (r8 upgrade from
+    * rows-only): given a vector CTE (vec_id, dv) and a centroid CTE
+    * (cid, cv), plain SQL reproduces nearest-cell assignment (argmax
+    * cosine, tie → lowest cell — the engine's maxBy((sim, -cid))),
+    * probe selection (each query's top-4 cells), the candidate union of
+    * probed inverted lists, exact rerank, and per-query top-5. `single`
+    * switches to the indexed variant's shape: one query (vec_id 0),
+    * global top-5, (neighbor_id, sim, rn) output. */
+  private def duckIvfSql(vecs: String, cent: String,
+      single: Boolean = false): String = {
+    val probeFilter = if (single) "WHERE vec_id = 0" else "WHERE vec_id < 20"
+    val rankPart = if (single) "" else "PARTITION BY qid "
+    val outCols = if (single) "neighbor_id, round(sim_raw, 4) AS sim, CAST(rn AS INT) AS rn"
+      else "qid, neighbor_id, round(sim_raw, 4) AS sim, CAST(rn AS INT) AS rn"
+    val outOrder = if (single) "rn" else "qid, rn"
+    s"""WITH v AS ($vecs),
+        cent AS ($cent),
+        sims AS (
+          SELECT v.vec_id, cid, ${cos("v.dv", "cent.cv")} AS s
+          FROM v CROSS JOIN cent),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS r
+            FROM sims) WHERE r = 1),
+        probes AS (
+          SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS r
+            FROM sims $probeFilter)
+          WHERE r <= 4),
+        cand AS (
+          SELECT p.qid, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON p.cell = a.cell
+          WHERE a.vec_id <> p.qid),
+        scored AS (
+          SELECT c.qid, c.neighbor_id, ${cos("vq.dv", "vn.dv")} AS sim_raw
+          FROM cand c JOIN v vq ON vq.vec_id = c.qid
+                      JOIN v vn ON vn.vec_id = c.neighbor_id),
+        ranked AS (
+          SELECT qid, neighbor_id, sim_raw, row_number() OVER (
+              ${rankPart}ORDER BY sim_raw DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT $outCols FROM ranked WHERE rn <= 5 ORDER BY $outOrder"""
+  }
+
+  /** (vec_id, dv) straight from the embeddings table. */
+  private val duckIvfVecs =
+    "SELECT vec_id, embedding AS dv FROM embeddings"
+
+  /** (vec_id, dv) bin-center dequantized — the same affine replay the
+    * green llm_embed_quantize oracle proves agrees bitwise. */
+  private val duckIvfVecsQ8 =
+    """SELECT vec_id, CASE WHEN scale = 0 THEN emb ELSE
+           list_transform(emb, x -> vmin + (floor((x - vmin) / scale) + 0.5) * scale)
+         END AS dv
+       FROM (SELECT vec_id, emb, list_aggregate(emb, 'min') AS vmin,
+               (list_aggregate(emb, 'max') - list_aggregate(emb, 'min')) / 255.0 AS scale
+             FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings))"""
+
   // oracle-side twins of the shared assembly helpers — single source for
   // the cleaning CTEs and the hash-bucket arithmetic, mirroring
   // qualityScored / jaccardVictims / sampleBucket / splitLabel above
@@ -2714,6 +2825,46 @@ object Llm {
             JOIN embeddings eb ON eb.vec_id = c.cb)
           SELECT ca AS a, cb AS b, round(sim_raw, 4) AS sim
           FROM scored WHERE sim_raw >= 0.35 ORDER BY a, b""",
+    // the engine-specific part (xxhash64-seeded signatures) is dumped as
+    // a deterministic parquet table by the query itself; banding (16
+    // bands x 4 sig slots — tuple equality ⟺ Spark's injective concat_ws
+    // band_key equality) + the candidate equi-join replay as plain SQL
+    "llm_minhash" ->
+      """WITH sigs AS (
+           SELECT doc_id, sig
+           FROM read_parquet('/tmp/graft_oracle_aux/mhsig/*.parquet')),
+         bands AS (
+           SELECT doc_id, band,
+               sig[band*4+1] AS s1, sig[band*4+2] AS s2,
+               sig[band*4+3] AS s3, sig[band*4+4] AS s4
+           FROM sigs CROSS JOIN (SELECT unnest(range(0,16)) AS band) b)
+         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r ON l.band = r.band
+           AND l.s1 = r.s1 AND l.s2 = r.s2 AND l.s3 = r.s3 AND l.s4 = r.s4
+           AND l.doc_id < r.doc_id
+         ORDER BY doc_a, doc_b""",
+    // the token-hash table (one row per occurrence) is the dump; the
+    // WHOLE bit-vote pipeline — ±1 votes per bit, per-bit sums, power
+    // reassembly, popcount — replays as SQL. DuckDB's >> is arithmetic
+    // like Spark's, but its << range-checks where Spark wraps, so bit 63
+    // (the sign bit) is spelled as the literal Long.MinValue
+    "llm_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, h
+           FROM read_parquet('/tmp/graft_oracle_aux/simhashtok/*.parquet')),
+         votes AS (
+           SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM toks CROSS JOIN (SELECT unnest(range(0,64)) AS b) bb
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+               bit_or(CASE WHEN v <= 0 THEN 0::BIGINT
+                           WHEN b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                           ELSE 1::BIGINT << CAST(b AS INT) END) AS simhash
+           FROM votes GROUP BY 1)
+         SELECT doc_id, simhash, CAST(bit_count(simhash) AS INT) AS popcount
+         FROM sh ORDER BY doc_id""",
     // the trained-quantizer cell assignments are dumped by the query;
     // the within-cell pair predicate + min-id survivor is plain SQL
     "llm_dedup_semantic" ->
@@ -2789,6 +2940,28 @@ object Llm {
              CAST(CASE WHEN scale = 0 THEN 0
                  ELSE floor((emb[1] - vmin) / scale) END AS INT) AS code0
          FROM q ORDER BY vec_id""",
+    // the untrained quantizer is just vec_id 0..15's embeddings, so the
+    // ENTIRE IVF traversal — assignment, probe selection, rerank, top-5 —
+    // replays as plain SQL with no dump at all (r8: upgraded from
+    // rows-only; the "traversal-specific" caveat was wrong — the
+    // traversal is deterministic relational algebra)
+    "llm_ann_ivf" -> duckIvfSql(duckIvfVecs,
+      "SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16"),
+    // only the 16 trained centroid vectors come from the engine (dumped
+    // by the query, like the SemDeDup cells); all traversal replays in SQL
+    "llm_ann_ivf_trained" -> duckIvfSql(duckIvfVecs,
+      "SELECT cid, cv FROM read_parquet('/tmp/graft_oracle_aux/ivftrcent/*.parquet')"),
+    // dequantization replays via the same affine arithmetic the green
+    // llm_embed_quantize oracle proves; seed centroids are the
+    // dequantized vec_id 0..15 — still zero dumps
+    "llm_ann_ivf_q8" -> duckIvfSql(duckIvfVecsQ8,
+      "SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id < 16"),
+    // the persisted index returns exactly what the in-flight probe
+    // returns (equality unit-tested), so the trained-centroid replay
+    // covers it; single query vec_id 0, global top-5
+    "llm_ann_ivf_indexed" -> duckIvfSql(duckIvfVecs,
+      "SELECT cid, cv FROM read_parquet('/tmp/graft_oracle_aux/ivftrcent/*.parquet')",
+      single = true),
     // the all-pairs shingle self-join generates the pair set the LSH
     // candidates must cover (banding recall ≈ 0.9998 at τ=0.8 with these
     // deterministic hashes — proven equal by this very comparison), and
