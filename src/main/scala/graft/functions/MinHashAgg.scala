@@ -9,14 +9,36 @@ import org.apache.spark.sql.expressions.Aggregator
   * commutative + associative, so partial aggregation (map-side combine)
   * is exact: at scale each signature costs one shuffle row per group.
   *
-  * Permutations are simulated by seed-suffixed FNV-1a 64 (public-domain
-  * hash), deterministic across JVMs — unlike `xxhash64`, usable from pure
-  * Scala inside the Aggregator.
+  * The base hash is FNV-1a 64 (public-domain, deterministic across JVMs —
+  * unlike `xxhash64`, usable from pure Scala inside the Aggregator); the
+  * K permutations are Broder-style affine transforms mod the Mersenne
+  * prime 2^31-1: `h_i = (a_i * (base mod p) + b_i) mod p` with per-seed
+  * odd-multiplier constants. Everything past `base` is plain bounded
+  * integer arithmetic (|base mod p| < 2^31, a_i < p, so the product fits
+  * a 64-bit long with no wrap), which is why the paired DuckDB oracle can
+  * replay the ENTIRE aggregation — per-seed affine transform, per-group
+  * min, md5 digest — in SQL over the dumped (doc_id, base) table; only
+  * the string→base step stays engine-side (truncated `%` semantics match
+  * between Java and DuckDB, so the signed intermediate needs no special
+  * casing beyond the final `(+p) % p` normalization, mirrored in SQL).
   */
 object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
   val K = 64
 
-  private def fnv1a64(s: String): Long = {
+  /** Mersenne-31: the classic MinHash modulus (Broder 1997 used 32-bit
+    * fingerprints); small enough that affine arithmetic never overflows
+    * a signed 64-bit integer on either engine. */
+  val P: Long = 2147483647L
+
+  /** per-seed multiplier (Knuth multiplicative constant, never ≡ 0 mod P
+    * for i+1 < P) — spelled as an arithmetic formula so the DuckDB oracle
+    * derives the identical constant from the seed index. */
+  def aOf(i: Int): Long = ((i + 1).toLong * 2654435761L) % P
+
+  /** per-seed offset. */
+  def bOf(i: Int): Long = ((i + 1).toLong * 40503L) % P
+
+  private[graft] def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -27,23 +49,13 @@ object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
     h
   }
 
-  /** splitmix64 finalizer — mixes the base hash with each seed without
-    * re-hashing the string K times (one string pass per shingle, K cheap
-    * integer mixes). */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   override def zero: Array[Long] = Array.fill(K)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    val base = fnv1a64(shingle)
+    val bm = fnv1a64(shingle) % P // truncated %, may be negative — as SQL
     var i = 0
     while (i < K) {
-      val h = mix(base ^ (i.toLong * 0xff51afd7ed558ccdL))
+      val h = ((bm * aOf(i) + bOf(i)) % P + P) % P
       if (h < buf(i)) buf(i) = h
       i += 1
     }

@@ -2481,10 +2481,25 @@ object Llm {
       .orderBy("c_custkey")
   }
 
-  /** typed UDAF: MinHash signature as an Aggregator (SURVEY.md §2-K);
-    * signature digested to md5 for a stable scalar output (rows-only
-    * check — hash seeds are engine-specific). */
+  /** typed UDAF: MinHash signature as an Aggregator (SURVEY.md §2-K),
+    * digested to md5 for a stable scalar output. FULL oracle check (was
+    * rows-only through round 7): the engine-specific part ends at the
+    * FNV-1a base hash of each distinct shingle, which the query dumps as
+    * a deterministic (doc_id, base) table ([[dumpForOracle]]); the whole
+    * aggregation — Broder affine permutations mod 2^31-1, per-group
+    * element-wise min, ordered md5 digest — replays as plain SQL in the
+    * paired DuckDB oracle (see [[graft.functions.MinHashAgg]] for why
+    * the affine arithmetic is exactly portable). */
   val llm_minhash_agg: Q = (s, d) => {
+    dumpForOracle(s, d, "mhaggtok") {
+      val sp = s
+      import sp.implicits._
+      shingleRows(s, d).select("doc_id", "sh").as[(Long, String)]
+        .map { case (id, sh) =>
+          (id, graft.functions.MinHashAgg.fnv1a64(sh))
+        }
+        .toDF("doc_id", "base")
+    }
     val mh = udaf(graft.functions.MinHashAgg)
     shingleRows(s, d)
       .groupBy("doc_id")
@@ -2843,6 +2858,26 @@ object Llm {
            AND l.s1 = r.s1 AND l.s2 = r.s2 AND l.s3 = r.s3 AND l.s4 = r.s4
            AND l.doc_id < r.doc_id
          ORDER BY doc_a, doc_b""",
+    // the FNV base hash per (doc, distinct shingle) is the dump; the
+    // UDAF's whole aggregation — Broder affine permutation mod 2^31-1
+    // (constants derived from the seed index by the same arithmetic as
+    // MinHashAgg.aOf/bOf), per-group element-wise min, ordered md5
+    // digest — replays as SQL. % is truncated (sign of dividend) on both
+    // engines, so the signed base needs only the final (+p) % p
+    "llm_minhash_agg" ->
+      """WITH toks AS (
+           SELECT doc_id, base
+           FROM read_parquet('/tmp/graft_oracle_aux/mhaggtok/*.parquet')),
+         hs AS (
+           SELECT doc_id, i,
+               min((((base % 2147483647) * (((i+1) * 2654435761) % 2147483647)
+                     + ((i+1) * 40503) % 2147483647) % 2147483647
+                    + 2147483647) % 2147483647) AS h
+           FROM toks CROSS JOIN (SELECT unnest(range(0,64)) AS i) seeds
+           GROUP BY 1, 2)
+         SELECT doc_id,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS sig_md5
+         FROM hs GROUP BY doc_id ORDER BY doc_id""",
     // the token-hash table (one row per occurrence) is the dump; the
     // WHOLE bit-vote pipeline — ±1 votes per bit, per-bit sums, power
     // reassembly, popcount — replays as SQL. DuckDB's >> is arithmetic
