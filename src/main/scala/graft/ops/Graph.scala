@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** SURVEY.md §2-M (r8): graph analytics as first-class distributed
+  * operators — connected components, single-source BFS, triangle
+  * counting, PageRank — over a graph DERIVED RELATIONALLY from the
+  * warehouse tables, so every op has a full rows+schema+hash DuckDB
+  * oracle (recursive CTEs / unrolled iteration) instead of a rows-only
+  * check.
+  *
+  * The graph: suppliers are nodes; an undirected edge joins two
+  * suppliers that co-occur in at least one order (the classic
+  * market-basket co-occurrence projection — one equi-join of lineitem
+  * with itself on the order key). The pair set is then SPARSIFIED by a
+  * deterministic hash predicate so component structure/triangle counts
+  * are non-trivial at the oracle SF: `((a*2654435761 + b*40503) %
+  * 1000003) % m = 0` — reduced mod a large prime BEFORE the small
+  * modulus, per the repo's cross-engine bucketing invariant (the
+  * unreduced affine form collapses to a correlated map of the keys mod
+  * m). Two regimes share the derivation:
+  *
+  *  - m = 59 (sparse): 13 components at sf0.01 — the CC / BFS graph;
+  *  - m = 11 (dense): ~100 triangles at sf0.01 — the triangle /
+  *    PageRank graph.
+  *
+  * Scale posture: the edge derivation is one shuffle on the order key +
+  * one distinct; every iterative op below follows the repo's loop
+  * invariant (localCheckpoint per round via [[graft.util.Iterate]],
+  * cache-before-count, unpersist in finally) and coalesces the loop to
+  * a few partitions below 1M edges where per-task overhead would
+  * dominate — above that the full-parallelism shape is unchanged, which
+  * is the 1000-executor path.
+  */
+object Graph {
+
+  /** (a, b), a < b — the sparsified co-order supplier pair relation. */
+  private[graft] def supplierEdges(s: SparkSession, d: String,
+      m: Int): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val x = li.select(col("ok"), col("sk").as("a"))
+    val y = li.select(col("ok").as("ok2"), col("sk").as("b"))
+    x.join(y, col("ok") === col("ok2") && col("a") < col("b"))
+      .where(((col("a") * lit(2654435761L) + col("b") * lit(40503L))
+        % lit(1000003L)) % lit(m.toLong) === 0)
+      .select("a", "b").distinct()
+  }
+
+  /** (v, u) both directions — the adjacency the iterative ops traverse. */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
+
+  /** Connected components over the sparse (m=59) graph: label = the
+    * smallest reachable node id. Delegates to the budget-dispatched
+    * closure shared with the dedup family ([[Llm.connectedComponents]]):
+    * driver union-find under 2^19 symmetric edges, distributed
+    * hook + pointer-jump label propagation above — each round one
+    * shuffle on the node and one on the label, O(log diameter) rounds.
+    * The oracle replays reachability as a recursive CTE and takes the
+    * per-node min. */
+  val graph_cc: Q = (s, d) =>
+    Llm.connectedComponents(supplierEdges(s, d, 59), key = "graph_cc")
+      .select(col("gid").as("node"), col("comp").as("component"))
+      .orderBy("node")
+
+  /** Single-source BFS on the sparse graph from the smallest node id:
+    * (node, hops) for every node within 4 hops. Frontier expansion —
+    * each round joins the previous frontier to the adjacency, anti-joins
+    * the visited set, checkpoints (bounded 4 rounds, but the loop
+    * invariant applies all the same: the visited set references itself
+    * once per round). The oracle walks all paths of length ≤ 4 with a
+    * recursive CTE and takes min depth per node. */
+  val graph_bfs: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val sym = symmetrize(supplierEdges(s, d, 59))
+      .select(col("v"), col("u")).cache()
+    try {
+      val nEdges = sym.count()
+      val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
+      val seedRow = g.agg(min(col("v"))).head()
+      if (seedRow.isNullAt(0)) {
+        // empty graph (possible at tiny SF): empty result, stable schema
+        Seq.empty[(Long, Int)].toDF("node", "hops")
+      } else {
+        val seed = seedRow.getLong(0)
+        var visited = graft.util.Iterate.checkpoint(
+          Seq((seed, 0)).toDF("node", "hops"))
+        // the frontier must be checkpointed too: the next round's plan
+        // reads it, so it cannot reference blocks the round releases
+        var frontier = visited
+        for (h <- 1 to 4) {
+          val nextF = graft.util.Iterate.checkpoint(
+            frontier._1.select(col("node").as("v"))
+              .join(g, "v").select(col("u").as("node")).distinct()
+              .join(visited._1, Seq("node"), "left_anti")
+              .withColumn("hops", lit(h)))
+          val grown = graft.util.Iterate.checkpoint(
+            visited._1.union(nextF._1))
+          if (frontier._2 ne visited._2)
+            frontier._2.unpersist(blocking = false)
+          visited._2.unpersist(blocking = false)
+          frontier = nextF
+          visited = grown
+        }
+        frontier._2.unpersist(blocking = false)
+        graft.util.Iterate.registerResult("graph_bfs", visited._2)
+        visited._1.orderBy("node")
+      }
+    } finally sym.unpersist()
+  }
+
+  /** Per-node triangle participation counts on the dense (m=11) graph.
+    * The oriented two-join formulation (a<b<c wedges closed against the
+    * edge list) — no cartesian product, and the three references to the
+    * same derived edge relation collapse to one computed Exchange via
+    * Spark's ReuseExchange, so the derivation is paid once. Nodes on no
+    * triangle are absent (both engines). */
+  val graph_triangles: Q = (s, d) => {
+    val e = supplierEdges(s, d, 11)
+    val wedge = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedge.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select("x", "y", "z")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy("node")
+  }
+
+  /** PageRank, 8 fixed iterations, damping 0.85, on the dense graph made
+    * bidirectional. Ranks are INTEGER-SCALED (seed 10^12 per node, each
+    * step `150e9 + (incoming * 85) div 100`, per-edge share `rank div
+    * out_degree`) so every iteration is exact 64-bit arithmetic — the
+    * reason the oracle can unroll the same 8 iterations as chained CTEs
+    * and hash-match, where a float formulation would diverge in the 15th
+    * digit on summation order. Sink-free by construction (symmetric
+    * adjacency). Headroom: sums stay < 2^63 up to ~10^5 nodes at this
+    * seed; a larger graph scales the seed down. Each iteration is one
+    * shuffle on the source (share), one on the target (sum), one label
+    * checkpoint — the standard Pregel-style cost. */
+  val graph_pagerank: Q = (s, d) => {
+    val sym = symmetrize(supplierEdges(s, d, 11)).cache()
+    try {
+      val nEdges = sym.count()
+      val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
+      val deg = g.groupBy(col("v").as("node")).agg(count(lit(1)).as("od"))
+      val nodes = g.select(col("v").as("node")).distinct()
+      var cur = graft.util.Iterate.checkpoint(
+        nodes.withColumn("rank", lit(1000000000000L)))
+      for (_ <- 1 to 8) {
+        val share = cur._1.join(deg, "node")
+          .select(col("node").as("v"), expr("rank div od").as("c"))
+        val contrib = share.join(g, "v")
+          .groupBy(col("u").as("node")).agg(sum(col("c")).as("inc"))
+        val next = graft.util.Iterate.checkpoint(
+          nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"), (lit(150000000000L) +
+              expr("coalesce(inc, 0L) * 85 div 100")).as("rank")))
+        cur._2.unpersist(blocking = false)
+        cur = next
+      }
+      graft.util.Iterate.registerResult("graph_pagerank", cur._2)
+      cur._1.orderBy(desc("rank"), asc("node"))
+    } finally sym.unpersist()
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "graph_cc" -> graph_cc,
+    "graph_bfs" -> graph_bfs,
+    "graph_triangles" -> graph_triangles,
+    "graph_pagerank" -> graph_pagerank,
+  )
+
+  /** shared oracle CTE bodies (DuckDB): the edge derivation, its
+    * symmetrization, and the node set, parameterized by the sparsity
+    * modulus. */
+  private def edgeCtes(m: Int): String =
+    s"""edges AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+          WHERE ((x.l_suppkey * 2654435761 + y.l_suppkey * 40503)
+                 % 1000003) % $m = 0),
+        sym AS (SELECT a AS s, b AS t FROM edges
+                UNION ALL SELECT b AS s, a AS t FROM edges),
+        nodes AS (SELECT DISTINCT s AS node FROM sym)"""
+
+  /** 8 unrolled PageRank iterations as chained CTEs — the same integer
+    * arithmetic as the Spark loop (`//` is DuckDB's integer division;
+    * both engines truncate, and every intermediate is non-negative).
+    * Integer sums CAST to BIGINT (DuckDB sums integers into HUGEINT). */
+  private def pagerankOracle: String = {
+    val iters = (1 to 8).map { i =>
+      s"""c$i AS (
+          SELECT y.t AS node, CAST(sum(p.rank // d.od) AS BIGINT) AS inc
+          FROM pr${i - 1} p JOIN deg d ON d.node = p.node
+            JOIN sym y ON y.s = p.node
+          GROUP BY 1),
+        pr$i AS (
+          SELECT n.node, 150000000000 + COALESCE(c.inc, 0) * 85 // 100 AS rank
+          FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString(",\n        ")
+    s"""WITH ${edgeCtes(11)},
+        deg AS (SELECT s AS node, count(1) AS od FROM sym GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank
+                FROM nodes),
+        $iters
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM pr8
+        ORDER BY rank DESC, node"""
+  }
+
+  val oracle: Seq[(String, String)] = Seq(
+    // reachability closure as a recursive CTE; component = min reachable
+    "graph_cc" ->
+      s"""WITH RECURSIVE ${edgeCtes(59)},
+          reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT w.node, y.t FROM reach w JOIN sym y ON w.r = y.s)
+          SELECT node, min(r) AS component FROM reach
+          GROUP BY node ORDER BY node""",
+    // all walks of length <= 4 from the smallest node; min depth = BFS
+    // level (HAVING guards the empty-graph case at tiny SF)
+    "graph_bfs" ->
+      s"""WITH RECURSIVE ${edgeCtes(59)},
+          walk(node, d) AS (
+            SELECT min(s), 0 FROM sym HAVING min(s) IS NOT NULL
+            UNION ALL
+            SELECT y.t, w.d + 1 FROM walk w JOIN sym y ON w.node = y.s
+            WHERE w.d < 4)
+          SELECT node, CAST(min(d) AS INT) AS hops FROM walk
+          GROUP BY node ORDER BY node""",
+    "graph_triangles" ->
+      s"""WITH ${edgeCtes(11)},
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+          ex AS (SELECT unnest([x, y, z]) AS node FROM tri)
+          SELECT node, count(1) AS tri_cnt FROM ex
+          GROUP BY node ORDER BY node""",
+    "graph_pagerank" -> pagerankOracle,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph-family cross-checks (SURVEY.md §2-M) beyond the SQL oracle:
+  * algorithmic invariants the recursive-CTE oracle verifies only
+  * end-to-end. Runs at sf0.01 — the sparse graph there has 13
+  * components and the dense one ~100 triangles, so the properties bite
+  * (sf0.001's graph is 1-2 edges). */
+class GraphSpec extends SparkTestBase {
+  val sf01 = "/root/testdata/sf0.01"
+
+  test("graph_cc labels equal a driver-side union-find of the same edges") {
+    import spark.implicits._
+    val edges = ops.Graph.supplierEdges(spark, sf01, 59)
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b); if (ra != rb) parent(rb) = ra
+    }
+    val minOf = parent.keys.toSeq.groupBy(find).map { case (r, ns) =>
+      r -> ns.min
+    }
+    val expect = parent.keys.map(n => n -> minOf(find(n))).toMap
+    val got = ops.Graph.graph_cc(spark, sf01)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    assert(got.values.toSet.size >= 2, "fixture should have >1 component")
+  }
+
+  test("graph_bfs: seed at hops 0; every level-h node adjoins a level h-1 node") {
+    import spark.implicits._
+    val bfs = ops.Graph.graph_bfs(spark, sf01).as[(Long, Int)].collect()
+    val level = bfs.toMap
+    assert(level.valuesIterator.min == 0 && level.count(_._2 == 0) == 1)
+    val sym = ops.Graph.supplierEdges(spark, sf01, 59).as[(Long, Long)]
+      .collect().flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    bfs.filter(_._2 > 0).foreach { case (n, h) =>
+      assert(sym(n).exists(u => level.get(u).contains(h - 1)),
+        s"node $n at level $h has no neighbor at ${h - 1}")
+    }
+  }
+
+  test("graph_triangles: total participation divisible by 3 and positive") {
+    val total = ops.Graph.graph_triangles(spark, sf01)
+      .agg(sum("tri_cnt")).head().getLong(0)
+    assert(total > 0 && total % 3 == 0, s"total participation $total")
+  }
+
+  test("graph_pagerank: deterministic, teleport floor holds, mass bounded") {
+    import spark.implicits._
+    val a = ops.Graph.graph_pagerank(spark, sf01).as[(Long, Long)].collect()
+    val b = ops.Graph.graph_pagerank(spark, sf01).as[(Long, Long)].collect()
+    assert(a.toSeq == b.toSeq, "two invocations must be identical")
+    assert(a.forall(_._2 >= 150000000000L), "teleport floor violated")
+    // integer flooring only loses mass: total <= n * seed
+    assert(a.map(_._2).sum <= a.length * 1000000000000L)
+    assert(a.map(_._2).distinct.length > 1, "ranks should differentiate")
+  }
+
+  test("graph_triangles plan: no cartesian product, edge derivation reused") {
+    val plan = ops.Graph.graph_triangles(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+}
