@@ -308,6 +308,52 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Gaps-and-islands (r8): runs of CONSECUTIVE active calendar days per
+    * user — the classic date-minus-row_number grouping (the anchor
+    * `dt - rn` is constant exactly while days are consecutive). One
+    * window on (user, date) + one group-by; shuffle key is the user —
+    * nothing global, the 100 TB shape. DATE results cast to TIMESTAMP on
+    * both engines (repo invariant: DuckDB DATE and Spark DATE hash
+    * differently through the driver compare). */
+  val dt_gaps_islands: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("dt")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("dt")
+    days.withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), date_sub(col("dt"), col("rn")).as("anchor"))
+      .agg(min("dt").as("s"), max("dt").as("e"), count(lit(1)).as("days"))
+      .select(col("user_id"),
+        col("s").cast("timestamp").as("island_start"),
+        col("e").cast("timestamp").as("island_end"), col("days"))
+      .orderBy("user_id", "island_start")
+  }
+
+  /** Sequence-pattern matching (r8, MATCH_RECOGNIZE-lite): each user's
+    * event history becomes an ordered symbol string (deterministic
+    * (ts, event_id) order via array_sort over structs — collect_list
+    * order alone is not reproducible across partitionings), then the
+    * funnel pattern `v c+ p` counts non-overlapping regex matches — the
+    * sequential-pattern op that per-row window functions can't express.
+    * The pattern stays in the intersection of Java and DuckDB regex
+    * semantics (literal symbols + greedy +, no backrefs). Per-user state
+    * is one bounded string; the shuffle key is the user. */
+  val win_pattern: Q = (s, d) => {
+    val coded = events(s, d).withColumn("sym",
+      when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e"))
+    coded.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("sym")))).as("seq"))
+      .select(col("user_id"),
+        concat_ws("", expr("transform(seq, x -> x.sym)")).as("sq"))
+      .select(col("user_id"), length(col("sq")).as("seq_len"),
+        regexp_count(col("sq"), lit("vc+p")).as("funnels"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -322,6 +368,8 @@ object Windows {
     "win_funnel" -> win_funnel,
     "win_moving" -> win_moving,
     "win_fill" -> win_fill,
+    "dt_gaps_islands" -> dt_gaps_islands,
+    "win_pattern" -> win_pattern,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -464,5 +512,35 @@ object Windows {
            FROM rev)
          SELECT p_brand, p_partkey, revenue, CAST(rn AS INT) AS rn FROM ranked
          WHERE rn <= 3 ORDER BY p_brand, rn""",
+    // date - row_number anchor grouping; DATE results through TIMESTAMP
+    "dt_gaps_islands" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+         r AS (
+           SELECT user_id, dt,
+               row_number() OVER (PARTITION BY user_id ORDER BY dt) AS rn
+           FROM d),
+         g AS (
+           SELECT user_id, dt - CAST(rn AS INT) AS anchor,
+               min(dt) AS s, max(dt) AS e, count(1) AS days
+           FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(s AS TIMESTAMP) AS island_start,
+             CAST(e AS TIMESTAMP) AS island_end, days
+         FROM g ORDER BY user_id, island_start""",
+    // ordered symbol string via string_agg(... ORDER BY) — the same
+    // (ts, event_id) total order as Spark's array_sort; the regex stays
+    // in the Java/DuckDB common subset. len()/match counts are BIGINT in
+    // DuckDB, INT in Spark → CAST
+    "win_pattern" ->
+      """WITH seq AS (
+           SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'v'
+                   WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                   WHEN 'signup' THEN 's' ELSE 'e' END,
+                   '' ORDER BY ts, event_id) AS sq
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(sq) AS INT) AS seq_len,
+             CAST(len(regexp_extract_all(sq, 'vc+p')) AS INT) AS funnels
+         FROM seq ORDER BY user_id""",
   )
 }
