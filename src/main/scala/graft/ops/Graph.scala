@@ -37,7 +37,7 @@ import graft.util.Tables
 object Graph {
 
   /** (a, b), a < b — the sparsified co-order supplier pair relation. */
-  private[graft] def supplierEdges(s: SparkSession, d: String,
+  private[graft] def supplierEdgesRaw(s: SparkSession, d: String,
       m: Int): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -47,6 +47,28 @@ object Graph {
       .where(((col("a") * lit(2654435761L) + col("b") * lit(40503L))
         % lit(1000003L)) % lit(m.toLong) === 0)
       .select("a", "b").distinct()
+  }
+
+  private val edgesBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The edge relation, persisted once per (application, sfDir, m) —
+    * all four graph ops traverse the same two derived graphs, so the
+    * lineitem self-join + distinct is paid once and every later op
+    * reads the (tiny) edge table: the same pay-the-layout-once
+    * discipline as the LSH band tables. Deterministic over immutable
+    * inputs, so reuse cannot change an oracle row. */
+  private[graft] def supplierEdges(s: SparkSession, d: String,
+      m: Int): DataFrame = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d + "_m" + m)
+    val t = s"graft_graph_edges_$tag"
+    graft.util.AppCleanup.buildOnce(edgesBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_graph_edges")
+      graft.util.AppCleanup.resetTable(s, t)
+      supplierEdgesRaw(s, d, m).write.mode("overwrite").saveAsTable(t)
+    }
+    s.table(t)
   }
 
   /** (v, u) both directions — the adjacency the iterative ops traverse. */
@@ -74,13 +96,51 @@ object Graph {
     * invariant applies all the same: the visited set references itself
     * once per round). The oracle walks all paths of length ≤ 4 with a
     * recursive CTE and takes min depth per node. */
-  val graph_bfs: Q = (s, d) => {
+  val graph_bfs: Q = (s, d) =>
+    bfsOf(s, d, Llm.CcDriverBudgetEdges)
+
+  /** budget-dispatched like [[pagerankOf]]: under the edge budget the 4
+    * frontier rounds run as a driver loop over the collected adjacency
+    * (each distributed round is a join + anti-join + two checkpoints of
+    * per-job overhead on a small graph); above it, the frontier-expansion
+    * loop. Identical traversal → value-equal, arm-equality-tested with
+    * budget = 0 (GraphSpec). */
+  private[graft] def bfsOf(s: SparkSession, d: String,
+      driverBudgetEdges: Long): DataFrame = {
     val sp = s
     import sp.implicits._
     val sym = symmetrize(supplierEdges(s, d, 59))
       .select(col("v"), col("u")).cache()
     try {
       val nEdges = sym.count()
+      if (nEdges <= driverBudgetEdges) {
+        val es = sym.as[(Long, Long)].collect()
+        if (es.isEmpty) Seq.empty[(Long, Int)].toDF("node", "hops")
+        else {
+          val adj = es.groupBy(_._1).map { case (v, xs) =>
+            v -> xs.map(_._2)
+          }
+          val seed = es.iterator.map(_._1).min
+          val hops = scala.collection.mutable.LinkedHashMap(seed -> 0)
+          var frontier = Seq(seed)
+          for (h <- 1 to 4) {
+            frontier = frontier
+              .flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+              .distinct.filterNot(hops.contains)
+            frontier.foreach(u => hops(u) = h)
+          }
+          s.createDataset(hops.toSeq).toDF("node", "hops")
+            .orderBy("node")
+        }
+      } else bfsDistributed(s, sym, nEdges)
+    } finally sym.unpersist()
+  }
+
+  private def bfsDistributed(s: SparkSession, sym: DataFrame,
+      nEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    {
       val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
       val seedRow = g.agg(min(col("v"))).head()
       if (seedRow.isNullAt(0)) {
@@ -111,7 +171,7 @@ object Graph {
         graft.util.Iterate.registerResult("graph_bfs", visited._2)
         visited._1.orderBy("node")
       }
-    } finally sym.unpersist()
+    }
   }
 
   /** Per-node triangle participation counts on the dense (m=11) graph.
@@ -143,29 +203,64 @@ object Graph {
     * seed; a larger graph scales the seed down. Each iteration is one
     * shuffle on the source (share), one on the target (sum), one label
     * checkpoint — the standard Pregel-style cost. */
-  val graph_pagerank: Q = (s, d) => {
-    val sym = symmetrize(supplierEdges(s, d, 11)).cache()
+  val graph_pagerank: Q = (s, d) =>
+    pagerankOf(s, d, Llm.CcDriverBudgetEdges)
+
+  /** budget-dispatched like [[Llm.connectedComponents]]: below the edge
+    * budget the 8 iterations run as a driver loop over the collected
+    * edge list (8 distributed rounds on a small graph are pure per-job
+    * overhead — this is what tripped the sf0.001 bench smoke budget);
+    * above it, the Pregel-style distributed loop. Both arms execute the
+    * IDENTICAL integer arithmetic, so they are value-equal — directly
+    * tested with budget = 0 forcing the distributed loop (GraphSpec). */
+  private[graft] def pagerankOf(s: SparkSession, d: String,
+      driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val sym = symmetrize(supplierEdges(s, d, 11))
+      .select(col("v"), col("u")).cache()
     try {
       val nEdges = sym.count()
-      val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
-      val deg = g.groupBy(col("v").as("node")).agg(count(lit(1)).as("od"))
-      val nodes = g.select(col("v").as("node")).distinct()
-      var cur = graft.util.Iterate.checkpoint(
-        nodes.withColumn("rank", lit(1000000000000L)))
-      for (_ <- 1 to 8) {
-        val share = cur._1.join(deg, "node")
-          .select(col("node").as("v"), expr("rank div od").as("c"))
-        val contrib = share.join(g, "v")
-          .groupBy(col("u").as("node")).agg(sum(col("c")).as("inc"))
-        val next = graft.util.Iterate.checkpoint(
-          nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"), (lit(150000000000L) +
-              expr("coalesce(inc, 0L) * 85 div 100")).as("rank")))
-        cur._2.unpersist(blocking = false)
-        cur = next
+      if (nEdges <= driverBudgetEdges) {
+        val es = sym.as[(Long, Long)].collect()
+        val deg = scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (v, _) =>
+          deg(v) = deg.getOrElse(v, 0L) + 1L
+        }
+        var rank = deg.keysIterator.map(_ -> 1000000000000L).toMap
+        for (_ <- 1 to 8) {
+          val inc = scala.collection.mutable.HashMap[Long, Long]()
+          es.foreach { case (v, u) =>
+            inc(u) = inc.getOrElse(u, 0L) + rank(v) / deg(v)
+          }
+          rank = rank.map { case (n, _) =>
+            n -> (150000000000L + inc.getOrElse(n, 0L) * 85 / 100)
+          }
+        }
+        s.createDataset(rank.toSeq).toDF("node", "rank")
+          .orderBy(desc("rank"), asc("node"))
+      } else {
+        val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
+        val deg = g.groupBy(col("v").as("node"))
+          .agg(count(lit(1)).as("od"))
+        val nodes = g.select(col("v").as("node")).distinct()
+        var cur = graft.util.Iterate.checkpoint(
+          nodes.withColumn("rank", lit(1000000000000L)))
+        for (_ <- 1 to 8) {
+          val share = cur._1.join(deg, "node")
+            .select(col("node").as("v"), expr("rank div od").as("c"))
+          val contrib = share.join(g, "v")
+            .groupBy(col("u").as("node")).agg(sum(col("c")).as("inc"))
+          val next = graft.util.Iterate.checkpoint(
+            nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"), (lit(150000000000L) +
+                expr("coalesce(inc, 0L) * 85 div 100")).as("rank")))
+          cur._2.unpersist(blocking = false)
+          cur = next
+        }
+        graft.util.Iterate.registerResult("graph_pagerank", cur._2)
+        cur._1.orderBy(desc("rank"), asc("node"))
       }
-      graft.util.Iterate.registerResult("graph_pagerank", cur._2)
-      cur._1.orderBy(desc("rank"), asc("node"))
     } finally sym.unpersist()
   }
 

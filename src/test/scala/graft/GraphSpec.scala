@@ -63,6 +63,25 @@ class GraphSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.length > 1, "ranks should differentiate")
   }
 
+  test("graph_pagerank: driver arm equals the distributed loop (budget 0)") {
+    import spark.implicits._
+    val driver = ops.Graph.graph_pagerank(spark, sf01)
+      .as[(Long, Long)].collect().toSeq
+    val dist = ops.Graph.pagerankOf(spark, sf01, 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(driver == dist, "budget arms must be value-identical")
+  }
+
+  test("graph_bfs: driver arm equals the distributed loop (budget 0)") {
+    import spark.implicits._
+    val driver = ops.Graph.graph_bfs(spark, sf01)
+      .as[(Long, Int)].collect().toSeq
+    val dist = ops.Graph.bfsOf(spark, sf01, 0L)
+      .as[(Long, Int)].collect().toSeq
+    assert(driver.nonEmpty, "sf0.01 sparse graph must reach nodes")
+    assert(driver == dist, "budget arms must be value-identical")
+  }
+
   test("graph_triangles plan: no cartesian product, edge derivation reused") {
     val plan = ops.Graph.graph_triangles(spark, sf01)
       .queryExecution.executedPlan.toString
