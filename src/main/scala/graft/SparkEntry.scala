@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.Streaming.queries ++ ops.Llm.queries ++ ops.Sources.queries ++
-      ops.Table.queries ++ ops.Graph.queries).toMap
+      ops.Table.queries ++ ops.Graph.queries ++ ops.Quality.queries).toMap
 
   /** For each key in queries, equivalent SQL runnable by DuckDB 1.0 on the
     * same parquet tables. Omitted for non-SQL-expressible ops (sketches,
@@ -25,5 +25,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
       ops.Streaming.oracle ++ ops.Llm.oracle ++ ops.Sources.oracle ++
-      ops.Table.oracle ++ ops.Graph.oracle).toMap
+      ops.Table.oracle ++ ops.Graph.oracle ++ ops.Quality.oracle).toMap
 }

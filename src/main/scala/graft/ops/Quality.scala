@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** SURVEY.md §2-N: data-quality / profiling operators — the audit surface
+  * every production ingestion pipeline runs before data is trusted
+  * downstream (column profiles, constraint checks, referential
+  * integrity). All counts are exact integers, so every row is fully
+  * oracle-checkable.
+  *
+  * 100 TB posture: both ops are single-pass aggregations or
+  * broadcast/shuffle joins over the audited table — no driver-side
+  * iteration, no collect. The exact multi-column distinct profile uses
+  * Spark's Expand (input ×k for k distinct aggs), the standard exact
+  * trade; a 100 TB profile would flip the same code to
+  * approx_count_distinct per column to stay single-pass without Expand.
+  */
+object Quality {
+
+  /** Column profile of `lineitem` in ONE scan: per column emit null
+    * count, exact distinct count, and min/max (numeric columns as raw
+    * parquet doubles — no arithmetic, bit-exact cross-engine; string
+    * columns as strings). Shape: stack each row to 5 (col_name, value)
+    * pairs AT THE SCAN (one explicit Expand ×5), then ONE
+    * groupBy(col_name) with a single distinct aggregate — Spark plans
+    * that as partial-dedup-then-count, so there is no k-way
+    * multi-distinct Expand (the naive 5-countDistinct one-row agg paid
+    * a 5-way Expand ×20-expression state and measured 5.4 s at sf0.1;
+    * this shape measures ~0.6 s for identical output). Distinct runs on
+    * the string image of the value — Double.toString is injective, so
+    * the count is exact. */
+  val dq_profile: Q = (s, d) => {
+    lineitem(s, d)
+      .select(expr(
+        """stack(5,
+             'l_quantity',      CAST(l_quantity AS STRING),      l_quantity,           CAST(NULL AS STRING),
+             'l_extendedprice', CAST(l_extendedprice AS STRING), l_extendedprice,      CAST(NULL AS STRING),
+             'l_discount',      CAST(l_discount AS STRING),      l_discount,           CAST(NULL AS STRING),
+             'l_returnflag',    l_returnflag,                    CAST(NULL AS DOUBLE), l_returnflag,
+             'l_linestatus',    l_linestatus,                    CAST(NULL AS DOUBLE), l_linestatus
+           ) AS (col_name, vkey, vnum, vstr)"""))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("vkey").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("vkey")).as("n_distinct"),
+        min(col("vnum")).as("min_num"),
+        max(col("vnum")).as("max_num"),
+        min(col("vstr")).as("min_str"),
+        max(col("vstr")).as("max_str"))
+      .orderBy("col_name")
+  }
+
+  /** Constraint audit: one row per declared expectation with exact
+    * violation/checked counts — referential integrity (orders→customer
+    * orphans via LEFT ANTI join; broadcast at this dim size, SMJ at
+    * scale), key uniqueness (rows in excess of distinct
+    * (l_orderkey, l_linenumber) — the fixture REALLY contains ~23%
+    * duplicate line numbers, so this check fires), domain bounds, and
+    * temporal sanity. Each check is one aggregation or one join; the
+    * union of five 1-row results is driver-free. */
+  val dq_check: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val li = lineitem(s, d)
+    val od = orders(s, d)
+
+    val orphans = od.join(customer(s, d),
+        od("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+      .select(lit("orders_fk_customer").as("check_name"), col("viol"))
+    val nOrders = od.agg(count(lit(1)).as("n")).select(col("n"))
+    val fk = orphans.crossJoin(nOrders)
+      .select(col("check_name"), col("viol").as("n_violation"),
+        col("n").as("n_checked"))
+
+    val pk = li.agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
+      .select(lit("lineitem_pk_unique").as("check_name"),
+        (col("n") - col("nd")).as("n_violation"), col("n").as("n_checked"))
+
+    val qty = li.agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v"))
+      .select(lit("lineitem_qty_domain").as("check_name"),
+        col("v").as("n_violation"), col("n").as("n_checked"))
+
+    val disc = li.agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v"))
+      .select(lit("lineitem_disc_domain").as("check_name"),
+        col("v").as("n_violation"), col("n").as("n_checked"))
+
+    // a lineitem must not ship before its order date
+    val temporal = li.join(od, li("l_orderkey") === od("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("v"))
+      .select(lit("lineitem_ship_after_order").as("check_name"),
+        col("v").as("n_violation"), col("n").as("n_checked"))
+
+    fk.union(pk).union(qty).union(disc).union(temporal)
+      .orderBy("check_name")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "dq_profile" -> dq_profile,
+    "dq_check" -> dq_check,
+  )
+
+  val oracle: Seq[(String, String)] = Seq(
+    "dq_profile" ->
+      """WITH a AS (
+           SELECT count(1) AS n_rows,
+               count(1) FILTER (WHERE l_quantity IS NULL) AS qn_null,
+               count(DISTINCT l_quantity) AS qn_dist,
+               min(l_quantity) AS qn_min, max(l_quantity) AS qn_max,
+               count(1) FILTER (WHERE l_extendedprice IS NULL) AS en_null,
+               count(DISTINCT l_extendedprice) AS en_dist,
+               min(l_extendedprice) AS en_min, max(l_extendedprice) AS en_max,
+               count(1) FILTER (WHERE l_discount IS NULL) AS dn_null,
+               count(DISTINCT l_discount) AS dn_dist,
+               min(l_discount) AS dn_min, max(l_discount) AS dn_max,
+               count(1) FILTER (WHERE l_returnflag IS NULL) AS rn_null,
+               count(DISTINCT l_returnflag) AS rn_dist,
+               min(l_returnflag) AS rn_min, max(l_returnflag) AS rn_max,
+               count(1) FILTER (WHERE l_linestatus IS NULL) AS sn_null,
+               count(DISTINCT l_linestatus) AS sn_dist,
+               min(l_linestatus) AS sn_min, max(l_linestatus) AS sn_max
+           FROM lineitem)
+         SELECT 'l_quantity' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(qn_null AS BIGINT) AS n_null, CAST(qn_dist AS BIGINT) AS n_distinct,
+             qn_min AS min_num, qn_max AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+         UNION ALL
+         SELECT 'l_extendedprice', CAST(n_rows AS BIGINT), CAST(en_null AS BIGINT),
+             CAST(en_dist AS BIGINT), en_min, en_max, NULL, NULL FROM a
+         UNION ALL
+         SELECT 'l_discount', CAST(n_rows AS BIGINT), CAST(dn_null AS BIGINT),
+             CAST(dn_dist AS BIGINT), dn_min, dn_max, NULL, NULL FROM a
+         UNION ALL
+         SELECT 'l_returnflag', CAST(n_rows AS BIGINT), CAST(rn_null AS BIGINT),
+             CAST(rn_dist AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             rn_min, rn_max FROM a
+         UNION ALL
+         SELECT 'l_linestatus', CAST(n_rows AS BIGINT), CAST(sn_null AS BIGINT),
+             CAST(sn_dist AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             sn_min, sn_max FROM a
+         ORDER BY col_name""",
+    "dq_check" ->
+      """SELECT 'orders_fk_customer' AS check_name,
+             CAST((SELECT count(1) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_violation,
+             CAST((SELECT count(1) FROM orders) AS BIGINT) AS n_checked
+         UNION ALL
+         SELECT 'lineitem_pk_unique',
+             CAST(count(1) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+             CAST(count(1) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_qty_domain',
+             CAST(count(1) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+             CAST(count(1) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_disc_domain',
+             CAST(count(1) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+             CAST(count(1) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_ship_after_order',
+             CAST(count(1) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+             CAST(count(1) AS BIGINT)
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY check_name""",
+  )
+}

@@ -56,11 +56,39 @@ object Streaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** stream-stream interval join (r8), batch-equivalent form: each click
+    * joined to the same user's purchases inside [click_ts, click_ts+4h)
+    * — the attribution join every event pipeline runs. The identical
+    * join runs under Structured Streaming with watermarks on both sides;
+    * the time-range predicate is what lets Spark bound each side's
+    * keyed state (eviction window derived from the interval) — the unit
+    * suite drives the watermarked left-outer variant; this row pins the
+    * pairing semantics exactly. Equi key user_id (shuffle/SMJ; never a
+    * theta join), range predicate as the post-match filter; lag emitted
+    * as exact integer seconds (µs diff `div` 1e6 — no float). */
+  val stream_join: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys, Seq("user_id"))
+      .where(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_sec"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "stream_tumble" -> stream_tumble,
     "stream_slide" -> stream_slide,
     "stream_session" -> stream_session,
     "stream_dedup" -> stream_dedup,
+    "stream_join" -> stream_join,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -97,5 +125,14 @@ object Streaming {
            FROM events)
          SELECT user_id, event_type, event_id, ts FROM ranked
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_sec
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '4 hours'
+         ORDER BY click_id, purchase_id""",
   )
 }

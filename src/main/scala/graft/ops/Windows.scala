@@ -354,6 +354,65 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Exponential moving average (r8): per-user EMA over the event value
+    * series, α = 0.25 — the recursive smoother no fixed window frame can
+    * express (each output depends on the ENTIRE prefix). Implemented as
+    * a left fold with the `aggregate` HOF over the deterministically
+    * ordered value array (array_sort on (ts, event_id, value) structs);
+    * seeded DuckDB-style with the first element so both engines fold the
+    * identical sequence. α and 1-α are exact binary fractions (0.25,
+    * 0.75) and both engines execute the same IEEE double ops in the same
+    * order, so the result is BIT-IDENTICAL — the oracle compares the raw
+    * double, no rounding. Per-user state is one bounded array; at scale
+    * the streaming twin is a mapGroupsWithState running value. */
+  val win_ema: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("seq"))
+      .select(col("user_id"),
+        expr("transform(seq, x -> x.value)").as("vals"))
+      .select(col("user_id"), size(col("vals")).as("n_events"),
+        expr("aggregate(slice(vals, 2, size(vals) - 1), vals[0], " +
+          "(acc, x) -> acc * 0.75D + x * 0.25D)").as("ema"))
+      .orderBy("user_id")
+
+  /** Linear interpolation gap-fill (r8) — the counterpart to win_fill's
+    * LOCF: sparsify `value` to purchase observations, then fill each gap
+    * row from its straddling observations, weighted by time:
+    * v = pv + (nv − pv) · (t − pt)/(nt − pt), over exact integer µs
+    * epochs. The single IEEE division/multiply/add sequence is written
+    * identically in both engines over identical integer operands, so the
+    * doubles are BIT-IDENTICAL (raw compare, no rounding). Before the
+    * first observation → NULL; after the last → LOCF; a same-µs-ts
+    * neighbor pair (nt = pt) falls back to LOCF rather than divide by
+    * zero. Spark side: last/first(ignoreNulls) over running/inverted
+    * frames — one user-keyed shuffle, constant per-row state, the same
+    * scale shape as win_fill. */
+  val win_interp: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("obs", when(col("event_type") === "purchase",
+        struct(unix_micros(col("ts")).as("t"), col("value").as("v"))))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("obs"),
+        last(col("obs"), ignoreNulls = true).over(wPrev).as("p"),
+        first(col("obs"), ignoreNulls = true).over(wNext).as("n"))
+      .select(col("event_id"), col("user_id"),
+        col("obs.v").as("v"),
+        when(col("obs").isNotNull, col("obs.v"))
+          .when(col("p").isNotNull && col("n").isNotNull &&
+              col("n.t") =!= col("p.t"),
+            col("p.v") + (col("n.v") - col("p.v")) *
+              ((col("t") - col("p.t")).cast("double") /
+                (col("n.t") - col("p.t")).cast("double")))
+          .when(col("p").isNotNull, col("p.v"))
+          .otherwise(lit(null).cast("double")).as("v_interp"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -370,6 +429,8 @@ object Windows {
     "win_fill" -> win_fill,
     "dt_gaps_islands" -> dt_gaps_islands,
     "win_pattern" -> win_pattern,
+    "win_ema" -> win_ema,
+    "win_interp" -> win_interp,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -542,5 +603,49 @@ object Windows {
          SELECT user_id, CAST(len(sq) AS INT) AS seq_len,
              CAST(len(regexp_extract_all(sq, 'vc+p')) AS INT) AS funnels
          FROM seq ORDER BY user_id""",
+    // list_reduce seeds the fold with the first element — the Spark side
+    // mirrors that (slice from 2, init vals[0]), so both engines run the
+    // identical IEEE double sequence: raw-double compare, no rounding
+    "win_ema" ->
+      """WITH seq AS (
+           SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+           FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+             list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25) AS ema
+         FROM seq ORDER BY user_id""",
+    // prev/next carried with the running-count group trick (each group
+    // holds exactly one observation); the interpolation expression is
+    // written in the same operand order as the Spark side so the single
+    // IEEE divide/multiply/add sequence is bit-identical
+    "win_interp" ->
+      """WITH base AS (
+           SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+               CASE WHEN event_type = 'purchase' THEN value END AS v
+           FROM events),
+         g AS (
+           SELECT *,
+               count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS gp,
+               count(v) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                              ROWS UNBOUNDED PRECEDING) AS gn
+           FROM base),
+         f AS (
+           SELECT event_id, user_id, t, v,
+               max(v) OVER (PARTITION BY user_id, gp) AS pv,
+               max(CASE WHEN v IS NOT NULL THEN t END)
+                   OVER (PARTITION BY user_id, gp) AS pt,
+               max(v) OVER (PARTITION BY user_id, gn) AS nv,
+               max(CASE WHEN v IS NOT NULL THEN t END)
+                   OVER (PARTITION BY user_id, gn) AS nt
+           FROM g)
+         SELECT event_id, user_id, v,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN
+                    pv + (nv - pv) * (CAST(t - pt AS DOUBLE) /
+                                      CAST(nt - pt AS DOUBLE))
+                  WHEN pv IS NOT NULL THEN pv
+                  ELSE NULL END AS v_interp
+         FROM f ORDER BY event_id""",
   )
 }

@@ -434,4 +434,31 @@ class PlanShapeSpec extends SparkTestBase {
         s"ngram_freq salted path missing its local window:\n$saltedN")
     }
   }
+
+  test("stream_join stays an equi join on user_id (range as post-filter)") {
+    withStaticPlan {
+      val p = planOf(ops.Streaming.stream_join(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"interval join degenerated to a non-equi algorithm:\n$p")
+    }
+  }
+
+  test("dq_check: referential check is an anti join") {
+    withStaticPlan {
+      val p = planOf(ops.Quality.dq_check(spark, sf))
+      assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    }
+  }
+
+  test("dq_profile is ONE scan: no per-column rescans") {
+    withStaticPlan {
+      val df = ops.Quality.dq_profile(spark, sf)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1,
+        s"profile must not rescan per column:\n${planOf(df)}")
+    }
+  }
 }
