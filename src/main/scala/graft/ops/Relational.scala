@@ -708,8 +708,32 @@ object Relational {
     """)
   }
 
+  /** Cohort retention matrix (r8): users bucketed by first-seen ISO week
+    * (both engines truncate to Monday), then distinct active users per
+    * (cohort_week, week_offset) — the product-analytics staple. All
+    * counts exact; the offset is an exact integer division of µs epochs
+    * (Monday truncs in UTC differ by exact multiples of 604800e6 µs, no
+    * DST). Scale: two user-keyed shuffles (first-seen agg, distinct
+    * activity) + one on the small (cohort, offset) key — no window over
+    * an unbounded partition, no driver state. */
+  val dt_cohort: Q = (s, d) => {
+    val ev = events(s, d)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("active_week")).distinct()
+    active.join(firstSeen, "user_id")
+      .withColumn("week_offset", expr(
+        "CAST((unix_micros(active_week) - unix_micros(cohort_week)) " +
+          "div 604800000000 AS INT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "scan_parquet" -> scan_parquet,
+    "dt_cohort" -> dt_cohort,
     "scan_pruned" -> scan_pruned,
     "scan_events_ns" -> scan_events_ns,
     "proj_compute" -> proj_compute,
@@ -762,6 +786,21 @@ object Relational {
   /** DuckDB 1.0 dialect oracle SQL. Aliases match the Spark output columns
     * exactly (driver hashes after sorting columns by name). */
   val oracle: Seq[(String, String)] = Seq(
+    "dt_cohort" ->
+      """WITH fs AS (
+           SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+           FROM events GROUP BY user_id),
+         aw AS (
+           SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+           FROM events)
+         SELECT f.cohort_week,
+             CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week))
+                  // 604800000000 AS INT) AS week_offset,
+             count(DISTINCT a.user_id) AS n_users
+         FROM aw a JOIN fs f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "scan_parquet" ->
       """SELECT * FROM lineitem WHERE l_orderkey % 100 = 7
          ORDER BY l_orderkey, l_linenumber""",

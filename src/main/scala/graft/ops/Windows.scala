@@ -413,6 +413,26 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Ratio-to-report (r8): each order's share of its customer's total
+    * spend — the share-of-total analytic (budget attribution, revenue
+    * mix). The ratio is emitted as INTEGER BASIS POINTS computed with
+    * `div` over exact DECIMAL-derived cent amounts (`cents * 10000 div
+    * sum(cents)`), per the repo invariant: a float round() on a
+    * composite ratio flips at half boundaries between engines, integer
+    * division cannot. Scale: one window over bounded o_custkey
+    * partitions; under skew the same number decomposes into a per-key
+    * total (two-phase agg) broadcast back — the win_rank_salted
+    * pattern. */
+  val win_share: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+    orders(s, d)
+      .withColumn("cents", (dec2(col("o_totalprice")) * 100).cast("long"))
+      .withColumn("tot", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(cents * 10000 div tot AS INT)").as("share_bp"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -431,6 +451,7 @@ object Windows {
     "win_pattern" -> win_pattern,
     "win_ema" -> win_ema,
     "win_interp" -> win_interp,
+    "win_share" -> win_share,
   )
 
   val oracle: Seq[(String, String)] = Seq(
@@ -647,5 +668,15 @@ object Windows {
                   WHEN pv IS NOT NULL THEN pv
                   ELSE NULL END AS v_interp
          FROM f ORDER BY event_id""",
+    "win_share" ->
+      """WITH c AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(cents * 10000 // sum(cents)
+                  OVER (PARTITION BY o_custkey) AS INT) AS share_bp
+         FROM c ORDER BY o_custkey, o_orderkey""",
   )
 }

@@ -110,6 +110,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream_join's interval join runs unchanged under readStream and " +
+      "equals the batch row") {
+    // the oracle-checked stream_join is the BATCH formulation; this drives
+    // the identical click→purchase interval join as a true stream-stream
+    // self-join over the events parquet (watermarks on both sides, append
+    // mode) and asserts exact parity with the batch result
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val tsConv =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", tsConv)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      col("user_id") === col("b_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_sec"))
+    val q = joined.writeStream.format("memory").queryName("ss_attr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+        "SELECT user_id, click_id, purchase_id, lag_sec FROM ss_attr")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    val batch = ops.Streaming.stream_join(spark, sf)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    assert(streamed == batch)
+  }
+
   test("stream-stream LEFT OUTER join null-pads unmatched rows only after " +
       "the watermark closes their match window") {
     import spark.implicits._
