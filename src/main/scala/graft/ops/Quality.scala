@@ -60,13 +60,18 @@ object Quality {
     * duplicate line numbers, so this check fires), domain bounds, and
     * temporal sanity. Each check is one aggregation or one join; the
     * union of five 1-row results is driver-free. */
-  val dq_check: Q = (s, d) => {
-    val sp = s
-    import sp.implicits._
-    val li = lineitem(s, d)
-    val od = orders(s, d)
+  val dq_check: Q = (s, d) =>
+    dqCheckOf(lineitem(s, d), orders(s, d), customer(s, d))
 
-    val orphans = od.join(customer(s, d),
+  /** kernel of [[dq_check]], unit-testable on synthetic tables: the
+    * fixture carries REAL duplicate line numbers and ship-before-order
+    * rows, but zero FK orphans and zero domain violations — QualitySpec
+    * plants each violation class and asserts the exact counts, so every
+    * check is proven to FIRE, not just to pass vacuously. */
+  private[graft] def dqCheckOf(li: org.apache.spark.sql.DataFrame,
+      od: org.apache.spark.sql.DataFrame,
+      cust: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val orphans = od.join(cust,
         od("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("viol"))
       .select(lit("orders_fk_customer").as("check_name"), col("viol"))
