@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -109,12 +110,47 @@ object Quality {
       .orderBy("check_name")
   }
 
+  /** Ingestion drift monitor: daily event counts per type with
+    * day-over-day drift in integer basis points and an alert flag at
+    * ±50% — the volume-anomaly check every scheduled pipeline runs on
+    * its own output. drift_bp = `n*10000 div prev − 10000`: the
+    * numerator is always non-negative, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree (a signed `(n−prev)*10000 div prev`
+    * would diverge on negative drift — trunc vs floor). Scale: the
+    * window runs AFTER aggregation over the (type, day) table — rows =
+    * types × days, bounded — never over the raw events. */
+  val dq_drift: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev", lag("n", 1).over(w))
+      .withColumn("drift_bp",
+        expr("CAST(n * 10000 div prev - 10000 AS INT)"))
+      .withColumn("alert",
+        coalesce(abs(col("drift_bp")) >= 5000, lit(false)))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
+    "dq_drift" -> dq_drift,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    "dq_drift" ->
+      """WITH c AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(1) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+           FROM c)
+         SELECT event_type, day, n, prev,
+             CAST(n * 10000 // prev - 10000 AS INT) AS drift_bp,
+             COALESCE(abs(n * 10000 // prev - 10000) >= 5000, false) AS alert
+         FROM l ORDER BY event_type, day""",
     "dq_profile" ->
       """WITH a AS (
            SELECT count(1) AS n_rows,
