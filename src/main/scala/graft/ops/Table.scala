@@ -294,8 +294,33 @@ object Table {
       .orderBy("o_year")
   }
 
+  /** Incremental view maintenance (r8): the per-year aggregate
+    * maintained by FOLDING the full row-level CDC history (create →
+    * append → merge) instead of scanning the final snapshot — inserts
+    * and update postimages add, update preimages and deletes subtract,
+    * with signed DECIMAL accumulation so the fold is exact. The oracle
+    * is the DIRECT final-state aggregate (identical SQL to
+    * table_snapshot), so a green row proves fold ≡ recompute — the
+    * correctness property incremental materialized views rest on. At
+    * scale the same fold consumes each new commit's CDC batch against
+    * the stored aggregate: cost per refresh is O(changed rows), never a
+    * table rescan. */
+  val table_incr_agg: Q = (s, d) => {
+    import graft.util.Det._
+    GraftTable.changesBetweenRows(s, ordersTable(s, d), 0, 3, "o_orderkey")
+      .withColumn("sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(-1))
+      .groupBy("o_year")
+      .agg(sum(col("sign").cast("long")).as("n_orders"),
+        sum(dec2(col("o_totalprice")) * col("sign")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_year")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "table_snapshot" -> table_snapshot,
+    "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
     "table_changes_merge" -> table_changes_merge,
@@ -318,6 +343,17 @@ object Table {
          FROM orders WHERE year(o_orderdate) <> 1998
          GROUP BY 1 ORDER BY 1""",
     // final state replayed statically: merge keys carry doubled totals
+    // fold ≡ recompute: the maintained aggregate must equal the direct
+    // final-state aggregate, so the oracle is table_snapshot's SQL
+    "table_incr_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1998
+                                 AND o_orderkey % 3 = 0
+                                THEN 2 * o_totalprice
+                                ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "table_snapshot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              count(1) AS n_orders,
