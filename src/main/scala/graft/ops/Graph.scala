@@ -106,11 +106,18 @@ object Graph {
     * loop. Identical traversal → value-equal, arm-equality-tested with
     * budget = 0 (GraphSpec). */
   private[graft] def bfsOf(s: SparkSession, d: String,
+      driverBudgetEdges: Long): DataFrame =
+    bfsOnSym(s, symmetrize(supplierEdges(s, d, 59)).select(col("v"), col("u")),
+      driverBudgetEdges)
+
+  /** edge-parameterized kernel — PropertySpec drives both arms over
+    * random graphs (cycles, stars, disconnected pieces) beyond the
+    * fixture's single topology. */
+  private[graft] def bfsOnSym(s: SparkSession, symIn: DataFrame,
       driverBudgetEdges: Long): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sym = symmetrize(supplierEdges(s, d, 59))
-      .select(col("v"), col("u")).cache()
+    val sym = symIn.cache()
     try {
       val nEdges = sym.count()
       if (nEdges <= driverBudgetEdges) {
@@ -214,11 +221,17 @@ object Graph {
     * IDENTICAL integer arithmetic, so they are value-equal — directly
     * tested with budget = 0 forcing the distributed loop (GraphSpec). */
   private[graft] def pagerankOf(s: SparkSession, d: String,
+      driverBudgetEdges: Long): DataFrame =
+    pagerankOnSym(s,
+      symmetrize(supplierEdges(s, d, 11)).select(col("v"), col("u")),
+      driverBudgetEdges)
+
+  /** edge-parameterized kernel — see [[bfsOnSym]]. */
+  private[graft] def pagerankOnSym(s: SparkSession, symIn: DataFrame,
       driverBudgetEdges: Long): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sym = symmetrize(supplierEdges(s, d, 11))
-      .select(col("v"), col("u")).cache()
+    val sym = symIn.cache()
     try {
       val nEdges = sym.count()
       if (nEdges <= driverBudgetEdges) {

@@ -462,4 +462,31 @@ class PropertySpec extends SparkTestBase {
       assert(slug(slug(s0)) == slug(s0))
     }
   }
+
+  test("graph budget arms agree on random graphs (pagerank + bfs)") {
+    // the fixture pins one topology; random graphs add cycles, stars and
+    // disconnected pieces. Each sample runs the full distributed loop
+    // (8 checkpointed rounds), so samples are few — each IS a Spark job
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 9)
+      pairs <- Gen.someOf(
+        for { a <- 0 until n; b <- (a + 1) until n } yield (a.toLong, b.toLong))
+    } yield pairs.toSeq
+    val cycle = (0L to 4L).map(i => (i, (i + 1) % 5)) // plus a fixed ring
+    for (edges <- samples(edgeGen, 3) :+ cycle) {
+      val sym = (edges ++ edges.map(_.swap)).distinct
+        .toDF("v", "u")
+      val prDriver = ops.Graph.pagerankOnSym(spark, sym, Long.MaxValue)
+        .as[(Long, Long)].collect().toSeq
+      val prDist = ops.Graph.pagerankOnSym(spark, sym, 0L)
+        .as[(Long, Long)].collect().toSeq
+      assert(prDriver == prDist, s"pagerank arms diverged on $edges")
+      val bfsDriver = ops.Graph.bfsOnSym(spark, sym, Long.MaxValue)
+        .as[(Long, Int)].collect().toSeq
+      val bfsDist = ops.Graph.bfsOnSym(spark, sym, 0L)
+        .as[(Long, Int)].collect().toSeq
+      assert(bfsDriver == bfsDist, s"bfs arms diverged on $edges")
+    }
+  }
 }
