@@ -918,6 +918,77 @@ class StreamingSpec extends SparkTestBase {
       s"DV upsert must stream update pair + insert: $morStreamed")
   }
 
+  test("streaming IVM: the signed CDC fold maintains a live aggregate " +
+      "equal to recompute after every commit batch") {
+    // the streaming twin of the oracle-checked table_incr_agg row: each
+    // micro-batch's change rows fold into a stored per-group aggregate
+    // (insert/postimage add, preimage/delete subtract) and the
+    // maintained state must equal a full recompute of the live table
+    // after every drain — including across copy-on-write AND
+    // merge-on-read commits. Cost per refresh is O(changed rows).
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_table_ivm").toFile
+    graft.util.AppCleanup.onExit(s"graft_ivm_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    val ckpt = new java.io.File(root, "_ckpt").getPath
+    def rows(r: Range, amt: Long => Long) =
+      r.map(i => (i.toLong, s"g${i % 3}", amt(i.toLong)))
+        .toDF("id", "grp", "amount")
+    t.create(spark, root.getPath, rows(1 to 20, _ * 10), Seq("id"),
+      Seq("id"), numFiles = 2)                                    // v1
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", root.getPath)
+        .option("readChanges", "true").option("keyCol", "id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the distributed half of the fold: per-group SIGNED partial
+          // aggregates — O(changed rows) shuffled to O(groups) rows —
+          // then the tiny delta merges into the stored aggregate
+          val delta = b.withColumn("sign",
+              when(col("_change_type")
+                .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+            .groupBy("grp")
+            .agg(sum(col("sign")).as("dn"),
+              sum(col("sign") * col("amount")).as("dsum"))
+            .collect()
+          state.synchronized {
+            delta.foreach { r =>
+              val (n0, s0) = state.getOrElse(r.getString(0), (0L, 0L))
+              state(r.getString(0)) =
+                (n0 + r.getLong(1), s0 + r.getLong(2))
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      val direct = t.read(spark, root.getPath)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("amount").as("s"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(state.filter(_._2 != ((0L, 0L))).toMap == direct,
+        s"maintained aggregate diverged:\n state=$state\n direct=$direct")
+    }
+    drain()                                                       // v1
+    t.append(spark, root.getPath, rows(21 to 25, _ * 10), Seq("id"),
+      Seq("id"), numFiles = 1)                                    // v2
+    t.merge(spark, root.getPath, rows(3 to 3, _ * 1000), "id",
+      Seq("id"), Seq("id"), numFiles = 1)                         // v3
+    t.delete(spark, root.getPath, Seq(9L).toDF("id"), "id",
+      Seq("id"), Seq("id"))                                       // v4
+    drain()                                                       // v2..v4
+    t.deleteMor(spark, root.getPath, Seq(12L).toDF("id"), "id")   // v5
+    t.mergeMor(spark, root.getPath, rows(5 to 5, _ * 777), "id",
+      Seq("id"), Seq("id"), numFiles = 1)                         // v6
+    drain()                                                       // v5..v6
+  }
+
   test("closed loop: CDC stream replicates one GraftTable into another " +
       "through foreachBatch merge/delete") {
     import spark.implicits._
