@@ -451,6 +451,50 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom-filter join: the selective dim side injects a " +
+      "bloom probe into the fact scan side") {
+    // Spark's InjectRuntimeFilter (the row-level runtime filter behind
+    // big-shuffle-join pruning at scale): with broadcast suppressed and
+    // the size thresholds at fixture scale, a selective filter on the
+    // orders side must plant bloom_filter_might_contain on the lineitem
+    // side — the optimizer surface that makes selective fact-fact joins
+    // scan-bounded at 100 TB. Default thresholds (10 GB application
+    // side) only trigger on real tables; the conf here scales them to
+    // the fixture, nothing else changes.
+    import org.apache.spark.sql.functions._
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = graft.util.Tables.lineitem(spark, sf)
+      val od = graft.util.Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(od, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      // Spark 4.x renders the probe as might_contain over a
+      // bloom_filter_agg scalar subquery on the creation side
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$p")
+      assert(p.indexOf("might_contain") <
+        p.indexOf("FileScan parquet [l_orderkey"),
+        s"bloom probe must guard the fact (lineitem) side:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("dq_profile is ONE scan: no per-column rescans") {
     withStaticPlan {
       val df = ops.Quality.dq_profile(spark, sf)
