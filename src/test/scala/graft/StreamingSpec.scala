@@ -401,6 +401,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming EMA: the mapGroupsWithState running value reaches the " +
+      "batch win_ema fold bit-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming twin win_ema's scaladoc claims: per-user
+    // (count, ema) state folded across micro-batches in the same
+    // (ts, event_id) order and the same IEEE operand order as the batch
+    // `aggregate` HOF — so the FINAL per-user value must equal the batch
+    // row's double exactly, not approximately
+    val rows = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")))
+      .as[(Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._4, r._2))
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val folded = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Long, Long, Double, Long)],
+            state: GroupState[(Long, Double)]) =>
+          var (n, ema) = state.getOption.getOrElse((0L, 0.0))
+          evs.toSeq.sortBy(e => (e._4, e._2)).foreach { e =>
+            ema = if (n == 0L) e._3 else ema * 0.75 + e._3 * 0.25
+            n += 1
+          }
+          state.update((n, ema))
+          Iterator((user, n, ema))
+      }
+      .toDF("user_id", "n_events", "ema")
+    val q = folded.writeStream.format("memory").queryName("ema_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1))
+        .foreach { batch => mem.addData(batch.toSeq); q.processAllAvailable() }
+      // the per-user row with the highest count is the final state
+      val streamed = spark.sql(
+          """SELECT user_id, n_events, ema FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY n_events DESC) AS rn FROM ema_stream) WHERE rn = 1""")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val batch = ops.Windows.win_ema(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getDouble(2))))
+        .toMap
+      assert(streamed.keySet == batch.keySet, "user-set drift")
+      val drift = batch.collect {
+        case (u, v) if streamed(u) != v => (u, v, streamed(u))
+      }
+      assert(drift.isEmpty,
+        s"stream/batch EMA drift (first 5): ${drift.take(5)}")
+    } finally q.stop()
+  }
+
   test("stories sessionization emits the batch answer under readStream via the connector") {
     import org.apache.spark.sql.streaming.Trigger
     // the same session_window the batch query uses, driven through the
