@@ -457,6 +457,88 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming interpolation: punctuated gap-fill state reaches the " +
+      "batch win_interp values bit-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming form of win_interp: gap rows BUFFER per user until
+    // the closing observation arrives (punctuation), then emit with the
+    // identical IEEE div/mul/add the batch row runs; rows after the last
+    // observation flush as LOCF on an end-of-stream sentinel (in
+    // production: an event-time timeout). State is bounded by the gap
+    // length between observations, never the history.
+    val rows = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")))
+      .as[(Long, Long, String, Double, Long)].collect()
+      .sortBy(r => (r._5, r._2))
+    val sentinels = rows.map(_._1).distinct
+      .map(u => (u, -1L, "__end", 0.0, Long.MaxValue))
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    // state: (last obs (t, v) if any, pending gap rows (event_id, t))
+    val filled = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Option[(Long, Double)], Seq[(Long, Long)]),
+        (Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[(Long, Long, String, Double, Long)],
+            state: GroupState[(Option[(Long, Double)], Seq[(Long, Long)])]) =>
+          var (last, pending) = state.getOption.getOrElse(
+            (Option.empty[(Long, Double)], Seq.empty[(Long, Long)]))
+          val out = List.newBuilder[(Long, Option[Double])]
+          evs.toSeq.sortBy(e => (e._5, e._2)).foreach {
+            case (_, _, "__end", _, _) =>
+              // after the last observation: LOCF (None before the first)
+              pending.reverse.foreach { case (id, _) =>
+                out += ((id, last.map(_._2)))
+              }
+              pending = Seq.empty
+            case (_, id, "purchase", v, t) =>
+              pending.reverse.foreach { case (gid, gt) =>
+                out += ((gid, last match {
+                  case Some((pt, pv)) if t != pt =>
+                    Some(pv + (v - pv) *
+                      ((gt - pt).toDouble / (t - pt).toDouble))
+                  case Some((_, pv)) => Some(pv)
+                  case None => None
+                }))
+              }
+              pending = Seq.empty
+              last = Some((t, v))
+              out += ((id, Some(v)))
+            case (_, id, _, _, t) =>
+              pending = (id, t) +: pending
+          }
+          state.update((last, pending))
+          out.result().iterator
+      }
+      .toDF("event_id", "v_interp")
+    val q = filled.writeStream.format("memory").queryName("interp_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1))
+        .foreach { batch => mem.addData(batch.toSeq); q.processAllAvailable() }
+      mem.addData(sentinels.toSeq); q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_id, v_interp FROM interp_stream")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val batch = ops.Windows.win_interp(spark, sf)
+        .select("event_id", "v_interp").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(streamed.size == batch.size,
+        s"row-count drift: ${streamed.size} vs ${batch.size}")
+      val drift = batch.collect {
+        case (id, v) if streamed.get(id) != Some(v) => (id, v, streamed.get(id))
+      }
+      assert(drift.isEmpty,
+        s"stream/batch interpolation drift (first 5): ${drift.take(5)}")
+    } finally q.stop()
+  }
+
   test("stories sessionization emits the batch answer under readStream via the connector") {
     import org.apache.spark.sql.streaming.Trigger
     // the same session_window the batch query uses, driven through the
