@@ -708,27 +708,29 @@ object Relational {
     """)
   }
 
-  /** Cohort retention matrix (r8): users bucketed by first-seen ISO week
-    * (both engines truncate to Monday), then distinct active users per
-    * (cohort_week, week_offset) — the product-analytics staple. All
-    * counts exact; the offset is an exact integer division of µs epochs
-    * (Monday truncs in UTC differ by exact multiples of 604800e6 µs, no
-    * DST). Scale: two user-keyed shuffles (first-seen agg, distinct
-    * activity) + one on the small (cohort, offset) key — no window over
-    * an unbounded partition, no driver state. */
+  /** Cohort retention matrix (r8): users bucketed by first-seen
+    * calendar day, then distinct active users per (cohort_day,
+    * day_offset) — the product-analytics staple at the granularity that
+    * yields a dense oracle matrix on the fixture (daily: 59 checked
+    * cells at sf0.01 vs 5 weekly). All counts exact; the offset is an
+    * exact integer division of µs epochs (UTC day truncs differ by
+    * exact multiples of 86400e6 µs, no DST). Scale: two user-keyed
+    * shuffles (first-seen agg, distinct activity) + one on the small
+    * (cohort, offset) key — no window over an unbounded partition, no
+    * driver state. */
   val dt_cohort: Q = (s, d) => {
     val ev = events(s, d)
     val firstSeen = ev.groupBy("user_id")
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
     val active = ev.select(col("user_id"),
-      date_trunc("week", col("ts")).as("active_week")).distinct()
+      date_trunc("day", col("ts")).as("active_day")).distinct()
     active.join(firstSeen, "user_id")
-      .withColumn("week_offset", expr(
-        "CAST((unix_micros(active_week) - unix_micros(cohort_week)) " +
-          "div 604800000000 AS INT)"))
-      .groupBy("cohort_week", "week_offset")
+      .withColumn("day_offset", expr(
+        "CAST((unix_micros(active_day) - unix_micros(cohort_day)) " +
+          "div 86400000000 AS INT)"))
+      .groupBy("cohort_day", "day_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
+      .orderBy("cohort_day", "day_offset")
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -789,15 +791,15 @@ object Relational {
     "dt_cohort" ->
       """WITH fs AS (
            SELECT user_id,
-               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
            FROM events GROUP BY user_id),
          aw AS (
            SELECT DISTINCT user_id,
-               CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
            FROM events)
-         SELECT f.cohort_week,
-             CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week))
-                  // 604800000000 AS INT) AS week_offset,
+         SELECT f.cohort_day,
+             CAST((epoch_us(a.active_day) - epoch_us(f.cohort_day))
+                  // 86400000000 AS INT) AS day_offset,
              count(DISTINCT a.user_id) AS n_users
          FROM aw a JOIN fs f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
