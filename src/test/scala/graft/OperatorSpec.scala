@@ -874,4 +874,22 @@ class OperatorSpec extends SparkTestBase {
       s"hot-key fixture: salted=${salted.take(5)} direct=${direct.take(5)}")
     assert(direct.count(_.head == "HOT") == 7, "k rows for the hot key")
   }
+
+  test("win_share basis points: floor-division invariants per customer") {
+    // Σ floor(c_i·10000/T) over a customer lies in (10000 − n, 10000]
+    // (each floor loses < 1 bp), every share is in [0, 10000], and a
+    // single-order customer is exactly 10000 — the properties that make
+    // integer bp a safe substitute for a float ratio
+    val rows = ops.Windows.win_share(spark, sf)
+      .select("o_custkey", "share_bp").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, bp) => bp >= 0 && bp <= 10000 })
+    rows.groupBy(_._1).foreach { case (ck, g) =>
+      val total = g.map(_._2.toLong).sum
+      assert(total <= 10000L && total > 10000L - g.size,
+        s"customer $ck: sum=$total over ${g.size} orders")
+      if (g.size == 1) assert(g.head._2 == 10000, s"singleton $ck != 10000")
+    }
+  }
 }
