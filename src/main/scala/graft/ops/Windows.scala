@@ -389,11 +389,17 @@ object Windows {
     * zero. Spark side: last/first(ignoreNulls) over running/inverted
     * frames — one user-keyed shuffle, constant per-row state, the same
     * scale shape as win_fill. */
-  val win_interp: Q = (s, d) => {
+  val win_interp: Q = (s, d) => interpOf(events(s, d))
+
+  /** kernel of [[win_interp]] — PropertySpec fuzzes it against a plain
+    * Scala reference on random series (same-µs ties, observation-free
+    * users, all-observation users) beyond the fixture's shapes. */
+  private[graft] def interpOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    events(s, d)
+    ev
       .withColumn("obs", when(col("event_type") === "purchase",
         struct(unix_micros(col("ts")).as("t"), col("value").as("v"))))
       .select(col("event_id"), col("user_id"),

@@ -463,6 +463,65 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("win_interp kernel equals a plain Scala reference on random " +
+      "series (ties, no-obs, all-obs)") {
+    // random per-user event series with deliberate same-µs ties, users
+    // with zero observations, and users that are all observations — the
+    // shapes the fixture can't guarantee. The reference walks the sorted
+    // series with the same IEEE arithmetic; equality is exact.
+    import spark.implicits._
+    import java.sql.Timestamp
+    val seriesGen = for {
+      n <- Gen.chooseNum(1, 12)
+      evs <- Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0L, 5L) // tiny range forces ts ties
+        purchase <- Gen.oneOf(true, false)
+        v <- Gen.chooseNum(1, 999)
+      } yield (t, purchase, v / 100.0))
+    } yield evs
+    val users = samples(seriesGen, 40).zipWithIndex
+    val rows = users.flatMap { case (evs, u) =>
+      evs.zipWithIndex.map { case ((t, p, v), i) =>
+        (u.toLong * 100 + i, u.toLong,
+          new Timestamp(t * 1000), // seconds → distinct µs instants
+          if (p) "purchase" else "view", v)
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = ops.Windows.interpOf(df)
+      .select("event_id", "v_interp").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // reference: per user in (ts, event_id) order
+    val expected = rows.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1))
+      var last = Option.empty[(Long, Double)] // (µs, v)
+      val obsTimes = sorted.collect {
+        case (id, _, ts, "purchase", v) => (id, ts.getTime * 1000L, v)
+      }
+      sorted.map { case (id, _, ts, tpe, v) =>
+        val t = ts.getTime * 1000L
+        if (tpe == "purchase") { last = Some((t, v)); id -> Some(v) }
+        else {
+          val next = obsTimes.find { case (nid, nt, _) =>
+            nt > t || (nt == t && nid > id) }
+          id -> ((last, next) match {
+            case (Some((pt, pv)), Some((_, nt, nv))) if nt != pt =>
+              Some(pv + (nv - pv) *
+                ((t - pt).toDouble / (nt - pt).toDouble))
+            case (Some((_, pv)), _) => Some(pv)
+            case _ => None
+          })
+        }
+      }
+    }
+    val drift = expected.collect {
+      case (id, v) if got.get(id) != Some(v) => (id, v, got.get(id))
+    }
+    assert(drift.isEmpty, s"kernel/reference drift (first 5): " +
+      s"${drift.take(5)}")
+  }
+
   test("graph budget arms agree on random graphs (pagerank + bfs)") {
     // the fixture pins one topology; random graphs add cycles, stars and
     // disconnected pieces. Each sample runs the full distributed loop
