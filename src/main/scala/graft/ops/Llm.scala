@@ -2859,18 +2859,25 @@ object Llm {
            AND l.doc_id < r.doc_id
          ORDER BY doc_a, doc_b""",
     // the FNV base hash per (doc, distinct shingle) is the dump; the
-    // UDAF's whole aggregation — Broder affine permutation mod 2^31-1
-    // (constants derived from the seed index by the same arithmetic as
-    // MinHashAgg.aOf/bOf), per-group element-wise min, ordered md5
+    // UDAF's whole aggregation — two-residue Broder permutation mod
+    // 2^31-1 (constants derived from the seed index by the same
+    // arithmetic as MinHashAgg.aOf/a2Of/bOf; the second residue is
+    // base mod the independent prime 2^31-19 — see MinHashAgg for the
+    // decorrelation argument), per-group element-wise min, ordered md5
     // digest — replays as SQL. % is truncated (sign of dividend) on both
-    // engines, so the signed base needs only the final (+p) % p
+    // engines, so the signed intermediates need only the final (+p) % p;
+    // every product stays below 2^62, inside BIGINT on both engines
     "llm_minhash_agg" ->
       """WITH toks AS (
            SELECT doc_id, base
            FROM read_parquet('/tmp/graft_oracle_aux/mhaggtok/*.parquet')),
          hs AS (
            SELECT doc_id, i,
-               min((((base % 2147483647) * (((i+1) * 2654435761) % 2147483647)
+               min(((((base % 2147483647)
+                        * (((i+1) * 2654435761) % 2147483647)) % 2147483647
+                     + ((base % 2147483629)
+                        * (((i+1) * (i+1) * 2246822519) % 2147483647))
+                       % 2147483647
                      + ((i+1) * 40503) % 2147483647) % 2147483647
                     + 2147483647) % 2147483647) AS h
            FROM toks CROSS JOIN (SELECT unnest(range(0,64)) AS i) seeds

@@ -30,14 +30,26 @@ object Quality {
     * a 5-way Expand ×20-expression state and measured 5.4 s at sf0.1;
     * this shape measures ~0.6 s for identical output). Distinct runs on
     * the string image of the value — Double.toString is injective, so
-    * the count is exact. */
+    * the count is exact, EXCEPT that -0.0 and 0.0 stringify differently
+    * while comparing equal as native doubles (the oracle's DISTINCT
+    * semantics); both engines therefore normalize zeros first (r8
+    * ADVICE), which also pins the SIGN of a ±0.0 min/max. NaN needs no
+    * step: one distinct value and sorts greatest in both engines. */
   val dq_profile: Q = (s, d) => {
     lineitem(s, d)
+      .select(
+        expr("CASE WHEN l_quantity = 0D THEN 0D ELSE l_quantity END")
+          .as("qn"),
+        expr("CASE WHEN l_extendedprice = 0D THEN 0D ELSE l_extendedprice END")
+          .as("en"),
+        expr("CASE WHEN l_discount = 0D THEN 0D ELSE l_discount END")
+          .as("dn"),
+        col("l_returnflag"), col("l_linestatus"))
       .select(expr(
         """stack(5,
-             'l_quantity',      CAST(l_quantity AS STRING),      l_quantity,           CAST(NULL AS STRING),
-             'l_extendedprice', CAST(l_extendedprice AS STRING), l_extendedprice,      CAST(NULL AS STRING),
-             'l_discount',      CAST(l_discount AS STRING),      l_discount,           CAST(NULL AS STRING),
+             'l_quantity',      CAST(qn AS STRING),              qn,                   CAST(NULL AS STRING),
+             'l_extendedprice', CAST(en AS STRING),              en,                   CAST(NULL AS STRING),
+             'l_discount',      CAST(dn AS STRING),              dn,                   CAST(NULL AS STRING),
              'l_returnflag',    l_returnflag,                    CAST(NULL AS DOUBLE), l_returnflag,
              'l_linestatus',    l_linestatus,                    CAST(NULL AS DOUBLE), l_linestatus
            ) AS (col_name, vkey, vnum, vstr)"""))
@@ -81,6 +93,13 @@ object Quality {
       .select(col("check_name"), col("viol").as("n_violation"),
         col("n").as("n_checked"))
 
+    // NULL-key semantics pinned on BOTH engines (r8 ADVICE): Spark's
+    // countDistinct(a, b) drops rows where EITHER key is NULL, so
+    // n − nd already counts every null-key row as a violation — the
+    // right call for a PK check (a NULL key can't be unique). The oracle
+    // mirrors it by NULLing the counted struct when a key is NULL, since
+    // DuckDB's count(DISTINCT (a, b)) would otherwise count the
+    // null-field struct as a value.
     val pk = li.agg(count(lit(1)).as("n"),
         countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
       .select(lit("lineitem_pk_unique").as("check_name"),
@@ -152,7 +171,16 @@ object Quality {
              COALESCE(abs(n * 10000 // prev - 10000) >= 5000, false) AS alert
          FROM l ORDER BY event_type, day""",
     "dq_profile" ->
-      """WITH a AS (
+      """WITH src AS (
+           SELECT CASE WHEN l_quantity = 0 THEN 0 ELSE l_quantity END
+                    AS l_quantity,
+               CASE WHEN l_extendedprice = 0 THEN 0 ELSE l_extendedprice END
+                    AS l_extendedprice,
+               CASE WHEN l_discount = 0 THEN 0 ELSE l_discount END
+                    AS l_discount,
+               l_returnflag, l_linestatus
+           FROM lineitem),
+         a AS (
            SELECT count(1) AS n_rows,
                count(1) FILTER (WHERE l_quantity IS NULL) AS qn_null,
                count(DISTINCT l_quantity) AS qn_dist,
@@ -169,7 +197,7 @@ object Quality {
                count(1) FILTER (WHERE l_linestatus IS NULL) AS sn_null,
                count(DISTINCT l_linestatus) AS sn_dist,
                min(l_linestatus) AS sn_min, max(l_linestatus) AS sn_max
-           FROM lineitem)
+           FROM src)
          SELECT 'l_quantity' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(qn_null AS BIGINT) AS n_null, CAST(qn_dist AS BIGINT) AS n_distinct,
              qn_min AS min_num, qn_max AS max_num,
@@ -198,7 +226,10 @@ object Quality {
              CAST((SELECT count(1) FROM orders) AS BIGINT) AS n_checked
          UNION ALL
          SELECT 'lineitem_pk_unique',
-             CAST(count(1) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+             CAST(count(1) - count(DISTINCT
+                 CASE WHEN l_orderkey IS NOT NULL
+                       AND l_linenumber IS NOT NULL
+                      THEN ROW(l_orderkey, l_linenumber) END) AS BIGINT),
              CAST(count(1) AS BIGINT)
          FROM lineitem
          UNION ALL

@@ -400,8 +400,14 @@ object Windows {
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ev
-      .withColumn("obs", when(col("event_type") === "purchase",
-        struct(unix_micros(col("ts")).as("t"), col("value").as("v"))))
+      // the value guard matches the oracle's count(v)-style grouping,
+      // which skips NULL v: a purchase row with a NULL value is a GAP to
+      // interpolate across, not an observation emitting NULL (r8 ADVICE —
+      // struct(t, null) is non-null, so without the guard it would become
+      // a LOCF/interp boundary)
+      .withColumn("obs",
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          struct(unix_micros(col("ts")).as("t"), col("value").as("v"))))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("t"), col("obs"),
         last(col("obs"), ignoreNulls = true).over(wPrev).as("p"),

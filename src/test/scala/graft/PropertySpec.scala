@@ -376,6 +376,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("MinHashAgg: bases colliding mod P agree in at most one slot " +
+      "(two-residue decorrelation)") {
+    // r8 ADVICE regression pin: with a single base-mod-P residue, two
+    // shingles colliding mod P produced IDENTICAL values in every one of
+    // the 64 slots. The two-residue transform guarantees any distinct
+    // (r1, r2) pair collides in at most one slot (the slot condition is
+    // linear in the seed index — MinHashAgg scaladoc). Drive the worst
+    // case directly: per-base slot values for base vs base + k·P (forced
+    // r1 collision) must differ in ≥ 63 of 64 slots.
+    val agg = graft.functions.MinHashAgg
+    def slots(base: Long): Seq[Long] = (0 until agg.K).map { i =>
+      val r1 = base % agg.P
+      val r2 = base % agg.P2
+      (((r1 * agg.aOf(i)) % agg.P + (r2 * agg.a2Of(i)) % agg.P +
+        agg.bOf(i)) % agg.P + agg.P) % agg.P
+    }
+    val gen = for {
+      b <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      k <- Gen.chooseNum(1L, 1000L)
+    } yield (b, b + k * agg.P)
+    for ((a, b) <- samples(gen, 100)) {
+      val same = slots(a).zip(slots(b)).count { case (x, y) => x == y }
+      assert(same <= 1,
+        s"bases $a/$b (both ≡ ${a % agg.P} mod P) agree in $same slots")
+    }
+  }
+
   test("MinHash similarity estimates Jaccard on controlled overlap") {
     val agg = graft.functions.MinHashAgg
     def sig(ts: Seq[String]) = ts.foldLeft(agg.zero)((b, s) => agg.reduce(b, s))
@@ -464,10 +491,12 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("win_interp kernel equals a plain Scala reference on random " +
-      "series (ties, no-obs, all-obs)") {
+      "series (ties, no-obs, all-obs, null-value purchases)") {
     // random per-user event series with deliberate same-µs ties, users
-    // with zero observations, and users that are all observations — the
-    // shapes the fixture can't guarantee. The reference walks the sorted
+    // with zero observations, users that are all observations, AND
+    // purchases carrying a NULL value (r8 ADVICE: such a row must be a
+    // GAP to interpolate across, matching the oracle's count(v) grouping,
+    // never an observation emitting NULL). The reference walks the sorted
     // series with the same IEEE arithmetic; equality is exact.
     import spark.implicits._
     import java.sql.Timestamp
@@ -476,8 +505,10 @@ class PropertySpec extends SparkTestBase {
       evs <- Gen.listOfN(n, for {
         t <- Gen.chooseNum(0L, 5L) // tiny range forces ts ties
         purchase <- Gen.oneOf(true, false)
-        v <- Gen.chooseNum(1, 999)
-      } yield (t, purchase, v / 100.0))
+        v <- Gen.frequency(
+          4 -> Gen.chooseNum(1, 999).map(x => Some(x / 100.0)),
+          1 -> Gen.const(Option.empty[Double]))
+      } yield (t, purchase, v))
     } yield evs
     val users = samples(seriesGen, 40).zipWithIndex
     val rows = users.flatMap { case (evs, u) =>
@@ -492,17 +523,19 @@ class PropertySpec extends SparkTestBase {
       .select("event_id", "v_interp").collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-    // reference: per user in (ts, event_id) order
+    // reference: per user in (ts, event_id) order; an observation is a
+    // purchase WITH a value — null-value purchases interpolate like gaps
     val expected = rows.groupBy(_._2).flatMap { case (_, es) =>
       val sorted = es.sortBy(e => (e._3.getTime, e._1))
       var last = Option.empty[(Long, Double)] // (µs, v)
       val obsTimes = sorted.collect {
-        case (id, _, ts, "purchase", v) => (id, ts.getTime * 1000L, v)
+        case (id, _, ts, "purchase", Some(v)) => (id, ts.getTime * 1000L, v)
       }
-      sorted.map { case (id, _, ts, tpe, v) =>
+      sorted.map { case (id, _, ts, tpe, vOpt) =>
         val t = ts.getTime * 1000L
-        if (tpe == "purchase") { last = Some((t, v)); id -> Some(v) }
-        else {
+        if (tpe == "purchase" && vOpt.isDefined) {
+          last = Some((t, vOpt.get)); id -> vOpt
+        } else {
           val next = obsTimes.find { case (nid, nt, _) =>
             nt > t || (nt == t && nid > id) }
           id -> ((last, next) match {
