@@ -1627,9 +1627,18 @@ object Llm {
     * trainers prune the tail the same way); application broadcasts the
     * merge list and runs a pure mapPartitions kernel with a per-task
     * word→count memo, so each distinct word per task is encoded once.
-    * Iterative merge training is inexpressible in one SQL pass →
-    * rows-only check; determinism, compression monotonicity, and
-    * round-trip invariants are unit-tested instead. */
+    *
+    * FULL oracle check (was rows-only through round 8): iterative merge
+    * TRAINING is inexpressible in one SQL pass, but the trained merge
+    * list is deterministic and vocabulary-sized — so the query dumps it
+    * ([[dumpForOracle]]) and the paired DuckDB oracle replays the greedy
+    * APPLY step as a recursive CTE: each word becomes a
+    * boundary-delimited symbol string (`|c1||c2||…|` — the double
+    * separator makes a merge pattern `|l||r|` match ONLY at symbol
+    * boundaries, and left-to-right non-overlapping `replace` is exactly
+    * [[applyMerge]]'s scan), one recursion step per merge rank, token
+    * count read off the separators. Determinism, compression
+    * monotonicity, and round-trip invariants stay unit-tested. */
   val llm_bpe: Q = (s, d) => {
     import s.implicits._
     val freq = documents(s, d)
@@ -1641,6 +1650,11 @@ object Llm {
       .limit(10000)
       .as[(String, Long)].collect().toSeq
     val merges = bpeTrain(freq, 40)
+    dumpForOracle(s, d, "bpemerges") {
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "l", "r")
+    }
     val bc = s.sparkContext.broadcast(merges)
     documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
@@ -2867,6 +2881,57 @@ object Llm {
     // digest — replays as SQL. % is truncated (sign of dividend) on both
     // engines, so the signed intermediates need only the final (+p) % p;
     // every product stays below 2^62, inside BIGINT on both engines
+    // the trained merge list is the dump; the greedy APPLY replays as a
+    // recursive CTE over the distinct vocabulary: each word is wrapped
+    // into a '|c1||c2||…|' symbol string (double separator ⇒ the merge
+    // pattern '|l||r|' matches only at symbol boundaries — no symbol
+    // contains '|', fixture-verified at every SF), one recursion step
+    // per merge rank applies replace() whose left-to-right
+    // non-overlapping scan IS applyMerge's; the token count is
+    // separator-count + 1. Training (the iterative pair-count argmax)
+    // stays engine-side — the same split as the IVF centroid dump.
+    "llm_bpe" ->
+      """WITH RECURSIVE
+           merges AS (
+             SELECT rank, l, r
+             FROM read_parquet('/tmp/graft_oracle_aux/bpemerges/*.parquet')),
+           words AS (
+             SELECT DISTINCT w FROM (
+               SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE len(w) > 0),
+           enc AS (
+             SELECT w,
+                 '|' || array_to_string(string_split(w, ''), '||') || '|'
+                   AS s,
+                 0 AS step
+             FROM words
+             UNION ALL
+             SELECT e.w,
+                 replace(e.s, '|' || m.l || '||' || m.r || '|',
+                              '|' || m.l || m.r || '|'),
+                 e.step + 1
+             FROM enc e JOIN merges m ON m.rank = e.step),
+           tok AS (
+             SELECT w,
+                 CAST((len(s) - len(replace(s, '||', ''))) // 2 + 1 AS INT)
+                   AS ntok
+             FROM enc WHERE step = (SELECT count(*) FROM merges)),
+           docw AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+           agg AS (
+             SELECT d.doc_id, count(*) AS n_words, sum(t.ntok) AS n_bpe
+             FROM docw d JOIN tok t ON d.w = t.w
+             WHERE len(d.w) > 0
+             GROUP BY 1)
+         SELECT doc.doc_id,
+             CAST(COALESCE(a.n_words, 0) AS INT) AS n_words,
+             CAST(COALESCE(a.n_bpe, 0) AS INT) AS n_bpe_tokens,
+             CAST(COALESCE(a.n_bpe, 0) * 10000
+                  // greatest(1, doc.n_chars) AS BIGINT)
+               AS tokens_per_char_bp
+         FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+         ORDER BY doc.doc_id""",
     "llm_minhash_agg" ->
       """WITH toks AS (
            SELECT doc_id, base
