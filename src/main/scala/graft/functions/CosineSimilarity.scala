@@ -130,6 +130,9 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineDescriptor)
+    e.injectTableFunction(GraftTableFunctions.tableDescriptor)
+    e.injectTableFunction(GraftTableFunctions.changesDescriptor)
+  }
 }

@@ -1021,4 +1021,48 @@ class GraftTableSpec extends SparkTestBase {
     assert(latest.where(col("id") <= 11).count() == 0,
       "CoW rewrite must not resurrect DV-deleted rows")
   }
+
+  test("graft_table / graft_table_changes TVFs: SQL time travel equals " +
+      "the DSL read; literal-argument misuse fails loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(100), Seq("id"), Seq("id"),
+      numFiles = 4)
+    GraftTable.append(spark, root,
+      idTable(150).where(col("id") > 100), Seq("id"), Seq("id"),
+      numFiles = 2)
+    graft.functions.GraftTableFunctions.register(spark)
+
+    // latest and snapshot-1 reads through pure SQL ≡ the DSL calls
+    assert(spark.sql(s"SELECT count(1) FROM graft_table('$root')")
+      .head().getLong(0) == 150)
+    val sqlV1 = spark.sql(
+      s"SELECT id, payload FROM graft_table('$root', 1) ORDER BY id")
+      .collect().toSeq
+    val dslV1 = GraftTable.read(spark, root, Some(1))
+      .select("id", "payload").orderBy("id").collect().toSeq
+    assert(sqlV1 == dslV1)
+
+    // the spliced plan composes with outer SQL (filter + aggregate)
+    assert(spark.sql(
+      s"SELECT count(1) FROM graft_table('$root', 1) WHERE id > 90")
+      .head().getLong(0) == 10)
+
+    // CDC: the v1→v2 delta is exactly the appended slice
+    val delta = spark.sql(
+      s"SELECT min(id) AS lo, max(id) AS hi, count(1) AS n " +
+        s"FROM graft_table_changes('$root', 1, 2)").head()
+    assert((delta.getLong(0), delta.getLong(1), delta.getLong(2)) ==
+      (101L, 150L, 50L))
+
+    // misuse: non-literal or wrongly-typed arguments must fail at
+    // analysis with the function's own message, not an obscure cast
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$root', id)").collect()
+    }
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$root', 'one')").collect()
+    }
+    assert((e1.getMessage + e2.getMessage).contains("graft_table"))
+  }
 }
