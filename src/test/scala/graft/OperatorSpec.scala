@@ -892,4 +892,27 @@ class OperatorSpec extends SparkTestBase {
       if (g.size == 1) assert(g.head._2 == 10000, s"singleton $ck != 10000")
     }
   }
+
+  test("oracle aux dumps are per-sfDir: interleaved verifies on two " +
+      "scale factors never clobber each other") {
+    // r9, closing the r8 watch-item: the aux path used to be fixed, so
+    // the second sfDir's dump overwrote the first's. Now each sfDir has
+    // its own tagged directory, and the emitted oracle SQL follows the
+    // LAST dump — the order Verify runs things.
+    import graft.util.OracleAux
+    val sfA = "/root/testdata/sf0.001"
+    val sfB = "/root/testdata/sf0.01"
+    def mergeCount(d: String): Long =
+      spark.read.parquet(OracleAux.dirFor(d) + "/bpemerges").count()
+    ops.Llm.llm_bpe(spark, sfA).count()
+    assert(ops.Llm.oracle.toMap.apply("llm_bpe")
+      .contains(OracleAux.dirFor(sfA)), "SQL must follow the last dump")
+    val a1 = mergeCount(sfA)
+    ops.Llm.llm_bpe(spark, sfB).count() // the would-be clobberer
+    assert(ops.Llm.oracle.toMap.apply("llm_bpe")
+      .contains(OracleAux.dirFor(sfB)))
+    assert(mergeCount(sfA) == a1, "sfA's dump must survive sfB's run")
+    assert(mergeCount(sfB) > 0)
+    assert(OracleAux.dirFor(sfA) != OracleAux.dirFor(sfB))
+  }
 }
