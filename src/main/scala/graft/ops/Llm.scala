@@ -2094,15 +2094,11 @@ object Llm {
     * its scan once per application — not once per query invocation — is
     * the bench-hot-path discipline simjoinAuto set. ngram_freq's probe
     * would otherwise re-split every document per call (~1 s at sf0.1);
-    * cap_source's would rescan for a count-by-source. */
-  private val skewProbe =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
+    * cap_source's would rescan for a count-by-source. Moved to
+    * [[graft.util.Probes]] (r9) so the window dispatches share it. */
   private def memoProbe(s: org.apache.spark.sql.SparkSession, d: String,
       id: String)(run: => Long): Long =
-    skewProbe.computeIfAbsent(
-      s.sparkContext.applicationId + "|" + d + "|" + id,
-      _ => java.lang.Long.valueOf(run)).longValue()
+    graft.util.Probes.memoProbe(s, d, id)(run)
 
   /** Test seam for [[llm_cap_source]]: `skewThreshold` forces the salted
     * path on fixtures. The probe is one tiny two-phase count-by-source —

@@ -337,13 +337,20 @@ object Windows {
     * The pattern stays in the intersection of Java and DuckDB regex
     * semantics (literal symbols + greedy +, no backrefs). Per-user state
     * is one bounded string; the shuffle key is the user. */
-  val win_pattern: Q = (s, d) => {
-    val coded = events(s, d).withColumn("sym",
+  val win_pattern: Q = (s, d) => winPattern(s, d)
+
+  /** symbol coding shared by both [[winPattern]] arms. */
+  private def patternCoded(ev: org.apache.spark.sql.DataFrame) =
+    ev.withColumn("sym",
       when(col("event_type") === "view", "v")
         .when(col("event_type") === "click", "c")
         .when(col("event_type") === "purchase", "p")
         .when(col("event_type") === "signup", "s")
         .otherwise("e"))
+
+  /** direct arm: the whole history as one string per user (bounded on
+    * the fixtures — ≤ ~100 events/user). */
+  private[graft] def patternArray(coded: org.apache.spark.sql.DataFrame) =
     coded.groupBy("user_id")
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
         col("sym")))).as("seq"))
@@ -352,6 +359,61 @@ object Windows {
       .select(col("user_id"), length(col("sq")).as("seq_len"),
         regexp_count(col("sq"), lit("vc+p")).as("funnels"))
       .orderBy("user_id")
+
+  /** escalated arm (r9 — the mega-key posture the r8 verdict asked
+    * for): instead of materializing one giant symbol string per user,
+    * secondary-sort the rows (repartition by user + external sort — no
+    * per-key array ever exists) and run the `v c+ p` match as a 3-state
+    * FSM with O(1) state per user, streaming over the sorted iterator —
+    * the mapGroupsWithState twin's logic applied batch-side. The FSM
+    * counts EXACTLY what `regexp_count(sq, 'vc+p')` counts: a
+    * left-to-right non-overlapping match needs `v`, a maximal nonempty
+    * `c` run, then `p` (greedy `c+` backtracks only into more `c`s, so
+    * the only viable `p` is the one after the maximal run) — fuzzed
+    * against java.util.regex in OperatorSpec, and the full operator is
+    * arm-equality-tested on a synthetic mega-key fixture. */
+  private[graft] def patternStreamed(coded: org.apache.spark.sql.DataFrame) = {
+    val sp = coded.sparkSession
+    import sp.implicits._
+    coded.select(col("user_id"), col("ts"), col("event_id"), col("sym"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(asc("user_id"), asc("ts"), asc("event_id"))
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Int, Int)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Int, Int) = {
+            val u = b.head._1
+            var len = 0; var funnels = 0
+            var st = 0 // 0 idle, 1 seen-v, 2 in-c-run
+            while (b.hasNext && b.head._1 == u) {
+              val sym = b.next()._4
+              len += 1
+              st = sym match {
+                case "v" => 1
+                case "c" => if (st >= 1) 2 else 0
+                case "p" => if (st == 2) { funnels += 1; 0 } else 0
+                case _   => 0
+              }
+            }
+            (u, len, funnels)
+          }
+        }
+      }
+      .toDF("user_id", "seq_len", "funnels")
+      .orderBy("user_id")
+  }
+
+  /** [[win_pattern]] dispatch with the capSource-style count probe: the
+    * max per-user history size (memoized per application × sfDir,
+    * shared with [[winEma]] — same table, same key) picks the arm. */
+  private[graft] def winPattern(s: org.apache.spark.sql.SparkSession,
+      d: String, histThreshold: Long = ArrayHistThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    val coded = patternCoded(events(s, d))
+    if (maxUserHistory(s, d) <= histThreshold) patternArray(coded)
+    else patternStreamed(coded)
   }
 
   /** Exponential moving average (r8): per-user EMA over the event value
@@ -365,8 +427,11 @@ object Windows {
     * order, so the result is BIT-IDENTICAL — the oracle compares the raw
     * double, no rounding. Per-user state is one bounded array; at scale
     * the streaming twin is a mapGroupsWithState running value. */
-  val win_ema: Q = (s, d) =>
-    events(s, d)
+  val win_ema: Q = (s, d) => winEma(s, d)
+
+  /** direct arm: fold over the collected value array. */
+  private[graft] def emaArray(ev: org.apache.spark.sql.DataFrame) =
+    ev
       .groupBy("user_id")
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
         col("value")))).as("seq"))
@@ -376,6 +441,67 @@ object Windows {
         expr("aggregate(slice(vals, 2, size(vals) - 1), vals[0], " +
           "(acc, x) -> acc * 0.75D + x * 0.25D)").as("ema"))
       .orderBy("user_id")
+
+  /** escalated arm (r9): secondary sort + one sequential pass per
+    * partition with O(1) running state — no per-user array is ever
+    * materialized, so one mega-key user cannot blow an executor at
+    * 100×. The fold runs in EXACTLY the direct arm's order (seeded with
+    * the first value, then acc·0.75 + x·0.25 per element over the same
+    * (ts, event_id) total order), so the emitted doubles are
+    * BIT-IDENTICAL to the array fold — asserted, not approximated, by
+    * the arm-equality test. Values are non-null on this table (events
+    * fixture; the array arm would null-poison the same user anyway). */
+  private[graft] def emaStreamed(ev: org.apache.spark.sql.DataFrame) = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(asc("user_id"), asc("ts"), asc("event_id"))
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Long, Int, Double)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Int, Double) = {
+            val u = b.head._1
+            var n = 0; var acc = 0.0
+            while (b.hasNext && b.head._1 == u) {
+              val v = b.next()._4
+              acc = if (n == 0) v else acc * 0.75 + v * 0.25
+              n += 1
+            }
+            (u, n, acc)
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "ema")
+      .orderBy("user_id")
+  }
+
+  /** Collected-array histories are fine into the ~10⁶ range (tens of MB
+    * per key); past that the streamed arm must take over. */
+  private[graft] val ArrayHistThreshold = 1000000L
+
+  /** max events per user, memoized per application × sfDir (one probe
+    * serves both [[winEma]] and [[winPattern]]). */
+  private def maxUserHistory(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    graft.util.Probes.memoProbe(s, d, "win_user_hist") {
+      val r = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("__n")).agg(max("__n")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+  /** [[win_ema]] dispatch: count probe picks the arm (test seam —
+    * `histThreshold = 0` forces the streamed path on fixtures). */
+  private[graft] def winEma(s: org.apache.spark.sql.SparkSession,
+      d: String, histThreshold: Long = ArrayHistThreshold)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = events(s, d)
+    if (maxUserHistory(s, d) <= histThreshold) emaArray(ev)
+    else emaStreamed(ev)
+  }
 
   /** Linear interpolation gap-fill (r8) — the counterpart to win_fill's
     * LOCF: sparsify `value` to purchase observations, then fill each gap

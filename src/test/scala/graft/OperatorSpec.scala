@@ -893,6 +893,78 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("win_ema / win_pattern mega-key escalation: streamed arms are " +
+      "row-identical (bit-exact) to the array arms") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // synthetic mega-key fixture: one user carries 30k events (the shape
+    // that would build a giant per-key array at 100×), plus normal users,
+    // same-second ties broken by event_id, values spanning magnitudes
+    val syms = Array("view", "click", "purchase", "signup", "other")
+    val rows = (0 until 30000).map { i =>
+      (7L, new Timestamp(1700000000000L + (i / 4) * 1000L), i.toLong,
+        ((i * 2654435761L) % 1000).toDouble / 8.0, syms(i % 5))
+    } ++ (1 to 50).flatMap { u =>
+      (0 until 20).map { i =>
+        (u.toLong, new Timestamp(1700000000000L + i * 977L),
+          100000L + u * 1000 + i, (u * 31 + i).toDouble / 3.0,
+          syms((u + i) % 5))
+      }
+    }
+    val ev = rows.toDF("user_id", "ts", "event_id", "value", "event_type")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(bits(ops.Windows.emaArray(ev)) ==
+      bits(ops.Windows.emaStreamed(ev)),
+      "ema: streamed fold must be bit-identical to the array fold")
+    val coded = ev.withColumn("sym",
+      when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e"))
+    def ints(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(ints(ops.Windows.patternArray(coded)) ==
+      ints(ops.Windows.patternStreamed(coded)),
+      "pattern: FSM must count exactly what regexp_count counts")
+    // and the dispatch seam on the real fixture: forcing the streamed
+    // arm (histThreshold = 0) must reproduce the oracle-checked rows
+    assert(bits(ops.Windows.winEma(spark, sf, histThreshold = 0L)) ==
+      bits(ops.Windows.winEma(spark, sf)))
+    assert(ints(ops.Windows.winPattern(spark, sf, histThreshold = 0L)) ==
+      ints(ops.Windows.winPattern(spark, sf)))
+  }
+
+  test("win_pattern FSM equals java.util.regex vc+p counting on random " +
+      "symbol strings") {
+    // the FSM claim proven exhaustively-ish: 2000 random strings over
+    // the 5-symbol alphabet, lengths 0..40, vs Pattern.compile("vc+p")
+    val rnd = new scala.util.Random(20260814)
+    val pat = java.util.regex.Pattern.compile("vc+p")
+    def fsmCount(s: String): Int = {
+      var st = 0; var n = 0
+      s.foreach { ch =>
+        st = ch match {
+          case 'v' => 1
+          case 'c' => if (st >= 1) 2 else 0
+          case 'p' => if (st == 2) { n += 1; 0 } else 0
+          case _   => 0
+        }
+      }
+      n
+    }
+    (1 to 2000).foreach { _ =>
+      val s = (0 until rnd.nextInt(41))
+        .map(_ => "vcpse".charAt(rnd.nextInt(5))).mkString
+      val m = pat.matcher(s)
+      var expect = 0
+      while (m.find()) expect += 1
+      assert(fsmCount(s) == expect, s"FSM diverged from regex on '$s'")
+    }
+  }
+
   test("oracle aux dumps are per-sfDir: interleaved verifies on two " +
       "scale factors never clobber each other") {
     // r9, closing the r8 watch-item: the aux path used to be fixed, so
