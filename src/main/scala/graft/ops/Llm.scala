@@ -843,6 +843,11 @@ object Llm {
     * kernel's budget-dispatch discipline applied to the closure. */
   private[graft] val CcDriverBudgetEdges = 1L << 19
 
+  /** convergence rounds of the last [[distributedComponents]] run per
+    * caller key — a test observable, nothing reads it in production. */
+  private[graft] val ccRounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private[graft] def connectedComponents(edges: DataFrame,
       key: String = "llm_cc",
       driverBudgetEdges: Long = CcDriverBudgetEdges): DataFrame = {
@@ -958,6 +963,10 @@ object Llm {
       // (Bench runs this three times per JVM); keyed per CALLER so two
       // closure-using queries don't release each other's live blocks
       graft.util.Iterate.registerResult(key, cur._2)
+      // observable for the O(log diameter) claim: GraphSpec runs an
+      // adversarial-depth path graph through the loop and asserts the
+      // recorded round count stays logarithmic (r8 verdict #7)
+      ccRounds.put(key, rounds)
       cur._1
     } finally {
       // (the caller's finally releases the cached edge set)

@@ -88,4 +88,31 @@ class GraphSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("distributed CC at adversarial depth: a 600-node path converges " +
+      "in O(log diameter) rounds, not O(diameter)") {
+    // r8 verdict #7: the random-graph arm-equality tests exercise the
+    // loop but never stress DEPTH. A path graph is the worst case for
+    // label propagation — a hook-only algorithm needs ~diameter rounds
+    // and would trip the 30-round require long before finishing. The
+    // hook+pointer-jump loop must finish it in logarithmic rounds,
+    // proving the convergence-counted loop (not the fixed bound) is
+    // what terminates, and that 2^30-depth is the true ceiling.
+    import spark.implicits._
+    val n = 600
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("a", "b")
+    val key = "spec_deep_path_cc"
+    val comp = ops.Llm.connectedComponents(edges, key,
+      driverBudgetEdges = 0L) // force the distributed loop
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == n, s"${comp.length} labeled nodes, want $n")
+    assert(comp.forall(_._2 == 0L),
+      "every node of the path must label to min id 0")
+    val rounds = ops.Llm.ccRounds.get(key).toInt
+    val logBound = 2 * math.ceil(math.log(n.toDouble) / math.log(2)).toInt
+    assert(rounds <= logBound,
+      s"$rounds rounds for diameter ${n - 1} — not logarithmic " +
+        s"(bound $logBound)")
+  }
 }

@@ -555,6 +555,60 @@ class PropertySpec extends SparkTestBase {
       s"${drift.take(5)}")
   }
 
+  test("sketch re-aggregation stays bounded as data GROWS: incremental " +
+      "HLL unions and CMS merges track the exact union at every step") {
+    // the 100 TB re-aggregation claim (r8 verdict #6): a sketch built
+    // per ingest batch and MERGED must answer the running union within
+    // its bound at every growth step — not just on the final corpus.
+    // Batches are disjoint slices of sf0.01 (hash on the key), unioned
+    // cumulatively: batch 1 ≈ an sf0.001-sized base, batches 2..5 the
+    // deltas of a growing table.
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey")).cache()
+    try {
+      li.count()
+      val slices = (0 until 5).map(i =>
+        li.where(pmod(hash(col("l_orderkey")), lit(5)) === i))
+      // HLL: per-batch sketches, cumulative union via hll_union_agg
+      val batchSketches = slices.map(_
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk")))
+      (1 to 5).foreach { k =>
+        val est = batchSketches.take(k).reduce(_ union _)
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+          .head().getLong(0)
+        val exact = slices.take(k).reduce(_ union _)
+          .distinct().count()
+        assert(math.abs(est - exact).toDouble / exact < 0.15,
+          s"HLL after $k batches: est $est vs exact $exact")
+      }
+      // CMS: per-batch binary sketches merged incrementally driver-side
+      // (the mergeable-buffer contract); one-sided bound at every step:
+      // exact ≤ estimate ≤ exact + ε·N_union
+      val cmsBytes = slices.map(_
+        .agg(expr("count_min_sketch(l_orderkey, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0))
+      def cmsOf(b: Array[Byte]) = org.apache.spark.util.sketch
+        .CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+      val probeKeys = li.limit(8).collect().map(_.getLong(0)).distinct
+      var merged = cmsOf(cmsBytes.head)
+      (1 to 5).foreach { k =>
+        if (k > 1) merged = merged.mergeInPlace(cmsOf(cmsBytes(k - 1)))
+        val union = slices.take(k).reduce(_ union _).cache()
+        val n = union.count()
+        val exact = union.groupBy("l_orderkey").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        union.unpersist()
+        probeKeys.foreach { key =>
+          val e = exact.getOrElse(key, 0L)
+          val est = merged.estimateCount(Long.box(key))
+          assert(est >= e && est <= e + (0.001 * n).ceil.toLong + 1,
+            s"CMS after $k batches, key $key: est $est exact $e n $n")
+        }
+      }
+    } finally li.unpersist()
+  }
+
   test("graph budget arms agree on random graphs (pagerank + bfs)") {
     // the fixture pins one topology; random graphs add cycles, stars and
     // disconnected pieces. Each sample runs the full distributed loop
