@@ -133,6 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineDescriptor)
     e.injectTableFunction(GraftTableFunctions.tableDescriptor)
+    e.injectTableFunction(GraftTableFunctions.asOfDescriptor)
     e.injectTableFunction(GraftTableFunctions.changesDescriptor)
   }
 }

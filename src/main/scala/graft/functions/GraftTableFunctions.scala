@@ -15,6 +15,7 @@ import graft.table.GraftTable
   *
   *   SELECT * FROM graft_table('/path/to/table')          -- latest
   *   SELECT * FROM graft_table('/path/to/table', 2)       -- snapshot 2
+  *   SELECT * FROM graft_table_asof('/path', 1700000000000) -- ts AS OF
   *   SELECT * FROM graft_table_changes('/path', 1, 2)     -- file-level CDC
   *
   * Registered through the same two surfaces as [[GraftFunctions]]: the
@@ -69,6 +70,28 @@ object GraftTableFunctions {
         .queryExecution.logical
     })
 
+  /** `TIMESTAMP AS OF` twin of the snapshot argument: epoch-millis
+    * literal → newest snapshot committed at or before it. */
+  val asOfDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_table_asof"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName,
+      "graft_table_asof"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_table_asof expects (root, epoch_millis)")
+      val root = strArg(children, 0, "graft_table_asof")
+      val ts = arg(children, 1, "graft_table_asof") match {
+        case x: Long => x
+        case x: Int  => x.toLong
+        case _ => throw new IllegalArgumentException(
+          "graft_table_asof: argument 2 must be an integer epoch-millis " +
+            "literal")
+      }
+      GraftTable.readAsOf(SparkSession.active, root, ts)
+        .queryExecution.logical
+    })
+
   val changesDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_table_changes"),
@@ -86,7 +109,7 @@ object GraftTableFunctions {
 
   /** idempotent — registerFunction overwrites */
   def register(s: SparkSession): Unit =
-    Seq(tableDescriptor, changesDescriptor).foreach { d =>
+    Seq(tableDescriptor, asOfDescriptor, changesDescriptor).foreach { d =>
       s.sessionState.tableFunctionRegistry
         .registerFunction(d._1, d._2, d._3)
     }

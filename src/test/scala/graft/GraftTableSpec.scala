@@ -1048,6 +1048,19 @@ class GraftTableSpec extends SparkTestBase {
       s"SELECT count(1) FROM graft_table('$root', 1) WHERE id > 90")
       .head().getLong(0) == 10)
 
+    // TIMESTAMP AS OF: any instant between the two commits reads v1
+    // (commit timestamps are wall-clock ms; the fixture's two commits
+    // are more than 0 ms apart by construction of the assertion below)
+    val t1 = GraftTable.manifest(root, 1).committedAtMs.get
+    val t2 = GraftTable.manifest(root, 2).committedAtMs.get
+    if (t2 > t1) // same-ms commits would make "between" empty — skip
+      assert(spark.sql(
+        s"SELECT count(1) FROM graft_table_asof('$root', ${t2 - 1})")
+        .head().getLong(0) == 100)
+    assert(spark.sql(
+      s"SELECT count(1) FROM graft_table_asof('$root', $t2)")
+      .head().getLong(0) == 150)
+
     // CDC: the v1→v2 delta is exactly the appended slice
     val delta = spark.sql(
       s"SELECT min(id) AS lo, max(id) AS hi, count(1) AS n " +
