@@ -135,5 +135,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftTableFunctions.tableDescriptor)
     e.injectTableFunction(GraftTableFunctions.asOfDescriptor)
     e.injectTableFunction(GraftTableFunctions.changesDescriptor)
+    e.injectTableFunction(GraftTableFunctions.historyDescriptor)
   }
 }

@@ -17,6 +17,7 @@ import graft.table.GraftTable
   *   SELECT * FROM graft_table('/path/to/table', 2)       -- snapshot 2
   *   SELECT * FROM graft_table_asof('/path', 1700000000000) -- ts AS OF
   *   SELECT * FROM graft_table_changes('/path', 1, 2)     -- file-level CDC
+  *   SELECT * FROM graft_table_history('/path')           -- DESCRIBE HISTORY
   *
   * Registered through the same two surfaces as [[GraftFunctions]]: the
   * session's `tableFunctionRegistry` for plain sessions (idempotent —
@@ -107,9 +108,24 @@ object GraftTableFunctions {
         .queryExecution.logical
     })
 
+  /** `DESCRIBE HISTORY` as a relation: one row per retained commit. */
+  val historyDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_table_history"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName,
+      "graft_table_history"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        "graft_table_history expects (root)")
+      GraftTable.history(SparkSession.active,
+        strArg(children, 0, "graft_table_history"))
+        .queryExecution.logical
+    })
+
   /** idempotent — registerFunction overwrites */
   def register(s: SparkSession): Unit =
-    Seq(tableDescriptor, asOfDescriptor, changesDescriptor).foreach { d =>
+    Seq(tableDescriptor, asOfDescriptor, changesDescriptor,
+      historyDescriptor).foreach { d =>
       s.sessionState.tableFunctionRegistry
         .registerFunction(d._1, d._2, d._3)
     }

@@ -1068,6 +1068,13 @@ class GraftTableSpec extends SparkTestBase {
     assert((delta.getLong(0), delta.getLong(1), delta.getLong(2)) ==
       (101L, 150L, 50L))
 
+    // DESCRIBE HISTORY as a relation: newest first, composable
+    val hist = spark.sql(
+      s"SELECT snapshot, op FROM graft_table_history('$root') " +
+        "ORDER BY snapshot").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist == Seq((1, "create"), (2, "append")), hist.toString)
+
     // misuse: non-literal or wrongly-typed arguments must fail at
     // analysis with the function's own message, not an obscure cast
     val e1 = intercept[Exception] {
