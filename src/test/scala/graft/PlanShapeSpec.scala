@@ -505,4 +505,30 @@ class PlanShapeSpec extends SparkTestBase {
         s"profile must not rescan per column:\n${planOf(df)}")
     }
   }
+
+  test("graft_table TVF: outer predicate and projection reach the " +
+      "parquet scan (pushdown through the spliced plan)") {
+    // the SQL doorway must not cost plan quality: the TVF splices the
+    // manifest-planned read as a plain FileScan, so a WHERE on the
+    // outer query pushes into PushedFilters and an outer SELECT prunes
+    // ReadSchema — the two properties that make the SQL surface usable
+    // at 100 TB, asserted on the executed plan rather than assumed.
+    withStaticPlan {
+      val root = ops.Table.ordersTable(spark, sf)
+      graft.functions.GraftTableFunctions.register(spark)
+      val df = spark.sql(
+        s"""SELECT o_orderkey FROM graft_table('$root', 1)
+            WHERE o_orderkey = 42""")
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, planOf(df))
+      val meta = scans.map(_.metadata).head
+      assert(meta("PushedFilters").contains("EqualTo(o_orderkey,42)"),
+        s"predicate must push into the scan: $meta")
+      assert(meta("ReadSchema").contains("o_orderkey") &&
+        !meta("ReadSchema").contains("o_comment"),
+        s"projection must prune the read schema: ${meta("ReadSchema")}")
+    }
+  }
 }
