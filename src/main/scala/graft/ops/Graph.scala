@@ -277,11 +277,51 @@ object Graph {
     } finally sym.unpersist()
   }
 
+  /** Link prediction by neighbor-set similarity on the dense (m=11)
+    * graph: for every NON-adjacent supplier pair with ≥ 2 common
+    * neighbors, Jaccard(N(a), N(b)) as exact integer basis points
+    * (`common * 10000 div (deg_a + deg_b - common)` — all operands
+    * non-negative 64-bit, so Spark's trunc-div and DuckDB's floor-div
+    * agree bit-for-bit; no float ratio to half-round). Top 20 by
+    * (jaccard_bp DESC, a, b) — a total order, unique tiebreak.
+    *
+    * Shape: one self-join of the symmetric adjacency on the shared
+    * neighbor (the wedge relation triangles already pay — ReuseExchange
+    * collapses the two adjacency references), one count per pair, a
+    * LEFT ANTI against the edge list to keep only predicted (absent)
+    * links, two broadcast degree joins, and a top-k sort on the small
+    * candidate relation. 100 TB posture: the wedge fan-out is
+    * Σ deg(n)² — hub nodes dominate, exactly the skew story of every
+    * bucket op; the mitigations are a degree cap on the wedge-center
+    * (drop n with deg > c: provably only affects pairs whose similarity
+    * is hub-driven) or AQE skew-split, and the candidate relation after
+    * the ≥ 2 filter is tiny relative to the corpus. */
+  val graph_jaccard: Q = (s, d) => {
+    val e = supplierEdges(s, d, 11)
+    val sym = symmetrize(e)
+    val deg = sym.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
+    val common = sym.as("p").join(sym.as("q"),
+        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+      .groupBy(col("p.v").as("a"), col("q.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common.join(e, Seq("a", "b"), "left_anti")
+      .where(col("common") >= 2)
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))),
+        "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))),
+        "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 10000 div (da + db - common)").as("jaccard_bp"))
+      .orderBy(desc("jaccard_bp"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
     "graph_triangles" -> graph_triangles,
     "graph_pagerank" -> graph_pagerank,
+    "graph_jaccard" -> graph_jaccard,
   )
 
   /** shared oracle CTE bodies (DuckDB): the edge derivation, its
@@ -353,5 +393,24 @@ object Graph {
           SELECT node, count(1) AS tri_cnt FROM ex
           GROUP BY node ORDER BY node""",
     "graph_pagerank" -> pagerankOracle,
+    // wedge count per non-adjacent pair; integer-bp Jaccard; top-20
+    // under a unique (jaccard_bp DESC, a, b) total order
+    "graph_jaccard" ->
+      s"""WITH ${edgeCtes(11)},
+          deg AS (SELECT s AS node, count(1) AS deg FROM sym GROUP BY 1),
+          common AS (
+            SELECT p.s AS a, q.s AS b, count(1) AS common
+            FROM sym p JOIN sym q ON p.t = q.t AND p.s < q.s
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT c.a, c.b, c.common FROM common c
+            LEFT JOIN edges e ON e.a = c.a AND e.b = c.b
+            WHERE e.a IS NULL AND c.common >= 2)
+          SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+              CAST(c.common * 10000 // (da.deg + db.deg - c.common)
+                AS BIGINT) AS jaccard_bp
+          FROM cand c JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b
+          ORDER BY jaccard_bp DESC, c.a, c.b LIMIT 20""",
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Det.r4
 import graft.util.Tables._
 
 /** SURVEY.md §2-N: data-quality / profiling operators — the audit surface
@@ -151,13 +152,73 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** Statistical volume-anomaly monitor: flag any (event_type, day)
+    * whose daily count sits more than 3 sample standard deviations from
+    * that type's mean — the z-score twin of [[dq_drift]]'s
+    * day-over-day ratio (drift catches steps, z-score catches level
+    * outliers against the whole history). The ALERT decision is EXACT
+    * 64-bit integer arithmetic, never a float comparison: z² > 9 is
+    * algebraically cleared of divisions to
+    * `(n·c − s)²·(c−1) > 9·c·(c·m2 − s²)` over the integer moments
+    * (c days, s = Σn, m2 = Σn²) — both engines compare identical
+    * integers, so no half-boundary can flip the flag (the informational
+    * z4 column is the usual r4 statistical double, computed with an
+    * identical expression tree on both sides). Scale: the moments are
+    * frame-less window aggregates over the ALREADY-aggregated
+    * (type, day) table — rows = types × days — never over raw events;
+    * moment magnitudes stay < 2^63 up to ~10^9 events/day/type. */
+  val dq_anomaly: Q = (s, d) => dqAnomalyOf(events(s, d))
+
+  /** kernel over any (event_type, ts) relation — unit-tested on planted
+    * outliers (QualitySpec). */
+  private[graft] def dqAnomalyOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type")
+    ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("m2", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("c") > 1, r4(
+          (col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
+            sqrt((col("m2").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
+              (col("c").cast("double") - lit(1.0d))))).as("z4"),
+        expr("(n*c - s)*(n*c - s)*(c-1) > 9*c*(c*m2 - s*s)").as("alert"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
     "dq_drift" -> dq_drift,
+    "dq_anomaly" -> dq_anomaly,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // identical expression tree for z4 (bit-identical IEEE ops before
+    // the r4); the alert is a pure integer comparison on both engines
+    "dq_anomaly" ->
+      """WITH c AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(1) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+               count(1) OVER (PARTITION BY event_type) AS c,
+               sum(n)  OVER (PARTITION BY event_type) AS s,
+               sum(n*n) OVER (PARTITION BY event_type) AS m2
+           FROM c)
+         SELECT event_type, day, n,
+             CASE WHEN c > 1 THEN round(
+               (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+               sqrt((CAST(m2 AS DOUBLE) -
+                     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+                    (CAST(c AS DOUBLE) - 1.0)), 4) END AS z4,
+             (n*c - s)*(n*c - s)*(c-1) > 9*c*(c*m2 - s*s) AS alert
+         FROM w ORDER BY event_type, day""",
     "dq_drift" ->
       """WITH c AS (
            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

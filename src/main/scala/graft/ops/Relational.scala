@@ -743,8 +743,53 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Recursive hierarchy closure — the `WITH RECURSIVE` capability class
+    * (org charts, BOM explosions, folder trees) as a semi-naive
+    * iterative join. The hierarchy is derived relationally so the
+    * oracle can replay it: customer c reports to customer `c div 10`
+    * (every parent key exists — keys are dense from 1), roots are keys
+    * < 10. Each customer walks to its ROOT ancestor, emitting (key,
+    * root, depth).
+    *
+    * Loop shape (the repo's iterative invariant): the edge relation is
+    * cached once; each round joins the still-walking frontier to it —
+    * one keyed shuffle, or a broadcast when the edge side fits — and
+    * localCheckpoints (lineage cut per CLAUDE.md; a recursive self-join
+    * otherwise grows the plan exponentially). The frontier only
+    * SHRINKS (rows retire as they reach a root), so rounds =
+    * O(hierarchy depth) with monotonically falling cost — the same
+    * convergence-counted loop as connected components, no fixed round
+    * bound. The oracle is DuckDB's native WITH RECURSIVE over the same
+    * edge relation. */
+  val rel_recursive: Q = (s, d) => {
+    val edges = customer(s, d).where(col("c_custkey") >= 10)
+      .select(col("c_custkey").as("child"),
+        expr("c_custkey div 10").as("parent")).cache()
+    try {
+      val base = customer(s, d).select(col("c_custkey").as("key"),
+        col("c_custkey").as("node"), lit(0).as("depth"))
+      var cur = graft.util.Iterate.checkpoint(base)
+      var walking = cur._1.where(col("node") >= 10).count()
+      while (walking > 0) {
+        val done = cur._1.where(col("node") < 10)
+        val step = cur._1.where(col("node") >= 10)
+          .join(edges, col("node") === col("child"))
+          .select(col("key"), col("parent").as("node"),
+            (col("depth") + 1).as("depth"))
+        val next = graft.util.Iterate.checkpoint(done.unionAll(step))
+        cur._2.unpersist(blocking = false)
+        cur = next
+        walking = cur._1.where(col("node") >= 10).count()
+      }
+      graft.util.Iterate.registerResult("rel_recursive", cur._2)
+      cur._1.select(col("key"), col("node").as("root"), col("depth"))
+        .orderBy("key")
+    } finally edges.unpersist()
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "scan_parquet" -> scan_parquet,
+    "rel_recursive" -> rel_recursive,
     "dt_cohort" -> dt_cohort,
     "scan_pruned" -> scan_pruned,
     "scan_events_ns" -> scan_events_ns,
@@ -798,6 +843,19 @@ object Relational {
   /** DuckDB 1.0 dialect oracle SQL. Aliases match the Spark output columns
     * exactly (driver hashes after sorting columns by name). */
   val oracle: Seq[(String, String)] = Seq(
+    "rel_recursive" ->
+      """WITH RECURSIVE
+           edges AS (
+             SELECT c_custkey AS child, c_custkey // 10 AS parent
+             FROM customer WHERE c_custkey >= 10),
+           up AS (
+             SELECT c_custkey AS key, c_custkey AS node, 0 AS depth
+             FROM customer
+             UNION ALL
+             SELECT u.key, e.parent, u.depth + 1
+             FROM up u JOIN edges e ON e.child = u.node)
+         SELECT key, node AS root, CAST(depth AS INT) AS depth
+         FROM up WHERE node < 10 ORDER BY key""",
     "dt_cohort" ->
       """WITH fs AS (
            SELECT user_id,

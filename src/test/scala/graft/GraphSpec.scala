@@ -115,4 +115,33 @@ class GraphSpec extends SparkTestBase {
       s"$rounds rounds for diameter ${n - 1} — not logarithmic " +
         s"(bound $logBound)")
   }
+
+  test("graph_jaccard equals a driver-side recomputation; predicted " +
+      "pairs are non-adjacent with bp in (0, 10000)") {
+    import spark.implicits._
+    val edges = ops.Graph.supplierEdges(spark, sf01, 11)
+      .as[(Long, Long)].collect().toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val expect = (for {
+      i <- nodes.indices.iterator
+      j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      if !edges((a, b))
+      common = (adj(a) & adj(b)).size.toLong
+      if common >= 2
+    } yield {
+      val bp = common * 10000L / (adj(a).size + adj(b).size - common)
+      (a, b, common, bp)
+    }).toSeq
+      .sortBy { case (a, b, _, bp) => (-bp, a, b) }.take(20)
+    val got = ops.Graph.graph_jaccard(spark, sf01)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect, s"got=${got.take(5)} want=${expect.take(5)}")
+    assert(got.nonEmpty, "fixture should predict at least one link")
+    assert(got.forall { case (a, b, _, bp) =>
+      a < b && !edges((a, b)) && bp > 0 && bp <= 10000
+    })
+  }
 }

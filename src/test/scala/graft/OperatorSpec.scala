@@ -987,4 +987,16 @@ class OperatorSpec extends SparkTestBase {
     assert(mergeCount(sfB) > 0)
     assert(OracleAux.dirFor(sfA) != OracleAux.dirFor(sfB))
   }
+
+  test("rel_recursive: root is the leading digit and depth the digit " +
+      "count of every key (closed form of the parent = key div 10 tree)") {
+    val rows = ops.Relational.rel_recursive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 150, s"one row per customer, got ${rows.length}")
+    rows.foreach { case (key, root, depth) =>
+      val s = key.toString
+      assert(root == s.head.asDigit.toLong, s"key $key root $root")
+      assert(depth == s.length - 1, s"key $key depth $depth")
+    }
+  }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 /** §2-N data-quality ops. The oracle rows prove fixture-level equality,
   * but two of dq_check's five constraints count ZERO violations on the
   * fixture (no FK orphans, no domain breaches) — a check that never
@@ -57,5 +59,42 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got.values.forall(_ == 0L), s"clean data flagged: $got")
     assert(got.size == 5)
+  }
+
+  test("dq_anomaly: alert equals exact driver-side z-square test; a " +
+      "planted 10x-volume day alerts and normal days do not") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = ops.Quality.dq_anomaly(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(4)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, rs) =>
+      val ns = rs.map(_._2)
+      val c = ns.length.toLong
+      val s0 = ns.sum
+      val m2 = ns.map(n => n * n).sum
+      rs.foreach { case (t, n, alert) =>
+        val lhs = (n * c - s0) * (n * c - s0) * (c - 1)
+        val rhs = 9L * c * (c * m2 - s0 * s0)
+        assert(alert == (lhs > rhs), s"$t n=$n alert=$alert")
+      }
+    }
+    // planted outlier: flat 14-day series with one 10x day must alert
+    // exactly on that day. The series must be ≥ 11 days: the outlier
+    // inflates the sample std it is scored against, capping |z| at
+    // (c-1)/sqrt(c), which only exceeds 3 for c ≥ 11 (at c=15:
+    // mean 32, std sqrt(2160), z = 168/46.5 ≈ 3.61).
+    import spark.implicits._
+    val ev = (1 to 14).flatMap(day => (1 to 20).map(i =>
+      (f"2024-01-$day%02d 00:00:00", i))) ++
+      (1 to 200).map(i => ("2024-01-15 00:00:00", i))
+    val df = ev.toDF("tss", "i")
+      .select(to_timestamp(col("tss")).as("ts"),
+        lit("click").as("event_type"))
+    df.createOrReplaceTempView("spec_anom_events")
+    val out = ops.Quality.dqAnomalyOf(
+      spark.table("spec_anom_events")).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(4))).toMap
+    assert(out("2024-01-15 00:00:00.0"), s"outlier day must alert: $out")
+    assert(out.count(_._2) == 1, s"only the planted day alerts: $out")
   }
 }
