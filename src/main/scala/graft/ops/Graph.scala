@@ -316,12 +316,109 @@ object Graph {
       .limit(20)
   }
 
+  /** 2-core decomposition of the sparse (m=59) graph: iteratively peel
+    * nodes of degree < 2 (with the edges they carry) until fixpoint —
+    * the classic leaf-stripping that reduces a graph to its cyclic
+    * backbone — then report each survivor's in-core degree. Genuinely
+    * iterative on the fixture: sf0.01 converges in 18 rounds (long
+    * path components peel one layer from each end per round), keeping
+    * a 15-node core; sf0.1 is already its own 2-core (round 1 no-op)
+    * and sf0.001 peels to empty — all three are verified answers.
+    *
+    * Rounds are convergence-counted, never fixed; [[KcoreMaxRounds]]
+    * (24, measured 18 + margin) is a LOUD `require` bound so a deeper
+    * fixture fails the query rather than silently diverging from the
+    * oracle, which unrolls exactly 24 peels as chained CTEs — peeling
+    * is idempotent at fixpoint, so oracle rounds past convergence are
+    * no-ops and the two sides agree whenever the require holds.
+    *
+    * Budget-dispatched like [[bfsOf]]: under the shared edge budget the
+    * peel runs as a driver loop over the collected edge set (identical
+    * integer logic, arm-equality-tested); above it, each round is one
+    * degree aggregation + two semi-joins back onto the edge list, with
+    * localCheckpoint + count per the repo's loop invariant. */
+  val graph_kcore: Q = (s, d) =>
+    kcoreOf(s, supplierEdges(s, d, 59), Llm.CcDriverBudgetEdges)
+
+  private[graft] val KcoreMaxRounds = 24
+
+  /** edge-parameterized kernel: e is an (a, b), a < b edge relation. */
+  private[graft] def kcoreOf(s: SparkSession, e: DataFrame,
+      driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val edges = e.select(col("a"), col("b")).cache()
+    try {
+      val n0 = edges.count()
+      if (n0 <= driverBudgetEdges) {
+        var es = edges.as[(Long, Long)].collect().toSet
+        var rounds = 0
+        var changed = true
+        while (changed) {
+          val deg = degreesOf(es)
+          val next = es.filter { case (a, b) => deg(a) >= 2 && deg(b) >= 2 }
+          changed = next.size != es.size
+          if (changed) {
+            rounds += 1
+            require(rounds <= KcoreMaxRounds,
+              s"2-core peel exceeded $KcoreMaxRounds rounds — raise " +
+                "KcoreMaxRounds AND the oracle unroll together")
+            es = next
+          }
+        }
+        s.createDataset(degreesOf(es).toSeq.sortBy(_._1))
+          .toDF("node", "core_deg")
+          .orderBy("node")
+      } else kcoreDistributed(s, edges, n0)
+    } finally edges.unpersist()
+  }
+
+  private def degreesOf(es: Set[(Long, Long)]): Map[Long, Long] =
+    es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+
+  private def kcoreDistributed(s: SparkSession, edges: DataFrame,
+      n0: Long): DataFrame = {
+    var cur = graft.util.Iterate.checkpoint(
+      if (n0 < (1L << 20)) edges.coalesce(4) else edges)
+    var size = n0
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val keep = cur._1.select(col("a").as("v"))
+        .unionAll(cur._1.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= 2).select("v")
+      val next = graft.util.Iterate.checkpoint(
+        cur._1
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select("a", "b"))
+      val nsize = next._1.count()
+      changed = nsize != size
+      if (changed) {
+        rounds += 1
+        require(rounds <= KcoreMaxRounds,
+          s"2-core peel exceeded $KcoreMaxRounds rounds — raise " +
+            "KcoreMaxRounds AND the oracle unroll together")
+      }
+      cur._2.unpersist(blocking = false)
+      cur = next
+      size = nsize
+    }
+    graft.util.Iterate.registerResult("graph_kcore", cur._2)
+    cur._1.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
     "graph_triangles" -> graph_triangles,
     "graph_pagerank" -> graph_pagerank,
     "graph_jaccard" -> graph_jaccard,
+    "graph_kcore" -> graph_kcore,
   )
 
   /** shared oracle CTE bodies (DuckDB): the edge derivation, its
@@ -412,5 +509,34 @@ object Graph {
           FROM cand c JOIN deg da ON da.node = c.a
             JOIN deg db ON db.node = c.b
           ORDER BY jaccard_bp DESC, c.a, c.b LIMIT 20""",
+    "graph_kcore" -> kcoreOracle,
   )
+
+  /** [[KcoreMaxRounds]] unrolled peel rounds as chained CTEs: each round
+    * drops edges touching a node of degree < 2 in the PREVIOUS round's
+    * edge set. Peeling is idempotent at fixpoint, so unrolling past
+    * convergence (the Spark side `require`s convergence within the same
+    * bound) changes nothing and the two engines agree exactly. */
+  private def kcoreOracle: String = {
+    // AS MATERIALIZED: without it DuckDB inlines each CTE at every
+    // reference site, and a chain where e(i+1) reads e(i) three times
+    // (once directly, twice through d(i)) expands 3^24 scans — observed
+    // as "Too many open files" on the base parquet.
+    val rounds = (0 until KcoreMaxRounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(1) AS dg FROM (
+              SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i) s$i
+            GROUP BY v),
+          e${i + 1} AS MATERIALIZED (
+            SELECT a, b FROM e$i
+            WHERE a IN (SELECT v FROM d$i WHERE dg >= 2)
+              AND b IN (SELECT v FROM d$i WHERE dg >= 2))"""
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(59)},
+        e0 AS MATERIALIZED (SELECT a, b FROM edges),
+        $rounds
+        SELECT v AS node, CAST(count(1) AS BIGINT) AS core_deg
+        FROM (SELECT a AS v FROM e$KcoreMaxRounds
+              UNION ALL SELECT b AS v FROM e$KcoreMaxRounds) f
+        GROUP BY v ORDER BY node"""
+  }
 }

@@ -76,6 +76,83 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** URL-canonicalization dedup — the web-corpus staple (Common-Crawl
+    * style page dedup keys on the canonical URL, not the raw string).
+    * Fixtures carry no URL column, so raw URLs are DERIVED relationally
+    * (the graph family's pattern) with eight deterministic variant
+    * classes per canonical target — scheme case, WWW. + host case,
+    * trailing slash, fragment, pure-tracking query, tracking+kept
+    * param, kept+tracking param — chosen so gcd(5, 8) = 1 spreads all
+    * eight variants across each (host = doc_id%5, block = doc_id div
+    * 40) group: six raws normalize to the plain key and two to the
+    * `?page=2` key, every normalization rule load-bearing at sf0.01
+    * (60 six-copy + 60 two-copy groups, verified).
+    *
+    * Canonicalization (identical logic both engines, written in the
+    * regex/function subset whose semantics match — no capture-group
+    * backrefs, whose `$1` vs `\1` syntax diverges): strip fragment →
+    * split query string off → lowercase scheme+host only (path stays
+    * case-sensitive) → strip `www.` → drop `utm_*`/`fbclid` params via
+    * a lambda filter that PRESERVES remaining param order (a
+    * regex-splice would mangle separators) → strip trailing slashes →
+    * reassemble. Survivor = min doc_id per canonical key.
+    *
+    * Scale: per-row codegen'd string ops + ONE hash agg on the
+    * canonical key — the same linear shape as [[llm_dedup_exact]];
+    * at 100 TB the canonicalizer is the valuable part and the dedup
+    * stays an exact hash-group, no similarity machinery needed. */
+  val llm_dedup_url: Q = (s, d) => {
+    documents(s, d)
+      .select(col("doc_id"), expr("""CASE doc_id % 8
+          WHEN 0 THEN concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string))
+          WHEN 1 THEN concat('HTTP://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string))
+          WHEN 2 THEN concat('http://WWW.H', cast(doc_id % 5 AS string),
+            '.EXAMPLE.COM/Docs/', cast(doc_id div 40 AS string))
+          WHEN 3 THEN concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string), '/')
+          WHEN 4 THEN concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string), '#sec2')
+          WHEN 5 THEN concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string),
+            '?utm_source=rss')
+          WHEN 6 THEN concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string),
+            '?utm_campaign=x&page=2')
+          ELSE concat('http://h', cast(doc_id % 5 AS string),
+            '.example.com/Docs/', cast(doc_id div 40 AS string),
+            '?page=2&fbclid=abc')
+        END""").as("raw_url"))
+      .withColumn("u", regexp_replace(col("raw_url"), "#.*", ""))
+      .withColumn("base", expr(
+        "CASE WHEN instr(u, '?') > 0 THEN substr(u, 1, instr(u, '?') - 1) " +
+          "ELSE u END"))
+      .withColumn("qs", expr(
+        "CASE WHEN instr(u, '?') > 0 THEN substr(u, instr(u, '?') + 1) " +
+          "ELSE '' END"))
+      .withColumn("sh", expr(
+        "lower(concat(split_part(base, '/', 1), '//', " +
+          "split_part(base, '/', 3)))"))
+      .withColumn("path", expr("substr(base, length(sh) + 1)"))
+      .withColumn("kept", expr(
+        "array_join(filter(split(qs, '&'), " +
+          "p -> p != '' AND NOT p rlike '^(utm_|fbclid)'), '&')"))
+      .withColumn("url_key", expr(
+        """concat(
+             CASE WHEN sh LIKE 'http://www.%'
+                    THEN concat('http://', substr(sh, 12))
+                  WHEN sh LIKE 'https://www.%'
+                    THEN concat('https://', substr(sh, 13))
+                  ELSE sh END,
+             trim(TRAILING '/' FROM path),
+             CASE WHEN kept != '' THEN concat('?', kept) ELSE '' END)"""))
+      .groupBy("url_key")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "url_key", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** exact all-pairs shingle-set Jaccard ≥ 0.8, computed bucket-wise: one
     * groupBy on the shingle key collects each inverted list, pairs are
     * emitted inside the bucket (with the size-ratio band — min/max ≥ τ is
@@ -2536,6 +2613,7 @@ object Llm {
 
   val queries: Seq[(String, Q)] = Seq(
     "llm_dedup_exact" -> llm_dedup_exact,
+    "llm_dedup_url" -> llm_dedup_url,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
     "llm_dedup_substr" -> llm_dedup_substr,
@@ -2735,6 +2813,70 @@ object Llm {
            SELECT text_key, min(doc_id) AS doc_id, count(1) AS n_copies
            FROM keyed GROUP BY text_key)
          SELECT doc_id, text_key, n_copies FROM agg ORDER BY doc_id""",
+    // same derivation + normalization pipeline as the Spark side, in the
+    // shared dialect subset (split_part/list-lambda/rtrim; no regex
+    // backrefs — $1 vs \1 syntax diverges between Java regex and RE2)
+    "llm_dedup_url" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+               WHEN 1 THEN 'HTTP://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+               WHEN 2 THEN 'http://WWW.H' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.EXAMPLE.COM/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+               WHEN 3 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR) || '/'
+               WHEN 4 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+                 || '#sec2'
+               WHEN 5 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+                 || '?utm_source=rss'
+               WHEN 6 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+                 || '?utm_campaign=x&page=2'
+               ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/Docs/' || CAST(doc_id // 40 AS VARCHAR)
+                 || '?page=2&fbclid=abc'
+             END AS raw_url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(raw_url, '#.*', '') AS u
+                FROM raw),
+         parts AS (
+           SELECT doc_id,
+             CASE WHEN strpos(u, '?') > 0
+                  THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+             CASE WHEN strpos(u, '?') > 0
+                  THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS qs
+           FROM nf),
+         hs AS (
+           SELECT doc_id, qs,
+             lower(split_part(base, '/', 1) || '//'
+               || split_part(base, '/', 3)) AS sh,
+             substr(base, length(split_part(base, '/', 1) || '//'
+               || split_part(base, '/', 3)) + 1) AS path
+           FROM parts),
+         kp AS (
+           SELECT doc_id, sh, path,
+             array_to_string(list_filter(string_split(qs, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid)')),
+               '&') AS kept
+           FROM hs),
+         canon AS (
+           SELECT doc_id,
+             (CASE WHEN sh LIKE 'http://www.%'
+                     THEN 'http://' || substr(sh, 12)
+                   WHEN sh LIKE 'https://www.%'
+                     THEN 'https://' || substr(sh, 13)
+                   ELSE sh END)
+             || rtrim(path, '/')
+             || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+               AS url_key
+           FROM kp)
+         SELECT min(doc_id) AS doc_id, url_key, count(1) AS n_copies
+         FROM canon GROUP BY url_key ORDER BY doc_id""",
     "llm_dedup_jaccard" ->
       s"""WITH $duckCappedPairs
           SELECT doc_a, doc_b,

@@ -82,6 +82,34 @@ class GraphSpec extends SparkTestBase {
     assert(driver == dist, "budget arms must be value-identical")
   }
 
+  test("graph_kcore: equals a driver-side peel; both arms agree; " +
+      "adversarial path-into-cycle converges to exactly the cycle") {
+    import spark.implicits._
+    // fixture: driver arm vs distributed arm (budget 0)
+    val driver = ops.Graph.graph_kcore(spark, sf01)
+      .as[(Long, Long)].collect().toSeq
+    val dist = ops.Graph.kcoreOf(spark,
+        ops.Graph.supplierEdges(spark, sf01, 59), 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(driver.nonEmpty, "sf0.01 sparse graph must keep a 2-core")
+    assert(driver == dist, "budget arms must be value-identical")
+    assert(driver.forall(_._2 >= 2), "every core node has core degree >= 2")
+    // adversarial: a 20-node path whose far end is free and whose near
+    // end anchors in a 6-node cycle peels exactly ONE node per round
+    // (single free end — the deepest cascade per edge count), 19 rounds,
+    // inside the 24 bound, and must leave exactly the cycle at degree 2
+    val path = (1L to 20L).sliding(2).map(p => (p.head, p.last)).toSeq
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
+      (24L, 25L), (20L, 25L))
+    val edges = (path ++ cycle).toDF("a", "b")
+    for (budget <- Seq(0L, 1000L)) {
+      val core = ops.Graph.kcoreOf(spark, edges, budget)
+        .as[(Long, Long)].collect().toSeq
+      assert(core == (20L to 25L).map(_ -> 2L),
+        s"budget=$budget core=$core")
+    }
+  }
+
   test("graph_triangles plan: no cartesian product, edge derivation reused") {
     val plan = ops.Graph.graph_triangles(spark, sf01)
       .queryExecution.executedPlan.toString

@@ -988,6 +988,29 @@ class OperatorSpec extends SparkTestBase {
     assert(OracleAux.dirFor(sfA) != OracleAux.dirFor(sfB))
   }
 
+  test("llm_dedup_url: canonical keys are fully normalized and the " +
+      "groups partition the corpus with the engineered 6+2 split") {
+    val rows = ops.Llm.llm_dedup_url(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every rule applied: no fragment, no tracking params, no WWW/case,
+    // no trailing slash — nothing but the canonical shape survives
+    val re = "^http://h[0-4]\\.example\\.com/Docs/[0-9]+(\\?page=2)?$".r
+    rows.foreach { case (_, k, _) =>
+      assert(re.findFirstIn(k).isDefined, s"unnormalized key: $k")
+    }
+    assert(rows.map(_._3).sum == 500L, "groups partition all 500 docs")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // every FULL 40-id block splits each (host, block) target into the
+    // six variants that normalize to the plain key and the two that
+    // keep ?page=2 (gcd(5,8)=1 puts one of each variant in each group)
+    val full = rows.filter(_._1 < 480)
+    val (page2, plain) = full.partition(_._2.endsWith("?page=2"))
+    assert(plain.length == 60 && plain.forall(_._3 == 6L),
+      s"plain groups: ${plain.length}")
+    assert(page2.length == 60 && page2.forall(_._3 == 2L),
+      s"page2 groups: ${page2.length}")
+  }
+
   test("rel_recursive: root is the leading digit and depth the digit " +
       "count of every key (closed form of the parent = key div 10 tree)") {
     val rows = ops.Relational.rel_recursive(spark, sf).collect()
