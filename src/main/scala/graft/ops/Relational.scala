@@ -761,29 +761,56 @@ object Relational {
     * convergence-counted loop as connected components, no fixed round
     * bound. The oracle is DuckDB's native WITH RECURSIVE over the same
     * edge relation. */
-  val rel_recursive: Q = (s, d) => {
+  val rel_recursive: Q = (s, d) =>
+    relRecursiveOf(s, d, Llm.CcDriverBudgetEdges)
+
+  /** budget-dispatched like the graph family: under the shared edge
+    * budget the walk runs as a driver loop over the collected parent
+    * map (each distributed round costs a join + checkpoint + two
+    * counts of per-job overhead on a hierarchy of at most a few
+    * thousand rows); above it, the shrinking-frontier loop. Identical
+    * traversal → value-equal, arm-equality-tested (OperatorSpec). */
+  private[graft] def relRecursiveOf(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      driverBudgetEdges: Long): org.apache.spark.sql.DataFrame = {
+    val sp = s
+    import sp.implicits._
     val edges = customer(s, d).where(col("c_custkey") >= 10)
       .select(col("c_custkey").as("child"),
         expr("c_custkey div 10").as("parent")).cache()
     try {
-      val base = customer(s, d).select(col("c_custkey").as("key"),
-        col("c_custkey").as("node"), lit(0).as("depth"))
-      var cur = graft.util.Iterate.checkpoint(base)
-      var walking = cur._1.where(col("node") >= 10).count()
-      while (walking > 0) {
-        val done = cur._1.where(col("node") < 10)
-        val step = cur._1.where(col("node") >= 10)
-          .join(edges, col("node") === col("child"))
-          .select(col("key"), col("parent").as("node"),
-            (col("depth") + 1).as("depth"))
-        val next = graft.util.Iterate.checkpoint(done.unionAll(step))
-        cur._2.unpersist(blocking = false)
-        cur = next
-        walking = cur._1.where(col("node") >= 10).count()
+      val nEdges = edges.count()
+      if (nEdges <= driverBudgetEdges) {
+        // keys ≈ edges + the <10 roots, so the same budget covers both
+        val parent = edges.as[(Long, Long)].collect().toMap
+        val out = customer(s, d).select(col("c_custkey")).as[Long]
+          .collect().sorted.map { key =>
+            var node = key; var depth = 0
+            while (node >= 10) { node = parent(node); depth += 1 }
+            (key, node, depth)
+          }
+        s.createDataset(out.toSeq).toDF("key", "root", "depth")
+          .orderBy("key")
+      } else {
+        val base = customer(s, d).select(col("c_custkey").as("key"),
+          col("c_custkey").as("node"), lit(0).as("depth"))
+        var cur = graft.util.Iterate.checkpoint(base)
+        var walking = cur._1.where(col("node") >= 10).count()
+        while (walking > 0) {
+          val done = cur._1.where(col("node") < 10)
+          val step = cur._1.where(col("node") >= 10)
+            .join(edges, col("node") === col("child"))
+            .select(col("key"), col("parent").as("node"),
+              (col("depth") + 1).as("depth"))
+          val next = graft.util.Iterate.checkpoint(done.unionAll(step))
+          cur._2.unpersist(blocking = false)
+          cur = next
+          walking = cur._1.where(col("node") >= 10).count()
+        }
+        graft.util.Iterate.registerResult("rel_recursive", cur._2)
+        cur._1.select(col("key"), col("node").as("root"), col("depth"))
+          .orderBy("key")
       }
-      graft.util.Iterate.registerResult("rel_recursive", cur._2)
-      cur._1.select(col("key"), col("node").as("root"), col("depth"))
-        .orderBy("key")
     } finally edges.unpersist()
   }
 

@@ -1012,7 +1012,8 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("rel_recursive: root is the leading digit and depth the digit " +
-      "count of every key (closed form of the parent = key div 10 tree)") {
+      "count of every key (closed form of the parent = key div 10 tree); " +
+      "driver arm equals the distributed loop (budget 0)") {
     val rows = ops.Relational.rel_recursive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.length == 150, s"one row per customer, got ${rows.length}")
@@ -1021,5 +1022,8 @@ class OperatorSpec extends SparkTestBase {
       assert(root == s.head.asDigit.toLong, s"key $key root $root")
       assert(depth == s.length - 1, s"key $key depth $depth")
     }
+    val dist = ops.Relational.relRecursiveOf(spark, sf, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dist.toSeq == rows.toSeq, "budget arms must be value-identical")
   }
 }
