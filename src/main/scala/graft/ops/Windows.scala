@@ -571,6 +571,87 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Trailing 7-day rolling distinct-user count per day (rolling DAU /
+    * WAU) — the distinct-over-frame no window function expresses
+    * (COUNT(DISTINCT) OVER a moving frame exists in neither engine).
+    * Formulated as the scalable fan-out: each distinct (user, day)
+    * presence contributes to the CONSTANT 7 trailing windows it falls
+    * in (explode of a 7-element day sequence — map-side, no range
+    * join whose match width grows with the window), then one distinct
+    * aggregation per day. Days are emitted exactly when some activity
+    * occurred in their trailing week and never past the last observed
+    * day (1-row broadcast clip); a silent 7+-day stretch yields no row
+    * — both engines encode the identical rule. At 100 TB: 7× row
+    * fan-out into a (day, user) distinct — partial-aggregates
+    * map-side; window width w costs w×, never |days|×|users|. */
+  val win_rolling_distinct: Q = (s, d) => {
+    val ud = events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("aday"))
+      .distinct()
+    val mx = ud.agg(max(col("aday")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(expr(
+          "sequence(aday, aday + interval 6 days, interval 1 day)"))
+          .as("day"))
+      .crossJoin(broadcast(mx))
+      .where(col("day") <= col("max_day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy("day")
+  }
+
+  /** Peak concurrent sessions per day — the sweep-line classic: each
+    * gap-sessionized interval (the [[win_session]] derivation verbatim)
+    * emits +1 at its start and −1 at its end, a running sum over the
+    * (ts, delta DESC) order is the live concurrency, and the per-day
+    * max is the peak. Ends are INCLUSIVE: at an equal timestamp the +1
+    * sorts first (delta DESC), so a session starting exactly when
+    * another ends counts as overlap — the pinned tie rule both engines
+    * share. Peer rows (equal ts, delta) assign running values in
+    * arbitrary peer order, but their multiset — hence the day max — is
+    * deterministic.
+    *
+    * The GLOBAL running sum is decomposed exactly like llm_token_budget
+    * so no single task serializes the corpus: per-day deltas cumulate
+    * over the tiny day table (one window over |days| rows), and each
+    * day's offset broadcasts back onto a day-partitioned local running
+    * sum; (day, ts) order ≡ global ts order since day prefixes ts. A
+    * day a session merely SPANS (no start/end event) emits no row —
+    * documented, identical in the oracle. */
+  val win_concurrent: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("event_id"))
+    val sess = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val sweep = sess.select(col("start_ts").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_ts").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", date_trunc("day", col("ts")))
+    val wDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sweep.groupBy("day")
+      .agg(sum(col("delta")).as("day_delta"))
+      .withColumn("offset",
+        coalesce(sum(col("day_delta")).over(wDays), lit(0L)))
+      .select("day", "offset")
+    val wLocal = Window.partitionBy("day")
+      .orderBy(asc("ts"), desc("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep.join(broadcast(offsets), "day")
+      .withColumn("conc", col("offset") + sum(col("delta")).over(wLocal))
+      .groupBy("day").agg(max(col("conc")).as("peak"))
+      .orderBy("day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -590,9 +671,59 @@ object Windows {
     "win_ema" -> win_ema,
     "win_interp" -> win_interp,
     "win_share" -> win_share,
+    "win_rolling_distinct" -> win_rolling_distinct,
+    "win_concurrent" -> win_concurrent,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // constant 7-day fan-out + distinct agg, clipped at the last
+    // observed day — the same relational formulation as the Spark side
+    "win_rolling_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS aday
+           FROM events),
+         mx AS (SELECT max(aday) AS max_day FROM ud),
+         contrib AS (
+           SELECT user_id,
+               CAST(CAST(aday AS DATE) + CAST(r.i AS INT) AS TIMESTAMP)
+                 AS day
+           FROM ud CROSS JOIN range(0, 7) r(i))
+         SELECT day, count(DISTINCT user_id) AS dau7
+         FROM contrib, mx WHERE day <= max_day
+         GROUP BY day ORDER BY day""",
+    // sweep-line over the win_session intervals; +1 before -1 at equal
+    // ts (delta DESC) = inclusive ends; single global running sum (the
+    // Spark side's two-phase decomposition is an exact regrouping of
+    // the same integer prefix sums)
+    "win_concurrent" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), g AS (
+           SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f
+         ), sess AS (
+           SELECT user_id, session_id, min(ts) AS start_ts,
+               max(ts) AS end_ts
+           FROM g GROUP BY 1, 2
+         ), sweep AS (
+           SELECT start_ts AS ts, 1 AS delta FROM sess
+           UNION ALL SELECT end_ts, -1 FROM sess
+         ), rs AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(delta) OVER (ORDER BY ts, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS conc
+           FROM sweep)
+         SELECT day, CAST(max(conc) AS BIGINT) AS peak
+         FROM rs GROUP BY day ORDER BY day""",
     // stage-at-a-time conditional mins, same strict-after semantics;
     // depth literal is 32-bit on both engines (CAST INT per convention)
     "win_funnel" ->

@@ -988,6 +988,63 @@ class OperatorSpec extends SparkTestBase {
     assert(OracleAux.dirFor(sfA) != OracleAux.dirFor(sfB))
   }
 
+  test("win_rolling_distinct equals a driver-side trailing-7-day " +
+      "recomputation and dominates the single-day distinct count") {
+    import java.sql.Timestamp
+    val ud = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val days = ud.map(_._2).distinct.sorted((a: Timestamp, b: Timestamp) =>
+      a.compareTo(b))
+    val dayMs = 86400000L
+    val expect = days.map { d =>
+      d -> ud.filter { case (_, ad) =>
+        val diff = d.getTime - ad.getTime
+        diff >= 0 && diff < 7 * dayMs
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = ops.Windows.win_rolling_distinct(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // got may include trailing-window days with no same-day activity
+    expect.foreach { case (d, n) =>
+      assert(got(d) == n, s"day $d want $n got ${got.get(d)}")
+      val single = ud.filter(_._2 == d).map(_._1).distinct.length
+      assert(n >= single, "weekly distinct dominates daily distinct")
+    }
+    got.keys.foreach { d =>
+      assert(expect.contains(d) || got(d) ==
+        ud.filter { case (_, ad) =>
+          val diff = d.getTime - ad.getTime
+          diff >= 0 && diff < 7 * dayMs
+        }.map(_._1).distinct.length.toLong)
+    }
+  }
+
+  test("win_concurrent equals a driver-side sweep over the win_session " +
+      "intervals with inclusive ends") {
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sess = ops.Windows.win_session(spark, sf).collect()
+      .map(r => (r.getTimestamp(3), r.getTimestamp(4)))
+    val sweep = (sess.map(s => (us(s._1), 1L)) ++
+      sess.map(s => (us(s._2), -1L)))
+      .sortBy { case (t, delta) => (t, -delta) }
+    var conc = 0L
+    val dayUs = 86400000000L
+    val perDay = scala.collection.mutable.Map.empty[Long, Long]
+    sweep.foreach { case (t, delta) =>
+      conc += delta
+      val day = Math.floorDiv(t, dayUs) * dayUs
+      perDay(day) = math.max(perDay.getOrElse(day, Long.MinValue), conc)
+    }
+    val got = ops.Windows.win_concurrent(spark, sf).collect()
+      .map(r => (us(r.getTimestamp(0)), r.getLong(1))).toMap
+    assert(got == perDay.toMap, s"got=${got.toSeq.sorted.take(5)} " +
+      s"want=${perDay.toSeq.sorted.take(5)}")
+    assert(got.values.forall(_ >= 1L), "peaks are positive")
+  }
+
   test("llm_dedup_url: canonical keys are fully normalized and the " +
       "groups partition the corpus with the engineered 6+2 split") {
     val rows = ops.Llm.llm_dedup_url(spark, sf).collect()

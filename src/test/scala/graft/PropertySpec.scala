@@ -633,6 +633,24 @@ class PropertySpec extends SparkTestBase {
       val bfsDist = ops.Graph.bfsOnSym(spark, sym, 0L)
         .as[(Long, Int)].collect().toSeq
       assert(bfsDriver == bfsDist, s"bfs arms diverged on $edges")
+      // kcore takes the a<b edge list; assert both arms equal the naive
+      // full-recompute peel (not just each other)
+      val eDf = edges.toDF("a", "b")
+      def peel(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+        val deg = es.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = es.filter(p => deg(p._1) >= 2 && deg(p._2) >= 2)
+        if (next == es) es else peel(next)
+      }
+      val core = peel(edges.toSet)
+      val want = core.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+        .toSeq.sorted
+      for (budget <- Seq(Long.MaxValue, 0L)) {
+        val got = ops.Graph.kcoreOf(spark, eDf, budget)
+          .as[(Long, Long)].collect().toSeq
+        assert(got == want, s"kcore budget=$budget diverged on $edges")
+      }
     }
   }
 }
