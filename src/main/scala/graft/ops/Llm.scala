@@ -2611,9 +2611,64 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective data prep:
+    * ~10 % of token positions are masked by a DETERMINISTIC hash
+    * (`((doc_id % p) * a + pos * b) % p % 10 = 0` — doc_id reduced mod
+    * the prime BEFORE the multiply, per the bucketing invariant;
+    * products stay < 2^51), adjacent masked positions merge into one
+    * span, span k is replaced by `<extra_id_k>` in the corrupted text
+    * while the targets string carries `<extra_id_k> tok...` for each
+    * dropped span — the exact seq2seq pair a T5 trainer consumes.
+    *
+    * Shape: posexplode → per-doc window (span starts via lag, span ids
+    * via running sum — partitions bounded by document length, never
+    * corpus size) → ordered rebuild through the array_sort(collect_list)
+    * trick ([[Windows]]' win_pattern rule: collect_list order alone is
+    * not reproducible). Map-side cost is linear in corpus tokens; the
+    * one shuffle is the doc_id re-group. The oracle replays every step
+    * (range()-lateral positions — DuckDB 1.0 has no UNNEST WITH
+    * ORDINALITY; string_agg ORDER BY pos), with empty-target docs
+    * coalesced to '' to match array_join's empty-array result. */
+  val llm_span_corruption: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("masked", expr(
+        "((doc_id % 1000003) * 2654435761 + pos * 40503) % 1000003 % 10 = 0"))
+      .withColumn("span_start",
+        (col("masked") &&
+          !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+          .cast("long"))
+      .withColumn("span_id", sum(col("span_start"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1)
+      .withColumn("cpiece",
+        when(!col("masked"), col("tok"))
+          .when(col("span_start") === 1L,
+            concat(lit("<extra_id_"), col("span_id"), lit(">"))))
+      .withColumn("tpiece",
+        when(col("masked") && col("span_start") === 1L,
+          concat(lit("<extra_id_"), col("span_id"), lit("> "), col("tok")))
+          .when(col("masked"), col("tok")))
+      .groupBy("doc_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN cpiece IS NOT NULL" +
+            " THEN struct(pos, cpiece) END)), x -> x.cpiece)"), " ")
+          .as("corrupted"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN tpiece IS NOT NULL" +
+            " THEN struct(pos, tpiece) END)), x -> x.tpiece)"), " ")
+          .as("targets"),
+        sum(col("masked").cast("long")).as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "llm_dedup_exact" -> llm_dedup_exact,
     "llm_dedup_url" -> llm_dedup_url,
+    "llm_span_corruption" -> llm_span_corruption,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
     "llm_dedup_substr" -> llm_dedup_substr,
@@ -2877,6 +2932,56 @@ object Llm {
            FROM kp)
          SELECT min(doc_id) AS doc_id, url_key, count(1) AS n_copies
          FROM canon GROUP BY url_key ORDER BY doc_id""",
+    "llm_span_corruption" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         t AS (
+           -- fixed-range cross join + length filter: DuckDB 1.0's
+           -- range() cannot be lateral-correlated on a column (and has
+           -- no UNNEST WITH ORDINALITY); 1024 >> the 100-token fixture
+           -- max, asserted in the spec
+           SELECT doc_id, r.i AS pos,
+               toks[CAST(r.i AS INT) + 1] AS tok
+           FROM docs CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) r
+           WHERE r.i < len(toks)),
+         m AS (
+           SELECT doc_id, pos, tok,
+               ((doc_id % 1000003) * 2654435761 + pos * 40503)
+                 % 1000003 % 10 = 0 AS masked
+           FROM t),
+         sp AS (
+           SELECT doc_id, pos, tok, masked,
+               CASE WHEN masked AND NOT coalesce(
+                   lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                   FALSE)
+                 THEN 1 ELSE 0 END AS span_start
+           FROM m),
+         sid AS (
+           SELECT doc_id, pos, tok, masked, span_start,
+               sum(span_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) - 1
+                 AS span_id
+           FROM sp),
+         pieces AS (
+           SELECT doc_id, pos,
+               CASE WHEN NOT masked THEN tok
+                    WHEN span_start = 1
+                      THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+               END AS cpiece,
+               CASE WHEN masked AND span_start = 1
+                      THEN '<extra_id_' || CAST(span_id AS VARCHAR)
+                        || '> ' || tok
+                    WHEN masked THEN tok
+               END AS tpiece,
+               CASE WHEN masked THEN 1 ELSE 0 END AS mflag
+           FROM sid)
+         SELECT doc_id,
+             coalesce(string_agg(cpiece, ' ' ORDER BY pos)
+               FILTER (WHERE cpiece IS NOT NULL), '') AS corrupted,
+             coalesce(string_agg(tpiece, ' ' ORDER BY pos)
+               FILTER (WHERE tpiece IS NOT NULL), '') AS targets,
+             CAST(sum(mflag) AS BIGINT) AS n_masked
+         FROM pieces GROUP BY doc_id ORDER BY doc_id""",
     "llm_dedup_jaccard" ->
       s"""WITH $duckCappedPairs
           SELECT doc_a, doc_b,

@@ -502,6 +502,29 @@ object Relational {
         r4(covar_samp(col("value"), col("hr"))).as("covar_value_hour"))
       .orderBy("event_type")
 
+  /** Shannon entropy of each user's event-type mix — the behavioral-
+    * diversity profile (bits of surprise in what a user does). Terms are
+    * `-(n/total)·ln(n/total)` over EXACT integer counts (per-type count
+    * + per-user window total), so both engines feed identical operands
+    * to an identical expression tree; the result is the usual r4
+    * statistical double (ln is libm-dependent — the agg_stats class,
+    * not the bit-exact class). Two-phase: the heavy agg shrinks events
+    * to (user, type) rows, the window runs over that tiny relation. */
+  val agg_entropy: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = col("n").cast("double") / col("total").cast("double")
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_events"),
+        r4(-sum(p * log(p))).as("entropy4"))
+      .orderBy("user_id")
+  }
+
   val agg_pctile: Q = (s, d) =>
     orders(s, d)
       .groupBy("o_orderstatus")
@@ -851,6 +874,7 @@ object Relational {
     "agg_stats" -> agg_stats,
     "agg_pctile" -> agg_pctile,
     "agg_minmax_by" -> agg_minmax_by,
+    "agg_entropy" -> agg_entropy,
     "agg_mode" -> agg_mode,
     "agg_hist" -> agg_hist,
     "agg_pivot" -> agg_pivot,
@@ -1117,6 +1141,22 @@ object Relational {
                  AS BIGINT) // 10000000) AS INT) AS bucket,
              count(1) AS n
          FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""",
+    // identical expression tree over exact integer (n, total); ln is
+    // libm-dependent → r4 statistical double (the agg_stats class)
+    "agg_entropy" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(1) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT user_id, n,
+               sum(n) OVER (PARTITION BY user_id) AS total
+           FROM c)
+         SELECT user_id, count(1) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             round(-sum((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 4)
+               AS entropy4
+         FROM t GROUP BY user_id ORDER BY user_id""",
     "agg_minmax_by" ->
       """WITH mx AS (SELECT user_id, event_type,
                         row_number() OVER (PARTITION BY user_id

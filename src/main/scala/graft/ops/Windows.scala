@@ -652,6 +652,53 @@ object Windows {
       .orderBy("day")
   }
 
+  /** OHLC time-bucket resample — the market-data downsampling staple
+    * applied to the events stream: per (user, day), the first value by
+    * time (open), max (high), min (low), last by time (close), and the
+    * bar's tick count. Open/close pick via min_by/max_by on the UNIQUE
+    * (ts, event_id) struct key — same-µs ties order deterministically,
+    * the [[agg_minmax_by]] rule — and all four outputs are bit-exact
+    * VALUE PICKS of raw parquet doubles (no arithmetic, raw compare, no
+    * rounding). One hash aggregation, partial map-side; never a window
+    * over raw events. */
+  val win_ohlc: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("px_open"),
+        max(col("value")).as("px_high"),
+        min(col("value")).as("px_low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("px_close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id", "day")
+
+  /** Maximum drawdown per user — the quant-analytics staple: walk the
+    * user's value series in the unique (ts, event_id) order, track the
+    * running maximum, and report the deepest deficit `running_max −
+    * value` along with the peak. BIT-EXACT, no rounding: running max
+    * and final max are value picks, and the deficit is ONE IEEE
+    * subtraction of identical operands in identical order on both
+    * engines. NULL values pass through (max ignores them; a NULL tick
+    * contributes no deficit) — identical semantics both engines. One
+    * user-keyed shuffle; the window is a running-frame scan, state
+    * O(1) per partition. */
+  val win_drawdown: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("run_max", max(col("value")).over(w))
+      .withColumn("dd", col("run_max") - col("value"))
+      .groupBy("user_id")
+      .agg(max(col("dd")).as("max_drawdown"),
+        max(col("value")).as("peak_value"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "win_rank" -> win_rank,
     "win_rank_salted" -> win_rank_salted,
@@ -673,9 +720,48 @@ object Windows {
     "win_share" -> win_share,
     "win_rolling_distinct" -> win_rolling_distinct,
     "win_concurrent" -> win_concurrent,
+    "win_ohlc" -> win_ohlc,
+    "win_drawdown" -> win_drawdown,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // identical running-max window + one IEEE subtraction → raw double
+    // compare, no rounding
+    "win_drawdown" ->
+      """WITH w AS (
+           SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_max
+           FROM events)
+         SELECT user_id, max(run_max - value) AS max_drawdown,
+             max(value) AS peak_value, count(1) AS n_ticks
+         FROM w GROUP BY user_id ORDER BY user_id""",
+    // open/close via rank-1 row_number over the unique (ts, event_id)
+    // order (the agg_minmax_by composite-arg_min pattern); NULL values
+    // at the picked row stay NULL on both engines
+    "win_ohlc" ->
+      """WITH b AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               ts, event_id, value
+           FROM events),
+         r AS (
+           SELECT user_id, day, value,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM b),
+         agg AS (
+           SELECT user_id, day, max(value) AS px_high, min(value) AS px_low,
+               count(1) AS n_ticks
+           FROM b GROUP BY 1, 2)
+         SELECT a.user_id, a.day, o.value AS px_open, a.px_high, a.px_low,
+             c.value AS px_close, a.n_ticks
+         FROM agg a
+         JOIN r o ON o.user_id = a.user_id AND o.day = a.day AND o.rn_a = 1
+         JOIN r c ON c.user_id = a.user_id AND c.day = a.day AND c.rn_d = 1
+         ORDER BY a.user_id, a.day""",
     // constant 7-day fan-out + distinct agg, clipped at the last
     // observed day — the same relational formulation as the Spark side
     "win_rolling_distinct" ->
