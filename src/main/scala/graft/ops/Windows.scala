@@ -683,7 +683,9 @@ object Windows {
     * engines. NULL values pass through (max ignores them; a NULL tick
     * contributes no deficit) — identical semantics both engines. One
     * user-keyed shuffle; the window is a running-frame scan, state
-    * O(1) per partition. */
+    * O(1) per partition. The mapGroupsWithState streaming twin — the
+    * same (n, run_max, max_dd) state folded across micro-batches — is
+    * PROVEN bit-identical in StreamingSpec. */
   val win_drawdown: Q = (s, d) => {
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts"), asc("event_id"))

@@ -457,6 +457,66 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drawdown: O(1) running-max state reaches the batch " +
+      "win_drawdown values bit-identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // win_drawdown's streaming twin: per-user (n, run_max, max_dd, peak)
+    // folded across micro-batches in the same (ts, event_id) order; the
+    // deficit is the same single IEEE subtraction the batch window runs,
+    // so the final row must equal the batch row EXACTLY (raw doubles)
+    val rows = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")))
+      .as[(Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._4, r._2))
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val folded = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double, Double),
+          (Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Long, Long, Double, Long)],
+            state: GroupState[(Long, Double, Double, Double)]) =>
+          var (n, runMax, maxDd, peak) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0.0))
+          evs.toSeq.sortBy(e => (e._4, e._2)).foreach { e =>
+            runMax = if (n == 0L) e._3 else math.max(runMax, e._3)
+            peak = runMax
+            val dd = runMax - e._3
+            maxDd = if (n == 0L) dd else math.max(maxDd, dd)
+            n += 1
+          }
+          state.update((n, runMax, maxDd, peak))
+          Iterator((user, n, maxDd, peak))
+      }
+      .toDF("user_id", "n_ticks", "max_drawdown", "peak_value")
+    val q = folded.writeStream.format("memory").queryName("dd_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1))
+        .foreach { batch => mem.addData(batch.toSeq); q.processAllAvailable() }
+      val streamed = spark.sql(
+          """SELECT user_id, n_ticks, max_drawdown, peak_value FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY n_ticks DESC) AS rn FROM dd_stream) WHERE rn = 1""")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = ops.Windows.win_drawdown(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getDouble(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == batch.keySet, "user-set drift")
+      val drift = batch.collect {
+        case (u, v) if streamed(u) != v => (u, v, streamed(u))
+      }
+      assert(drift.isEmpty,
+        s"stream/batch drawdown drift (first 5): ${drift.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming interpolation: punctuated gap-fill state reaches the " +
       "batch win_interp values bit-identically") {
     import spark.implicits._
