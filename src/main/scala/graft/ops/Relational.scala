@@ -525,6 +525,37 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Gini coefficient of order-value concentration per order priority —
+    * the inequality profile, in EXACT INTEGER BASIS POINTS: over exact
+    * DECIMAL-derived cents x sorted by the unique (cents, orderkey)
+    * order with ranks i, `G_bp = (2·Σi·x − (n+1)·Σx) · 10000 div
+    * (n·Σx)`. The numerator is non-negative (Chebyshev's sum
+    * inequality on ascending ranks), so Spark's trunc-div and DuckDB's
+    * floor-div agree; the ×10000 product can reach ~1e20, so it runs in
+    * DECIMAL(38,0) against DuckDB's HUGEINT — both exact. The BIGINT
+    * moments S1 = Σi·x hold to ~4·10^5 rows per group at these
+    * magnitudes; beyond that, accumulate S1 itself in DECIMAL(38,0)
+    * (the pagerank-style documented headroom bound). Shape: one window
+    * rank + one agg, both on the same group-keyed shuffle. */
+  val agg_gini: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(asc("cents"), asc("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s0"),
+        sum(col("i") * col("cents")).as("s1"))
+      .select(col("o_orderpriority"), col("n"), col("s0").as("sum_cents"),
+        expr("""(cast(2 as decimal(38,0)) * s1 - (n + 1) * s0) * 10000
+                div (cast(n as decimal(38,0)) * s0)""").as("gini_bp"))
+      .orderBy("o_orderpriority")
+  }
+
   val agg_pctile: Q = (s, d) =>
     orders(s, d)
       .groupBy("o_orderstatus")
@@ -875,6 +906,7 @@ object Relational {
     "agg_pctile" -> agg_pctile,
     "agg_minmax_by" -> agg_minmax_by,
     "agg_entropy" -> agg_entropy,
+    "agg_gini" -> agg_gini,
     "agg_mode" -> agg_mode,
     "agg_hist" -> agg_hist,
     "agg_pivot" -> agg_pivot,
@@ -1141,6 +1173,29 @@ object Relational {
                  AS BIGINT) // 10000000) AS INT) AS bucket,
              count(1) AS n
          FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""",
+    // exact integer Gini: same unique rank order, HUGEINT vs
+    // DECIMAL(38) for the 1e20-scale product, non-negative numerator so
+    // trunc-div == floor-div
+    "agg_gini" ->
+      """WITH c AS (
+           SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS i
+           FROM c),
+         m AS (
+           SELECT o_orderpriority, count(1) AS n,
+               CAST(sum(cents) AS BIGINT) AS s0,
+               CAST(sum(i * cents) AS BIGINT) AS s1
+           FROM r GROUP BY 1)
+         SELECT o_orderpriority, n, s0 AS sum_cents,
+             CAST((2 * CAST(s1 AS HUGEINT) - (n + 1) * s0) * 10000
+               // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_bp
+         FROM m ORDER BY o_orderpriority""",
     // identical expression tree over exact integer (n, total); ln is
     // libm-dependent → r4 statistical double (the agg_stats class)
     "agg_entropy" ->

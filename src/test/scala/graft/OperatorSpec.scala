@@ -1114,6 +1114,33 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_gini equals an exact BigInt driver-side recomputation and " +
+      "stays inside [0, 10000)") {
+    val cents = graft.util.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = cents.groupBy(_._1).map { case (p, rows) =>
+      val xs = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = BigInt(xs.length)
+      val s0 = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x
+      }.sum
+      p -> ((xs.length.toLong, s0.toLong,
+        ((2 * s1 - (n + 1) * s0) * 10000 / (n * s0)).toLong))
+    }
+    val got = ops.Relational.agg_gini(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect.toMap)
+    got.values.foreach { case (_, _, bp) =>
+      assert(bp >= 0L && bp < 10000L, s"gini_bp $bp out of range")
+    }
+  }
+
   test("agg_entropy: zero for a single-type user, ln(k) for an exactly " +
       "uniform k-type mix, and bounded by ln(n_types) on the fixture") {
     import spark.implicits._
