@@ -531,4 +531,35 @@ class PlanShapeSpec extends SparkTestBase {
         s"projection must prune the read schema: ${meta("ReadSchema")}")
     }
   }
+
+  test("r9 analytics ops keep their scale shapes: ohlc/gini/entropy " +
+      "single-agg or window-then-agg, rolling_distinct join-free fan-out, " +
+      "jaccard no cartesian") {
+    withStaticPlan {
+      // win_ohlc: ONE aggregation pass (partial+final HashAggregate over
+      // one Exchange) — no window over raw events, no join
+      val ohlc = planOf(ops.Windows.win_ohlc(spark, sf))
+      assert(!ohlc.contains("Window") && !ohlc.contains("Join"), ohlc)
+      // win_rolling_distinct: the 7-day fan-out must stay a projection
+      // (explode), never an SMJ/range join; the only join is the 1-row
+      // broadcast max-day clip
+      val rd = planOf(ops.Windows.win_rolling_distinct(spark, sf))
+      assert(!rd.contains("SortMergeJoin") && !rd.contains("CartesianProduct"),
+        rd)
+      assert(rd.contains("Generate explode"), rd)
+      // agg_entropy/agg_gini: the window runs AFTER the shrinking agg /
+      // over the same group-keyed shuffle — exactly one scan of events
+      // or orders respectively
+      def scanCount(p: String, token: String): Int =
+        p.sliding(token.length).count(_ == token)
+      val ent = planOf(ops.Relational.agg_entropy(spark, sf))
+      assert(scanCount(ent, "FileScan parquet") == 1, ent)
+      val gini = planOf(ops.Relational.agg_gini(spark, sf))
+      assert(scanCount(gini, "FileScan parquet") == 1, gini)
+      // graph_jaccard: wedge + anti + degree joins but never a cartesian
+      val jac = planOf(ops.Graph.graph_jaccard(spark, sf))
+      assert(!jac.contains("CartesianProduct") &&
+        !jac.contains("BroadcastNestedLoopJoin"), jac)
+    }
+  }
 }
