@@ -350,10 +350,40 @@ object Table {
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
+    * warehouse-history staple: the full row-level change log over ALL
+    * commits (0 → 3: creation inserts, append inserts, merge
+    * postimages) windows per key into validity intervals —
+    * `valid_from_snap` = the commit that produced the version,
+    * `valid_to_snap` = the next version's commit (NULL while current),
+    * `is_current` = no successor. Prices are bit-exact raw doubles
+    * (the merge writes 2·x — an exact binary scale). Generalizes to
+    * any number of versions per key: the window is one lead() over the
+    * (key, commit) order, cost bounded by versions-per-key, and the
+    * change log itself is the CDC surface table_changes_merge proves.
+    * The oracle derives the identical log from the source relation
+    * (v1 = years ≤ 1997, v2 = 1998 appends, v3 = doubled prices on the
+    * 1998 `key % 3 = 0` slice — the fixture's commit recipe). */
+  val table_scd2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val root = ordersTable(s, d)
+    val w = Window.partitionBy("o_orderkey").orderBy("v")
+    GraftTable.changesBetweenRows(s, root, 0, 3, "o_orderkey")
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("_commit_snapshot").as("v"))
+      .select(col("o_orderkey"), col("v").as("valid_from_snap"),
+        lead(col("v"), 1).over(w).as("valid_to_snap"),
+        lead(col("v"), 1).over(w).isNull.as("is_current"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey", "valid_from_snap")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "table_snapshot" -> table_snapshot,
     "table_sql_tt" -> table_sql_tt,
     "table_sql_cdc" -> table_sql_cdc,
+    "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
     "table_changes" -> table_changes,
@@ -367,6 +397,25 @@ object Table {
     "table_zorder" -> table_zorder)
 
   val oracle: Seq[(String, String)] = Seq(
+    // the same change log derived from the source relation (the
+    // fixture's commit recipe), windowed into validity intervals;
+    // commit ids are 32-bit on both engines (CAST INT per convention)
+    "table_scd2" ->
+      """WITH log AS (
+           SELECT o_orderkey, o_totalprice,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 2 END AS v
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, 2 * o_totalprice, 3
+           FROM orders
+           WHERE year(o_orderdate) = 1998 AND o_orderkey % 3 = 0)
+         SELECT o_orderkey, CAST(v AS INT) AS valid_from_snap,
+             CAST(lead(v) OVER w AS INT) AS valid_to_snap,
+             (lead(v) OVER w IS NULL) AS is_current,
+             o_totalprice
+         FROM log
+         WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)
+         ORDER BY o_orderkey, valid_from_snap""",
     // the TVF must plan exactly snapshot 1: pre-append, pre-merge
     "table_sql_tt" ->
       """SELECT o_orderpriority, count(1) AS n_orders,

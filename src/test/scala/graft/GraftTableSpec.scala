@@ -1085,4 +1085,34 @@ class GraftTableSpec extends SparkTestBase {
     }
     assert((e1.getMessage + e2.getMessage).contains("graft_table"))
   }
+
+  test("table_scd2: intervals chain per key, exactly one current row, " +
+      "updated keys carry the doubled price in their current version") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ops.Table.table_scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getBoolean(3), r.getDouble(4)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // exactly one current (open) interval, and it is the last one
+      assert(sorted.count(_._4) == 1 && sorted.last._4, s"key $k")
+      assert(sorted.last._3.isEmpty, s"key $k current must be open")
+      // intervals chain: each closed row's valid_to = successor's from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"key $k gap: ${a._3} vs ${b._2}")
+        case _ =>
+      }
+      // versioned keys: exactly 2 rows, second price = 2x first
+      if (sorted.length > 1) {
+        assert(sorted.length == 2 && sorted.last._5 == 2 * sorted.head._5,
+          s"key $k history $sorted")
+      }
+    }
+    // the fixture's touched slice is non-trivial and matches the recipe
+    val touched = byKey.filter(_._2.length > 1).keySet
+    assert(touched.nonEmpty && touched.forall(_ % 3 == 0))
+  }
 }
