@@ -190,14 +190,74 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** Robust volume-anomaly monitor via MEDIAN absolute deviation — the
+    * robust twin of [[dq_anomaly]]: a z-score inflates its own standard
+    * deviation (a single 10× day caps |z| at (c−1)/√c — observed while
+    * testing dq_anomaly), while the median/MAD pair barely moves, so
+    * MAD flags exactly the outliers the contaminated σ hides. Flag a
+    * (type, day) when |n − median| > 3·MAD.
+    *
+    * The comparison is EXACT despite medians interpolating: medians of
+    * integers land on halves and MADs of half-spaced deviations on
+    * quarters, so `dev4 = 2·|2n − med2|` and `mad4 = 4·MAD` are
+    * INTEGER-VALUED doubles (halves/quarters are exact binary), and
+    * `dev4 > 3·mad4` compares identical integers on both engines — no
+    * float half-boundary. Moments run over the already-aggregated
+    * (type, day) relation, never raw events. */
+  val dq_mad: Q = (s, d) => dqMadOf(events(s, d))
+
+  /** kernel over any (event_type, ts) relation — QualitySpec proves the
+    * robustness contrast on the exact short-series fixture whose z-score
+    * stays silent. */
+  private[graft] def dqMadOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type")
+    ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med2",
+        percentile(col("n"), lit(0.5)).over(w) * 2)
+      .withColumn("dev4", abs(col("n") * 4 - col("med2") * 2))
+      .withColumn("mad4", percentile(col("dev4"), lit(0.5)).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        col("med2").cast("long").as("med2"),
+        col("mad4").cast("long").as("mad4"),
+        (col("dev4") > col("mad4") * 3).as("alert"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
     "dq_drift" -> dq_drift,
     "dq_anomaly" -> dq_anomaly,
+    "dq_mad" -> dq_mad,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // medians of integers land on exact halves (and MADs on quarters):
+    // med2/dev4/mad4 are integer-valued doubles, so the alert compares
+    // identical integers — percentile_cont semantics on both engines
+    "dq_mad" ->
+      """WITH c AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(1) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, day, n,
+               median(n) OVER (PARTITION BY event_type) * 2 AS med2
+           FROM c),
+         d AS (
+           SELECT event_type, day, n, med2,
+               abs(n * 4 - med2 * 2) AS dev4
+           FROM m),
+         f AS (
+           SELECT event_type, day, n, med2, dev4,
+               median(dev4) OVER (PARTITION BY event_type) AS mad4
+           FROM d)
+         SELECT event_type, day, n, CAST(med2 AS BIGINT) AS med2,
+             CAST(mad4 AS BIGINT) AS mad4, dev4 > mad4 * 3 AS alert
+         FROM f ORDER BY event_type, day""",
     // identical expression tree for z4 (bit-identical IEEE ops before
     // the r4); the alert is a pure integer comparison on both engines
     "dq_anomaly" ->

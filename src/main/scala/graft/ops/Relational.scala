@@ -241,6 +241,35 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** Nearest-event join — the BIDIRECTIONAL twin of [[join_asof]]: each
+    * purchase pairs with the temporally CLOSEST click of the same user
+    * in either direction (asof looks only backward). Distance is exact
+    * µs integers; the pick is total-ordered by (distance, c_ts, c_id) —
+    * equidistant before/after resolves to the earlier click. Same
+    * user-keyed join shape as asof (candidates bounded by per-user
+    * activity; at scale, pre-bucket by coarse time like join_range to
+    * cap the candidate window). */
+  val join_nearest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d)
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("dist_us").asc, col("c_ts").asc, col("c_id").asc)
+    purch
+      .join(clicks, col("user_id") === col("cu"), "left")
+      .withColumn("dist_us",
+        abs(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("dist_us"))
+      .orderBy("p_id")
+  }
+
   /** star join: fact (lineitem⋈orders, shuffled on the fact keys) against
     * broadcast dims customer-is-large-but-joins-orders-first, then broadcast
     * nation/region — revenue per region/nation. */
@@ -888,6 +917,7 @@ object Relational {
     "join_nullsafe" -> join_nullsafe,
     "join_range" -> join_range,
     "join_asof" -> join_asof,
+    "join_nearest" -> join_nearest,
     "join_star" -> join_star,
     "join_salted" -> join_salted,
     "join_bucketed" -> join_bucketed,
@@ -1056,6 +1086,22 @@ object Relational {
                       ON user_id = cu AND c_ts <= p_ts)
          SELECT p_id, user_id, p_ts, c_id,
              date_diff('second', c_ts, p_ts) AS gap_sec
+         FROM j WHERE rn = 1 ORDER BY p_id""",
+    // bidirectional nearest: exact µs distance, (dist, c_ts, c_id)
+    // total order; null candidates only exist alone (no-click users),
+    // so NULLS FIRST/LAST defaults never get to disagree
+    "join_nearest" ->
+      """WITH purch AS (SELECT user_id, ts AS p_ts, event_id AS p_id
+                        FROM events WHERE event_type = 'purchase'),
+              clicks AS (SELECT user_id AS cu, ts AS c_ts, event_id AS c_id
+                         FROM events WHERE event_type = 'click'),
+              j AS (SELECT p_id, user_id, p_ts, c_id,
+                        abs(epoch_us(p_ts) - epoch_us(c_ts)) AS dist_us,
+                        row_number() OVER (PARTITION BY p_id
+                            ORDER BY abs(epoch_us(p_ts) - epoch_us(c_ts)),
+                                     c_ts, c_id) AS rn
+                    FROM purch LEFT JOIN clicks ON user_id = cu)
+         SELECT p_id, user_id, p_ts, c_id, dist_us
          FROM j WHERE rn = 1 ORDER BY p_id""",
     "join_star" ->
       """SELECT r_name, n_name, count(1) AS n_lines,

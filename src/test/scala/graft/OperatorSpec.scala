@@ -1114,6 +1114,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("join_nearest equals a driver-side nearest-click scan and never " +
+      "picks farther than join_asof's backward match") {
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    val expect = ev.filter(_._4 == "purchase").map { p =>
+      val best = clicksByUser.getOrElse(p._1, Array.empty)
+        .map(c => (math.abs(p._2 - c._2), c._2, c._3))
+        .sorted.headOption
+      p._3 -> best.map(b => (b._3, b._1))
+    }.toMap
+    val got = ops.Relational.join_nearest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(got == expect)
+    // bidirectional nearest is at least as close as backward-only asof
+    val asof = ops.Relational.join_asof(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4) * 1000000L))).toMap
+    asof.foreach { case (pid, gap) =>
+      for (g <- gap; b <- got(pid)) {
+        assert(b._2 <= g + 999999L,
+          s"purchase $pid nearest ${b._2} vs asof-gap $g")
+      }
+    }
+  }
+
   test("agg_gini equals an exact BigInt driver-side recomputation and " +
       "stays inside [0, 10000)") {
     val cents = graft.util.Tables.orders(spark, sf)

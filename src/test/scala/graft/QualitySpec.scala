@@ -97,4 +97,47 @@ class QualitySpec extends SparkTestBase {
     assert(out("2024-01-15 00:00:00.0"), s"outlier day must alert: $out")
     assert(out.count(_._2) == 1, s"only the planted day alerts: $out")
   }
+
+  test("dq_mad: flags the short-series outlier the z-score cannot (a " +
+      "single 10x day caps |z| at (c-1)/sqrt(c)), and equals a " +
+      "driver-side median/MAD recomputation on the fixture") {
+    import spark.implicits._
+    // the 7-day contaminated series: z-score provably silent (max |z|
+    // = 6/sqrt(7) < 3), MAD must alert on exactly the planted day
+    val ev = (1 to 6).flatMap(day => (1 to 20).map(_ =>
+      (s"2024-01-0$day 00:00:00", 0))) ++
+      (1 to 200).map(_ => ("2024-01-07 00:00:00", 0))
+    val df = ev.toDF("tss", "i")
+      .select(to_timestamp(col("tss")).as("ts"),
+        lit("click").as("event_type"))
+    val mad = ops.Quality.dqMadOf(df).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(5))).toMap
+    assert(mad("2024-01-07 00:00:00.0"), s"MAD must flag the 10x day: $mad")
+    assert(mad.count(_._2) == 1, s"only the planted day: $mad")
+    val z = ops.Quality.dqAnomalyOf(df).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(4))).toMap
+    assert(!z.values.exists(identity),
+      s"the z-score is provably silent on this series: $z")
+    // fixture equality against a driver-side exact recomputation
+    def medianX4(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) * 4 else (s(n / 2 - 1) + s(n / 2)) * 2
+    }
+    val rows = ops.Quality.dq_mad(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val ns = rs.map(_._2).toSeq
+      val med4 = medianX4(ns)
+      rs.foreach { case (_, n, med2, mad4, alert) =>
+        assert(med2 * 2 == med4, s"$t med2 $med2 vs ${med4 / 2.0}")
+        // dev4 values are even integers, so medianX4 of them is always
+        // divisible by 4 and mad4 = median(dev4s) exactly
+        val dev4s = ns.map(x => math.abs(x * 4 - med4))
+        assert(mad4 == medianX4(dev4s) / 4, s"$t mad4 $mad4")
+        val dev4 = math.abs(n * 4 - med4)
+        assert(alert == (dev4 > 3 * mad4), s"$t n=$n")
+      }
+    }
+  }
 }
