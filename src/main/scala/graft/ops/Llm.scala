@@ -1976,6 +1976,46 @@ object Llm {
     * fan-out is tokens/stride per doc and carries only (doc_id,
     * chunk_id, n_tok) rows, so the shuffle is chunk-count-bounded at
     * any scale. */
+  /** Content-defined chunking — the dedup-friendly variable-size
+    * chunker (Rabin/FastCDC class) storage and training-data pipelines
+    * use where [[llm_chunk]]'s fixed stride breaks: boundaries depend
+    * ONLY on local token content (cut after any token whose md5's last
+    * hex nibble ∈ {0, 8} — expected chunk length 8 tokens), so an edit
+    * near the head of a document shifts every POSITION but re-aligns
+    * every chunk after the first post-edit cut — downstream chunk
+    * hashes are unchanged and dedup against the previous crawl still
+    * hits. That SHIFT-INVARIANCE property (the entire point of CDC) is
+    * unit-asserted on a prefix-edited document pair; md5 is the
+    * cross-engine-identical hash (the repo's dialect-safe choice — no
+    * xxhash in DuckDB, no DuckDB hash() in Spark).
+    *
+    * Shape: per-row md5 + one per-doc window (running cut count =
+    * chunk id, partitions bounded by document length) + one group-by
+    * with the ordered array_sort(collect_list) rebuild — linear in
+    * corpus tokens, one shuffle. */
+  val llm_chunk_cdc: Q = (s, d) =>
+    chunkCdcOf(documents(s, d).select("doc_id", "text"))
+
+  /** kernel over any (doc_id, text) relation — the shift-invariance
+    * spec drives it on synthetic edit pairs. */
+  private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("cut",
+        when(expr("substr(md5(tok), 32, 1)").isin("0", "8"), 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), " +
+            "x -> x.tok)"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val llm_chunk: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
@@ -2669,6 +2709,7 @@ object Llm {
     "llm_dedup_exact" -> llm_dedup_exact,
     "llm_dedup_url" -> llm_dedup_url,
     "llm_span_corruption" -> llm_span_corruption,
+    "llm_chunk_cdc" -> llm_chunk_cdc,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
     "llm_dedup_substr" -> llm_dedup_substr,
@@ -2932,6 +2973,31 @@ object Llm {
            FROM kp)
          SELECT min(doc_id) AS doc_id, url_key, count(1) AS n_copies
          FROM canon GROUP BY url_key ORDER BY doc_id""",
+    // same per-token md5 cut rule, running-count chunk ids, ordered
+    // string_agg rebuild — fixed-range positions as in span_corruption
+    "llm_chunk_cdc" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         t AS (
+           SELECT doc_id, r.i AS pos,
+               toks[CAST(r.i AS INT) + 1] AS tok
+           FROM docs CROSS JOIN (SELECT unnest(range(0, 1024)) AS i) r
+           WHERE r.i < len(toks)),
+         c AS (
+           SELECT doc_id, pos, tok,
+               CASE WHEN substr(md5(tok), 32, 1) IN ('0', '8')
+                    THEN 1 ELSE 0 END AS cut
+           FROM t),
+         g AS (
+           SELECT doc_id, pos, tok,
+               coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk_id
+           FROM c)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             count(1) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         FROM g GROUP BY 1, 2 ORDER BY doc_id, chunk_id""",
     "llm_span_corruption" ->
       """WITH docs AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1114,6 +1114,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("llm_chunk_cdc is shift-invariant: a prefix edit re-aligns every " +
+      "chunk after the first post-edit cut (the CDC property), while a " +
+      "fixed-stride chunker would shift every boundary") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val edited = "inserted " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = ops.Llm.chunkCdcOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val h1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val h2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(h1.length > 2, s"need several chunks to observe re-alignment")
+    // every chunk of the base doc except its FIRST must reappear
+    // verbatim in the edited doc: cut decisions are per-token content,
+    // so only the chunk containing the edit can differ
+    val tail1 = h1.drop(1)
+    assert(tail1.forall(h2.contains),
+      s"CDC must re-align after the edit: base=${h1.toSeq} " +
+        s"edited=${h2.toSeq}")
+    // and the aligned suffix is in the same relative order
+    val idx = tail1.map(h2.indexOf(_)).toSeq
+    assert(idx == idx.sorted, "re-aligned chunks keep their order")
+    // fixture sanity: chunks exist and are bounded. The cut rate is
+    // OCCURRENCE-weighted (1/8 of md5 nibbles, but the synthetic vocab
+    // repeats — measured mean ~19 tokens at sf0.01), so only order-of-
+    // magnitude bounds are meaningful here.
+    val sf01rows = ops.Llm.llm_chunk_cdc(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(2))
+    val mean = sf01rows.sum.toDouble / sf01rows.length
+    assert(mean > 2 && mean < 50, s"mean chunk length $mean")
+  }
+
   test("join_nearest equals a driver-side nearest-click scan and never " +
       "picks farther than join_asof's backward match") {
     def us(t: java.sql.Timestamp): Long =
