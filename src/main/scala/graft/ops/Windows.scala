@@ -600,6 +600,35 @@ object Windows {
       .orderBy("day")
   }
 
+  /** The SKETCH-scale path of [[win_rolling_distinct]] — at 100 TB an
+    * exact 7-day distinct union re-shuffles every (user, day) presence
+    * 7×; the mergeable-sketch form aggregates each day's users into ONE
+    * HLL sketch (Spark's DataSketches hll_sketch_agg, lgK 14 ≈ 0.4 %
+    * RSE), fans out only the TINY (day, sketch) relation 7×, and
+    * hll_union_agg + estimate per target day — re-aggregation over
+    * growing data without touching raw rows again, the same mergeable
+    * property PropertySpec proves for the HLL/CMS family. NO ORACLE by
+    * design (sketch internals are engine-specific — pre-declared like
+    * agg_approx/agg_hll_merge); bounded instead by a unit test against
+    * the exact twin (≤ 2 % at both fixture SFs). */
+  val win_rolling_distinct_hll: Q = (s, d) => {
+    val daySketch = events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("aday"))
+      .groupBy("aday")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val mx = daySketch.agg(max(col("aday")).as("max_day"))
+    daySketch
+      .select(col("sk"),
+        explode(expr(
+          "sequence(aday, aday + interval 6 days, interval 1 day)"))
+          .as("day"))
+      .crossJoin(broadcast(mx))
+      .where(col("day") <= col("max_day"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("dau7_est"))
+      .orderBy("day")
+  }
+
   /** Peak concurrent sessions per day — the sweep-line classic: each
     * gap-sessionized interval (the [[win_session]] derivation verbatim)
     * emits +1 at its start and −1 at its end, a running sum over the
@@ -721,6 +750,7 @@ object Windows {
     "win_interp" -> win_interp,
     "win_share" -> win_share,
     "win_rolling_distinct" -> win_rolling_distinct,
+    "win_rolling_distinct_hll" -> win_rolling_distinct_hll,
     "win_concurrent" -> win_concurrent,
     "win_ohlc" -> win_ohlc,
     "win_drawdown" -> win_drawdown,

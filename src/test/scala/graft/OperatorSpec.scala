@@ -1021,6 +1021,22 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("win_rolling_distinct_hll tracks the exact twin within 2% on " +
+      "every day at both fixture SFs") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exact = ops.Windows.win_rolling_distinct(spark, dir).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      val est = ops.Windows.win_rolling_distinct_hll(spark, dir).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(est.keySet == exact.keySet, s"$dir day-set drift")
+      exact.foreach { case (day, n) =>
+        val e = est(day)
+        assert(math.abs(e - n) <= math.max(1L, (n * 0.02).toLong),
+          s"$dir $day exact=$n est=$e")
+      }
+    }
+  }
+
   test("win_concurrent equals a driver-side sweep over the win_session " +
       "intervals with inclusive ends") {
     def us(t: java.sql.Timestamp): Long =
