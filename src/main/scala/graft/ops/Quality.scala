@@ -226,15 +226,84 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM drift monitor — completes the §2-N detector family: dq_drift
+    * catches STEPS (day-over-day ratio), dq_anomaly/dq_mad catch LEVEL
+    * outliers (z-score / robust MAD), and CUSUM catches the small
+    * SUSTAINED shift all three miss — a persistent +20 % drift never
+    * trips a 3σ bound but accumulates here day by day.
+    *
+    * Exact integer arithmetic throughout, via the closed form that
+    * makes the recursive definition window-expressible:
+    * `S_i = max(0, S_{i-1} + d_i)` equals
+    * `prefix_i − min(0, running_min(prefix))` with
+    * `prefix = Σ (2n − med2 − slack2)` — doubled-integer deviations
+    * against the per-type median (the dq_mad med2), slack2 =
+    * `med2 div 5` (a 20 % allowance), alarm at `S2 > 2·med2`. Both
+    * engines run identical integer windows; no float anywhere. The
+    * windows run over the tiny (type, day) relation. */
+  val dq_cusum: Q = (s, d) => dqCusumOf(events(s, d))
+
+  /** kernel over any (event_type, ts) relation — QualitySpec drives a
+    * planted sustained-drift series that the level detectors miss. */
+  private[graft] def dqCusumOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med2",
+        (percentile(col("n"), lit(0.5)).over(byType) * 2).cast("long"))
+      .withColumn("d2",
+        col("n") * 2 - col("med2") - expr("med2 div 5"))
+      .withColumn("prefix", sum(col("d2")).over(run))
+      .withColumn("cusum2",
+        col("prefix") - least(lit(0L), min(col("prefix")).over(run)))
+      .select(col("event_type"), col("day"), col("n"), col("med2"),
+        col("cusum2"), (col("cusum2") > col("med2") * 2).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
     "dq_drift" -> dq_drift,
     "dq_anomaly" -> dq_anomaly,
     "dq_mad" -> dq_mad,
+    "dq_cusum" -> dq_cusum,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // identical integer windows: doubled deviations vs the med2
+    // reference, prefix-minus-running-min CUSUM closed form; med2 // 5
+    // on a non-negative operand matches Spark's trunc div
+    "dq_cusum" ->
+      """WITH c AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(1) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, day, n,
+               CAST(median(n) OVER (PARTITION BY event_type) * 2 AS BIGINT)
+                 AS med2
+           FROM c),
+         p AS (
+           SELECT event_type, day, n, med2,
+               sum(n * 2 - med2 - med2 // 5)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS prefix
+           FROM m),
+         s AS (
+           SELECT event_type, day, n, med2, prefix,
+               prefix - least(0, min(prefix)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) AS cusum2
+           FROM p)
+         SELECT event_type, day, n, med2,
+             CAST(cusum2 AS BIGINT) AS cusum2,
+             cusum2 > med2 * 2 AS alarm
+         FROM s ORDER BY event_type, day""",
     // medians of integers land on exact halves (and MADs on quarters):
     // med2/dev4/mad4 are integer-valued doubles, so the alert compares
     // identical integers — percentile_cont semantics on both engines

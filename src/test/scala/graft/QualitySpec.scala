@@ -123,10 +123,10 @@ class QualitySpec extends SparkTestBase {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) * 4 else (s(n / 2 - 1) + s(n / 2)) * 2
     }
-    val rows = ops.Quality.dq_mad(spark, "/root/testdata/sf0.01").collect()
+    val madRows = ops.Quality.dq_mad(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getBoolean(5)))
-    rows.groupBy(_._1).foreach { case (t, rs) =>
+    madRows.groupBy(_._1).foreach { case (t, rs) =>
       val ns = rs.map(_._2).toSeq
       val med4 = medianX4(ns)
       rs.foreach { case (_, n, med2, mad4, alert) =>
@@ -138,6 +138,46 @@ class QualitySpec extends SparkTestBase {
         val dev4 = math.abs(n * 4 - med4)
         assert(alert == (dev4 > 3 * mad4), s"$t n=$n")
       }
+    }
+  }
+
+  test("dq_cusum: a sustained +30% drift the level detectors provably " +
+      "miss accumulates to an alarm, and the closed form equals the " +
+      "recursive max(0, S + d) fold") {
+    import spark.implicits._
+    // 40 noisy head days alternating 45/55 (a flat head degenerates
+    // MAD to 0 and everything alarms), then 15 drifted days at 75:
+    // median 55, MAD 10 → dev 20 < 3·MAD (silent), z ≈ 1.6 (silent),
+    // but CUSUM accumulates (150 − 110 − 22) = 18/day → 270 > 220
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val ev = (0 until 55).flatMap { i =>
+      val n = if (i < 40) (if (i % 2 == 0) 45 else 55) else 75
+      val date = start.plusDays(i.toLong)
+      (1 to n).map(_ => (s"$date 00:00:00", 0))
+    }
+    val df = ev.toDF("tss", "i")
+      .select(to_timestamp(col("tss")).as("ts"),
+        lit("click").as("event_type"))
+    val rows = ops.Quality.dqCusumOf(df).collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    // level detectors silent on every drifted day
+    val z = ops.Quality.dqAnomalyOf(df).collect()
+      .map(r => r.getBoolean(4))
+    val m = ops.Quality.dqMadOf(df).collect().map(r => r.getBoolean(5))
+    assert(!z.exists(identity) && !m.exists(identity),
+      "the +30% drift must stay under both level detectors' bounds")
+    // CUSUM alarms by the end of the drift
+    assert(rows.last._5, s"CUSUM must alarm on sustained drift: " +
+      s"${rows.takeRight(3).toSeq}")
+    assert(!rows.head._5, "no alarm on the flat head")
+    // closed form == the recursive fold, day by day
+    val med2 = rows.head._3
+    var s2 = 0L
+    rows.foreach { case (day, n, _, cusum2, _) =>
+      s2 = math.max(0L, s2 + (2 * n - med2 - med2 / 5))
+      assert(cusum2 == s2, s"$day closed-form $cusum2 vs fold $s2")
     }
   }
 }
