@@ -653,4 +653,49 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("dq_cusum closed form equals the recursive fold on random series") {
+    // QualitySpec pins ONE planted drift; this proves the window-algebra
+    // identity S_i = max(0, S_{i-1} + d_i) == prefix - min(0, min-prefix)
+    // on arbitrary count series (random medians hit both even/odd lengths,
+    // so the exact doubled-median path is exercised too). All series ride
+    // in one DataFrame as distinct event types — a single Spark job.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val seriesGen = for {
+      len <- Gen.chooseNum(5, 25)
+      ns <- Gen.listOfN(len, Gen.chooseNum(1, 60))
+    } yield ns
+    val series = samples(seriesGen, 6).zipWithIndex
+      .map { case (ns, i) => (s"t$i", ns) }
+    assert(series.size >= 4)
+    val start = java.time.LocalDate.of(2024, 3, 1)
+    val rows = series.flatMap { case (t, ns) =>
+      ns.zipWithIndex.flatMap { case (n, i) =>
+        val day = start.plusDays(i.toLong)
+        (1 to n).map(_ => (s"$day 00:00:00", t))
+      }
+    }
+    val df = rows.toDF("tss", "event_type")
+      .select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val byType = ops.Quality.dqCusumOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+      .groupBy(_._1) // dqCusumOf output is already day-ordered within type
+    for ((t, ns) <- series) {
+      val out = byType(t)
+      assert(out.length == ns.length)
+      // exact doubled median of integer counts, the Scala mirror
+      val s = ns.sorted
+      val med2 = if (ns.length % 2 == 1) 2L * s(ns.length / 2)
+                 else s(ns.length / 2 - 1).toLong + s(ns.length / 2)
+      var acc = 0L
+      out.zip(ns).foreach { case ((_, n, m2, c2, alarm), nExp) =>
+        assert(n == nExp && m2 == med2, s"$t: n=$n m2=$m2 want med2=$med2")
+        acc = math.max(0L, acc + (2 * n - med2 - med2 / 5))
+        assert(c2 == acc, s"$t: closed-form $c2 vs fold $acc")
+        assert(alarm == (c2 > 2 * med2))
+      }
+    }
+  }
 }
