@@ -517,6 +517,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: a single-long drift state reproduces every " +
+      "batch dq_cusum row exactly across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // dq_cusum's live form: the med2 reference is TRAINED (here: the
+    // same per-type doubled median the batch op derives), then the
+    // monitor folds S2 = max(0, S2 + d2) as each day closes — state is
+    // ONE long per event type, never the history. All-integer
+    // arithmetic, so stream == batch is exact equality on every
+    // (type, day) row, proving the state carry across micro-batch
+    // boundaries equals the batch closed form.
+    val batchRows = ops.Quality.dq_cusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val med2 = batchRows.map(r => (r._1, r._4)).toMap
+    // feed (type, day_ms, n) in global day order → per-type day order
+    val feed = batchRows.map(r => (r._1, r._2, r._3)).sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(String, Long, Long)]
+    val folded = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, days: Iterator[(String, Long, Long)],
+            state: GroupState[Long]) =>
+          var s2 = state.getOption.getOrElse(0L)
+          val m2 = med2(t)
+          val out = days.toSeq.sortBy(_._2).map { case (_, day, n) =>
+            s2 = math.max(0L, s2 + (2 * n - m2 - m2 / 5))
+            (t, day, s2, s2 > 2 * m2)
+          }
+          state.update(s2)
+          out.iterator
+      }
+      .toDF("event_type", "day_ms", "cusum2", "alarm")
+    val q = folded.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 4 + 1))
+        .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("cusum_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+      val want = batchRows.map(r => (r._1, r._2) -> ((r._5, r._6))).toMap
+      assert(streamed.size == want.size,
+        s"row-count drift: ${streamed.size} vs ${want.size}")
+      val drift = want.collect {
+        case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k))
+      }
+      assert(drift.isEmpty,
+        s"stream/batch CUSUM drift (first 5): ${drift.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming interpolation: punctuated gap-fill state reaches the " +
       "batch win_interp values bit-identically") {
     import spark.implicits._
