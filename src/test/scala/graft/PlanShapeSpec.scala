@@ -495,6 +495,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("dq detectors window over the aggregated (type, day) relation, " +
+      "never over raw events") {
+    // the family's scale contract: one scan of events, one hash
+    // aggregation down to types x days, and every window sits ABOVE
+    // that aggregate — so window input is O(types x days) at any
+    // corpus size. Asserted structurally on the executed plan for all
+    // three r9 detectors (anomaly/mad/cusum; dq_drift shares the
+    // kernel shape and is pinned by its oracle row).
+    withStaticPlan {
+      for ((name, q) <- Seq[(String, ops.Q)](
+          "dq_anomaly" -> ops.Quality.dq_anomaly,
+          "dq_mad" -> ops.Quality.dq_mad,
+          "dq_cusum" -> ops.Quality.dq_cusum)) {
+        val plan = q(spark, sf).queryExecution.executedPlan
+        val scans = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.size == 1, s"$name: expected one events scan:\n$plan")
+        val wins = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(wins.nonEmpty, s"$name: no window node found:\n$plan")
+        wins.foreach { w =>
+          val aggBelow = w.child.collect {
+            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          }
+          assert(aggBelow.nonEmpty,
+            s"$name: a window runs over raw events (no aggregate below):\n$plan")
+        }
+      }
+    }
+  }
+
   test("dq_profile is ONE scan: no per-column rescans") {
     withStaticPlan {
       val df = ops.Quality.dq_profile(spark, sf)
