@@ -265,6 +265,47 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** Benford first-digit screen over order totals — the classic
+    * fabricated-data / distribution-shift audit: observed first-digit
+    * shares of the exact DECIMAL-derived cents vs the Benford reference
+    * `log10(1 + 1/d)`, both as integer basis points so the comparison
+    * is pure integer arithmetic (the reference bp values are the same
+    * nine hard-coded constants on both engines — no float log anywhere).
+    * A 9-row digit spine LEFT JOIN keeps absent digits at n = 0, so the
+    * output is always exactly nine rows. `n·10000 div total` keeps the
+    * numerator non-negative (trunc/floor agree); dev_bp is a plain
+    * integer subtraction, safe negative. TPC-H totals are range-bound,
+    * not Benford — the op REPORTS deviations, it doesn't assert
+    * conformance; QualitySpec plants a conforming series and a uniform
+    * one and checks the bp math against a Scala mirror.
+    *
+    * 100 TB posture: one scan → one 9-group hash aggregation; the spine
+    * join and total window run over nine rows. */
+  val dq_benford: Q = (s, d) => dqBenfordOf(s, orders(s, d))
+
+  private[graft] def dqBenfordOf(
+      s: org.apache.spark.sql.SparkSession,
+      od: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // round(log10(1+1/d) * 10000), d = 1..9; sums to 10000
+    val expected = Seq((1, 3010L), (2, 1761L), (3, 1249L), (4, 969L),
+      (5, 792L), (6, 669L), (7, 580L), (8, 512L), (9, 458L))
+      .toDF("digit", "exp_bp")
+    val counts = od
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    expected.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("cnt"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_bp", expr("n * 10000 div total"))
+      .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"),
+        (col("obs_bp") - col("exp_bp")).as("dev_bp"))
+      .orderBy("digit")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
@@ -272,9 +313,30 @@ object Quality {
     "dq_anomaly" -> dq_anomaly,
     "dq_mad" -> dq_mad,
     "dq_cusum" -> dq_cusum,
+    "dq_benford" -> dq_benford,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // same DECIMAL cents derivation as agg_gini; the nine reference bp
+    // constants are shared literals, shares are `// total` on
+    // non-negative numerators, dev_bp plain integer subtraction
+    "dq_benford" ->
+      """WITH c AS (
+           SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders),
+         g AS (SELECT digit, count(1) AS cnt FROM c GROUP BY 1),
+         e (digit, exp_bp) AS (VALUES (1, 3010), (2, 1761), (3, 1249),
+           (4, 969), (5, 792), (6, 669), (7, 580), (8, 512), (9, 458)),
+         j AS (
+           SELECT e.digit, COALESCE(g.cnt, 0) AS n, e.exp_bp
+           FROM e LEFT JOIN g ON e.digit = g.digit),
+         t AS (SELECT sum(n) AS total FROM j)
+         SELECT CAST(j.digit AS INT) AS digit, CAST(j.n AS BIGINT) AS n,
+             CAST(j.n * 10000 // t.total AS BIGINT) AS obs_bp,
+             CAST(j.exp_bp AS BIGINT) AS exp_bp,
+             CAST(j.n * 10000 // t.total - j.exp_bp AS BIGINT) AS dev_bp
+         FROM j, t ORDER BY digit""",
     // identical integer windows: doubled deviations vs the med2
     // reference, prefix-minus-running-min CUSUM closed form; med2 // 5
     // on a non-negative operand matches Spark's trunc div

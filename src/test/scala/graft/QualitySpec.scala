@@ -141,6 +141,46 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("dq_benford: conforming data zeroes every deviation, uniform and " +
+      "missing digits land the exact mirror basis points") {
+    import spark.implicits._
+    val ref = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+      5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    def run(vals: Seq[Double]) =
+      ops.Quality.dqBenfordOf(spark, vals.toDF("o_totalprice")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    // exactly exp_bp rows per digit out of 10000 → obs == exp, dev == 0
+    val conforming = ref.flatMap { case (d, bp) =>
+      Seq.fill(bp.toInt)(d + 0.11)
+    }
+    val c = run(conforming)
+    assert(c.map(_._1).toSeq == (1 to 9), s"digit spine broke: ${c.toSeq}")
+    c.foreach { case (d, n, obs, exp, dev) =>
+      assert(n == ref(d - 1)._2 && obs == exp && dev == 0L,
+        s"conforming digit $d: n=$n obs=$obs exp=$exp dev=$dev")
+    }
+    // uniform digits: every share is 10000 div 9 = 1111 bp
+    val u = run((1 to 9).flatMap(d => Seq.fill(40)(d + 0.11)).map(_.toDouble))
+    u.foreach { case (d, n, obs, exp, dev) =>
+      assert(n == 40L && obs == 1111L && dev == 1111L - exp,
+        s"uniform digit $d: ${(d, n, obs, exp, dev)}")
+    }
+    // digits 4..9 absent: emitted with n = 0, obs 0, dev = -exp
+    val m = run(Seq(1.11, 2.11, 2.11, 3.11))
+    assert(m.length == 9)
+    m.filter(_._1 >= 4).foreach { case (d, n, obs, _, dev) =>
+      assert(n == 0L && obs == 0L && dev == -ref(d - 1)._2,
+        s"missing digit $d: ${(d, n, obs, dev)}")
+    }
+    assert(m.filter(_._1 <= 3).map(_._2).toSeq == Seq(1L, 2L, 1L))
+    // fixture sanity: nine rows, counts conserve the table size
+    val f = ops.Quality.dq_benford(spark, sf).collect()
+    assert(f.length == 9)
+    val total = graft.util.Tables.orders(spark, sf).count()
+    assert(f.map(_.getLong(1)).sum == total)
+  }
+
   test("dq_cusum: a sustained +30% drift the level detectors provably " +
       "miss accumulates to an alarm, and the closed form equals the " +
       "recursive max(0, S + d) fold") {
