@@ -265,6 +265,33 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** Data-freshness monitor — the staleness leg of the operational DQ
+    * triad (volume detectors above, validity in dq_check): per event
+    * type, the last-seen timestamp and its lag in WHOLE HOURS behind
+    * the globally freshest type, alert at ≥ 24 h. The lag is exact
+    * integer µs arithmetic (`div` by 3,600,000,000 on a non-negative
+    * numerator — the global max is ≥ every per-type max by
+    * construction, so trunc/floor division agree); no float anywhere.
+    *
+    * 100 TB posture: one scan → one hash aggregation to (type, max ts,
+    * count); the global-max window runs over the types-only relation. */
+  val dq_freshness: Q = (s, d) => dqFreshnessOf(events(s, d))
+
+  /** kernel over any (event_type, ts) relation — QualitySpec plants a
+    * 30-hour-stale type next to a fresh one. */
+  private[graft] def dqFreshnessOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ev.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"))
+      .withColumn("latest", max(col("last_ts")).over(Window.partitionBy()))
+      .withColumn("stale_h",
+        expr("(unix_micros(latest) - unix_micros(last_ts))" +
+          " div CAST(3600000000 AS BIGINT)"))
+      .select(col("event_type"), col("last_ts"), col("n"), col("stale_h"),
+        (col("stale_h") >= 24L).as("alert"))
+      .orderBy("event_type")
+  }
+
   /** Benford first-digit screen over order totals — the classic
     * fabricated-data / distribution-shift audit: observed first-digit
     * shares of the exact DECIMAL-derived cents vs the Benford reference
@@ -314,9 +341,23 @@ object Quality {
     "dq_mad" -> dq_mad,
     "dq_cusum" -> dq_cusum,
     "dq_benford" -> dq_benford,
+    "dq_freshness" -> dq_freshness,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // exact integer µs lag; // by the hour constant on a non-negative
+    // numerator (global max >= per-type max) matches Spark's trunc div
+    "dq_freshness" ->
+      """WITH g AS (
+           SELECT event_type, max(ts) AS last_ts, count(1) AS n
+           FROM events GROUP BY 1),
+         m AS (SELECT max(last_ts) AS latest FROM g)
+         SELECT g.event_type, g.last_ts, CAST(g.n AS BIGINT) AS n,
+             CAST((epoch_us(m.latest) - epoch_us(g.last_ts)) // 3600000000
+               AS BIGINT) AS stale_h,
+             (epoch_us(m.latest) - epoch_us(g.last_ts)) // 3600000000 >= 24
+               AS alert
+         FROM g, m ORDER BY event_type""",
     // same DECIMAL cents derivation as agg_gini; the nine reference bp
     // constants are shared literals, shares are `// total` on
     // non-negative numerators, dev_bp plain integer subtraction

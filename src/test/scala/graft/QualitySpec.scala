@@ -141,6 +141,29 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("dq_freshness: a 30-hour-stale type alerts with the exact hour " +
+      "lag, the freshest type reads zero") {
+    import spark.implicits._
+    // fresh ends 2024-05-10 12:30; stale ends 30h10m earlier (whole-hour
+    // trunc → 30); mid ends 5h30m earlier (→ 5, no alert)
+    val ev = Seq(
+      ("2024-05-10 12:30:00", "fresh"), ("2024-05-09 01:00:00", "fresh"),
+      ("2024-05-09 06:20:00", "stale"), ("2024-05-08 09:00:00", "stale"),
+      ("2024-05-10 07:00:00", "mid"))
+      .toDF("tss", "event_type")
+      .select(to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val rows = ops.Quality.dqFreshnessOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(rows("fresh") == ((2L, 0L, false)), s"fresh: ${rows("fresh")}")
+    assert(rows("stale") == ((2L, 30L, true)), s"stale: ${rows("stale")}")
+    assert(rows("mid") == ((1L, 5L, false)), s"mid: ${rows("mid")}")
+    // fixture sanity: the globally freshest type reads exactly zero
+    val f = ops.Quality.dq_freshness(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getBoolean(4)))
+    assert(f.map(_._1).min == 0L, s"no zero-lag type: ${f.toSeq}")
+  }
+
   test("dq_benford: conforming data zeroes every deviation, uniform and " +
       "missing digits land the exact mirror basis points") {
     import spark.implicits._
