@@ -318,10 +318,13 @@ object Quality {
     val expected = Seq((1, 3010L), (2, 1761L), (3, 1249L), (4, 969L),
       (5, 792L), (6, 669L), (7, 580L), (8, 512L), (9, 458L))
       .toDF("digit", "exp_bp")
+    // abs() BEFORE the string image: a negative amount would lead with
+    // '-', which Spark casts to NULL but DuckDB REFUSES to cast — the
+    // magnitude's first digit is the Benford subject either way
     val counts = od
       .select((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long").as("cents"))
-      .select(substring(col("cents").cast("string"), 1, 1)
+      .select(substring(abs(col("cents")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
     expected.join(counts, Seq("digit"), "left")
@@ -363,8 +366,9 @@ object Quality {
     // non-negative numerators, dev_bp plain integer subtraction
     "dq_benford" ->
       """WITH c AS (
-           SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                     * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           SELECT CAST(substr(CAST(abs(CAST(CAST(o_totalprice
+                     AS DECIMAL(18,2)) * 100 AS BIGINT)) AS VARCHAR), 1, 1)
+                   AS INT) AS digit
            FROM orders),
          g AS (SELECT digit, count(1) AS cnt FROM c GROUP BY 1),
          e (digit, exp_bp) AS (VALUES (1, 3010), (2, 1761), (3, 1249),

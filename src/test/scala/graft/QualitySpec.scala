@@ -189,8 +189,11 @@ class QualitySpec extends SparkTestBase {
       assert(n == 40L && obs == 1111L && dev == 1111L - exp,
         s"uniform digit $d: ${(d, n, obs, exp, dev)}")
     }
-    // digits 4..9 absent: emitted with n = 0, obs 0, dev = -exp
-    val m = run(Seq(1.11, 2.11, 2.11, 3.11))
+    // digits 4..9 absent: emitted with n = 0, obs 0, dev = -exp; the
+    // negative amount counts by its MAGNITUDE's first digit (abs before
+    // the string image — a leading '-' would null on Spark and ERROR on
+    // DuckDB)
+    val m = run(Seq(1.11, -2.11, 2.11, 3.11))
     assert(m.length == 9)
     m.filter(_._1 >= 4).foreach { case (d, n, obs, _, dev) =>
       assert(n == 0L && obs == 0L && dev == -ref(d - 1)._2,
