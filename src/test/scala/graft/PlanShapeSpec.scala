@@ -497,17 +497,20 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("dq detectors window over the aggregated (type, day) relation, " +
       "never over raw events") {
-    // the family's scale contract: one scan of events, one hash
-    // aggregation down to types x days, and every window sits ABOVE
-    // that aggregate — so window input is O(types x days) at any
-    // corpus size. Asserted structurally on the executed plan for all
-    // three r9 detectors (anomaly/mad/cusum; dq_drift shares the
-    // kernel shape and is pinned by its oracle row).
+    // the family's scale contract: one scan of the audited table, one
+    // hash aggregation down to the tiny keyed relation (types x days /
+    // nine digits / types), and every window sits ABOVE that
+    // aggregate — so window input is constant-size at any corpus
+    // size. Asserted structurally on the executed plan for the three
+    // r9 detectors plus the benford and freshness screens (dq_drift
+    // shares the kernel shape and is pinned by its oracle row).
     withStaticPlan {
       for ((name, q) <- Seq[(String, ops.Q)](
           "dq_anomaly" -> ops.Quality.dq_anomaly,
           "dq_mad" -> ops.Quality.dq_mad,
-          "dq_cusum" -> ops.Quality.dq_cusum)) {
+          "dq_cusum" -> ops.Quality.dq_cusum,
+          "dq_benford" -> ops.Quality.dq_benford,
+          "dq_freshness" -> ops.Quality.dq_freshness)) {
         val plan = q(spark, sf).queryExecution.executedPlan
         val scans = plan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec => s
