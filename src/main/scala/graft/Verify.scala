@@ -20,6 +20,16 @@ object Verify {
     // the full 183-query sweep stays the gate.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled name must fail LOUDLY: silently selecting nothing
+    // exits green having written no parquet, and an unfiltered
+    // localdiff then reports spurious failures for every unwritten
+    // query (r9 ADVICE)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries

@@ -1966,16 +1966,6 @@ object Llm {
 
   val llm_ngram_freq: Q = (s, d) => ngramFreq(s, d)
 
-  /** Context-window chunking with overlap: each document splits into
-    * 64-token chunks on a 48-token stride (16 tokens of overlap — the
-    * standard trick so no span is ever cut across a boundary unseen).
-    * The complement of [[llm_pack]], which packs whole docs into bins;
-    * chunking SPLITS docs to the training context length. Pure
-    * declarative HOFs (sequence for the stride starts, slice for the
-    * window — the array bound once per row, the ngram lesson); the
-    * fan-out is tokens/stride per doc and carries only (doc_id,
-    * chunk_id, n_tok) rows, so the shuffle is chunk-count-bounded at
-    * any scale. */
   /** Content-defined chunking — the dedup-friendly variable-size
     * chunker (Rabin/FastCDC class) storage and training-data pipelines
     * use where [[llm_chunk]]'s fixed stride breaks: boundaries depend
@@ -2016,6 +2006,16 @@ object Llm {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Context-window chunking with overlap: each document splits into
+    * 64-token chunks on a 48-token stride (16 tokens of overlap — the
+    * standard trick so no span is ever cut across a boundary unseen).
+    * The complement of [[llm_pack]], which packs whole docs into bins;
+    * chunking SPLITS docs to the training context length. Pure
+    * declarative HOFs (sequence for the stride starts, slice for the
+    * window — the array bound once per row, the ngram lesson); the
+    * fan-out is tokens/stride per doc and carries only (doc_id,
+    * chunk_id, n_tok) rows, so the shuffle is chunk-count-bounded at
+    * any scale. */
   val llm_chunk: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))

@@ -157,16 +157,21 @@ object Quality {
     * that type's mean — the z-score twin of [[dq_drift]]'s
     * day-over-day ratio (drift catches steps, z-score catches level
     * outliers against the whole history). The ALERT decision is EXACT
-    * 64-bit integer arithmetic, never a float comparison: z² > 9 is
+    * integer arithmetic, never a float comparison: z² > 9 is
     * algebraically cleared of divisions to
     * `(n·c − s)²·(c−1) > 9·c·(c·m2 − s²)` over the integer moments
-    * (c days, s = Σn, m2 = Σn²) — both engines compare identical
-    * integers, so no half-boundary can flip the flag (the informational
+    * (c days, s = Σn, m2 = Σn²). The cleared products are CUBIC in the
+    * daily counts, so both sides accumulate them 128-bit — Spark in
+    * DECIMAL(38,0) (the agg_gini pattern), DuckDB in HUGEINT via
+    * explicit casts (its sum() windows are already HUGEINT) — and
+    * compare identical exact integers; int64 would wrap around
+    * ~10^6-10^7 events/day/type with a year of history (r9 ADVICE).
+    * 38 digits hold n²·c³, i.e. ~4·10^13 events/day/type over a
+    * 10-year history — no realistic feed reaches it. The informational
     * z4 column is the usual r4 statistical double, computed with an
-    * identical expression tree on both sides). Scale: the moments are
+    * identical expression tree on both sides. Scale: the moments are
     * frame-less window aggregates over the ALREADY-aggregated
-    * (type, day) table — rows = types × days — never over raw events;
-    * moment magnitudes stay < 2^63 up to ~10^9 events/day/type. */
+    * (type, day) table — rows = types × days — never over raw events. */
   val dq_anomaly: Q = (s, d) => dqAnomalyOf(events(s, d))
 
   /** kernel over any (event_type, ts) relation — unit-tested on planted
@@ -186,7 +191,11 @@ object Quality {
             sqrt((col("m2").cast("double") -
               col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
               (col("c").cast("double") - lit(1.0d))))).as("z4"),
-        expr("(n*c - s)*(n*c - s)*(c-1) > 9*c*(c*m2 - s*s)").as("alert"))
+        expr("(CAST(n AS DECIMAL(38,0))*c - s)" +
+          "*(CAST(n AS DECIMAL(38,0))*c - s)*(c-1)" +
+          " > 9*CAST(c AS DECIMAL(38,0))" +
+          "*(CAST(c AS DECIMAL(38,0))*m2 - CAST(s AS DECIMAL(38,0))*s)")
+          .as("alert"))
       .orderBy("event_type", "day")
   }
 
@@ -453,7 +462,9 @@ object Quality {
                sqrt((CAST(m2 AS DOUBLE) -
                      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
                     (CAST(c AS DOUBLE) - 1.0)), 4) END AS z4,
-             (n*c - s)*(n*c - s)*(c-1) > 9*c*(c*m2 - s*s) AS alert
+             (CAST(n AS HUGEINT)*c - s)*(CAST(n AS HUGEINT)*c - s)*(c-1)
+               > 9*CAST(c AS HUGEINT)*(CAST(c AS HUGEINT)*m2
+                                       - CAST(s AS HUGEINT)*s) AS alert
          FROM w ORDER BY event_type, day""",
     "dq_drift" ->
       """WITH c AS (

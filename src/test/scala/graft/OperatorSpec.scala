@@ -1196,6 +1196,52 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("join_nearest arm equality: the linear merged-stream plan equals " +
+      "the r9 pairwise-join form row-for-row at both fixture SFs, and on " +
+      "a planted same-timestamp tie fixture") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val ev = graft.util.Tables.events(spark, d)
+      assert(rows(ops.Relational.nearestLinear(ev)) ==
+        rows(ops.Relational.nearestJoinForm(ev)), s"arm mismatch at $d")
+    }
+    // planted edge cases the fixture can't guarantee: clicks sharing the
+    // purchase's exact timestamp on both event_id sides (dist-0 ties →
+    // smallest c_id must win), an exactly equidistant before/after pair
+    // (earlier click must win), and a user with purchases but no clicks
+    import java.sql.Timestamp
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new Timestamp(ms)
+    val planted = spark.createDataFrame(Seq(
+      // user 1: clicks at the purchase instant, ids straddling the purchase
+      (1L, ts(t0), 5L, "click"),
+      (1L, ts(t0), 7L, "purchase"),
+      (1L, ts(t0), 9L, "click"),
+      // user 2: equidistant ±1000ms — the EARLIER click (id 20) must win
+      (2L, ts(t0 - 1000), 20L, "click"),
+      (2L, ts(t0), 21L, "purchase"),
+      (2L, ts(t0 + 1000), 22L, "click"),
+      // user 3: purchase with no clicks at all → NULL candidate
+      (3L, ts(t0), 30L, "purchase"),
+      // user 4: nearest is AFTER (before-click farther than after-click)
+      (4L, ts(t0 - 5000), 40L, "click"),
+      (4L, ts(t0), 41L, "purchase"),
+      (4L, ts(t0 + 1000), 42L, "click")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = ops.Relational.nearestLinear(planted).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+    assert(got == Map(
+      7L -> Some((5L, 0L)),
+      21L -> Some((20L, 1000000L)),
+      30L -> None,
+      41L -> Some((42L, 1000000L))), got.toString)
+    assert(rows(ops.Relational.nearestLinear(planted)) ==
+      rows(ops.Relational.nearestJoinForm(planted)))
+  }
+
   test("agg_gini equals an exact BigInt driver-side recomputation and " +
       "stays inside [0, 10000)") {
     val cents = graft.util.Tables.orders(spark, sf)

@@ -598,4 +598,30 @@ class PlanShapeSpec extends SparkTestBase {
         !jac.contains("BroadcastNestedLoopJoin"), jac)
     }
   }
+
+  test("join_nearest is the linear merged-stream plan: window, NO join " +
+      "node, one user-keyed shuffle") {
+    withStaticPlan {
+      val df = ops.Relational.join_nearest(spark, sf)
+      val p = planOf(df)
+      // the r9 form paid a |P_u|×|C_u| per-user pairwise join; the r10
+      // plan must carry nearest-before/after through window frames only
+      assert(!p.contains("Join"), s"join node crept back in:\n$p")
+      assert(p.contains("Window"), p)
+      // exactly one WindowExec: both frames share (user_id, (ts, id))
+      // partition/order so Spark fuses them — a second WindowExec would
+      // mean a second sort of the whole stream
+      val winCount = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.size
+      assert(winCount == 1, s"expected 1 WindowExec, got $winCount:\n$p")
+      // shuffles: one hash exchange on user_id for the window + the
+      // final ORDER BY range exchange — nothing else
+      val exCount = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.size
+      assert(exCount == 2, s"expected 2 exchanges, got $exCount:\n$p")
+    }
+  }
 }
