@@ -292,18 +292,31 @@ object Graph {
     * links, two broadcast degree joins, and a top-k sort on the small
     * candidate relation. 100 TB posture: the wedge fan-out is
     * Σ deg(n)² — hub nodes dominate, exactly the skew story of every
-    * bucket op; the mitigations are a degree cap on the wedge-center
-    * (drop n with deg > c: provably only affects pairs whose similarity
-    * is hub-driven) or AQE skew-split, and the candidate relation after
-    * the ≥ 2 filter is tiny relative to the corpus. */
-  val graph_jaccard: Q = (s, d) => {
-    val e = supplierEdges(s, d, 11)
-    val sym = symmetrize(e)
-    val deg = sym.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
-    val common = sym.as("p").join(sym.as("q"),
-        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
-      .groupBy(col("p.v").as("a"), col("q.v").as("b"))
-      .agg(count(lit(1)).as("common"))
+    * bucket op — so the kernel carries a wedge-center DEGREE CAP
+    * (r9 verdict #2, now coded, not just documented): centers with
+    * deg > [[JaccardDegreeCap]] are excluded from wedge enumeration by
+    * a broadcast anti-join against the (tiny by definition) hub list,
+    * bounding wedge rows at Σ_{deg(n)≤cap} C(deg(n), 2) while the
+    * TRUE degrees still feed the Jaccard denominator. When no node
+    * exceeds the cap the anti-join is a provable no-op (the fixture
+    * graphs never do — GraphSpec asserts capped ≡ uncapped on them),
+    * and when a hub exists only pairs whose common-neighbor count is
+    * hub-driven lose that hub's contribution — the standard
+    * link-prediction mitigation (GraphSpec proves both halves on a
+    * planted-hub graph). */
+  val graph_jaccard: Q = (s, d) =>
+    jaccardTopK(supplierEdges(s, d, 11), JaccardDegreeCap)
+
+  /** Wedge-center degree cap for [[graph_jaccard]]: far above any
+    * fixture degree (sf0.1's densest supplier sits near 60), low
+    * enough that a capped center's wedge fan-out C(cap, 2) stays a
+    * bounded per-task unit at any corpus size. */
+  private[graft] val JaccardDegreeCap = 256L
+
+  /** [[graph_jaccard]] kernel over any (a, b), a < b edge relation. */
+  private[graft] def jaccardTopK(e: DataFrame, degCap: Long): DataFrame = {
+    val deg = jaccardDeg(e)
+    val common = jaccardCommon(e, degCap)
     common.join(e, Seq("a", "b"), "left_anti")
       .where(col("common") >= 2)
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))),
@@ -314,6 +327,22 @@ object Graph {
         expr("common * 10000 div (da + db - common)").as("jaccard_bp"))
       .orderBy(desc("jaccard_bp"), asc("a"), asc("b"))
       .limit(20)
+  }
+
+  private def jaccardDeg(e: DataFrame): DataFrame =
+    symmetrize(e).groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
+
+  /** Common-neighbor counts with hub centers excluded — split out so
+    * GraphSpec can bound the capped wedge fan-out directly. */
+  private[graft] def jaccardCommon(e: DataFrame, degCap: Long): DataFrame = {
+    val sym = symmetrize(e)
+    val hubs = jaccardDeg(e).where(col("deg") > degCap)
+      .select(col("node").as("u"))
+    val centers = sym.join(broadcast(hubs), Seq("u"), "left_anti")
+    centers.as("p").join(centers.as("q"),
+        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+      .groupBy(col("p.v").as("a"), col("q.v").as("b"))
+      .agg(count(lit(1)).as("common"))
   }
 
   /** 2-core decomposition of the sparse (m=59) graph: iteratively peel

@@ -172,4 +172,51 @@ class GraphSpec extends SparkTestBase {
       a < b && !edges((a, b)) && bp > 0 && bp <= 10000
     })
   }
+
+  test("graph_jaccard degree-cap arm: capped equals uncapped when no " +
+      "node exceeds the cap; a planted hub loses only its own wedge " +
+      "contribution and the fan-out is provably bounded") {
+    val sp = spark
+    import sp.implicits._
+    // two tight clusters sharing a hub: 1,2 each adjacent to 3,4,5 and
+    // to hub 6; hub 6 additionally fans to 7..11 (deg 7)
+    val edges = (Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (1L, 6L), (2L, 6L)) ++ (7L to 11L).map(x => (6L, x)))
+      .toDF("a", "b")
+    def res(cap: Long): Seq[(Long, Long, Long, Long)] =
+      ops.Graph.jaccardTopK(edges, cap)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    // cap above every degree: the anti-join is a no-op — identical to a
+    // cap of "infinity"
+    assert(res(7L) == res(Long.MaxValue))
+    // hand-checked uncapped answer: (1,2) share {3,4,5,6}; each of
+    // (3,4),(3,5),(4,5) shares {1,2}; each of (3,6),(4,6),(5,6) also
+    // shares {1,2} but the hub's degree dilutes the union
+    assert(res(7L) == Seq((1L, 2L, 4L, 10000L), (3L, 4L, 2L, 10000L),
+      (3L, 5L, 2L, 10000L), (4L, 5L, 2L, 10000L), (3L, 6L, 2L, 2857L),
+      (4L, 6L, 2L, 2857L), (5L, 6L, 2L, 2857L)))
+    // cap 4 drops ONLY hub 6 (deg 7) as a wedge CENTER: (1,2)'s common
+    // count loses exactly the hub's contribution (4 → 3, denominator
+    // still the TRUE degrees 4+4); every pair whose wedges run through
+    // non-hub centers — including the (x,6) pairs, whose centers are
+    // 1 and 2 — is untouched
+    assert(res(4L) == Seq((3L, 4L, 2L, 10000L), (3L, 5L, 2L, 10000L),
+      (4L, 5L, 2L, 10000L), (1L, 2L, 3L, 6000L), (3L, 6L, 2L, 2857L),
+      (4L, 6L, 2L, 2857L), (5L, 6L, 2L, 2857L)))
+    // fan-out bound: capped wedge rows = sum of C(deg, 2) over centers
+    // with deg <= cap — the hub's C(7,2)=21 wedges are gone
+    def wedgeRows(cap: Long): Long =
+      ops.Graph.jaccardCommon(edges, cap)
+        .agg(org.apache.spark.sql.functions.sum("common")).as[Long].head()
+    // degs: 1→4, 2→4, 3..5→2, 6→7, 7..11→1
+    assert(wedgeRows(Long.MaxValue) == 2 * 6 + 3 * 1 + 21)
+    assert(wedgeRows(4L) == 2 * 6 + 3 * 1)
+    // the production fixture graph is hub-free at the production cap:
+    // capped ≡ uncapped on it (the oracle-checked row is exact)
+    val prod = ops.Graph.supplierEdges(spark, sf, 11).select($"a", $"b")
+    assert(ops.Graph.jaccardTopK(prod, ops.Graph.JaccardDegreeCap)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      ops.Graph.jaccardTopK(prod, Long.MaxValue)
+        .as[(Long, Long, Long, Long)].collect().toSeq)
+  }
 }
