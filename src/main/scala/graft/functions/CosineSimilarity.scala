@@ -136,5 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftTableFunctions.asOfDescriptor)
     e.injectTableFunction(GraftTableFunctions.changesDescriptor)
     e.injectTableFunction(GraftTableFunctions.historyDescriptor)
+    // SQL DML (INSERT/UPDATE/DELETE/MERGE) over registered graft tables
+    e.injectResolutionRule(graft.sql.GraftDmlRule.apply)
   }
 }

@@ -350,6 +350,89 @@ object Table {
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** MERGE from PURE SQL (round-9 verdict missing #1, the WRITE side of
+    * the TVF read surface): a four-arm `MERGE INTO` issued through
+    * plain SQL over a registered graft table
+    * ([[graft.sql.GraftSql.exec]] — the same [[graft.sql.GraftDmlRule]]
+    * `spark.sql.extensions` sessions run inside the analyzer). Arms
+    * exercise every classification relation: matched-delete (%5 keys),
+    * matched-update (doubled price — exact exponent bump),
+    * not-matched-insert (even 1998+ keys), and
+    * not-matched-by-source-update (1992 rows flagged 'X'). The oracle
+    * replays the final state statically from the source relation, so a
+    * green row proves the SQL path classifies and commits exactly like
+    * the DSL the table format is tested on. Scale: classification is
+    * three shuffled joins; the commit rewrites only files holding
+    * touched keys (stats+bloom pruning) — cost follows DML locality,
+    * not table size. */
+  val table_sql_merge: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_merge_orders")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      graft.sql.GraftSqlTables.register("sql_merge_orders",
+        graft.sql.GraftSqlTables.Ref(root, "o_orderkey", statsCols,
+          statsCols, bloomCols = bloomCols))
+      graft.sql.GraftSql.exec(s,
+        s"""MERGE INTO sql_merge_orders t
+            USING (SELECT *, year(o_orderdate) AS o_year
+                   FROM parquet.`$d/orders.parquet`
+                   WHERE year(o_orderdate) >= 1997) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_orderkey % 5 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+            WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.o_year = 1992
+              THEN UPDATE SET o_orderstatus = 'X'""")
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"),
+        sum(when(col("o_orderstatus") === "X", 1).otherwise(0))
+          .cast("long").as("n_flagged"))
+      .orderBy("o_year")
+  }
+
+  /** INSERT + UPDATE + DELETE from pure SQL — the remaining three DML
+    * verbs over a registered graft table, composed into the same
+    * create→append→double→delete history the DSL fixtures use
+    * (positional INSERT appends 1998+, UPDATE doubles the 1998 `%3`
+    * slice, DELETE drops the 1996 `%7=2` keys), so the oracle is the
+    * familiar static replay. */
+  val table_sql_dml: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_dml_orders")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      graft.sql.GraftSqlTables.register("sql_dml_orders",
+        graft.sql.GraftSqlTables.Ref(root, "o_orderkey", statsCols,
+          statsCols, bloomCols = bloomCols))
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO sql_dml_orders
+            SELECT *, year(o_orderdate) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""")
+      graft.sql.GraftSql.exec(s,
+        """UPDATE sql_dml_orders SET o_totalprice = o_totalprice * 2
+           WHERE o_year = 1998 AND o_orderkey % 3 = 0""")
+      graft.sql.GraftSql.exec(s,
+        "DELETE FROM sql_dml_orders " +
+          "WHERE o_year = 1996 AND o_orderkey % 7 = 2")
+    }
+    GraftTable.read(s, root)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
     * warehouse-history staple: the full row-level change log over ALL
     * commits (0 → 3: creation inserts, append inserts, merge
@@ -364,18 +447,36 @@ object Table {
     * The oracle derives the identical log from the source relation
     * (v1 = years ≤ 1997, v2 = 1998 appends, v3 = doubled prices on the
     * 1998 `key % 3 = 0` slice — the fixture's commit recipe). */
-  val table_scd2: Q = (s, d) => {
+  val table_scd2: Q = (s, d) =>
+    scd2Of(GraftTable.changesBetweenRows(s, ordersTable(s, d), 0, 3,
+      "o_orderkey"))
+
+  /** kernel over any row-level change log carrying (o_orderkey,
+    * o_totalprice, _change_type, _commit_snapshot) — generalizes to ANY
+    * number of versions per key: one lead() per change event, so a
+    * 3-commit double→triple history chains three intervals, a DELETE
+    * closes its predecessor's interval (the deleted key has NO current
+    * row — the delete event participates in the lead() but emits no
+    * interval itself), and a later re-insert opens a fresh interval
+    * after the closed one. GraftTableSpec drives all three shapes over
+    * a planted multi-commit table (r9 verdict #4 latent-divergence
+    * audit: the production fixture only ever shows 2 versions/key and
+    * no deletes). */
+  private[graft] def scd2Of(
+      log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val root = ordersTable(s, d)
     val w = Window.partitionBy("o_orderkey").orderBy("v")
-    GraftTable.changesBetweenRows(s, root, 0, 3, "o_orderkey")
-      .where(col("_change_type").isin("insert", "update_postimage"))
+    log
+      .where(col("_change_type").isin("insert", "update_postimage", "delete"))
       .select(col("o_orderkey"), col("o_totalprice"),
-        col("_commit_snapshot").as("v"))
+        col("_commit_snapshot").as("v"),
+        (col("_change_type") === "delete").as("is_del"))
       .select(col("o_orderkey"), col("v").as("valid_from_snap"),
         lead(col("v"), 1).over(w).as("valid_to_snap"),
         lead(col("v"), 1).over(w).isNull.as("is_current"),
-        col("o_totalprice"))
+        col("o_totalprice"), col("is_del"))
+      .where(!col("is_del"))
+      .drop("is_del")
       .orderBy("o_orderkey", "valid_from_snap")
   }
 
@@ -383,6 +484,8 @@ object Table {
     "table_snapshot" -> table_snapshot,
     "table_sql_tt" -> table_sql_tt,
     "table_sql_cdc" -> table_sql_cdc,
+    "table_sql_merge" -> table_sql_merge,
+    "table_sql_dml" -> table_sql_dml,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -422,6 +525,47 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders WHERE year(o_orderdate) <= 1997
+         GROUP BY 1 ORDER BY 1""",
+    // the four MERGE arms replayed statically: 1997 keys %5 deleted,
+    // other 1997 prices doubled (exact), 1998+ even keys inserted,
+    // 1992 rows flagged 'X'; integer-sum n_flagged CAST BIGINT
+    "table_sql_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+               year(o_orderdate) AS o_year
+           FROM orders WHERE year(o_orderdate) <= 1997),
+         final AS (
+           SELECT o_orderkey, o_orderstatus,
+               2 * o_totalprice AS o_totalprice, o_year
+           FROM base WHERE o_year = 1997 AND o_orderkey % 5 <> 0
+           UNION ALL
+           SELECT o_orderkey,
+               CASE WHEN o_year = 1992 THEN 'X' ELSE o_orderstatus END,
+               o_totalprice, o_year
+           FROM base WHERE o_year <= 1996
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+               year(o_orderdate) AS o_year
+           FROM orders
+           WHERE year(o_orderdate) >= 1998 AND o_orderkey % 2 = 0)
+         SELECT CAST(o_year AS INT) AS o_year, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+             CAST(sum(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flagged
+         FROM final GROUP BY 1 ORDER BY 1""",
+    // INSERT(1998+) + UPDATE(double 1998 %3) + DELETE(1996 %7=2)
+    // replayed statically over the source relation
+    "table_sql_dml" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1998
+                                 AND o_orderkey % 3 = 0
+                                THEN 2 * o_totalprice
+                                ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE NOT (year(o_orderdate) = 1996 AND o_orderkey % 7 = 2)
          GROUP BY 1 ORDER BY 1""",
     // the TVF's v1→v2 delta = the appended slice at pre-merge values
     "table_sql_cdc" ->

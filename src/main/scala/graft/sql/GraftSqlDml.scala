@@ -1,0 +1,507 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.graft.SqlShim
+import org.apache.spark.sql.types.IntegerType
+
+import graft.table.GraftTable
+
+/** SQL DML over the [[graft.table.GraftTable]] snapshot format — the
+  * WRITE-side completion of the r9 TVF read surface (r9 verdict missing
+  * #1): `INSERT INTO` / `UPDATE` / `DELETE FROM` / `MERGE INTO` issued
+  * through plain `spark.sql`, landing as the same optimistic
+  * copy-on-write commits the DSL calls make.
+  *
+  * Spark-first mechanics, the blessed extension ladder rung (c): the
+  * parser already produces `InsertIntoStatement` / `UpdateTable` /
+  * `DeleteFromTable` / `MergeIntoTable` logical plans for any table
+  * name; [[GraftDmlRule]] (injected via `GraftExtensions` /
+  * `spark.sql.extensions`) resolves a REGISTERED graft table name into
+  * its snapshot read plan (the TVF splice, so the analyzer resolves
+  * every condition and assignment against real attributes), then — once
+  * the statement is fully resolved — collapses it into a
+  * `LeafRunnableCommand` that classifies rows with ordinary joins and
+  * commits through `GraftTable.append/merge/delete`. No DSv2 catalog is
+  * needed: the row-level-operation rewrite Spark would demand of one
+  * (group-based ReplaceData) rebuilds whole file groups anyway, which
+  * is exactly what the DSL's copy-on-write merge already does with
+  * stats+bloom pruning.
+  *
+  * The table contract (registered, not inferred): every graft SQL table
+  * is KEY-ADDRESSED — `keyCol` is its unique primary key, the same
+  * assumption `GraftTable.merge/delete` rest on. Consequences, each a
+  * loud `require`, never silent drift: a MERGE's ON condition must pin
+  * `target.key = <source expr>` among its conjuncts; UPDATE / matched
+  * UPDATE arms must not assign the key; a row matching several source
+  * rows, duplicate upsert keys, or an insert arm re-using an existing
+  * key all fail the statement.
+  *
+  * Scale posture: classification is three ordinary joins against the
+  * source (inner for matched, anti each way for the unmatched sides) —
+  * shuffle-partitioned on whatever Catalyst picks, never a driver
+  * loop — and the commits rewrite only stats/bloom-candidate files that
+  * actually hold touched keys (the DSL's two-level pruning), so cost
+  * scales with the DML's key locality, not table size. Snapshot
+  * semantics: all arms read the SAME base snapshot (captured at
+  * analysis); a MERGE lands as one upsert commit plus, only if a delete
+  * arm fired, one delete commit.
+  */
+object GraftSqlTables {
+
+  /** Everything the write path needs to know about a registered table —
+    * the same knobs every DSL call site passes explicitly. */
+  case class Ref(root: String, keyCol: String, statsCols: Seq[String],
+      clusterCols: Seq[String], numFiles: Int = 4,
+      bloomCols: Seq[String] = Nil)
+
+  private val reg =
+    new scala.collection.concurrent.TrieMap[String, Ref]
+
+  /** Bind `name` (single-part, case-insensitive) to a table root for
+    * SQL DML. Idempotent; re-registering overwrites. */
+  def register(name: String, ref: Ref): Unit =
+    reg.put(name.toLowerCase(java.util.Locale.ROOT), ref)
+
+  def lookup(nameParts: Seq[String]): Option[Ref] =
+    if (nameParts.length == 1)
+      reg.get(nameParts.head.toLowerCase(java.util.Locale.ROOT))
+    else None
+}
+
+/** Marker wrapping a DML target's snapshot read plan: carries the
+  * registry entry through analysis so the command-collapse step knows
+  * which table (and write knobs) the resolved statement addresses.
+  * Pass-through for resolution — output is the child's. */
+case class GraftSqlTarget(name: String, ref: GraftSqlTables.Ref,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftSqlTarget = copy(child = newChild)
+}
+
+/** Analyzer resolution rule: swap registered DML targets for their
+  * snapshot read plans, then collapse fully-resolved DML statements
+  * into graft commands. Runs inside the main resolution fixed point, so
+  * the collapse happens strictly before checkAnalysis would reject the
+  * un-rewritten statement. */
+case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Registered target (bare or `AS alias`-wrapped) → its snapshot read
+    * plan, SubqueryAlias-wrapped so `t.col` / `tablename.col`
+    * qualifiers in conditions and assignments resolve. */
+  private def splice(p: LogicalPlan): Option[GraftSqlTarget] = p match {
+    case u: UnresolvedRelation =>
+      GraftSqlTables.lookup(u.multipartIdentifier).map { ref =>
+        val name = u.multipartIdentifier.mkString(".")
+        GraftSqlTarget(name, ref, SubqueryAlias(name,
+          GraftTable.read(session, ref.root).queryExecution.logical))
+      }
+    case a @ SubqueryAlias(_, u: UnresolvedRelation) =>
+      GraftSqlTables.lookup(u.multipartIdentifier).map { ref =>
+        GraftSqlTarget(u.multipartIdentifier.mkString("."), ref,
+          a.copy(child =
+            GraftTable.read(session, ref.root).queryExecution.logical))
+      }
+    case _ => None
+  }
+
+  /** TOP-DOWN, deliberately: a DML statement must consume its own
+    * target before the generic read case below could swallow the
+    * target's UnresolvedRelation from underneath it (bottom-up visits
+    * children first). Non-target occurrences of registered names —
+    * FROM clauses, MERGE sources, subqueries — ARE meant to hit the
+    * read case: that is what makes a registered graft table fully
+    * name-addressable from plain SQL. */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      // phase 1: give the analyzer real attributes to resolve against.
+      // INSERT collapses immediately — the command analyzes its own
+      // query plan at run time, so nothing here waits on resolution.
+      case i @ InsertIntoStatement(u: UnresolvedRelation, part, cols,
+          query, overwrite, _, byName)
+          if GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
+        require(part.isEmpty,
+          "graft INSERT does not take a PARTITION clause (clustering is " +
+            "a table property)")
+        require(!overwrite, "INSERT OVERWRITE a graft table is not " +
+          "supported; use DELETE + INSERT or MERGE")
+        GraftInsertCommand(
+          GraftSqlTables.lookup(u.multipartIdentifier).get, query, cols,
+          byName)
+      case d @ DeleteFromTable(tbl, _) if splice(tbl).isDefined =>
+        d.copy(table = splice(tbl).get)
+      case up @ UpdateTable(tbl, _, _) if splice(tbl).isDefined =>
+        up.copy(table = splice(tbl).get)
+      case m @ MergeIntoTable(tbl, _, _, _, _, _, _)
+          if splice(tbl).isDefined =>
+        m.copy(targetTable = splice(tbl).get)
+      // READ path: any other reference to a registered name resolves to
+      // its snapshot read plan (SubqueryAlias'd so qualified column
+      // references keep working) — `SELECT ... FROM <registered>` from
+      // plain SQL, no TVF root-path needed.
+      case u: UnresolvedRelation
+          if GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
+        val ref = GraftSqlTables.lookup(u.multipartIdentifier).get
+        SubqueryAlias(u.multipartIdentifier.mkString("."),
+          GraftTable.read(session, ref.root).queryExecution.logical)
+      // phase 2: collapse resolved statements into runnable commands
+      case d @ DeleteFromTable(t: GraftSqlTarget, cond) if d.resolved =>
+        GraftDeleteCommand(t, cond)
+      case up @ UpdateTable(t: GraftSqlTarget, assigns, cond)
+          if up.resolved =>
+        GraftUpdateCommand(t, assigns, cond)
+      case m @ MergeIntoTable(t: GraftSqlTarget, src, cond, ma, nma, nmbs,
+          evolve) if m.resolved =>
+        require(!evolve,
+          "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables")
+        GraftMergeCommand(t, src, cond, ma, nma, nmbs)
+    }
+}
+
+/** Session-agnostic DML entry point. Sessions built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` can issue
+  * graft DML through plain `spark.sql(...)` (the injected
+  * [[GraftDmlRule]] collapses it inside the analyzer fixed point);
+  * `exec` runs the IDENTICAL rule manually for sessions built without
+  * extensions (the driver's plain Verify/Bench sessions, the shared
+  * test session) — parse, splice targets, resolve through the
+  * session's own analyzer, collapse, execute. One code path either
+  * way: `exec` calls the same [[GraftDmlRule]] the extension injects. */
+object GraftSql {
+
+  private def resolve(spark: SparkSession, sql: String): LogicalPlan = {
+    val rule = GraftDmlRule(spark)
+    val spliced = rule(spark.sessionState.sqlParser.parsePlan(sql))
+    rule(spark.sessionState.analyzer.execute(spliced))
+  }
+
+  /** Run one graft DML statement; fails loudly if `sql` did not
+    * collapse into a graft command (unregistered table, SELECT, ...). */
+  def exec(spark: SparkSession, sql: String): Unit = {
+    val collapsed = resolve(spark, sql)
+    require(collapsed.isInstanceOf[LeafRunnableCommand],
+      s"not a graft DML statement over a registered table: $sql\n" +
+        s"(analyzed to ${collapsed.getClass.getSimpleName})")
+    // commands execute eagerly on Dataset construction
+    SqlShim.ofRows(spark, collapsed)
+    ()
+  }
+
+  /** Any statement with registered graft tables name-addressable —
+    * `SELECT ... FROM <registered>` returns the relation, DML returns
+    * an empty frame after committing (the spark.sql contract). */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    SqlShim.ofRows(spark, resolve(spark, sqlText))
+}
+
+/** Shared machinery for the DML commands. */
+private[sql] object GraftDml {
+
+  def c(e: Expression): Column = SqlShim.column(e)
+
+  /** First-matching-action dispatch: the 0-based index of the first
+    * action whose condition holds (absent = always), null if none —
+    * `when` treats a null condition as non-matching, per SQL. */
+  def disposition(conds: Seq[Option[Expression]]): Column =
+    conds.zipWithIndex.foldRight(lit(null).cast(IntegerType): Column) {
+      case ((cnd, i), acc) =>
+        when(cnd.map(c).getOrElse(lit(true)), lit(i)).otherwise(acc)
+    }
+
+  /** The value `assignments` give target column `ta` (cast to its
+    * type), or `ta` itself when unassigned (SQL leaves it untouched for
+    * UPDATE arms; INSERT arms pass `orElseNull`). Top-level columns
+    * only — nested-field assignment is a loud unsupported. */
+  def assignedValue(ta: Attribute, assignments: Seq[Assignment],
+      orElseNull: Boolean): Column = {
+    val hit = assignments.find { a =>
+      a.key match {
+        case ar: AttributeReference =>
+          ar.exprId == ta.exprId ||
+            ar.name.equalsIgnoreCase(ta.name)
+        case other => throw new UnsupportedOperationException(
+          s"graft DML supports only top-level column assignment, got " +
+            s"${other.sql}")
+      }
+    }
+    hit.map(a => c(a.value).cast(ta.dataType))
+      .getOrElse(if (orElseNull) lit(null).cast(ta.dataType) else c(ta))
+      .as(ta.name)
+  }
+
+  def requireKeyNotAssigned(key: String, assignments: Seq[Assignment],
+      what: String): Unit =
+    require(!assignments.exists(_.key match {
+      case ar: AttributeReference => ar.name.equalsIgnoreCase(key)
+      case _ => false
+    }), s"$what must not assign the table key '$key' (graft tables are " +
+      "key-addressed; changing identity is DELETE + INSERT)")
+
+  /** The ON condition must pin target.key = <source-side expr> in its
+    * conjuncts — the keyed-upsert shape GraftTable.merge addresses
+    * files by. */
+  def hasKeyEquality(cond: Expression, keyAttr: Attribute,
+      sourceOut: Seq[Attribute]): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val srcIds = sourceOut.map(_.exprId).toSet
+    conjuncts(cond).exists {
+      case EqualTo(l: AttributeReference, r)
+          if l.exprId == keyAttr.exprId =>
+        r.references.forall(a => srcIds.contains(a.exprId))
+      case EqualTo(l, r: AttributeReference)
+          if r.exprId == keyAttr.exprId =>
+        l.references.forall(a => srcIds.contains(a.exprId))
+      case _ => false
+    }
+  }
+
+  def keyAttrOf(t: GraftSqlTarget): Attribute =
+    t.child.output.find(_.name.equalsIgnoreCase(t.ref.keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${t.name} has no key column '${t.ref.keyCol}'"))
+
+  /** Commit an upsert through the DSL merge (no-op on an empty frame —
+    * the DSL would otherwise write an empty commit). */
+  def commitUpsert(spark: SparkSession, t: GraftSqlTarget,
+      updates: DataFrame): Unit =
+    if (!updates.isEmpty)
+      GraftTable.merge(spark, t.ref.root, updates, t.ref.keyCol,
+        t.ref.statsCols, t.ref.clusterCols, t.ref.numFiles,
+        bloomCols = t.ref.bloomCols)
+
+  def commitDelete(spark: SparkSession, t: GraftSqlTarget,
+      keys: DataFrame): Unit =
+    if (!keys.isEmpty)
+      GraftTable.delete(spark, t.ref.root, keys, t.ref.keyCol,
+        t.ref.statsCols, t.ref.clusterCols, t.ref.numFiles,
+        bloomCols = t.ref.bloomCols)
+}
+
+/** `INSERT INTO t [(cols)] SELECT ...` → schema-aligned
+  * `GraftTable.append`. Positional by default (the SQL contract),
+  * by-name for `INSERT INTO t BY NAME`; an explicit column list names
+  * the query's columns positionally and must cover the full schema
+  * (graft has no column defaults). */
+case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
+    userCols: Seq[String], byName: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = SqlShim.ofRows(spark, query)
+    val tgt = GraftTable.read(spark, ref.root).schema
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.length == df.columns.length,
+          s"INSERT column list (${userCols.length}) does not match the " +
+            s"query width (${df.columns.length})")
+        df.toDF(userCols: _*)
+      } else if (byName) df
+      else {
+        require(df.columns.length == tgt.length,
+          s"positional INSERT width ${df.columns.length} != table width " +
+            s"${tgt.length}")
+        df.toDF(tgt.map(_.name): _*)
+      }
+    val missing = tgt.map(_.name).filterNot(n =>
+      named.columns.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"INSERT must cover every column (no defaults); missing: " +
+        missing.mkString(", "))
+    val aligned = named.select(
+      tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    GraftTable.append(spark, ref.root, aligned, ref.statsCols,
+      ref.clusterCols, ref.numFiles, ref.bloomCols)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE p` → key-addressed `GraftTable.delete` of the
+  * keys whose rows satisfy `p` against the captured snapshot. */
+case class GraftDeleteCommand(t: GraftSqlTarget, cond: Expression)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    val keys = SqlShim.ofRows(spark, Filter(cond, t.child))
+      .select(c(keyAttrOf(t)).as(t.ref.keyCol)).distinct()
+    commitDelete(spark, t, keys)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET a = e, ... [WHERE p]` → full-row upsert of the
+  * touched rows through `GraftTable.merge`. */
+case class GraftUpdateCommand(t: GraftSqlTarget,
+    assignments: Seq[Assignment], cond: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    requireKeyNotAssigned(t.ref.keyCol, assignments, "UPDATE")
+    val base = cond.map(Filter(_, t.child)).getOrElse(t.child)
+    val updates = SqlShim.ofRows(spark, base)
+      .select(t.child.output.map(ta =>
+        assignedValue(ta, assignments, orElseNull = false)).toSeq: _*)
+    commitUpsert(spark, t, updates)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON cond WHEN ...` — row classification by
+  * three joins against the captured snapshot, then at most one upsert
+  * commit + one delete commit. See the module doc for the key-addressed
+  * contract and its loud requires. */
+case class GraftMergeCommand(t: GraftSqlTarget, source: LogicalPlan,
+    cond: Expression, matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  import GraftDml._
+
+  private val ActCol = "__graft_act"
+
+  /** (condition, update-assignments | None=delete) per action, star
+    * actions expanded to full by-name assignment from the source. */
+  private def expanded(actions: Seq[MergeAction], tgtOut: Seq[Attribute],
+      srcOut: Seq[Attribute])
+      : Seq[(Option[Expression], Option[Seq[Assignment]])] = {
+    def star(): Seq[Assignment] = tgtOut.map { ta =>
+      val sa = srcOut.find(_.name.equalsIgnoreCase(ta.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"star action: source has no column '${ta.name}'"))
+      Assignment(ta, sa)
+    }
+    actions.map {
+      case UpdateAction(cnd, assigns, _) => (cnd, Some(assigns))
+      case InsertAction(cnd, assigns) => (cnd, Some(assigns))
+      case DeleteAction(cnd) => (cnd, None)
+      case UpdateStarAction(cnd) => (cnd, Some(star()))
+      case InsertStarAction(cnd) => (cnd, Some(star()))
+    }
+  }
+
+  /** Apply first-match dispatch over `rel`: full-row frames for the
+    * update/insert arms (target schema, casts + aliases applied) and a
+    * key frame for the delete arms. */
+  private def applyActions(rel: DataFrame,
+      acts: Seq[(Option[Expression], Option[Seq[Assignment]])],
+      tgtOut: Seq[Attribute], keyAttr: Attribute, insertArm: Boolean)
+      : (DataFrame, DataFrame) = {
+    val tagged = rel.withColumn(ActCol, disposition(acts.map(_._1)))
+    val updIdx = acts.zipWithIndex.collect {
+      case ((_, Some(_)), i) => i
+    }
+    val delIdx = acts.zipWithIndex.collect { case ((_, None), i) => i }
+    val rows =
+      if (updIdx.isEmpty) None
+      else Some(tagged
+        .where(col(ActCol).isin(updIdx.map(Integer.valueOf): _*))
+        .select(tgtOut.map { ta =>
+          updIdx.foldRight(
+            if (insertArm) lit(null).cast(ta.dataType) else c(ta)) {
+            (i, acc) =>
+              when(col(ActCol) === i,
+                assignedValue(ta, acts(i)._2.get, insertArm))
+                .otherwise(acc)
+          }.as(ta.name)
+        }.toSeq: _*))
+    val dels =
+      if (delIdx.isEmpty) None
+      else Some(tagged
+        .where(col(ActCol).isin(delIdx.map(Integer.valueOf): _*))
+        .select(c(keyAttr).as(t.ref.keyCol)))
+    (rows.getOrElse(emptyLike(rel.sparkSession, tgtOut)),
+      dels.getOrElse(emptyKeys(rel.sparkSession, keyAttr)))
+  }
+
+  private def emptyLike(spark: SparkSession,
+      tgtOut: Seq[Attribute]): DataFrame =
+    SqlShim.ofRows(spark, LocalRelation(tgtOut.map(_.toAttribute)))
+
+  private def emptyKeys(spark: SparkSession, keyAttr: Attribute): DataFrame =
+    SqlShim.ofRows(spark, LocalRelation(Seq(keyAttr.toAttribute)))
+      .toDF(t.ref.keyCol)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgtOut = t.child.output
+    val srcOut = source.output
+    val keyAttr = keyAttrOf(t)
+    require(hasKeyEquality(cond, keyAttr, srcOut),
+      s"MERGE INTO a graft table requires `target.${t.ref.keyCol} = " +
+        "<source expression>` among the ON conjuncts (the storage merge " +
+        "is key-addressed)")
+    matchedActions.foreach {
+      case UpdateAction(_, assigns, _) =>
+        requireKeyNotAssigned(t.ref.keyCol, assigns, "WHEN MATCHED UPDATE")
+      case _ => ()
+    }
+    notMatchedBySourceActions.foreach {
+      case UpdateAction(_, assigns, _) =>
+        requireKeyNotAssigned(t.ref.keyCol, assigns,
+          "WHEN NOT MATCHED BY SOURCE UPDATE")
+      case _ => ()
+    }
+
+    val matchedRel = SqlShim.ofRows(spark,
+      Join(t.child, source, Inner, Some(cond), JoinHint.NONE))
+    val srcOnlyRel = SqlShim.ofRows(spark,
+      Join(source, t.child, LeftAnti, Some(cond), JoinHint.NONE))
+    val tgtOnlyRel = SqlShim.ofRows(spark,
+      Join(t.child, source, LeftAnti, Some(cond), JoinHint.NONE))
+
+    // SQL cardinality rule: a target row may match at most one source row
+    if (matchedActions.nonEmpty) {
+      val dup = matchedRel.groupBy(c(keyAttr)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0, "MERGE cardinality violation: a target row " +
+        "matches more than one source row")
+    }
+
+    val (matchedUpd, matchedDel) = applyActions(matchedRel,
+      expanded(matchedActions, tgtOut, srcOut), tgtOut, keyAttr,
+      insertArm = false)
+    val (insRows, _) = applyActions(srcOnlyRel,
+      expanded(notMatchedActions, tgtOut, srcOut), tgtOut, keyAttr,
+      insertArm = true)
+    val (bySrcUpd, bySrcDel) = applyActions(tgtOnlyRel,
+      expanded(notMatchedBySourceActions, tgtOut, srcOut), tgtOut,
+      keyAttr, insertArm = false)
+
+    // an insert arm must not re-use a live key: the key-addressed upsert
+    // would silently REPLACE the existing row instead of failing
+    if (notMatchedActions.nonEmpty) {
+      val clash = insRows.select(col(t.ref.keyCol))
+        .join(SqlShim.ofRows(spark, t.child)
+          .select(c(keyAttr).as(t.ref.keyCol)), t.ref.keyCol, "left_semi")
+        .limit(1).count()
+      require(clash == 0, "MERGE insert arm produced a key that already " +
+        "exists in the target (matched by a failing extra ON conjunct?)")
+    }
+
+    val upserts = matchedUpd.unionByName(bySrcUpd).unionByName(insRows)
+      .persist()
+    val delKeys = matchedDel.unionByName(bySrcDel).persist()
+    try {
+      val dupUp = upserts.groupBy(col(t.ref.keyCol)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dupUp == 0, "MERGE produced duplicate upsert keys")
+      commitUpsert(spark, t, upserts)
+      commitDelete(spark, t, delKeys)
+    } finally {
+      upserts.unpersist()
+      delKeys.unpersist()
+    }
+    Seq.empty
+  }
+}

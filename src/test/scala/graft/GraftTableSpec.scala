@@ -1115,4 +1115,174 @@ class GraftTableSpec extends SparkTestBase {
     val touched = byKey.filter(_._2.length > 1).keySet
     assert(touched.nonEmpty && touched.forall(_ % 3 == 0))
   }
+
+  test("scd2Of: 3-version keys chain, a delete closes its interval " +
+      "leaving NO current row, and a re-insert opens a fresh interval " +
+      "(r9 latent-divergence audit — the production fixture caps at 2 " +
+      "versions/key and never deletes)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def df(rows: (Long, Double)*) =
+      rows.toSeq.toDF("o_orderkey", "o_totalprice")
+    val k = Seq("o_orderkey")
+    GraftTable.create(spark, root,
+      df(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0), k, k,
+      numFiles = 2)
+    GraftTable.merge(spark, root, df(1L -> 100.0, 5L -> 50.0),
+      "o_orderkey", k, k, 2)                       // v2: update + insert
+    GraftTable.merge(spark, root, df(1L -> 300.0),
+      "o_orderkey", k, k, 2)                       // v3: third version
+    GraftTable.delete(spark, root, Seq(2L).toDF("o_orderkey"),
+      "o_orderkey", k, k, 2)                       // v4: delete key 2
+    GraftTable.merge(spark, root, df(2L -> 999.0),
+      "o_orderkey", k, k, 2)                       // v5: resurrect key 2
+    val got = ops.Table.scd2Of(
+      GraftTable.changesBetweenRows(spark, root, 0, 5, "o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getBoolean(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 1, Some(2), false, 10.0),
+      (1L, 2, Some(3), false, 100.0),
+      (1L, 3, None, true, 300.0),
+      (2L, 1, Some(4), false, 20.0),   // closed BY the delete commit
+      (2L, 5, None, true, 999.0),      // fresh interval post-resurrection
+      (3L, 1, None, true, 30.0),
+      (4L, 1, None, true, 40.0),
+      (5L, 2, None, true, 50.0)), got.toString)
+  }
+
+  // ---- SQL DML (graft.sql.GraftSql / GraftDmlRule) ----
+
+  import graft.sql.{GraftSql, GraftSqlTables}
+
+  private def sqlTable(name: String, n: Int = 10): String = {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(n), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftSqlTables.register(name,
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), 2))
+    root
+  }
+
+  private def state(root: String): Map[Long, String] =
+    GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("sql dml: MERGE classifies matched/not-matched/by-source and " +
+      "applies first-matching-action per row") {
+    val root = sqlTable("m_t")
+    GraftSql.exec(spark,
+      """MERGE INTO m_t t
+         USING (SELECT id, concat('s', id) AS payload FROM range(6, 16)) s
+         ON t.id = s.id
+         WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET payload = s.payload
+         WHEN NOT MATCHED AND s.id <= 13 THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE AND t.id <= 2
+           THEN UPDATE SET payload = 'old'""")
+    val got = state(root)
+    val want = Map(
+      1L -> "old", 2L -> "old", 3L -> "v3", 4L -> "v4", 5L -> "v5",
+      7L -> "s7", 9L -> "s9", 11L -> "s11", 12L -> "s12", 13L -> "s13")
+    assert(got == want)
+  }
+
+  test("sql dml: INSERT positional + UPDATE WHERE + DELETE round-trip") {
+    val root = sqlTable("d_t", n = 5)
+    GraftSql.exec(spark,
+      "INSERT INTO d_t SELECT id + 100, concat('p', id) FROM range(1, 4)")
+    GraftSql.exec(spark,
+      "UPDATE d_t SET payload = upper(payload) WHERE id > 100")
+    GraftSql.exec(spark, "DELETE FROM d_t WHERE id = 102")
+    val got = state(root)
+    assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4",
+      5L -> "v5", 101L -> "P1", 103L -> "P3"))
+  }
+
+  test("sql dml: loud guards — key equality, key assignment, " +
+      "cardinality, insert-key clash, width") {
+    val root = sqlTable("g_t")
+    // MERGE without target.key = <source expr> in the ON conjuncts
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """MERGE INTO g_t t USING (SELECT 1 AS id, 'x' AS payload) s
+           ON t.id < s.id WHEN MATCHED THEN DELETE""")
+    }
+    // UPDATE must not assign the key
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "UPDATE g_t SET id = 1")
+    }
+    // a target row matching two source rows
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """MERGE INTO g_t t
+           USING (SELECT 7 AS id, 'x' AS payload
+                  UNION ALL SELECT 7, 'y') s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET payload = s.payload""")
+    }
+    // insert arm resurrecting a live key (extra ON conjunct fails it
+    // into the not-matched side)
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """MERGE INTO g_t t
+           USING (SELECT 5 AS id, 'x' AS payload) s
+           ON t.id = s.id AND s.id > 100
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    // positional INSERT width mismatch
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "INSERT INTO g_t SELECT id FROM range(1, 2)")
+    }
+    // nothing committed by any failed statement
+    assert(state(root) == (1 to 10).map(i => i.toLong -> s"v$i").toMap)
+  }
+
+  test("sql dml: registered names are READ-addressable — SELECT / " +
+      "self-join via GraftSql.sql on the plain session") {
+    val root = sqlTable("r_t", n = 6)
+    val got = GraftSql.sql(spark,
+      "SELECT id, payload FROM r_t WHERE id % 2 = 0 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "v2"), (4L, "v4"), (6L, "v6")))
+    val n = GraftSql.sql(spark,
+      "SELECT count(1) AS n FROM r_t a JOIN r_t b ON a.id = b.id")
+      .head().getLong(0)
+    assert(n == 6L)
+    // reads see DML immediately: delete then re-read by name
+    GraftSql.exec(spark, "DELETE FROM r_t WHERE id <= 4")
+    assert(GraftSql.sql(spark, "SELECT id FROM r_t").count() == 2L)
+    assert(state(root).keySet == Set(5L, 6L))
+  }
+
+  test("sql dml: injected GraftExtensions collapse plain spark.sql DML " +
+      "inside the analyzer") {
+    val root = sqlTable("ext_t")
+    val SS = org.apache.spark.sql.SparkSession
+    SS.clearActiveSession(); SS.clearDefaultSession()
+    val s2 = SS.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne spark) // a real second session, extensions applied
+      s2.sql("DELETE FROM ext_t WHERE id % 2 = 0")
+      s2.sql(
+        """MERGE INTO ext_t t
+           USING (SELECT 1 AS id, 'sql' AS payload) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET payload = s.payload""")
+      // name-addressed READ through plain spark.sql on the same session
+      assert(s2.sql("SELECT count(1) AS n FROM ext_t").head()
+        .getLong(0) == 5L)
+    } finally {
+      SS.setDefaultSession(spark); SS.setActiveSession(spark)
+    }
+    assert(state(root) == Map(1L -> "sql", 3L -> "v3", 5L -> "v5",
+      7L -> "v7", 9L -> "v9"))
+  }
 }

@@ -166,6 +166,105 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("SQL DML model: random INSERT/UPDATE/DELETE/MERGE statement " +
+      "sequences read back as a pure Map model") {
+    // The graft.sql surface version of the commit-sequence model above:
+    // arbitrary SQL statements through GraftSql.exec against a
+    // registered table, a pure Map[id -> payload] model updated by the
+    // same SQL semantics, and the latest read compared after EVERY
+    // statement — so classification (matched / not-matched /
+    // not-matched-by-source), first-matching-action dispatch and the
+    // key-addressed commits hold across generated histories, not just
+    // GraftTableSpec's hand-written ones.
+    import java.nio.file.Files
+    sealed trait Op
+    case class Insert(n: Int) extends Op
+    case class Update(mod: Int, rem: Int) extends Op
+    case class Delete(mod: Int, rem: Int) extends Op
+    // MERGE over [lo, lo+w): matched → delete evens / update odds (del)
+    // or update all (!del); not-matched → insert; plus a
+    // not-matched-by-source arm re-tagging id % 7 = 1 survivors
+    case class MergeW(off: Int, w: Int, del: Boolean) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> Gen.choose(1, 15).map(Insert(_)),
+      3 -> Gen.zip(Gen.choose(2, 5), Gen.choose(0, 1))
+        .map { case (m, r) => Update(m, r) },
+      2 -> Gen.zip(Gen.choose(3, 6), Gen.choose(0, 2))
+        .map { case (m, r) => Delete(m, r) },
+      4 -> Gen.zip(Gen.choose(-10, 30), Gen.choose(1, 20),
+        Gen.oneOf(true, false))
+        .map { case (o, w, d) => MergeW(o, w, d) })
+    for ((opsSeq, run) <- samples(Gen.listOfN(6, opGen), 2).zipWithIndex) {
+      val dir = Files.createTempDirectory(s"graft_sql_model$run").toFile
+      graft.util.AppCleanup.onExit(s"graft_sql_model_${dir.getName}")(
+        graft.util.AppCleanup.recursiveDelete(dir))
+      val root = dir.getAbsolutePath
+      val tbl = s"prop_sql_t$run"
+      import spark.implicits._
+      var model = (1L to 40L).map(k => k -> s"v$k").toMap
+      var nextKey = 41L
+      graft.table.GraftTable.create(spark, root,
+        model.toSeq.toDF("id", "payload"), Seq("id"), Seq("id"),
+        numFiles = 3)
+      graft.sql.GraftSqlTables.register(tbl,
+        graft.sql.GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), 2))
+      for ((op, step) <- opsSeq.zipWithIndex) {
+        op match {
+          case Insert(n) =>
+            val (lo, hi) = (nextKey, nextKey + n); nextKey = hi
+            graft.sql.GraftSql.exec(spark,
+              s"""INSERT INTO $tbl
+                  SELECT id, concat('i$step-', CAST(id AS STRING))
+                  FROM range($lo, $hi)""")
+            model ++= (lo until hi).map(k => k -> s"i$step-$k")
+          case Update(m, r) =>
+            graft.sql.GraftSql.exec(spark,
+              s"""UPDATE $tbl
+                  SET payload = concat('u$step-', CAST(id AS STRING))
+                  WHERE id % $m = $r""")
+            model = model.map { case (k, v) =>
+              k -> (if (k % m == r) s"u$step-$k" else v) }
+          case Delete(m, r) =>
+            graft.sql.GraftSql.exec(spark,
+              s"DELETE FROM $tbl WHERE id % $m = $r")
+            model = model.filter { case (k, _) => k % m != r }
+          case MergeW(off, w, del) =>
+            val (lo, hi) = (math.max(0, off).toLong,
+              math.max(0, off).toLong + w)
+            nextKey = math.max(nextKey, hi)
+            val matchedArms =
+              if (del) """WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+                          WHEN MATCHED THEN UPDATE SET payload = s.payload"""
+              else "WHEN MATCHED THEN UPDATE SET payload = s.payload"
+            graft.sql.GraftSql.exec(spark,
+              s"""MERGE INTO $tbl t
+                  USING (SELECT id,
+                           concat('m$step-', CAST(id AS STRING)) AS payload
+                         FROM range($lo, $hi)) s
+                  ON t.id = s.id
+                  $matchedArms
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE AND t.id % 7 = 1
+                    THEN UPDATE SET payload =
+                      concat('o$step-', CAST(t.id AS STRING))""")
+            val src = (lo until hi).toSet
+            model = model.flatMap { case (k, v) =>
+              if (src(k))
+                if (del && k % 2 == 0) None else Some(k -> s"m$step-$k")
+              else if (k % 7 == 1) Some(k -> s"o$step-$k")
+              else Some(k -> v)
+            } ++ src.filterNot(model.contains).map(k => k -> s"m$step-$k")
+        }
+        val got = graft.table.GraftTable.read(spark, root).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model,
+          s"run $run step $step ($op): SQL surface diverged from model " +
+            s"(missing=${(model.keySet -- got.keySet).toSeq.sorted.take(5)}" +
+            s" extra=${(got.keySet -- model.keySet).toSeq.sorted.take(5)})")
+      }
+    }
+  }
+
   test("z-order Morton code: decodes back to its inputs (2, 3 and 4 dims)") {
     // the Column bit-interleave must be a bijection on 16-bit inputs —
     // a wrong shift would silently coarsen clustering (files still
