@@ -1798,6 +1798,55 @@ object Llm {
       .orderBy("doc_id", "rn")
   }
 
+  /** Okapi BM25 retrieval scoring (r9 verdict #7) — the
+    * public-knowledge ranking staple (Robertson & Spärck Jones;
+    * k1 = 1.2, b = 0.75 pinned, Lucene-style `ln(... + 1)` idf so
+    * scores stay positive even for >half-corpus terms): for the 12
+    * highest-df query terms (df desc, term asc — a deterministic
+    * data-derived query set), score every containing doc
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) and keep the top 10
+    * docs per term. Arithmetic is float-by-necessity (ln) — the
+    * llm_tfidf discipline applies: ONE expression tree with identical
+    * association on both engines, r4 only at the output surface, raw
+    * scores drive the rank.
+    *
+    * 100 TB shape: two token-grain aggregates (tf, per-doc length) —
+    * the same scans tfidf pays — a broadcast 12-row query-term dim, a
+    * doc_id-keyed join for lengths, and the top-k through
+    * [[topKByKey]], which escalates to the salted two-level rank when
+    * the probed max candidate set (= the top term's df — by
+    * construction the largest df in the corpus) exceeds the window
+    * threshold, so a query term matching a billion docs never
+    * serializes one partition. */
+  val llm_bm25: Q = (s, d) => {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfRel.orderBy(desc("df"), asc("term")).limit(12)
+      .select(col("term").as("qt"), col("df"))
+    val maxDf = memoProbe(s, d, "bm25_max_df")(
+      dfRel.agg(max(col("df"))).head().getLong(0))
+    val scored = tf
+      .join(broadcast(qterms), col("term") === col("qt"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_raw",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    topKByKey(scored, Seq("term"),
+      Seq(desc("score_raw"), asc("doc_id")), hash(col("doc_id")),
+      k = 10, maxPerKey = maxDf)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        r4(col("score_raw")).as("score"), col("__rk").as("rk"))
+      .orderBy("term", "rk")
+  }
+
   /** per (lang, source) doc stats; n_bad counts violations of the verified
     * n_chars == length(text) fixture invariant (expected 0 — a canary). */
   val llm_textstats: Q = (s, d) =>
@@ -2735,6 +2784,7 @@ object Llm {
     "llm_token_count" -> llm_token_count,
     "llm_bpe" -> llm_bpe,
     "llm_tfidf" -> llm_tfidf,
+    "llm_bm25" -> llm_bm25,
     "llm_textstats" -> llm_textstats,
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
@@ -3455,6 +3505,32 @@ object Llm {
                FROM documents)
          WHERE tok NOT IN ('a', 'the', 'of', 'and')
          GROUP BY tok ORDER BY tok""",
+    // identical association order to the Spark expression tree (the
+    // tfidf float discipline): idf * (tf * 2.2) / (tf + 1.2 * (...))
+    "llm_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY 1),
+         stats AS (SELECT count(1) AS n_docs,
+                       sum(dl) * 1.0 / count(1) AS avgdl FROM dl),
+         df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         q AS (SELECT term AS qt, df FROM df
+               ORDER BY df DESC, term ASC LIMIT 12),
+         scored AS (
+           SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+               ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 AS score_raw
+           FROM tf JOIN q ON tf.term = q.qt
+           JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY term
+               ORDER BY score_raw DESC, doc_id ASC) AS INT) AS rk
+           FROM scored)
+         SELECT term, doc_id, tf, dl, round(score_raw, 4) AS score, rk
+         FROM ranked WHERE rk <= 10 ORDER BY term, rk""",
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents),

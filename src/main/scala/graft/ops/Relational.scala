@@ -483,6 +483,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The mergeable-sketch family's INTERSECTION direction (r9 verdict
+    * #6) — the one set-algebra question HLL unions cannot answer: how
+    * many distinct keys sit in BOTH of two populations. DataSketches
+    * THETA sketches (the Spark 4.1 `theta_*` surface over
+    * datasketches-java) carry full set algebra: per order priority,
+    * sketch the custkeys active in 1996 and in 1997 ONCE at the fine
+    * grain, then answer returning (∩), active-either (∪) and churned
+    * (\) customers by sketch algebra over the compact sketch bytes —
+    * at 100 TB the sketches persist at ingest and every retention
+    * rollup is a bytes-merge, never a customer-set rescan or exact
+    * pairwise join. lgK=12 → ~1.6 % relative standard error on the
+    * union; OperatorSpec bounds all three estimates against the exact
+    * set sizes at both fixture SFs. Sketch bytes are engine-specific →
+    * rows-only check (the pre-declared sketch-family posture). */
+  val agg_theta_intersect: Q = (s, d) => {
+    val sk = orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .where(col("yr").isin(1996, 1997))
+      .groupBy(col("o_orderpriority"), col("yr"))
+      .agg(theta_sketch_agg(col("o_custkey"), 12).as("sk"))
+    val a = sk.where(col("yr") === 1996)
+      .select(col("o_orderpriority"), col("sk").as("sk_a"))
+    val b = sk.where(col("yr") === 1997)
+      .select(col("o_orderpriority"), col("sk").as("sk_b"))
+    a.join(b, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .cast("long").as("approx_returning"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"), lit(12)))
+          .cast("long").as("approx_either"),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
+          .cast("long").as("approx_churned"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The second sketch family next to HLL: error-bounded percentile
     * estimation (Greenwald-Khanna, accuracy 1000 → ≤ 0.1% rank error) —
     * the way a 100 TB pipeline gets quantiles without a global sort.
@@ -991,6 +1026,7 @@ object Relational {
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
     "agg_hll_merge" -> agg_hll_merge,
+    "agg_theta_intersect" -> agg_theta_intersect,
     "agg_approx_pctile" -> agg_approx_pctile,
     "agg_cms" -> agg_cms,
     "agg_rollup" -> agg_rollup,

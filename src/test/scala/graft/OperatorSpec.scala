@@ -81,6 +81,40 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_theta_intersect: theta set algebra (∩/∪/\\) within 5% of " +
+      "the exact customer sets at both fixture SFs, and consistent " +
+      "(both ≤ either, returning + churned ≈ 1996 side)") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val got = ops.Relational.agg_theta_intersect(spark, d).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val o = graft.util.Tables.orders(spark, d)
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      def keys(y: Int) = o.where(col("yr") === y)
+        .select("o_orderpriority", "o_custkey").distinct()
+      val k96 = keys(1996).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val k97 = keys(1997).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      got.foreach { case (p, (both, either, churned)) =>
+        val e96 = k96.count(_._1 == p); val e97 = k97.count(_._1 == p)
+        val eBoth = k96.intersect(k97).count(_._1 == p)
+        val eEither = e96 + e97 - eBoth
+        val eChurn = e96 - eBoth
+        def ok(est: Long, exact: Long) =
+          math.abs(est - exact) <= math.max(2.0, 0.05 * eEither)
+        assert(ok(both, eBoth) && ok(either, eEither) &&
+          ok(churned, eChurn),
+          s"$d/$p: got ($both,$either,$churned) " +
+            s"exact ($eBoth,$eEither,$eChurn)")
+        // internal consistency of the algebra
+        assert(both <= either && churned <= either, s"$d/$p")
+      }
+      assert(got.nonEmpty, d)
+    }
+  }
+
   test("keepBestSurvivors: argmax-quality keeper per component, " +
       "min-id tiebreak, singletons keep themselves") {
     import spark.implicits._

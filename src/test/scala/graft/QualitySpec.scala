@@ -141,6 +141,30 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("dq_mad: EVEN-count interpolation stays exact — both medians " +
+      "land mid-pair and still produce integer med2/mad4 (r9 " +
+      "latent-divergence audit of the exactness claim)") {
+    import spark.implicits._
+    // 4 days, counts 1/2/4/8: median interpolates (2+4)/2 = 3 → med2=6;
+    // dev4 = |4n-12| = 8,4,4,20 (even ints), median interpolates
+    // (4+8)/2 = 6 = mad4 (integer, as the claim requires); alert bound
+    // 3*mad4 = 18 → only the 8-count day (dev4=20) flags
+    val ev = Seq(1 -> 1, 2 -> 2, 3 -> 4, 4 -> 8).flatMap {
+      case (day, cnt) => (1 to cnt).map(_ => (s"2024-02-0$day 00:00:00", 0))
+    }
+    val df = ev.toDF("tss", "i")
+      .select(to_timestamp(col("tss")).as("ts"),
+        lit("click").as("event_type"))
+    val rows = ops.Quality.dqMadOf(df).collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.forall(r => r._3 == 6L && r._4 == 6L),
+      s"med2/mad4 must be the exact interpolated integers: $rows")
+    assert(rows.map(r => r._1 -> r._5).toMap == Map(
+      "2024-02-01" -> false, "2024-02-02" -> false,
+      "2024-02-03" -> false, "2024-02-04" -> true), rows.toString)
+  }
+
   test("dq_freshness: a 30-hour-stale type alerts with the exact hour " +
       "lag, the freshest type reads zero") {
     import spark.implicits._
