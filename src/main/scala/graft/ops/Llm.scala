@@ -1822,7 +1822,10 @@ object Llm {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenize pass (the tfidf r5 lesson): dl and df both derive
+    // from the tf aggregate — dl = Σ tf per doc — so the raw token
+    // explosion is paid exactly once
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"))
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1845,6 +1848,76 @@ object Llm {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         r4(col("score_raw")).as("score"), col("__rk").as("rk"))
       .orderBy("term", "rk")
+  }
+
+  /** BLEU-2 pairwise n-gram overlap — the generation-eval staple
+    * (Papineni et al., public knowledge) an LLM pipeline runs between
+    * model output and references: modified (clipped) unigram+bigram
+    * precision under the brevity penalty,
+    * `BP · sqrt(p1 · p2)` with `BP = min(1, e^(1 − ref/cand))` — the
+    * geometric mean written as sqrt so no ln-of-zero guard is needed
+    * (a pair with zero bigram overlap scores 0 on both engines).
+    * Pairs are data-derived: doc `2k` is the reference, `2k+1` the
+    * candidate (ids non-negative, so `div`/`//` agree); docs under 2
+    * tokens and incomplete pairs drop identically on both engines.
+    * Exact integer components (clipped matches + totals per n, both
+    * lengths) ride along in the output so the float is pinned from
+    * both sides; the score itself is r4 surface-only — no rank
+    * depends on it.
+    *
+    * 100 TB shape: token-linear — grams explode once per side, every
+    * aggregate and the clip join key on (pair, n, gram); nothing is
+    * quadratic in docs or pairs. */
+  val llm_bleu: Q = (s, d) => bleuOf(documents(s, d))
+
+  /** kernel over any (doc_id, text) relation — OperatorSpec drives
+    * planted identical / disjoint / partial-overlap / short-candidate
+    * pairs against hand-computed scores. */
+  private[graft] def bleuOf(rel: DataFrame): DataFrame = {
+    val docs = rel
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 2)
+      .select(expr("doc_id div 2").as("pair_id"),
+        (col("doc_id") % 2 === 1).as("is_cand"),
+        col("l"), size(col("l")).as("len"))
+    val pairs = docs.groupBy("pair_id").agg(count(lit(1)).as("ns"))
+      .where(col("ns") === 2).select("pair_id")
+    val sides = docs.join(pairs, "pair_id")
+    val uni = sides.select(col("pair_id"), col("is_cand"),
+      explode(col("l")).as("gram"), lit(1).as("n"))
+    val bi = sides.select(col("pair_id"), col("is_cand"),
+      explode(expr(
+        """transform(sequence(1, size(l) - 1),
+             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))"""))
+        .as("gram"), lit(2).as("n"))
+    val counts = uni.unionByName(bi)
+      .groupBy("pair_id", "is_cand", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val cand = counts.where(col("is_cand"))
+      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("c_cnt"))
+    val ref = counts.where(!col("is_cand"))
+      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("r_cnt"))
+    val per = cand.join(ref, Seq("pair_id", "n", "gram"), "left")
+      .groupBy("pair_id")
+      .agg(
+        sum(when(col("n") === 1,
+          least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))).as("m1"),
+        sum(when(col("n") === 1, col("c_cnt"))).as("t1"),
+        sum(when(col("n") === 2,
+          least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))).as("m2"),
+        sum(when(col("n") === 2, col("c_cnt"))).as("t2"))
+    val lens = sides.groupBy("pair_id")
+      .agg(sum(when(col("is_cand"), col("len"))).as("cand_len"),
+        sum(when(!col("is_cand"), col("len"))).as("ref_len"))
+    per.join(lens, "pair_id")
+      .select(col("pair_id"), col("cand_len"), col("ref_len"),
+        col("m1"), col("t1"), col("m2"), col("t2"),
+        r4(
+          when(col("cand_len") >= col("ref_len"), lit(1.0))
+            .otherwise(exp(lit(1.0) - col("ref_len") / col("cand_len")))
+            * sqrt((col("m1") / col("t1")) * (col("m2") / col("t2"))))
+          .as("bleu"))
+      .orderBy("pair_id")
   }
 
   /** per (lang, source) doc stats; n_bad counts violations of the verified
@@ -2785,6 +2858,7 @@ object Llm {
     "llm_bpe" -> llm_bpe,
     "llm_tfidf" -> llm_tfidf,
     "llm_bm25" -> llm_bm25,
+    "llm_bleu" -> llm_bleu,
     "llm_textstats" -> llm_textstats,
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
@@ -3505,13 +3579,62 @@ object Llm {
                FROM documents)
          WHERE tok NOT IN ('a', 'the', 'of', 'and')
          GROUP BY tok ORDER BY tok""",
+    // pairing 2k=ref / 2k+1=cand; non-negative ids so // == div; the
+    // integer components (m/t per n, lengths) pin the float from both
+    // sides, bleu itself r4 surface-only
+    "llm_bleu" ->
+      """WITH docs AS (
+           SELECT doc_id // 2 AS pair_id, doc_id % 2 = 1 AS is_cand,
+               string_split(text, ' ') AS l,
+               len(string_split(text, ' ')) AS len
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         pairs AS (SELECT pair_id FROM docs GROUP BY 1
+                   HAVING count(1) = 2),
+         sides AS (SELECT docs.* FROM docs JOIN pairs USING (pair_id)),
+         uni AS (SELECT pair_id, is_cand, unnest(l) AS gram, 1 AS n
+                 FROM sides),
+         bi AS (SELECT pair_id, is_cand,
+             unnest(list_transform(range(1, len(l)),
+               i -> l[i] || ' ' || l[i + 1])) AS gram,
+             2 AS n FROM sides),
+         counts AS (
+           SELECT pair_id, is_cand, n, gram, count(1) AS cnt
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) g
+           GROUP BY 1, 2, 3, 4),
+         per AS (
+           SELECT c.pair_id,
+               CAST(sum(CASE WHEN c.n = 1 THEN
+                   least(c.cnt, coalesce(r.cnt, 0)) END) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN c.n = 1 THEN c.cnt END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN c.n = 2 THEN
+                   least(c.cnt, coalesce(r.cnt, 0)) END) AS BIGINT) AS m2,
+               CAST(sum(CASE WHEN c.n = 2 THEN c.cnt END) AS BIGINT) AS t2
+           FROM counts c LEFT JOIN counts r
+             ON NOT r.is_cand AND r.pair_id = c.pair_id AND r.n = c.n
+               AND r.gram = c.gram
+           WHERE c.is_cand GROUP BY 1),
+         lens AS (
+           SELECT pair_id,
+               CAST(sum(CASE WHEN is_cand THEN len END) AS BIGINT)
+                   AS cand_len,
+               CAST(sum(CASE WHEN NOT is_cand THEN len END) AS BIGINT)
+                   AS ref_len
+           FROM sides GROUP BY 1)
+         SELECT p.pair_id, lens.cand_len, lens.ref_len,
+             p.m1, p.t1, p.m2, p.t2,
+             round((CASE WHEN lens.cand_len >= lens.ref_len THEN 1.0
+                         ELSE exp(1.0 - lens.ref_len / lens.cand_len) END)
+               * sqrt((p.m1 / p.t1) * (p.m2 / p.t2)), 4) AS bleu
+         FROM per p JOIN lens USING (pair_id)
+         ORDER BY pair_id""",
     // identical association order to the Spark expression tree (the
     // tfidf float discipline): idf * (tf * 2.2) / (tf + 1.2 * (...))
     "llm_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents),
          tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY 1),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY 1),
          stats AS (SELECT count(1) AS n_docs,
                        sum(dl) * 1.0 / count(1) AS avgdl FROM dl),
          df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),

@@ -115,6 +115,35 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("llm_bleu kernel: identical pair = 1, disjoint = 0, partial " +
+      "overlap matches the hand computation, sub-2-token pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"),              // identical
+      (2L, "a b c d e f"), (3L, "x y z"),            // disjoint, short cand
+      (4L, "the cat sat on the mat"),
+      (5L, "the cat the cat sat"),                   // partial, clipped
+      (6L, "a b c"), (7L, "q")                       // cand under 2 tokens
+    ).toDF("doc_id", "text")
+    val rows = ops.Llm.bleuOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L), rows.toString)
+    assert(rows(0L) == ((4L, 4L, 4L, 4L, 3L, 3L, 1.0)), rows(0L).toString)
+    assert(rows(1L) == ((3L, 6L, 0L, 3L, 0L, 2L, 0.0)), rows(1L).toString)
+    // ref "the cat sat on the mat", cand "the cat the cat sat":
+    // m1 = the:2 + cat:1 + sat:1 = 4 of t1 = 5;
+    // m2 = "the cat":1 + "cat sat":1 = 2 of t2 = 4 ("the cat" CLIPPED
+    // from 2 to the ref's 1 — the modified-precision point);
+    // BP = exp(1 - 6/5)
+    val (cl, rl, m1, t1, m2, t2, b) = rows(2L)
+    assert((cl, rl, m1, t1, m2, t2) == ((5L, 6L, 4L, 5L, 2L, 4L)),
+      rows(2L).toString)
+    assert(math.abs(b -
+      math.exp(1 - 6.0 / 5.0) * math.sqrt(0.8 * 0.5)) < 1e-4, b.toString)
+  }
+
   test("keepBestSurvivors: argmax-quality keeper per component, " +
       "min-id tiebreak, singletons keep themselves") {
     import spark.implicits._

@@ -568,6 +568,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("registered-name SQL read (GraftSql): predicate and projection " +
+      "push through the spliced snapshot plan like the TVF's") {
+    // the write surface's read case must match the TVF's plan quality:
+    // a registered name resolves to the same manifest-planned FileScan,
+    // so WHERE pushes into PushedFilters and SELECT prunes ReadSchema
+    withStaticPlan {
+      val root = ops.Table.ordersTable(spark, sf)
+      graft.sql.GraftSqlTables.register("psp_orders",
+        graft.sql.GraftSqlTables.Ref(root, "o_orderkey",
+          Seq("o_year", "o_orderkey"), Seq("o_year", "o_orderkey")))
+      val df = graft.sql.GraftSql.sql(spark,
+        "SELECT o_orderkey FROM psp_orders WHERE o_orderkey = 42")
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, planOf(df))
+      val meta = scans.map(_.metadata).head
+      assert(meta("PushedFilters").contains("EqualTo(o_orderkey,42)"),
+        s"predicate must push into the scan: $meta")
+      assert(meta("ReadSchema").contains("o_orderkey") &&
+        !meta("ReadSchema").contains("o_comment"),
+        s"projection must prune the read schema: ${meta("ReadSchema")}")
+    }
+  }
+
   test("r9 analytics ops keep their scale shapes: ohlc/gini/entropy " +
       "single-agg or window-then-agg, rolling_distinct join-free fan-out, " +
       "jaccard no cartesian") {

@@ -1241,6 +1241,90 @@ class StreamingSpec extends SparkTestBase {
     drain()                                                       // v5..v6
   }
 
+  test("streaming SCD2: per-batch interval maintenance over the CDC " +
+      "stream equals batch scd2Of after every commit wave") {
+    // the streaming twin of the oracle-checked table_scd2 row: each
+    // micro-batch's change rows advance an interval store (postimage /
+    // delete close the key's open interval at their commit, insert /
+    // postimage open a new one) in O(changed keys) per refresh, and
+    // the maintained store must equal the full batch scd2Of rebuild
+    // after every drain — across updates, deletes, resurrections and
+    // 3-version chains.
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream").toFile
+    graft.util.AppCleanup.onExit(s"graft_scd2_rs_${root.getName}")(
+      graft.util.AppCleanup.recursiveDelete(root))
+    val ckpt = new java.io.File(root, "_ckpt").getPath
+    t.create(spark, root.getPath,
+      (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 2)                          // v1
+    val open = scala.collection.mutable.Map.empty[Long, (Int, String)]
+    val closed =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.table.GraftTableStreamProvider")
+        .option("path", root.getPath)
+        .option("readChanges", "true").option("keyCol", "id")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val evs = b.collect().map(r => (r.getAs[Long]("id"),
+            r.getAs[String]("payload"), r.getAs[String]("_change_type"),
+            r.getAs[Int]("_commit_snapshot")))
+            .filter(_._3 != "update_preimage").sortBy(_._4)
+          open.synchronized {
+            evs.foreach {
+              case (id, p, "insert", c) => open += id -> ((c, p))
+              case (id, p, "update_postimage", c) =>
+                val (f, v) = open(id)
+                closed += ((id, f, c, v)); open += id -> ((c, p))
+              case (id, _, "delete", c) =>
+                val (f, v) = open(id)
+                closed += ((id, f, c, v)); open -= id
+              case _ => ()
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      // parity against the batch rebuild over the full log
+      val got = (closed.map(x =>
+        (x._1, x._2, Option(x._3), false, x._4)) ++
+        open.map { case (k, (f, v)) => (k, f, None, true, v) }).toSet
+      val batch = ops.Table.scd2Of(
+        t.changesBetweenRows(spark, root.getPath, 0,
+          t.latestSnapshot(root.getPath), "id")
+          .select(col("id").as("o_orderkey"),
+            col("payload").as("o_totalprice"),
+            col("_change_type"), col("_commit_snapshot")))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getBoolean(3), r.getString(4))).toSet
+      assert(got == batch,
+        s"maintained SCD2 diverged:\n stream=$got\n batch=$batch")
+    }
+    drain()                                                        // v1
+    t.merge(spark, root.getPath,
+      Seq((1L, "m1"), (7L, "n7")).toDF("id", "payload"), "id",
+      Seq("id"), Seq("id"), numFiles = 1)                          // v2
+    t.delete(spark, root.getPath, Seq(2L).toDF("id"), "id",
+      Seq("id"), Seq("id"))                                        // v3
+    drain()                                                        // v2..v3
+    t.merge(spark, root.getPath,
+      Seq((2L, "r2"), (1L, "m1b")).toDF("id", "payload"), "id",
+      Seq("id"), Seq("id"), numFiles = 1)                          // v4
+    drain()               // resurrection + a third version for key 1
+    assert(closed.exists(c => c._1 == 2L && c._3 == 3) &&
+      open.get(2L).exists(_._1 == 4),
+      "key 2 must close at the delete and reopen at the resurrection")
+    assert(closed.count(_._1 == 1L) == 2 && open(1L)._2 == "m1b",
+      "key 1 must chain three versions")
+  }
+
   test("closed loop: CDC stream replicates one GraftTable into another " +
       "through foreachBatch merge/delete") {
     import spark.implicits._
