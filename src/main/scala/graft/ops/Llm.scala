@@ -1624,6 +1624,189 @@ object Llm {
     ivfSearchVecs(rows, seedCentroidsVecs(rows))
   }
 
+  // ----- product quantization ----------------------------------------------
+
+  /** PQ geometry: 64 dims → 16 subspaces × 4 dims, 16 codes each — a
+    * vector stores as 16 one-byte codes against 64 float32 coordinates
+    * (16× storage cut; 4-bit packing doubles that). Chosen by measured
+    * recall on the fixture: 4×16-dim subspaces scored recall@10 ≈ 0
+    * (too coarse to rank), 16×4-dim with the shortlist+rerank below
+    * scores 0.8+. */
+  private[graft] val PqM = 16
+  private[graft] val PqK = 16
+  private[graft] val PqSub = 4
+
+  private[graft] def l2sqArr(x: Array[Double], y: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) { val t = x(i) - y(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  /** plain-L2 Lloyd's on one subspace — the [[trainIvfVecs]] discipline
+    * (deterministic vec_id 0..15 seed, partition-index-ordered partial
+    * folds so float sums reproduce run-to-run, empty cell keeps its
+    * centroid) with the two PQ-specific differences: assignment is
+    * argmin L2 (tie → lowest code via strict `<` over ascending codes)
+    * and the update divides by the count (means matter under L2, unlike
+    * the direction-only spherical case). */
+  private[graft] def trainPqSub(
+      rows: org.apache.spark.sql.Dataset[Array[Double]],
+      seed: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val s = rows.sparkSession
+    var cent = seed
+    val k = cent.length
+    val dim = cent(0).length
+    var it = 0
+    while (it < iters) {
+      val bc = s.sparkContext.broadcast(cent)
+      val partials = rows.rdd.mapPartitionsWithIndex { (idx, part) =>
+        val c = bc.value
+        val acc = Array.fill(c.length)(new Array[Double](dim))
+        val cnt = new Array[Long](c.length)
+        part.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var i = 0
+          while (i < c.length) {
+            val dd = l2sqArr(v, c(i))
+            if (dd < bd) { bd = dd; best = i }
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { acc(best)(j) += v(j); j += 1 }
+          cnt(best) += 1
+        }
+        Iterator((idx, acc, cnt))
+      }.collect().sortBy(_._1)
+      bc.destroy()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, acc, cnt) =>
+        var i = 0
+        while (i < k) {
+          var j = 0
+          while (j < dim) { sums(i)(j) += acc(i)(j); j += 1 }
+          counts(i) += cnt(i); i += 1
+        }
+      }
+      cent = Array.tabulate(k) { i =>
+        if (counts(i) == 0L) cent(i)
+        else sums(i).map(_ / counts(i))
+      }
+      it += 1
+    }
+    cent
+  }
+
+  private val pqBooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  /** codebooks[m][code] — one independent L2 Lloyd's run per subspace
+    * over the corpus' m-th 16-dim slices, seeded by vec_id 0..15's
+    * slices; memoized per (application, sfDir) like the IVF quantizer. */
+  private[graft] def trainPqCodebooks(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    pqBooks.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val vecs = embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])]
+      val seeds = seedCentroidsVecs(vecs)
+      Array.tabulate(PqM) { m =>
+        trainPqSub(
+          vecs.map { case (_, v) => v.slice(m * PqSub, (m + 1) * PqSub) },
+          seeds.map(_._2.slice(m * PqSub, (m + 1) * PqSub)), iters = 4)
+      }
+    })
+  }
+
+  /** codes + ADC in ONE broadcast-codebook map pass — separated so the
+    * spec can drive the encoding directly. Emits every non-query
+    * vector's asymmetric distance (the left-fold over subspace LUT
+    * entries, m = 0..15 — the association the oracle pins). */
+  private[graft] def pqAdc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Double)] = {
+    import s.implicits._
+    val books = trainPqCodebooks(s, d)
+    val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    val lut: Array[Array[Double]] = books.zipWithIndex.map {
+      case (cb, m) =>
+        cb.map(c => l2sqArr(qv.slice(m * PqSub, (m + 1) * PqSub), c))
+    }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLut = s.sparkContext.broadcast(lut)
+    embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val bks = bcBooks.value
+        var adc = 0.0
+        var m = 0
+        while (m < PqM) {
+          val sub = v.slice(m * PqSub, (m + 1) * PqSub)
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < PqK) {
+            val dd = l2sqArr(sub, bks(m)(c))
+            if (dd < bd) { bd = dd; best = c }
+            c += 1
+          }
+          adc += bcLut.value(m)(best)
+          m += 1
+        }
+        (id, adc)
+      }
+  }
+
+  /** Product-quantization ANN (Jégou/Douze/Schmid, public knowledge) —
+    * the COMPRESSION half of the ANN story next to the IVF family's
+    * partition pruning, in the production two-stage shape: every
+    * vector encodes as [[PqM]] codes (nearest codebook centroid per
+    * 4-dim subspace; tie → lowest code), the query scores candidates
+    * ASYMMETRICALLY — exact query subvectors against candidate CODES
+    * through a precomputed m×k lookup table, so the shortlist scan
+    * costs m table adds per row over 16 bytes of codes, never 64
+    * floats — then the top-50 ADC shortlist alone is fetched at full
+    * precision and exact-reranked to the final top-10. Recall@10 vs
+    * exact L2 ≥ 0.8 measured on the fixture (vs ≈ 0 ranking by a
+    * 4×16-dim ADC directly — the rerank stage is what makes PQ
+    * usable); the spec also asserts the ADC ≡
+    * l2²(query, reconstruct(codes)) identity.
+    *
+    * Full oracle via the dumped codebooks (the trained-IVF pattern):
+    * encode argmin, LUT, the 16-term ADC left-fold (`list_sum` over a
+    * `list(... ORDER BY m)` — list order = loop order), shortlist and
+    * rerank all replay as SQL. 100 TB shape: training is m bounded
+    * driver-folded passes; encode+ADC is ONE map pass with broadcast
+    * codebooks; the shortlist is TakeOrderedAndProject; the rerank
+    * joins 50 ids back to the vector store (a broadcast of the
+    * shortlist — bounded fetch, not a second corpus scan shape). */
+  val llm_ann_pq: Q = (s, d) => {
+    import s.implicits._
+    val books = trainPqCodebooks(s, d)
+    dumpForOracle(s, d, "pqcent") {
+      books.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
+      }.toSeq.toDF("m", "code", "cv")
+    }
+    val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    val shortlist = pqAdc(s, d)
+      .toDF("neighbor_id", "adc_raw")
+      .orderBy(asc("adc_raw"), asc("neighbor_id"))
+      .limit(50)
+    shortlist
+      .join(embDouble(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .withColumn("dist_raw",
+        aggregate(zip_with(col("emb"), lit(qv), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .orderBy(asc("dist_raw"), asc("neighbor_id"))
+      .limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(asc("dist_raw"), asc("neighbor_id"))))
+      .select(col("neighbor_id"), r4(col("adc_raw")).as("adc"),
+        r4(col("dist_raw")).as("dist"), col("rn"))
+      .orderBy("rn")
+  }
+
   // ----- text analysis -----------------------------------------------------
 
   val llm_tokenize: Q = (s, d) =>
@@ -2853,6 +3036,7 @@ object Llm {
     "llm_ann_ivf_trained" -> llm_ann_ivf_trained,
     "llm_ann_ivf_q8" -> llm_ann_ivf_q8,
     "llm_ann_ivf_indexed" -> llm_ann_ivf_indexed,
+    "llm_ann_pq" -> llm_ann_pq,
     "llm_tokenize" -> llm_tokenize,
     "llm_token_count" -> llm_token_count,
     "llm_bpe" -> llm_bpe,
@@ -3517,6 +3701,52 @@ object Llm {
     // dequantized vec_id 0..15 — still zero dumps
     "llm_ann_ivf_q8" -> duckIvfSql(duckIvfVecsQ8,
       "SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id < 16"),
+    // PQ replay from the dumped codebooks: per-(vec, subspace) argmin
+    // over the 16 codes (tie → lowest code), the query-side LUT is the
+    // same distance relation at vec_id 0, the 16-term ADC sum is
+    // list_sum over list(dd ORDER BY m) — the Scala loop's left-fold
+    // order — and the top-50 shortlist exact-reranks to the top-10
+    "llm_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+             FROM embeddings),
+         cent AS (SELECT m, code, cv FROM read_parquet('${aux("pqcent")}')),
+         dists AS (
+           SELECT v.vec_id, c.m, c.code,
+               list_sum(list_transform(range(1, 5),
+                 i -> (dv[i + 4 * c.m] - cv[i])
+                      * (dv[i + 4 * c.m] - cv[i]))) AS dd
+           FROM v CROSS JOIN cent c),
+         enc AS (
+           SELECT vec_id, m, code FROM (
+             SELECT vec_id, m, code, row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS r
+             FROM dists) WHERE r = 1),
+         lut AS (SELECT m, code, dd FROM dists WHERE vec_id = 0),
+         adc AS (
+           SELECT t.vec_id AS neighbor_id,
+               list_sum(list(t.dd ORDER BY t.m)) AS adc_raw
+           FROM (SELECT e.vec_id, e.m, l.dd
+                 FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+                 WHERE e.vec_id <> 0) t
+           GROUP BY 1),
+         short AS (
+           SELECT neighbor_id, adc_raw FROM adc
+           ORDER BY adc_raw ASC, neighbor_id ASC LIMIT 50),
+         qv AS (SELECT dv AS q FROM v WHERE vec_id = 0),
+         rr AS (
+           SELECT s.neighbor_id, s.adc_raw,
+               list_sum(list_transform(range(1, 65),
+                 i -> (v.dv[i] - qv.q[i]) * (v.dv[i] - qv.q[i])))
+                 AS dist_raw
+           FROM short s JOIN v ON v.vec_id = s.neighbor_id, qv),
+         ranked AS (
+           SELECT *, row_number() OVER (
+               ORDER BY dist_raw ASC, neighbor_id ASC) AS rn
+           FROM rr)
+         SELECT neighbor_id, round(adc_raw, 4) AS adc,
+             round(dist_raw, 4) AS dist, CAST(rn AS INT) AS rn
+         FROM ranked WHERE rn <= 10 ORDER BY rn""",
     // the persisted index returns exactly what the in-flight probe
     // returns (equality unit-tested), so the trained-centroid replay
     // covers it; single query vec_id 0, global top-5

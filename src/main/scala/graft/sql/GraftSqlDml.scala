@@ -317,6 +317,12 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
     require(missing.isEmpty,
       s"INSERT must cover every column (no defaults); missing: " +
         missing.mkString(", "))
+    // BY NAME with columns the table lacks must fail, not silently drop
+    val extra = named.columns.filterNot(n =>
+      tgt.exists(_.name.equalsIgnoreCase(n)))
+    require(extra.isEmpty,
+      s"INSERT names columns the table does not have: " +
+        extra.mkString(", "))
     val aligned = named.select(
       tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     GraftTable.append(spark, ref.root, aligned, ref.statsCols,

@@ -1235,6 +1235,13 @@ class GraftTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       GraftSql.exec(spark, "INSERT INTO g_t SELECT id FROM range(1, 2)")
     }
+    // BY NAME insert naming a column the table lacks must fail loudly,
+    // never silently drop it
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """INSERT INTO g_t BY NAME
+           SELECT 500 AS id, 'x' AS payload, 1 AS nonexistent""")
+    }
     // nothing committed by any failed statement
     assert(state(root) == (1 to 10).map(i => i.toLong -> s"v$i").toMap)
   }

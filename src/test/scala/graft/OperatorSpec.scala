@@ -446,6 +446,64 @@ class OperatorSpec extends SparkTestBase {
       s"trained IVF recall@5 $recallT below the 0.6 floor")
   }
 
+  test("PQ ANN: ADC equals the reconstruction distance, shortlist+rerank " +
+      "recall@10 vs exact L2 holds at both SFs, exact dists bit-match") {
+    import spark.implicits._
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = ops.Llm.llm_ann_pq(spark, d).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getInt(3)))
+      assert(rows.length == 10 && rows.map(_._4).toSeq == (1 to 10), d)
+      val e = graft.util.Tables.embeddings(spark, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+        .collect()
+      val qv = e.find(_._1 == 0L).get._2
+      val books = ops.Llm.trainPqCodebooks(spark, d)
+      val byId = e.toMap
+      def encode(v: Array[Double]): Array[Int] =
+        Array.tabulate(ops.Llm.PqM) { m =>
+          val sub = v.slice(m * ops.Llm.PqSub, (m + 1) * ops.Llm.PqSub)
+          (0 until ops.Llm.PqK).minBy(c =>
+            (ops.Llm.l2sqArr(sub, books(m)(c)), c))
+        }
+      rows.foreach { case (id, adc, dist, _) =>
+        val codes = encode(byId(id))
+        assert(codes.forall(c => c >= 0 && c < ops.Llm.PqK), d)
+        // recompute the op's exact left-fold over the subspace LUT
+        var acc = 0.0
+        (0 until ops.Llm.PqM).foreach { m =>
+          acc += ops.Llm.l2sqArr(
+            qv.slice(m * ops.Llm.PqSub, (m + 1) * ops.Llm.PqSub),
+            books(m)(codes(m)))
+        }
+        assert(BigDecimal(acc).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble == adc,
+          s"$d vec $id: adc $adc vs recomputed $acc")
+        // ADC identity: the asymmetric distance IS the distance to the
+        // code-reconstructed vector (association differs — subspace
+        // partials vs one flat fold — so compare to float tolerance)
+        val recon = (0 until ops.Llm.PqM)
+          .flatMap(m => books(m)(codes(m))).toArray
+        assert(math.abs(acc - ops.Llm.l2sqArr(qv, recon)) <= 1e-9,
+          s"$d vec $id: ADC != reconstruction distance")
+        // the rerank's exact distance matches the driver recompute
+        assert(BigDecimal(ops.Llm.l2sqArr(qv, byId(id))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble == dist,
+          s"$d vec $id: rerank dist $dist")
+      }
+      // recall@10 against exact full-precision L2 (measured 0.8 at pin
+      // time with the 16x4 geometry + top-50 rerank; the direct 4x16
+      // ADC ranking scored ~0 on this fixture — see the op scaladoc)
+      val exact = e.filter(_._1 != 0L)
+        .map { case (id, v) => (id, ops.Llm.l2sqArr(qv, v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+      val got = rows.map(_._1).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"$d: PQ recall@10 $recall under the floor")
+    }
+  }
+
   test("trained IVF on a clustered corpus: beats untrained recall, balanced lists") {
     // the corpus training exists for: 20 tight clusters, and a worst-case
     // deterministic seed (the first 16 vectors = members of only TWO
