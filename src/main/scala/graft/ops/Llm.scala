@@ -1755,6 +1755,138 @@ object Llm {
       }
   }
 
+  private[graft] def nearestL2(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      val dd = l2sqArr(v, cents(i))
+      if (dd < bd) { bd = dd; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private[graft] def subArr(x: Array[Double],
+      y: Array[Double]): Array[Double] =
+    Array.tabulate(x.length)(i => x(i) - y(i))
+
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** IVF-PQ model: a FULL-dim L2 coarse quantizer (16 cells, the same
+    * trainPqSub Lloyd's at dim 64) plus per-subspace codebooks trained
+    * on the RESIDUALS v − cc(cell(v)) — residuals concentrate around 0
+    * regardless of where the corpus' mass sits, which is why residual
+    * codebooks quantize tighter than raw-vector ones at equal bits.
+    * Deterministic end to end (vec 0..15 seeds at both levels,
+    * partition-ordered folds); memoized per (application, sfDir). At
+    * 100 TB the residual relation would persist alongside the codes;
+    * here each subspace pass recomputes it — bounded, fixture-sized. */
+  private[graft] def trainIvfPq(s: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    ivfPqModels.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+      _ => {
+        val vecs = embDouble(s, d).select(col("vec_id"), col("emb"))
+          .as[(Long, Array[Double])]
+        val coarse = trainPqSub(vecs.map(_._2),
+          seedCentroidsVecs(vecs).map(_._2), iters = 4)
+        val bcC = s.sparkContext.broadcast(coarse)
+        val resid = vecs.map { case (id, v) =>
+          (id, subArr(v, bcC.value(nearestL2(v, bcC.value))))
+        }
+        val rseeds = resid.filter(_._1 < 16).collect().sortBy(_._1)
+        val rbooks = Array.tabulate(PqM) { m =>
+          trainPqSub(
+            resid.map(_._2.slice(m * PqSub, (m + 1) * PqSub)),
+            rseeds.map(_._2.slice(m * PqSub, (m + 1) * PqSub)), iters = 4)
+        }
+        (coarse, rbooks)
+      })
+  }
+
+  /** IVF-PQ — the two techniques COMPOSED the way a production vector
+    * index ships them (the faiss `IVFx,PQy` default): the coarse
+    * quantizer prunes the search to 4 probed cells (the IVF story:
+    * candidates ∝ probed share, not corpus), and within the probed
+    * cells the scan reads 16-byte RESIDUAL codes, scored against a
+    * per-probed-cell query LUT built from q − cc(cell) (the PQ story:
+    * m table adds per candidate, no floats). Top-50 ADC shortlist →
+    * exact full-precision rerank → top-10 with the winning cell
+    * visible. Spec asserts the residual-ADC ≡
+    * l2²(q, cc + reconstruct(codes)) identity, probe containment, and
+    * the recall floor at both SFs; full oracle via the two dumped
+    * codebook levels, the per-cell LUT and the m-ordered ADC fold
+    * replayed as SQL exactly like [[llm_ann_pq]]'s. */
+  val llm_ann_ivfpq: Q = (s, d) => {
+    import s.implicits._
+    val (coarse, rbooks) = trainIvfPq(s, d)
+    dumpForOracle(s, d, "ivfpq_coarse") {
+      coarse.zipWithIndex.map { case (cv, c) => (c, cv.toSeq) }
+        .toSeq.toDF("cell", "cv")
+    }
+    dumpForOracle(s, d, "ivfpq_rbooks") {
+      rbooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
+      }.toSeq.toDF("m", "code", "cv")
+    }
+    val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    val probes: Array[Int] = coarse.zipWithIndex
+      .map { case (cv, c) => (l2sqArr(qv, cv), c) }
+      .sortBy { case (dd, c) => (dd, c) }.take(4).map(_._2)
+    val luts: Map[Int, Array[Array[Double]]] = probes.map { c =>
+      val qr = subArr(qv, coarse(c))
+      c -> rbooks.zipWithIndex.map { case (cb, m) =>
+        cb.map(rc => l2sqArr(qr.slice(m * PqSub, (m + 1) * PqSub), rc))
+      }
+    }.toMap
+    val bcC = s.sparkContext.broadcast(coarse)
+    val bcR = s.sparkContext.broadcast(rbooks)
+    val bcL = s.sparkContext.broadcast(luts)
+    val shortlist = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 != 0L)
+      .flatMap { case (id, v) =>
+        val cell = nearestL2(v, bcC.value)
+        bcL.value.get(cell) match {
+          case None => Iterator.empty
+          case Some(lut) =>
+            val rv = subArr(v, bcC.value(cell))
+            var adc = 0.0
+            var m = 0
+            while (m < PqM) {
+              val sub = rv.slice(m * PqSub, (m + 1) * PqSub)
+              var best = 0; var bd = Double.MaxValue; var c = 0
+              while (c < PqK) {
+                val dd = l2sqArr(sub, bcR.value(m)(c))
+                if (dd < bd) { bd = dd; best = c }
+                c += 1
+              }
+              adc += lut(m)(best)
+              m += 1
+            }
+            Iterator((id, cell, adc))
+        }
+      }
+      .toDF("neighbor_id", "cell", "adc_raw")
+      .orderBy(asc("adc_raw"), asc("neighbor_id"))
+      .limit(50)
+    shortlist
+      .join(embDouble(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .withColumn("dist_raw",
+        aggregate(zip_with(col("emb"), lit(qv), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .orderBy(asc("dist_raw"), asc("neighbor_id"))
+      .limit(10)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(asc("dist_raw"), asc("neighbor_id"))))
+      .select(col("neighbor_id"), col("cell"), r4(col("adc_raw")).as("adc"),
+        r4(col("dist_raw")).as("dist"), col("rn"))
+      .orderBy("rn")
+  }
+
   /** Product-quantization ANN (Jégou/Douze/Schmid, public knowledge) —
     * the COMPRESSION half of the ANN story next to the IVF family's
     * partition pruning, in the production two-stage shape: every
@@ -3037,6 +3169,7 @@ object Llm {
     "llm_ann_ivf_q8" -> llm_ann_ivf_q8,
     "llm_ann_ivf_indexed" -> llm_ann_ivf_indexed,
     "llm_ann_pq" -> llm_ann_pq,
+    "llm_ann_ivfpq" -> llm_ann_ivfpq,
     "llm_tokenize" -> llm_tokenize,
     "llm_token_count" -> llm_token_count,
     "llm_bpe" -> llm_bpe,
@@ -3701,6 +3834,87 @@ object Llm {
     // dequantized vec_id 0..15 — still zero dumps
     "llm_ann_ivf_q8" -> duckIvfSql(duckIvfVecsQ8,
       "SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id < 16"),
+    // IVF-PQ replay: coarse assignment + probes from the dumped coarse
+    // codebook, residuals per assigned cell, residual encode argmin,
+    // per-PROBED-cell query LUT from q − cc(cell), the m-ordered ADC
+    // fold, then shortlist-50 → exact rerank → top-10. Candidates are
+    // implicitly restricted to probed cells by the enc⋈lut cell join —
+    // the same pruning the Spark flatMap applies
+    "llm_ann_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+             FROM embeddings),
+         coarse AS (SELECT cell, cv
+             FROM read_parquet('${aux("ivfpq_coarse")}')),
+         rb AS (SELECT m, code, cv
+             FROM read_parquet('${aux("ivfpq_rbooks")}')),
+         cdist AS (
+           SELECT v.vec_id, c.cell,
+               list_sum(list_transform(range(1, 65),
+                 i -> (dv[i] - cv[i]) * (dv[i] - cv[i]))) AS dd
+           FROM v CROSS JOIN coarse c),
+         cassign AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dd ASC, cell ASC) AS r
+             FROM cdist) WHERE r = 1),
+         probes AS (
+           SELECT cell FROM (
+             SELECT cell, row_number() OVER (
+                 ORDER BY dd ASC, cell ASC) AS r
+             FROM cdist WHERE vec_id = 0) WHERE r <= 4),
+         resid AS (
+           SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65), i -> v.dv[i] - c.cv[i]) AS rv
+           FROM cassign a JOIN v ON v.vec_id = a.vec_id
+                          JOIN coarse c ON c.cell = a.cell),
+         rdist AS (
+           SELECT r.vec_id, r.cell, b.m, b.code,
+               list_sum(list_transform(range(1, 5),
+                 i -> (rv[i + 4 * b.m] - b.cv[i])
+                      * (rv[i + 4 * b.m] - b.cv[i]))) AS dd
+           FROM resid r CROSS JOIN rb b),
+         enc AS (
+           SELECT vec_id, cell, m, code FROM (
+             SELECT vec_id, cell, m, code, row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rr
+             FROM rdist) WHERE rr = 1),
+         q0 AS (SELECT dv FROM v WHERE vec_id = 0),
+         qres AS (
+           SELECT p.cell,
+               list_transform(range(1, 65), i -> q0.dv[i] - c.cv[i]) AS rv
+           FROM probes p JOIN coarse c ON c.cell = p.cell, q0),
+         lut AS (
+           SELECT qr.cell, b.m, b.code,
+               list_sum(list_transform(range(1, 5),
+                 i -> (qr.rv[i + 4 * b.m] - b.cv[i])
+                      * (qr.rv[i + 4 * b.m] - b.cv[i]))) AS dd
+           FROM qres qr CROSS JOIN rb b),
+         adc AS (
+           SELECT t.vec_id AS neighbor_id, t.cell,
+               list_sum(list(t.dd ORDER BY t.m)) AS adc_raw
+           FROM (SELECT e.vec_id, e.cell, e.m, l.dd
+                 FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m
+                   AND l.code = e.code
+                 WHERE e.vec_id <> 0) t
+           GROUP BY 1, 2),
+         short AS (
+           SELECT * FROM adc
+           ORDER BY adc_raw ASC, neighbor_id ASC LIMIT 50),
+         rr2 AS (
+           SELECT s.neighbor_id, s.cell, s.adc_raw,
+               list_sum(list_transform(range(1, 65),
+                 i -> (v.dv[i] - q0.dv[i]) * (v.dv[i] - q0.dv[i])))
+                 AS dist_raw
+           FROM short s JOIN v ON v.vec_id = s.neighbor_id, q0),
+         ranked AS (
+           SELECT *, row_number() OVER (
+               ORDER BY dist_raw ASC, neighbor_id ASC) AS rn
+           FROM rr2)
+         SELECT neighbor_id, CAST(cell AS INT) AS cell,
+             round(adc_raw, 4) AS adc, round(dist_raw, 4) AS dist,
+             CAST(rn AS INT) AS rn
+         FROM ranked WHERE rn <= 10 ORDER BY rn""",
     // PQ replay from the dumped codebooks: per-(vec, subspace) argmin
     // over the 16 codes (tie → lowest code), the query-side LUT is the
     // same distance relation at vec_id 0, the 16-term ADC sum is

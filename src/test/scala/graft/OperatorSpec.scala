@@ -504,6 +504,67 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: residual ADC equals the reconstruction distance, every " +
+      "hit sits in a probed cell, recall floor holds at both SFs") {
+    import spark.implicits._
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = ops.Llm.llm_ann_ivfpq(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3), r.getInt(4)))
+      assert(rows.length == 10 && rows.map(_._5).toSeq == (1 to 10), d)
+      val e = graft.util.Tables.embeddings(spark, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+        .collect()
+      val byId = e.toMap
+      val qv = byId(0L)
+      val (coarse, rbooks) = ops.Llm.trainIvfPq(spark, d)
+      val probes = coarse.zipWithIndex
+        .map { case (cv, c) => (ops.Llm.l2sqArr(qv, cv), c) }
+        .sortBy { case (dd, c) => (dd, c) }.take(4).map(_._2).toSet
+      rows.foreach { case (id, cell, adc, dist, _) =>
+        val v = byId(id)
+        // the cell is the vector's true coarse assignment AND probed
+        assert(cell == ops.Llm.nearestL2(v, coarse), s"$d vec $id")
+        assert(probes.contains(cell), s"$d vec $id cell $cell unprobed")
+        // recompute the op's fold: residual encode + per-cell LUT adds
+        val rv = ops.Llm.subArr(v, coarse(cell))
+        val qr = ops.Llm.subArr(qv, coarse(cell))
+        var acc = 0.0
+        val recon = new Array[Double](64)
+        (0 until ops.Llm.PqM).foreach { m =>
+          val sub = rv.slice(m * ops.Llm.PqSub, (m + 1) * ops.Llm.PqSub)
+          val code = (0 until ops.Llm.PqK).minBy(c =>
+            (ops.Llm.l2sqArr(sub, rbooks(m)(c)), c))
+          acc += ops.Llm.l2sqArr(
+            qr.slice(m * ops.Llm.PqSub, (m + 1) * ops.Llm.PqSub),
+            rbooks(m)(code))
+          (0 until ops.Llm.PqSub).foreach { i =>
+            recon(m * ops.Llm.PqSub + i) =
+              coarse(cell)(m * ops.Llm.PqSub + i) + rbooks(m)(code)(i)
+          }
+        }
+        assert(BigDecimal(acc).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble == adc,
+          s"$d vec $id: adc $adc vs recomputed $acc")
+        // residual-ADC identity: adc == l2²(q, cc + reconstructed
+        // residual), to float-association tolerance
+        assert(math.abs(acc - ops.Llm.l2sqArr(qv, recon)) <= 1e-9,
+          s"$d vec $id: residual ADC != reconstruction distance")
+        assert(BigDecimal(ops.Llm.l2sqArr(qv, v)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble == dist,
+          s"$d vec $id: rerank dist $dist")
+      }
+      // recall@10 vs exact L2 over the WHOLE corpus — bounded jointly
+      // by probe coverage (4/16 cells) and the shortlist
+      val exact = e.filter(_._1 != 0L)
+        .map { case (id, v) => (id, ops.Llm.l2sqArr(qv, v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+      val recall = rows.map(_._1).toSet.intersect(exact).size / 10.0
+      assert(recall >= 0.4, s"$d: IVF-PQ recall@10 $recall under floor")
+    }
+  }
+
   test("trained IVF on a clustered corpus: beats untrained recall, balanced lists") {
     // the corpus training exists for: 20 tight clusters, and a worst-case
     // deterministic seed (the first 16 vectors = members of only TWO

@@ -568,6 +568,18 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_ann_pq plans its two stages as claimed: shortlist + rerank " +
+      "top-ks are TakeOrderedAndProject, the rerank joins the 50-row " +
+      "shortlist by broadcast — no shuffle carries vectors") {
+    withStaticPlan {
+      val plan = ops.Llm.llm_ann_pq(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
   test("registered-name SQL read (GraftSql): predicate and projection " +
       "push through the spliced snapshot plan like the TVF's") {
     // the write surface's read case must match the TVF's plan quality:
