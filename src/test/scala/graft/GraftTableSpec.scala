@@ -1200,6 +1200,21 @@ class GraftTableSpec extends SparkTestBase {
       5L -> "v5", 101L -> "P1", 103L -> "P3"))
   }
 
+  test("sql dml: MERGE sync — a NOT MATCHED BY SOURCE delete arm " +
+      "drops every target row absent from the source (the archival " +
+      "pattern; exercises the by-source DELETE classification)") {
+    val root = sqlTable("sync_t")
+    GraftSql.exec(spark,
+      """MERGE INTO sync_t t
+         USING (SELECT id, concat('s', id) AS payload
+                FROM range(3, 7)) s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET payload = s.payload
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(state(root) == Map(3L -> "s3", 4L -> "s4",
+      5L -> "s5", 6L -> "s6"))
+  }
+
   test("sql dml: loud guards — key equality, key assignment, " +
       "cardinality, insert-key clash, width") {
     val root = sqlTable("g_t")
