@@ -524,9 +524,15 @@ object Graph {
     "graph_jaccard" ->
       s"""WITH ${edgeCtes(11)},
           deg AS (SELECT s AS node, count(1) AS deg FROM sym GROUP BY 1),
+          -- wedge-center degree cap mirrors the Spark kernel: centers
+          -- above JaccardDegreeCap contribute no wedges, while TRUE
+          -- degrees still feed the denominator below — without this the
+          -- oracle would only agree on hub-free fixtures
           common AS (
             SELECT p.s AS a, q.s AS b, count(1) AS common
             FROM sym p JOIN sym q ON p.t = q.t AND p.s < q.s
+            JOIN deg dc ON dc.node = p.t
+            WHERE dc.deg <= $JaccardDegreeCap
             GROUP BY 1, 2),
           cand AS (
             SELECT c.a, c.b, c.common FROM common c

@@ -1792,16 +1792,21 @@ object Llm {
         val coarse = trainPqSub(vecs.map(_._2),
           seedCentroidsVecs(vecs).map(_._2), iters = 4)
         val bcC = s.sparkContext.broadcast(coarse)
+        // persist: 16 subspaces × 4 Lloyd's passes each read this — a
+        // lazy Dataset would redo the coarse assignment ~64 times
         val resid = vecs.map { case (id, v) =>
           (id, subArr(v, bcC.value(nearestL2(v, bcC.value))))
-        }
-        val rseeds = resid.filter(_._1 < 16).collect().sortBy(_._1)
-        val rbooks = Array.tabulate(PqM) { m =>
-          trainPqSub(
-            resid.map(_._2.slice(m * PqSub, (m + 1) * PqSub)),
-            rseeds.map(_._2.slice(m * PqSub, (m + 1) * PqSub)), iters = 4)
-        }
-        (coarse, rbooks)
+        }.persist()
+        try {
+          val rseeds = resid.filter(_._1 < 16).collect().sortBy(_._1)
+          val rbooks = Array.tabulate(PqM) { m =>
+            trainPqSub(
+              resid.map(_._2.slice(m * PqSub, (m + 1) * PqSub)),
+              rseeds.map(_._2.slice(m * PqSub, (m + 1) * PqSub)),
+              iters = 4)
+          }
+          (coarse, rbooks)
+        } finally resid.unpersist()
       })
   }
 

@@ -112,13 +112,22 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** bind-once extractor so each case splices (and reads the table's
+    * manifest) exactly once per match, not once in the guard and again
+    * in the body. */
+  private object Spliced {
+    def unapply(p: LogicalPlan): Option[GraftSqlTarget] = splice(p)
+  }
+
   /** TOP-DOWN, deliberately: a DML statement must consume its own
     * target before the generic read case below could swallow the
     * target's UnresolvedRelation from underneath it (bottom-up visits
     * children first). Non-target occurrences of registered names —
     * FROM clauses, MERGE sources, subqueries — ARE meant to hit the
     * read case: that is what makes a registered graft table fully
-    * name-addressable from plain SQL. */
+    * name-addressable from plain SQL. The second pass recurses into
+    * SUBQUERY EXPRESSIONS (IN / EXISTS / scalar subqueries), which
+    * operator traversals do not visit. */
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       // phase 1: give the analyzer real attributes to resolve against.
@@ -135,13 +144,10 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftInsertCommand(
           GraftSqlTables.lookup(u.multipartIdentifier).get, query, cols,
           byName)
-      case d @ DeleteFromTable(tbl, _) if splice(tbl).isDefined =>
-        d.copy(table = splice(tbl).get)
-      case up @ UpdateTable(tbl, _, _) if splice(tbl).isDefined =>
-        up.copy(table = splice(tbl).get)
-      case m @ MergeIntoTable(tbl, _, _, _, _, _, _)
-          if splice(tbl).isDefined =>
-        m.copy(targetTable = splice(tbl).get)
+      case d @ DeleteFromTable(Spliced(t), _) => d.copy(table = t)
+      case up @ UpdateTable(Spliced(t), _, _) => up.copy(table = t)
+      case m @ MergeIntoTable(Spliced(t), _, _, _, _, _, _) =>
+        m.copy(targetTable = t)
       // READ path: any other reference to a registered name resolves to
       // its snapshot read plan (SubqueryAlias'd so qualified column
       // references keep working) — `SELECT ... FROM <registered>` from
@@ -151,17 +157,35 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val ref = GraftSqlTables.lookup(u.multipartIdentifier).get
         SubqueryAlias(u.multipartIdentifier.mkString("."),
           GraftTable.read(session, ref.root).queryExecution.logical)
-      // phase 2: collapse resolved statements into runnable commands
+      // phase 2: collapse resolved statements into runnable commands.
+      // Conditions ride INSIDE plan-typed fields (the Filter / the
+      // original MergeIntoTable), never as command expressions:
+      // checkAnalysis validates subquery expressions per node type and
+      // rejects IN/EXISTS on an unrecognized command, while the same
+      // subquery inside a Filter/Join is a supported context — run()
+      // re-analyzes those plans anyway.
       case d @ DeleteFromTable(t: GraftSqlTarget, cond) if d.resolved =>
-        GraftDeleteCommand(t, cond)
+        GraftDeleteCommand(t, Filter(cond, t.child))
       case up @ UpdateTable(t: GraftSqlTarget, assigns, cond)
           if up.resolved =>
-        GraftUpdateCommand(t, assigns, cond)
-      case m @ MergeIntoTable(t: GraftSqlTarget, src, cond, ma, nma, nmbs,
-          evolve) if m.resolved =>
+        GraftUpdateCommand(t, assigns,
+          cond.map(Filter(_, t.child)).getOrElse(t.child))
+      case m @ MergeIntoTable(t: GraftSqlTarget, _, _, _, _, _, evolve)
+          if m.resolved =>
         require(!evolve,
           "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables")
-        GraftMergeCommand(t, src, cond, ma, nma, nmbs)
+        GraftMergeCommand(t, m)
+    }.resolveExpressions {
+      // registered names inside subquery expressions (DELETE ... WHERE
+      // id IN (SELECT ... FROM <registered>)) — operator transforms
+      // skip these plans entirely
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if sq.plan.exists {
+            case u: UnresolvedRelation =>
+              GraftSqlTables.lookup(u.multipartIdentifier).isDefined
+            case _ => false
+          } =>
+        sq.withNewPlan(apply(sq.plan))
     }
 }
 
@@ -292,12 +316,17 @@ private[sql] object GraftDml {
   * `GraftTable.append`. Positional by default (the SQL contract),
   * by-name for `INSERT INTO t BY NAME`; an explicit column list names
   * the query's columns positionally and must cover the full schema
-  * (graft has no column defaults). */
+  * (graft has no column defaults). Key-addressed contract enforced
+  * here too: a batch with internal duplicate keys, or re-using a key
+  * the table already holds, fails loudly — a blind append would
+  * silently break every later key-addressed UPDATE/MERGE. */
 case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
     userCols: Seq[String], byName: Boolean) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = SqlShim.ofRows(spark, query)
+    // re-apply the rule to the source: registered names in the INSERT's
+    // FROM clause must splice on sessions without the injected rule
+    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query))
     val tgt = GraftTable.read(spark, ref.root).schema
     val named =
       if (userCols.nonEmpty) {
@@ -323,42 +352,67 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
     require(extra.isEmpty,
       s"INSERT names columns the table does not have: " +
         extra.mkString(", "))
+    // persist: append + the two key guards each evaluate the frame, and
+    // a nondeterministic source must not change between them
     val aligned = named.select(
       tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    GraftTable.append(spark, ref.root, aligned, ref.statsCols,
-      ref.clusterCols, ref.numFiles, ref.bloomCols)
+      .persist()
+    try {
+      val dup = aligned.groupBy(col(ref.keyCol)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"INSERT batch carries duplicate '${ref.keyCol}' keys")
+      val clash = aligned.select(col(ref.keyCol))
+        .join(GraftTable.read(spark, ref.root).select(col(ref.keyCol)),
+          ref.keyCol, "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"INSERT re-uses '${ref.keyCol}' keys the table already holds " +
+          "(key-addressed tables take updates through UPDATE or MERGE)")
+      GraftTable.append(spark, ref.root, aligned, ref.statsCols,
+        ref.clusterCols, ref.numFiles, ref.bloomCols)
+    } finally aligned.unpersist()
     Seq.empty
   }
 }
 
 /** `DELETE FROM t WHERE p` → key-addressed `GraftTable.delete` of the
-  * keys whose rows satisfy `p` against the captured snapshot. */
-case class GraftDeleteCommand(t: GraftSqlTarget, cond: Expression)
+  * keys whose rows satisfy `p` against the captured snapshot.
+  * `filtered` is the Filter-over-snapshot plan built at collapse. */
+case class GraftDeleteCommand(t: GraftSqlTarget, filtered: LogicalPlan)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
-    val keys = SqlShim.ofRows(spark, Filter(cond, t.child))
-      .select(c(keyAttrOf(t)).as(t.ref.keyCol)).distinct()
-    commitDelete(spark, t, keys)
+    // persist: GraftTable.delete evaluates its input more than once
+    // (pruning range, provenance semi-join, survivor anti-join), so a
+    // nondeterministic predicate (rand()) must be frozen first
+    val keys = SqlShim.ofRows(spark, filtered)
+      .select(c(keyAttrOf(t)).as(t.ref.keyCol)).distinct().persist()
+    try commitDelete(spark, t, keys) finally keys.unpersist()
     Seq.empty
   }
 }
 
 /** `UPDATE t SET a = e, ... [WHERE p]` → full-row upsert of the
-  * touched rows through `GraftTable.merge`. */
+  * touched rows through `GraftTable.merge`. `filtered` is the
+  * Filter-over-snapshot plan built at collapse (the bare snapshot for
+  * an unfiltered UPDATE). */
 case class GraftUpdateCommand(t: GraftSqlTarget,
-    assignments: Seq[Assignment], cond: Option[Expression])
+    assignments: Seq[Assignment], filtered: LogicalPlan)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
     requireKeyNotAssigned(t.ref.keyCol, assignments, "UPDATE")
-    val base = cond.map(Filter(_, t.child)).getOrElse(t.child)
-    val updates = SqlShim.ofRows(spark, base)
+    // persist: GraftTable.merge evaluates its input more than once
+    // (pruning range, affected-file semi-join, survivor rewrite), so a
+    // nondeterministic predicate or assignment must be frozen first
+    val updates = SqlShim.ofRows(spark, filtered)
       .select(t.child.output.map(ta =>
         assignedValue(ta, assignments, orElseNull = false)).toSeq: _*)
-    commitUpsert(spark, t, updates)
+      .persist()
+    try commitUpsert(spark, t, updates) finally updates.unpersist()
     Seq.empty
   }
 }
@@ -367,33 +421,49 @@ case class GraftUpdateCommand(t: GraftSqlTarget,
   * three joins against the captured snapshot, then at most one upsert
   * commit + one delete commit. See the module doc for the key-addressed
   * contract and its loud requires. */
-case class GraftMergeCommand(t: GraftSqlTarget, source: LogicalPlan,
-    cond: Expression, matchedActions: Seq[MergeAction],
-    notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
     extends LeafRunnableCommand {
 
   import GraftDml._
 
+  // the statement rides as ONE plan-typed field (see the collapse-time
+  // note in GraftDmlRule): conditions may carry subquery expressions,
+  // which checkAnalysis only accepts in plan contexts
+  private def source = merge.sourceTable
+  private def cond = merge.mergeCondition
+  private def matchedActions = merge.matchedActions
+  private def notMatchedActions = merge.notMatchedActions
+  private def notMatchedBySourceActions = merge.notMatchedBySourceActions
+
   private val ActCol = "__graft_act"
 
   /** (condition, update-assignments | None=delete) per action, star
-    * actions expanded to full by-name assignment from the source. */
+    * actions expanded to full by-name assignment from the source.
+    * UPDATE SET * deliberately SKIPS the key column: the table is
+    * key-addressed, so a matched row keeps its identity — assigning
+    * s.key would silently re-key the row whenever the ON condition
+    * matches on something other than the key itself (the explicit-arm
+    * guard requireKeyNotAssigned blocks the same hole; star arms are
+    * expanded here, after that guard runs). INSERT * keeps the key —
+    * a new row's identity comes from the source, and the insert-clash
+    * guard rejects live keys. */
   private def expanded(actions: Seq[MergeAction], tgtOut: Seq[Attribute],
       srcOut: Seq[Attribute])
       : Seq[(Option[Expression], Option[Seq[Assignment]])] = {
-    def star(): Seq[Assignment] = tgtOut.map { ta =>
-      val sa = srcOut.find(_.name.equalsIgnoreCase(ta.name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"star action: source has no column '${ta.name}'"))
-      Assignment(ta, sa)
-    }
+    def star(skipKey: Boolean): Seq[Assignment] = tgtOut
+      .filterNot(ta => skipKey && ta.name.equalsIgnoreCase(t.ref.keyCol))
+      .map { ta =>
+        val sa = srcOut.find(_.name.equalsIgnoreCase(ta.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"star action: source has no column '${ta.name}'"))
+        Assignment(ta, sa)
+      }
     actions.map {
       case UpdateAction(cnd, assigns, _) => (cnd, Some(assigns))
       case InsertAction(cnd, assigns) => (cnd, Some(assigns))
       case DeleteAction(cnd) => (cnd, None)
-      case UpdateStarAction(cnd) => (cnd, Some(star()))
-      case InsertStarAction(cnd) => (cnd, Some(star()))
+      case UpdateStarAction(cnd) => (cnd, Some(star(skipKey = true)))
+      case InsertStarAction(cnd) => (cnd, Some(star(skipKey = false)))
     }
   }
 
@@ -447,9 +517,41 @@ case class GraftMergeCommand(t: GraftSqlTarget, source: LogicalPlan,
       s"MERGE INTO a graft table requires `target.${t.ref.keyCol} = " +
         "<source expression>` among the ON conjuncts (the storage merge " +
         "is key-addressed)")
+    // matched arms (incl. analyzer-pre-expanded `UPDATE SET *`) may
+    // assign the key ONLY when the ON clause proves the assignment is
+    // the identity — a conjunct `target.key = <assigned value>` — so
+    // `SET *` under `ON t.key = s.key` passes while any statement that
+    // would actually re-key a matched row fails loudly
+    def keyIdentityByOn(value: Expression): Boolean = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      conjuncts(cond).exists {
+        case EqualTo(l: AttributeReference, r)
+            if l.exprId == keyAttr.exprId => r.semanticEquals(value)
+        case EqualTo(l, r: AttributeReference)
+            if r.exprId == keyAttr.exprId => l.semanticEquals(value)
+        case _ => false
+      }
+    }
     matchedActions.foreach {
       case UpdateAction(_, assigns, _) =>
-        requireKeyNotAssigned(t.ref.keyCol, assigns, "WHEN MATCHED UPDATE")
+        assigns.foreach { a =>
+          a.key match {
+            case ar: AttributeReference
+                if ar.exprId == keyAttr.exprId ||
+                  ar.name.equalsIgnoreCase(t.ref.keyCol) =>
+              require(keyIdentityByOn(a.value),
+                s"WHEN MATCHED UPDATE assigns the table key " +
+                  s"'${t.ref.keyCol}' with a value the ON clause does " +
+                  "not prove equal to it — re-keying a matched row is " +
+                  "not allowed on a key-addressed graft table " +
+                  "(changing identity is DELETE + INSERT)")
+            case _ => ()
+          }
+        }
       case _ => ()
     }
     notMatchedBySourceActions.foreach {
@@ -459,54 +561,70 @@ case class GraftMergeCommand(t: GraftSqlTarget, source: LogicalPlan,
       case _ => ()
     }
 
+    // persist the three classification relations: every guard and both
+    // output frames below read them (without this each guard re-runs a
+    // full snapshot×source join), and nondeterministic conditions must
+    // classify each row exactly once
     val matchedRel = SqlShim.ofRows(spark,
-      Join(t.child, source, Inner, Some(cond), JoinHint.NONE))
+      Join(t.child, source, Inner, Some(cond), JoinHint.NONE)).persist()
     val srcOnlyRel = SqlShim.ofRows(spark,
-      Join(source, t.child, LeftAnti, Some(cond), JoinHint.NONE))
+      Join(source, t.child, LeftAnti, Some(cond), JoinHint.NONE)).persist()
     val tgtOnlyRel = SqlShim.ofRows(spark,
-      Join(t.child, source, LeftAnti, Some(cond), JoinHint.NONE))
+      Join(t.child, source, LeftAnti, Some(cond), JoinHint.NONE)).persist()
 
-    // SQL cardinality rule: a target row may match at most one source row
-    if (matchedActions.nonEmpty) {
-      val dup = matchedRel.groupBy(c(keyAttr)).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0, "MERGE cardinality violation: a target row " +
-        "matches more than one source row")
-    }
-
-    val (matchedUpd, matchedDel) = applyActions(matchedRel,
-      expanded(matchedActions, tgtOut, srcOut), tgtOut, keyAttr,
-      insertArm = false)
-    val (insRows, _) = applyActions(srcOnlyRel,
-      expanded(notMatchedActions, tgtOut, srcOut), tgtOut, keyAttr,
-      insertArm = true)
-    val (bySrcUpd, bySrcDel) = applyActions(tgtOnlyRel,
-      expanded(notMatchedBySourceActions, tgtOut, srcOut), tgtOut,
-      keyAttr, insertArm = false)
-
-    // an insert arm must not re-use a live key: the key-addressed upsert
-    // would silently REPLACE the existing row instead of failing
-    if (notMatchedActions.nonEmpty) {
-      val clash = insRows.select(col(t.ref.keyCol))
-        .join(SqlShim.ofRows(spark, t.child)
-          .select(c(keyAttr).as(t.ref.keyCol)), t.ref.keyCol, "left_semi")
-        .limit(1).count()
-      require(clash == 0, "MERGE insert arm produced a key that already " +
-        "exists in the target (matched by a failing extra ON conjunct?)")
-    }
-
-    val upserts = matchedUpd.unionByName(bySrcUpd).unionByName(insRows)
-      .persist()
-    val delKeys = matchedDel.unionByName(bySrcDel).persist()
     try {
-      val dupUp = upserts.groupBy(col(t.ref.keyCol)).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dupUp == 0, "MERGE produced duplicate upsert keys")
-      commitUpsert(spark, t, upserts)
-      commitDelete(spark, t, delKeys)
+      // SQL cardinality rule: a target row matches at most one source row
+      if (matchedActions.nonEmpty) {
+        val dup = matchedRel.groupBy(c(keyAttr)).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dup == 0, "MERGE cardinality violation: a target row " +
+          "matches more than one source row")
+      }
+
+      val (matchedUpd, matchedDel) = applyActions(matchedRel,
+        expanded(matchedActions, tgtOut, srcOut), tgtOut, keyAttr,
+        insertArm = false)
+      val (insRows, _) = applyActions(srcOnlyRel,
+        expanded(notMatchedActions, tgtOut, srcOut), tgtOut, keyAttr,
+        insertArm = true)
+      val (bySrcUpd, bySrcDel) = applyActions(tgtOnlyRel,
+        expanded(notMatchedBySourceActions, tgtOut, srcOut), tgtOut,
+        keyAttr, insertArm = false)
+
+      // an insert arm must not re-use a live key: the key-addressed
+      // upsert would silently REPLACE the existing row
+      if (notMatchedActions.nonEmpty) {
+        val clash = insRows.select(col(t.ref.keyCol))
+          .join(SqlShim.ofRows(spark, t.child)
+            .select(c(keyAttr).as(t.ref.keyCol)), t.ref.keyCol,
+            "left_semi")
+          .limit(1).count()
+        require(clash == 0, "MERGE insert arm produced a key that " +
+          "already exists in the target (matched by a failing extra ON " +
+          "conjunct?)")
+      }
+
+      val upserts = matchedUpd.unionByName(bySrcUpd).unionByName(insRows)
+        .persist()
+      val delKeys = matchedDel.unionByName(bySrcDel).persist()
+      try {
+        val dupUp = upserts.groupBy(col(t.ref.keyCol)).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dupUp == 0, "MERGE produced duplicate upsert keys")
+        // ONE commit for the whole statement: a merge-then-delete pair
+        // could be observed (or die) half-applied
+        if (!upserts.isEmpty || !delKeys.isEmpty)
+          GraftTable.upsertDelete(spark, t.ref.root, upserts, delKeys,
+            t.ref.keyCol, t.ref.statsCols, t.ref.clusterCols,
+            t.ref.numFiles, bloomCols = t.ref.bloomCols)
+      } finally {
+        upserts.unpersist()
+        delKeys.unpersist()
+      }
     } finally {
-      upserts.unpersist()
-      delKeys.unpersist()
+      matchedRel.unpersist()
+      srcOnlyRel.unpersist()
+      tgtOnlyRel.unpersist()
     }
     Seq.empty
   }

@@ -544,6 +544,65 @@ object GraftTable {
     v + 1
   }
 
+  /** Atomic upsert + delete — ONE copy-on-write commit applying both an
+    * update/insert row set and a delete-key set, the shape a SQL MERGE
+    * statement needs: landing it as a merge commit followed by a delete
+    * commit can be observed (or die, or lose an optimistic-concurrency
+    * race) half-applied, and CDC/SCD2 consumers would see one statement
+    * as two snapshots. Pruning and rewrite are [[merge]]'s with the
+    * touched-key set = updates' keys ∪ deleteKeys: affected files
+    * rewrite minus ALL touched keys, then only the updates re-enter.
+    * Matching-nothing with no updates declines to commit (no empty
+    * commit, like [[delete]]); both inputs follow merge's
+    * deterministic-evaluation contract and their key sets must be
+    * disjoint (the SQL layer guarantees both — it persists the
+    * classified frames and rejects overlaps). */
+  def upsertDelete(spark: SparkSession, root: String, updates: DataFrame,
+      deleteKeys: DataFrame, keyCol: String, statsCols: Seq[String],
+      clusterCols: Seq[String], numFiles: Int = 4,
+      baseSnapshot: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"upsertDelete into non-existent table $root")
+    val parent = manifest(root, v)
+    require(shape(updates.schema) ==
+      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
+      s"upsertDelete schema mismatch vs snapshot $v at $root")
+    val touched = updates.select(col(keyCol))
+      .unionByName(deleteKeys.select(col(keyCol))).distinct()
+    val candidates = prunableKeyRange(touched, keyCol, "upsertDelete") match {
+      case None => Nil
+      case Some((kLo, kHi)) => parent.files.filter(f =>
+        f.maxs.get(keyCol).forall(_ >= kLo) &&
+          f.mins.get(keyCol).forall(_ <= kHi))
+    }
+    val affectedPaths: List[String] =
+      if (candidates.isEmpty) Nil
+      else readEntriesWithPos(spark, root, parent, candidates)
+        .select(col(keyCol), col("__rel"))
+        .join(touched, Seq(keyCol), "left_semi")
+        .select("__rel").distinct().collect()
+        .map(_.getString(0)).toList.sorted
+    if (affectedPaths.isEmpty && updates.isEmpty) return v
+    val affected = parent.files.filter(f => affectedPaths.contains(f.path))
+    val survivors =
+      if (affected.isEmpty) updates
+      else {
+        val base = readEntries(spark, root, parent, affected)
+        base.join(touched, Seq(keyCol), "left_anti")
+          .select(base.columns.map(col): _*)
+          .unionByName(updates)
+      }
+    val entries = writeFiles(spark, root, survivors, statsCols,
+      clusterCols, numFiles, bloomCols)
+    val m = Manifest(v + 1, v, "merge", parent.schemaJson,
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"upsertDelete derived from stale snapshot $v at $root")
+    v + 1
+  }
+
   /** Copy-on-write row-level DELETE: rows whose `keyCol` appears in
     * `deleteKeys` are removed. Same two-level pruning as [[merge]] —
     * stats-range overlap narrows to candidate files, an

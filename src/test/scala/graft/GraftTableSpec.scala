@@ -1200,6 +1200,111 @@ class GraftTableSpec extends SparkTestBase {
       5L -> "v5", 101L -> "P1", 103L -> "P3"))
   }
 
+  test("upsertDelete: one commit applies updates, inserts and deletes " +
+      "atomically; matching nothing with no updates declines to commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 2)
+    val v = GraftTable.upsertDelete(spark, root,
+      Seq((3L, "UPD"), (11L, "NEW")).toDF("id", "payload"),
+      Seq(7L).toDF("id"), "id", Seq("id"), Seq("id"), 2)
+    assert(v == 2 && GraftTable.latestSnapshot(root) == 2,
+      "updates + deletes must land as ONE commit")
+    val got = GraftTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == ((1 to 10).filter(_ != 7)
+      .map(i => i.toLong -> s"v$i").toMap
+      + (3L -> "UPD") + (11L -> "NEW")))
+    // no-op: delete keys absent, no updates → no empty commit
+    val v2 = GraftTable.upsertDelete(spark, root,
+      spark.emptyDataset[(Long, String)].toDF("id", "payload"),
+      Seq(999L).toDF("id"), "id", Seq("id"), Seq("id"), 2)
+    assert(v2 == 2 && GraftTable.latestSnapshot(root) == 2)
+  }
+
+  test("sql dml: a 4-arm MERGE lands as exactly ONE snapshot commit " +
+      "(update/insert AND delete arms together — no half-applied " +
+      "statement window)") {
+    val root = sqlTable("atomic_t")
+    val v0 = GraftTable.latestSnapshot(root)
+    GraftSql.exec(spark,
+      """MERGE INTO atomic_t t
+         USING (SELECT id, concat('s', id) AS payload
+                FROM range(6, 14)) s
+         ON t.id = s.id
+         WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET payload = s.payload
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE AND t.id = 1
+           THEN UPDATE SET payload = 'one'""")
+    assert(GraftTable.latestSnapshot(root) == v0 + 1,
+      "a MERGE with both upsert and delete arms must be ONE commit")
+    assert(state(root) == Map(1L -> "one", 2L -> "v2", 3L -> "v3",
+      4L -> "v4", 5L -> "v5", 7L -> "s7", 9L -> "s9",
+      11L -> "s11", 12L -> "s12", 13L -> "s13"))
+  }
+
+  test("sql dml: UPDATE SET * may never re-key a matched row — benign " +
+      "under ON t.key = s.key, loud when the ON matches on a non-key") {
+    val root = sqlTable("star_t", n = 5)
+    // benign: the ON proves the key assignment is the identity
+    GraftSql.exec(spark,
+      """MERGE INTO star_t t
+         USING (SELECT 5 AS id, 'starred' AS payload) s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *""")
+    assert(state(root) == Map(1L -> "v1", 2L -> "v2", 3L -> "v3",
+      4L -> "v4", 5L -> "starred"))
+    // malicious: matched via old_id, star would write s.id = 99 over
+    // key 5 — silent identity change, must fail loudly instead
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """MERGE INTO star_t t
+           USING (SELECT 99 AS id, 5 AS old_id, 'evil' AS payload) s
+           ON t.id = s.old_id
+           WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(state(root)(5L) == "starred" && !state(root).contains(99L),
+      "the rejected statement must commit nothing")
+  }
+
+  test("sql dml: INSERT enforces the key contract — duplicate keys in " +
+      "the batch and keys the table already holds both fail loudly") {
+    val root = sqlTable("ins_t", n = 5)
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """INSERT INTO ins_t
+           SELECT id % 2 + 100, 'dup' FROM range(0, 4)""")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "INSERT INTO ins_t SELECT 3, 'clash'")
+    }
+    assert(state(root) == (1 to 5).map(i => i.toLong -> s"v$i").toMap,
+      "failed INSERTs must commit nothing")
+  }
+
+  test("sql dml: registered names resolve inside an INSERT's source " +
+      "query and inside subquery expressions, on the plain session") {
+    val rootA = sqlTable("src_t", n = 4)
+    val rootB = freshRoot()
+    GraftTable.create(spark, rootB,
+      { import spark.implicits._
+        Seq((100L, "z")).toDF("id", "payload") },
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftSqlTables.register("dst_t",
+      GraftSqlTables.Ref(rootB, "id", Seq("id"), Seq("id"), 1))
+    // INSERT whose FROM reads another registered graft table
+    GraftSql.exec(spark,
+      "INSERT INTO dst_t SELECT id, payload FROM src_t WHERE id <= 2")
+    assert(state(rootB) == Map(100L -> "z", 1L -> "v1", 2L -> "v2"))
+    // DELETE whose predicate carries an IN-subquery over a registered
+    // name (operator transforms never visit subquery plans)
+    GraftSql.exec(spark,
+      "DELETE FROM dst_t WHERE id IN (SELECT id FROM src_t)")
+    assert(state(rootB) == Map(100L -> "z"))
+  }
+
   test("sql dml: MERGE sync — a NOT MATCHED BY SOURCE delete arm " +
       "drops every target row absent from the source (the archival " +
       "pattern; exercises the by-source DELETE classification)") {
