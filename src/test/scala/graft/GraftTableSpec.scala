@@ -1305,6 +1305,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(rootB) == Map(100L -> "z"))
   }
 
+  test("sql dml: nondeterministic UPDATE/DELETE stay row-exact — the " +
+      "persisted classification freezes rand() before the multi-pass " +
+      "storage commit") {
+    val root = sqlTable("rand_t")
+    // without the persist, GraftTable.merge's pruning range, affected-
+    // file semi-join and survivor rewrite would each re-roll the dice:
+    // rows could vanish or duplicate. Frozen, exactly the classified
+    // rows update and the table keeps all 10 keys.
+    GraftSql.exec(spark,
+      """UPDATE rand_t SET payload = concat('r', CAST(id AS STRING))
+         WHERE rand(7) < 0.5""")
+    val afterU = state(root)
+    assert(afterU.keySet == (1L to 10L).toSet,
+      s"no row may vanish or duplicate: ${afterU.keySet}")
+    assert(afterU.forall { case (k, v) =>
+      v == s"v$k" || v == s"r$k" }, afterU.toString)
+    // nondeterministic DELETE: some subset vanishes, survivors intact,
+    // and the two sides partition the key space exactly
+    GraftSql.exec(spark, "DELETE FROM rand_t WHERE rand(11) < 0.5")
+    val afterD = state(root)
+    assert(afterD.keySet.subsetOf((1L to 10L).toSet) &&
+      afterD.forall { case (k, v) => afterU(k) == v },
+      s"survivors must be untouched: $afterD")
+  }
+
   test("sql dml: MERGE sync — a NOT MATCHED BY SOURCE delete arm " +
       "drops every target row absent from the source (the archival " +
       "pattern; exercises the by-source DELETE classification)") {
