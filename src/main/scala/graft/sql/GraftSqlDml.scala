@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -76,11 +76,14 @@ object GraftSqlTables {
 }
 
 /** Marker wrapping a DML target's snapshot read plan: carries the
-  * registry entry through analysis so the command-collapse step knows
-  * which table (and write knobs) the resolved statement addresses.
-  * Pass-through for resolution — output is the child's. */
+  * registry entry AND the pinned snapshot number through analysis so
+  * the command-collapse step knows which table (and write knobs) the
+  * resolved statement addresses, and the commit can be derived-against
+  * that exact snapshot (optimistic concurrency: a commit landing
+  * between analysis and run must fail loudly, never be silently
+  * overwritten). Pass-through for resolution — output is the child's. */
 case class GraftSqlTarget(name: String, ref: GraftSqlTables.Ref,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, snapshot: Int) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(
       newChild: LogicalPlan): GraftSqlTarget = copy(child = newChild)
@@ -100,14 +103,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UnresolvedRelation =>
       GraftSqlTables.lookup(u.multipartIdentifier).map { ref =>
         val name = u.multipartIdentifier.mkString(".")
+        val snap = GraftTable.latestSnapshot(ref.root)
         GraftSqlTarget(name, ref, SubqueryAlias(name,
-          GraftTable.read(session, ref.root).queryExecution.logical))
+          GraftTable.read(session, ref.root, Some(snap))
+            .queryExecution.logical), snap)
       }
     case a @ SubqueryAlias(_, u: UnresolvedRelation) =>
       GraftSqlTables.lookup(u.multipartIdentifier).map { ref =>
+        val snap = GraftTable.latestSnapshot(ref.root)
         GraftSqlTarget(u.multipartIdentifier.mkString("."), ref,
-          a.copy(child =
-            GraftTable.read(session, ref.root).queryExecution.logical))
+          a.copy(child = GraftTable.read(session, ref.root, Some(snap))
+            .queryExecution.logical), snap)
       }
     case _ => None
   }
@@ -168,8 +174,14 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDeleteCommand(t, Filter(cond, t.child))
       case up @ UpdateTable(t: GraftSqlTarget, assigns, cond)
           if up.resolved =>
-        GraftUpdateCommand(t, assigns,
-          cond.map(Filter(_, t.child)).getOrElse(t.child))
+        GraftDml.requireKeyNotAssigned(t.ref.keyCol, assigns, "UPDATE")
+        // the full updated-row projection is built HERE, plan-typed —
+        // a scalar subquery in a SET value must live in a Project
+        // context, not in a command expression field (the same
+        // checkAnalysis rule as conditions)
+        GraftUpdateCommand(t, Project(
+          t.child.output.map(ta => GraftDml.assignedExpr(ta, assigns)),
+          cond.map(Filter(_, t.child)).getOrElse(t.child)))
       case m @ MergeIntoTable(t: GraftSqlTarget, _, _, _, _, _, evolve)
           if m.resolved =>
         require(!evolve,
@@ -178,14 +190,13 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.resolveExpressions {
       // registered names inside subquery expressions (DELETE ... WHERE
       // id IN (SELECT ... FROM <registered>)) — operator transforms
-      // skip these plans entirely
-      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-          if sq.plan.exists {
-            case u: UnresolvedRelation =>
-              GraftSqlTables.lookup(u.multipartIdentifier).isDefined
-            case _ => false
-          } =>
-        sq.withNewPlan(apply(sq.plan))
+      // skip these plans entirely. Recurse UNCONDITIONALLY so names
+      // nested in subqueries-inside-subqueries splice too; returning
+      // the same instance when nothing changed keeps the analyzer
+      // fixed point convergent.
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        val np = apply(sq.plan)
+        if (np eq sq.plan) sq else sq.withNewPlan(np)
     }
 }
 
@@ -245,7 +256,23 @@ private[sql] object GraftDml {
     * only — nested-field assignment is a loud unsupported. */
   def assignedValue(ta: Attribute, assignments: Seq[Assignment],
       orElseNull: Boolean): Column = {
-    val hit = assignments.find { a =>
+    val hit = findAssignment(ta, assignments)
+    hit.map(a => c(a.value).cast(ta.dataType))
+      .getOrElse(if (orElseNull) lit(null).cast(ta.dataType) else c(ta))
+      .as(ta.name)
+  }
+
+  /** expression-level sibling of [[assignedValue]] for plans built at
+    * collapse time (the UPDATE projection). */
+  def assignedExpr(ta: Attribute,
+      assignments: Seq[Assignment]): NamedExpression =
+    findAssignment(ta, assignments)
+      .map(a => Alias(Cast(a.value, ta.dataType), ta.name)())
+      .getOrElse(ta)
+
+  private def findAssignment(ta: Attribute,
+      assignments: Seq[Assignment]): Option[Assignment] =
+    assignments.find { a =>
       a.key match {
         case ar: AttributeReference =>
           ar.exprId == ta.exprId ||
@@ -255,10 +282,6 @@ private[sql] object GraftDml {
             s"${other.sql}")
       }
     }
-    hit.map(a => c(a.value).cast(ta.dataType))
-      .getOrElse(if (orElseNull) lit(null).cast(ta.dataType) else c(ta))
-      .as(ta.name)
-  }
 
   def requireKeyNotAssigned(key: String, assignments: Seq[Assignment],
       what: String): Unit =
@@ -296,20 +319,23 @@ private[sql] object GraftDml {
         s"table ${t.name} has no key column '${t.ref.keyCol}'"))
 
   /** Commit an upsert through the DSL merge (no-op on an empty frame —
-    * the DSL would otherwise write an empty commit). */
+    * the DSL would otherwise write an empty commit). baseSnapshot pins
+    * the ANALYSIS-time snapshot the statement's guards were checked
+    * against: a commit landing in between fails the optimistic check
+    * loudly instead of being silently rewritten over. */
   def commitUpsert(spark: SparkSession, t: GraftSqlTarget,
       updates: DataFrame): Unit =
     if (!updates.isEmpty)
       GraftTable.merge(spark, t.ref.root, updates, t.ref.keyCol,
         t.ref.statsCols, t.ref.clusterCols, t.ref.numFiles,
-        bloomCols = t.ref.bloomCols)
+        baseSnapshot = Some(t.snapshot), bloomCols = t.ref.bloomCols)
 
   def commitDelete(spark: SparkSession, t: GraftSqlTarget,
       keys: DataFrame): Unit =
     if (!keys.isEmpty)
       GraftTable.delete(spark, t.ref.root, keys, t.ref.keyCol,
         t.ref.statsCols, t.ref.clusterCols, t.ref.numFiles,
-        bloomCols = t.ref.bloomCols)
+        baseSnapshot = Some(t.snapshot), bloomCols = t.ref.bloomCols)
 }
 
 /** `INSERT INTO t [(cols)] SELECT ...` → schema-aligned
@@ -362,6 +388,11 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
         .where(col("count") > 1).limit(1).count()
       require(dup == 0,
         s"INSERT batch carries duplicate '${ref.keyCol}' keys")
+      // a NULL key would be unaddressable forever: every later
+      // key-addressed statement equi-joins on the key and skips it
+      val nulls = aligned.where(col(ref.keyCol).isNull).limit(1).count()
+      require(nulls == 0,
+        s"INSERT batch carries a NULL '${ref.keyCol}' key")
       val clash = aligned.select(col(ref.keyCol))
         .join(GraftTable.read(spark, ref.root).select(col(ref.keyCol)),
           ref.keyCol, "left_semi")
@@ -395,23 +426,18 @@ case class GraftDeleteCommand(t: GraftSqlTarget, filtered: LogicalPlan)
 }
 
 /** `UPDATE t SET a = e, ... [WHERE p]` → full-row upsert of the
-  * touched rows through `GraftTable.merge`. `filtered` is the
-  * Filter-over-snapshot plan built at collapse (the bare snapshot for
-  * an unfiltered UPDATE). */
+  * touched rows through `GraftTable.merge`. `updatesPlan` is the
+  * Project(assignments)-over-Filter-over-snapshot plan built at
+  * collapse (plan-typed so SET values may carry subqueries). */
 case class GraftUpdateCommand(t: GraftSqlTarget,
-    assignments: Seq[Assignment], filtered: LogicalPlan)
-    extends LeafRunnableCommand {
+    updatesPlan: LogicalPlan) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
-    requireKeyNotAssigned(t.ref.keyCol, assignments, "UPDATE")
     // persist: GraftTable.merge evaluates its input more than once
     // (pruning range, affected-file semi-join, survivor rewrite), so a
     // nondeterministic predicate or assignment must be frozen first
-    val updates = SqlShim.ofRows(spark, filtered)
-      .select(t.child.output.map(ta =>
-        assignedValue(ta, assignments, orElseNull = false)).toSeq: _*)
-      .persist()
+    val updates = SqlShim.ofRows(spark, updatesPlan).persist()
     try commitUpsert(spark, t, updates) finally updates.unpersist()
     Seq.empty
   }
@@ -469,12 +495,17 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
 
   /** Apply first-match dispatch over `rel`: full-row frames for the
     * update/insert arms (target schema, casts + aliases applied) and a
-    * key frame for the delete arms. */
+    * key frame for the delete arms. The TAGGED frame persists (third
+    * return value — caller unpersists): the update and delete frames
+    * each run their own job over it, and a nondeterministic arm
+    * condition must classify each row exactly once, never roll a row
+    * into both (or neither) frame. */
   private def applyActions(rel: DataFrame,
       acts: Seq[(Option[Expression], Option[Seq[Assignment]])],
       tgtOut: Seq[Attribute], keyAttr: Attribute, insertArm: Boolean)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val tagged = rel.withColumn(ActCol, disposition(acts.map(_._1)))
+      .persist()
     val updIdx = acts.zipWithIndex.collect {
       case ((_, Some(_)), i) => i
     }
@@ -498,7 +529,7 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
         .where(col(ActCol).isin(delIdx.map(Integer.valueOf): _*))
         .select(c(keyAttr).as(t.ref.keyCol)))
     (rows.getOrElse(emptyLike(rel.sparkSession, tgtOut)),
-      dels.getOrElse(emptyKeys(rel.sparkSession, keyAttr)))
+      dels.getOrElse(emptyKeys(rel.sparkSession, keyAttr)), tagged)
   }
 
   private def emptyLike(spark: SparkSession,
@@ -581,45 +612,64 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
           "matches more than one source row")
       }
 
-      val (matchedUpd, matchedDel) = applyActions(matchedRel,
+      val (matchedUpd, matchedDel, tagM) = applyActions(matchedRel,
         expanded(matchedActions, tgtOut, srcOut), tgtOut, keyAttr,
         insertArm = false)
-      val (insRows, _) = applyActions(srcOnlyRel,
+      val (insRows, _, tagI) = applyActions(srcOnlyRel,
         expanded(notMatchedActions, tgtOut, srcOut), tgtOut, keyAttr,
         insertArm = true)
-      val (bySrcUpd, bySrcDel) = applyActions(tgtOnlyRel,
+      val (bySrcUpd, bySrcDel, tagS) = applyActions(tgtOnlyRel,
         expanded(notMatchedBySourceActions, tgtOut, srcOut), tgtOut,
         keyAttr, insertArm = false)
-
-      // an insert arm must not re-use a live key: the key-addressed
-      // upsert would silently REPLACE the existing row
-      if (notMatchedActions.nonEmpty) {
-        val clash = insRows.select(col(t.ref.keyCol))
-          .join(SqlShim.ofRows(spark, t.child)
-            .select(c(keyAttr).as(t.ref.keyCol)), t.ref.keyCol,
-            "left_semi")
-          .limit(1).count()
-        require(clash == 0, "MERGE insert arm produced a key that " +
-          "already exists in the target (matched by a failing extra ON " +
-          "conjunct?)")
-      }
-
-      val upserts = matchedUpd.unionByName(bySrcUpd).unionByName(insRows)
-        .persist()
-      val delKeys = matchedDel.unionByName(bySrcDel).persist()
       try {
-        val dupUp = upserts.groupBy(col(t.ref.keyCol)).count()
-          .where(col("count") > 1).limit(1).count()
-        require(dupUp == 0, "MERGE produced duplicate upsert keys")
-        // ONE commit for the whole statement: a merge-then-delete pair
-        // could be observed (or die) half-applied
-        if (!upserts.isEmpty || !delKeys.isEmpty)
-          GraftTable.upsertDelete(spark, t.ref.root, upserts, delKeys,
-            t.ref.keyCol, t.ref.statsCols, t.ref.clusterCols,
-            t.ref.numFiles, bloomCols = t.ref.bloomCols)
+        // an insert arm must not re-use a live key (the key-addressed
+        // upsert would silently REPLACE the existing row) nor mint a
+        // NULL key (unaddressable forever: every later key-addressed
+        // statement equi-joins on the key and skips it)
+        if (notMatchedActions.nonEmpty) {
+          val clash = insRows.select(col(t.ref.keyCol))
+            .join(SqlShim.ofRows(spark, t.child)
+              .select(c(keyAttr).as(t.ref.keyCol)), t.ref.keyCol,
+              "left_semi")
+            .limit(1).count()
+          require(clash == 0, "MERGE insert arm produced a key that " +
+            "already exists in the target (matched by a failing extra " +
+            "ON conjunct?)")
+          val nulls = insRows.where(col(t.ref.keyCol).isNull)
+            .limit(1).count()
+          require(nulls == 0,
+            "MERGE insert arm produced a NULL key")
+        }
+
+        val upserts = matchedUpd.unionByName(bySrcUpd)
+          .unionByName(insRows).persist()
+        val delKeys = matchedDel.unionByName(bySrcDel).persist()
+        try {
+          val dupUp = upserts.groupBy(col(t.ref.keyCol)).count()
+            .where(col("count") > 1).limit(1).count()
+          require(dupUp == 0, "MERGE produced duplicate upsert keys")
+          // defense in depth behind the persisted tagged frames: a key
+          // in both sets would make the atomic rewrite re-add the row
+          // the delete side meant to drop
+          val overlap = upserts.select(col(t.ref.keyCol))
+            .join(delKeys, t.ref.keyCol, "left_semi").limit(1).count()
+          require(overlap == 0,
+            "MERGE produced a key in both the upsert and delete sets")
+          // ONE commit for the whole statement, derived against the
+          // ANALYSIS-time snapshot: a merge-then-delete pair could be
+          // observed (or die) half-applied, and a concurrent commit in
+          // between must fail the optimistic check loudly
+          if (!upserts.isEmpty || !delKeys.isEmpty)
+            GraftTable.upsertDelete(spark, t.ref.root, upserts, delKeys,
+              t.ref.keyCol, t.ref.statsCols, t.ref.clusterCols,
+              t.ref.numFiles, baseSnapshot = Some(t.snapshot),
+              bloomCols = t.ref.bloomCols)
+        } finally {
+          upserts.unpersist()
+          delKeys.unpersist()
+        }
       } finally {
-        upserts.unpersist()
-        delKeys.unpersist()
+        tagM.unpersist(); tagI.unpersist(); tagS.unpersist()
       }
     } finally {
       matchedRel.unpersist()

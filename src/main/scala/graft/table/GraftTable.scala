@@ -498,51 +498,14 @@ object GraftTable {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 4, baseSnapshot: Option[Int] = None,
-      bloomCols: Seq[String] = Nil): Int = {
-    val v = baseSnapshot.getOrElse(latestSnapshot(root))
-    require(v > 0, s"merge into non-existent table $root")
-    val parent = manifest(root, v)
-    require(shape(updates.schema) ==
-      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
-      s"merge schema mismatch vs snapshot $v at $root")
-    val candidates = prunableKeyRange(updates, keyCol, "merge") match {
-      case None => Nil // empty updates: nothing can match
-      case Some((kLo, kHi)) => parent.files.filter(f =>
-        f.maxs.get(keyCol).forall(_ >= kLo) &&
-          f.mins.get(keyCol).forall(_ <= kHi))
-    }
-    // DV-aware on both legs: detection must not flag (and the rewrite
-    // must not resurrect) rows an earlier merge-on-read commit already
-    // deleted — readEntries* apply the parent's deletion vectors, and the
-    // copy-on-write rewrite therefore MATERIALIZES them (new entries
-    // carry no DV)
-    val affectedPaths: List[String] =
-      if (candidates.isEmpty) Nil
-      else readEntriesWithPos(spark, root, parent, candidates)
-        .select(col(keyCol), col("__rel"))
-        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-          "left_semi")
-        .select("__rel").distinct().collect()
-        .map(_.getString(0)).toList.sorted
-    val affected = parent.files.filter(f => affectedPaths.contains(f.path))
-    val survivors =
-      if (affected.isEmpty) updates
-      else {
-        val base = readEntries(spark, root, parent, affected)
-        base.join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-          "left_anti")
-          .select(base.columns.map(col): _*)
-          .unionByName(updates)
-      }
-    val entries = writeFiles(spark, root, survivors, statsCols,
-      clusterCols, numFiles, bloomCols)
-    val m = Manifest(v + 1, v, "merge", parent.schemaJson,
-      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
-    if (!tryCommit(root, m))
-      throw new java.util.ConcurrentModificationException(
-        s"merge derived from stale snapshot $v at $root")
-    v + 1
-  }
+      bloomCols: Seq[String] = Nil): Int =
+    // merge IS upsertDelete with an empty delete-key set, except that a
+    // plain merge always commits (the empty-updates no-op-commit
+    // contract GraftTableSpec pins) — one rewrite core, no drift
+    upsertDelete(spark, root, updates,
+      updates.select(col(keyCol)).limit(0), keyCol, statsCols,
+      clusterCols, numFiles, baseSnapshot, bloomCols,
+      commitEmpty = true)
 
   /** Atomic upsert + delete — ONE copy-on-write commit applying both an
     * update/insert row set and a delete-key set, the shape a SQL MERGE
@@ -561,7 +524,7 @@ object GraftTable {
       deleteKeys: DataFrame, keyCol: String, statsCols: Seq[String],
       clusterCols: Seq[String], numFiles: Int = 4,
       baseSnapshot: Option[Int] = None,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil, commitEmpty: Boolean = false): Int = {
     val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"upsertDelete into non-existent table $root")
     val parent = manifest(root, v)
@@ -571,11 +534,16 @@ object GraftTable {
     val touched = updates.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol))).distinct()
     val candidates = prunableKeyRange(touched, keyCol, "upsertDelete") match {
-      case None => Nil
+      case None => Nil // no touched keys: nothing can match
       case Some((kLo, kHi)) => parent.files.filter(f =>
         f.maxs.get(keyCol).forall(_ >= kLo) &&
           f.mins.get(keyCol).forall(_ <= kHi))
     }
+    // DV-aware on both legs: detection must not flag (and the rewrite
+    // must not resurrect) rows an earlier merge-on-read commit already
+    // deleted — readEntries* apply the parent's deletion vectors, and
+    // the copy-on-write rewrite therefore MATERIALIZES them (new
+    // entries carry no DV)
     val affectedPaths: List[String] =
       if (candidates.isEmpty) Nil
       else readEntriesWithPos(spark, root, parent, candidates)
@@ -583,7 +551,7 @@ object GraftTable {
         .join(touched, Seq(keyCol), "left_semi")
         .select("__rel").distinct().collect()
         .map(_.getString(0)).toList.sorted
-    if (affectedPaths.isEmpty && updates.isEmpty) return v
+    if (!commitEmpty && affectedPaths.isEmpty && updates.isEmpty) return v
     val affected = parent.files.filter(f => affectedPaths.contains(f.path))
     val survivors =
       if (affected.isEmpty) updates

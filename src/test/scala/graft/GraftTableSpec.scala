@@ -1303,6 +1303,13 @@ class GraftTableSpec extends SparkTestBase {
     GraftSql.exec(spark,
       "DELETE FROM dst_t WHERE id IN (SELECT id FROM src_t)")
     assert(state(rootB) == Map(100L -> "z"))
+    // a registered name nested TWO subquery levels deep (the outer
+    // subquery has no registered name at operator level)
+    GraftSql.exec(spark,
+      """DELETE FROM dst_t WHERE id IN (
+           SELECT x.id FROM range(1, 1000) x
+           WHERE x.id IN (SELECT id + 99 FROM src_t))""")
+    assert(state(rootB).isEmpty, state(rootB).toString)
   }
 
   test("sql dml: nondeterministic UPDATE/DELETE stay row-exact — the " +
@@ -1328,6 +1335,58 @@ class GraftTableSpec extends SparkTestBase {
     assert(afterD.keySet.subsetOf((1L to 10L).toSet) &&
       afterD.forall { case (k, v) => afterU(k) == v },
       s"survivors must be untouched: $afterD")
+  }
+
+  test("sql dml: nondeterministic MERGE arm conditions classify each " +
+      "row exactly once — survivors are all updated, no duplicates " +
+      "(the persisted tagged frame)") {
+    val root = sqlTable("randm_t")
+    GraftSql.exec(spark,
+      """MERGE INTO randm_t t
+         USING (SELECT id, concat('m', CAST(id AS STRING)) AS payload
+                FROM range(1, 11)) s
+         ON t.id = s.id
+         WHEN MATCHED AND rand(13) < 0.5 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET payload = s.payload""")
+    val rows = GraftTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"a re-rolled condition duplicated a key: ${rows.toSeq}")
+    // every survivor must be UPDATED (a neither-arm roll would leave
+    // the original payload), every non-survivor deleted
+    rows.foreach { case (k, v) =>
+      assert(v == s"m$k", s"key $k fired no arm: payload $v") }
+    assert(rows.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+  }
+
+  test("sql dml: INSERT rejects NULL keys (unaddressable forever under " +
+      "key-equi-joined statements)") {
+    val root = sqlTable("null_t", n = 3)
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "INSERT INTO null_t SELECT CAST(NULL AS BIGINT), 'x'")
+    }
+    assert(state(root).keySet == Set(1L, 2L, 3L))
+  }
+
+  test("upsertDelete pins its base snapshot: a commit landing between " +
+      "derivation and commit fails loudly, never silently rewrites") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(6), Seq("id"), Seq("id"),
+      numFiles = 2)
+    // a concurrent writer lands v2
+    GraftTable.merge(spark, root, Seq((2L, "other")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"), 2)
+    // our statement was derived against v1 — must not blind-commit
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.upsertDelete(spark, root,
+        Seq((3L, "mine")).toDF("id", "payload"),
+        Seq(5L).toDF("id"), "id", Seq("id"), Seq("id"), 2,
+        baseSnapshot = Some(1))
+    }
+    assert(state(root) == Map(1L -> "v1", 2L -> "other", 3L -> "v3",
+      4L -> "v4", 5L -> "v5", 6L -> "v6"))
   }
 
   test("sql dml: MERGE sync — a NOT MATCHED BY SOURCE delete arm " +
@@ -1431,10 +1490,15 @@ class GraftTableSpec extends SparkTestBase {
       // name-addressed READ through plain spark.sql on the same session
       assert(s2.sql("SELECT count(1) AS n FROM ext_t").head()
         .getLong(0) == 5L)
+      // scalar subquery in SET must pass checkAnalysis (the UPDATE
+      // projection is plan-typed, not a command expression field)
+      s2.sql("UPDATE ext_t SET payload = (SELECT 'zz') WHERE id = 3")
+      assert(s2.sql("SELECT payload FROM ext_t WHERE id = 3").head()
+        .getString(0) == "zz")
     } finally {
       SS.setDefaultSession(spark); SS.setActiveSession(spark)
     }
-    assert(state(root) == Map(1L -> "sql", 3L -> "v3", 5L -> "v5",
+    assert(state(root) == Map(1L -> "sql", 3L -> "zz", 5L -> "v5",
       7L -> "v7", 9L -> "v9"))
   }
 }
