@@ -176,25 +176,48 @@ object Quality {
 
   /** kernel over any (event_type, ts) relation — unit-tested on planted
     * outliers (QualitySpec). */
-  private[graft] def dqAnomalyOf(
-      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("event_type")
-    ev
+    private[graft] def dqAnomalyOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dqAnomalyOfCounts(ev
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** over any pre-aggregated (event_type, day, n) relation. Split out so
+    * the overflow guard below is testable with planted counts no row
+    * fixture could reach. s and m2 accumulate in DECIMAL(38,0) from the
+    * first multiplication: a LongType `sum(n*n)` wraps SILENTLY at
+    * n ≈ 3·10^9/day — far below the documented 4·10^13 bound — and a
+    * wrapped value is non-NULL, so it would corrupt the alert without
+    * ever tripping the loud guard. */
+  private[graft] def dqAnomalyOfCounts(
+      cnt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type")
+    cnt
       .withColumn("c", count(lit(1)).over(w))
-      .withColumn("s", sum(col("n")).over(w))
-      .withColumn("m2", sum(col("n") * col("n")).over(w))
+      .withColumn("s", sum(col("n").cast("decimal(38,0)")).over(w))
+      .withColumn("m2",
+        sum(col("n").cast("decimal(38,0)") * col("n")).over(w))
       .select(col("event_type"), col("day"), col("n"),
         when(col("c") > 1, r4(
           (col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
             sqrt((col("m2").cast("double") -
               col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
               (col("c").cast("double") - lit(1.0d))))).as("z4"),
-        expr("(CAST(n AS DECIMAL(38,0))*c - s)" +
-          "*(CAST(n AS DECIMAL(38,0))*c - s)*(c-1)" +
-          " > 9*CAST(c AS DECIMAL(38,0))" +
-          "*(CAST(c AS DECIMAL(38,0))*m2 - CAST(s AS DECIMAL(38,0))*s)")
+        // n/c/s/m2 are counts and sums of counts — never NULL — so a
+        // NULL comparison can only mean DECIMAL(38,0) overflow (Spark's
+        // non-ANSI decimal arithmetic nulls on overflow while the
+        // DuckDB oracle's HUGEINT stays exact). Past the documented
+        // ~4e13 events/day/type bound the engines would diverge as
+        // NULL-vs-boolean; error loudly instead (r10 ADVICE). coalesce
+        // short-circuits, so in-bounds feeds never evaluate the raise.
+        coalesce(
+          expr("(CAST(n AS DECIMAL(38,0))*c - s)" +
+            "*(CAST(n AS DECIMAL(38,0))*c - s)*(c-1)" +
+            " > 9*CAST(c AS DECIMAL(38,0))" +
+            "*(CAST(c AS DECIMAL(38,0))*m2 - CAST(s AS DECIMAL(38,0))*s)"),
+          expr("raise_error('dq_anomaly: DECIMAL(38,0) overflow in the " +
+            "alert arithmetic — daily volume beyond the ~4e13 " +
+            "events/day/type design bound')").cast("boolean"))
           .as("alert"))
       .orderBy("event_type", "day")
   }

@@ -50,8 +50,9 @@ import graft.table.GraftTable
   * actually hold touched keys (the DSL's two-level pruning), so cost
   * scales with the DML's key locality, not table size. Snapshot
   * semantics: all arms read the SAME base snapshot (captured at
-  * analysis); a MERGE lands as one upsert commit plus, only if a delete
-  * arm fired, one delete commit.
+  * analysis); a MERGE lands as ONE atomic upsert+delete commit
+  * (GraftTable.upsertDelete), never a pair that could be observed
+  * half-applied.
   */
 object GraftSqlTables {
 
@@ -592,6 +593,15 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
       case _ => ()
     }
 
+    // materialize the source ONCE before classifying: the three joins
+    // below each embed the source plan, and without a frozen snapshot a
+    // nondeterministic source (USING (SELECT ... WHERE rand()<p)) can
+    // classify a row as both matched and not-matched (loud dup-key
+    // failure) or neither (silently dropped). persist + count registers
+    // the plan in the CacheManager, so every join reads the one
+    // materialized InMemoryRelation instead of re-evaluating.
+    val srcDf = SqlShim.ofRows(spark, source).persist()
+    srcDf.count()
     // persist the three classification relations: every guard and both
     // output frames below read them (without this each guard re-runs a
     // full snapshot×source join), and nondeterministic conditions must
@@ -675,6 +685,7 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
       matchedRel.unpersist()
       srcOnlyRel.unpersist()
       tgtOnlyRel.unpersist()
+      srcDf.unpersist()
     }
     Seq.empty
   }

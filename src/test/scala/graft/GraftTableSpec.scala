@@ -1359,6 +1359,31 @@ class GraftTableSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet.subsetOf((1L to 10L).toSet))
   }
 
+  test("sql dml: a nondeterministic MERGE source is materialized ONCE " +
+      "— each source row classifies exactly once across the inner and " +
+      "two anti joins (r10 ADVICE)") {
+    val root = sqlTable("ndsrc_t")
+    val calls = spark.sparkContext.longAccumulator("ndsrc_calls")
+    val mark = udf { (id: Long) => calls.add(1L); id }.asNondeterministic()
+    spark.udf.register("ndsrc_mark", mark)
+    GraftSql.exec(spark,
+      """MERGE INTO ndsrc_t t
+         USING (SELECT ndsrc_mark(id) AS id,
+                       concat('n', CAST(id AS STRING)) AS payload
+                FROM range(6, 16)) s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET payload = s.payload
+         WHEN NOT MATCHED THEN INSERT *""")
+    // 10 source rows, ONE evaluation: without the persist+count freeze
+    // the three classification joins each re-run the source plan (≈30
+    // calls), and a rand()-style source could then classify a row as
+    // both matched and not-matched, or neither
+    assert(calls.value == 10L,
+      s"source evaluated ${calls.value} times, expected exactly 10")
+    assert(state(root) == ((1L to 5L).map(k => k -> s"v$k") ++
+      (6L to 15L).map(k => k -> s"n$k")).toMap)
+  }
+
   test("sql dml: INSERT rejects NULL keys (unaddressable forever under " +
       "key-equi-joined statements)") {
     val root = sqlTable("null_t", n = 3)

@@ -98,6 +98,60 @@ class QualitySpec extends SparkTestBase {
     assert(out.count(_._2) == 1, s"only the planted day alerts: $out")
   }
 
+  test("dq_anomaly: counts past the int64 m2 wrap stay EXACT (decimal " +
+      "accumulation), and a DECIMAL(38,0) overflow raises loudly " +
+      "instead of emitting NULL alerts (r10 ADVICE)") {
+    import spark.implicits._
+    // n = 4e9/day: n*n = 1.6e19 wraps a LongType sum(n*n) (Long.Max
+    // 9.2e18) but is exact in DECIMAL(38,0). 14 flat days + one 10x day
+    // must alert exactly like the small-count twin above.
+    val big = 4_000_000_000L
+    val cnt = ((1 to 14).map(d => ("click", f"2024-01-$d%02d", big)) :+
+      (("click", "2024-01-15", big * 10)))
+      .toDF("event_type", "ds", "n")
+      .select(col("event_type"), to_timestamp(col("ds")).as("day"),
+        col("n"))
+    val out = ops.Quality.dqAnomalyOfCounts(cnt).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(4))).toMap
+    assert(out("2024-01-15 00:00:00.0"),
+      s"10x day at 4e10 events must alert: $out")
+    assert(out.count(_._2) == 1, s"only the planted day alerts: $out")
+    // cross-check EVERY row against exact BigInt arithmetic
+    val ns = (1 to 14).map(_ => BigInt(big)) :+ BigInt(big) * 10
+    val (c, s0, m2) = (BigInt(15), ns.sum, ns.map(n => n * n).sum)
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val want = (n * c - s0).pow(2) * (c - 1) > 9 * c * (c * m2 - s0 * s0)
+      assert(out(f"2024-01-${i + 1}%02d 00:00:00.0") == want, s"day ${i + 1}")
+    }
+    // overflow: day counts near Long.Max make c*m2 exceed 38 digits.
+    // Under ANSI (this project's sessions) the decimal product itself
+    // errors; under non-ANSI it nulls and the coalesce(raise_error)
+    // guard fires. Either way the statement must FAIL LOUDLY, never
+    // return NULL-vs-boolean divergence from the HUGEINT oracle.
+    val over = Seq(("click", "2024-01-01", 8_000_000_000_000_000_000L),
+      ("click", "2024-01-02", 9_000_000_000_000_000L))
+      .toDF("event_type", "ds", "n")
+      .select(col("event_type"), to_timestamp(col("ds")).as("day"),
+        col("n"))
+    val e = intercept[Exception] {
+      ops.Quality.dqAnomalyOfCounts(over).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("dq_anomaly") ||
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow failure, got: $e")
+    // and the guard itself, under an explicitly non-ANSI scope
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception] {
+        ops.Quality.dqAnomalyOfCounts(over).collect()
+      }
+      assert(msgs(e2).exists(_.contains("dq_anomaly")),
+        s"non-ANSI overflow must trip the raise_error guard, got: $e2")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("dq_mad: flags the short-series outlier the z-score cannot (a " +
       "single 10x day caps |z| at (c-1)/sqrt(c)), and equals a " +
       "driver-side median/MAD recomputation on the fixture") {
