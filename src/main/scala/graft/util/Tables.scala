@@ -12,8 +12,20 @@ import org.apache.spark.sql.types.DecimalType
   * pruning — nothing here assumes single files.
   */
 object Tables {
+  /** Resolved-scan cache: `spark.read.parquet` pays schema inference
+    * (footer reads) plus an InMemoryFileIndex listing EVERY call, and a
+    * 210-query bench pass calls each reader hundreds of times — a real
+    * engine resolves a table once per catalog, not once per query. The
+    * cached DataFrame is an immutable logical plan, so sharing it across
+    * queries is safe; keyed on the session so Verify/tests/bench (each
+    * its own session) never see another session's relation. Bounded:
+    * sessions-per-JVM × tables — a few dozen entries. */
+  private val readCache = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String), DataFrame]
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readCache.getOrElseUpdate((spark, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
@@ -37,16 +49,17 @@ object Tables {
     * nanos form, integer `div 1000` — exact, no double rounding — then
     * timestamp_micros yields the µs-truncated instant DuckDB produces
     * natively for the same file). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    readCache.getOrElseUpdate((spark, sfDir, "events"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    })
 }
 
 /** Determinism combinators (SURVEY.md §7.6, FIXTURES.md §3).
