@@ -138,5 +138,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftTableFunctions.historyDescriptor)
     // SQL DML (INSERT/UPDATE/DELETE/MERGE) over registered graft tables
     e.injectResolutionRule(graft.sql.GraftDmlRule.apply)
+    // SQL DDL (CREATE/CTAS/DROP ... USING graft) — parser seam, because
+    // ResolveSessionCatalog would convert a resolved CreateTable before
+    // any injected resolution rule could claim it
+    e.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
   }
 }

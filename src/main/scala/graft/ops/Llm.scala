@@ -1255,6 +1255,101 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** The incremental-dedup corpus tables: the EVEN-doc_id half of
+    * `documents` as the "existing corpus", its MinHash band table and
+    * per-doc shingle-set table persisted bucketed+sorted once per
+    * (application, sfDir) — the [[dedupTextTables]] discipline on the
+    * corpus side of the cross-batch dedup. */
+  private val dedupIncrBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def dedupIncrCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    val bandT = s"graft_incrband_$tag"
+    val setsT = s"graft_incrsets_$tag"
+    graft.util.AppCleanup.buildOnce(dedupIncrBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_incrband")
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_incrsets")
+      graft.util.AppCleanup.resetTable(s, bandT)
+      graft.util.AppCleanup.resetTable(s, setsT)
+      val sh = shingleRowsOf(
+        documents(s, d).where(col("doc_id") % 2 === 0)).cache()
+      try {
+        minhashBandedOf(sh.select("doc_id", "sh"))
+          .write.bucketBy(8, "band_key").sortBy("band_key")
+          .mode("overwrite").saveAsTable(bandT)
+        sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(setsT)
+      } finally sh.unpersist(blocking = false)
+    }
+    (s.table(bandT), s.table(setsT))
+  }
+
+  /** Candidate (new, corpus) pairs from the cross-batch band equi-join —
+    * split out so OperatorSpec can prove candidates ⊇ every true ≥0.8
+    * odd×even pair, and the verified set ≡ the all-pairs answer. */
+  private[graft] def incrCandidates(newBanded: DataFrame,
+      corpusBand: DataFrame): DataFrame =
+    newBanded.select(col("band_key"), col("doc_id").as("nid"))
+      .join(corpusBand.select(col("band_key").as("bk"),
+        col("doc_id").as("cid")), col("band_key") === col("bk"))
+      .select("nid", "cid").distinct()
+
+  /** Incremental cross-batch dedup — the most common dedup call a
+    * 100 TB pipeline makes ("does this new crawl duplicate the existing
+    * corpus?") as an oracle-checked BATCH query (r11 directive #3; the
+    * stream-static micro-batch twin of this shape is parity-proven in
+    * StreamingSpec). The existing corpus = even doc_ids, its band +
+    * shingle-set tables persisted bucketed+sorted ([[dedupIncrCorpus]]);
+    * the NEW batch = odd doc_ids, shingled and banded IN FLIGHT with
+    * the same kernels and equi-joined against the persisted band
+    * table — the bucketed corpus side plans with zero Exchange, the
+    * batch side shuffles once on band_key, so at scale cost follows
+    * the BATCH size, never the corpus size. Candidates exact-verify at
+    * Jaccard ≥ 0.8 on full shingle arrays (the llm_dedup_text kernel);
+    * a new doc survives iff it has no verified corpus duplicate, and
+    * dup_of reports the smallest matching corpus doc. Both band tables
+    * dump for the oracle, which replays candidates + verify +
+    * survivors as plain SQL (full rows+schema+hash). Batch-INTERNAL
+    * duplicates are deliberately out of contract: they resolve when
+    * the batch itself joins the corpus (llm_dedup_text owns the
+    * full-corpus story). */
+  val llm_dedup_incr: Q = (s, d) => {
+    import s.implicits._
+    val (corpusBand, corpusSets) = dedupIncrCorpus(s, d)
+    dumpForOracle(s, d, "incr_corpus_band") { corpusBand }
+    val newDocs = documents(s, d).where(col("doc_id") % 2 === 1)
+    val newSh = shingleRowsOf(newDocs)
+    val newBanded = minhashBandedOf(newSh.select("doc_id", "sh"))
+    dumpForOracle(s, d, "incr_new_band") { newBanded }
+    val newSets = newSh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"))
+    val verified = incrCandidates(newBanded, corpusBand)
+      .join(newSets.select(col("doc_id").as("nid"), col("shs").as("sa")),
+        "nid")
+      .join(corpusSets.select(col("doc_id").as("cid"), col("shs").as("sb")),
+        "cid")
+      .select(col("nid"), col("cid"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .flatMap { case (na, cb, sa, sb) =>
+        val set = new java.util.HashSet[String](sa.length * 2)
+        sa.foreach(set.add)
+        val inter = sb.count(set.contains).toLong
+        val jac = inter.toDouble / (sa.length + sb.length - inter)
+        if (jac >= 0.8) Iterator.single((na, cb)) else Iterator.empty
+      }
+      .toDF("nid", "cid")
+    val dup = verified.groupBy(col("nid")).agg(min(col("cid")).as("dup_of"))
+    newDocs
+      .join(dup, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"), col("lang"),
+        col("dup_of").isNull.as("survives"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** int8 scalar quantization of embeddings — the storage-scale op a
     * 100 TB vector store runs before anything else (4× smaller than f32,
     * 8× smaller than f64; IVF/LSH probes then rerank on the dequantized
@@ -3165,6 +3260,7 @@ object Llm {
     "llm_simjoin_auto" -> llm_simjoin_auto,
     "llm_dedup_embcos" -> llm_dedup_embcos,
     "llm_dedup_text" -> llm_dedup_text,
+    "llm_dedup_incr" -> llm_dedup_incr,
     "llm_embed_quantize" -> llm_embed_quantize,
     "llm_embed_centroid" -> llm_embed_centroid,
     "llm_knn_native" -> llm_knn_native,
@@ -4000,6 +4096,31 @@ object Llm {
               coalesce(c.comp, d.doc_id) AS canonical
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
           ORDER BY d.doc_id""",
+    // both band tables are dumped deterministic parquet; candidates
+    // (cross-batch band equi-join), exact Jaccard verify and the
+    // min-corpus-dup survivor rule all replay as plain SQL — the
+    // two-stage algorithm itself is what the row pins, not just its
+    // final answer
+    "llm_dedup_incr" ->
+      s"""WITH cand AS (
+            SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+            FROM read_parquet('${aux("incr_new_band")}') n
+            JOIN read_parquet('${aux("incr_corpus_band")}') c
+              ON n.band_key = c.band_key),
+          sh AS ($duckShingles),
+          vf AS (
+            SELECT cand.nid, cand.cid
+            FROM cand
+            JOIN sh a ON a.doc_id = cand.nid
+            JOIN sh b ON b.doc_id = cand.cid
+            WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+                  / (a.sz + b.sz - len(list_intersect(a.shs, b.shs)))
+                  >= 0.8),
+          dup AS (SELECT nid, min(cid) AS dup_of FROM vf GROUP BY nid)
+          SELECT d.doc_id, d.lang, dup.dup_of IS NULL AS survives,
+              dup.dup_of
+          FROM documents d LEFT JOIN dup ON d.doc_id = dup.nid
+          WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
     "llm_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
           c AS (SELECT vec_id AS cid, label, embedding AS cv FROM embeddings WHERE vec_id >= 20),

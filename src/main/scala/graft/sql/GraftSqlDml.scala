@@ -62,18 +62,32 @@ object GraftSqlTables {
       clusterCols: Seq[String], numFiles: Int = 4,
       bloomCols: Seq[String] = Nil)
 
+  /** PROCESS-GLOBAL by design, like a shared metastore: every session
+    * in the JVM resolves the same name to the same table, `CREATE
+    * TABLE` in one session is visible in all, and re-registering
+    * overwrites (last writer wins — pinned by a GraftTableSpec planted
+    * test). Per-statement isolation still holds: each DML pins the
+    * snapshot it analyzed against, so a rebind between analysis and
+    * run fails the optimistic commit loudly. */
   private val reg =
     new scala.collection.concurrent.TrieMap[String, Ref]
 
-  /** Bind `name` (single-part, case-insensitive) to a table root for
-    * SQL DML. Idempotent; re-registering overwrites. */
+  private def keyOf(parts: Seq[String]): String =
+    parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
+
+  /** Bind `name` (case-insensitive; dots separate parts, so `ns.t`
+    * matches the SQL `ns.t`) to a table root. Idempotent;
+    * re-registering overwrites. */
   def register(name: String, ref: Ref): Unit =
-    reg.put(name.toLowerCase(java.util.Locale.ROOT), ref)
+    reg.put(keyOf(name.split('.').toSeq), ref)
+
+  /** Unbind `name`; the table's files are untouched (external-table
+    * semantics — DROP PURGE deletes them explicitly). */
+  def unregister(name: String): Boolean =
+    reg.remove(keyOf(name.split('.').toSeq)).isDefined
 
   def lookup(nameParts: Seq[String]): Option[Ref] =
-    if (nameParts.length == 1)
-      reg.get(nameParts.head.toLowerCase(java.util.Locale.ROOT))
-    else None
+    if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
 }
 
 /** Marker wrapping a DML target's snapshot read plan: carries the
@@ -148,9 +162,12 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "a table property)")
         require(!overwrite, "INSERT OVERWRITE a graft table is not " +
           "supported; use DELETE + INSERT or MERGE")
-        GraftInsertCommand(
-          GraftSqlTables.lookup(u.multipartIdentifier).get, query, cols,
-          byName)
+        val iref = GraftSqlTables.lookup(u.multipartIdentifier).get
+        // pin the snapshot the guards will run against, like every
+        // other verb: an append rebased over a concurrent commit could
+        // mint a key the clash guard never saw
+        GraftInsertCommand(iref, query, cols, byName,
+          GraftTable.latestSnapshot(iref.root))
       case d @ DeleteFromTable(Spliced(t), _) => d.copy(table = t)
       case up @ UpdateTable(Spliced(t), _, _) => up.copy(table = t)
       case m @ MergeIntoTable(Spliced(t), _, _, _, _, _, _) =>
@@ -175,13 +192,25 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDeleteCommand(t, Filter(cond, t.child))
       case up @ UpdateTable(t: GraftSqlTarget, assigns, cond)
           if up.resolved =>
-        GraftDml.requireKeyNotAssigned(t.ref.keyCol, assigns, "UPDATE")
+        // `SET key = key` is a provable no-op (the UPDATE twin of
+        // MERGE's ON-proved `SET *`): drop it rather than reject it —
+        // any OTHER key assignment is a re-key and stays loud
+        val keyAttr = GraftDml.keyAttrOf(t)
+        val effective = assigns.filterNot { a =>
+          a.key match {
+            case ar: AttributeReference if ar.exprId == keyAttr.exprId ||
+                ar.name.equalsIgnoreCase(t.ref.keyCol) =>
+              a.value.semanticEquals(keyAttr)
+            case _ => false
+          }
+        }
+        GraftDml.requireKeyNotAssigned(t.ref.keyCol, effective, "UPDATE")
         // the full updated-row projection is built HERE, plan-typed —
         // a scalar subquery in a SET value must live in a Project
         // context, not in a command expression field (the same
         // checkAnalysis rule as conditions)
         GraftUpdateCommand(t, Project(
-          t.child.output.map(ta => GraftDml.assignedExpr(ta, assigns)),
+          t.child.output.map(ta => GraftDml.assignedExpr(ta, effective)),
           cond.map(Filter(_, t.child)).getOrElse(t.child)))
       case m @ MergeIntoTable(t: GraftSqlTarget, _, _, _, _, _, evolve)
           if m.resolved =>
@@ -214,11 +243,16 @@ object GraftSql {
 
   private def resolve(spark: SparkSession, sql: String): LogicalPlan = {
     val rule = GraftDmlRule(spark)
-    val spliced = rule(spark.sessionState.sqlParser.parsePlan(sql))
+    // DDL splices at the parse seam (same order as the injected
+    // GraftSqlParser); its commands are leaves, so the rule/analyzer
+    // passes below are no-ops for them
+    val parsed = GraftSqlDdl.splice(spark,
+      spark.sessionState.sqlParser.parsePlan(sql))
+    val spliced = rule(parsed)
     rule(spark.sessionState.analyzer.execute(spliced))
   }
 
-  /** Run one graft DML statement; fails loudly if `sql` did not
+  /** Run one graft DML/DDL statement; fails loudly if `sql` did not
     * collapse into a graft command (unregistered table, SELECT, ...). */
   def exec(spark: SparkSession, sql: String): Unit = {
     val collapsed = resolve(spark, sql)
@@ -348,13 +382,14 @@ private[sql] object GraftDml {
   * the table already holds, fails loudly — a blind append would
   * silently break every later key-addressed UPDATE/MERGE. */
 case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
-    userCols: Seq[String], byName: Boolean) extends LeafRunnableCommand {
+    userCols: Seq[String], byName: Boolean,
+    snapshot: Int) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     // re-apply the rule to the source: registered names in the INSERT's
     // FROM clause must splice on sessions without the injected rule
     val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query))
-    val tgt = GraftTable.read(spark, ref.root).schema
+    val tgt = GraftTable.read(spark, ref.root, Some(snapshot)).schema
     val named =
       if (userCols.nonEmpty) {
         require(userCols.length == df.columns.length,
@@ -395,14 +430,15 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
       require(nulls == 0,
         s"INSERT batch carries a NULL '${ref.keyCol}' key")
       val clash = aligned.select(col(ref.keyCol))
-        .join(GraftTable.read(spark, ref.root).select(col(ref.keyCol)),
-          ref.keyCol, "left_semi")
+        .join(GraftTable.read(spark, ref.root, Some(snapshot))
+          .select(col(ref.keyCol)), ref.keyCol, "left_semi")
         .limit(1).count()
       require(clash == 0,
         s"INSERT re-uses '${ref.keyCol}' keys the table already holds " +
           "(key-addressed tables take updates through UPDATE or MERGE)")
       GraftTable.append(spark, ref.root, aligned, ref.statsCols,
-        ref.clusterCols, ref.numFiles, ref.bloomCols)
+        ref.clusterCols, ref.numFiles, ref.bloomCols,
+        baseSnapshot = Some(snapshot))
     } finally aligned.unpersist()
     Seq.empty
   }

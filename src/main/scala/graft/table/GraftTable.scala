@@ -419,13 +419,23 @@ object GraftTable {
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
-      allowEvolution: Boolean = false): Int = {
+      allowEvolution: Boolean = false,
+      baseSnapshot: Option[Int] = None): Int = {
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols)
     var attempts = 0
-    while (attempts < 20) {
+    // a pinned base forgoes the rebase loop: the caller's guards (e.g.
+    // SQL INSERT's key-clash check) were evaluated against that exact
+    // snapshot, so rebasing onto a mover could mint a duplicate key —
+    // fail loudly instead, caller re-derives
+    val maxAttempts = if (baseSnapshot.isDefined) 1 else 20
+    while (attempts < maxAttempts) {
       val v = latestSnapshot(root)
       require(v > 0, s"append to non-existent table $root")
+      baseSnapshot.filter(_ != v).foreach { b =>
+        throw new java.util.ConcurrentModificationException(
+          s"append derived against snapshot $b but latest is $v at $root")
+      }
       val parent = manifest(root, v)
       val parentShape =
         shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType])

@@ -1526,4 +1526,236 @@ class GraftTableSpec extends SparkTestBase {
     assert(state(root) == Map(1L -> "sql", 3L -> "zz", 5L -> "v5",
       7L -> "v7", 9L -> "v9"))
   }
+
+  // ---- SQL DDL (graft.sql.GraftSqlDdl) ----
+
+  test("sql ddl: CREATE TABLE ... USING graft / INSERT / SELECT / DROP " +
+      "round-trip from pure SQL; every malformed statement fails loudly") {
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE ddl_t (id BIGINT, payload STRING) USING graft
+          OPTIONS (key 'id', num_files '2') LOCATION '$dir'""")
+    GraftSql.exec(spark,
+      "INSERT INTO ddl_t SELECT id, concat('v', id) FROM range(1, 6)")
+    assert(state(dir) == (1L to 5L).map(i => i -> s"v$i").toMap)
+    assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM ddl_t")
+      .head().getLong(0) == 5L)
+    // duplicate CREATE loud; IF NOT EXISTS no-op that keeps the binding
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"CREATE TABLE ddl_t (id BIGINT) USING graft " +
+        s"OPTIONS (key 'id') LOCATION '${freshRoot()}'")
+    }
+    GraftSql.exec(spark, s"CREATE TABLE IF NOT EXISTS ddl_t (id BIGINT) " +
+      s"USING graft OPTIONS (key 'id') LOCATION '${freshRoot()}'")
+    assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM ddl_t")
+      .head().getLong(0) == 5L, "IF NOT EXISTS must keep the binding")
+    // typo'd option, missing key, missing location, key not in schema
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"CREATE TABLE ddl_bad (id BIGINT) USING graft " +
+        s"OPTIONS (key 'id', keyy 'id') LOCATION '${freshRoot()}'")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"CREATE TABLE ddl_bad (id BIGINT) USING graft " +
+        s"LOCATION '${freshRoot()}'")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "CREATE TABLE ddl_bad (id BIGINT) USING graft OPTIONS (key 'id')")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"CREATE TABLE ddl_bad (id BIGINT) USING graft " +
+        s"OPTIONS (key 'nope') LOCATION '${freshRoot()}'")
+    }
+    assert(GraftSqlTables.lookup(Seq("ddl_bad")).isEmpty,
+      "a failed CREATE must register nothing")
+    // DROP unbinds the name; the files stay (external-table semantics)
+    GraftSql.exec(spark, "DROP TABLE ddl_t")
+    assert(GraftSqlTables.lookup(Seq("ddl_t")).isEmpty)
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT 1 FROM ddl_t").collect()
+    }
+    assert(GraftTable.latestSnapshot(dir) == 2,
+      "a non-PURGE DROP must leave the table files intact")
+    // re-adopt the surviving files, then PURGE deletes them
+    GraftSqlTables.register("ddl_t",
+      GraftSqlTables.Ref(dir, "id", Seq("id"), Seq("id"), 2))
+    GraftSql.exec(spark, "DROP TABLE ddl_t PURGE")
+    assert(!new java.io.File(dir).exists(),
+      "DROP PURGE must delete the storage root")
+  }
+
+  test("sql ddl: CTAS births the table from a query (registered names " +
+      "resolve in its FROM) and enforces the key contract from birth") {
+    sqlTable("ctas_src", n = 6)
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE ctas_t USING graft
+          OPTIONS (key 'id', num_files '2') LOCATION '$dir'
+          AS SELECT id, upper(payload) AS payload FROM ctas_src
+             WHERE id <= 4""")
+    assert(state(dir) == Map(1L -> "V1", 2L -> "V2", 3L -> "V3",
+      4L -> "V4"))
+    // and the born table is immediately DML-addressable
+    GraftSql.exec(spark, "DELETE FROM ctas_t WHERE id = 2")
+    assert(state(dir).keySet == Set(1L, 3L, 4L))
+    // duplicate keys in the CTAS output: nothing created, nothing bound
+    val dir2 = freshRoot()
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE ctas_bad USING graft OPTIONS (key 'id')
+            LOCATION '$dir2'
+            AS SELECT id % 2 AS id, payload FROM ctas_src""")
+    }
+    assert(GraftSqlTables.lookup(Seq("ctas_bad")).isEmpty)
+    assert(GraftTable.latestSnapshot(dir2) == 0,
+      "a failed CTAS must write no table")
+  }
+
+  test("sql ddl: multi-part names register, resolve and drop (ns.t)") {
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE graftns.ddl_mp (id BIGINT, payload STRING)
+          USING graft OPTIONS (key 'id') LOCATION '$dir'""")
+    GraftSql.exec(spark, "INSERT INTO graftns.ddl_mp SELECT 1, 'a'")
+    assert(GraftSql.sql(spark,
+      "SELECT payload FROM graftns.ddl_mp").head().getString(0) == "a")
+    GraftSql.exec(spark, "DROP TABLE graftns.ddl_mp PURGE")
+    assert(GraftSqlTables.lookup(Seq("graftns", "ddl_mp")).isEmpty)
+  }
+
+  test("sql ddl: the injected parser handles CREATE / CTAS / DROP " +
+      "through plain spark.sql on an extensions session") {
+    val SS = org.apache.spark.sql.SparkSession
+    SS.clearActiveSession(); SS.clearDefaultSession()
+    val s2 = SS.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    val dir = freshRoot()
+    try {
+      s2.sql(s"""CREATE TABLE ext_ddl (id BIGINT, payload STRING)
+                 USING graft OPTIONS (key 'id') LOCATION '$dir'""")
+      s2.sql("INSERT INTO ext_ddl SELECT id, concat('e', id) " +
+        "FROM range(1, 4)")
+      assert(s2.sql("SELECT count(1) AS n FROM ext_ddl").head()
+        .getLong(0) == 3L)
+      // `SET key = key` is a provable no-op on BOTH session types
+      s2.sql("UPDATE ext_ddl SET id = id, payload = 'ee' WHERE id = 2")
+      assert(s2.sql("SELECT payload FROM ext_ddl WHERE id = 2").head()
+        .getString(0) == "ee")
+      s2.sql("DROP TABLE ext_ddl PURGE")
+      assert(!new java.io.File(dir).exists())
+    } finally {
+      SS.setDefaultSession(spark); SS.setActiveSession(spark)
+    }
+  }
+
+  // ---- r10 DML surface: latent-divergence audits (r11 directive #4) ----
+
+  test("sql dml: positional INSERT binds by POSITION — source column " +
+      "names, even swapped ones, are ignored (the SQL contract)") {
+    val root = sqlTable("pos_t", n = 2)
+    // position 1 (named 'payload') feeds id; position 2 (named 'id')
+    // feeds payload — a by-name binding would cast 'p1' to BIGINT and
+    // blow up, or worse silently transpose
+    GraftSql.exec(spark,
+      """INSERT INTO pos_t
+         SELECT 100 + id AS payload, concat('p', id) AS id
+         FROM range(1, 3)""")
+    assert(state(root) == Map(1L -> "v1", 2L -> "v2",
+      101L -> "p1", 102L -> "p2"))
+  }
+
+  test("sql dml: MERGE source rows with NULL keys match nothing — " +
+      "benign without an insert arm, loud when an insert arm would " +
+      "mint a NULL key") {
+    val root = sqlTable("nk_t", n = 3)
+    GraftSql.exec(spark,
+      """MERGE INTO nk_t t
+         USING (SELECT CAST(NULL AS BIGINT) AS id, 'x' AS payload
+                UNION ALL SELECT CAST(NULL AS BIGINT), 'y') s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET payload = s.payload""")
+    assert(state(root) == Map(1L -> "v1", 2L -> "v2", 3L -> "v3"),
+      "NULL-key source rows must be no-ops, never matched")
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """MERGE INTO nk_t t
+           USING (SELECT CAST(NULL AS BIGINT) AS id, 'x' AS payload
+                  UNION ALL SELECT CAST(NULL AS BIGINT), 'y') s
+           ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(state(root) == Map(1L -> "v1", 2L -> "v2", 3L -> "v3"),
+      "the rejected statement must commit nothing")
+  }
+
+  test("sql dml: UPDATE SET key = key is a provable no-op and passes; " +
+      "any other key assignment stays loud") {
+    val root = sqlTable("kid_t", n = 3)
+    GraftSql.exec(spark,
+      "UPDATE kid_t SET id = id, payload = 'same' WHERE id = 2")
+    assert(state(root) == Map(1L -> "v1", 2L -> "same", 3L -> "v3"))
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "UPDATE kid_t SET id = id + 0 WHERE id = 2")
+    }
+    assert(state(root) == Map(1L -> "v1", 2L -> "same", 3L -> "v3"))
+  }
+
+  test("sql dml: a commit landing between ANALYSIS and RUN fails " +
+      "UPDATE, DELETE and INSERT loudly (the MERGE pin, extended to " +
+      "every verb)") {
+    import spark.implicits._
+    val root = sqlTable("pin_t", n = 6)
+    val rule = graft.sql.GraftDmlRule(spark)
+    def analyzed(sql: String) =
+      rule(spark.sessionState.analyzer.execute(
+        rule(spark.sessionState.sqlParser.parsePlan(sql))))
+    def bump(k: Long): Unit = GraftTable.merge(spark, root,
+      Seq((k, "moved")).toDF("id", "payload"), "id", Seq("id"),
+      Seq("id"), 2)
+    def run(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      org.apache.spark.sql.graft.SqlShim.ofRows(spark, p).collect()
+
+    val pU = analyzed("UPDATE pin_t SET payload = 'upd' WHERE id = 3")
+    bump(1L)
+    intercept[java.util.ConcurrentModificationException] { run(pU) }
+    val pD = analyzed("DELETE FROM pin_t WHERE id = 4")
+    bump(2L)
+    intercept[java.util.ConcurrentModificationException] { run(pD) }
+    val pI = analyzed("INSERT INTO pin_t SELECT 100, 'new'")
+    bump(5L)
+    intercept[java.util.ConcurrentModificationException] { run(pI) }
+    // only the three concurrent bumps landed; no half-applied statement
+    assert(state(root) == Map(1L -> "moved", 2L -> "moved", 3L -> "v3",
+      4L -> "v4", 5L -> "moved", 6L -> "v6"))
+  }
+
+  test("sql tables: the registry is PROCESS-GLOBAL (shared-metastore " +
+      "semantics) — a rebind is visible to every session, last " +
+      "register wins") {
+    import spark.implicits._
+    val rootA = freshRoot()
+    val rootB = freshRoot()
+    GraftTable.create(spark, rootA, Seq((1L, "a")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftTable.create(spark, rootB, Seq((1L, "b")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftSqlTables.register("shared_t",
+      GraftSqlTables.Ref(rootA, "id", Seq("id"), Seq("id"), 1))
+    assert(GraftSql.sql(spark, "SELECT payload FROM shared_t").head()
+      .getString(0) == "a")
+    // a sibling session rebinds the SAME name; both sessions now see B
+    val s2 = spark.newSession()
+    GraftSqlTables.register("shared_t",
+      GraftSqlTables.Ref(rootB, "id", Seq("id"), Seq("id"), 1))
+    assert(GraftSql.sql(s2, "SELECT payload FROM shared_t").head()
+      .getString(0) == "b")
+    assert(GraftSql.sql(spark, "SELECT payload FROM shared_t").head()
+      .getString(0) == "b",
+      "the registry is one shared catalog: last register wins everywhere")
+  }
 }

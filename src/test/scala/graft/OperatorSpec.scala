@@ -359,6 +359,36 @@ class OperatorSpec extends SparkTestBase {
       s"paired docs left ungrouped: ${paired -- grouped}")
   }
 
+  test("llm_dedup_incr ≡ brute-force odd-vs-even exact Jaccard (the " +
+      "incremental answer must equal re-running the dedup from scratch)") {
+    // driver-side ground truth from the same shingle kernel: for every
+    // odd (new) doc, the smallest even (corpus) doc at Jaccard ≥ 0.8
+    val sets = ops.Llm.shingleRowsOf(graft.util.Tables.documents(spark, sf))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a intersect b).size
+      i.toDouble / (a.size + b.size - i)
+    }
+    val want = for {
+      (n, sn) <- sets if n % 2 == 1
+      dups = sets.keys.filter(c => c % 2 == 0 && jac(sn, sets(c)) >= 0.8)
+    } yield n -> (if (dups.isEmpty) None else Some(dups.min))
+    val got = ops.Llm.llm_dedup_incr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // every odd doc with shingles appears; survives ⟺ no corpus dup;
+    // dup_of = the min corpus duplicate (LSH recall proven 1.0 here
+    // because a candidate miss would flip a survives bit)
+    want.foreach { case (n, dup) =>
+      val (survives, dupOf) = got(n)
+      assert(survives == dup.isEmpty && dupOf == dup,
+        s"doc $n: got (survives=$survives, dup_of=$dupOf), want $dup")
+    }
+    // and no even doc leaked into the new-batch output
+    assert(got.keySet.forall(_ % 2 == 1))
+  }
+
   test("jaccard DF cap: one stop-shingle across the corpus stays bounded") {
     import spark.implicits._
     // 300 docs all sharing one stop-shingle (df = 302 > cap) plus 10 unique
