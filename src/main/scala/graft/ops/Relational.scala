@@ -483,6 +483,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The quantile family's RE-AGGREGATION half (r11 directive #5) — the
+    * missing mergeable row next to distinct counts (agg_hll_merge), set
+    * algebra (agg_theta_intersect) and point frequency (agg_cms): build
+    * DataSketches KLL quantile sketches ONCE at the fine grain (per
+    * (returnflag, linestatus); in production persisted at ingest), then
+    * answer the coarser per-returnflag p50/p90 by merging sketch BYTES
+    * (`kll_merge_agg_double`, Spark 4.1's KLL surface) instead of
+    * rescanning rows. `approx_percentile` (agg_approx_pctile, GK)
+    * cannot do this — its buffer is not exposed for re-use — which is
+    * why a 100 TB pipeline serves quantile rollups from persisted KLL
+    * tables. k=400 → rank error ≈ 0.9 %. KLL compaction is RANDOMIZED
+    * (unseeded, by design), so values vary run to run inside the rank
+    * bound: rows-only check (the pre-declared sketch-family posture,
+    * with the variance documented here rather than hidden); the
+    * OperatorSpec bound is the principled one — each estimate must lie
+    * between the EXACT quantiles at rank p ± 3 % — not a value-relative
+    * tolerance that would conflate rank error with price spread. */
+  val agg_kll_merge: Q = (s, d) => {
+    val sketches = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 400)").as("sk"))
+    sketches
+      .groupBy("l_returnflag")
+      .agg(expr("kll_merge_agg_double(sk, 400)").as("msk"),
+        count(lit(1)).cast("int").as("n_sketches"))
+      .select(col("l_returnflag"),
+        expr("kll_sketch_get_quantile_double(msk, 0.5)").as("p50_apx"),
+        expr("kll_sketch_get_quantile_double(msk, 0.9)").as("p90_apx"),
+        col("n_sketches"))
+      .orderBy("l_returnflag")
+  }
+
   /** The mergeable-sketch family's INTERSECTION direction (r9 verdict
     * #6) — the one set-algebra question HLL unions cannot answer: how
     * many distinct keys sit in BOTH of two populations. DataSketches
@@ -1026,6 +1058,7 @@ object Relational {
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
     "agg_hll_merge" -> agg_hll_merge,
+    "agg_kll_merge" -> agg_kll_merge,
     "agg_theta_intersect" -> agg_theta_intersect,
     "agg_approx_pctile" -> agg_approx_pctile,
     "agg_cms" -> agg_cms,

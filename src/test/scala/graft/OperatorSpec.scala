@@ -551,7 +551,8 @@ class OperatorSpec extends SparkTestBase {
       val (coarse, rbooks) = ops.Llm.trainIvfPq(spark, d)
       val probes = coarse.zipWithIndex
         .map { case (cv, c) => (ops.Llm.l2sqArr(qv, cv), c) }
-        .sortBy { case (dd, c) => (dd, c) }.take(4).map(_._2).toSet
+        .sortBy { case (dd, c) => (dd, c) }
+        .take(ops.Llm.IvfPqProbes).map(_._2).toSet
       rows.foreach { case (id, cell, adc, dist, _) =>
         val v = byId(id)
         // the cell is the vector's true coarse assignment AND probed
@@ -591,7 +592,8 @@ class OperatorSpec extends SparkTestBase {
         .map { case (id, v) => (id, ops.Llm.l2sqArr(qv, v)) }
         .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
       val recall = rows.map(_._1).toSet.intersect(exact).size / 10.0
-      assert(recall >= 0.4, s"$d: IVF-PQ recall@10 $recall under floor")
+      info(s"$d: IVF-PQ recall@10 = $recall")
+      assert(recall >= 0.6, s"$d: IVF-PQ recall@10 $recall under floor")
     }
   }
 
@@ -748,6 +750,85 @@ class OperatorSpec extends SparkTestBase {
     val roots = ops.Sources.resolveRoots(edges).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(roots == Map("x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
+  test("agg_kll_merge: merged-sketch quantiles sit between the exact " +
+      "quantiles at rank p ± 3% (the principled KLL bound — value " +
+      "tolerance would conflate rank error with price spread)") {
+    val got = ops.Relational.agg_kll_merge(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val prices = li.select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val nls = li.select("l_returnflag", "l_linestatus").distinct()
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got.keySet == prices.keySet)
+    def exactAt(vs: Array[Double], rank: Double): Double =
+      vs(math.max(0, math.min(vs.length - 1,
+        (rank * (vs.length - 1)).round.toInt)))
+    for ((rf, (p50, p90, n)) <- got; vs = prices(rf)) {
+      assert(n == nls(rf), s"$rf: merged $n sketches, want ${nls(rf)}")
+      for ((p, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+        val lo = exactAt(vs, p - 0.03)
+        val hi = exactAt(vs, p + 0.03)
+        assert(est >= lo && est <= hi,
+          s"$rf p$p: $est outside exact rank band [$lo, $hi]")
+      }
+    }
+  }
+
+  test("llm_ndcg ≡ independent driver-side recompute from raw tokens " +
+      "(ranking, gains, ordered DCG folds); every ndcg in (0, 1]") {
+    def r4d(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = scala.collection.mutable.Map[(String, Long), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { case (id, t) =>
+      t.split(" ", -1).foreach(w => tf((w, id)) += 1) }
+    val dfm = tf.keys.toSeq.groupBy(_._1)
+      .map { case (t, ks) => t -> ks.size.toLong }
+    val dl = tf.toSeq.groupBy(_._1._2)
+      .map { case (id, m) => id -> m.map(_._2).sum }
+    val nDocs = docs.length.toLong
+    val avgdl = dl.values.sum * 1.0 / nDocs
+    val qts = dfm.toSeq.sortBy { case (t, c) => (-c, t) }.take(12)
+    def gain(tfv: Long) = (1L << math.min(tfv, 4L).toInt) - 1
+    def disc(rk: Int) = math.log(rk + 1.0) / math.log(2.0)
+    val want = qts.map { case (t, dfc) =>
+      val cands = docs.map(_._1).filter(id => tf((t, id)) > 0).map { id =>
+        val tfv = tf((t, id))
+        val score = math.log((nDocs - dfc + 0.5) / (dfc + 0.5) + 1) *
+          (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+        (id, tfv, score)
+      }
+      val top = cands.sortBy { case (id, _, sc) => (-sc, id) }.take(10)
+      val ideal = cands
+        .sortBy { case (id, tfv, _) => (-gain(tfv), id) }.take(10)
+      val dcg = top.zipWithIndex
+        .map { case ((_, tfv, _), i) => gain(tfv) / disc(i + 1) }.sum
+      val idcg = ideal.zipWithIndex
+        .map { case ((_, tfv, _), i) => gain(tfv) / disc(i + 1) }.sum
+      t -> ((cands.length.toLong, top.map(x => gain(x._2)).sum,
+        ideal.map(x => gain(x._2)).sum, r4d(dcg), r4d(idcg),
+        r4d(dcg / idcg)))
+    }.toMap
+    val got = ops.Llm.llm_ndcg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"query terms: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (t, w) =>
+      assert(got(t) == w, s"term '$t': got ${got(t)}, want $w")
+      val ndcg = got(t)._6
+      assert(ndcg > 0.0 && ndcg <= 1.0, s"term '$t': ndcg $ndcg")
+    }
   }
 
   test("approx percentile within 2% of the exact per-group quantiles") {
