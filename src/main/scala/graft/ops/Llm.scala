@@ -1318,13 +1318,28 @@ object Llm {
     * the batch itself joins the corpus (llm_dedup_text owns the
     * full-corpus story). */
   val llm_dedup_incr: Q = (s, d) => {
-    import s.implicits._
     val (corpusBand, corpusSets) = dedupIncrCorpus(s, d)
     dumpForOracle(s, d, "incr_corpus_band") { corpusBand }
     val newDocs = documents(s, d).where(col("doc_id") % 2 === 1)
+    dumpForOracle(s, d, "incr_new_band") {
+      minhashBandedOf(shingleRowsOf(newDocs).select("doc_id", "sh"))
+    }
+    dedupIncrBatch(newDocs, corpusBand, corpusSets).orderBy("doc_id")
+  }
+
+  /** One arriving batch against the persisted corpus — the kernel both
+    * the batch row above and the StreamingSpec foreachBatch twin run.
+    * Each doc's verdict depends ONLY on the corpus (never on its batch
+    * mates), which is exactly why the incremental dedup micro-batches
+    * freely: any partition of the new docs yields the same per-doc
+    * rows (the parity test drives three real micro-batches through
+    * this and compares against the one-shot batch row). */
+  private[graft] def dedupIncrBatch(newDocs: DataFrame,
+      corpusBand: DataFrame, corpusSets: DataFrame): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
     val newSh = shingleRowsOf(newDocs)
     val newBanded = minhashBandedOf(newSh.select("doc_id", "sh"))
-    dumpForOracle(s, d, "incr_new_band") { newBanded }
     val newSets = newSh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"))
     val verified = incrCandidates(newBanded, corpusBand)
@@ -1347,7 +1362,6 @@ object Llm {
       .join(dup, col("doc_id") === col("nid"), "left")
       .select(col("doc_id"), col("lang"),
         col("dup_of").isNull.as("survives"), col("dup_of"))
-      .orderBy("doc_id")
   }
 
   /** int8 scalar quantization of embeddings — the storage-scale op a

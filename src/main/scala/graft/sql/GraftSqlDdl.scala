@@ -126,6 +126,12 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
       s"key column '${ref.keyCol}' is not in the declared schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
+    val dupCols = tableSchema.fieldNames
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, vs) if vs.length > 1 => n }
+    require(dupCols.isEmpty,
+      s"duplicate column name(s) in the declared schema: " +
+        dupCols.mkString(", "))
     GraftTable.create(spark, ref.root,
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], tableSchema),
@@ -150,20 +156,34 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
         s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
       return Seq.empty
     }
-    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query))
-    require(df.schema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
-      s"key column '${ref.keyCol}' is not in the CTAS output " +
-        s"(${df.schema.fieldNames.mkString(", ")})")
-    // the key contract holds from birth: no NULLs, no duplicates
-    import org.apache.spark.sql.functions.col
-    val bad = df.groupBy(col(ref.keyCol)).count()
-      .where(col("count") > 1 || col(ref.keyCol).isNull)
-      .limit(1).count()
-    require(bad == 0, s"CTAS output violates the key contract on " +
-      s"'${ref.keyCol}' (NULL or duplicate keys)")
-    GraftTable.create(spark, ref.root, df, ref.statsCols,
-      ref.clusterCols, ref.numFiles, ref.bloomCols)
-    GraftSqlTables.register(name, ref)
+    // materialize ONCE before the guard: the key-contract check and the
+    // table write below each evaluate the frame, and a nondeterministic
+    // CTAS query (SELECT ... WHERE rand()<p) could otherwise pass the
+    // check on one draw and write different rows on the next (the MERGE
+    // source lesson)
+    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query)).persist()
+    try {
+      df.count()
+      require(df.schema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
+        s"key column '${ref.keyCol}' is not in the CTAS output " +
+          s"(${df.schema.fieldNames.mkString(", ")})")
+      val dupCols = df.schema.fieldNames
+        .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+        .collect { case (n, vs) if vs.length > 1 => n }
+      require(dupCols.isEmpty,
+        s"duplicate column name(s) in the CTAS output: " +
+          dupCols.mkString(", "))
+      // the key contract holds from birth: no NULLs, no duplicates
+      import org.apache.spark.sql.functions.col
+      val bad = df.groupBy(col(ref.keyCol)).count()
+        .where(col("count") > 1 || col(ref.keyCol).isNull)
+        .limit(1).count()
+      require(bad == 0, s"CTAS output violates the key contract on " +
+        s"'${ref.keyCol}' (NULL or duplicate keys)")
+      GraftTable.create(spark, ref.root, df, ref.statsCols,
+        ref.clusterCols, ref.numFiles, ref.bloomCols)
+      GraftSqlTables.register(name, ref)
+    } finally df.unpersist()
     Seq.empty
   }
 }

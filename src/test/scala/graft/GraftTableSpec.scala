@@ -1611,6 +1611,40 @@ class GraftTableSpec extends SparkTestBase {
       "a failed CTAS must write no table")
   }
 
+  test("sql ddl: a nondeterministic CTAS query is materialized ONCE — " +
+      "the created table holds exactly the rows the key guard checked") {
+    val calls = spark.sparkContext.longAccumulator("ndctas_calls")
+    val mark = udf { (id: Long) => calls.add(1L); id }.asNondeterministic()
+    spark.udf.register("ndctas_mark", mark)
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE ndctas_t USING graft OPTIONS (key 'id')
+          LOCATION '$dir'
+          AS SELECT ndctas_mark(id) AS id, 'x' AS payload
+             FROM range(0, 20)""")
+    assert(calls.value == 20L,
+      s"CTAS query evaluated ${calls.value} times, expected exactly 20 " +
+        "(guard + write must read the one materialized frame)")
+    assert(state(dir).keySet == (0L until 20L).toSet)
+    GraftSql.exec(spark, "DROP TABLE ndctas_t PURGE")
+  }
+
+  test("sql ddl: duplicate column names fail loudly in declared schemas " +
+      "and CTAS outputs") {
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE dup_t (id BIGINT, payload STRING, ID STRING)
+            USING graft OPTIONS (key 'id') LOCATION '${freshRoot()}'""")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE dup_t USING graft OPTIONS (key 'id')
+            LOCATION '${freshRoot()}'
+            AS SELECT 1 AS id, 'a' AS payload, 'b' AS payload""")
+    }
+    assert(GraftSqlTables.lookup(Seq("dup_t")).isEmpty)
+  }
+
   test("sql ddl: multi-part names register, resolve and drop (ns.t)") {
     val dir = freshRoot()
     GraftSql.exec(spark,

@@ -824,6 +824,44 @@ class StreamingSpec extends SparkTestBase {
         s"extra ${(streamed -- batch).take(5)}")
   }
 
+  test("incremental cross-batch dedup: THREE real micro-batches of new " +
+      "docs against the persisted corpus ≡ the one-shot llm_dedup_incr " +
+      "row (per-doc verdicts depend only on the corpus)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (band, sets) = ops.Llm.dedupIncrCorpus(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_par")
+      .toFile.getPath + "/verdicts"
+    val odd = graft.util.Tables.documents(spark, sf)
+      .where(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "lang", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ops.Llm.dedupIncrBatch(batch, band, sets)
+          .write.mode("append").parquet(out)
+      }.start()
+    try {
+      // three genuinely separate micro-batches
+      odd.grouped(math.max(1, odd.length / 3 + 1)).foreach { slice =>
+        mem.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val batch = ops.Llm.llm_dedup_incr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(streamed == batch,
+      s"streamed verdicts diverge from the batch row: " +
+        s"missing ${(batch -- streamed).take(3)}, " +
+        s"extra ${(streamed -- batch).take(3)}")
+  }
+
   test("foreachBatch + dynamic partition overwrite = incremental upsert sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
