@@ -1321,6 +1321,9 @@ object Llm {
     val (corpusBand, corpusSets) = dedupIncrCorpus(s, d)
     dumpForOracle(s, d, "incr_corpus_band") { corpusBand }
     val newDocs = documents(s, d).where(col("doc_id") % 2 === 1)
+    // the dump block re-derives the banding, but it is evaluated at
+    // most ONCE per (application, sfDir) — bench steady state never
+    // pays it (the dumpForOracle memo)
     dumpForOracle(s, d, "incr_new_band") {
       minhashBandedOf(shingleRowsOf(newDocs).select("doc_id", "sh"))
     }
@@ -1338,7 +1341,12 @@ object Llm {
       corpusBand: DataFrame, corpusSets: DataFrame): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
-    val newSh = shingleRowsOf(newDocs)
+    // ONE shingle pass per batch: both the banding and the shingle-set
+    // aggregation read it (the dedupIncrCorpus cache rationale on the
+    // batch side); localCheckpoint materializes eagerly and truncates
+    // lineage, and the blocks free when the RDD is collected — no
+    // persist-without-unpersist leak from a lazily-returned plan
+    val newSh = shingleRowsOf(newDocs).localCheckpoint()
     val newBanded = minhashBandedOf(newSh.select("doc_id", "sh"))
     val newSets = newSh.groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"))

@@ -60,14 +60,40 @@ object GraftSqlDdl {
       case _ => plan
     }
 
-  private def toSchema(cols: Seq[ColumnDefinition]): StructType =
+  /** Column definitions → a StructType — LOUDLY rejecting every clause
+    * graft does not store (DEFAULT, GENERATED ALWAYS AS, IDENTITY):
+    * silently creating a plain column where the user declared
+    * defaults/identity semantics is exactly the silent drift the
+    * typo'd-option guard below exists to prevent. */
+  private def toSchema(cols: Seq[ColumnDefinition]): StructType = {
+    cols.foreach { c =>
+      require(c.defaultValue.isEmpty,
+        s"column '${c.name}': DEFAULT is not supported on graft tables")
+      require(c.generationExpression.isEmpty,
+        s"column '${c.name}': GENERATED ALWAYS AS is not supported on " +
+          "graft tables")
+      require(c.identityColumnSpec.isEmpty,
+        s"column '${c.name}': IDENTITY is not supported on graft tables")
+    }
     StructType(cols.map(c => StructField(c.name, c.dataType, c.nullable)))
+  }
 
-  /** OPTIONS + LOCATION → a registry Ref. Loud on anything missing or
-    * unrecognized — a typo'd option must never silently become a
-    * default. */
+  /** OPTIONS + LOCATION → a registry Ref. Loud on anything missing,
+    * unrecognized, or silently droppable — a typo'd option must never
+    * become a default, and an accepted-but-ignored clause
+    * (TBLPROPERTIES, COMMENT, COLLATE, STORED AS) is the same bug. */
   private def knobs(parts: Seq[String],
       spec: UnresolvedTableSpec): GraftSqlTables.Ref = {
+    val what = s"CREATE TABLE ${parts.mkString(".")} USING graft"
+    require(spec.properties.isEmpty,
+      s"$what does not store TBLPROPERTIES " +
+        s"(got ${spec.properties.keys.mkString(", ")})")
+    require(spec.comment.isEmpty,
+      s"$what does not store a COMMENT — dropping it silently would " +
+        "lose it")
+    require(spec.collation.isEmpty, s"$what does not take COLLATE")
+    require(spec.serde.isEmpty,
+      s"$what does not take ROW FORMAT / STORED AS")
     val opts: Map[String, String] = (spec.optionExpression match {
       case OptionList(os) => os.map { case (k, v) =>
         k.toLowerCase(java.util.Locale.ROOT) -> evalString(k, v)
@@ -78,14 +104,18 @@ object GraftSqlDdl {
     val unknown = opts.keySet -- known
     require(unknown.isEmpty, s"unknown graft table option(s) " +
       s"${unknown.mkString(", ")}; supported: ${known.mkString(", ")}")
+    // one unambiguous root: LOCATION xor OPTIONS(root) — a conflicting
+    // pair silently resolving either way misleads a later DROP PURGE
+    require(spec.location.isEmpty || !opts.contains("root"),
+      s"$what: give the storage root as LOCATION or OPTIONS(root), " +
+        "not both")
     val root = spec.location.orElse(opts.get("root")).getOrElse(
       throw new IllegalArgumentException(
-        s"CREATE TABLE ${parts.mkString(".")} USING graft needs a " +
-          "storage root: LOCATION '<path>' or OPTIONS (root '<path>')"))
+        s"$what needs a storage root: LOCATION '<path>' or " +
+          "OPTIONS (root '<path>')"))
     val key = opts.getOrElse("key", throw new IllegalArgumentException(
-      s"CREATE TABLE ${parts.mkString(".")} USING graft needs " +
-        "OPTIONS (key '<unique key column>') — graft tables are " +
-        "key-addressed"))
+      s"$what needs OPTIONS (key '<unique key column>') — graft " +
+        "tables are key-addressed"))
     def csv(s: String): Seq[String] =
       s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val stats = opts.get("stats").map(csv).getOrElse(Seq(key))
@@ -108,6 +138,31 @@ object GraftSqlDdl {
       s"CREATE TABLE ${parts.mkString(".")} USING graft does not take " +
         "PARTITIONED BY/CLUSTERED BY clauses — clustering is the " +
         "'cluster' table option")
+
+  /** Atomically claim `name` BEFORE building: true → claimed (the
+    * caller builds the table and must unregister on failure); false →
+    * already bound under IF NOT EXISTS (no-op); loud otherwise. A
+    * check-then-register pair is racy: two concurrent CREATEs both
+    * pass the lookup, both build, and the put-loser's files are
+    * silently orphaned behind a "success". */
+  private[sql] def claim(parts: Seq[String], ref: GraftSqlTables.Ref,
+      ignoreIfExists: Boolean): Boolean = {
+    val name = parts.mkString(".")
+    if (GraftSqlTables.registerIfAbsent(name, ref)) true
+    else {
+      require(ignoreIfExists,
+        s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
+      false
+    }
+  }
+
+  private[sql] def requireDistinctCols(what: String,
+      names: Seq[String]): Unit = {
+    val dup = names.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, vs) if vs.length > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate column name(s) in $what: ${dup.mkString(", ")}")
+  }
 }
 
 /** `CREATE TABLE name (cols) USING graft ...` — creates the empty
@@ -117,26 +172,21 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
     ignoreIfExists: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDdl.requireNoPartitioning(parts, partitioning)
-    val name = parts.mkString(".")
-    if (GraftSqlTables.lookup(parts).isDefined) {
-      require(ignoreIfExists,
-        s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
-      return Seq.empty
-    }
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
       s"key column '${ref.keyCol}' is not in the declared schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
-    val dupCols = tableSchema.fieldNames
-      .groupBy(_.toLowerCase(java.util.Locale.ROOT))
-      .collect { case (n, vs) if vs.length > 1 => n }
-    require(dupCols.isEmpty,
-      s"duplicate column name(s) in the declared schema: " +
-        dupCols.mkString(", "))
-    GraftTable.create(spark, ref.root,
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], tableSchema),
-      ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols)
-    GraftSqlTables.register(name, ref)
+    GraftSqlDdl.requireDistinctCols("the declared schema",
+      tableSchema.fieldNames.toSeq)
+    if (!GraftSqlDdl.claim(parts, ref, ignoreIfExists)) return Seq.empty
+    try {
+      GraftTable.create(spark, ref.root,
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], tableSchema),
+        ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols)
+    } catch { case t: Throwable =>
+      GraftSqlTables.unregister(parts.mkString("."))
+      throw t
+    }
     Seq.empty
   }
 }
@@ -150,40 +200,37 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
     ignoreIfExists: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDdl.requireNoPartitioning(parts, partitioning)
-    val name = parts.mkString(".")
-    if (GraftSqlTables.lookup(parts).isDefined) {
-      require(ignoreIfExists,
-        s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
-      return Seq.empty
-    }
-    // materialize ONCE before the guard: the key-contract check and the
-    // table write below each evaluate the frame, and a nondeterministic
-    // CTAS query (SELECT ... WHERE rand()<p) could otherwise pass the
-    // check on one draw and write different rows on the next (the MERGE
-    // source lesson)
-    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query)).persist()
+    // claim BEFORE evaluating the (possibly long) query; any failure
+    // below unbinds the claim
+    if (!GraftSqlDdl.claim(parts, ref, ignoreIfExists)) return Seq.empty
     try {
-      df.count()
-      require(df.schema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
-        s"key column '${ref.keyCol}' is not in the CTAS output " +
-          s"(${df.schema.fieldNames.mkString(", ")})")
-      val dupCols = df.schema.fieldNames
-        .groupBy(_.toLowerCase(java.util.Locale.ROOT))
-        .collect { case (n, vs) if vs.length > 1 => n }
-      require(dupCols.isEmpty,
-        s"duplicate column name(s) in the CTAS output: " +
-          dupCols.mkString(", "))
-      // the key contract holds from birth: no NULLs, no duplicates
-      import org.apache.spark.sql.functions.col
-      val bad = df.groupBy(col(ref.keyCol)).count()
-        .where(col("count") > 1 || col(ref.keyCol).isNull)
-        .limit(1).count()
-      require(bad == 0, s"CTAS output violates the key contract on " +
-        s"'${ref.keyCol}' (NULL or duplicate keys)")
-      GraftTable.create(spark, ref.root, df, ref.statsCols,
-        ref.clusterCols, ref.numFiles, ref.bloomCols)
-      GraftSqlTables.register(name, ref)
-    } finally df.unpersist()
+      // materialize ONCE before the guard: the key-contract check and
+      // the table write below each evaluate the frame, and a
+      // nondeterministic CTAS query (SELECT ... WHERE rand()<p) could
+      // otherwise pass the check on one draw and write different rows
+      // on the next (the MERGE source lesson)
+      val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query)).persist()
+      try {
+        df.count()
+        require(df.schema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
+          s"key column '${ref.keyCol}' is not in the CTAS output " +
+            s"(${df.schema.fieldNames.mkString(", ")})")
+        GraftSqlDdl.requireDistinctCols("the CTAS output",
+          df.schema.fieldNames.toSeq)
+        // the key contract holds from birth: no NULLs, no duplicates
+        import org.apache.spark.sql.functions.col
+        val bad = df.groupBy(col(ref.keyCol)).count()
+          .where(col("count") > 1 || col(ref.keyCol).isNull)
+          .limit(1).count()
+        require(bad == 0, s"CTAS output violates the key contract on " +
+          s"'${ref.keyCol}' (NULL or duplicate keys)")
+        GraftTable.create(spark, ref.root, df, ref.statsCols,
+          ref.clusterCols, ref.numFiles, ref.bloomCols)
+      } finally df.unpersist()
+    } catch { case t: Throwable =>
+      GraftSqlTables.unregister(parts.mkString("."))
+      throw t
+    }
     Seq.empty
   }
 }

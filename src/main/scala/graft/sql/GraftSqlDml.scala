@@ -86,6 +86,12 @@ object GraftSqlTables {
   def unregister(name: String): Boolean =
     reg.remove(keyOf(name.split('.').toSeq)).isDefined
 
+  /** Atomic bind-if-absent — the CREATE/CTAS claim: two concurrent
+    * CREATEs of one name must produce exactly one success, never two
+    * "successes" with the loser's files silently orphaned. */
+  def registerIfAbsent(name: String, ref: Ref): Boolean =
+    reg.putIfAbsent(keyOf(name.split('.').toSeq), ref).isEmpty
+
   def lookup(nameParts: Seq[String]): Option[Ref] =
     if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
 }

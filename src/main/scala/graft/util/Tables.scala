@@ -23,9 +23,14 @@ object Tables {
   private val readCache = new scala.collection.concurrent.TrieMap[
     (SparkSession, String, String), DataFrame]
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events MUST go through the ts-normalizing reader below (CLAUDE.md
+    // invariant); a raw read cached under the same key would poison
+    // every later events() call with un-normalized nanos
+    require(name != "events", "read events via Tables.events, never t()")
     readCache.getOrElseUpdate((spark, sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

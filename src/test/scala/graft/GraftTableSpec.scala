@@ -1645,6 +1645,59 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftSqlTables.lookup(Seq("dup_t")).isEmpty)
   }
 
+  test("sql ddl: clauses graft cannot store are REJECTED, never " +
+      "silently dropped — DEFAULT, GENERATED, TBLPROPERTIES, COMMENT, " +
+      "and an ambiguous LOCATION + OPTIONS(root) pair") {
+    def bad(sql: String): Unit =
+      intercept[IllegalArgumentException] { GraftSql.exec(spark, sql) }
+    bad(s"""CREATE TABLE loud_t (id BIGINT, v STRING DEFAULT 'x')
+            USING graft OPTIONS (key 'id') LOCATION '${freshRoot()}'""")
+    bad(s"""CREATE TABLE loud_t (id BIGINT GENERATED ALWAYS AS IDENTITY,
+              v STRING)
+            USING graft OPTIONS (key 'id') LOCATION '${freshRoot()}'""")
+    bad(s"""CREATE TABLE loud_t (id BIGINT) USING graft
+            OPTIONS (key 'id') LOCATION '${freshRoot()}'
+            TBLPROPERTIES ('a' = 'b')""")
+    bad(s"""CREATE TABLE loud_t (id BIGINT) USING graft
+            OPTIONS (key 'id') LOCATION '${freshRoot()}'
+            COMMENT 'lost forever'""")
+    bad(s"""CREATE TABLE loud_t (id BIGINT) USING graft
+            OPTIONS (key 'id', root '${freshRoot()}')
+            LOCATION '${freshRoot()}'""")
+    assert(GraftSqlTables.lookup(Seq("loud_t")).isEmpty,
+      "no rejected statement may leave a binding behind")
+  }
+
+  test("sql ddl: two concurrent CREATEs of one name produce exactly ONE " +
+      "success (atomic claim, loser fails loudly with no orphaned bind)") {
+    val dirs = Seq(freshRoot(), freshRoot())
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[String, String]]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = dirs.map { dir =>
+      new Thread(() => {
+        gate.await()
+        try {
+          GraftSql.exec(spark,
+            s"""CREATE TABLE race_t (id BIGINT, payload STRING)
+                USING graft OPTIONS (key 'id') LOCATION '$dir'""")
+          results.add(Right(dir))
+        } catch {
+          case e: IllegalArgumentException => results.add(Left(e.getMessage))
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toList
+    assert(rs.count(_.isRight) == 1, s"exactly one CREATE must win: $rs")
+    val winner = rs.collectFirst { case Right(d) => d }.get
+    assert(GraftSqlTables.lookup(Seq("race_t")).map(_.root)
+      .contains(winner), "the binding must point at the WINNER's root")
+    GraftSql.exec(spark, "DROP TABLE race_t PURGE")
+  }
+
   test("sql ddl: multi-part names register, resolve and drop (ns.t)") {
     val dir = freshRoot()
     GraftSql.exec(spark,
