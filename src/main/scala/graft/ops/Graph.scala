@@ -473,6 +473,82 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007, public knowledge), [[LpaRounds]] fixed rounds on the
+    * dense (m=11) graph: every node starts as its own label; each round
+    * it adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label — both choices deterministic, so "labels
+    * after exactly 4 synchronous rounds" is a well-defined relation both
+    * engines compute exactly (asynchronous/random-tie LPA is not
+    * oracle-able). Fixed rounds also sidestep synchronous LPA's
+    * documented 2-cycle oscillation on bipartite structures — the
+    * semantics is the 4-round state, convergence deliberately not
+    * asserted.
+    *
+    * Budget-dispatched like [[pagerankOf]]: under the shared edge budget
+    * the rounds run as a driver loop over the collected edge list
+    * (identical tie-break logic, arm-equality-tested at budget 0);
+    * above it each round is one join of the adjacency with the label
+    * relation, one (node, label) count, and one row_number window —
+    * shuffle keys node then (node, label), the Pregel-style cost —
+    * localCheckpointed per the repo's loop invariant. The oracle unrolls
+    * the same 4 rounds as chained CTEs. */
+  val graph_lpa: Q = (s, d) =>
+    lpaOf(s, symmetrize(supplierEdges(s, d, 11)), Llm.CcDriverBudgetEdges)
+
+  private[graft] val LpaRounds = 4
+
+  /** kernel over a symmetric (v, u) adjacency — GraphSpec hand-checks a
+    * planted two-clique bridge graph and arm-equality-tests budget 0. */
+  private[graft] def lpaOf(s: SparkSession, symIn: DataFrame,
+      driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val sym = symIn.select(col("v"), col("u")).cache()
+    try {
+      val nEdges = sym.count()
+      if (nEdges <= driverBudgetEdges) {
+        val es = sym.as[(Long, Long)].collect()
+        var lbl: Map[Long, Long] =
+          es.map(_._1).distinct.map(v => v -> v).toMap
+        for (_ <- 1 to LpaRounds) {
+          val freq = scala.collection.mutable.HashMap[(Long, Long), Long]()
+          es.foreach { case (v, u) =>
+            val k = (v, lbl(u)); freq(k) = freq.getOrElse(k, 0L) + 1L
+          }
+          lbl = freq.toSeq.groupBy(_._1._1).map { case (v, xs) =>
+            v -> xs.map { case ((_, l), c) => (c, l) }
+              .min(Ordering.by[(Long, Long), (Long, Long)] {
+                case (c, l) => (-c, l)
+              })._2
+          }
+        }
+        s.createDataset(lbl.toSeq).toDF("node", "label").orderBy("node")
+      } else {
+        val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
+        val nodes = g.select(col("v").as("node")).distinct()
+        var cur = graft.util.Iterate.checkpoint(
+          nodes.withColumn("lbl", col("node")))
+        for (_ <- 1 to LpaRounds) {
+          val freq = g
+            .join(cur._1.select(col("node").as("u"), col("lbl")), "u")
+            .groupBy(col("v"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("v").orderBy(desc("c"), asc("lbl"))
+          val next = graft.util.Iterate.checkpoint(
+            freq.withColumn("rn", row_number().over(w))
+              .where(col("rn") === 1)
+              .select(col("v").as("node"), col("lbl")))
+          cur._2.unpersist(blocking = false)
+          cur = next
+        }
+        graft.util.Iterate.registerResult("graph_lpa", cur._2)
+        cur._1.select(col("node"), col("lbl").as("label")).orderBy("node")
+      }
+    } finally sym.unpersist()
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
@@ -480,6 +556,7 @@ object Graph {
     "graph_pagerank" -> graph_pagerank,
     "graph_jaccard" -> graph_jaccard,
     "graph_kcore" -> graph_kcore,
+    "graph_lpa" -> graph_lpa,
   )
 
   /** shared oracle CTE bodies (DuckDB): the edge derivation, its
@@ -577,7 +654,32 @@ object Graph {
             JOIN deg db ON db.node = c.b
           ORDER BY jaccard_bp DESC, c.a, c.b LIMIT 20""",
     "graph_kcore" -> kcoreOracle,
+    "graph_lpa" -> lpaOracle,
   )
+
+  /** [[LpaRounds]] unrolled synchronous LPA rounds as chained CTEs —
+    * the same (count DESC, label ASC) argmax the Spark window computes;
+    * every quantity is integer, so the engines agree exactly. Each
+    * round reads only its predecessor (linear chain), but MATERIALIZED
+    * keeps DuckDB from re-inlining the base scan per reference, as in
+    * [[kcoreOracle]]. */
+  private def lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+            SELECT v AS node, lbl FROM (
+              SELECT v, lbl, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+              FROM (SELECT y.s AS v, p.lbl, count(1) AS c
+                    FROM sym y JOIN l${i - 1} p ON y.t = p.node
+                    GROUP BY 1, 2) f$i) r$i
+            WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    s"""WITH ${edgeCtes(11)},
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        $rounds
+        SELECT node, CAST(lbl AS BIGINT) AS label FROM l$LpaRounds
+        ORDER BY node"""
+  }
 
   /** [[KcoreMaxRounds]] unrolled peel rounds as chained CTEs: each round
     * drops edges touching a node of degree < 2 in the PREVIOUS round's

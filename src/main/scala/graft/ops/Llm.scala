@@ -2457,6 +2457,75 @@ object Llm {
       .orderBy("pair_id")
   }
 
+  /** ROUGE-1/2 F1 — the recall-oriented summarization-eval twin of
+    * [[llm_bleu]] (Lin 2004, public knowledge), over the same
+    * data-derived pairing (doc 2k = reference, 2k+1 = candidate). Per n,
+    * the clipped overlap m = Σ_gram min(cand_cnt, ref_cnt); with
+    * P = m/c and R = m/r the F1 collapses EXACTLY to 2m/(c+r), so the
+    * whole score is one ratio of non-negative 64-bit integers — emitted
+    * as integer basis points (`2·m·10000 div (c+r)`, trunc ≡ floor on
+    * non-negative operands) per the repo's no-float-ratio invariant; no
+    * r4 half-boundary exposure at all, unlike BLEU whose exp/sqrt forces
+    * a float. All six integer components ride along. Denominators are
+    * never zero: both sides of a formed pair carry ≥ 2 tokens ⇒ ≥ 1
+    * bigram. Pairs with zero overlap get m = 0 rows, not dropped (the
+    * overlap join is inner, re-attached LEFT to the per-pair totals).
+    *
+    * 100 TB shape: token-linear like BLEU — grams explode once per
+    * side, the overlap is an equi-join on (pair, n, gram), totals are
+    * one aggregate of the same counts relation; nothing is quadratic in
+    * docs or pairs. */
+  val llm_rouge: Q = (s, d) => rougeOf(documents(s, d))
+
+  /** kernel over any (doc_id, text) relation — OperatorSpec drives
+    * planted identical / disjoint / partial / repeated-gram-clipping
+    * pairs against hand-computed scores. */
+  private[graft] def rougeOf(rel: DataFrame): DataFrame = {
+    val docs = rel
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .where(size(col("l")) >= 2)
+      .select(expr("doc_id div 2").as("pair_id"),
+        (col("doc_id") % 2 === 1).as("is_cand"), col("l"))
+    val pairs = docs.groupBy("pair_id").agg(count(lit(1)).as("ns"))
+      .where(col("ns") === 2).select("pair_id")
+    val sides = docs.join(pairs, "pair_id")
+    val uni = sides.select(col("pair_id"), col("is_cand"),
+      explode(col("l")).as("gram"), lit(1).as("n"))
+    val bi = sides.select(col("pair_id"), col("is_cand"),
+      explode(expr(
+        """transform(sequence(1, size(l) - 1),
+             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))"""))
+        .as("gram"), lit(2).as("n"))
+    val counts = uni.unionByName(bi)
+      .groupBy("pair_id", "is_cand", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("pair_id").agg(
+      sum(when(col("is_cand") && col("n") === 1, col("cnt"))).as("c1"),
+      sum(when(!col("is_cand") && col("n") === 1, col("cnt"))).as("r1"),
+      sum(when(col("is_cand") && col("n") === 2, col("cnt"))).as("c2"),
+      sum(when(!col("is_cand") && col("n") === 2, col("cnt"))).as("r2"))
+    val cand = counts.where(col("is_cand"))
+      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("c_cnt"))
+    val ref = counts.where(!col("is_cand"))
+      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("r_cnt"))
+    val overlap = cand.join(ref, Seq("pair_id", "n", "gram"))
+      .groupBy("pair_id")
+      .agg(
+        sum(when(col("n") === 1, least(col("c_cnt"), col("r_cnt"))))
+          .as("m1_raw"),
+        sum(when(col("n") === 2, least(col("c_cnt"), col("r_cnt"))))
+          .as("m2_raw"))
+    totals.join(overlap, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("m1_raw"), lit(0L)).as("m1"), col("c1"), col("r1"),
+        coalesce(col("m2_raw"), lit(0L)).as("m2"), col("c2"), col("r2"))
+      .select(col("pair_id"), col("m1"), col("c1"), col("r1"),
+        col("m2"), col("c2"), col("r2"),
+        expr("2 * m1 * 10000 div (c1 + r1)").as("rouge1_bp"),
+        expr("2 * m2 * 10000 div (c2 + r2)").as("rouge2_bp"))
+      .orderBy("pair_id")
+  }
+
   /** per (lang, source) doc stats; n_bad counts violations of the verified
     * n_chars == length(text) fixture invariant (expected 0 — a canary). */
   val llm_textstats: Q = (s, d) =>
@@ -3400,6 +3469,7 @@ object Llm {
     "llm_tfidf" -> llm_tfidf,
     "llm_bm25" -> llm_bm25,
     "llm_bleu" -> llm_bleu,
+    "llm_rouge" -> llm_rouge,
     "llm_textstats" -> llm_textstats,
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
@@ -4272,6 +4342,57 @@ object Llm {
                FROM documents)
          WHERE tok NOT IN ('a', 'the', 'of', 'and')
          GROUP BY tok ORDER BY tok""",
+    // same pairing/gram derivation as llm_bleu; F1 = 2m/(c+r) exactly,
+    // emitted as integer basis points (all operands non-negative, so
+    // DuckDB // ≡ Spark div) — no float anywhere in the row
+    "llm_rouge" ->
+      """WITH docs AS (
+           SELECT doc_id // 2 AS pair_id, doc_id % 2 = 1 AS is_cand,
+               string_split(text, ' ') AS l
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         pairs AS (SELECT pair_id FROM docs GROUP BY 1
+                   HAVING count(1) = 2),
+         sides AS (SELECT docs.* FROM docs JOIN pairs USING (pair_id)),
+         uni AS (SELECT pair_id, is_cand, unnest(l) AS gram, 1 AS n
+                 FROM sides),
+         bi AS (SELECT pair_id, is_cand,
+             unnest(list_transform(range(1, len(l)),
+               i -> l[i] || ' ' || l[i + 1])) AS gram,
+             2 AS n FROM sides),
+         counts AS (
+           SELECT pair_id, is_cand, n, gram, count(1) AS cnt
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) g
+           GROUP BY 1, 2, 3, 4),
+         totals AS (
+           SELECT pair_id,
+               CAST(sum(CASE WHEN is_cand AND n = 1 THEN cnt END)
+                   AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN NOT is_cand AND n = 1 THEN cnt END)
+                   AS BIGINT) AS r1,
+               CAST(sum(CASE WHEN is_cand AND n = 2 THEN cnt END)
+                   AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN NOT is_cand AND n = 2 THEN cnt END)
+                   AS BIGINT) AS r2
+           FROM counts GROUP BY 1),
+         overlap AS (
+           SELECT c.pair_id,
+               CAST(sum(CASE WHEN c.n = 1
+                   THEN least(c.cnt, r.cnt) END) AS BIGINT) AS m1_raw,
+               CAST(sum(CASE WHEN c.n = 2
+                   THEN least(c.cnt, r.cnt) END) AS BIGINT) AS m2_raw
+           FROM counts c JOIN counts r
+             ON NOT r.is_cand AND r.pair_id = c.pair_id AND r.n = c.n
+               AND r.gram = c.gram
+           WHERE c.is_cand GROUP BY 1)
+         SELECT t.pair_id,
+             coalesce(o.m1_raw, 0) AS m1, t.c1, t.r1,
+             coalesce(o.m2_raw, 0) AS m2, t.c2, t.r2,
+             (2 * coalesce(o.m1_raw, 0) * 10000) // (t.c1 + t.r1)
+                 AS rouge1_bp,
+             (2 * coalesce(o.m2_raw, 0) * 10000) // (t.c2 + t.r2)
+                 AS rouge2_bp
+         FROM totals t LEFT JOIN overlap o USING (pair_id)
+         ORDER BY pair_id""",
     // pairing 2k=ref / 2k+1=cand; non-negative ids so // == div; the
     // integer components (m/t per n, lengths) pin the float from both
     // sides, bleu itself r4 surface-only

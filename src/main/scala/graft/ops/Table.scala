@@ -294,6 +294,81 @@ object Table {
       .orderBy("o_year")
   }
 
+  /** Snapshot expiry + orphan vacuum as one oracle row — the routine
+    * maintenance pass every snapshot format ships (the public Iceberg
+    * expire_snapshots / remove_orphan_files design), on its own table so
+    * the shared fixture keeps its full history: v1 create (≤ 1997,
+    * tagged `archive` as a retention root) → v2 append 1998+ → v3 merge
+    * (1998 % 3 doubled) → expireSnapshots(keepFrom = 3) — v2's manifest
+    * goes and the appended files the merge rewrote are reclaimed, while
+    * v1 SURVIVES expiry through its tag — then a planted stray file (a
+    * crashed write's leftover, aged past the safety gate) is swept by
+    * removeOrphans. The query reads BOTH surviving states, the tag
+    * (pre-append archive) and latest (post-merge): vacuum must change
+    * neither, which is exactly what the static-replay oracle checks.
+    * The expired-v2 read failing loudly and the sweep counts are
+    * GraftTableSpec's (engine-side file counts cannot cross the oracle;
+    * the build still REQUIREs both reclaim paths fired, so a silently
+    * no-op vacuum fails the fixture, not just a unit test).
+    *
+    * 100 TB posture: expiry and the sweep are manifest-driven metadata
+    * work (reference-counted file deletes), never a data scan; the
+    * mtime age gate is what makes the sweep safe next to in-flight
+    * writers that have landed files but not yet linked a manifest. */
+  val table_vacuum: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "graft_table_vacuum")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      GraftTable.tag(root, "archive", 1)
+      GraftTable.append(s, root, src.where(col("o_year") >= 1998),
+        statsCols, clusterCols = statsCols, bloomCols = bloomCols)
+      GraftTable.merge(s, root,
+        src.where(col("o_year") === 1998 && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        keyCol = "o_orderkey", statsCols, clusterCols = statsCols,
+        bloomCols = bloomCols)
+      val dead = GraftTable.expireSnapshots(root, keepFrom = 3)
+      require(dead > 0, s"vacuum fixture reclaimed no expired files at $root")
+      val strayDir = java.nio.file.Paths.get(root, "data", "zz_orphan")
+      java.nio.file.Files.createDirectories(strayDir)
+      val stray = strayDir.resolve("stray.parquet")
+      java.nio.file.Files.write(stray, Array[Byte](0, 1, 2, 3))
+      java.nio.file.Files.setLastModifiedTime(stray,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+      val swept = GraftTable.removeOrphans(root, olderThanMs = 30000L)
+      require(swept >= 1, s"vacuum fixture swept no orphans at $root")
+    }
+    def slice(df: org.apache.spark.sql.DataFrame, which: String) =
+      df.groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(which).as("src"), col("o_year"), col("n_orders"),
+          col("sum_price"))
+    slice(GraftTable.readTag(s, root, "archive"), "archive")
+      .unionByName(slice(GraftTable.read(s, root), "latest"))
+      .orderBy("src", "o_year")
+  }
+
+  /** DESCRIBE HISTORY over the shared three-commit fixture: one row per
+    * retained snapshot — id, parent, operation, and the LIVE row count
+    * the manifests carry — newest first. Commit timestamps and file
+    * counts are deliberately excluded (wall clock and file layout are
+    * engine-side); row counts are data-derived, so the row is fully
+    * oracle-checkable: the oracle recomputes each commit's count from
+    * the source relation, and a mismatch means the manifests'
+    * bookkeeping drifted from the data — the exact corruption HISTORY
+    * exists to surface. Driver-side manifest reads only; no Spark jobs
+    * at any scale. */
+  val table_history: Q = (s, d) =>
+    GraftTable.history(s, ordersTable(s, d))
+      .select(col("snapshot"), col("parent"), col("op"), col("n_rows"))
+      .orderBy(desc("snapshot"))
+
   /** Incremental view maintenance (r8): the per-year aggregate
     * maintained by FOLDING the full row-level CDC history (create →
     * append → merge) instead of scanning the final snapshot — inserts
@@ -482,6 +557,55 @@ object Table {
          FROM $name GROUP BY o_year ORDER BY o_year""")
   }
 
+  /** Schema evolution from pure SQL — the remaining DDL verb after r11's
+    * CREATE/CTAS/DROP: `ALTER TABLE ... ADD COLUMNS` lands as a
+    * METADATA-ONLY commit (files untouched; pre-alter rows read the new
+    * column as NULL through the manifest schema), then the widened table
+    * takes a 4-column positional INSERT and an UPDATE that backfills the
+    * new column on pre-alter rows — proving old files, new files, and
+    * copy-on-write rewrites coexist under one schema. The grouped read
+    * keys on coalesce(o_band, 'unset') because never-touched pre-alter
+    * rows are genuinely NULL (and Spark sorts NULL first where DuckDB
+    * sorts it last — coalescing keeps the total order engine-neutral). */
+  val table_sql_alter: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_alter_orders")
+    val name = "sql_alter_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1996""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name ADD COLUMNS (o_band STRING)")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year,
+                CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"UPDATE $name SET o_band = 'legacy' WHERE o_year <= 1993")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"""SELECT coalesce(o_band, 'unset') AS band, o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+         FROM $name GROUP BY 1, 2 ORDER BY band, o_year""")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
     * warehouse-history staple: the full row-level change log over ALL
     * commits (0 → 3: creation inserts, append inserts, merge
@@ -536,6 +660,7 @@ object Table {
     "table_sql_merge" -> table_sql_merge,
     "table_sql_dml" -> table_sql_dml,
     "table_sql_ddl" -> table_sql_ddl,
+    "table_sql_alter" -> table_sql_alter,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -547,6 +672,8 @@ object Table {
     "table_delete" -> table_delete,
     "table_delete_mor" -> table_delete_mor,
     "table_restore" -> table_restore,
+    "table_vacuum" -> table_vacuum,
+    "table_history" -> table_history,
     "table_zorder" -> table_zorder)
 
   val oracle: Seq[(String, String)] = Seq(
@@ -627,6 +754,23 @@ object Table {
                  AS sum_price
          FROM orders WHERE o_orderkey % 10 <> 3
          GROUP BY 1 ORDER BY 1""",
+    // the alter story replayed statically: ≤1993 rows backfilled
+    // 'legacy' by the UPDATE, 1994-1996 rows genuinely NULL → 'unset'
+    // (pre-alter files, never rewritten), 1997+ rows born with the
+    // column by the post-alter INSERT
+    "table_sql_alter" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice,
+               year(o_orderdate) AS o_year,
+               CASE WHEN year(o_orderdate) <= 1993 THEN 'legacy'
+                    WHEN year(o_orderdate) <= 1996 THEN 'unset'
+                    WHEN o_orderkey % 2 = 0 THEN 'even'
+                    ELSE 'odd' END AS band
+           FROM orders)
+         SELECT band, CAST(o_year AS INT) AS o_year, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM t GROUP BY 1, 2 ORDER BY band, o_year""",
     // the TVF's v1→v2 delta = the appended slice at pre-merge values
     "table_sql_cdc" ->
       """SELECT o_orderpriority, count(1) AS n_orders,
@@ -634,6 +778,43 @@ object Table {
                  AS sum_price
          FROM orders WHERE year(o_orderdate) >= 1998
          GROUP BY 1 ORDER BY 1""",
+    // vacuum must change no surviving state: the tagged archive is the
+    // pre-append slice at original prices, latest is the post-merge
+    // state with the 1998 % 3 keys doubled — both replayed statically
+    "table_vacuum" ->
+      """WITH a AS (
+           SELECT 'archive' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2),
+         l AS (
+           SELECT 'latest' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1998
+                                   AND o_orderkey % 3 = 0
+                                  THEN 2 * o_totalprice
+                                  ELSE o_totalprice END
+                   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 2)
+         SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM l)
+         ORDER BY src, o_year""",
+    // each commit's manifest row count recomputed from the source: the
+    // create holds ≤ 1997, append and merge both cover the full relation
+    // (the merge upserts keys the append already landed — count-neutral)
+    "table_history" ->
+      """WITH n AS (SELECT count(1) AS all_rows FROM orders),
+         c AS (SELECT count(1) AS create_rows FROM orders
+               WHERE year(o_orderdate) <= 1997)
+         SELECT * FROM (
+           SELECT CAST(3 AS INT) AS snapshot, CAST(2 AS INT) AS parent,
+               'merge' AS op, all_rows AS n_rows FROM n
+           UNION ALL
+           SELECT CAST(2 AS INT), CAST(1 AS INT), 'append', all_rows FROM n
+           UNION ALL
+           SELECT CAST(1 AS INT), CAST(0 AS INT), 'create', create_rows
+           FROM c)
+         ORDER BY snapshot DESC""",
     // restore(1) undid the 1998+ append; the corrected reload re-added
     // only 1999+ — so the final state is simply "everything but 1998"
     "table_restore" ->

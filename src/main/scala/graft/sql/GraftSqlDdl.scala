@@ -2,10 +2,10 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition, CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, OptionList, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, OptionList, QualifiedColType, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -57,8 +57,33 @@ object GraftSqlDdl {
       case DropTable(UnresolvedIdentifier(parts, _), ifExists, purge)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftDropTableCommand(parts, ifExists, purge)
+      case AddColumns(UnresolvedTable(parts, _, _), colsToAdd)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftAlterAddColumnsCommand(parts, toAddedFields(parts, colsToAdd))
       case _ => plan
     }
+
+  /** ALTER ADD COLUMNS clauses → plain (name, type) pairs, LOUDLY
+    * rejecting everything the metadata-only commit cannot honor: nested
+    * paths, NOT NULL (pre-alter rows read as NULL — a non-nullable add
+    * would be a lie), FIRST/AFTER positions (graft appends, matching its
+    * add-only evolution contract), COMMENT, and DEFAULT. */
+  private def toAddedFields(parts: Seq[String],
+      cols: Seq[QualifiedColType]): Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val what = s"ALTER TABLE ${parts.mkString(".")} ADD COLUMNS"
+    cols.map { c =>
+      require(c.path.isEmpty,
+        s"$what: nested column paths are not supported")
+      require(c.nullable,
+        s"$what: '${c.colName}' must be nullable — existing rows read " +
+          "the added column as NULL")
+      require(c.position.isEmpty,
+        s"$what: FIRST/AFTER is not supported (columns append)")
+      require(c.comment.isEmpty, s"$what: COMMENT is not stored")
+      require(c.default.isEmpty, s"$what: DEFAULT is not stored")
+      c.colName -> c.dataType
+    }
+  }
 
   /** Column definitions → a StructType — LOUDLY rejecting every clause
     * graft does not store (DEFAULT, GENERATED ALWAYS AS, IDENTITY):
@@ -248,6 +273,27 @@ case class GraftDropTableCommand(parts: Seq[String], ifExists: Boolean,
         GraftSqlTables.unregister(name)
         if (purge)
           graft.util.AppCleanup.recursiveDelete(new java.io.File(ref.root))
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name ADD COLUMNS (c1 T1, ...)` over a registered graft
+  * table: one metadata-only commit per column
+  * ([[GraftTable.alterAddColumn]] — schema extends, files untouched,
+  * pre-alter rows read NULL). The registry Ref carries no schema, so
+  * nothing there changes; later INSERTs bind positionally against the
+  * WIDENED schema and UPDATE/MERGE address the new column like any
+  * other. */
+case class GraftAlterAddColumnsCommand(parts: Seq[String],
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(
+        s"graft table '${parts.mkString(".")}' not found"))
+    cols.foreach { case (n, dt) =>
+      GraftTable.alterAddColumn(ref.root, n, dt)
     }
     Seq.empty
   }

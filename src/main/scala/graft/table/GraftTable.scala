@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal snapshot/manifest table format over plain parquet files —
   * the offline-feasible answer to "no ACID table format" (SURVEY.md §2-A;
@@ -818,6 +818,37 @@ object GraftTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"restore lost 20 commit races at $root")
+  }
+
+  /** ALTER TABLE ... ADD COLUMN as a METADATA-ONLY commit: the new
+    * nullable field appends to the schema, the file list is untouched,
+    * and readers fill the column with NULL for every pre-alter file —
+    * [[readEntries]] plans with the manifest schema, and Spark's parquet
+    * reader null-fills columns a file does not carry. Add-only (and
+    * nullable-only) by construction — the same evolution contract
+    * `append(allowEvolution)` enforces, because existing rows cannot
+    * retroactively satisfy a NOT NULL or a dropped/renamed column
+    * without a rewrite. Duplicate names rejected case-insensitively
+    * (the resolver's default). Optimistic commit like every other verb:
+    * rebases onto concurrent appends, zero data movement at any scale. */
+  def alterAddColumn(root: String, name: String, dataType: DataType): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"alter of non-existent table $root")
+      val parent = manifest(root, v)
+      val schema =
+        DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists at $root")
+      val m = Manifest(v + 1, v, s"alter_add($name)",
+        schema.add(StructField(name, dataType, nullable = true)).json,
+        parent.files)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"alterAddColumn lost 20 commit races at $root")
   }
 
   /** Snapshot expiration + vacuum: drop every manifest with id <

@@ -1710,6 +1710,60 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftSqlTables.lookup(Seq("graftns", "ddl_mp")).isEmpty)
   }
 
+  test("sql ddl: ALTER TABLE ADD COLUMNS is metadata-only — same files, " +
+      "old rows read NULL, the widened width binds INSERT positionally, " +
+      "UPDATE backfills; unsupported clauses fail loudly") {
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE alt_t (id BIGINT, payload STRING) USING graft
+          OPTIONS (key 'id', num_files '2') LOCATION '$dir'""")
+    GraftSql.exec(spark,
+      "INSERT INTO alt_t SELECT id, concat('v', id) FROM range(1, 4)")
+    val preFiles =
+      GraftTable.manifest(dir, GraftTable.latestSnapshot(dir)).files
+    GraftSql.exec(spark, "ALTER TABLE alt_t ADD COLUMNS (score BIGINT)")
+    val postM = GraftTable.manifest(dir, GraftTable.latestSnapshot(dir))
+    assert(postM.files == preFiles, "alter must not touch data files")
+    assert(postM.op == "alter_add(score)")
+    // every pre-alter row reads the new column as NULL
+    assert(GraftSql.sql(spark, "SELECT score FROM alt_t").collect()
+      .forall(_.isNullAt(0)))
+    // the positional width check now demands THREE columns
+    intercept[Exception] {
+      GraftSql.exec(spark, "INSERT INTO alt_t SELECT 9L, 'v9'")
+    }
+    GraftSql.exec(spark,
+      "INSERT INTO alt_t SELECT 9L AS id, 'v9' AS p, 99L AS s")
+    // UPDATE backfills a pre-alter row (copy-on-write rewrite carries
+    // the widened schema); untouched old rows stay NULL
+    GraftSql.exec(spark, "UPDATE alt_t SET score = 5 WHERE id = 2")
+    val got = GraftSql.sql(spark,
+      "SELECT id, score FROM alt_t ORDER BY id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(5L), 3L -> None,
+      9L -> Some(99L)), got.toString)
+    // duplicate name, NOT NULL, FIRST — all rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "ALTER TABLE alt_t ADD COLUMNS (score BIGINT)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "ALTER TABLE alt_t ADD COLUMNS (req STRING NOT NULL)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "ALTER TABLE alt_t ADD COLUMNS (head STRING FIRST)")
+    }
+    // an UNREGISTERED name passes through to Spark's own catalog (and
+    // fails there) — the splice must not hijack foreign ALTERs
+    intercept[Exception] {
+      GraftSql.exec(spark,
+        "ALTER TABLE no_such_graft ADD COLUMNS (x INT)")
+    }
+    GraftSql.exec(spark, "DROP TABLE alt_t PURGE")
+  }
+
   test("sql ddl: the injected parser handles CREATE / CTAS / DROP " +
       "through plain spark.sql on an extensions session") {
     val SS = org.apache.spark.sql.SparkSession
@@ -1733,6 +1787,10 @@ class GraftTableSpec extends SparkTestBase {
       s2.sql("UPDATE ext_ddl SET id = id, payload = 'ee' WHERE id = 2")
       assert(s2.sql("SELECT payload FROM ext_ddl WHERE id = 2").head()
         .getString(0) == "ee")
+      // ALTER rides the same parser seam: widened schema visible at once
+      s2.sql("ALTER TABLE ext_ddl ADD COLUMNS (score BIGINT)")
+      assert(s2.sql("SELECT score FROM ext_ddl WHERE id = 2").head()
+        .isNullAt(0), "pre-alter rows must read the new column as NULL")
       s2.sql("DROP TABLE ext_ddl PURGE")
       assert(!new java.io.File(dir).exists())
     } finally {
@@ -1844,5 +1902,30 @@ class GraftTableSpec extends SparkTestBase {
     assert(GraftSql.sql(spark, "SELECT payload FROM shared_t").head()
       .getString(0) == "b",
       "the registry is one shared catalog: last register wins everywhere")
+  }
+
+  test("table_vacuum fixture: expired v2 fails loudly, tag-retained v1 " +
+      "and latest stay readable, history lists exactly {1, 3}") {
+    val sf = "/root/testdata/sf0.001"
+    // building the fixture runs expire + orphan sweep (and REQUIREs both
+    // reclaimed something); the row itself must produce both slices
+    val rows = ops.Table.table_vacuum(spark, sf).collect()
+    val srcs = rows.map(_.getString(0)).toSet
+    assert(srcs == Set("archive", "latest"), srcs.toString)
+    val root = ops.Sources.sinkDir(spark, sf, "graft_table_vacuum")
+    // the expired middle snapshot is GONE — loud manifest miss, never a
+    // silent partial read
+    intercept[Exception] {
+      GraftTable.read(spark, root, Some(2)).collect()
+    }
+    assert(GraftTable.history(spark, root).select("snapshot").collect()
+      .map(_.getInt(0)).toSet == Set(1, 3))
+    // the tag still resolves and equals the archive slice the row emits
+    val tagN = GraftTable.readTag(spark, root, "archive").count()
+    val archN = rows.filter(_.getString(0) == "archive")
+      .map(_.getLong(2)).sum
+    assert(tagN == archN, s"tag rows $tagN vs row sum $archN")
+    // the planted stray is gone and its dead dir swept with it
+    assert(!Files.exists(Paths.get(root, "data", "zz_orphan")))
   }
 }

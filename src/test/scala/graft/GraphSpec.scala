@@ -219,4 +219,47 @@ class GraphSpec extends SparkTestBase {
       ops.Graph.jaccardTopK(prod, Long.MaxValue)
         .as[(Long, Long, Long, Long)].collect().toSeq)
   }
+
+  test("graph_lpa: two bridged cliques settle on each clique's min " +
+      "label by round 4 (hand-simulated); budget arms value-identical") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + K4 {10,11,12,13} + bridge 4-10. Hand simulation of
+    // the synchronous (max count, min label) rule: round 1 gives every
+    // clique member its clique-min neighbor (1 itself briefly takes 2,
+    // 10 takes 4 over the bridge); round 2 floods 1 and 10 back over
+    // their cliques; round 3 reaches the fixpoint {1..4 → 1,
+    // 10..13 → 10}; round 4 must hold it.
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("a", "b")
+    val sym = edges.select($"a".as("v"), $"b".as("u"))
+      .union(edges.select($"b".as("v"), $"a".as("u")))
+    val driver = ops.Graph.lpaOf(spark, sym, Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val dist = ops.Graph.lpaOf(spark, sym, 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist, "budget arms must be value-identical")
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), driver.toString)
+  }
+
+  test("graph_lpa: production-fixture arms agree; labels are node ids") {
+    import spark.implicits._
+    val driver = ops.Graph.graph_lpa(spark, sf01)
+      .as[(Long, Long)].collect().toSeq
+    val e = ops.Graph.supplierEdges(spark, sf01, 11)
+    val sym = e.select($"a".as("v"), $"b".as("u"))
+      .union(e.select($"b".as("v"), $"a".as("u")))
+    val dist = ops.Graph.lpaOf(spark, sym, 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(driver.nonEmpty, "dense fixture graph must have nodes")
+    assert(driver == dist, "budget arms must be value-identical")
+    val nodes = driver.map(_._1).toSet
+    assert(driver.forall { case (_, l) => nodes(l) },
+      "every label must be a participating node id")
+    assert(driver.map(_._2).toSet.size < nodes.size,
+      "propagation should merge at least one pair of labels")
+  }
 }

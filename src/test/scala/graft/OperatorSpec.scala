@@ -144,6 +144,38 @@ class OperatorSpec extends SparkTestBase {
       math.exp(1 - 6.0 / 5.0) * math.sqrt(0.8 * 0.5)) < 1e-4, b.toString)
   }
 
+  test("llm_rouge kernel: identical pair = 10000 bp, disjoint = 0, " +
+      "clipped partial overlap matches the hand computation, " +
+      "sub-2-token pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"),              // identical
+      (2L, "a b c d e f"), (3L, "x y z"),            // disjoint
+      (4L, "the cat sat on the mat"),
+      (5L, "the cat the cat sat"),                   // partial, clipped
+      (6L, "a b c"), (7L, "q")                       // cand under 2 tokens
+    ).toDF("doc_id", "text")
+    val rows = ops.Llm.rougeOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L), rows.toString)
+    // identical: every gram matches, F1 = 1 exactly
+    assert(rows(0L) == ((4L, 4L, 4L, 3L, 3L, 3L, 10000L, 10000L)),
+      rows(0L).toString)
+    // disjoint: zero overlap rows must still emit m = 0, not drop
+    assert(rows(1L) == ((0L, 3L, 6L, 0L, 2L, 5L, 0L, 0L)),
+      rows(1L).toString)
+    // ref "the cat sat on the mat", cand "the cat the cat sat":
+    // m1 = the:min(2,2) + cat:min(2,1) + sat:1 = 4, c1 = 5, r1 = 6
+    //   → 2·4·10000 div 11 = 7272
+    // m2 = "the cat":min(2,1) + "cat sat":1 = 2, c2 = 4, r2 = 5
+    //   → 2·2·10000 div 9 = 4444 (the clipping point: cand's second
+    //   "the cat" buys nothing)
+    assert(rows(2L) == ((4L, 5L, 6L, 2L, 4L, 5L, 7272L, 4444L)),
+      rows(2L).toString)
+  }
+
   test("keepBestSurvivors: argmax-quality keeper per component, " +
       "min-id tiebreak, singletons keep themselves") {
     import spark.implicits._
