@@ -245,6 +245,40 @@ class GraphSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), driver.toString)
   }
 
+  test("graph_modularity: hand-computed on the two-clique bridge; " +
+      "the all-in-one partition scores exactly 0; fixture row coheres") {
+    import spark.implicits._
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("a", "b")
+    val twoComs = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L))
+      .toDF("node", "label")
+    // m = 13, per community e_in = 6, d_c = 13:
+    // contrib = 4·13·6 − 169 = 143; Q = 286/676 → 4230 bp (floor)
+    val rows = ops.Graph.modularityOf(edges, twoComs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows == Map(1L -> ((4L, 13L, 6L, 143L, 4230L)),
+      10L -> ((4L, 13L, 6L, 143L, 4230L))), rows.toString)
+    // trivial partition: e_in = m, d_c = 2m → numerator exactly 0
+    val oneCom = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+      .map(_ -> 7L).toDF("node", "label")
+    val one = ops.Graph.modularityOf(edges, oneCom).collect()
+    assert(one.length == 1 && one.head.getLong(4) == 0L &&
+      one.head.getLong(5) == 0L, one.mkString(","))
+    // fixture: the emitted partition is the lpa partition, components
+    // must be internally consistent (sum of d_c = 2m, sum of e_in <= m)
+    val fix = ops.Graph.graph_modularity(spark, sf01).collect()
+    val m = ops.Graph.supplierEdges(spark, sf01, 11).count()
+    assert(fix.map(_.getLong(2)).sum == 2 * m)
+    assert(fix.map(_.getLong(3)).sum <= m)
+    assert(fix.map(_.getLong(5)).distinct.length == 1,
+      "q_bp is a single global value on every row")
+  }
+
   test("graph_lpa: production-fixture arms agree; labels are node ids") {
     import spark.implicits._
     val driver = ops.Graph.graph_lpa(spark, sf01)
