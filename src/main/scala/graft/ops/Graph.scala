@@ -493,10 +493,31 @@ object Graph {
     * shuffle keys node then (node, label), the Pregel-style cost —
     * localCheckpointed per the repo's loop invariant. The oracle unrolls
     * the same 4 rounds as chained CTEs. */
-  val graph_lpa: Q = (s, d) =>
-    lpaOf(s, symmetrize(supplierEdges(s, d, 11)), Llm.CcDriverBudgetEdges)
+  val graph_lpa: Q = (s, d) => lpaLabels(s, d, 11).orderBy("node")
 
   private[graft] val LpaRounds = 4
+
+  private val lpaBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The (node, label) LPA partition, persisted once per (application,
+    * sfDir, m) like [[supplierEdges]]/[[supplierDeg]]: graph_lpa emits
+    * it and graph_modularity joins it twice — the pay-the-rounds-once
+    * discipline. Deterministic over immutable inputs (synchronous
+    * rounds, min-label ties), so reuse cannot change an oracle row. */
+  private[graft] def lpaLabels(s: SparkSession, d: String,
+      m: Int): DataFrame = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d + "_m" + m)
+    val t = s"graft_graph_lpa_$tag"
+    graft.util.AppCleanup.buildOnce(lpaBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_graph_lpa")
+      graft.util.AppCleanup.resetTable(s, t)
+      lpaOf(s, symmetrize(supplierEdges(s, d, m)), Llm.CcDriverBudgetEdges)
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    s.table(t)
+  }
 
   /** kernel over a symmetric (v, u) adjacency — GraphSpec hand-checks a
     * planted two-clique bridge graph and arm-equality-tests budget 0. */
@@ -568,10 +589,8 @@ object Graph {
     * label lookups on the edge list, one aggregate per community, one
     * 1-row global aggregate cross-joined back — no shuffle carries
     * anything wider than (label, counts). */
-  val graph_modularity: Q = (s, d) => {
-    val e = supplierEdges(s, d, 11)
-    modularityOf(e, lpaOf(s, symmetrize(e), Llm.CcDriverBudgetEdges))
-  }
+  val graph_modularity: Q = (s, d) =>
+    modularityOf(supplierEdges(s, d, 11), lpaLabels(s, d, 11))
 
   /** kernel over an (a, b) a<b edge relation and a (node, label)
     * partition — GraphSpec hand-checks the two-clique bridge graph

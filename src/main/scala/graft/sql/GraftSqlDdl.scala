@@ -2,10 +2,10 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, OptionList, QualifiedColType, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -60,6 +60,9 @@ object GraftSqlDdl {
       case AddColumns(UnresolvedTable(parts, _, _), colsToAdd)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftAlterAddColumnsCommand(parts, toAddedFields(parts, colsToAdd))
+      case RenameTable(UnresolvedTableOrView(parts, _, _), newName, false)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftRenameTableCommand(parts, newName)
       case _ => plan
     }
 
@@ -294,6 +297,31 @@ case class GraftAlterAddColumnsCommand(parts: Seq[String],
         s"graft table '${parts.mkString(".")}' not found"))
     cols.foreach { case (n, dt) =>
       GraftTable.alterAddColumn(ref.root, n, dt)
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE old RENAME TO new` over a registered graft table: a
+  * pure registry rebind — files, manifests and snapshots are untouched
+  * (the name is the catalog's, the data is the root's). The new name is
+  * CLAIMED atomically first (registerIfAbsent — renaming onto a bound
+  * name fails loudly, never silently shadows), then the old binding is
+  * released; losing the old binding mid-flight (a concurrent DROP)
+  * rolls the claim back and fails rather than leaving two names. */
+case class GraftRenameTableCommand(parts: Seq[String],
+    newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val oldKey = parts.mkString(".")
+    val newKey = newName.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$oldKey' not found"))
+    require(GraftSqlTables.registerIfAbsent(newKey, ref),
+      s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
+    if (!GraftSqlTables.unregister(oldKey)) {
+      GraftSqlTables.unregister(newKey)
+      throw new java.util.ConcurrentModificationException(
+        s"'$oldKey' was dropped concurrently during RENAME to '$newKey'")
     }
     Seq.empty
   }

@@ -1764,6 +1764,37 @@ class GraftTableSpec extends SparkTestBase {
     GraftSql.exec(spark, "DROP TABLE alt_t PURGE")
   }
 
+  test("sql ddl: ALTER TABLE RENAME TO rebinds the name only — data " +
+      "untouched, the old name unbinds, bound targets rejected") {
+    val dir = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE rn_t (id BIGINT, payload STRING) USING graft
+          OPTIONS (key 'id') LOCATION '$dir'""")
+    GraftSql.exec(spark,
+      "INSERT INTO rn_t SELECT id, concat('v', id) FROM range(1, 4)")
+    val snapBefore = GraftTable.latestSnapshot(dir)
+    GraftSql.exec(spark, "ALTER TABLE rn_t RENAME TO rn_t2")
+    assert(GraftTable.latestSnapshot(dir) == snapBefore,
+      "rename must be pure catalog metadata — no table commit")
+    assert(GraftSqlTables.lookup(Seq("rn_t")).isEmpty)
+    assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM rn_t2")
+      .head().getLong(0) == 3L)
+    // DML through the new name lands on the same root
+    GraftSql.exec(spark, "DELETE FROM rn_t2 WHERE id = 2")
+    assert(state(dir).keySet == Set(1L, 3L))
+    // renaming onto a bound name fails loudly and changes nothing
+    val dir2 = freshRoot()
+    GraftSql.exec(spark, s"CREATE TABLE rn_other (id BIGINT) USING graft " +
+      s"OPTIONS (key 'id') LOCATION '$dir2'")
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "ALTER TABLE rn_t2 RENAME TO rn_other")
+    }
+    assert(GraftSqlTables.lookup(Seq("rn_t2")).isDefined,
+      "a failed rename must keep the old binding")
+    GraftSql.exec(spark, "DROP TABLE rn_t2 PURGE")
+    GraftSql.exec(spark, "DROP TABLE rn_other PURGE")
+  }
+
   test("sql ddl: the injected parser handles CREATE / CTAS / DROP " +
       "through plain spark.sql on an extensions session") {
     val SS = org.apache.spark.sql.SparkSession
