@@ -282,9 +282,10 @@ case class GraftDropTableCommand(parts: Seq[String], ifExists: Boolean,
 }
 
 /** `ALTER TABLE name ADD COLUMNS (c1 T1, ...)` over a registered graft
-  * table: one metadata-only commit per column
-  * ([[GraftTable.alterAddColumn]] — schema extends, files untouched,
-  * pre-alter rows read NULL). The registry Ref carries no schema, so
+  * table: ONE metadata-only commit for the whole clause
+  * ([[GraftTable.alterAddColumns]] — schema extends, files untouched,
+  * pre-alter rows read NULL; a concurrent reader sees pre- or
+  * post-widening, never half). The registry Ref carries no schema, so
   * nothing there changes; later INSERTs bind positionally against the
   * WIDENED schema and UPDATE/MERGE address the new column like any
   * other. */
@@ -295,9 +296,7 @@ case class GraftAlterAddColumnsCommand(parts: Seq[String],
     val ref = GraftSqlTables.lookup(parts).getOrElse(
       throw new NoSuchElementException(
         s"graft table '${parts.mkString(".")}' not found"))
-    cols.foreach { case (n, dt) =>
-      GraftTable.alterAddColumn(ref.root, n, dt)
-    }
+    GraftTable.alterAddColumns(ref.root, cols)
     Seq.empty
   }
 }

@@ -831,7 +831,15 @@ object GraftTable {
     * without a rewrite. Duplicate names rejected case-insensitively
     * (the resolver's default). Optimistic commit like every other verb:
     * rebases onto concurrent appends, zero data movement at any scale. */
-  def alterAddColumn(root: String, name: String, dataType: DataType): Int = {
+  def alterAddColumn(root: String, name: String, dataType: DataType): Int =
+    alterAddColumns(root, Seq(name -> dataType))
+
+  /** Multi-column form: ALL columns land in ONE commit, so a concurrent
+    * reader sees the table either pre- or post-widening, never half
+    * (the MERGE single-commit lesson applied to DDL). */
+  def alterAddColumns(root: String,
+      cols: Seq[(String, DataType)]): Int = {
+    require(cols.nonEmpty, s"alter with no columns at $root")
     var attempts = 0
     while (attempts < 20) {
       val v = latestSnapshot(root)
@@ -839,16 +847,19 @@ object GraftTable {
       val parent = manifest(root, v)
       val schema =
         DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column '$name' already exists at $root")
-      val m = Manifest(v + 1, v, s"alter_add($name)",
-        schema.add(StructField(name, dataType, nullable = true)).json,
-        parent.files)
+      val widened = cols.foldLeft(schema) { case (s0, (name, dt)) =>
+        require(!s0.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists at $root")
+        s0.add(StructField(name, dt, nullable = true))
+      }
+      val m = Manifest(v + 1, v,
+        s"alter_add(${cols.map(_._1).mkString(",")})",
+        widened.json, parent.files)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"alterAddColumn lost 20 commit races at $root")
+      s"alterAddColumns lost 20 commit races at $root")
   }
 
   /** Snapshot expiration + vacuum: drop every manifest with id <

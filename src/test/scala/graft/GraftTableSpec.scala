@@ -1761,6 +1761,15 @@ class GraftTableSpec extends SparkTestBase {
       GraftSql.exec(spark,
         "ALTER TABLE no_such_graft ADD COLUMNS (x INT)")
     }
+    // a multi-column clause is ONE commit: a concurrent reader sees
+    // pre- or post-widening, never half
+    val vBefore = GraftTable.latestSnapshot(dir)
+    GraftSql.exec(spark,
+      "ALTER TABLE alt_t ADD COLUMNS (c1 INT, c2 STRING)")
+    assert(GraftTable.latestSnapshot(dir) == vBefore + 1,
+      "multi-column ADD COLUMNS must land as a single commit")
+    assert(GraftSql.sql(spark, "SELECT c1, c2 FROM alt_t LIMIT 1")
+      .head().isNullAt(0))
     GraftSql.exec(spark, "DROP TABLE alt_t PURGE")
   }
 

@@ -167,7 +167,8 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("SQL DML model: random INSERT/UPDATE/DELETE/MERGE statement " +
-      "sequences read back as a pure Map model") {
+      "sequences — with ALTER ADD COLUMNS and RENAME TO interleaved — " +
+      "read back as a pure Map model") {
     // The graft.sql surface version of the commit-sequence model above:
     // arbitrary SQL statements through GraftSql.exec against a
     // registered table, a pure Map[id -> payload] model updated by the
@@ -175,7 +176,11 @@ class PropertySpec extends SparkTestBase {
     // statement — so classification (matched / not-matched /
     // not-matched-by-source), first-matching-action dispatch and the
     // key-addressed commits hold across generated histories, not just
-    // GraftTableSpec's hand-written ones.
+    // GraftTableSpec's hand-written ones. r11 adds the DDL verbs to the
+    // histories: ALTER ADD COLUMNS widens the live table mid-sequence
+    // (later INSERT/MERGE sources pad the new width with NULLs, and the
+    // widened columns must stay NULL everywhere — nothing writes them),
+    // and RENAME TO swaps the name every later statement addresses.
     import java.nio.file.Files
     sealed trait Op
     case class Insert(n: Int) extends Op
@@ -185,6 +190,8 @@ class PropertySpec extends SparkTestBase {
     // or update all (!del); not-matched → insert; plus a
     // not-matched-by-source arm re-tagging id % 7 = 1 survivors
     case class MergeW(off: Int, w: Int, del: Boolean) extends Op
+    case object Alter extends Op
+    case object Rename extends Op
     val opGen: Gen[Op] = Gen.frequency(
       3 -> Gen.choose(1, 15).map(Insert(_)),
       3 -> Gen.zip(Gen.choose(2, 5), Gen.choose(0, 1))
@@ -193,7 +200,9 @@ class PropertySpec extends SparkTestBase {
         .map { case (m, r) => Delete(m, r) },
       4 -> Gen.zip(Gen.choose(-10, 30), Gen.choose(1, 20),
         Gen.oneOf(true, false))
-        .map { case (o, w, d) => MergeW(o, w, d) })
+        .map { case (o, w, d) => MergeW(o, w, d) },
+      1 -> Gen.const(Alter),
+      1 -> Gen.const(Rename))
     for ((opsSeq, run) <- samples(Gen.listOfN(6, opGen), 2).zipWithIndex) {
       val dir = Files.createTempDirectory(s"graft_sql_model$run").toFile
       graft.util.AppCleanup.onExit(s"graft_sql_model_${dir.getName}")(
@@ -208,25 +217,29 @@ class PropertySpec extends SparkTestBase {
         numFiles = 3)
       graft.sql.GraftSqlTables.register(tbl,
         graft.sql.GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), 2))
+      var cur = tbl   // RENAME swaps the name later statements address
+      var extra = 0   // ALTER-added columns; sources must pad this width
+      def pad: String =
+        (1 to extra).map(i => s", CAST(NULL AS STRING) AS x$i").mkString
       for ((op, step) <- opsSeq.zipWithIndex) {
         op match {
           case Insert(n) =>
             val (lo, hi) = (nextKey, nextKey + n); nextKey = hi
             graft.sql.GraftSql.exec(spark,
-              s"""INSERT INTO $tbl
-                  SELECT id, concat('i$step-', CAST(id AS STRING))
+              s"""INSERT INTO $cur
+                  SELECT id, concat('i$step-', CAST(id AS STRING))$pad
                   FROM range($lo, $hi)""")
             model ++= (lo until hi).map(k => k -> s"i$step-$k")
           case Update(m, r) =>
             graft.sql.GraftSql.exec(spark,
-              s"""UPDATE $tbl
+              s"""UPDATE $cur
                   SET payload = concat('u$step-', CAST(id AS STRING))
                   WHERE id % $m = $r""")
             model = model.map { case (k, v) =>
               k -> (if (k % m == r) s"u$step-$k" else v) }
           case Delete(m, r) =>
             graft.sql.GraftSql.exec(spark,
-              s"DELETE FROM $tbl WHERE id % $m = $r")
+              s"DELETE FROM $cur WHERE id % $m = $r")
             model = model.filter { case (k, _) => k % m != r }
           case MergeW(off, w, del) =>
             val (lo, hi) = (math.max(0, off).toLong,
@@ -237,9 +250,10 @@ class PropertySpec extends SparkTestBase {
                           WHEN MATCHED THEN UPDATE SET payload = s.payload"""
               else "WHEN MATCHED THEN UPDATE SET payload = s.payload"
             graft.sql.GraftSql.exec(spark,
-              s"""MERGE INTO $tbl t
+              s"""MERGE INTO $cur t
                   USING (SELECT id,
-                           concat('m$step-', CAST(id AS STRING)) AS payload
+                           concat('m$step-', CAST(id AS STRING))
+                             AS payload$pad
                          FROM range($lo, $hi)) s
                   ON t.id = s.id
                   $matchedArms
@@ -254,13 +268,26 @@ class PropertySpec extends SparkTestBase {
               else if (k % 7 == 1) Some(k -> s"o$step-$k")
               else Some(k -> v)
             } ++ src.filterNot(model.contains).map(k => k -> s"m$step-$k")
+          case Alter =>
+            extra += 1
+            graft.sql.GraftSql.exec(spark,
+              s"ALTER TABLE $cur ADD COLUMNS (x$extra STRING)")
+            // model unchanged: the widened column must stay NULL
+          case Rename =>
+            val next = s"${tbl}_r$step"
+            graft.sql.GraftSql.exec(spark,
+              s"ALTER TABLE $cur RENAME TO $next")
+            cur = next
         }
-        val got = graft.table.GraftTable.read(spark, root).collect()
-          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val rows = graft.table.GraftTable.read(spark, root).collect()
+        val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
         assert(got == model,
           s"run $run step $step ($op): SQL surface diverged from model " +
             s"(missing=${(model.keySet -- got.keySet).toSeq.sorted.take(5)}" +
             s" extra=${(got.keySet -- model.keySet).toSeq.sorted.take(5)})")
+        assert(rows.forall(r =>
+          (2 until 2 + extra).forall(r.isNullAt)),
+          s"run $run step $step ($op): an ALTER-added column was written")
       }
     }
   }
