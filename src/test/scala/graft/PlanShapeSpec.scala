@@ -636,6 +636,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("graph_modularity: label lookups broadcast onto the edge list, " +
+      "no cartesian anywhere (the 1-row globals ride broadcast loops)") {
+    withStaticPlan {
+      val df = ops.Graph.graph_modularity(spark, sf)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+      val bhj = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b
+      }.size
+      assert(bhj >= 2,
+        s"expected the two label lookups as broadcast hash joins:\n$p")
+    }
+  }
+
+  test("llm_rouge: overlap is an equi-join on (pair, n, gram) — no " +
+      "cartesian, no join wider than the gram keys") {
+    withStaticPlan {
+      val df = ops.Llm.llm_rouge(spark, sf)
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"non-equi join crept in:\n$p")
+    }
+  }
+
   test("join_nearest is the linear merged-stream plan: window, NO join " +
       "node, one user-keyed shuffle") {
     withStaticPlan {
