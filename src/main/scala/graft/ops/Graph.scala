@@ -612,18 +612,26 @@ object Graph {
       .agg(count(lit(1)).as("d_c"),
         countDistinct(col("v")).as("n_nodes"))
     val m = e.agg(count(lit(1)).as("m"))
+    // the global q_num rides a single-partition window over the tiny
+    // per-community relation (the win_share pattern) instead of a
+    // separate aggregate cross-joined back — the latter re-executes the
+    // whole label-join + aggregation subtree a second time (review
+    // finding, this session)
     val per = degC.join(eIn, Seq("label"), "left")
       .select(col("label"), col("n_nodes"), col("d_c"),
         coalesce(col("e_in"), lit(0L)).as("e_in"))
       .crossJoin(broadcast(m))
       .select(col("label"), col("n_nodes"), col("d_c"), col("e_in"),
+        col("m"),
         (lit(4L) * col("m") * col("e_in") - col("d_c") * col("d_c"))
           .as("contrib_num"))
-    val q = per.agg(sum(col("contrib_num")).as("q_num"))
-      .crossJoin(broadcast(m))
-      .select(expr(
-        "(q_num + 4 * m * m) * 10000 div (4 * m * m) - 10000").as("q_bp"))
-    per.crossJoin(broadcast(q))
+    per
+      .withColumn("q_num", sum(col("contrib_num")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("label"), col("n_nodes"), col("d_c"), col("e_in"),
+        col("contrib_num"),
+        (expr("(q_num + 4 * m * m) * 10000 div (4 * m * m)") -
+          lit(10000L)).as("q_bp"))
       .orderBy("label")
   }
 
@@ -737,15 +745,14 @@ object Graph {
     "graph_modularity" -> modularityOracle,
   )
 
-  /** [[LpaRounds]] unrolled synchronous LPA rounds as chained CTEs —
-    * the same (count DESC, label ASC) argmax the Spark window computes;
-    * every quantity is integer, so the engines agree exactly. Each
-    * round reads only its predecessor (linear chain), but MATERIALIZED
-    * keeps DuckDB from re-inlining the base scan per reference, as in
+  /** [[LpaRounds]] unrolled synchronous LPA rounds as chained CTEs,
+    * shared by [[lpaOracle]] and [[modularityOracle]] (the eval must
+    * judge the EXACT partition the lpa row ships): the same
+    * (count DESC, label ASC) argmax the Spark window computes, every
+    * quantity integer, so the engines agree exactly. Each round reads
+    * only its predecessor (linear chain), but MATERIALIZED keeps DuckDB
+    * from re-inlining the base scan per reference, as in
     * [[kcoreOracle]]. */
-  /** The unrolled LPA chain, shared by [[lpaOracle]] and
-    * [[modularityOracle]] (the eval must judge the EXACT partition the
-    * lpa row ships). */
   private def lpaChain: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""l$i AS MATERIALIZED (

@@ -212,7 +212,8 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
           .emptyRDD[org.apache.spark.sql.Row], tableSchema),
         ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols)
     } catch { case t: Throwable =>
-      GraftSqlTables.unregister(parts.mkString("."))
+      // conditional: only undo OUR claim, never a concurrent rebind
+      GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
       throw t
     }
     Seq.empty
@@ -256,7 +257,8 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
           ref.clusterCols, ref.numFiles, ref.bloomCols)
       } finally df.unpersist()
     } catch { case t: Throwable =>
-      GraftSqlTables.unregister(parts.mkString("."))
+      // conditional: only undo OUR claim, never a concurrent rebind
+      GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
       throw t
     }
     Seq.empty
@@ -318,7 +320,9 @@ case class GraftRenameTableCommand(parts: Seq[String],
     require(GraftSqlTables.registerIfAbsent(newKey, ref),
       s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
     if (!GraftSqlTables.unregister(oldKey)) {
-      GraftSqlTables.unregister(newKey)
+      // conditional rollback: a concurrent last-wins register() may
+      // have retaken the new name in the window — remove only OUR claim
+      GraftSqlTables.unregisterIfBoundTo(newKey, ref)
       throw new java.util.ConcurrentModificationException(
         s"'$oldKey' was dropped concurrently during RENAME to '$newKey'")
     }

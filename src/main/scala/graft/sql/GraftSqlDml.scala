@@ -92,6 +92,14 @@ object GraftSqlTables {
   def registerIfAbsent(name: String, ref: Ref): Boolean =
     reg.putIfAbsent(keyOf(name.split('.').toSeq), ref).isEmpty
 
+  /** Conditional unbind: removes `name` only while it still points at
+    * `ref` (TrieMap.remove(k, v) is atomic) — the ROLLBACK primitive.
+    * Undoing our own claim through the unconditional unregister could
+    * delete a binding a concurrent last-wins register() placed on the
+    * same name in the claim window (review finding, r11). */
+  def unregisterIfBoundTo(name: String, ref: Ref): Boolean =
+    reg.remove(keyOf(name.split('.').toSeq), ref)
+
   def lookup(nameParts: Seq[String]): Option[Ref] =
     if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
 }

@@ -1944,6 +1944,21 @@ class GraftTableSpec extends SparkTestBase {
       "the registry is one shared catalog: last register wins everywhere")
   }
 
+  test("registry rollback is conditional: undoing a claim never deletes " +
+      "a concurrent last-wins rebind of the same name") {
+    val refA = GraftSqlTables.Ref("/tmp/cond_a", "id", Seq("id"), Seq("id"))
+    val refB = GraftSqlTables.Ref("/tmp/cond_b", "id", Seq("id"), Seq("id"))
+    assert(GraftSqlTables.registerIfAbsent("cond_t", refA))
+    // a concurrent register() overwrites (documented last-wins) ...
+    GraftSqlTables.register("cond_t", refB)
+    // ... so the original claimant's rollback must be a NO-OP
+    assert(!GraftSqlTables.unregisterIfBoundTo("cond_t", refA))
+    assert(GraftSqlTables.lookup(Seq("cond_t")).contains(refB),
+      "rollback of a stale claim must not delete the live rebind")
+    assert(GraftSqlTables.unregisterIfBoundTo("cond_t", refB))
+    assert(GraftSqlTables.lookup(Seq("cond_t")).isEmpty)
+  }
+
   test("table_vacuum fixture: expired v2 fails loudly, tag-retained v1 " +
       "and latest stay readable, history lists exactly {1, 3}") {
     val sf = "/root/testdata/sf0.001"
