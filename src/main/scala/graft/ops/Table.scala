@@ -354,6 +354,31 @@ object Table {
       .orderBy("src", "o_year")
   }
 
+  /** TIMESTAMP AS OF promoted to an oracle row: resolve the snapshot
+    * live at v2's own commit stamp through the real resolution path
+    * ([[GraftTable.readAsOf]] — newest snapshot committed at or before
+    * the timestamp), landing on the post-append, pre-merge state. The
+    * probe is v2's RECORDED stamp, not wall clock, so the row is
+    * deterministic; strictly-increasing stamps are REQUIREd loudly (two
+    * commits inside one millisecond would make "as of t2" legitimately
+    * resolve v3 — fail the fixture rather than hash-diverge). Grouped
+    * by priority so the row is distinct from the snapshot-addressed
+    * time-travel twin. */
+  val table_asof: Q = (s, d) => {
+    import graft.util.Det._
+    val root = ordersTable(s, d)
+    def stamp(v: Int): Long =
+      GraftTable.manifest(root, v).committedAtMs.getOrElse(
+        sys.error(s"fixture v$v carries no commit stamp at $root"))
+    require(stamp(3) > stamp(2),
+      s"commit stamps not strictly increasing at $root")
+    GraftTable.readAsOf(s, root, stamp(2))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** DESCRIBE HISTORY over the shared three-commit fixture: one row per
     * retained snapshot — id, parent, operation, and the LIVE row count
     * the manifests carry — newest first. Commit timestamps and file
@@ -674,6 +699,7 @@ object Table {
     "table_restore" -> table_restore,
     "table_vacuum" -> table_vacuum,
     "table_history" -> table_history,
+    "table_asof" -> table_asof,
     "table_zorder" -> table_zorder)
 
   val oracle: Seq[(String, String)] = Seq(
@@ -799,6 +825,13 @@ object Table {
            FROM orders GROUP BY 2)
          SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM l)
          ORDER BY src, o_year""",
+    // as-of v2's own stamp = the post-append, pre-merge state: the full
+    // relation at original prices
+    "table_asof" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // each commit's manifest row count recomputed from the source: the
     // create holds ≤ 1997, append and merge both cover the full relation
     // (the merge upserts keys the append already landed — count-neutral)
