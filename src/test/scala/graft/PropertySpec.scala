@@ -735,7 +735,7 @@ class PropertySpec extends SparkTestBase {
     } finally li.unpersist()
   }
 
-  test("graph budget arms agree on random graphs (pagerank + bfs)") {
+  test("graph budget arms agree on random graphs (pagerank + bfs + lpa)") {
     // the fixture pins one topology; random graphs add cycles, stars and
     // disconnected pieces. Each sample runs the full distributed loop
     // (8 checkpointed rounds), so samples are few — each IS a Spark job
@@ -776,6 +776,27 @@ class PropertySpec extends SparkTestBase {
         val got = ops.Graph.kcoreOf(spark, eDf, budget)
           .as[(Long, Long)].collect().toSeq
         assert(got == want, s"kcore budget=$budget diverged on $edges")
+      }
+      // lpa: both arms must equal an INDEPENDENT naive reference of the
+      // 4 synchronous rounds (groupBy-formulated, not the driver arm's
+      // HashMap) — max neighbor-label count, min label on ties
+      val symPairs = (edges ++ edges.map(_.swap)).distinct
+      var lbl = symPairs.map(_._1).distinct.map(v => v -> v).toMap
+      for (_ <- 1 to ops.Graph.LpaRounds) {
+        // NB: .toSeq before mapping to (-count, label) — mapping the
+        // Map directly would key by -count and silently collapse
+        // equal-count labels (keeping an arbitrary one), breaking the
+        // min-label tie-break this reference exists to check
+        lbl = symPairs.groupBy(_._1).map { case (v, es) =>
+          v -> es.map(e => lbl(e._2)).groupBy(identity).toSeq
+            .map { case (l, xs) => (-xs.size, l) }.min._2
+        }
+      }
+      val lpaWant = lbl.toSeq.sorted
+      for (budget <- Seq(Long.MaxValue, 0L)) {
+        val got = ops.Graph.lpaOf(spark, sym, budget)
+          .as[(Long, Long)].collect().toSeq.sorted
+        assert(got == lpaWant, s"lpa budget=$budget diverged on $edges")
       }
     }
   }
