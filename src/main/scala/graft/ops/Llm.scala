@@ -3313,6 +3313,96 @@ object Llm {
       .orderBy("lang", "tile")
   }
 
+  /** SFT-pair assembly — the post-training data-prep stage every
+    * instruction-tuning run starts with (public chat-template design):
+    * doc 2k is the prompt, 2k+1 the response (the BLEU pairing
+    * convention; incomplete pairs drop identically on both engines),
+    * rendered through a fixed two-role template, with the loss-mask
+    * boundary emitted as exact integers — prompt/response token counts
+    * and the masked fraction in basis points
+    * (`n_prompt·10⁴ div (n_prompt+n_resp)`, all non-negative, so
+    * trunc ≡ floor). The rendered string itself rides along: the oracle
+    * hash proves the template assembly byte-for-byte, not just the
+    * counts.
+    *
+    * 100 TB shape: one `div`-derived pair key, one count-2 filter, one
+    * conditional aggregation per pair — token-linear, shuffle keyed on
+    * pair_id only. */
+  val llm_sft_format: Q = (s, d) => sftFormatOf(documents(s, d))
+
+  /** kernel over any (doc_id, text) relation — OperatorSpec drives a
+    * planted pair against the hand-rendered template and an incomplete
+    * pair that must drop. */
+  private[graft] def sftFormatOf(rel: DataFrame): DataFrame = {
+    val docs = rel
+      .select(expr("doc_id div 2").as("pair_id"),
+        (col("doc_id") % 2 === 1).as("is_resp"), col("doc_id"),
+        col("text"), size(split(col("text"), " ")).as("n_tok"))
+    val pairs = docs.groupBy("pair_id")
+      .agg(count(lit(1)).as("ns"),
+        max(when(!col("is_resp"), col("doc_id"))).as("prompt_id"),
+        max(when(col("is_resp"), col("doc_id"))).as("response_id"),
+        max(when(!col("is_resp"), col("text"))).as("p_text"),
+        max(when(col("is_resp"), col("text"))).as("r_text"),
+        max(when(!col("is_resp"), col("n_tok"))).as("n_prompt_tok"),
+        max(when(col("is_resp"), col("n_tok"))).as("n_resp_tok"))
+      .where(col("ns") === 2)
+    pairs.select(col("pair_id"), col("prompt_id"), col("response_id"),
+      col("n_prompt_tok").cast("long").as("n_prompt_tok"),
+      col("n_resp_tok").cast("long").as("n_resp_tok"),
+      expr("CAST(n_prompt_tok AS BIGINT) * 10000 " +
+        "div (n_prompt_tok + n_resp_tok)").as("mask_bp"),
+      concat(lit("<|user|>\n"), col("p_text"),
+        lit("\n<|assistant|>\n"), col("r_text")).as("rendered"))
+      .orderBy("pair_id")
+  }
+
+  /** Preference-pair construction — the DPO / reward-model data-prep
+    * stage: within each (lang, source) bucket, docs rank by the SAME
+    * exact integer quality score the curriculum/quality rows ship
+    * ([[qualityScored]]'s bp; ties broken by doc_id, a total order),
+    * and rank i pairs with rank n+1−i — best against worst, the
+    * max-margin pairing — keeping only pairs with a strictly positive
+    * margin (a zero-margin "preference" is noise by definition, and the
+    * strict filter is deterministic where any sampling would not be).
+    * chosen/rejected ids, both scores and the margin ride along as
+    * exact integers.
+    *
+    * 100 TB shape: one window rank per bucket + one equi-join on
+    * (lang, source, pair_rank) — no cross join, bucket-linear; a skewed
+    * source would take the win_rank salted-arm treatment, but buckets
+    * here are (lang × source) so fan-out is bounded by construction. */
+  val llm_dpo_pairs: Q = (s, d) =>
+    dpoPairsOf(qualityScored(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), col("bp")))
+
+  /** kernel over any (lang, source, doc_id, bp) scored relation —
+    * OperatorSpec drives planted buckets: best-vs-worst pairing, odd-n
+    * middle unpaired, zero-margin ties filtered. */
+  private[graft] def dpoPairsOf(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(desc("bp"), asc("doc_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("lang", "source")))
+    val chosen = ranked.where(col("rn") <= expr("n div 2"))
+      .select(col("lang"), col("source"),
+        col("rn").cast("int").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("bp").as("chosen_bp"))
+    val rejected = ranked.where(col("rn") > expr("n - n div 2"))
+      .select(col("lang"), col("source"),
+        (col("n") - col("rn") + 1).cast("int").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("bp").as("rejected_bp"))
+    chosen.join(rejected, Seq("lang", "source", "pair_rank"))
+      .where(col("chosen_bp") > col("rejected_bp"))
+      .select(col("lang"), col("source"), col("pair_rank"),
+        col("chosen_id"), col("rejected_id"), col("chosen_bp"),
+        col("rejected_bp"),
+        (col("chosen_bp") - col("rejected_bp")).as("margin_bp"))
+      .orderBy("lang", "source", "pair_rank")
+  }
+
   // ----- multimodal / UDF --------------------------------------------------
 
   /** struct + map + binary round-trip: documents ⋈ embeddings into a
@@ -3482,6 +3572,8 @@ object Llm {
     "llm_pii_scrub" -> llm_pii_scrub,
     "llm_mixture" -> llm_mixture,
     "llm_curriculum" -> llm_curriculum,
+    "llm_sft_format" -> llm_sft_format,
+    "llm_dpo_pairs" -> llm_dpo_pairs,
     "llm_sample" -> llm_sample,
     "llm_sample_weighted" -> llm_sample_weighted,
     "llm_cap_source" -> llm_cap_source,
@@ -4781,6 +4873,67 @@ object Llm {
               CAST(sum(q) AS BIGINT) AS sum_tokens,
               min(bp) AS min_bp, max(bp) AS max_bp
           FROM t GROUP BY 1, 2 ORDER BY lang, tile""",
+    // same two-role template byte-for-byte (chr(10) ≡ the Scala \n);
+    // the count-2 pair filter and the non-negative mask_bp div mirror
+    // the Spark aggregation exactly
+    "llm_sft_format" ->
+      """WITH docs AS (
+           SELECT doc_id // 2 AS pair_id, doc_id % 2 = 1 AS is_resp,
+               doc_id, text,
+               len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         pairs AS (
+           SELECT pair_id, count(1) AS ns,
+               max(CASE WHEN NOT is_resp THEN doc_id END) AS prompt_id,
+               max(CASE WHEN is_resp THEN doc_id END) AS response_id,
+               max(CASE WHEN NOT is_resp THEN text END) AS p_text,
+               max(CASE WHEN is_resp THEN text END) AS r_text,
+               max(CASE WHEN NOT is_resp THEN n_tok END) AS n_prompt_tok,
+               max(CASE WHEN is_resp THEN n_tok END) AS n_resp_tok
+           FROM docs GROUP BY 1)
+         SELECT pair_id, prompt_id, response_id,
+             CAST(n_prompt_tok AS BIGINT) AS n_prompt_tok,
+             CAST(n_resp_tok AS BIGINT) AS n_resp_tok,
+             (CAST(n_prompt_tok AS BIGINT) * 10000)
+                 // (n_prompt_tok + n_resp_tok) AS mask_bp,
+             '<|user|>' || chr(10) || p_text || chr(10) ||
+                 '<|assistant|>' || chr(10) || r_text AS rendered
+         FROM pairs WHERE ns = 2 ORDER BY pair_id""",
+    // the same integer bp score as curriculum/sample_weighted, ranked
+    // per (lang, source) under a total order; rank i joins rank n+1-i,
+    // strict-margin filter — all integers, row_number CAST INT
+    "llm_dpo_pairs" ->
+      """WITH q AS (
+           SELECT lang, source, doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> length(t) > 5)) AS BIGINT) AS l
+           FROM documents),
+         scored AS (
+           SELECT lang, source, doc_id,
+               (200 * (4 * (n_chars - (n_tokens - 1))
+                  + 30 * (n_tokens - s) + 30 * l) + n_tokens)
+                   // (2 * n_tokens) AS bp
+           FROM q),
+         ranked AS (
+           SELECT lang, source, doc_id, bp,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                   ORDER BY bp DESC, doc_id ASC) AS INT) AS rn,
+               count(1) OVER (PARTITION BY lang, source) AS n
+           FROM scored)
+         SELECT c.lang, c.source, c.rn AS pair_rank,
+             c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+             CAST(c.bp AS BIGINT) AS chosen_bp,
+             CAST(r.bp AS BIGINT) AS rejected_bp,
+             CAST(c.bp - r.bp AS BIGINT) AS margin_bp
+         FROM ranked c JOIN ranked r
+           ON r.lang = c.lang AND r.source = c.source
+             AND r.n - r.rn + 1 = c.rn
+         WHERE c.rn <= c.n // 2 AND r.rn > r.n - r.n // 2
+           AND c.bp > r.bp
+         ORDER BY c.lang, c.source, pair_rank""",
     "llm_sample" ->
       s"""SELECT doc_id, lang,
              $duckSampleBucket AS bucket,

@@ -176,6 +176,43 @@ class OperatorSpec extends SparkTestBase {
       rows(2L).toString)
   }
 
+  test("llm_sft_format kernel: template renders byte-exact, mask_bp is " +
+      "the prompt token share, incomplete pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hi there"), (1L, "hello world foo"),   // pair 0: 2 + 3 tokens
+      (6L, "orphan prompt")                        // no response → drops
+    ).toDF("doc_id", "text")
+    val rows = ops.Llm.sftFormatOf(docs).collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((0L, 0L, 1L, 2L, 3L, 4000L)),
+      r.toString)  // mask_bp = 2·10⁴ div 5 = 4000
+    assert(r.getString(6) ==
+      "<|user|>\nhi there\n<|assistant|>\nhello world foo")
+  }
+
+  test("llm_dpo_pairs kernel: best pairs worst per bucket, odd middle " +
+      "unpaired, zero-margin ties filtered") {
+    import spark.implicits._
+    // bucket A: scores 90/70/50/30 → (1,90,30) margin 60, (2,70,50)
+    // margin 20; bucket B: 3 docs → middle unpaired; bucket C: tie →
+    // zero margin filtered
+    val scored = Seq(
+      ("en", "A", 1L, 90L), ("en", "A", 2L, 70L),
+      ("en", "A", 3L, 50L), ("en", "A", 4L, 30L),
+      ("en", "B", 10L, 80L), ("en", "B", 11L, 60L), ("en", "B", 12L, 40L),
+      ("en", "C", 20L, 55L), ("en", "C", 21L, 55L)
+    ).toDF("lang", "source", "doc_id", "bp")
+    val got = ops.Llm.dpoPairsOf(scored).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(7))).toSet
+    assert(got == Set(
+      ("A", 1, 1L, 4L, 60L), ("A", 2, 2L, 3L, 20L),
+      ("B", 1, 10L, 12L, 40L)), got.toString)
+  }
+
   test("keepBestSurvivors: argmax-quality keeper per component, " +
       "min-id tiebreak, singletons keep themselves") {
     import spark.implicits._
