@@ -3382,19 +3382,28 @@ object Llm {
   private[graft] def dpoPairsOf(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang", "source")
       .orderBy(desc("bp"), asc("doc_id"))
+    // ONE pass: rank i and rank n+1−i share pair_rank = min(rn, n−rn+1)
+    // and fold together in a conditional aggregation — a chosen/rejected
+    // self-join would execute the scored+window subtree twice (the
+    // graph_modularity re-executed-subtree lesson; review finding)
     val ranked = scored
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy("lang", "source")))
-    val chosen = ranked.where(col("rn") <= expr("n div 2"))
+    ranked
+      .where(col("rn") <= expr("n div 2") ||
+        col("rn") > expr("n - n div 2"))
       .select(col("lang"), col("source"),
-        col("rn").cast("int").as("pair_rank"),
-        col("doc_id").as("chosen_id"), col("bp").as("chosen_bp"))
-    val rejected = ranked.where(col("rn") > expr("n - n div 2"))
-      .select(col("lang"), col("source"),
-        (col("n") - col("rn") + 1).cast("int").as("pair_rank"),
-        col("doc_id").as("rejected_id"), col("bp").as("rejected_bp"))
-    chosen.join(rejected, Seq("lang", "source", "pair_rank"))
+        least(col("rn").cast("long"), col("n") - col("rn") + 1)
+          .cast("int").as("pair_rank"),
+        (col("rn") <= expr("n div 2")).as("is_chosen"),
+        col("doc_id"), col("bp"))
+      .groupBy("lang", "source", "pair_rank")
+      .agg(
+        max(when(col("is_chosen"), col("doc_id"))).as("chosen_id"),
+        max(when(!col("is_chosen"), col("doc_id"))).as("rejected_id"),
+        max(when(col("is_chosen"), col("bp"))).as("chosen_bp"),
+        max(when(!col("is_chosen"), col("bp"))).as("rejected_bp"))
       .where(col("chosen_bp") > col("rejected_bp"))
       .select(col("lang"), col("source"), col("pair_rank"),
         col("chosen_id"), col("rejected_id"), col("chosen_bp"),
@@ -3689,7 +3698,7 @@ object Llm {
   // qualityScored / jaccardVictims / sampleBucket / splitLabel above
   private val duckScoredBp =
     """scored AS (
-            SELECT doc_id, lang,
+            SELECT doc_id, lang, source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS q,
                 CAST(len(list_filter(string_split(text, ' '),
                     t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
@@ -3698,7 +3707,7 @@ object Llm {
                 n_chars
             FROM documents),
           bp AS (
-            SELECT doc_id, lang, q,
+            SELECT doc_id, lang, source, q,
                 (200 * (4 * (n_chars - (q - 1)) + 30 * (q - s) + 30 * l) + q)
                     // (2 * q) AS bp
             FROM scored)"""
@@ -4899,30 +4908,18 @@ object Llm {
              '<|user|>' || chr(10) || p_text || chr(10) ||
                  '<|assistant|>' || chr(10) || r_text AS rendered
          FROM pairs WHERE ns = 2 ORDER BY pair_id""",
-    // the same integer bp score as curriculum/sample_weighted, ranked
-    // per (lang, source) under a total order; rank i joins rank n+1-i,
-    // strict-margin filter — all integers, row_number CAST INT
+    // the SHARED duckScoredBp bp (single source of truth with
+    // curriculum/sample_weighted — a bp tweak lands once per engine),
+    // ranked per (lang, source) under a total order; rank i joins rank
+    // n+1-i, strict-margin filter — all integers, row_number CAST INT
     "llm_dpo_pairs" ->
-      """WITH q AS (
-           SELECT lang, source, doc_id, n_chars,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(len(list_filter(string_split(text, ' '),
-                   t -> t IN ('a','the','of','and'))) AS BIGINT) AS s,
-               CAST(len(list_filter(string_split(text, ' '),
-                   t -> length(t) > 5)) AS BIGINT) AS l
-           FROM documents),
-         scored AS (
-           SELECT lang, source, doc_id,
-               (200 * (4 * (n_chars - (n_tokens - 1))
-                  + 30 * (n_tokens - s) + 30 * l) + n_tokens)
-                   // (2 * n_tokens) AS bp
-           FROM q),
+      s"""WITH $duckScoredBp,
          ranked AS (
            SELECT lang, source, doc_id, bp,
                CAST(row_number() OVER (PARTITION BY lang, source
                    ORDER BY bp DESC, doc_id ASC) AS INT) AS rn,
                count(1) OVER (PARTITION BY lang, source) AS n
-           FROM scored)
+           FROM bp)
          SELECT c.lang, c.source, c.rn AS pair_rank,
              c.doc_id AS chosen_id, r.doc_id AS rejected_id,
              CAST(c.bp AS BIGINT) AS chosen_bp,

@@ -779,7 +779,10 @@ class PropertySpec extends SparkTestBase {
       }
       // lpa: both arms must equal an INDEPENDENT naive reference of the
       // 4 synchronous rounds (groupBy-formulated, not the driver arm's
-      // HashMap) — max neighbor-label count, min label on ties
+      // HashMap) — max neighbor-label count, min label on ties.
+      // NB budget 0 on an EMPTY sample still routes to the driver arm
+      // (0 <= 0) — the fixed nonempty ring appended to the samples is
+      // what guarantees the distributed path runs every time
       val symPairs = (edges ++ edges.map(_.swap)).distinct
       var lbl = symPairs.map(_._1).distinct.map(v => v -> v).toMap
       for (_ <- 1 to ops.Graph.LpaRounds) {
