@@ -661,6 +661,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_dpo_pairs folds both pair sides in one pass: NO join node, " +
+      "one (lang, source) shuffle feeds the windows") {
+    withStaticPlan {
+      val df = ops.Llm.llm_dpo_pairs(spark, sf)
+      val p = planOf(df)
+      // the chosen/rejected self-join formulation would re-execute the
+      // scored+window subtree twice — the single-pass conditional
+      // aggregation must keep the plan join-free
+      assert(!p.contains("Join"), s"join node crept back in:\n$p")
+      assert(p.contains("Window"), p)
+    }
+  }
+
   test("join_nearest is the linear merged-stream plan: window, NO join " +
       "node, one user-keyed shuffle") {
     withStaticPlan {
