@@ -530,8 +530,17 @@ object Graph {
       val nEdges = sym.count()
       if (nEdges <= driverBudgetEdges) {
         val es = sym.as[(Long, Long)].collect()
-        var lbl: Map[Long, Long] =
-          es.map(_._1).distinct.map(v => v -> v).toMap
+        // symmetric-input contract, guarded LOUDLY: the distributed arm
+        // takes its node set from sources only, so a node appearing only
+        // as a target would make the two arms silently diverge (here: a
+        // bare NoSuchElementException from lbl(u); there: a different
+        // node universe). Misuse must fail the same way on both arms.
+        val srcs = es.map(_._1).distinct
+        val srcSet = srcs.toSet
+        require(es.forall(e => srcSet(e._2)),
+          "lpaOf requires a symmetrized adjacency: every target node " +
+            "must also appear as a source (run symmetrize() first)")
+        var lbl: Map[Long, Long] = srcs.map(v => v -> v).toMap
         for (_ <- 1 to LpaRounds) {
           val freq = scala.collection.mutable.HashMap[(Long, Long), Long]()
           es.foreach { case (v, u) =>

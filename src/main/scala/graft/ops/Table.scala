@@ -631,6 +631,82 @@ object Table {
          FROM $name GROUP BY 1, 2 ORDER BY band, o_year""")
   }
 
+  /** Maintenance verbs from PURE SQL (r11 verdict missing #1 /
+    * directive #1 — the last DSL-only lifecycle surface): the table is
+    * born and filled by SQL (CREATE → two INSERTs → an UPDATE), then
+    * `OPTIMIZE ... ZORDER BY (o_year, o_orderkey)` rewrites the live
+    * set into the Z-ordered layout as commit 5, and `VACUUM ... RETAIN
+    * 2 SNAPSHOTS` expires commits 1–3 (reclaiming the UPDATE's
+    * superseded files — the build REQUIREs the reclaim fired) and
+    * sweeps a planted 8-day-old stray through the 7-day orphan age
+    * gate. The row reads BOTH surviving truths from SQL: the per-year
+    * aggregate (OPTIMIZE and VACUUM must each be content-invariant)
+    * and `DESCRIBE HISTORY` (exactly snapshots {4, 5} survive, each
+    * carrying the full live row count — the UPDATE is count-neutral
+    * and the compact invariant). All three verbs ride the same parser
+    * seam as DDL ([[graft.sql.GraftSqlMaint]]); the statements are not
+    * in Spark's grammar, so the splice matches the raw text. The
+    * oracle replays the final state statically and pins the surviving
+    * history literally — five retained snapshots instead of two is a
+    * row-count mismatch, a silently no-op vacuum. */
+  val table_sql_maint: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_maint_orders")
+    val name = "sql_maint_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1996""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"""UPDATE $name SET o_totalprice = o_totalprice * 2
+            WHERE o_year = 1997 AND o_orderkey % 4 = 1""")
+      graft.sql.GraftSql.exec(s,
+        s"OPTIMIZE $name ZORDER BY (o_year, o_orderkey)")
+      // a crashed write's leftover, aged past the 7-day safety gate, so
+      // the SQL sweep leg provably fires
+      val strayDir = java.nio.file.Paths.get(root, "data", "zz_orphan")
+      java.nio.file.Files.createDirectories(strayDir)
+      val stray = strayDir.resolve("stray.parquet")
+      java.nio.file.Files.write(stray, Array[Byte](0, 1, 2, 3))
+      java.nio.file.Files.setLastModifiedTime(stray,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+      val receipt = graft.sql.GraftSql
+        .sql(s, s"VACUUM $name RETAIN 2 SNAPSHOTS").collect()(0)
+      require(receipt.getInt(0) > 0,
+        s"SQL VACUUM expired no superseded files at $root")
+      require(receipt.getInt(1) >= 1,
+        s"SQL VACUUM swept no orphans at $root")
+    }
+    val data = graft.sql.GraftSql.sql(s,
+      s"""SELECT 'data' AS src, o_year, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+          FROM $name GROUP BY o_year""")
+    val hist = graft.sql.GraftSql.sql(s, s"DESCRIBE HISTORY $name")
+      .select(lit("snap").as("src"), col("snapshot").as("o_year"),
+        col("n_rows").as("n_orders"),
+        lit(null).cast("double").as("sum_price"))
+    data.unionByName(hist).orderBy("src", "o_year")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
     * warehouse-history staple: the full row-level change log over ALL
     * commits (0 → 3: creation inserts, append inserts, merge
@@ -686,6 +762,7 @@ object Table {
     "table_sql_dml" -> table_sql_dml,
     "table_sql_ddl" -> table_sql_ddl,
     "table_sql_alter" -> table_sql_alter,
+    "table_sql_maint" -> table_sql_maint,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -797,6 +874,29 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM t GROUP BY 1, 2 ORDER BY band, o_year""",
+    // OPTIMIZE and VACUUM are each content-invariant, so the data slice
+    // is the final post-UPDATE state replayed statically; the surviving
+    // history is pinned LITERALLY — snapshots {4, 5}, each at the full
+    // live count (UPDATE count-neutral, compact invariant). Five
+    // retained snapshots instead of two = row-count mismatch.
+    "table_sql_maint" ->
+      """WITH t AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CASE WHEN year(o_orderdate) = 1997 AND o_orderkey % 4 = 1
+                    THEN 2 * o_totalprice ELSE o_totalprice END AS p
+           FROM orders),
+         d AS (
+           SELECT 'data' AS src, o_year, count(1) AS n_orders,
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM t GROUP BY 2),
+         n AS (SELECT count(1) AS c FROM t)
+         SELECT * FROM (
+           SELECT * FROM d
+           UNION ALL
+           SELECT 'snap', CAST(4 AS INT), c, CAST(NULL AS DOUBLE) FROM n
+           UNION ALL
+           SELECT 'snap', CAST(5 AS INT), c, CAST(NULL AS DOUBLE) FROM n)
+         ORDER BY src, o_year""",
     // the TVF's v1→v2 delta = the appended slice at pre-merge values
     "table_sql_cdc" ->
       """SELECT o_orderpriority, count(1) AS n_orders,

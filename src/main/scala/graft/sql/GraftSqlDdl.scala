@@ -319,7 +319,10 @@ case class GraftRenameTableCommand(parts: Seq[String],
       throw new NoSuchElementException(s"graft table '$oldKey' not found"))
     require(GraftSqlTables.registerIfAbsent(newKey, ref),
       s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
-    if (!GraftSqlTables.unregister(oldKey)) {
+    // conditional release: only remove the binding we looked up — a
+    // concurrent DROP+re-register of the old name in the window must
+    // keep ITS binding (the CREATE/CTAS rollback lesson applied here)
+    if (!GraftSqlTables.unregisterIfBoundTo(oldKey, ref)) {
       // conditional rollback: a concurrent last-wins register() may
       // have retaken the new name in the window — remove only OUR claim
       GraftSqlTables.unregisterIfBoundTo(newKey, ref)
@@ -337,12 +340,17 @@ case class GraftRenameTableCommand(parts: Seq[String],
   * ResolveSessionCatalog race). */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
+  // maintenance verbs (VACUUM/OPTIMIZE/DESCRIBE HISTORY) splice on the
+  // raw TEXT before delegation: they are not in Spark's grammar, so the
+  // delegate would throw before any plan-level splice could run
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlDdl.splice(session, delegate.parsePlan(sqlText))
+    GraftSqlMaint.parse(sqlText).getOrElse(
+      GraftSqlDdl.splice(session, delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    GraftSqlDdl.splice(session,
-      delegate.parsePlanWithParameters(sqlText, ctx))
+    GraftSqlMaint.parse(sqlText).getOrElse(
+      GraftSqlDdl.splice(session,
+        delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

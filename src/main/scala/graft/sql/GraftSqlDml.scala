@@ -257,11 +257,14 @@ object GraftSql {
 
   private def resolve(spark: SparkSession, sql: String): LogicalPlan = {
     val rule = GraftDmlRule(spark)
-    // DDL splices at the parse seam (same order as the injected
-    // GraftSqlParser); its commands are leaves, so the rule/analyzer
-    // passes below are no-ops for them
-    val parsed = GraftSqlDdl.splice(spark,
-      spark.sessionState.sqlParser.parsePlan(sql))
+    // DDL and maintenance verbs splice at the parse seam (same order as
+    // the injected GraftSqlParser — maintenance matches on the raw text
+    // because VACUUM/OPTIMIZE/DESCRIBE HISTORY are outside Spark's
+    // grammar); their commands are leaves, so the rule/analyzer passes
+    // below are no-ops for them
+    val parsed = GraftSqlMaint.parse(sql).getOrElse(
+      GraftSqlDdl.splice(spark,
+        spark.sessionState.sqlParser.parsePlan(sql)))
     val spliced = rule(parsed)
     rule(spark.sessionState.analyzer.execute(spliced))
   }

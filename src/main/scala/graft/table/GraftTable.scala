@@ -182,7 +182,16 @@ object GraftTable {
     * staged temp file carries the full content BEFORE the link, so a
     * reader can never observe a partially-written manifest. */
   private def tryCommit(root: String, m0: Manifest): Boolean = {
-    val m = m0.copy(committedAtMs = Some(System.currentTimeMillis()))
+    // stamps are strictly increasing along the parent chain: two commits
+    // inside one wall-clock millisecond would otherwise tie, and
+    // timestamp AS OF (snapshotAsOf keeps the MAX eligible id) would
+    // resolve a probe of the earlier commit's stamp to the later one
+    val parentStamp =
+      if (m0.parent >= 1 && Files.exists(manifestPath(root, m0.parent)))
+        manifest(root, m0.parent).committedAtMs.getOrElse(0L)
+      else 0L
+    val m = m0.copy(committedAtMs =
+      Some(math.max(System.currentTimeMillis(), parentStamp + 1)))
     Files.createDirectories(metaDir(root))
     val tmp = metaDir(root).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")

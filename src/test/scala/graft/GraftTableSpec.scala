@@ -1831,11 +1831,129 @@ class GraftTableSpec extends SparkTestBase {
       s2.sql("ALTER TABLE ext_ddl ADD COLUMNS (score BIGINT)")
       assert(s2.sql("SELECT score FROM ext_ddl WHERE id = 2").head()
         .isNullAt(0), "pre-alter rows must read the new column as NULL")
-      s2.sql("DROP TABLE ext_ddl PURGE")
+      // RENAME TO through the injectParser seam too (not only the
+      // GraftSql.exec resolve-side splice): old name unbinds, new reads
+      s2.sql("ALTER TABLE ext_ddl RENAME TO ext_ddl_renamed")
+      assert(s2.sql("SELECT count(1) AS n FROM ext_ddl_renamed").head()
+        .getLong(0) == 3L)
+      intercept[Exception] {
+        s2.sql("SELECT count(1) FROM ext_ddl").collect()
+      }
+      s2.sql("DROP TABLE ext_ddl_renamed PURGE")
       assert(!new java.io.File(dir).exists())
     } finally {
       SS.setDefaultSession(spark); SS.setActiveSession(spark)
     }
+  }
+
+  // ---- r12: SQL maintenance verbs (VACUUM / OPTIMIZE / DESC HISTORY) ----
+
+  test("sql maint: OPTIMIZE ... ZORDER BY from SQL reclusters in place " +
+      "— both dimensions prune afterwards, 1-column ZORDER is loud") {
+    val root = freshRoot()
+    import spark.implicits._
+    val rows = (0L until 1000L)
+      .map(i => (i, i % 1000003L * 2654435761L % 1000003L % 1000L, s"p$i"))
+      .toDF("x", "y", "payload")
+    GraftTable.create(spark, root, rows, Seq("x", "y"), Seq("x"),
+      numFiles = 16)
+    GraftSqlTables.register("maint_zt",
+      GraftSqlTables.Ref(root, "x", Seq("x", "y"), Seq("x"), 16))
+    try {
+      val (_, keptBefore, _) =
+        GraftTable.readWhere(spark, root, "y", 0d, 99d)
+      assert(keptBefore == 16, "pre-optimize y-pruning should be blind")
+      val snap = GraftSql.sql(spark, "OPTIMIZE maint_zt ZORDER BY (x, y)")
+        .collect()(0).getInt(0)
+      assert(snap == 2)
+      assert(GraftTable.history(spark, root).head().getString(2)
+        == "compact")
+      for (c <- Seq("x", "y")) {
+        val (_, kept, total) = GraftTable.readWhere(spark, root, c, 0d, 99d)
+        assert(total == 16 && kept < total,
+          s"post-OPTIMIZE $c-pruning kept $kept of $total")
+      }
+      assert(GraftTable.read(spark, root).count() == 1000)
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "OPTIMIZE maint_zt ZORDER BY (x)")
+      }
+    } finally GraftSqlTables.unregister("maint_zt")
+  }
+
+  test("sql maint: VACUUM RETAIN expires history with tags as retention " +
+      "roots, the receipt reports reclaims, RETAIN 0 is loud") {
+    val root = sqlTable("maint_vt", n = 4) // v1
+    try {
+      GraftSql.exec(spark, "INSERT INTO maint_vt " +
+        "SELECT id, concat('w', id) FROM range(100, 104)") // v2
+      GraftTable.tag(root, "keep1", 1)
+      GraftSql.exec(spark,
+        "UPDATE maint_vt SET payload = 'u' WHERE id = 2") // v3
+      GraftSql.exec(spark, "OPTIMIZE maint_vt") // v4 bin-pack
+      val receipt = GraftSql
+        .sql(spark, "VACUUM maint_vt RETAIN 1 SNAPSHOTS").collect()(0)
+      assert(receipt.getInt(0) > 0,
+        "expiry must reclaim the superseded files")
+      // v4 survives (RETAIN 1), tagged v1 survives, v2/v3 expired
+      assert(GraftTable.history(spark, root).select("snapshot").collect()
+        .map(_.getInt(0)).toSet == Set(1, 4))
+      intercept[Exception] {
+        GraftTable.read(spark, root, Some(3)).collect()
+      }
+      assert(GraftTable.readTag(spark, root, "keep1").count() == 4)
+      assert(state(root) == Map(1L -> "v1", 2L -> "u", 3L -> "v3",
+        4L -> "v4", 100L -> "w100", 101L -> "w101", 102L -> "w102",
+        103L -> "w103"),
+        "VACUUM must be content-invariant on the surviving latest")
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "VACUUM maint_vt RETAIN 0 SNAPSHOTS")
+      }
+    } finally GraftSqlTables.unregister("maint_vt")
+  }
+
+  test("sql maint: the VACUUM orphan sweep honors the 7-day age gate — " +
+      "an aged stray goes, a fresh stray (in-flight writer) stays") {
+    val root = sqlTable("maint_ot", n = 3)
+    try {
+      val strayDir = Paths.get(root, "data", "zz_orphan")
+      Files.createDirectories(strayDir)
+      val fresh = strayDir.resolve("fresh.parquet")
+      Files.write(fresh, Array[Byte](1))
+      val aged = strayDir.resolve("aged.parquet")
+      Files.write(aged, Array[Byte](2))
+      Files.setLastModifiedTime(aged,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+      val receipt =
+        GraftSql.sql(spark, "VACUUM maint_ot").collect()(0)
+      assert(receipt.getInt(0) == 0, "no RETAIN clause: nothing expires")
+      assert(receipt.getInt(1) == 1, "exactly the aged stray is swept")
+      assert(!Files.exists(aged) && Files.exists(fresh),
+        "a fresh stray may belong to an in-flight writer — must survive")
+    } finally GraftSqlTables.unregister("maint_ot")
+  }
+
+  test("sql maint: DESCRIBE HISTORY returns the commit log; unregistered " +
+      "names fall through to Spark, VACUUM of one is loud") {
+    val root = sqlTable("maint_ht", n = 5)
+    try {
+      GraftSql.exec(spark, "DELETE FROM maint_ht WHERE id = 5") // v2
+      val hist = GraftSql.sql(spark, "DESCRIBE HISTORY maint_ht").collect()
+      assert(hist.map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(5))).toSeq ==
+        Seq((2, 1, "delete", 4L), (1, 0, "create", 5L)))
+      assert(hist.forall(!_.isNullAt(3)), "commit stamps must be present")
+      // DESC shorthand rides the same splice
+      assert(GraftSql.sql(spark, "DESC HISTORY maint_ht").count() == 2)
+      // an unregistered name is NOT ours: Spark's own analyzer answers
+      // (here: loudly, since no table `history` exists)
+      intercept[Exception] {
+        GraftSql.sql(spark, "DESCRIBE HISTORY no_such_graft_t").collect()
+      }
+      intercept[NoSuchElementException] {
+        GraftSql.exec(spark, "VACUUM no_such_graft_t")
+      }
+    } finally GraftSqlTables.unregister("maint_ht")
   }
 
   // ---- r10 DML surface: latent-divergence audits (r11 directive #4) ----
