@@ -1711,6 +1711,126 @@ object Llm {
       .orderBy("rn")
   }
 
+  // ----- incremental index maintenance --------------------------------------
+
+  /** base/batch split for the incremental-index story: the even vec_ids
+    * are the existing corpus the quantizer was trained on, the odd ones
+    * arrive later as a new embedding batch. */
+  private[graft] def ivfIncrRows(s: org.apache.spark.sql.SparkSession,
+      d: String, parity: Int) = {
+    import s.implicits._
+    embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 % 2 == parity)
+  }
+
+  /** the incremental index's coarse quantizer: Lloyd's-trained on the
+    * BASE (even-id) corpus only and then frozen — new batches are
+    * encoded with it, never retrained (the production IVF maintenance
+    * contract; a retrain would re-assign the whole corpus). Seeds are
+    * the 16 lowest base ids — the [[seedCentroidsVecs]] convention
+    * restated over the base universe. Memoized like
+    * [[trainIvfCentroids]]: train once, ship the centroids. */
+  private val incrCentroids = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Double])]]()
+
+  private[graft] def trainIvfIncrCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : Array[(Long, Array[Double])] =
+    incrCentroids.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d,
+      _ => {
+        val base = ivfIncrRows(s, d, 0)
+        trainIvfVecs(base,
+          base.filter(_._1 < 32).collect().sortBy(_._1).map(_._2), 4)
+      })
+
+  private def assignCells(
+      rows: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(centroids)
+    rows.map { case (id, v) =>
+      val best = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }
+      (best._2, id, v)
+    }.toDF("cell", "vec_id", "emb")
+  }
+
+  /** Incremental ANN index maintenance (r12 verdict missing #3 — the
+    * [[llm_dedup_incr]] pattern for vectors): the base corpus is encoded
+    * and written ONCE as the cell-partitioned layout, then the new batch
+    * is encoded with the FROZEN base-trained quantizer and APPENDED into
+    * the same cell directories — no retraining, no rewrite of existing
+    * lists, so maintenance cost follows BATCH size, never corpus size
+    * (at 100 TB the append touches |batch| rows; a rebuild touches
+    * everything). Probes then read the MERGED index through partition
+    * pruning exactly like [[ivfIndexProbe]]. Because assignment is a
+    * pure function of the frozen centroids, incremental-append ≡
+    * full-rebuild on the merged corpus — OperatorSpec asserts that
+    * equality, and the oracle replays the whole traversal from the
+    * dumped centroids. */
+  private val ivfIncrBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def ivfIncrIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val dir = Sources.sinkDir(s, d, "ivf_incr_index")
+    graft.util.AppCleanup.buildOnce(ivfIncrBuilt, dir) {
+      val cent = trainIvfIncrCentroids(s, d)
+      assignCells(ivfIncrRows(s, d, 0), cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // the new batch: same frozen quantizer, append-only into the
+      // existing cell directories — the index's files for the base
+      // corpus are untouched
+      assignCells(ivfIncrRows(s, d, 1), cent)
+        .write.mode("append").partitionBy("cell").parquet(dir)
+    }
+    dir
+  }
+
+  /** the merged-index probe for all 20 standard queries — separated so
+    * the plan test can assert partition pruning on exactly this frame. */
+  private[graft] def ivfIncrProbe(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val dir = ivfIncrIndexDir(s, d)
+    val cent = trainIvfIncrCentroids(s, d)
+    val queries = embDouble(s, d).select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].filter(_._1 < 20)
+      .collect().sortBy(_._1).map { case (qid, qv) =>
+        val probes = cent.map { case (cid, cv) => (cosArr(qv, cv), cid) }
+          .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
+        (qid, qv, probes)
+      }
+    val allCells = queries.flatMap(_._3).toSet.toSeq.sorted
+    val bcQ = s.sparkContext.broadcast(queries)
+    s.read.parquet(dir)
+      .where(col("cell").isin(allCells: _*))
+      .select(col("cell").cast("long"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+      .flatMap { case (cell, id, v) =>
+        bcQ.value.iterator
+          .filter { case (qid, _, probes) => probes.contains(cell) && qid != id }
+          .map { case (qid, qv, _) => (qid, id, cosArr(qv, v)) }
+      }
+      .toDF("qid", "neighbor_id", "sim_raw")
+  }
+
+  val llm_ann_incr: Q = (s, d) => {
+    dumpForOracle(s, d, "ivfincrcent") {
+      import s.implicits._
+      trainIvfIncrCentroids(s, d).toSeq.toDF("cid", "cv")
+    }
+    ivfIncrProbe(s, d)
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("sim_raw"), asc("neighbor_id"))))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("neighbor_id"), r4(col("sim_raw")).as("sim"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** the int8 store as a typed Dataset: each vector replaced by its
     * bin-center dequantization (vmin + (code + 0.5)·scale — per-coordinate
     * error ≤ scale/2 by construction, property-tested). The same affine
@@ -2647,6 +2767,69 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM quality scoring with STUPID BACKOFF (Brants et al. 2007,
+    * public knowledge) — the higher-order half of the CCNet-style LM
+    * filter next to [[llm_lm_score]]'s unigram: the model trains on a
+    * REFERENCE half of the corpus (even doc_ids — training on the
+    * scored corpus itself would make backoff unreachable, every scored
+    * bigram being seen by construction) and scores EVERY document.
+    * Per position: a seen bigram costs its MLE
+    * `-log2(c(prev,t)/c(prev))`; an unseen one backs off to the
+    * add-one-smoothed unigram with the fixed 0.4 penalty
+    * (`-log2(0.4 · (c(t)+1)/(N+V))` — stupid backoff's score is
+    * deliberately unnormalized, the published trade for web-scale
+    * trainability); a document's first token has no context and scores
+    * the plain smoothed unigram. Emits the backoff-fire count per doc
+    * (`n_backoff`, an exact integer) beside the r4 average bits.
+    *
+    * Shape: bigram extraction is the [[ngramFreq]] positional HOF (no
+    * window shuffle — pairs are built inside the row), counts are
+    * two-phase aggs bounded by (bigram-)vocabulary, scoring is two
+    * vocabulary-sized joins Catalyst broadcasts when small and
+    * shuffles when not, and the N/V totals ride a broadcast 1-row
+    * cross join — token-linear end to end, the llm_lm_score posture
+    * with one extra count relation. */
+  private[graft] def lmScore2Of(docs: DataFrame): DataFrame = {
+    // (doc_id, p, t) per position: p = predecessor token, NULL at pos 1
+    // — built positionally inside the row, no per-doc window
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(l)),
+             i -> struct(element_at(l, i) AS t,
+                         CASE WHEN i = 1 THEN NULL
+                              ELSE element_at(l, i - 1) END AS p))"""))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.t").as("t"), col("pr.p").as("p"))
+    val train = pairs.where(col("doc_id") % 2 === 0)
+    val uni = train.groupBy("t").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val bi = train.where(col("p").isNotNull)
+      .groupBy("p", "t").agg(count(lit(1)).as("cb"))
+    val unip = uni.select(col("t").as("p"), col("cu").as("cup"))
+    pairs
+      .join(uni, Seq("t"), "left")
+      .join(unip, Seq("p"), "left")
+      .join(bi, Seq("p", "t"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll",
+        when(col("cb").isNotNull,
+          (log(col("cup")) - log(col("cb"))) / log(lit(2.0)))
+        .otherwise(
+          (log(col("n") + col("v")) - log(coalesce(col("cu"), lit(0L)) + 1)
+            - when(col("p").isNotNull, log(lit(0.4))).otherwise(lit(0.0)))
+            / log(lit(2.0))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(when(col("p").isNotNull && col("cb").isNull, 1).otherwise(0))
+          .cast("long").as("n_backoff"),
+        r4(avg(col("nll"))).as("nll_bits"))
+      .orderBy("doc_id")
+  }
+
+  val llm_lm_score2: Q = (s, d) => lmScore2Of(documents(s, d))
+
   /** Top-5 word bigrams per language (count desc, bigram asc tiebreak) —
     * the corpus vocabulary-statistics op that feeds tokenizer/merge-rule
     * training and phrase-level quality checks. Adjacent-pair expansion
@@ -3560,6 +3743,7 @@ object Llm {
     "llm_ann_ivf_trained" -> llm_ann_ivf_trained,
     "llm_ann_ivf_q8" -> llm_ann_ivf_q8,
     "llm_ann_ivf_indexed" -> llm_ann_ivf_indexed,
+    "llm_ann_incr" -> llm_ann_incr,
     "llm_ann_pq" -> llm_ann_pq,
     "llm_ann_ivfpq" -> llm_ann_ivfpq,
     "llm_tokenize" -> llm_tokenize,
@@ -3573,6 +3757,7 @@ object Llm {
     "llm_langid" -> llm_langid,
     "llm_quality" -> llm_quality,
     "llm_lm_score" -> llm_lm_score,
+    "llm_lm_score2" -> llm_lm_score2,
     "llm_fingerprint" -> llm_fingerprint,
     "llm_ngram_freq" -> llm_ngram_freq,
     "llm_chunk" -> llm_chunk,
@@ -4224,6 +4409,11 @@ object Llm {
     // by the query, like the SemDeDup cells); all traversal replays in SQL
     "llm_ann_ivf_trained" -> duckIvfSql(duckIvfVecs,
       s"""SELECT cid, cv FROM read_parquet('${aux("ivftrcent")}')"""),
+    // incremental-append ≡ full-rebuild under a frozen quantizer, so the
+    // oracle replays the SAME traversal over the merged corpus from the
+    // base-trained centroids — the dumped table is the only engine bit
+    "llm_ann_incr" -> duckIvfSql(duckIvfVecs,
+      s"""SELECT cid, cv FROM read_parquet('${aux("ivfincrcent")}')"""),
     // dequantization replays via the same affine arithmetic the green
     // llm_embed_quantize oracle proves; seed centroids are the
     // dequantized vec_id 0..15 — still zero dumps
@@ -4697,6 +4887,44 @@ object Llm {
              round(avg((ln(n + v) - ln(c + 1)) / ln(2)), 4) AS nll_bits
          FROM tok JOIN cnt USING (t) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+    // bigram stupid backoff: identical formula text per branch on both
+    // engines (the llm_lm_score convention); n_backoff is an exact
+    // integer, so a branch-selection divergence is a hash mismatch, not
+    // a float wobble. lag() replays Spark's positional pair HOF.
+    "llm_lm_score2" ->
+      """WITH tok AS (
+           SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+           FROM (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents)),
+         pr AS (
+           SELECT doc_id, t,
+               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS p
+           FROM tok),
+         train AS (SELECT * FROM pr WHERE doc_id % 2 = 0),
+         uni AS (SELECT t, count(1) AS cu FROM train GROUP BY t),
+         tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n,
+                     CAST(count(1) AS DOUBLE) AS v
+                 FROM uni),
+         bi AS (SELECT p, t, count(1) AS cb FROM train
+                WHERE p IS NOT NULL GROUP BY p, t),
+         sc AS (
+           SELECT pr.doc_id, pr.p, bi.cb,
+               CASE WHEN bi.cb IS NOT NULL
+                    THEN (ln(up.cu) - ln(bi.cb)) / ln(2)
+                    ELSE (ln(n + v) - ln(coalesce(uni.cu, 0) + 1)
+                          - CASE WHEN pr.p IS NOT NULL THEN ln(0.4)
+                                 ELSE 0 END) / ln(2)
+               END AS nll
+           FROM pr
+           LEFT JOIN uni ON uni.t = pr.t
+           LEFT JOIN uni up ON up.t = pr.p
+           LEFT JOIN bi ON bi.p = pr.p AND bi.t = pr.t
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN p IS NOT NULL AND cb IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+             round(avg(nll), 4) AS nll_bits
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "llm_fingerprint" ->
       """SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),

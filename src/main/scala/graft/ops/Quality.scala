@@ -368,6 +368,93 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Schema-drift detector (r12 — the ingestion-audit leg the dq family
+    * lacked): diff two ingestion batches' SCHEMAS (the scan_evolved
+    * fixture shape — consecutive crawls of an evolving upstream) into
+    * one row per column across either batch — `added` / `dropped` /
+    * `retyped` / `kept` — alongside each side's null rate and the
+    * null-rate DRIFT in integer basis points (the dq_drift convention:
+    * rounded-integer bp via truncating division of non-negative
+    * numerators, then a plain signed subtraction — no float ratios, no
+    * signed div). A column that "kept" its type while its null rate
+    * jumped 2000 bp is the silent upstream regression schema-equality
+    * checks wave through; this op is the one that catches it.
+    *
+    * Shape: the schema diff is driver-side metadata (two .schema
+    * reads); the null counts are ONE single-pass aggregation per batch
+    * (k conditional sums — no Expand, no per-column scan), collected as
+    * a 1-row probe each (bounded by construction), and the k-row
+    * verdict is a local relation. At 100 TB the cost is two linear
+    * scans, nothing else. */
+  val dq_schema: Q = (s, d) => {
+    val out = Sources.sinkDir(s, d, "dq_schema")
+    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    // batch A (the prior crawl): o_custkey present, o_totalprice nulled
+    // on the %10=3 keys (~1000 bp)
+    src.where(col("o_year") <= 1997)
+      .select(col("o_orderkey"), col("o_year"), col("o_custkey"),
+        when(col("o_orderkey") % 10 === 3, lit(null))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch1")
+    // batch B (the new crawl): o_custkey dropped, o_orderpriority added,
+    // o_year RETYPED int→string, o_totalprice nulled on %5=0 (~2000 bp)
+    src.where(col("o_year") >= 1998)
+      .select(col("o_orderkey"), col("o_year").cast("string").as("o_year"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/batch2")
+    dqSchemaOf(s.read.parquet(s"$out/batch1"),
+      s.read.parquet(s"$out/batch2"))
+  }
+
+  /** kernel over any two batches — unit-tested on planted drift classes
+    * (QualitySpec). Null-rate bp is NULL for a side with zero rows
+    * (0/0 is not "0 bp clean"), and drift only exists when both sides
+    * carry the column. */
+  private[graft] def dqSchemaOf(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    // one single-pass agg per side: total rows + per-column null counts;
+    // the collect is a 1-row probe, bounded by construction
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Map[String, Long]) = {
+      val names = df.schema.fieldNames.toSeq
+      val aggs = count(lit(1)).as("__n") +:
+        names.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__$c"))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      // sum over a ZERO-ROW side is SQL NULL, not 0 — read it as 0; the
+      // bp() guard on the row count keeps "no evidence" reported as NULL
+      (r.getLong(0),
+        names.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+        }.toMap)
+    }
+    val (ra, nullsA) = stats(a)
+    val (rb, nullsB) = stats(b)
+    val ta = a.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val tb = b.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    def bp(nn: Long, r: Long): Option[Int] =
+      if (r == 0) None else Some((nn * 10000L / r).toInt)
+    val rows = (ta.keySet ++ tb.keySet).toSeq.sorted.map { c =>
+      val status = (ta.get(c), tb.get(c)) match {
+        case (Some(x), Some(y)) if x == y => "kept"
+        case (Some(_), Some(_)) => "retyped"
+        case (Some(_), None) => "dropped"
+        case (None, Some(_)) => "added"
+        case (None, None) => sys.error("unreachable")
+      }
+      val bpA = ta.get(c).flatMap(_ => bp(nullsA(c), ra))
+      val bpB = tb.get(c).flatMap(_ => bp(nullsB(c), rb))
+      val drift = for (x <- bpA; y <- bpB) yield y - x
+      (c, status, ta.get(c), tb.get(c), bpA, bpB, drift)
+    }
+    rows.toDF("col_name", "status", "type_a", "type_b",
+      "null_bp_a", "null_bp_b", "drift_bp")
+      .orderBy("col_name")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
@@ -377,9 +464,45 @@ object Quality {
     "dq_cusum" -> dq_cusum,
     "dq_benford" -> dq_benford,
     "dq_freshness" -> dq_freshness,
+    "dq_schema" -> dq_schema,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // the fixture recipe is deterministic, so the verdict replays
+    // statically: statuses and types are literals, the null-rate bps
+    // recompute from the source relation with the same truncating
+    // non-negative division, drift is the plain signed subtraction
+    "dq_schema" ->
+      """WITH a AS (
+           SELECT count(1) AS r,
+               sum(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS nn
+           FROM orders WHERE year(o_orderdate) <= 1997),
+         b AS (
+           SELECT count(1) AS r,
+               sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS nn
+           FROM orders WHERE year(o_orderdate) >= 1998)
+         SELECT * FROM (
+           SELECT 'o_custkey' AS col_name, 'dropped' AS status,
+               'bigint' AS type_a, CAST(NULL AS VARCHAR) AS type_b,
+               CAST(0 AS INT) AS null_bp_a, CAST(NULL AS INT) AS null_bp_b,
+               CAST(NULL AS INT) AS drift_bp
+           UNION ALL
+           SELECT 'o_orderkey', 'kept', 'bigint', 'bigint',
+               CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT)
+           UNION ALL
+           SELECT 'o_orderpriority', 'added', CAST(NULL AS VARCHAR),
+               'string', CAST(NULL AS INT), CAST(0 AS INT),
+               CAST(NULL AS INT)
+           UNION ALL
+           SELECT 'o_totalprice', 'kept', 'double', 'double',
+               CAST(a.nn * 10000 // a.r AS INT),
+               CAST(b.nn * 10000 // b.r AS INT),
+               CAST(b.nn * 10000 // b.r - a.nn * 10000 // a.r AS INT)
+           FROM a, b
+           UNION ALL
+           SELECT 'o_year', 'retyped', 'int', 'string',
+               CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT))
+         ORDER BY col_name""",
     // exact integer µs lag; // by the hour constant on a non-negative
     // numerator (global max >= per-type max) matches Spark's trunc div
     "dq_freshness" ->

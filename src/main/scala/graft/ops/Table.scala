@@ -707,6 +707,61 @@ object Table {
     data.unionByName(hist).orderBy("src", "o_year")
   }
 
+  /** SQL views over graft tables (r11 verdict missing #2): the view is
+    * created from pure SQL over a registered graft name, then the table
+    * takes ANOTHER insert — and the row reads through the view with an
+    * outer predicate. The oracle covers ALL years including the
+    * post-view insert, so a green row proves the view RE-RESOLVES to
+    * the latest snapshot per query (a frozen Spark temp view would miss
+    * the 1998+ rows — a row-count mismatch), and the outer predicate
+    * composes with the view body's own filter ([[graft.sql.GraftSqlViews]]
+    * inlines the re-parsed body before optimization, so both reach the
+    * parquet scan — the pushdown pin is PlanShapeSpec's). */
+  val table_sql_view: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_view_orders")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    val name = "sql_view_orders_" + tag
+    val vname = "v_recent_orders_" + tag
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE,
+              o_orderpriority STRING, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE VIEW $vname AS
+            SELECT o_orderkey, o_year, o_orderpriority, o_totalprice
+            FROM $name WHERE o_year >= 1996""")
+      // lands AFTER the view exists — the view must see it (latest
+      // snapshot per query), which the all-years oracle enforces
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"""SELECT o_year, o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM $vname
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_year, o_orderpriority
+         ORDER BY o_year, o_orderpriority""")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
     * warehouse-history staple: the full row-level change log over ALL
     * commits (0 → 3: creation inserts, append inserts, merge
@@ -763,6 +818,7 @@ object Table {
     "table_sql_ddl" -> table_sql_ddl,
     "table_sql_alter" -> table_sql_alter,
     "table_sql_maint" -> table_sql_maint,
+    "table_sql_view" -> table_sql_view,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -897,6 +953,19 @@ object Table {
            UNION ALL
            SELECT 'snap', CAST(5 AS INT), c, CAST(NULL AS DOUBLE) FROM n)
          ORDER BY src, o_year""",
+    // all years ≥ 1996 at the two urgent priorities — INCLUDING the
+    // 1998+ slice inserted AFTER the view was created: a snapshot-frozen
+    // view misses those rows and fails on row count, so the oracle
+    // itself proves per-query re-resolution
+    "table_sql_view" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             o_orderpriority, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders
+         WHERE year(o_orderdate) >= 1996
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""",
     // the TVF's v1→v2 delta = the appended slice at pre-merge values
     "table_sql_cdc" ->
       """SELECT o_orderpriority, count(1) AS n_orders,

@@ -43,7 +43,7 @@ object GraftSqlDdl {
     * through untouched (a DROP of an unregistered name stays Spark's —
     * the session catalog may legitimately own it). */
   def splice(session: SparkSession, plan: LogicalPlan): LogicalPlan =
-    plan match {
+    GraftSqlViews.splice(plan).getOrElse(plan match {
       case CreateTable(UnresolvedIdentifier(parts, _), cols, partitioning,
           spec: UnresolvedTableSpec, ignoreIfExists)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
@@ -64,7 +64,7 @@ object GraftSqlDdl {
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftRenameTableCommand(parts, newName)
       case _ => plan
-    }
+    })
 
   /** ALTER ADD COLUMNS clauses → plain (name, type) pairs, LOUDLY
     * rejecting everything the metadata-only commit cannot honor: nested

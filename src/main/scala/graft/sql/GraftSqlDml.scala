@@ -186,6 +186,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case up @ UpdateTable(Spliced(t), _, _) => up.copy(table = t)
       case m @ MergeIntoTable(Spliced(t), _, _, _, _, _, _) =>
         m.copy(targetTable = t)
+      // VIEW read path FIRST: a registered graft view re-PARSES its
+      // stored body text per reference (fresh expression ids — self-join
+      // safe) and inlines it; this same top-down pass then splices graft
+      // names INSIDE the body (transformDown recurses into the rewritten
+      // node's children), so the view re-resolves to the latest snapshot
+      // on every query and predicates push through with no fence.
+      case u: UnresolvedRelation
+          if GraftSqlViews.lookup(u.multipartIdentifier).isDefined =>
+        SubqueryAlias(u.multipartIdentifier.mkString("."),
+          session.sessionState.sqlParser.parseQuery(
+            GraftSqlViews.lookup(u.multipartIdentifier).get))
       // READ path: any other reference to a registered name resolves to
       // its snapshot read plan (SubqueryAlias'd so qualified column
       // references keep working) — `SELECT ... FROM <registered>` from

@@ -1002,12 +1002,33 @@ object GraftTable {
   def snapshotAsOf(root: String, tsMs: Long): Int = {
     val latest = latestSnapshot(root)
     require(latest > 0, s"no table at $root")
-    val eligible = (1 to latest)
+    val retained = (1 to latest)
       .filter(v => Files.exists(manifestPath(root, v)))
+    val eligible = retained
       .filter(v => manifest(root, v).committedAtMs.getOrElse(0L) <= tsMs)
     require(eligible.nonEmpty,
       s"timestamp $tsMs predates every retained snapshot of $root")
-    eligible.max
+    val r = eligible.max
+    // vacuumed-gap guard (r12 latent-divergence audit): when snapshots
+    // between the resolved id and the next retained one were EXPIRED,
+    // their stamps are gone with their manifests — a probe strictly
+    // inside (stamp(r), stamp(next)) may have landed on one of them, and
+    // resolving r would present a state that was historically already
+    // superseded. Stamps are strictly increasing along the commit chain
+    // (tryCommit), so a probe AT stamp(r) exactly is still provably r;
+    // anything later inside a gap is unknowable — fail loudly, never
+    // silently resolve a neighbor.
+    retained.filter(_ > r).headOption.foreach { next =>
+      if (next != r + 1 &&
+          tsMs > manifest(root, r).committedAtMs.getOrElse(0L))
+        throw new IllegalStateException(
+          s"timestamp $tsMs falls between retained snapshots $r and " +
+            s"$next of $root, but the snapshots in between were expired " +
+            "- the historically-live state is unknowable (expireSnapshots " +
+            "deleted their commit stamps); probe a retained snapshot's " +
+            "stamp or use snapshot-addressed time travel")
+    }
+    r
   }
 
   /** Timestamp time travel: read the table as of wall-clock `tsMs`. */

@@ -1956,6 +1956,180 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("maint_ht")
   }
 
+  // ---- r12: SQL views over graft names ----
+
+  test("sql view: re-resolves to the latest snapshot per query, outer " +
+      "predicates compose, OR REPLACE swaps the body, DROP unbinds") {
+    val root = sqlTable("vt_base", n = 5)
+    try {
+      GraftSql.exec(spark,
+        "CREATE VIEW vt_v AS SELECT id, payload FROM vt_base WHERE id >= 2")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vt_v").head()
+        .getLong(0) == 4L)
+      // a commit AFTER the view exists must be visible through it
+      GraftSql.exec(spark,
+        "INSERT INTO vt_base SELECT id, concat('n', id) FROM range(10, 13)")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vt_v").head()
+        .getLong(0) == 7L,
+        "the view must re-resolve to the latest snapshot, not freeze " +
+          "the snapshot live at CREATE time")
+      // outer predicate composes with the body's
+      assert(GraftSql.sql(spark,
+        "SELECT payload FROM vt_v WHERE id = 11").head()
+        .getString(0) == "n11")
+      // self-join through the view: each reference re-parses — fresh ids
+      assert(GraftSql.sql(spark,
+        """SELECT count(1) AS n FROM vt_v a JOIN vt_v b ON a.id = b.id""")
+        .head().getLong(0) == 7L)
+      GraftSql.exec(spark,
+        "CREATE OR REPLACE VIEW vt_v AS SELECT id FROM vt_base WHERE id < 2")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vt_v").head()
+        .getLong(0) == 1L, "OR REPLACE must swap the body")
+      GraftSql.exec(spark, "DROP VIEW vt_v")
+      intercept[Exception] {
+        GraftSql.sql(spark, "SELECT count(1) FROM vt_v").collect()
+      }
+      // a dropped name is no longer ours: both statements fall through
+      // to Spark — IF EXISTS no-ops there, the bare DROP throws Spark's
+      // own NoSuchTableException (loud either way, never a silent claim)
+      intercept[Exception] {
+        GraftSql.exec(spark, "DROP VIEW vt_v")
+      }
+    } finally {
+      graft.sql.GraftSqlViews.unregister(Seq("vt_v"))
+      GraftSqlTables.unregister("vt_base")
+    }
+  }
+
+  test("sql view: guards — duplicate loud unless IF NOT EXISTS, " +
+      "table-name collision loud, column list loud, cycles rejected, " +
+      "views nest") {
+    val root = sqlTable("vg_base", n = 4)
+    try {
+      GraftSql.exec(spark,
+        "CREATE TEMP VIEW vg_v AS SELECT id FROM vg_base WHERE id > 1")
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "CREATE VIEW vg_v AS SELECT id FROM vg_base")
+      }
+      // IF NOT EXISTS: silently keeps the existing body
+      GraftSql.exec(spark,
+        "CREATE VIEW IF NOT EXISTS vg_v AS SELECT id FROM vg_base")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vg_v").head()
+        .getLong(0) == 3L)
+      // a view may not shadow a registered graft TABLE name
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "CREATE VIEW vg_base AS SELECT id FROM vg_v")
+      }
+      // column lists are not stored — loud, never silently dropped
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "CREATE VIEW vg_cols (a) AS SELECT id FROM vg_base")
+      }
+      // views nest: a view over a view still re-resolves and pushes down
+      GraftSql.exec(spark,
+        "CREATE VIEW vg_v2 AS SELECT id FROM vg_v WHERE id > 2")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vg_v2").head()
+        .getLong(0) == 2L)
+      // a cycle through OR REPLACE is rejected at CREATE time — the
+      // expansion would otherwise loop the analyzer
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "CREATE OR REPLACE VIEW vg_v AS SELECT id FROM vg_v2")
+      }
+      // the reject must not have clobbered the old body
+      assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vg_v").head()
+        .getLong(0) == 3L)
+    } finally {
+      graft.sql.GraftSqlViews.unregister(Seq("vg_v"))
+      graft.sql.GraftSqlViews.unregister(Seq("vg_v2"))
+      GraftSqlTables.unregister("vg_base")
+    }
+  }
+
+  // ---- r11 DDL/registry surface: latent-divergence audits (r12 #5) ----
+
+  test("alter vs time travel: a snapshot-1 read after ALTER ADD COLUMNS " +
+      "presents the OLD schema, not the widened one") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.alterAddColumns(root,
+      Seq("score" -> org.apache.spark.sql.types.LongType))
+    assert(GraftTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "payload", "score"))
+    assert(GraftTable.read(spark, root, Some(1)).schema.fieldNames.toSeq ==
+      Seq("id", "payload"),
+      "time travel must present the schema AS OF that snapshot — the " +
+        "manifest pins schema per commit, never just the latest")
+  }
+
+  test("vacuum vs AS OF: a probe inside a vacuumed gap fails loudly " +
+      "instead of silently resolving the surviving neighbor") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.append(spark, root, idTable(20).where(col("id") > 10),
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftTable.append(spark, root, idTable(30).where(col("id") > 20),
+      Seq("id"), Seq("id"), numFiles = 1)
+    def stamp(v: Int): Long =
+      GraftTable.manifest(root, v).committedAtMs.get
+    val t1 = stamp(1); val t2 = stamp(2)
+    assert(GraftTable.snapshotAsOf(root, t2) == 2)
+    GraftTable.tag(root, "keep1", 1)
+    assert(GraftTable.expireSnapshots(root, keepFrom = 3) >= 0)
+    // retained = {1 (tag), 3}; v2's manifest AND stamp are gone
+    assert(GraftTable.history(spark, root).select("snapshot").collect()
+      .map(_.getInt(0)).toSet == Set(1, 3))
+    // the exact surviving stamp is still provably its own snapshot ...
+    assert(GraftTable.snapshotAsOf(root, t1) == 1)
+    // ... but anything later inside the gap is unknowable: v2 may have
+    // been live then — resolving v1 would present superseded data
+    intercept[IllegalStateException] {
+      GraftTable.snapshotAsOf(root, t2)
+    }
+    intercept[IllegalStateException] {
+      GraftTable.snapshotAsOf(root, t1 + 1)
+    }
+    // at/after the next retained stamp the ambiguity ends
+    assert(GraftTable.snapshotAsOf(root, stamp(3)) == 3)
+    assert(GraftTable.snapshotAsOf(root,
+      System.currentTimeMillis() + 1000) == 3)
+  }
+
+  test("rename racing in-flight DML: a statement analyzed against the " +
+      "old name still commits — data is root-addressed, the name is " +
+      "only the catalog's") {
+    val root = sqlTable("rn_race_t", n = 3)
+    try {
+      val rule = graft.sql.GraftDmlRule(spark)
+      val pinned = rule(spark.sessionState.analyzer.execute(
+        rule(spark.sessionState.sqlParser.parsePlan(
+          "UPDATE rn_race_t SET payload = 'r' WHERE id = 2"))))
+      GraftSql.exec(spark, "ALTER TABLE rn_race_t RENAME TO rn_race_t2")
+      org.apache.spark.sql.graft.SqlShim.ofRows(spark, pinned).collect()
+      assert(state(root) == Map(1L -> "v1", 2L -> "r", 3L -> "v3"),
+        "the pinned command addresses the root, not the name")
+      assert(GraftSql.sql(spark,
+        "SELECT payload FROM rn_race_t2 WHERE id = 2").head()
+        .getString(0) == "r")
+      intercept[Exception] {
+        GraftSql.sql(spark, "SELECT 1 AS x FROM rn_race_t").collect()
+      }
+    } finally GraftSqlTables.unregister("rn_race_t2")
+  }
+
+  test("drop purge racing an in-flight reader: the pinned plan fails " +
+      "loudly on the deleted files, never returns silent empties") {
+    val root = sqlTable("dp_race_t", n = 8)
+    val df = GraftSql.sql(spark, "SELECT id, payload FROM dp_race_t")
+    GraftSql.exec(spark, "DROP TABLE dp_race_t PURGE")
+    assert(!new java.io.File(root).exists())
+    intercept[Exception] { df.collect() }
+  }
+
   // ---- r10 DML surface: latent-divergence audits (r11 directive #4) ----
 
   test("sql dml: positional INSERT binds by POSITION — source column " +

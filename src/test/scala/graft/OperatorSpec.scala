@@ -1151,6 +1151,63 @@ class OperatorSpec extends SparkTestBase {
       s"index probe $got diverged from in-memory replay $expected")
   }
 
+  test("llm_lm_score2 stupid backoff: planted corpus — seen bigrams " +
+      "score MLE, unseen back off with the 0.4 penalty, firsts are " +
+      "unigram, n_backoff counts exactly the unseen-context positions") {
+    import spark.implicits._
+    // train = doc 0 ("a b a c"): uni a:2 b:1 c:1 (N=4, V=3);
+    // bi (a,b):1 (b,a):1 (a,c):1
+    val docs = Seq((0L, "a b a c"), (1L, "a b x b")).toDF("doc_id", "text")
+    val got = ops.Llm.lmScore2Of(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val l2 = math.log(2.0)
+    def uniNll(cu: Long) = (math.log(4.0 + 3.0) - math.log(cu + 1.0)) / l2
+    def boNll(cu: Long) = (math.log(4.0 + 3.0) - math.log(cu + 1.0)
+      - math.log(0.4)) / l2
+    def mle(cup: Long, cb: Long) = (math.log(cup.toDouble)
+      - math.log(cb.toDouble)) / l2
+    def r4d(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: a(first,uni) b(a,b seen) a(b,a seen) c(a,c seen) — 0 backoffs
+    val d0 = r4d((uniNll(2) + mle(2, 1) + mle(1, 1) + mle(2, 1)) / 4.0)
+    // doc 1: a(first,uni) b(seen) x(b,x UNSEEN → backoff, cu(x)=0)
+    // b(x,b UNSEEN context → backoff)
+    val d1 = r4d((uniNll(2) + mle(2, 1) + boNll(0) + boNll(1)) / 4.0)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 4L, 0L), (1L, 4L, 2L)), got.mkString(", "))
+    assert(math.abs(got(0)._4 - d0) < 1e-9, s"doc0 ${got(0)._4} vs $d0")
+    assert(math.abs(got(1)._4 - d1) < 1e-9, s"doc1 ${got(1)._4} vs $d1")
+    // and on the real corpus the held-out half genuinely exercises the
+    // backoff path — otherwise the op degenerates to the bigram MLE
+    assert(ops.Llm.llm_lm_score2(spark, sf).where(col("n_backoff") > 0)
+      .count() > 0, "backoff never fired on the fixture corpus")
+  }
+
+  test("incremental IVF append equals a full rebuild on the merged " +
+      "corpus under the frozen base-trained quantizer") {
+    import spark.implicits._
+    // ground truth: the one-shot in-flight search over ALL vectors with
+    // the SAME frozen centroids — if the appended index diverged from
+    // this, incremental maintenance would silently rot the index
+    val cent = ops.Llm.trainIvfIncrCentroids(spark, sf)
+    val all = graft.util.Tables.embeddings(spark, sf)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+    val rebuild = ops.Llm.ivfSearchVecs(all, cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val incr = ops.Llm.llm_ann_incr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(incr == rebuild,
+      "incremental-append probe diverged from the full rebuild")
+    // and the batch really is findable: odd (appended) ids must appear
+    // among the neighbors, or the append silently missed the index
+    assert(incr.exists(_._2 % 2 == 1),
+      "no appended-batch vector ever surfaced as a neighbor")
+  }
+
   test("agg_cms estimates respect the count-min one-sided bound") {
     val n = graft.util.Tables.events(spark, sf).count()
     val eps = 0.001

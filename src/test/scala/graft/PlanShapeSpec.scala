@@ -370,6 +370,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_ann_incr probes the merged index through partition pruning") {
+    // the incremental index keeps the persisted-index IO contract: the
+    // multi-query probe still reads only the union of probed cells
+    withStaticPlan {
+      val p = planOf(ops.Llm.ivfIncrProbe(spark, sf))
+      assert(p.contains("PartitionFilters: ["), s"no partition filter:\n$p")
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+        s"partition filter does not prune on cell:\n$p")
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in plan)") {
     // join_salted / win_*_salted are the manual skew recipes; AQE's
     // OptimizeSkewedJoin is the zero-code path for 100 TB hot keys.
@@ -602,6 +613,43 @@ class PlanShapeSpec extends SparkTestBase {
       assert(meta("ReadSchema").contains("o_orderkey") &&
         !meta("ReadSchema").contains("o_comment"),
         s"projection must prune the read schema: ${meta("ReadSchema")}")
+    }
+  }
+
+  test("sql view read: outer predicates push THROUGH the view body into " +
+      "the manifest-planned parquet scan — no materialization fence") {
+    // the view inlines its re-parsed body before optimization, so an
+    // outer WHERE must land in PushedFilters alongside the body's own
+    // filter, and an outer SELECT must prune ReadSchema — the properties
+    // that make a view-heavy SQL deployment usable at 100 TB
+    withStaticPlan {
+      val root = ops.Table.ordersTable(spark, sf)
+      graft.sql.GraftSqlTables.register("psp_v_orders",
+        graft.sql.GraftSqlTables.Ref(root, "o_orderkey",
+          Seq("o_year", "o_orderkey"), Seq("o_year", "o_orderkey")))
+      try {
+        graft.sql.GraftSql.exec(spark,
+          """CREATE VIEW psp_view AS
+             SELECT o_orderkey, o_year, o_totalprice
+             FROM psp_v_orders WHERE o_year >= 1996""")
+        val df = graft.sql.GraftSql.sql(spark,
+          "SELECT o_orderkey FROM psp_view WHERE o_orderkey = 42")
+        val scans = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.nonEmpty, planOf(df))
+        val meta = scans.map(_.metadata).head
+        assert(meta("PushedFilters").contains("EqualTo(o_orderkey,42)"),
+          s"outer predicate must push through the view: $meta")
+        assert(meta("PushedFilters").contains("GreaterThanOrEqual(o_year,1996)"),
+          s"the view body's own filter must push too: $meta")
+        assert(meta("ReadSchema").contains("o_orderkey") &&
+          !meta("ReadSchema").contains("o_totalprice"),
+          s"outer projection must prune through the view: ${meta("ReadSchema")}")
+      } finally {
+        graft.sql.GraftSqlViews.unregister(Seq("psp_view"))
+        graft.sql.GraftSqlTables.unregister("psp_v_orders")
+      }
     }
   }
 

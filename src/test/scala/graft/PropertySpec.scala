@@ -111,11 +111,15 @@ class PropertySpec extends SparkTestBase {
     case class Append(n: Int) extends Op
     case class Merge(nExisting: Int, nNew: Int) extends Op
     case object Compact extends Op
+    case object Vacuum extends Op
+    case object Restore extends Op
     val opGen: Gen[Op] = Gen.frequency(
       4 -> Gen.choose(1, 25).map(Append(_)),
       4 -> Gen.zip(Gen.choose(0, 8), Gen.choose(0, 6))
         .map { case (e, n) => Merge(e, n) },
-      2 -> Gen.const(Compact))
+      2 -> Gen.const(Compact),
+      2 -> Gen.const(Vacuum),
+      2 -> Gen.const(Restore))
     def df(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
     def readBack(root: String, v: Option[Int]): Map[Long, String] =
       graft.table.GraftTable.read(spark, root, v).collect()
@@ -153,6 +157,31 @@ class PropertySpec extends SparkTestBase {
           case Compact =>
             graft.table.GraftTable.compact(spark, root, minRows = 30,
               Seq("id"), Seq("id"), numFiles = 1)
+          case Vacuum =>
+            // expire all but the newest two snapshots; the surviving
+            // content must be untouched (the shared assert below) and
+            // every expired snapshot must fail LOUDLY for both read and
+            // restore — a silent neighbor-read here is the data-loss bug
+            // vacuum audits exist to catch (r12 interleaving audit)
+            val latest = graft.table.GraftTable.latestSnapshot(root)
+            val keepFrom = math.max(1, latest - 1)
+            graft.table.GraftTable.expireSnapshots(root, keepFrom)
+            val gone = history.keys.filter(_ < keepFrom).toSeq
+            gone.foreach { ev =>
+              intercept[Exception] { readBack(root, Some(ev)) }
+              intercept[Exception] {
+                graft.table.GraftTable.restore(root, ev)
+              }
+            }
+            history --= gone
+            -1
+          case Restore =>
+            // roll back to the OLDEST retained recorded snapshot as a
+            // new auditable commit; the model rolls back with it
+            val target = history.keys.min
+            val v = graft.table.GraftTable.restore(root, target)
+            model = history(target)
+            v
         }
         if (v > 0) history += (v -> model)
         assert(readBack(root, None) == model,

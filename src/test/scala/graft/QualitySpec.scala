@@ -324,4 +324,40 @@ class QualitySpec extends SparkTestBase {
       assert(cusum2 == s2, s"$day closed-form $cusum2 vs fold $s2")
     }
   }
+
+  test("dq_schema kernel: every drift class fires — added, dropped, " +
+      "retyped, kept, null-rate drift in exact bp; empty side = NULL bp") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Some("x"), Some(1.0), Some(7)),
+      (2L, None, None, Some(8)),
+      (3L, Some("z"), Some(3.0), None),
+      (4L, None, Some(4.0), Some(9)))
+      .toDF("id", "s", "v", "gone")
+    val b = Seq(
+      (1L, Some(10), None, Some("n")),
+      (2L, Some(20), Some(2.0), None))
+      .toDF("id", "s", "v", "fresh")
+    val got = ops.Quality.dqSchemaOf(a, b).collect().map { r =>
+      def oi(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+      def os(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      (r.getString(0), r.getString(1), os(2), os(3), oi(4), oi(5), oi(6))
+    }.toSeq
+    assert(got == Seq(
+      ("fresh", "added", None, Some("string"), None, Some(5000), None),
+      ("gone", "dropped", Some("int"), None, Some(2500), None, None),
+      ("id", "kept", Some("bigint"), Some("bigint"),
+        Some(0), Some(0), Some(0)),
+      ("s", "retyped", Some("string"), Some("int"),
+        Some(5000), Some(0), Some(-5000)),
+      ("v", "kept", Some("double"), Some("double"),
+        Some(2500), Some(5000), Some(2500))), got.mkString("\n"))
+    // a zero-row side is "no evidence", never "0 bp clean": bp_a and
+    // every drift must be NULL, statuses still classify from the schema
+    val empty = ops.Quality.dqSchemaOf(a.limit(0), b).collect()
+    assert(empty.forall(r => r.isNullAt(4) && r.isNullAt(6)),
+      "empty side must report NULL bp and NULL drift")
+    assert(empty.map(_.getString(1)).sorted.toSeq ==
+      Seq("added", "dropped", "kept", "kept", "retyped"))
+  }
 }
