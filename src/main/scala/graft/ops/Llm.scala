@@ -3228,6 +3228,72 @@ object Llm {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** Length-bucketed sequence packing (r12 stretch) — the padding-
+    * minimizing batch assembly real trainers run next to [[llm_pack]]'s
+    * contiguous greedy: round each doc's length up to a power-of-2
+    * bucket, then pack same-bucket docs `2048 div bucket` to a bin.
+    * Bucketing is what makes best-fit-decreasing CLOSED-FORM — within a
+    * bucket every doc occupies the same slot size, so BFD's bin choice
+    * degenerates to filling bins in slot order, which is exactly why
+    * production packers bucket by length instead of running a stateful
+    * bin-packer over the corpus. The bucket ladder is a pure integer
+    * CASE (identical text on both engines — no float log2, whose
+    * boundary behavior would be an engine-divergence risk), and the
+    * window partitions on (lang, shard, bucket) — the llm_pack shard
+    * discipline, so no global sequential state exists at any scale.
+    * Oversized docs (> 2048) clamp to the top bucket and monopolize a
+    * bin. The oracle row is the per-(lang, strategy) comparison against
+    * the greedy packer — exact integer doc/bin/token counts and the
+    * average fill in basis points — so the claim "bucketing packs
+    * tighter/looser than greedy by X bp on this corpus" is itself the
+    * hash-checked output. Per-bin invariants (exact bin sizes, fill
+    * bounds, monotonicity under corpus growth) are PropertySpec's. */
+  private[graft] val PackBucketCase =
+    """CASE WHEN tok <= 16 THEN 16 WHEN tok <= 32 THEN 32
+            WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128
+            WHEN tok <= 256 THEN 256 WHEN tok <= 512 THEN 512
+            WHEN tok <= 1024 THEN 1024 ELSE 2048 END"""
+
+  /** per-(lang, shard, bucket, bin) layout over any (lang, shard,
+    * doc_id, tok) relation — the unit-testable kernel. */
+  private[graft] def packBucketsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", expr(PackBucketCase))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "shard", "bucket").orderBy("doc_id")))
+      .withColumn("bin", expr("(rn - 1) div (2048 div bucket)"))
+      .groupBy("lang", "shard", "bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+      .withColumn("fill_bp", expr("(sum_tokens * 10000) div 2048"))
+
+  val llm_pack_buckets: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("lang"), col("doc_id"), expr("doc_id div 50").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val bucketed = packBucketsOf(docs)
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .withColumn("strategy", lit("bucketed"))
+    val wg = Window.partitionBy("lang", "shard").orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val greedy = docs
+      .withColumn("cum", sum(col("tok")).over(wg))
+      .withColumn("bin", expr("(cum - tok) div 2048"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("shard"), col("bin")).as("n_bins"),
+        sum(col("tok")).as("sum_tokens"))
+      .withColumn("strategy", lit("greedy"))
+    bucketed.unionByName(greedy)
+      .select(col("lang"), col("strategy"), col("n_docs"), col("n_bins"),
+        col("sum_tokens"),
+        expr("CAST(sum_tokens * 10000 div (n_bins * 2048) AS INT)")
+          .as("avg_fill_bp"))
+      .orderBy("lang", "strategy")
+  }
+
   /** End-to-end corpus-cleaning pipeline — the composition a training-data
     * run executes as ONE Spark DAG: quality scoring → language filter →
     * near-dup removal (canonical = lowest doc_id of each J≥0.9 pair) →
@@ -3744,6 +3810,7 @@ object Llm {
     "llm_ann_ivf_q8" -> llm_ann_ivf_q8,
     "llm_ann_ivf_indexed" -> llm_ann_ivf_indexed,
     "llm_ann_incr" -> llm_ann_incr,
+    "llm_pack_buckets" -> llm_pack_buckets,
     "llm_ann_pq" -> llm_ann_pq,
     "llm_ann_ivfpq" -> llm_ann_ivfpq,
     "llm_tokenize" -> llm_tokenize,
@@ -5218,6 +5285,48 @@ object Llm {
              CAST(sum(tok) AS BIGINT) AS sum_tokens,
              CAST((sum(tok) * 10000) // 2048 AS BIGINT) AS fill_bp
          FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""",
+    // both strategies replayed with the identical integer CASE ladder and
+    // `//` arithmetic; n_bins via count(DISTINCT struct) = Spark's
+    // null-free countDistinct here
+    "llm_pack_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, lang, doc_id // 50 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+         bk AS (
+           SELECT lang, shard, doc_id, tok,
+               CASE WHEN tok <= 16 THEN 16 WHEN tok <= 32 THEN 32
+                    WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128
+                    WHEN tok <= 256 THEN 256 WHEN tok <= 512 THEN 512
+                    WHEN tok <= 1024 THEN 1024 ELSE 2048 END AS bucket
+           FROM t),
+         bb AS (
+           SELECT lang, shard, bucket, tok,
+               (row_number() OVER (PARTITION BY lang, shard, bucket
+                   ORDER BY doc_id) - 1) // (2048 // bucket) AS bin
+           FROM bk),
+         bsum AS (
+           SELECT lang, 'bucketed' AS strategy, count(1) AS n_docs,
+               count(DISTINCT (shard, bucket, bin)) AS n_bins,
+               sum(tok) AS sum_tokens
+           FROM bb GROUP BY lang),
+         g AS (
+           SELECT lang, shard, tok,
+               sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         gsum AS (
+           SELECT lang, 'greedy' AS strategy, count(1) AS n_docs,
+               count(DISTINCT (shard, (cum - tok) // 2048)) AS n_bins,
+               sum(tok) AS sum_tokens
+           FROM g GROUP BY lang)
+         SELECT lang, strategy, n_docs,
+             CAST(n_bins AS BIGINT) AS n_bins,
+             CAST(sum_tokens AS BIGINT) AS sum_tokens,
+             CAST(sum_tokens * 10000 // (n_bins * 2048) AS INT)
+                 AS avg_fill_bp
+         FROM (SELECT * FROM bsum UNION ALL SELECT * FROM gsum)
+         ORDER BY lang, strategy""",
     "llm_pipeline" ->
       s"""WITH $duckCleanBase
           SELECT lang, count(1) AS n_kept,

@@ -426,6 +426,62 @@ class PropertySpec extends SparkTestBase {
       s"boundary-less card replace corrupted neighbors: $both")
   }
 
+  test("length-bucketed packing: non-final bins are exactly full, fill " +
+      "bounded by the bucket ladder, bin count monotone as the corpus " +
+      "grows") {
+    import spark.implicits._
+    def L(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).toString.toLong
+    val lenGen = Gen.frequency(8 -> Gen.choose(1, 150),
+      3 -> Gen.choose(151, 2048), 1 -> Gen.choose(2049, 3000))
+    def pack(rows: Seq[(String, Long, Long, Long)]) =
+      ops.Llm.packBucketsOf(rows.toDF("lang", "shard", "doc_id", "tok"))
+        .collect()
+        .map(r => ((r.getString(0), L(r, 1), L(r, 2)),
+          (L(r, 3), L(r, 4), L(r, 5), L(r, 6))))
+    for ((lens, run) <- samples(Gen.listOfN(120, lenGen), 2).zipWithIndex) {
+      val base = lens.zipWithIndex.map { case (t, i) =>
+        (if (i % 2 == 0) "en" else "de", (i / 40).toLong, i.toLong, t.toLong)
+      }
+      val packed = pack(base)
+      assert(packed.map(_._2._2).sum == 120L,
+        s"run $run: every doc lands in exactly one bin")
+      for (((_, _, bucket), bins) <- packed.groupBy(_._1)) {
+        val k = 2048L / bucket
+        val byBin = bins.map(_._2).sortBy(_._1)
+        // bins are contiguous from 0 and every non-final one is exactly
+        // full — the closed-form BFD-within-bucket guarantee
+        assert(byBin.map(_._1).toSeq == byBin.indices.map(_.toLong),
+          s"run $run bucket $bucket: bins not contiguous")
+        byBin.dropRight(1).foreach { case (bin, n, _, _) =>
+          assert(n == k, s"run $run bucket $bucket bin $bin: $n != $k")
+        }
+        assert(byBin.last._2 <= k)
+        if (bucket < 2048L) byBin.foreach { case (bin, _, sumTok, fill) =>
+          assert(sumTok <= k * bucket && fill <= 10000L,
+            s"run $run bucket $bucket bin $bin overfilled: " +
+              s"$sumTok tok, $fill bp")
+        }
+      }
+      // monotone fill: growing the corpus can only keep or add bins per
+      // (lang, shard, bucket) — never repack into fewer
+      val extra = (0 until 30).map { i =>
+        (if (i % 2 == 0) "en" else "de", (i % 3).toLong, 1000L + i,
+          (17L + i * 13L) % 900L + 1L)
+      }
+      val grown = pack(base ++ extra)
+      def binCount(p: Array[((String, Long, Long), (Long, Long, Long, Long))])
+          : Map[(String, Long, Long), Int] =
+        p.groupBy(_._1).map { case (g, bs) => g -> bs.length }
+      val before = binCount(packed)
+      val after = binCount(grown)
+      before.foreach { case (g, n) =>
+        assert(after.getOrElse(g, 0) >= n,
+          s"run $run: group $g lost bins when the corpus grew")
+      }
+    }
+  }
+
   test("jaccard formula: symmetric, reflexive, bounded") {
     def jac(x: Set[String], y: Set[String]): Double =
       if (x.isEmpty && y.isEmpty) 1.0
