@@ -762,6 +762,67 @@ object Table {
          ORDER BY o_year, o_orderpriority""")
   }
 
+  /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
+    * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
+    * bad-batch recovery story every snapshot format documents, driven
+    * entirely by SQL statements — CREATE + good INSERT, `CREATE TAG
+    * archive` pinning it, a bad INSERT, `RESTORE ... TO SNAPSHOT 2`
+    * rolling it back as a new auditable commit, and the corrected
+    * reload. The row reads BOTH truths through SQL: the tagged archive
+    * (pre-bad-batch, reached by a tag-addressed TVF-style read) and the
+    * latest state ("everything but the bad 1998 batch"), grouped by
+    * priority so the row is distinct from the DSL table_restore twin.
+    * All verbs ride [[graft.sql.GraftSqlMaint]]'s text seam — none are
+    * in Spark's grammar. */
+  val table_sql_restore: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_restore_orders")
+    val name = "sql_restore_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE,
+              o_orderpriority STRING, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name CREATE TAG archive")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1998""")
+      val restored = graft.sql.GraftSql
+        .sql(s, s"RESTORE TABLE $name TO SNAPSHOT 2").collect()(0).getInt(0)
+      require(restored == 4, s"RESTORE landed as snapshot $restored, not 4")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1999""")
+    }
+    def slice(df: org.apache.spark.sql.DataFrame, which: String) =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(which).as("src"), col("o_orderpriority"),
+          col("n_orders"), col("sum_price"))
+    slice(GraftTable.readTag(s, root, "archive"), "archive")
+      .unionByName(slice(GraftTable.read(s, root), "latest"))
+      .orderBy("src", "o_orderpriority")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) reconstruction — the
     * warehouse-history staple: the full row-level change log over ALL
     * commits (0 → 3: creation inserts, append inserts, merge
@@ -819,6 +880,7 @@ object Table {
     "table_sql_alter" -> table_sql_alter,
     "table_sql_maint" -> table_sql_maint,
     "table_sql_view" -> table_sql_view,
+    "table_sql_restore" -> table_sql_restore,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -966,6 +1028,24 @@ object Table {
          WHERE year(o_orderdate) >= 1996
            AND o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""",
+    // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
+    // 1998 batch and the corrected reload re-added only 1999+ — latest
+    // is "everything but 1998"; both replayed statically
+    "table_sql_restore" ->
+      """WITH a AS (
+           SELECT 'archive' AS src, o_orderpriority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2),
+         l AS (
+           SELECT 'latest' AS src, o_orderpriority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <> 1998 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM l)
+         ORDER BY src, o_orderpriority""",
     // the TVF's v1→v2 delta = the appended slice at pre-merge values
     "table_sql_cdc" ->
       """SELECT o_orderpriority, count(1) AS n_orders,

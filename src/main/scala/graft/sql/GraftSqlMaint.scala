@@ -17,7 +17,12 @@ import graft.table.GraftTable
   *     behind the production 7-day mtime age gate,
   *   - `OPTIMIZE <name> [ZORDER BY (c1, ...)]` — full-table compaction
   *     into the clustered (optionally Z-ordered) layout as ONE commit,
-  *   - `DESCRIBE HISTORY <name>` — the commit log as a result set.
+  *   - `DESCRIBE HISTORY <name>` — the commit log as a result set,
+  *   - `RESTORE [TABLE] <name> TO SNAPSHOT <n>` — Delta-style rollback
+  *     as a new auditable commit,
+  *   - `ALTER TABLE <name> CREATE TAG <t> [AS OF SNAPSHOT <n>]` /
+  *     `ALTER TABLE <name> DROP TAG <t>` — Iceberg-style named refs
+  *     (retention roots for VACUUM).
   *
   * None of these verbs exist in Spark's grammar (they are the
   * Delta/Iceberg maintenance surface), so the splice happens on the
@@ -50,6 +55,16 @@ object GraftSqlMaint {
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val DescHistory =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val Restore =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Ident +
+      """\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*$""").r
+  private val CreateTag =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+TAG\s+([A-Za-z0-9._-]+)""" +
+      """(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""").r
+  private val DropTag =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""").r
 
   /** Dotted identifier → name parts; dots inside backticks stay. */
   private[sql] def partsOf(ident: String): Seq[String] = {
@@ -76,6 +91,13 @@ object GraftSqlMaint {
     case DescHistory(name)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftDescribeHistoryCommand(partsOf(name)))
+    case Restore(name, snap) =>
+      Some(GraftRestoreCommand(partsOf(name), snap.toInt))
+    case CreateTag(name, tagName, snap) =>
+      Some(GraftCreateTagCommand(partsOf(name), tagName,
+        Option(snap).map(_.toInt)))
+    case DropTag(name, tagName) =>
+      Some(GraftDropTagCommand(partsOf(name), tagName))
     case _ => None
   }
 
@@ -143,6 +165,51 @@ case class GraftOptimizeCommand(parts: Seq[String],
       ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
       zorderCols)
     Seq(Row(v))
+  }
+}
+
+/** `RESTORE [TABLE] name TO SNAPSHOT n`: roll the table back to
+  * snapshot n as a NEW auditable commit (the Delta RESTORE semantic the
+  * DSL exposes as [[GraftTable.restore]]) — metadata-only, zero data
+  * movement, bad commits stay time-travelable; restoring to an EXPIRED
+  * snapshot fails loudly (its manifest is gone). Returns the resulting
+  * snapshot id. */
+case class GraftRestoreCommand(parts: Seq[String], toSnapshot: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    Seq(Row(GraftTable.restore(ref.root, toSnapshot)))
+  }
+}
+
+/** `ALTER TABLE name CREATE TAG t [AS OF SNAPSHOT n]`: pin an
+  * Iceberg-style named ref (default: the latest snapshot). Tags are
+  * RETENTION ROOTS — VACUUM keeps a tagged snapshot's manifest and
+  * files until the tag is dropped — and immutable once placed
+  * (re-pointing is DROP TAG + CREATE TAG, two auditable steps). */
+case class GraftCreateTagCommand(parts: Seq[String], tagName: String,
+    snapshot: Option[Int]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    GraftTable.tag(ref.root, tagName,
+      snapshot.getOrElse(GraftTable.latestSnapshot(ref.root)))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name DROP TAG t`: release the retention root; the next
+  * VACUUM may reclaim what only the tag was keeping. Loud on a missing
+  * tag — silently "dropping" nothing would mask a typo that leaves the
+  * real tag pinning storage forever. */
+case class GraftDropTagCommand(parts: Seq[String], tagName: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    require(GraftTable.removeTag(ref.root, tagName),
+      s"no tag '$tagName' on graft table '${parts.mkString(".")}'")
+    Seq.empty
   }
 }
 

@@ -1956,6 +1956,51 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("maint_ht")
   }
 
+  test("sql maint: RESTORE and TAG verbs — tag defaults to latest and " +
+      "is a retention root until dropped, restore to expired is loud, " +
+      "duplicate tags never silently re-point") {
+    val root = sqlTable("maint_rt", n = 3) // v1
+    try {
+      GraftSql.exec(spark, "INSERT INTO maint_rt " +
+        "SELECT id, concat('w', id) FROM range(100, 103)") // v2
+      GraftSql.exec(spark, "ALTER TABLE maint_rt CREATE TAG good") // = v2
+      assert(GraftTable.tags(root) == Map("good" -> 2))
+      // tags are immutable refs: re-pointing is a loud two-step
+      intercept[IllegalStateException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE maint_rt CREATE TAG good AS OF SNAPSHOT 1")
+      }
+      GraftSql.exec(spark,
+        "UPDATE maint_rt SET payload = 'bad' WHERE id >= 100") // v3
+      val restored = GraftSql
+        .sql(spark, "RESTORE maint_rt TO SNAPSHOT 2").collect()(0).getInt(0)
+      assert(restored == 4)
+      assert(state(root) == Map(1L -> "v1", 2L -> "v2", 3L -> "v3",
+        100L -> "w100", 101L -> "w101", 102L -> "w102"),
+        "RESTORE must roll the live state back to the tagged good batch")
+      // the tag holds v2 through VACUUM; dropping it releases retention
+      GraftSql.exec(spark, "VACUUM maint_rt RETAIN 1 SNAPSHOTS")
+      assert(GraftTable.history(spark, root).select("snapshot").collect()
+        .map(_.getInt(0)).toSet == Set(2, 4))
+      GraftSql.exec(spark, "ALTER TABLE maint_rt DROP TAG good")
+      GraftSql.exec(spark, "VACUUM maint_rt RETAIN 1 SNAPSHOTS")
+      assert(GraftTable.history(spark, root).select("snapshot").collect()
+        .map(_.getInt(0)).toSet == Set(4),
+        "dropping the tag must release the retention root")
+      // restore to the now-expired snapshot fails loudly through SQL
+      intercept[Exception] {
+        GraftSql.sql(spark, "RESTORE maint_rt TO SNAPSHOT 3").collect()
+      }
+      // missing tag and unregistered name are loud too
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "ALTER TABLE maint_rt DROP TAG nope")
+      }
+      intercept[NoSuchElementException] {
+        GraftSql.exec(spark, "RESTORE no_such_t TO SNAPSHOT 1")
+      }
+    } finally GraftSqlTables.unregister("maint_rt")
+  }
+
   // ---- r12: SQL views over graft names ----
 
   test("sql view: re-resolves to the latest snapshot per query, outer " +
