@@ -136,6 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftTableFunctions.asOfDescriptor)
     e.injectTableFunction(GraftTableFunctions.changesDescriptor)
     e.injectTableFunction(GraftTableFunctions.historyDescriptor)
+    e.injectTableFunction(GraftTableFunctions.tagDescriptor)
     // SQL DML (INSERT/UPDATE/DELETE/MERGE) over registered graft tables
     e.injectResolutionRule(graft.sql.GraftDmlRule.apply)
     // SQL DDL (CREATE/CTAS/DROP ... USING graft) — parser seam, because

@@ -18,6 +18,7 @@ import graft.table.GraftTable
   *   SELECT * FROM graft_table_asof('/path', 1700000000000) -- ts AS OF
   *   SELECT * FROM graft_table_changes('/path', 1, 2)     -- file-level CDC
   *   SELECT * FROM graft_table_history('/path')           -- DESCRIBE HISTORY
+  *   SELECT * FROM graft_table_tag('/path', 'archive')    -- tag-addressed read
   *
   * Registered through the same two surfaces as [[GraftFunctions]]: the
   * session's `tableFunctionRegistry` for plain sessions (idempotent —
@@ -108,6 +109,21 @@ object GraftTableFunctions {
         .queryExecution.logical
     })
 
+  /** tag-addressed read: the snapshot an Iceberg-style named ref pins. */
+  val tagDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_table_tag"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName,
+      "graft_table_tag"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_table_tag expects (root, tag_name)")
+      GraftTable.readTag(SparkSession.active,
+        strArg(children, 0, "graft_table_tag"),
+        strArg(children, 1, "graft_table_tag"))
+        .queryExecution.logical
+    })
+
   /** `DESCRIBE HISTORY` as a relation: one row per retained commit. */
   val historyDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (
@@ -125,7 +141,7 @@ object GraftTableFunctions {
   /** idempotent — registerFunction overwrites */
   def register(s: SparkSession): Unit =
     Seq(tableDescriptor, asOfDescriptor, changesDescriptor,
-      historyDescriptor).foreach { d =>
+      historyDescriptor, tagDescriptor).foreach { d =>
       s.sessionState.tableFunctionRegistry
         .registerFunction(d._1, d._2, d._3)
     }

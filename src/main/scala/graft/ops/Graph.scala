@@ -557,6 +557,15 @@ object Graph {
       } else {
         val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
         val nodes = g.select(col("v").as("node")).distinct()
+        // the SAME symmetric-input contract as the driver arm, enforced
+        // distributed (review finding, r12: a one-arm guard lets the
+        // above-budget path silently compute over a sources-only node
+        // universe): one anti-join existence probe on the cached input,
+        // paid once per kernel call — not per round
+        require(g.select(col("u").as("node")).distinct()
+          .join(nodes, Seq("node"), "left_anti").limit(1).count() == 0,
+          "lpaOf requires a symmetrized adjacency: every target node " +
+            "must also appear as a source (run symmetrize() first)")
         var cur = graft.util.Iterate.checkpoint(
           nodes.withColumn("lbl", col("node")))
         for (_ <- 1 to LpaRounds) {

@@ -1464,6 +1464,21 @@ object Llm {
   private[graft] def cosArr(x: Array[Double], y: Array[Double]): Double =
     dotArr(x, y) / (math.sqrt(dotArr(x, x)) * math.sqrt(dotArr(y, y)))
 
+  /** nearest-centroid assignment, tie → lowest cell id — THE convention
+    * every IVF variant and the DuckDB replay (`ORDER BY s DESC, cid
+    * ASC`) must share; ONE implementation so the in-flight, persisted,
+    * and incremental paths cannot silently drift (review finding, r12). */
+  private[graft] def nearestCellOf(cent: Array[(Long, Array[Double])],
+      v: Array[Double]): Long =
+    cent.map { case (cid, cv) => (cosArr(v, cv), cid) }
+      .maxBy { case (sim, cid) => (sim, -cid) }._2
+
+  /** a query's nprobe closest cells, same shared total order. */
+  private[graft] def probeCellsOf(cent: Array[(Long, Array[Double])],
+      qv: Array[Double], nprobe: Int = 4): Array[Long] =
+    cent.map { case (cid, cv) => (cosArr(qv, cv), cid) }
+      .sortBy { case (sim, cid) => (-sim, cid) }.take(nprobe).map(_._2)
+
   /** IVF probe over a given coarse quantizer: every vector assigned to
     * its nearest centroid (one broadcast + kernel map pass — the inverted
     * lists), queries probe their 4 nearest cells and exact-rerank only
@@ -1486,17 +1501,12 @@ object Llm {
     val bcCent = s.sparkContext.broadcast(centroids)
     // inverted lists: nearest centroid per vector (ties → lowest cell id)
     val assigned = rows.map { case (id, v) =>
-      val best = bcCent.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
-        .maxBy { case (sim, cid) => (sim, -cid) }
-      (best._2, id, v)
+      (nearestCellOf(bcCent.value, v), id, v)
     }
     // queries = vec_id < 20, probing their 4 nearest cells
     val queries = rows.filter(_._1 < 20).collect().sortBy(_._1).map {
       case (qid, qv) =>
-        val probes = bcCent.value
-          .map { case (cid, cv) => (cosArr(qv, cv), cid) }
-          .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
-        (qid, qv, probes)
+        (qid, qv, probeCellsOf(bcCent.value, qv).toSet)
     }
     val bcQ = s.sparkContext.broadcast(queries)
     assigned.flatMap { case (cell, id, v) =>
@@ -1666,11 +1676,7 @@ object Llm {
       val bc = s.sparkContext.broadcast(trainIvfCentroids(s, d))
       embDouble(s, d).select(col("vec_id"), col("emb"))
         .as[(Long, Array[Double])]
-        .map { case (id, v) =>
-          val best = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
-            .maxBy { case (sim, cid) => (sim, -cid) }
-          (best._2, id, v)
-        }
+        .map { case (id, v) => (nearestCellOf(bc.value, v), id, v) }
         .toDF("cell", "vec_id", "emb")
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
@@ -1686,8 +1692,7 @@ object Llm {
     val cent = trainIvfCentroids(s, d)
     val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
-    val probes = cent.map { case (cid, cv) => (cosArr(qv, cv), cid) }
-      .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2)
+    val probes = probeCellsOf(cent, qv)
     val bcQ = s.sparkContext.broadcast(qv)
     s.read.parquet(dir)
       .where(col("cell").isin(probes: _*) && col("vec_id") =!= 0L)
@@ -1750,11 +1755,8 @@ object Llm {
     val s = rows.sparkSession
     import s.implicits._
     val bc = s.sparkContext.broadcast(centroids)
-    rows.map { case (id, v) =>
-      val best = bc.value.map { case (cid, cv) => (cosArr(v, cv), cid) }
-        .maxBy { case (sim, cid) => (sim, -cid) }
-      (best._2, id, v)
-    }.toDF("cell", "vec_id", "emb")
+    rows.map { case (id, v) => (nearestCellOf(bc.value, v), id, v) }
+      .toDF("cell", "vec_id", "emb")
   }
 
   /** Incremental ANN index maintenance (r12 verdict missing #3 — the
@@ -1799,9 +1801,7 @@ object Llm {
     val queries = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])].filter(_._1 < 20)
       .collect().sortBy(_._1).map { case (qid, qv) =>
-        val probes = cent.map { case (cid, cv) => (cosArr(qv, cv), cid) }
-          .sortBy { case (sim, cid) => (-sim, cid) }.take(4).map(_._2).toSet
-        (qid, qv, probes)
+        (qid, qv, probeCellsOf(cent, qv).toSet)
       }
     val allCells = queries.flatMap(_._3).toSet.toSeq.sorted
     val bcQ = s.sparkContext.broadcast(queries)

@@ -812,14 +812,19 @@ object Table {
             FROM parquet.`$d/orders.parquet`
             WHERE year(o_orderdate) >= 1999""")
     }
+    // BOTH truths read through SQL: the archive via the tag-addressed
+    // graft_table_tag TVF, latest via the registered name
+    graft.functions.GraftTableFunctions.register(s)
     def slice(df: org.apache.spark.sql.DataFrame, which: String) =
       df.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           moneySum(col("o_totalprice")).as("sum_price"))
         .select(lit(which).as("src"), col("o_orderpriority"),
           col("n_orders"), col("sum_price"))
-    slice(GraftTable.readTag(s, root, "archive"), "archive")
-      .unionByName(slice(GraftTable.read(s, root), "latest"))
+    slice(s.sql(s"SELECT * FROM graft_table_tag('$root', 'archive')"),
+        "archive")
+      .unionByName(slice(
+        graft.sql.GraftSql.sql(s, s"SELECT * FROM $name"), "latest"))
       .orderBy("src", "o_orderpriority")
   }
 

@@ -176,6 +176,12 @@ object GraftSqlDdl {
   private[sql] def claim(parts: Seq[String], ref: GraftSqlTables.Ref,
       ignoreIfExists: Boolean): Boolean = {
     val name = parts.mkString(".")
+    // the view/table namespaces are ONE namespace, guarded BOTH ways
+    // (GraftCreateViewCommand guards the inverse): a doubly-bound name
+    // would read as the view while DML and maintenance verbs hit the
+    // table — silent divergence, never an error
+    require(GraftSqlViews.lookup(parts).isEmpty,
+      s"cannot CREATE TABLE '$name': a graft VIEW is bound to that name")
     if (GraftSqlTables.registerIfAbsent(name, ref)) true
     else {
       require(ignoreIfExists,
@@ -317,6 +323,11 @@ case class GraftRenameTableCommand(parts: Seq[String],
     val newKey = newName.mkString(".")
     val ref = GraftSqlTables.lookup(parts).getOrElse(
       throw new NoSuchElementException(s"graft table '$oldKey' not found"))
+    // same one-namespace guard as CREATE: renaming onto a VIEW name
+    // would split reads (view) from writes (table)
+    require(GraftSqlViews.lookup(newName).isEmpty,
+      s"cannot RENAME '$oldKey' to '$newKey': a graft VIEW is bound " +
+        "to that name")
     require(GraftSqlTables.registerIfAbsent(newKey, ref),
       s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
     // conditional release: only remove the binding we looked up — a

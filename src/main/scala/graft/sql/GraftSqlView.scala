@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, Logica
 import org.apache.spark.sql.execution.command.{CreateViewCommand, LeafRunnableCommand}
 
 /** SQL views over graft tables (r11 verdict missing #2): `CREATE [OR
-  * REPLACE] [TEMP] VIEW v AS SELECT ... FROM <registered graft name>`
+  * REPLACE] VIEW v AS SELECT ... FROM <registered graft name>`
   * registers `v` in a process-global VIEW registry (the
   * [[GraftSqlTables]] shared-metastore scoping applied to views), and
   * every later reference to `v` RE-PARSES the stored body text and
@@ -32,6 +32,9 @@ object GraftSqlViews {
 
   private val reg =
     new scala.collection.concurrent.TrieMap[String, String]
+
+  /** serializes cycle-walk + registration (see GraftCreateViewCommand). */
+  private[sql] val createLock = new Object
 
   private def keyOf(parts: Seq[String]): String =
     parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
@@ -65,20 +68,24 @@ object GraftSqlViews {
       }
 
   /** Loud cycle detection at CREATE time: walk view references
-    * transitively as if `name` were already bound to `bodySql`. */
+    * transitively as if `name` were already bound to `bodySql`,
+    * erroring on ANY cycle along the walk path — not just one returning
+    * to `name` — so even a cycle that slipped in through a registry
+    * misuse outside the command path is caught before the analyzer
+    * would expand it forever. Under [[createLock]] no committed cycle
+    * can form, so this doubles as the loud second line of defense. */
   private[sql] def requireAcyclic(spark: SparkSession,
       name: Seq[String], bodySql: String): Unit = {
-    val target = keyOf(name)
-    def walk(body: String, seen: Set[String]): Unit =
+    def walk(body: String, path: Set[String]): Unit =
       referencedNames(spark, body).foreach { ref =>
         val k = keyOf(ref)
-        if (k == target)
+        if (path(k))
           throw new IllegalArgumentException(
             s"CREATE VIEW ${name.mkString(".")}: the view body reaches " +
-              "itself through its view references (cycle)")
-        if (!seen(k)) reg.get(k).foreach(walk(_, seen + k))
+              s"'$k' cyclically through its view references")
+        reg.get(k).foreach(walk(_, path + k))
       }
-    walk(bodySql, Set.empty)
+    walk(bodySql, Set(keyOf(name)))
   }
 
   /** Parser-seam splice (called from [[GraftSqlDdl.splice]]'s caller
@@ -86,14 +93,19 @@ object GraftSqlViews {
     * graft names become graft commands; everything else passes
     * through. */
   def splice(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-    // temp/local view form — the parser hands a CreateViewCommand
+    // temp/local view form — the parser hands a CreateViewCommand. The
+    // TEMP qualifier is REJECTED loudly, not silently widened: graft's
+    // view registry is process-global (shared-metastore scoping), and
+    // honoring "TEMP" by registering there would leak a contractually
+    // session-isolated name to every session in the JVM — the same
+    // silently-droppable-clause bug the knob discipline exists for.
     case c: CreateViewCommand if c.originalText.isDefined &&
         referencesGraft(c.plan) =>
-      requireStorable("CREATE TEMP VIEW", c.name.nameParts,
-        c.userSpecifiedColumns.isEmpty, c.comment.isEmpty,
-        c.properties.isEmpty)
-      Some(GraftCreateViewCommand(c.name.nameParts, c.originalText.get,
-        c.allowExisting, c.replace))
+      throw new IllegalArgumentException(
+        s"CREATE TEMP VIEW ${c.name.nameParts.mkString(".")} over graft " +
+          "names is not supported: graft views are process-global " +
+          "(shared-metastore scoping) and cannot honor session-local " +
+          "TEMP semantics — use CREATE VIEW")
     // persistent form — CreateView over an UnresolvedIdentifier
     case c: CreateView if c.originalText.isDefined &&
         referencesGraft(c.query) =>
@@ -131,12 +143,20 @@ case class GraftCreateViewCommand(parts: Seq[String], bodySql: String,
     val name = parts.mkString(".")
     require(GraftSqlTables.lookup(parts).isEmpty,
       s"cannot CREATE VIEW '$name': a graft TABLE is bound to that name")
-    GraftSqlViews.requireAcyclic(spark, parts, bodySql)
-    if (replace) GraftSqlViews.register(parts, bodySql)
-    else if (!GraftSqlViews.registerIfAbsent(parts, bodySql)) {
-      require(allowExisting,
-        s"graft view '$name' already exists (OR REPLACE to overwrite, " +
-          "IF NOT EXISTS to ignore)")
+    // the cycle walk and the registration form ONE atomic step: two
+    // concurrent CREATE OR REPLACEs could otherwise each pass the walk
+    // against the other's OLD body, register a→b and b→a, and the next
+    // read would expand the cycle until the analyzer stack dies (review
+    // finding, r12; the walk itself also errors on any PRE-EXISTING
+    // cycle along its path — the loud second line of defense)
+    GraftSqlViews.createLock.synchronized {
+      GraftSqlViews.requireAcyclic(spark, parts, bodySql)
+      if (replace) GraftSqlViews.register(parts, bodySql)
+      else if (!GraftSqlViews.registerIfAbsent(parts, bodySql)) {
+        require(allowExisting,
+          s"graft view '$name' already exists (OR REPLACE to overwrite, " +
+            "IF NOT EXISTS to ignore)")
+      }
     }
     Seq.empty
   }

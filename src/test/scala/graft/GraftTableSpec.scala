@@ -2051,8 +2051,16 @@ class GraftTableSpec extends SparkTestBase {
       "views nest") {
     val root = sqlTable("vg_base", n = 4)
     try {
+      // TEMP is rejected loudly: the registry is process-global and
+      // cannot honor session-local semantics (review finding, r12 —
+      // silently widening the scope is the droppable-clause bug)
+      val temp = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "CREATE TEMP VIEW vg_v AS SELECT id FROM vg_base WHERE id > 1")
+      }
+      assert(temp.getMessage.contains("TEMP"))
       GraftSql.exec(spark,
-        "CREATE TEMP VIEW vg_v AS SELECT id FROM vg_base WHERE id > 1")
+        "CREATE VIEW vg_v AS SELECT id FROM vg_base WHERE id > 1")
       intercept[IllegalArgumentException] {
         GraftSql.exec(spark,
           "CREATE VIEW vg_v AS SELECT id FROM vg_base")
@@ -2062,11 +2070,24 @@ class GraftTableSpec extends SparkTestBase {
         "CREATE VIEW IF NOT EXISTS vg_v AS SELECT id FROM vg_base")
       assert(GraftSql.sql(spark, "SELECT count(1) AS n FROM vg_v").head()
         .getLong(0) == 3L)
-      // a view may not shadow a registered graft TABLE name
+      // ONE namespace, guarded BOTH ways: a view may not shadow a
+      // registered graft TABLE name, and a table (CREATE or RENAME
+      // target) may not take a view's — a doubly-bound name would read
+      // as the view while DML hits the table, silently
       intercept[IllegalArgumentException] {
         GraftSql.exec(spark,
           "CREATE VIEW vg_base AS SELECT id FROM vg_v")
       }
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          s"""CREATE TABLE vg_v (id BIGINT) USING graft
+              OPTIONS (key 'id') LOCATION '${freshRoot()}'""")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "ALTER TABLE vg_base RENAME TO vg_v")
+      }
+      assert(GraftSqlTables.lookup(Seq("vg_base")).isDefined,
+        "a rejected rename must keep the old table binding")
       // column lists are not stored — loud, never silently dropped
       intercept[IllegalArgumentException] {
         GraftSql.exec(spark,
