@@ -1775,18 +1775,38 @@ object Llm {
   private val ivfIncrBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** encode one batch with the FROZEN centroids and append it into the
+    * cell-partitioned index at `dir` — the foreachBatch ingest kernel.
+    * Stateless per batch (assignment is a pure function of the frozen
+    * quantizer), so micro-batched appends ≡ the one-shot append —
+    * StreamingSpec proves that parity through a real MemoryStream. */
+  private[graft] def ivfIncrAppend(batch: DataFrame,
+      cent: Array[(Long, Array[Double])], dir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    assignCells(batch.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])], cent)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** the base (even-id) corpus written once as the index's initial
+    * cell-partitioned layout at `dir`. */
+  private[graft] def ivfIncrWriteBase(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit =
+    assignCells(ivfIncrRows(s, d, 0), trainIvfIncrCentroids(s, d))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
   private[graft] def ivfIncrIndexDir(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val dir = Sources.sinkDir(s, d, "ivf_incr_index")
     graft.util.AppCleanup.buildOnce(ivfIncrBuilt, dir) {
-      val cent = trainIvfIncrCentroids(s, d)
-      assignCells(ivfIncrRows(s, d, 0), cent)
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      ivfIncrWriteBase(s, d, dir)
       // the new batch: same frozen quantizer, append-only into the
       // existing cell directories — the index's files for the base
       // corpus are untouched
-      assignCells(ivfIncrRows(s, d, 1), cent)
-        .write.mode("append").partitionBy("cell").parquet(dir)
+      import s.implicits._
+      ivfIncrAppend(ivfIncrRows(s, d, 1).toDF("vec_id", "emb"),
+        trainIvfIncrCentroids(s, d), dir)
     }
     dir
   }
@@ -1794,9 +1814,14 @@ object Llm {
   /** the merged-index probe for all 20 standard queries — separated so
     * the plan test can assert partition pruning on exactly this frame. */
   private[graft] def ivfIncrProbe(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame =
+    ivfIncrProbeDir(s, d, ivfIncrIndexDir(s, d))
+
+  /** same probe over an arbitrary index directory — lets the streaming
+    * parity test probe the micro-batch-ingested twin. */
+  private[graft] def ivfIncrProbeDir(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): DataFrame = {
     import s.implicits._
-    val dir = ivfIncrIndexDir(s, d)
     val cent = trainIvfIncrCentroids(s, d)
     val queries = embDouble(s, d).select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])].filter(_._1 < 20)

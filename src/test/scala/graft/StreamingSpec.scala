@@ -862,6 +862,53 @@ class StreamingSpec extends SparkTestBase {
         s"extra ${(streamed -- batch).take(3)}")
   }
 
+  test("incremental ANN ingest: THREE micro-batches of new embeddings " +
+      "appended through the frozen quantizer ≡ the one-shot " +
+      "llm_ann_incr row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the vector twin of the incremental-dedup parity: each micro-batch
+    // encodes with the SAME persisted centroids and appends into the
+    // cell layout — assignment is stateless per batch, so the
+    // micro-batched index must probe identically to the one-shot one
+    val cent = ops.Llm.trainIvfIncrCentroids(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+      .toFile.getPath + "/index"
+    ops.Llm.ivfIncrWriteBase(spark, sf, dir)
+    val odd = graft.util.Tables.embeddings(spark, sf)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .where(col("vec_id") % 2 === 1)
+      .select("vec_id", "emb").as[(Long, Array[Double])].collect()
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = mem.toDF().toDF("vec_id", "emb")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ops.Llm.ivfIncrAppend(batch, cent, dir)
+      }.start()
+    try {
+      odd.grouped(math.max(1, odd.length / 3 + 1)).foreach { slice =>
+        mem.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(desc("sim_raw"), asc("neighbor_id"))
+    val streamed = ops.Llm.ivfIncrProbeDir(spark, sf, dir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("qid"), col("neighbor_id"), round(col("sim_raw"), 4),
+        col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val oneShot = ops.Llm.llm_ann_incr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(streamed == oneShot,
+      s"micro-batched index probe diverges from the one-shot row: " +
+        s"missing ${(oneShot -- streamed).take(3)}, " +
+        s"extra ${(streamed -- oneShot).take(3)}")
+  }
+
   test("foreachBatch + dynamic partition overwrite = incremental upsert sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
