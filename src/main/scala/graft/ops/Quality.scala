@@ -386,24 +386,34 @@ object Quality {
     * a 1-row probe each (bounded by construction), and the k-row
     * verdict is a local relation. At 100 TB the cost is two linear
     * scans, nothing else. */
+  private val schemaFixtureBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val dq_schema: Q = (s, d) => {
     val out = Sources.sinkDir(s, d, "dq_schema")
-    val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
-    // batch A (the prior crawl): o_custkey present, o_totalprice nulled
-    // on the %10=3 keys (~1000 bp)
-    src.where(col("o_year") <= 1997)
-      .select(col("o_orderkey"), col("o_year"), col("o_custkey"),
-        when(col("o_orderkey") % 10 === 3, lit(null))
-          .otherwise(col("o_totalprice")).as("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$out/batch1")
-    // batch B (the new crawl): o_custkey dropped, o_orderpriority added,
-    // o_year RETYPED int→string, o_totalprice nulled on %5=0 (~2000 bp)
-    src.where(col("o_year") >= 1998)
-      .select(col("o_orderkey"), col("o_year").cast("string").as("o_year"),
-        when(col("o_orderkey") % 5 === 0, lit(null))
-          .otherwise(col("o_totalprice")).as("o_totalprice"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$out/batch2")
+    // the two-crawl fixture is deterministic — write it once per
+    // (application, sfDir) like the table fixtures, so bench
+    // steady-state pays the two stats scans, not two rewrites
+    graft.util.AppCleanup.buildOnce(schemaFixtureBuilt, out) {
+      val src = orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+      // batch A (the prior crawl): o_custkey present, o_totalprice
+      // nulled on the %10=3 keys (~1000 bp)
+      src.where(col("o_year") <= 1997)
+        .select(col("o_orderkey"), col("o_year"), col("o_custkey"),
+          when(col("o_orderkey") % 10 === 3, lit(null))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      // batch B (the new crawl): o_custkey dropped, o_orderpriority
+      // added, o_year RETYPED int→string, o_totalprice nulled on %5=0
+      // (~2000 bp)
+      src.where(col("o_year") >= 1998)
+        .select(col("o_orderkey"),
+          col("o_year").cast("string").as("o_year"),
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/batch2")
+    }
     dqSchemaOf(s.read.parquet(s"$out/batch1"),
       s.read.parquet(s"$out/batch2"))
   }
