@@ -2532,6 +2532,40 @@ object Llm {
       .orderBy("term")
   }
 
+  /** MRR + recall@10 of the BM25 ranking — the binary-relevance
+    * retrieval-eval twins beside [[llm_ndcg]]'s graded one (standard IR
+    * methodology, public knowledge): a candidate is RELEVANT when
+    * tf ≥ 2 (data-derived, independent of the score under evaluation —
+    * the ndcg relevance discipline with a binary cut). ENTIRELY
+    * integer, zero float exposure: the reciprocal rank is emitted as
+    * basis points via `10000 div first_rel_rank` (rank 1 → 10000,
+    * 2 → 5000, ... — trunc ≡ floor, non-negative), 0 when no relevant
+    * doc made the top-10; recall@10 is `hits·10⁴ div n_rel_total`,
+    * NULL when the term has no relevant docs at all ("no evidence",
+    * the dq_schema convention). Counts and the first relevant rank
+    * ride along. 100 TB shape: rides bm25's persisted scored relation
+    * and the same top-10; one aggregate per side. */
+  val llm_mrr: Q = (s, d) => {
+    val (scored, ranked, _) = bm25Relations(s, d)
+    val totals = scored.where(col("tf") >= 2)
+      .groupBy("term").agg(count(lit(1)).as("n_rel_total"))
+    ranked.groupBy("term")
+      .agg(sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel_top10"),
+        min(when(col("tf") >= 2, col("__rk"))).cast("int")
+          .as("first_rel_rank"))
+      .join(totals, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        col("n_rel_top10"), col("first_rel_rank"),
+        expr("CAST(coalesce(10000 div first_rel_rank, 0) AS INT)")
+          .as("rr_bp"),
+        expr("""CASE WHEN coalesce(n_rel_total, 0) = 0
+                     THEN CAST(NULL AS INT)
+                     ELSE CAST(n_rel_top10 * 10000 div n_rel_total AS INT)
+                END""").as("recall10_bp"))
+      .orderBy("term")
+  }
+
   /** BLEU-2 pairwise n-gram overlap — the generation-eval staple
     * (Papineni et al., public knowledge) an LLM pipeline runs between
     * model output and references: modified (clipped) unigram+bigram
@@ -3826,6 +3860,7 @@ object Llm {
     "llm_dedup_text" -> llm_dedup_text,
     "llm_dedup_incr" -> llm_dedup_incr,
     "llm_ndcg" -> llm_ndcg,
+    "llm_mrr" -> llm_mrr,
     "llm_embed_quantize" -> llm_embed_quantize,
     "llm_embed_centroid" -> llm_embed_centroid,
     "llm_knn_native" -> llm_knn_native,
@@ -4902,6 +4937,50 @@ object Llm {
          FROM dcg JOIN idcg ON dcg.term = idcg.term
          JOIN nc ON dcg.term = nc.term
          ORDER BY dcg.term""",
+    // same bm25 CTEs through `ranked`; relevance = tf >= 2 (binary cut
+    // of the ndcg relevance), every output integer or NULL — no floats
+    "llm_mrr" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY 1),
+         stats AS (SELECT count(1) AS n_docs,
+                       sum(dl) * 1.0 / count(1) AS avgdl FROM dl),
+         df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         q AS (SELECT term AS qt, df FROM df
+               ORDER BY df DESC, term ASC LIMIT 12),
+         scored AS (
+           SELECT tf.term, tf.doc_id, tf.tf,
+               ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 AS score_raw
+           FROM tf JOIN q ON tf.term = q.qt
+           JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY term
+               ORDER BY score_raw DESC, doc_id ASC) AS rk
+           FROM scored),
+         tot AS (SELECT term, count(1) AS n_rel_total FROM scored
+                 WHERE tf >= 2 GROUP BY term),
+         top AS (
+           SELECT term,
+               CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_top10,
+               CAST(min(CASE WHEN tf >= 2 THEN rk END) AS INT)
+                   AS first_rel_rank
+           FROM ranked WHERE rk <= 10 GROUP BY term)
+         SELECT top.term,
+             CAST(coalesce(tot.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+             top.n_rel_top10, top.first_rel_rank,
+             CAST(coalesce(10000 // first_rel_rank, 0) AS INT) AS rr_bp,
+             CASE WHEN coalesce(tot.n_rel_total, 0) = 0
+                  THEN CAST(NULL AS INT)
+                  ELSE CAST(n_rel_top10 * 10000 // tot.n_rel_total AS INT)
+             END AS recall10_bp
+         FROM top LEFT JOIN tot ON top.term = tot.term
+         ORDER BY top.term""",
     "llm_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents),

@@ -571,6 +571,31 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** The skew decomposition [[win_share]]'s scaladoc documents, as a
+    * real row (r11 verdict residual nit): the per-customer total is a
+    * TWO-PHASE aggregation — 8-way salted partials on the unique order
+    * key, then a per-customer roll-up — joined back to the rows, so no
+    * single window partition ever materializes a hot customer's full
+    * row set (the win_rank_salted discipline applied to
+    * ratio-to-report). The totals relation is |customers|-sized —
+    * broadcast here; at a scale where even that side is big, drop the
+    * hint and let the join shuffle (the arithmetic is unchanged).
+    * Values are identical to win_share by construction (same integer
+    * cents, ONE division at the end), so the oracle is the DIRECT
+    * window replay — a green row proves decomposed ≡ direct. */
+  val win_share_salted: Q = (s, d) => {
+    val base = orders(s, d)
+      .withColumn("cents", (dec2(col("o_totalprice")) * 100).cast("long"))
+    val totals = base
+      .groupBy(col("o_custkey").as("ck"), (col("o_orderkey") % 8).as("salt"))
+      .agg(sum(col("cents")).as("part"))
+      .groupBy("ck").agg(sum(col("part")).as("tot"))
+    base.join(broadcast(totals), col("o_custkey") === col("ck"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(cents * 10000 div tot AS INT)").as("share_bp"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Trailing 7-day rolling distinct-user count per day (rolling DAU /
     * WAU) — the distinct-over-frame no window function expresses
     * (COUNT(DISTINCT) OVER a moving frame exists in neither engine).
@@ -749,6 +774,7 @@ object Windows {
     "win_ema" -> win_ema,
     "win_interp" -> win_interp,
     "win_share" -> win_share,
+    "win_share_salted" -> win_share_salted,
     "win_rolling_distinct" -> win_rolling_distinct,
     "win_rolling_distinct_hll" -> win_rolling_distinct_hll,
     "win_concurrent" -> win_concurrent,
@@ -1056,6 +1082,18 @@ object Windows {
                   ELSE NULL END AS v_interp
          FROM f ORDER BY event_id""",
     "win_share" ->
+      """WITH c AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(cents * 10000 // sum(cents)
+                  OVER (PARTITION BY o_custkey) AS INT) AS share_bp
+         FROM c ORDER BY o_custkey, o_orderkey""",
+    // decomposed ≡ direct: the salted two-phase totals must reproduce
+    // the direct window's integer arithmetic exactly
+    "win_share_salted" ->
       """WITH c AS (
            SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

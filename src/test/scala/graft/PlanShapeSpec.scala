@@ -616,6 +616,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("win_share_salted is window-free: two-phase salted totals + " +
+      "broadcast join, no per-customer WindowExec") {
+    withStaticPlan {
+      val p = planOf(ops.Windows.win_share_salted(spark, sf))
+      assert(!p.contains("Window"),
+        s"the decomposed form must not fall back to a window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"totals must broadcast back:\n$p")
+    }
+  }
+
   test("sql view read: outer predicates push THROUGH the view body into " +
       "the manifest-planned parquet scan — no materialization fence") {
     // the view inlines its re-parsed body before optimization, so an
