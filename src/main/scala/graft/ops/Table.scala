@@ -762,6 +762,24 @@ object Table {
          ORDER BY o_year, o_orderpriority""")
   }
 
+  /** `DESCRIBE TABLE` from pure SQL (r12 — the first statement a
+    * SQL-first user types against a new name): the latest manifest
+    * schema as (ord, col_name, data_type, nullable) rows, driven over
+    * the SHARED alter fixture so the row also pins the
+    * DDL-interaction: the post-ALTER describe must show the widened
+    * 4-column schema with the added column LAST (add-only evolution),
+    * while snapshot reads keep presenting each manifest's own schema
+    * (the alter-vs-time-travel audit). Oracle = the literal declared
+    * schema — manifest-bookkeeping drift IS the failure mode DESCRIBE
+    * exists to surface. EXTENDED/PARTITION are rejected loudly at the
+    * splice. */
+  val table_sql_describe: Q = (s, d) => {
+    table_sql_alter(s, d) // ensures the fixture table + its ALTER commit
+    val name = "sql_alter_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.sql.GraftSql.sql(s, s"DESCRIBE TABLE $name").orderBy("ord")
+  }
+
   /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
     * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
     * bad-batch recovery story every snapshot format documents, driven
@@ -886,6 +904,7 @@ object Table {
     "table_sql_maint" -> table_sql_maint,
     "table_sql_view" -> table_sql_view,
     "table_sql_restore" -> table_sql_restore,
+    "table_sql_describe" -> table_sql_describe,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -1033,6 +1052,16 @@ object Table {
          WHERE year(o_orderdate) >= 1996
            AND o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""",
+    // the literal declared schema, widened by the ALTER: a mismatch
+    // means the manifest's schema bookkeeping drifted
+    "table_sql_describe" ->
+      """SELECT * FROM (VALUES
+           (1, 'o_orderkey', 'bigint', true),
+           (2, 'o_totalprice', 'double', true),
+           (3, 'o_year', 'int', true),
+           (4, 'o_band', 'string', true))
+         t(ord, col_name, data_type, nullable)
+         ORDER BY ord""",
     // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
     // 1998 batch and the corrected reload re-added only 1999+ — latest
     // is "everything but 1998"; both replayed statically

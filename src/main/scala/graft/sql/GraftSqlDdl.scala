@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -63,6 +63,22 @@ object GraftSqlDdl {
       case RenameTable(UnresolvedTableOrView(parts, _, _), newName, false)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftRenameTableCommand(parts, newName)
+      // the first statement a SQL-first user types against a new name;
+      // unregistered names stay Spark's (its catalog may own them)
+      case d: DescribeRelation =>
+        d.relation match {
+          case UnresolvedTableOrView(parts, _, _)
+              if GraftSqlTables.lookup(parts).isDefined =>
+            require(!d.isExtended,
+              s"DESCRIBE EXTENDED ${parts.mkString(".")}: graft stores " +
+                "no storage descriptor — plain DESCRIBE shows the schema")
+            require(d.partitionSpec.isEmpty,
+              s"DESCRIBE ${parts.mkString(".")} PARTITION: graft tables " +
+                "do not take partition specs (clustering is a table " +
+                "option)")
+            GraftDescribeTableCommand(parts)
+          case _ => plan
+        }
       case _ => plan
     })
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 
 import graft.table.GraftTable
 
@@ -210,6 +210,35 @@ case class GraftDropTagCommand(parts: Seq[String], tagName: String)
     require(GraftTable.removeTag(ref.root, tagName),
       s"no tag '$tagName' on graft table '${parts.mkString(".")}'")
     Seq.empty
+  }
+}
+
+/** `DESCRIBE [TABLE] name`: the LATEST manifest schema as a result set
+  * — (ord, col_name, data_type, nullable) in schema order, the first
+  * statement a SQL-first user types against a new name. Reads the
+  * manifest only (driver-side; the schema is the manifest's, so a
+  * post-ALTER describe shows the widened schema while time travel
+  * keeps presenting each snapshot's own). EXTENDED and PARTITION
+  * clauses are rejected loudly — graft stores neither storage
+  * descriptors nor partition specs, and silently answering less than
+  * the user asked for is the droppable-clause bug. */
+case class GraftDescribeTableCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ord", IntegerType, nullable = false)(),
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("nullable", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    val v = GraftTable.latestSnapshot(ref.root)
+    require(v > 0, s"DESCRIBE of non-existent table at ${ref.root}")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(GraftTable.manifest(ref.root, v).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      Row(i + 1, f.name, f.dataType.simpleString, f.nullable)
+    }
   }
 }
 

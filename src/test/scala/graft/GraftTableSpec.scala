@@ -2001,6 +2001,30 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("maint_rt")
   }
 
+  test("sql maint: DESCRIBE TABLE shows the manifest schema — widened " +
+      "post-ALTER with the added column last; EXTENDED is loud, " +
+      "unregistered names stay Spark's") {
+    val root = sqlTable("maint_dt", n = 2)
+    try {
+      GraftSql.exec(spark,
+        "ALTER TABLE maint_dt ADD COLUMNS (score BIGINT)")
+      val rows = GraftSql.sql(spark, "DESCRIBE maint_dt").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getBoolean(3)))
+      assert(rows.toSeq == Seq(
+        (1, "id", "bigint", false),
+        (2, "payload", "string", true),
+        (3, "score", "bigint", true)), rows.mkString(", "))
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "DESCRIBE EXTENDED maint_dt")
+      }
+      // not ours: Spark's own analyzer answers (loudly here)
+      intercept[Exception] {
+        GraftSql.sql(spark, "DESCRIBE no_such_graft_table").collect()
+      }
+    } finally GraftSqlTables.unregister("maint_dt")
+  }
+
   // ---- r12: SQL views over graft names ----
 
   test("sql view: re-resolves to the latest snapshot per query, outer " +
