@@ -1804,7 +1804,6 @@ object Llm {
       // the new batch: same frozen quantizer, append-only into the
       // existing cell directories — the index's files for the base
       // corpus are untouched
-      import s.implicits._
       ivfIncrAppend(ivfIncrRows(s, d, 1).toDF("vec_id", "emb"),
         trainIvfIncrCentroids(s, d), dir)
     }

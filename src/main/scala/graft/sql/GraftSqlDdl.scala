@@ -68,7 +68,8 @@ object GraftSqlDdl {
       case d: DescribeRelation =>
         d.relation match {
           case UnresolvedTableOrView(parts, _, _)
-              if GraftSqlTables.lookup(parts).isDefined =>
+              if GraftSqlTables.lookup(parts).isDefined ||
+                GraftSqlViews.lookup(parts).isDefined =>
             require(!d.isExtended,
               s"DESCRIBE EXTENDED ${parts.mkString(".")}: graft stores " +
                 "no storage descriptor — plain DESCRIBE shows the schema")
@@ -76,7 +77,12 @@ object GraftSqlDdl {
               s"DESCRIBE ${parts.mkString(".")} PARTITION: graft tables " +
                 "do not take partition specs (clustering is a table " +
                 "option)")
-            GraftDescribeTableCommand(parts)
+            // tables and views are ONE namespace: both DESCRIBE (a
+            // queryable name must be describable through the same
+            // surface — review finding, r12)
+            if (GraftSqlTables.lookup(parts).isDefined)
+              GraftDescribeTableCommand(parts)
+            else GraftDescribeViewCommand(parts)
           case _ => plan
         }
       case _ => plan

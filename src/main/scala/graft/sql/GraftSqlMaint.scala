@@ -242,6 +242,30 @@ case class GraftDescribeTableCommand(parts: Seq[String])
   }
 }
 
+/** `DESCRIBE [TABLE] name` for a registered graft VIEW: the view's
+  * RESOLVED output schema, derived by analyzing a `SELECT *` over the
+  * name through the same rule every read uses — so the answer always
+  * reflects the CURRENT body and the base table's latest schema (a
+  * stored schema would go stale on OR REPLACE or base-table ALTER).
+  * Driver-side analysis only; no job runs. */
+case class GraftDescribeViewCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ord", IntegerType, nullable = false)(),
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("nullable", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftSqlViews.lookup(parts).isDefined,
+      s"graft view '${parts.mkString(".")}' not found")
+    val schema =
+      GraftSql.sql(spark, s"SELECT * FROM ${parts.mkString(".")}").schema
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      Row(i + 1, f.name, f.dataType.simpleString, f.nullable)
+    }
+  }
+}
+
 /** `DESCRIBE HISTORY name`: the retained commit log, newest first —
   * snapshot id, parent, operation, commit stamp, file count, live row
   * count. Driver-side manifest reads only; no data scan at any scale. */

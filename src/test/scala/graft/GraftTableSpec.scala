@@ -2018,6 +2018,20 @@ class GraftTableSpec extends SparkTestBase {
       intercept[IllegalArgumentException] {
         GraftSql.sql(spark, "DESCRIBE EXTENDED maint_dt")
       }
+      // views describe through the same surface (one namespace), and
+      // the answer tracks the CURRENT resolved output — including base
+      // ALTERs made after the view existed
+      GraftSql.exec(spark,
+        "CREATE VIEW maint_dt_v AS SELECT id, score FROM maint_dt")
+      try {
+        val vrows = GraftSql.sql(spark, "DESCRIBE maint_dt_v").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        assert(vrows.toSeq ==
+          Seq((1, "id", "bigint"), (2, "score", "bigint")),
+          vrows.mkString(", "))
+      } finally {
+        graft.sql.GraftSqlViews.unregister(Seq("maint_dt_v")); ()
+      }
       // not ours: Spark's own analyzer answers (loudly here)
       intercept[Exception] {
         GraftSql.sql(spark, "DESCRIBE no_such_graft_table").collect()
