@@ -201,14 +201,21 @@ object GraftSqlDdl {
     // the view/table namespaces are ONE namespace, guarded BOTH ways
     // (GraftCreateViewCommand guards the inverse): a doubly-bound name
     // would read as the view while DML and maintenance verbs hit the
-    // table — silent divergence, never an error
-    require(GraftSqlViews.lookup(parts).isEmpty,
-      s"cannot CREATE TABLE '$name': a graft VIEW is bound to that name")
-    if (GraftSqlTables.registerIfAbsent(name, ref)) true
-    else {
-      require(ignoreIfExists,
-        s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
-      false
+    // table — silent divergence, never an error. The cross-registry
+    // emptiness check and the claim form ONE atomic step under the
+    // shared createLock (GraftCreateViewCommand holds the same lock for
+    // its inverse check): without it, concurrent CREATE TABLE x and
+    // CREATE VIEW x could each pass the other registry's check and
+    // doubly bind the name (ADVICE, r12)
+    GraftSqlViews.createLock.synchronized {
+      require(GraftSqlViews.lookup(parts).isEmpty,
+        s"cannot CREATE TABLE '$name': a graft VIEW is bound to that name")
+      if (GraftSqlTables.registerIfAbsent(name, ref)) true
+      else {
+        require(ignoreIfExists,
+          s"graft table '$name' already exists (IF NOT EXISTS to ignore)")
+        false
+      }
     }
   }
 
@@ -345,13 +352,17 @@ case class GraftRenameTableCommand(parts: Seq[String],
     val newKey = newName.mkString(".")
     val ref = GraftSqlTables.lookup(parts).getOrElse(
       throw new NoSuchElementException(s"graft table '$oldKey' not found"))
-    // same one-namespace guard as CREATE: renaming onto a VIEW name
-    // would split reads (view) from writes (table)
-    require(GraftSqlViews.lookup(newName).isEmpty,
-      s"cannot RENAME '$oldKey' to '$newKey': a graft VIEW is bound " +
-        "to that name")
-    require(GraftSqlTables.registerIfAbsent(newKey, ref),
-      s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
+    // same one-namespace guard as CREATE, under the same shared lock so
+    // the view check and the table claim are atomic vs a concurrent
+    // CREATE VIEW of the target name: renaming onto a VIEW name would
+    // split reads (view) from writes (table)
+    GraftSqlViews.createLock.synchronized {
+      require(GraftSqlViews.lookup(newName).isEmpty,
+        s"cannot RENAME '$oldKey' to '$newKey': a graft VIEW is bound " +
+          "to that name")
+      require(GraftSqlTables.registerIfAbsent(newKey, ref),
+        s"cannot RENAME '$oldKey' to '$newKey': target name already bound")
+    }
     // conditional release: only remove the binding we looked up — a
     // concurrent DROP+re-register of the old name in the window must
     // keep ITS binding (the CREATE/CTAS rollback lesson applied here)

@@ -154,6 +154,22 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     def unapply(p: LogicalPlan): Option[GraftSqlTarget] = splice(p)
   }
 
+  /** Names bound by CTE definitions anywhere in the statement
+    * (subquery expressions included). On the injected-extension path
+    * this is always empty — CTESubstitution ran in the Substitution
+    * batch before this rule ever sees the plan — but [[GraftSql.resolve]]
+    * applies the rule to the RAW parsed plan, where a CTE whose name
+    * collides with a registered graft table/view must win per SQL
+    * scoping, not be hijacked by the process-global registry (ADVICE,
+    * r12). The shadow is deliberately conservative (statement-global,
+    * not scope-exact): an under-splice falls through to Spark's own
+    * resolution — loud table-not-found at worst, never a silent wrong
+    * binding. */
+  private def cteNamesOf(plan: LogicalPlan): Set[String] =
+    plan.collectWithSubqueries { case w: UnresolvedWith =>
+      w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+
   /** TOP-DOWN, deliberately: a DML statement must consume its own
     * target before the generic read case below could swallow the
     * target's UnresolvedRelation from underneath it (bottom-up visits
@@ -164,6 +180,18 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     * SUBQUERY EXPRESSIONS (IN / EXISTS / scalar subqueries), which
     * operator traversals do not visit. */
   override def apply(plan: LogicalPlan): LogicalPlan =
+    applyShadowed(plan, cteNamesOf(plan))
+
+  /** True when `u` is a single-part name bound by an enclosing CTE —
+    * CTE names are unqualified, so multi-part references can never be
+    * shadowed. */
+  private def shadowed(u: UnresolvedRelation,
+      shadows: Set[String]): Boolean =
+    u.multipartIdentifier.length == 1 && shadows(
+      u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
+
+  private def applyShadowed(plan: LogicalPlan,
+      shadows: Set[String]): LogicalPlan =
     plan.resolveOperatorsDown {
       // phase 1: give the analyzer real attributes to resolve against.
       // INSERT collapses immediately — the command analyzes its own
@@ -192,8 +220,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // names INSIDE the body (transformDown recurses into the rewritten
       // node's children), so the view re-resolves to the latest snapshot
       // on every query and predicates push through with no fence.
-      case u: UnresolvedRelation
-          if GraftSqlViews.lookup(u.multipartIdentifier).isDefined =>
+      case u: UnresolvedRelation if !shadowed(u, shadows) &&
+          GraftSqlViews.lookup(u.multipartIdentifier).isDefined =>
         SubqueryAlias(u.multipartIdentifier.mkString("."),
           session.sessionState.sqlParser.parseQuery(
             GraftSqlViews.lookup(u.multipartIdentifier).get))
@@ -201,8 +229,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // its snapshot read plan (SubqueryAlias'd so qualified column
       // references keep working) — `SELECT ... FROM <registered>` from
       // plain SQL, no TVF root-path needed.
-      case u: UnresolvedRelation
-          if GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
+      case u: UnresolvedRelation if !shadowed(u, shadows) &&
+          GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
         val ref = GraftSqlTables.lookup(u.multipartIdentifier).get
         SubqueryAlias(u.multipartIdentifier.mkString("."),
           GraftTable.read(session, ref.root).queryExecution.logical)
@@ -250,7 +278,9 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // the same instance when nothing changed keeps the analyzer
       // fixed point convergent.
       case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-        val np = apply(sq.plan)
+        // thread the statement-global shadow set (cteNamesOf collected
+        // with subqueries, so outer-CTE names stay shadowed in here)
+        val np = applyShadowed(sq.plan, shadows)
         if (np eq sq.plan) sq else sq.withNewPlan(np)
     }
 }

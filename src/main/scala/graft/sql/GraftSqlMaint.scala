@@ -91,6 +91,16 @@ object GraftSqlMaint {
     case DescHistory(name)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftDescribeHistoryCommand(partsOf(name)))
+    // a registered graft VIEW has no commit log — answer loudly from
+    // the one-namespace surface instead of falling through to the
+    // delegate's confusing "column 'history' of table <name>" reading
+    // (ADVICE, r12)
+    case DescHistory(name)
+        if GraftSqlViews.lookup(partsOf(name)).isDefined =>
+      throw new IllegalArgumentException(
+        s"DESCRIBE HISTORY ${partsOf(name).mkString(".")}: graft views " +
+          "have no commit history (they re-resolve their body per read); " +
+          "DESCRIBE HISTORY addresses graft TABLES")
     case Restore(name, snap) =>
       Some(GraftRestoreCommand(partsOf(name), snap.toInt))
     case CreateTag(name, tagName, snap) =>
@@ -258,8 +268,13 @@ case class GraftDescribeViewCommand(parts: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     require(GraftSqlViews.lookup(parts).isDefined,
       s"graft view '${parts.mkString(".")}' not found")
-    val schema =
-      GraftSql.sql(spark, s"SELECT * FROM ${parts.mkString(".")}").schema
+    // re-quote each part when rebuilding the SELECT: a view registered
+    // through a backticked identifier (special chars, literal dots)
+    // must round-trip — bare mkString(".") would fail to re-parse or
+    // resolve a DIFFERENT name (ADVICE, r12)
+    val quoted =
+      parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    val schema = GraftSql.sql(spark, s"SELECT * FROM $quoted").schema
     schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       Row(i + 1, f.name, f.dataType.simpleString, f.nullable)
     }

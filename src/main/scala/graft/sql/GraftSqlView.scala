@@ -33,7 +33,11 @@ object GraftSqlViews {
   private val reg =
     new scala.collection.concurrent.TrieMap[String, String]
 
-  /** serializes cycle-walk + registration (see GraftCreateViewCommand). */
+  /** Serializes every cross-registry check-then-claim: view cycle-walk +
+    * registration (GraftCreateViewCommand), table claim
+    * (GraftSqlDdl.claim) and table rename-target claim — the one lock
+    * that makes the table/view ONE-namespace invariant atomic across
+    * the two registries (ADVICE, r12). */
   private[sql] val createLock = new Object
 
   private def keyOf(parts: Seq[String]): String =
@@ -141,15 +145,19 @@ case class GraftCreateViewCommand(parts: Seq[String], bodySql: String,
     allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val name = parts.mkString(".")
-    require(GraftSqlTables.lookup(parts).isEmpty,
-      s"cannot CREATE VIEW '$name': a graft TABLE is bound to that name")
     // the cycle walk and the registration form ONE atomic step: two
     // concurrent CREATE OR REPLACEs could otherwise each pass the walk
     // against the other's OLD body, register a→b and b→a, and the next
     // read would expand the cycle until the analyzer stack dies (review
     // finding, r12; the walk itself also errors on any PRE-EXISTING
-    // cycle along its path — the loud second line of defense)
+    // cycle along its path — the loud second line of defense). The
+    // TABLE-registry emptiness check sits INSIDE the same lock, which
+    // GraftSqlDdl.claim also takes for its inverse check: that makes
+    // check+claim atomic ACROSS the two registries, so concurrent
+    // CREATE TABLE x / CREATE VIEW x can never both succeed (ADVICE, r12)
     GraftSqlViews.createLock.synchronized {
+      require(GraftSqlTables.lookup(parts).isEmpty,
+        s"cannot CREATE VIEW '$name': a graft TABLE is bound to that name")
       GraftSqlViews.requireAcyclic(spark, parts, bodySql)
       if (replace) GraftSqlViews.register(parts, bodySql)
       else if (!GraftSqlViews.registerIfAbsent(parts, bodySql)) {

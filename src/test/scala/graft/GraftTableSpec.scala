@@ -2152,6 +2152,51 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("sql scoping: a CTE name shadows a registered graft table/view " +
+      "in GraftSql.sql; DESCRIBE round-trips backticked view names; " +
+      "DESCRIBE HISTORY over a view is loud") {
+    val root = sqlTable("cte_shadow_t", n = 5)
+    try {
+      GraftSql.exec(spark,
+        "CREATE VIEW cte_shadow_v AS SELECT id FROM cte_shadow_t")
+      // SQL scoping: the CTE must win over the process-global registry
+      // even on the GraftSql.resolve path, where the rule runs BEFORE
+      // the analyzer's CTESubstitution (ADVICE, r12)
+      assert(GraftSql.sql(spark,
+        "WITH cte_shadow_t AS (SELECT 99 AS id) " +
+          "SELECT id FROM cte_shadow_t").head().getInt(0) == 99,
+        "a CTE named like a registered graft TABLE must resolve to the CTE")
+      assert(GraftSql.sql(spark,
+        "WITH cte_shadow_v AS (SELECT 42 AS id) " +
+          "SELECT id FROM cte_shadow_v").head().getInt(0) == 42,
+        "a CTE named like a registered graft VIEW must resolve to the CTE")
+      // ...including inside a subquery expression
+      assert(GraftSql.sql(spark,
+        "WITH cte_shadow_t AS (SELECT 3 AS id) SELECT count(1) AS n " +
+          "FROM cte_shadow_v WHERE id IN (SELECT id FROM cte_shadow_t)")
+        .head().getLong(0) == 1L)
+      // outside any CTE the registered names still splice as before
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM cte_shadow_t").head().getLong(0) == 5L)
+      // DESCRIBE HISTORY over a VIEW: loud one-namespace answer, not
+      // the delegate's "table named history" confusion (ADVICE, r12)
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "DESCRIBE HISTORY cte_shadow_v").collect()
+      }
+      assert(e.getMessage.contains("no commit history"))
+      // a view registered under a backticked name (embedded dot) must
+      // DESCRIBE through the same surface — the rebuilt SELECT re-quotes
+      GraftSql.exec(spark,
+        "CREATE VIEW `dotted.view` AS SELECT id FROM cte_shadow_t")
+      val cols = GraftSql.sql(spark, "DESCRIBE `dotted.view`").collect()
+      assert(cols.map(_.getString(1)).toSeq == Seq("id"))
+    } finally {
+      graft.sql.GraftSqlViews.unregister(Seq("cte_shadow_v"))
+      graft.sql.GraftSqlViews.unregister(Seq("dotted.view"))
+      GraftSqlTables.unregister("cte_shadow_t")
+    }
+  }
+
   // ---- r11 DDL/registry surface: latent-divergence audits (r12 #5) ----
 
   test("alter vs time travel: a snapshot-1 read after ALTER ADD COLUMNS " +
