@@ -780,6 +780,58 @@ object Table {
     graft.sql.GraftSql.sql(s, s"DESCRIBE TABLE $name").orderBy("ord")
   }
 
+  /** `SHOW TABLES IN graft` / `SHOW VIEWS IN graft` from pure SQL (r12
+    * verdict directive #1 — the natural completion of DESCRIBE: after
+    * "what is this name", "what names exist"). The story: two tables
+    * (one plain CREATE, one CTAS), a view, and a created-then-DROPPED
+    * table, all under a per-app prefix; SHOW TABLES must enumerate
+    * exactly the three SURVIVING names with their kind (tables AND
+    * views — the one-namespace surface), SHOW VIEWS only the view, and
+    * the dropped name must be absent from both. The LIKE pattern (Spark
+    * SHOW semantics: '*' wildcard) scopes the listing to this story's
+    * prefix — the registry is process-global and every other query's
+    * fixture tables live beside these. The prefix is stripped before
+    * returning so the oracle can pin the names LITERALLY. Driver-side
+    * registry reads; no job runs at any scale. */
+  val table_sql_show: Q = (s, d) => {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+      .toLowerCase(java.util.Locale.ROOT)
+    val p = s"show_story_$tag"
+    val rootA = Sources.sinkDir(s, d, "show_story_ta")
+    graft.util.AppCleanup.buildOnce(tableBuilt, rootA) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE ${p}_ta (o_orderkey BIGINT, o_year INT)
+            USING graft OPTIONS (key 'o_orderkey') LOCATION '$rootA'""")
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE ${p}_tb
+            USING graft OPTIONS (key 'o_orderkey')
+            LOCATION '${Sources.sinkDir(s, d, "show_story_tb")}'
+            AS SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE o_orderkey % 100 = 0""")
+      graft.sql.GraftSql.exec(s,
+        s"CREATE VIEW ${p}_v AS SELECT o_orderkey FROM ${p}_ta")
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE ${p}_dropped (id BIGINT)
+            USING graft OPTIONS (key 'id')
+            LOCATION '${Sources.sinkDir(s, d, "show_story_drop")}'""")
+      graft.sql.GraftSql.exec(s, s"DROP TABLE ${p}_dropped")
+    }
+    def strip(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.select(lit(src).as("src"),
+        // names come back in the registry's normalized lowercase form;
+        // drop "<prefix>_" so the oracle pins the suffixes literally
+        expr(s"substring(name, ${p.length + 2})").as("name"), col("kind"))
+    strip(graft.sql.GraftSql.sql(s, s"SHOW TABLES IN graft LIKE '${p}_*'"),
+        "show_tables")
+      .unionByName(strip(
+        graft.sql.GraftSql.sql(s, s"SHOW VIEWS IN graft LIKE '${p}_*'"),
+        "show_views"))
+      .orderBy("src", "name")
+  }
+
   /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
     * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
     * bad-batch recovery story every snapshot format documents, driven
@@ -905,6 +957,7 @@ object Table {
     "table_sql_view" -> table_sql_view,
     "table_sql_restore" -> table_sql_restore,
     "table_sql_describe" -> table_sql_describe,
+    "table_sql_show" -> table_sql_show,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -1062,6 +1115,19 @@ object Table {
            (4, 'o_band', 'string', true))
          t(ord, col_name, data_type, nullable)
          ORDER BY ord""",
+    // the literal surviving catalog: two tables + the view under the
+    // story prefix (SHOW TABLES lists the whole one-namespace surface,
+    // kind-tagged; SHOW VIEWS only the view); the dropped table and
+    // every other fixture name are absent — a stale or leaked binding
+    // IS the failure mode SHOW exists to surface
+    "table_sql_show" ->
+      """SELECT * FROM (VALUES
+           ('show_tables', 'ta', 'table'),
+           ('show_tables', 'tb', 'table'),
+           ('show_tables', 'v', 'view'),
+           ('show_views', 'v', 'view'))
+         t(src, name, kind)
+         ORDER BY src, name""",
     // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
     // 1998 batch and the corrected reload re-added only 1999+ — latest
     // is "everything but 1998"; both replayed statically

@@ -2,10 +2,10 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, ShowTables, ShowViews, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -63,6 +63,15 @@ object GraftSqlDdl {
       case RenameTable(UnresolvedTableOrView(parts, _, _), newName, false)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftRenameTableCommand(parts, newName)
+      // catalog introspection: only the literal pseudo-namespace
+      // `graft` is claimed — Spark's own SHOW over its session catalog
+      // (any other namespace, or none) keeps working untouched
+      case ShowTables(UnresolvedNamespace(Seq(ns), _), pattern, _)
+          if ns.equalsIgnoreCase("graft") =>
+        GraftShowCommand(viewsOnly = false, pattern)
+      case ShowViews(UnresolvedNamespace(Seq(ns), _), pattern, _)
+          if ns.equalsIgnoreCase("graft") =>
+        GraftShowCommand(viewsOnly = true, pattern)
       // the first statement a SQL-first user types against a new name;
       // unregistered names stay Spark's (its catalog may own them)
       case d: DescribeRelation =>

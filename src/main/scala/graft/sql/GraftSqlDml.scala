@@ -102,6 +102,11 @@ object GraftSqlTables {
 
   def lookup(nameParts: Seq[String]): Option[Ref] =
     if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
+
+  /** Every registered table name (normalized lowercase dotted form) —
+    * the `SHOW TABLES IN graft` enumeration. A TrieMap snapshot is
+    * weakly consistent under concurrent DDL, like any catalog listing. */
+  def names: Seq[String] = reg.keySet.toSeq
 }
 
 /** Marker wrapping a DML target's snapshot read plan: carries the

@@ -281,6 +281,44 @@ case class GraftDescribeViewCommand(parts: Seq[String])
   }
 }
 
+/** `SHOW TABLES IN graft [LIKE 'pat']` / `SHOW VIEWS IN graft [LIKE
+  * 'pat']`: enumerate the graft registries as (name, kind) rows, sorted
+  * by name — the SQL-first user's answer to "what names exist" after
+  * r12's DESCRIBE answered "what is this name" (r12 verdict missing
+  * #2). Addressing the pseudo-namespace `graft` is the gate that keeps
+  * Spark's own `SHOW TABLES` over its session catalog untouched —
+  * only the literal one-part namespace `graft` is claimed (spliced at
+  * the same parser seam as DDL, [[GraftSqlDdl.splice]]).
+  *
+  * SHOW TABLES lists the WHOLE one-namespace surface — tables AND
+  * views, distinguished by the kind column — because every listed name
+  * is queryable the same way (the one-namespace discipline; Spark's own
+  * SHOW TABLES likewise includes views). SHOW VIEWS lists only views.
+  * LIKE uses Spark's SHOW pattern semantics verbatim
+  * (`StringUtils.filterPattern`: '*' any chars, '|' alternation,
+  * case-insensitive) — NOT SQL LIKE's %/_. Driver-side registry reads
+  * only; no job runs at any scale. */
+case class GraftShowCommand(viewsOnly: Boolean, pattern: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tables =
+      if (viewsOnly) Nil else GraftSqlTables.names.map(_ -> "table")
+    val views = GraftSqlViews.names.map(_ -> "view")
+    val all = (tables ++ views).sortBy(_._1)
+    val kept = pattern match {
+      case Some(p) =>
+        val names = org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(all.map(_._1), p).toSet
+        all.filter(nk => names(nk._1))
+      case None => all
+    }
+    kept.map { case (n, k) => Row(n, k) }
+  }
+}
+
 /** `DESCRIBE HISTORY name`: the retained commit log, newest first —
   * snapshot id, parent, operation, commit stamp, file count, live row
   * count. Driver-side manifest reads only; no data scan at any scale. */

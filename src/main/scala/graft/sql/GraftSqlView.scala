@@ -55,6 +55,10 @@ object GraftSqlViews {
   def lookup(name: Seq[String]): Option[String] =
     if (name.isEmpty) None else reg.get(keyOf(name))
 
+  /** Every registered view name (normalized lowercase dotted form) —
+    * the `SHOW VIEWS IN graft` enumeration. */
+  def names: Seq[String] = reg.keySet.toSeq
+
   /** Does `plan` reference any registered graft table or view name
     * (subquery expressions included)? — the claim test for the splice. */
   private[sql] def referencesGraft(plan: LogicalPlan): Boolean =

@@ -2197,6 +2197,44 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("sql show: SHOW TABLES IN graft lists tables+views kind-tagged, " +
+      "SHOW VIEWS only views, LIKE filters with Spark SHOW semantics, " +
+      "and Spark's own SHOW stays untouched") {
+    val root = sqlTable("show_t1", n = 3)
+    val root2 = sqlTable("show_t2", n = 3)
+    try {
+      GraftSql.exec(spark,
+        "CREATE VIEW show_v1 AS SELECT id FROM show_t1")
+      val all = GraftSql.sql(spark, "SHOW TABLES IN graft LIKE 'show_*'")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(all == Seq("show_t1" -> "table", "show_t2" -> "table",
+        "show_v1" -> "view"), s"got $all")
+      val views = GraftSql.sql(spark, "SHOW VIEWS IN graft LIKE 'show_*'")
+        .collect().map(_.getString(0)).toSeq
+      assert(views == Seq("show_v1"))
+      // '|' alternation, Spark SHOW pattern semantics (not SQL LIKE)
+      val alt = GraftSql.sql(spark,
+        "SHOW TABLES IN graft LIKE 'show_t1|show_v*'")
+        .collect().map(_.getString(0)).toSeq
+      assert(alt == Seq("show_t1", "show_v1"))
+      // unfiltered SHOW over the graft namespace includes ours among
+      // whatever else the process-global registry holds
+      val names = GraftSql.sql(spark, "SHOW TABLES IN graft")
+        .collect().map(_.getString(0)).toSet
+      assert(Set("show_t1", "show_t2", "show_v1").subsetOf(names))
+      // Spark's own SHOW TABLES (no namespace / its catalog) must keep
+      // working and must NOT list graft registry names
+      val sparkNames =
+        spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+      assert(!sparkNames.contains("show_t1"),
+        "plain SHOW TABLES must stay Spark's, not leak graft names")
+    } finally {
+      graft.sql.GraftSqlViews.unregister(Seq("show_v1"))
+      GraftSqlTables.unregister("show_t1")
+      GraftSqlTables.unregister("show_t2")
+    }
+  }
+
   // ---- r11 DDL/registry surface: latent-divergence audits (r12 #5) ----
 
   test("alter vs time travel: a snapshot-1 read after ALTER ADD COLUMNS " +
