@@ -780,6 +780,69 @@ object Table {
     graft.sql.GraftSql.sql(s, s"DESCRIBE TABLE $name").orderBy("ord")
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN` from pure SQL (r12 verdict missing
+    * #4 — the most common evolution after add): a METADATA-ONLY commit
+    * (zero data movement; the manifest re-keys the schema and stats and
+    * records each pre-rename file's write-time physical name, which the
+    * read path resolves per rename epoch). The story: CREATE + a
+    * pre-rename INSERT (files physically named o_totalprice), RENAME to
+    * o_price, a post-rename INSERT (files physically o_price) — then
+    * the row reads BOTH epochs by the NEW name (an unresolved physical
+    * name would read the pre-rename epoch as all-NULL, a sum mismatch)
+    * and the pre-rename snapshot by the OLD name through time travel
+    * (each manifest pins its own schema; presenting the renamed schema
+    * retroactively would fail the select outright). DROP COLUMN and
+    * type changes stay loudly rejected (GraftTableSpec). */
+  val table_sql_rename_col: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_rencol_orders")
+    val name = "sql_rencol_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name RENAME COLUMN o_totalprice TO o_price")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""")
+    }
+    // latest by the NEW name — spans pre- AND post-rename files
+    val latest = graft.sql.GraftSql.sql(s,
+      s"SELECT o_year, o_price FROM $name")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_price")).as("sum_price"))
+      .select(lit("latest").as("src"), col("o_year"), col("n_orders"),
+        col("sum_price"))
+    // the pre-rename snapshot (v2 = post-first-INSERT) by the OLD name:
+    // time travel pins each manifest's own schema
+    val ref = graft.sql.GraftSqlTables.lookup(Seq(name.toLowerCase(
+      java.util.Locale.ROOT))).get
+    val v2 = GraftTable.read(s, ref.root, Some(2))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(lit("v2_old_name").as("src"), col("o_year"),
+        col("n_orders"), col("sum_price"))
+    latest.unionByName(v2).orderBy("src", "o_year")
+  }
+
   /** `SHOW TABLES IN graft` / `SHOW VIEWS IN graft` from pure SQL (r12
     * verdict directive #1 — the natural completion of DESCRIBE: after
     * "what is this name", "what names exist"). The story: two tables
@@ -958,6 +1021,7 @@ object Table {
     "table_sql_restore" -> table_sql_restore,
     "table_sql_describe" -> table_sql_describe,
     "table_sql_show" -> table_sql_show,
+    "table_sql_rename_col" -> table_sql_rename_col,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -1115,6 +1179,26 @@ object Table {
            (4, 'o_band', 'string', true))
          t(ord, col_name, data_type, nullable)
          ORDER BY ord""",
+    // both truths replayed statically: latest spans all years (the
+    // rename moved no data, so values are the source's exactly — a NULLed
+    // pre-rename epoch is a sum mismatch); the time-travel slice is the
+    // pre-rename state (≤ 1997)
+    "table_sql_rename_col" ->
+      """WITH l AS (
+           SELECT 'latest' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders GROUP BY 2),
+         v AS (
+           SELECT 'v2_old_name' AS src,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM l UNION ALL SELECT * FROM v)
+         ORDER BY src, o_year""",
     // the literal surviving catalog: two tables + the view under the
     // story prefix (SHOW TABLES lists the whole one-namespace surface,
     // kind-tagged; SHOW VIEWS only the view); the dropped table and

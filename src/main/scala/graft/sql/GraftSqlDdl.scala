@@ -2,10 +2,10 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameTable, ShowTables, ShowViews, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropColumns, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameColumn, RenameTable, ShowTables, ShowViews, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -63,6 +63,26 @@ object GraftSqlDdl {
       case RenameTable(UnresolvedTableOrView(parts, _, _), newName, false)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftRenameTableCommand(parts, newName)
+      case RenameColumn(UnresolvedTable(parts, _, _),
+          UnresolvedFieldName(fieldParts), newName)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        require(fieldParts.length == 1,
+          s"ALTER TABLE ${parts.mkString(".")} RENAME COLUMN: nested " +
+            "column paths are not supported")
+        GraftAlterRenameColumnCommand(parts, fieldParts.head, newName)
+      // the rest of the evolution surface stays LOUDLY rejected, not
+      // fallen-through to a confusing session-catalog error: a DROP
+      // would silently orphan data, a type change silently corrupt it
+      case DropColumns(UnresolvedTable(parts, _, _), _, _)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${parts.mkString(".")} DROP COLUMN is not " +
+            "supported on graft tables — evolution is add + rename only")
+      case AlterColumns(UnresolvedTable(parts, _, _), _)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN is not " +
+            "supported on graft tables — evolution is add + rename only")
       // catalog introspection: only the literal pseudo-namespace
       // `graft` is claimed — Spark's own SHOW over its session catalog
       // (any other namespace, or none) keeps working untouched
@@ -343,6 +363,37 @@ case class GraftAlterAddColumnsCommand(parts: Seq[String],
       throw new NoSuchElementException(
         s"graft table '${parts.mkString(".")}' not found"))
     GraftTable.alterAddColumns(ref.root, cols)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name RENAME COLUMN old TO new` over a registered graft
+  * table: ONE metadata-only commit ([[GraftTable.alterRenameColumn]] —
+  * schema and stats re-key, files untouched; pre-rename files resolve
+  * through the manifest's per-file write-time name map at read). The
+  * registry Ref addresses the KEY column by name, so renaming the key
+  * also rebinds the Ref — otherwise every later DML verb would look up
+  * a key column that no longer exists. Rebinding is conditional
+  * (rebindIfStill), never last-wins: a concurrent re-register keeps its
+  * binding and this rename's Ref update fails loudly. */
+case class GraftAlterRenameColumnCommand(parts: Seq[String],
+    oldName: String, newName: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$name' not found"))
+    GraftTable.alterRenameColumn(ref.root, oldName, newName)
+    def sub(c: String) = if (c.equalsIgnoreCase(oldName)) newName else c
+    val ref2 = ref.copy(keyCol = sub(ref.keyCol),
+      statsCols = ref.statsCols.map(sub), clusterCols = ref.clusterCols.map(sub),
+      bloomCols = ref.bloomCols.map(sub))
+    if (ref2 != ref) {
+      // conditional swap: only replace the binding we looked up
+      require(GraftSqlTables.rebindIfStill(name, ref, ref2),
+        s"'$name' was rebound concurrently during RENAME COLUMN " +
+          s"'$oldName' -> '$newName'; re-register the table with the " +
+          "new column names")
+    }
     Seq.empty
   }
 }

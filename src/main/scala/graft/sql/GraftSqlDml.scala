@@ -100,6 +100,13 @@ object GraftSqlTables {
   def unregisterIfBoundTo(name: String, ref: Ref): Boolean =
     reg.remove(keyOf(name.split('.').toSeq), ref)
 
+  /** Conditional rebind: swap `name`'s binding from `from` to `to` only
+    * while it still points at `from` (TrieMap.replace(k, old, new) is
+    * atomic) — the RENAME COLUMN Ref update, same discipline as the
+    * rollback primitive above. */
+  def rebindIfStill(name: String, from: Ref, to: Ref): Boolean =
+    reg.replace(keyOf(name.split('.').toSeq), from, to)
+
   def lookup(nameParts: Seq[String]): Option[Ref] =
     if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
 

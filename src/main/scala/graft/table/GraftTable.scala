@@ -61,10 +61,19 @@ object GraftTable {
     * ordinal count for live-row accounting without opening the sidecar.
     * Range/bloom stats stay those of the PHYSICAL file — a DV can only
     * make them conservative (never a false prune). */
+  /** `phys` optionally maps a LOGICAL column name to the PHYSICAL name
+    * this file was written under — the metadata-only RENAME COLUMN
+    * mechanism ([[alterRenameColumn]]): the rename commit re-keys the
+    * schema and stats but cannot touch immutable data files, so each
+    * pre-rename entry records where the column actually lives. Absent
+    * (the overwhelmingly common case, and every pre-r13 manifest) means
+    * physical ≡ logical. Chained renames compose by re-keying the map,
+    * value unchanged — the value is always the write-time name. */
   case class FileEntry(path: String, rows: Long,
       mins: Map[String, Double], maxs: Map[String, Double],
       bloom: Option[Map[String, String]] = None,
-      dv: Option[String] = None, dvRows: Option[Long] = None) {
+      dv: Option[String] = None, dvRows: Option[Long] = None,
+      phys: Option[Map[String, String]] = None) {
     def liveRows: Long = rows - dvRows.getOrElse(0L)
   }
 
@@ -871,6 +880,63 @@ object GraftTable {
       s"alterAddColumns lost 20 commit races at $root")
   }
 
+  /** `RENAME COLUMN old TO new` as ONE metadata-only commit — zero data
+    * movement (files are immutable; the most common evolution after
+    * add, r12 verdict missing #4). The commit re-keys three things to
+    * the new logical name: the schema field, each file's stats/bloom
+    * map keys (pruning addresses logical names), and each file's
+    * [[FileEntry.phys]] map, which records the WRITE-TIME physical name
+    * so the read path ([[readPhysical]]) keeps resolving pre-rename
+    * files correctly; files written after the rename carry no entry.
+    * Chained renames compose (a→b→c keeps value `a`), and renaming back
+    * to the physical name drops the entry. Time travel keeps presenting
+    * each snapshot's OWN schema — a snapshot-1 read still shows the old
+    * name. DROP COLUMN and type changes stay loudly rejected: a drop
+    * would silently orphan data, a type change silently corrupt it. */
+  def alterRenameColumn(root: String, oldName: String,
+      newName: String): Int = {
+    require(newName.nonEmpty && !newName.contains("."),
+      s"invalid column name '$newName'")
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"alter of non-existent table $root")
+      val parent = manifest(root, v)
+      val schema =
+        DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+        .getOrElse(throw new NoSuchElementException(
+          s"no column '$oldName' at $root " +
+            s"(have ${schema.fieldNames.mkString(", ")})"))
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"column '$newName' already exists at $root")
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == field.name) f.copy(name = newName) else f))
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.get(field.name) match {
+          case Some(x) => (m - field.name) + (newName -> x)
+          case None => m
+        }
+      val files2 = parent.files.map { f =>
+        val ph = f.phys.getOrElse(Map.empty)
+        // write-time physical name: an earlier rename's map entry, or
+        // the current logical name when this file was born under it
+        val writeTime = ph.getOrElse(field.name, field.name)
+        val ph2 = (ph - field.name) ++
+          (if (writeTime == newName) Map.empty
+           else Map(newName -> writeTime))
+        f.copy(mins = rekey(f.mins), maxs = rekey(f.maxs),
+          bloom = f.bloom.map(rekey), phys = Option(ph2).filter(_.nonEmpty))
+      }
+      val m = Manifest(v + 1, v, s"alter_rename($oldName->$newName)",
+        renamed.json, files2)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"alterRenameColumn lost 20 commit races at $root")
+  }
+
   /** Snapshot expiration + vacuum: drop every manifest with id <
     * `keepFrom`, then delete the data files no surviving manifest
     * references. Time travel to expired snapshots stops working (their
@@ -1054,9 +1120,33 @@ object GraftTable {
     else if (files.forall(_.dv.isEmpty))
       // fast path — identical plan to the pre-DV format: a plain
       // vectorized parquet scan, zero metadata-column or join overhead
-      spark.read.schema(schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*)
+      // (readPhysical collapses to ONE scan when no file carries a
+      // rename map)
+      readPhysical(spark, root, schema, files)
     else readEntriesWithPos(spark, root, m, files).drop("__rel", "__ri")
+  }
+
+  /** Scan `files` presenting LOGICAL column names: files whose `phys`
+    * map records write-time names (pre-RENAME files) are read with the
+    * physical schema and re-labeled positionally. One scan per DISTINCT
+    * rename epoch (= number of renames + 1, a handful), unioned — never
+    * per file, so the plan stays O(epochs) at any file count; parquet
+    * reads columns by name, so a single logical-schema scan over
+    * pre-rename files would silently read the renamed column as
+    * all-NULL, exactly the failure this split exists to prevent. */
+  private def readPhysical(spark: SparkSession, root: String,
+      schema: StructType, files: List[FileEntry]): DataFrame = {
+    def scan(ph: Map[String, String], fs: List[FileEntry]): DataFrame = {
+      val physSchema = StructType(schema.fields.map(f =>
+        ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+      val df = spark.read.schema(physSchema)
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+      if (ph.isEmpty) df else df.toDF(schema.fieldNames.toSeq: _*)
+    }
+    val groups = files.groupBy(_.phys.getOrElse(Map.empty[String, String]))
+    if (groups.size == 1) scan(groups.head._1, groups.head._2)
+    else groups.toSeq.sortBy(_._1.size).map((scan _).tupled)
+      .reduce(_ unionByName _)
   }
 
   /** DV-aware read that keeps each row's provenance: `__rel` (the file's
@@ -1078,15 +1168,25 @@ object GraftTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("__rel", "string").add("__ri", "long"))
-    val base = spark.read.schema(schema)
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
-      .select(col("*"),
-        // table-relative path derived IN the plan, so the match with
-        // FileEntry.path is scheme/root-form independent (file_path is
-        // a URI; the manifest stores data/c-<uuid>/<part> suffixes)
-        regexp_extract(col("_metadata.file_path"),
-          "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
-        col("_metadata.row_index").as("__ri"))
+    // same rename-epoch grouping as readPhysical: a logical-schema scan
+    // over a pre-RENAME file would read the renamed column as all-NULL
+    def scanPos(ph: Map[String, String], fs: List[FileEntry]): DataFrame = {
+      val physSchema = StructType(schema.fields.map(f =>
+        ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+      spark.read.schema(physSchema)
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+        .select(col("*"),
+          // table-relative path derived IN the plan, so the match with
+          // FileEntry.path is scheme/root-form independent (file_path is
+          // a URI; the manifest stores data/c-<uuid>/<part> suffixes)
+          regexp_extract(col("_metadata.file_path"),
+            "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
+          col("_metadata.row_index").as("__ri"))
+        .toDF(schema.fieldNames.toSeq ++ Seq("__rel", "__ri"): _*)
+    }
+    val base = files.groupBy(_.phys.getOrElse(Map.empty[String, String]))
+      .toSeq.sortBy(_._1.size).map((scanPos _).tupled)
+      .reduce(_ unionByName _)
     val dvd = files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) base
     else {

@@ -2235,6 +2235,99 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("rename column: metadata-only commit — pre-rename files read by " +
+      "the NEW name, chained renames compose, time travel keeps the old " +
+      "name, stats/bloom re-key, guards loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    val preFiles = GraftTable.manifest(root, 1).files.map(_.path).toSet
+    assert(GraftTable.alterRenameColumn(root, "payload", "note") == 2)
+    assert(GraftTable.manifest(root, 2).files.map(_.path).toSet == preFiles,
+      "RENAME COLUMN must move zero data — same physical files")
+    val renamed = GraftTable.read(spark, root)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(renamed.where(col("note") === "v7").select("id").head()
+      .getLong(0) == 7L,
+      "pre-rename files must resolve the renamed column's DATA, not NULL")
+    assert(renamed.where(col("note").isNull).count() == 0)
+    // post-rename append under the new name; both epochs read together
+    GraftTable.append(spark, root,
+      Seq((100L, "n100")).toDF("id", "note"), Seq("id"), Seq("id"))
+    val both = GraftTable.read(spark, root)
+    assert(both.count() == 51)
+    assert(both.where(col("note").isin("v7", "n100")).count() == 2)
+    // chained rename composes (write-time physical name survives)
+    GraftTable.alterRenameColumn(root, "note", "memo")
+    val chained = GraftTable.read(spark, root)
+    assert(chained.schema.fieldNames.toSeq == Seq("id", "memo"))
+    assert(chained.where(col("memo") === "v7").count() == 1)
+    // time travel presents each snapshot's OWN schema and data
+    assert(GraftTable.read(spark, root, Some(1)).schema.fieldNames.toSeq ==
+      Seq("id", "payload"))
+    assert(GraftTable.read(spark, root, Some(1))
+      .where(col("payload") === "v7").count() == 1)
+    // stats re-key: pruning by the NEW name still skips files
+    GraftTable.alterRenameColumn(root, "id", "doc_id")
+    val (_, kept, total) = GraftTable.readWhere(spark, root, "doc_id", 1, 5)
+    assert(total >= 3 && kept < total,
+      s"renamed-column stats must still prune ($kept of $total)")
+    // guards: missing source, existing target, self
+    intercept[NoSuchElementException] {
+      GraftTable.alterRenameColumn(root, "payload", "x")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.alterRenameColumn(root, "memo", "doc_id")
+    }
+  }
+
+  test("rename column: deletion vectors keep applying across the rename " +
+      "(the DV-aware read resolves write-time names too)") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(50), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.deleteMor(spark, root, Seq(7L, 9L).toDF("id"), "id")
+    GraftTable.alterRenameColumn(root, "payload", "note")
+    val df = GraftTable.read(spark, root)
+    assert(df.count() == 48)
+    assert(df.where(col("id").isin(7L, 9L)).count() == 0,
+      "DV positions must keep masking rows after the rename")
+    assert(df.where(col("note") === "v8").count() == 1)
+  }
+
+  test("sql rename column: registered Ref follows a key rename so DML " +
+      "keeps working; DROP/ALTER COLUMN stay loud") {
+    val root = sqlTable("rencol_t", n = 5)
+    try {
+      GraftSql.exec(spark,
+        "ALTER TABLE rencol_t RENAME COLUMN payload TO note")
+      assert(GraftSql.sql(spark,
+        "SELECT note FROM rencol_t WHERE id = 3").head().getString(0) == "v3")
+      // key rename: the Ref must follow or every later verb breaks
+      GraftSql.exec(spark, "ALTER TABLE rencol_t RENAME COLUMN id TO doc_id")
+      assert(GraftSqlTables.lookup(Seq("rencol_t")).get.keyCol == "doc_id")
+      GraftSql.exec(spark,
+        "INSERT INTO rencol_t SELECT 100, 'n100'")
+      GraftSql.exec(spark, "DELETE FROM rencol_t WHERE doc_id = 1")
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM rencol_t").head().getLong(0) == 5L)
+      // evolution beyond add+rename stays loudly rejected
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "ALTER TABLE rencol_t DROP COLUMN note")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE rencol_t ALTER COLUMN note TYPE BIGINT")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE rencol_t RENAME COLUMN a.b TO c")
+      }
+    } finally GraftSqlTables.unregister("rencol_t")
+  }
+
   // ---- r11 DDL/registry surface: latent-divergence audits (r12 #5) ----
 
   test("alter vs time travel: a snapshot-1 read after ALTER ADD COLUMNS " +
