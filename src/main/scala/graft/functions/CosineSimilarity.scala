@@ -137,6 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftTableFunctions.changesDescriptor)
     e.injectTableFunction(GraftTableFunctions.historyDescriptor)
     e.injectTableFunction(GraftTableFunctions.tagDescriptor)
+    e.injectTableFunction(GraftTableFunctions.branchDescriptor)
     // SQL DML (INSERT/UPDATE/DELETE/MERGE) over registered graft tables
     e.injectResolutionRule(graft.sql.GraftDmlRule.apply)
     // SQL DDL (CREATE/CTAS/DROP ... USING graft) — parser seam, because

@@ -124,6 +124,23 @@ object GraftTableFunctions {
         .queryExecution.logical
     })
 
+  /** branch-addressed read: the HEAD of a writable ref — the audit's
+    * input in write-audit-publish (main stays invisible-to-unchanged
+    * until PUBLISH BRANCH fast-forwards onto the branch chain). */
+  val branchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_table_branch"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName,
+      "graft_table_branch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_table_branch expects (root, branch_name)")
+      GraftTable.readBranch(SparkSession.active,
+        strArg(children, 0, "graft_table_branch"),
+        strArg(children, 1, "graft_table_branch"))
+        .queryExecution.logical
+    })
+
   /** `DESCRIBE HISTORY` as a relation: one row per retained commit. */
   val historyDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (
@@ -141,7 +158,7 @@ object GraftTableFunctions {
   /** idempotent — registerFunction overwrites */
   def register(s: SparkSession): Unit =
     Seq(tableDescriptor, asOfDescriptor, changesDescriptor,
-      historyDescriptor, tagDescriptor).foreach { d =>
+      historyDescriptor, tagDescriptor, branchDescriptor).foreach { d =>
       s.sessionState.tableFunctionRegistry
         .registerFunction(d._1, d._2, d._3)
     }

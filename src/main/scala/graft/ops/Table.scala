@@ -780,6 +780,82 @@ object Table {
     graft.sql.GraftSql.sql(s, s"DESCRIBE TABLE $name").orderBy("ord")
   }
 
+  /** Write-audit-publish BRANCHES from pure SQL (r12 verdict missing
+    * #5 — the ingestion pattern the dq family composes with): `ALTER
+    * TABLE ... CREATE BRANCH staging`, a branch-addressed `INSERT INTO
+    * t@staging` (main untouched — the mid-build require pins that), an
+    * AUDIT read of the branch head via the `graft_table_branch` TVF,
+    * then `ALTER TABLE ... PUBLISH BRANCH` fast-forwarding main onto
+    * the branch chain in one step, and a post-publish main INSERT on
+    * top. The row reads three truths: the pre-publish main via time
+    * travel (snapshot 2 — proof the branch write did not leak), the
+    * branch head via the TVF, and latest. Divergence/race guards are
+    * GraftTableSpec's. */
+  val table_sql_branch: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_branch_orders")
+    val name = "sql_branch_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.functions.GraftTableFunctions.register(s)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE,
+              o_orderpriority STRING, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4',
+                     bloom 'o_orderkey')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name CREATE BRANCH staging")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name@staging
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1998""")
+      // the AUDIT: main must be exactly the pre-branch state while the
+      // branch holds the staged batch on top — loud, not oracle-later
+      val mainN = graft.sql.GraftSql
+        .sql(s, s"SELECT count(1) AS n FROM $name").head().getLong(0)
+      val branchN = graft.sql.GraftSql.sql(s,
+        s"SELECT count(1) AS n FROM graft_table_branch('$root', 'staging')")
+        .head().getLong(0)
+      require(branchN > mainN,
+        s"branch write leaked to main ($mainN) or vanished ($branchN)")
+      val pub = graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE $name PUBLISH BRANCH staging").head().getInt(0)
+      require(pub == 3, s"publish landed as snapshot $pub, not 3")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1999""")
+    }
+    def slice(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(src).as("src"), col("o_orderpriority"),
+          col("n_orders"), col("sum_price"))
+    val ref = graft.sql.GraftSqlTables.lookup(Seq(name.toLowerCase(
+      java.util.Locale.ROOT))).get
+    slice(GraftTable.read(s, ref.root, Some(2)), "main_pre_publish")
+      .unionByName(slice(graft.sql.GraftSql.sql(s,
+        s"SELECT * FROM graft_table_branch('$root', 'staging')"), "branch"))
+      .unionByName(slice(graft.sql.GraftSql.sql(s,
+        s"SELECT * FROM $name"), "latest"))
+      .orderBy("src", "o_orderpriority")
+  }
+
   /** `ALTER TABLE ... RENAME COLUMN` from pure SQL (r12 verdict missing
     * #4 — the most common evolution after add): a METADATA-ONLY commit
     * (zero data movement; the manifest re-keys the schema and stats and
@@ -1022,6 +1098,7 @@ object Table {
     "table_sql_describe" -> table_sql_describe,
     "table_sql_show" -> table_sql_show,
     "table_sql_rename_col" -> table_sql_rename_col,
+    "table_sql_branch" -> table_sql_branch,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -1179,6 +1256,34 @@ object Table {
            (4, 'o_band', 'string', true))
          t(ord, col_name, data_type, nullable)
          ORDER BY ord""",
+    // three truths replayed statically: pre-publish main = ≤1997 (the
+    // branch write must NOT have leaked), the branch head = ≤1998 (the
+    // staged batch on top of the fork), latest = everything (publish +
+    // the post-publish reload)
+    "table_sql_branch" ->
+      """WITH pre AS (
+           SELECT 'main_pre_publish' AS src, o_orderpriority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2),
+         br AS (
+           SELECT 'branch' AS src, o_orderpriority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1998 GROUP BY 2),
+         l AS (
+           SELECT 'latest' AS src, o_orderpriority,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders GROUP BY 2)
+         SELECT * FROM (
+           SELECT * FROM pre UNION ALL
+           SELECT * FROM br UNION ALL
+           SELECT * FROM l)
+         ORDER BY src, o_orderpriority""",
     // both truths replayed statically: latest spans all years (the
     // rename moved no data, so values are the source's exactly — a NULLed
     // pre-rename epoch is a sum mismatch); the time-travel slice is the

@@ -65,6 +65,23 @@ object GraftSqlMaint {
   private val DropTag =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""").r
+  private val CreateBranch =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+BRANCH\s+([A-Za-z0-9_]+)""" +
+      """(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*;?\s*$""").r
+  private val DropBranch =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+BRANCH\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  private val PublishBranch =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+PUBLISH\s+BRANCH\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  // `INSERT INTO t@b SELECT ...` — the branch-addressed write. Spark's
+  // parser rejects the `@` form outright, so the text seam must own it
+  // (like VACUUM/OPTIMIZE); the SELECT tail re-parses through the
+  // session parser inside the command.
+  private val InsertBranch =
+    ("""(?is)^\s*INSERT\s+INTO\s+""" + Ident +
+      """\s*@\s*([A-Za-z0-9_]+)\s+(SELECT\b.*?|FROM\b.*?|TABLE\b.*?|VALUES\b.*?)\s*;?\s*$""").r
 
   /** Dotted identifier → name parts; dots inside backticks stay. */
   private[sql] def partsOf(ident: String): Seq[String] = {
@@ -108,6 +125,16 @@ object GraftSqlMaint {
         Option(snap).map(_.toInt)))
     case DropTag(name, tagName) =>
       Some(GraftDropTagCommand(partsOf(name), tagName))
+    case CreateBranch(name, b, snap) =>
+      Some(GraftCreateBranchCommand(partsOf(name), b,
+        Option(snap).map(_.toInt)))
+    case DropBranch(name, b) =>
+      Some(GraftDropBranchCommand(partsOf(name), b))
+    case PublishBranch(name, b) =>
+      Some(GraftPublishBranchCommand(partsOf(name), b))
+    case InsertBranch(name, b, tail)
+        if GraftSqlTables.lookup(partsOf(name)).isDefined =>
+      Some(GraftInsertBranchCommand(partsOf(name), b, tail))
     case _ => None
   }
 
@@ -334,5 +361,93 @@ case class GraftDescribeHistoryCommand(parts: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val ref = GraftSqlMaint.refOf(parts)
     GraftTable.history(spark, ref.root).collect().toSeq
+  }
+}
+
+/** `ALTER TABLE name CREATE BRANCH b [AS OF SNAPSHOT n]`: open an
+  * Iceberg-style WRITABLE ref at the fork point (default: latest) — the
+  * write-audit-publish entry. Branch commits and the fork point are
+  * retention roots until the branch is dropped. */
+case class GraftCreateBranchCommand(parts: Seq[String], branch: String,
+    snapshot: Option[Int]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    GraftTable.createBranch(ref.root, branch, snapshot)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name DROP BRANCH b`: discard the branch and its
+  * unpublished commits (their files become vacuum-sweepable orphans).
+  * Loud on a missing branch, like DROP TAG. */
+case class GraftDropBranchCommand(parts: Seq[String], branch: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    require(GraftTable.dropBranch(ref.root, branch),
+      s"no branch '$branch' on graft table '${parts.mkString(".")}'")
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name PUBLISH BRANCH b`: fast-forward main onto the
+  * branch chain — the audited batch becomes visible to every main
+  * reader in one step. Loud when main advanced past the fork point
+  * (divergence is never merged silently). Returns the new main
+  * snapshot, the auditable receipt. */
+case class GraftPublishBranchCommand(parts: Seq[String], branch: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    Seq(Row(GraftTable.publishBranch(ref.root, branch)))
+  }
+}
+
+/** `INSERT INTO name@b SELECT ...`: the branch-addressed append — main
+  * untouched until PUBLISH. Same guards as main INSERT
+  * ([[GraftInsertCommand]]), evaluated against the BRANCH head: full
+  * positional cover, no duplicate/NULL keys in the batch, no clash with
+  * keys the branch already holds — and the commit pins the guarded head
+  * (a concurrent branch writer fails the statement loudly rather than
+  * rebasing past the clash check). */
+case class GraftInsertBranchCommand(parts: Seq[String], branch: String,
+    selectSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val ref = GraftSqlMaint.refOf(parts)
+    val head = GraftTable.branchHead(ref.root, branch)
+    val query = spark.sessionState.sqlParser.parseQuery(selectSql)
+    // registered names in the SELECT splice like any other read
+    val df = org.apache.spark.sql.graft.SqlShim.ofRows(spark,
+      GraftDmlRule(spark)(query))
+    val tgt = GraftTable.readBranch(spark, ref.root, branch).schema
+    require(df.columns.length == tgt.length,
+      s"positional INSERT width ${df.columns.length} != branch width " +
+        s"${tgt.length}")
+    val aligned = df.toDF(tgt.map(_.name).toSeq: _*)
+      .select(tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .persist()
+    try {
+      val dup = aligned.groupBy(col(ref.keyCol)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"INSERT batch carries duplicate '${ref.keyCol}' keys")
+      val nulls = aligned.where(col(ref.keyCol).isNull).limit(1).count()
+      require(nulls == 0,
+        s"INSERT batch carries a NULL '${ref.keyCol}' key")
+      val clash = aligned.select(col(ref.keyCol))
+        .join(GraftTable.readBranch(spark, ref.root, branch)
+          .select(col(ref.keyCol)), ref.keyCol, "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"INSERT re-uses '${ref.keyCol}' keys branch '$branch' already " +
+          "holds")
+      GraftTable.appendToBranch(spark, ref.root, branch, aligned,
+        ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
+        baseHead = Some(head))
+    } finally aligned.unpersist()
+    Seq.empty
   }
 }

@@ -199,6 +199,15 @@ object GraftTable {
       if (m0.parent >= 1 && Files.exists(manifestPath(root, m0.parent)))
         manifest(root, m0.parent).committedAtMs.getOrElse(0L)
       else 0L
+    tryCommitAt(root, m0, manifestPath(root, m0.snapshot), parentStamp)
+  }
+
+  /** The one atomic-publish kernel: stamp monotone past the parent,
+    * stage the full content, hard-link into place (create-if-absent).
+    * Main commits and branch commits differ only in the target path and
+    * where the parent stamp is read from. */
+  private def tryCommitAt(root: String, m0: Manifest, target: JPath,
+      parentStamp: Long): Boolean = {
     val m = m0.copy(committedAtMs =
       Some(math.max(System.currentTimeMillis(), parentStamp + 1)))
     Files.createDirectories(metaDir(root))
@@ -207,7 +216,7 @@ object GraftTable {
     Files.write(tmp, org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW)
     try {
-      try { Files.createLink(manifestPath(root, m.snapshot), tmp); true }
+      try { Files.createLink(target, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally { Files.delete(tmp) }
   }
@@ -263,6 +272,190 @@ object GraftTable {
     val t = tags(root).getOrElse(name,
       throw new NoSuchElementException(s"no tag '$name' at $root"))
     read(spark, root, Some(t))
+  }
+
+  // ---- branches: write-audit-publish (r12 verdict missing #5) ----
+  //
+  // A branch is a WRITABLE named ref (Iceberg-style): commits land on
+  // the branch without advancing main, an audit reads the branch, and
+  // PUBLISH fast-forwards main onto the branch chain. Mechanics: branch
+  // commits take ids in MAIN's numeric sequence continuing from the
+  // fork point (forkedAt+1, +2, ...) but live under `manifest-br-<b>-
+  // <id>.json`, invisible to latestSnapshot's `manifest-<n>.json`
+  // listing — so main readers never see unpublished work, and PUBLISH
+  // is a pure hard-link of each branch manifest onto its main name in
+  // ascending order: if main advanced past the fork point, the very
+  // FIRST link collides (ids are contiguous from forkedAt+1) and the
+  // publish fails loudly with main untouched — fast-forward only,
+  // divergence can never be silently merged. Parent pointers need no
+  // rewrite (branch id forkedAt+1 points at main's forkedAt), so the
+  // published history is a plain linear chain. Branch manifests and the
+  // fork-point manifest are RETENTION ROOTS like tags until the branch
+  // is dropped.
+
+  private def branchMarkerPath(root: String, name: String): JPath = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"branch name must be [A-Za-z0-9_]+, got '$name'")
+    metaDir(root).resolve(s"branch-$name.json")
+  }
+
+  private def branchManifestPath(root: String, name: String,
+      id: Int): JPath = metaDir(root).resolve(s"manifest-br-$name-$id.json")
+
+  /** All branches as name → fork-point snapshot id. */
+  def branches(root: String): Map[String, Int] = {
+    val re = "branch-([A-Za-z0-9_]+)\\.json".r
+    Option(metaDir(root).toFile.list()).getOrElse(Array.empty[String])
+      .collect { case re(n) => n }.map { n =>
+        val txt = new String(
+          Files.readAllBytes(branchMarkerPath(root, n)), "UTF-8")
+        n -> "\"forkedAt\":([0-9]+)".r
+          .findFirstMatchIn(txt).get.group(1).toInt
+      }.toMap
+  }
+
+  /** Create branch `name` at `at` (default: latest). Atomic like
+    * [[tag]]; duplicate names loud. */
+  def createBranch(root: String, name: String,
+      at: Option[Int] = None): Unit = {
+    val latest = latestSnapshot(root)
+    require(latest > 0, s"branch of non-existent table at $root")
+    val snap = at.getOrElse(latest)
+    require(snap >= 1 && snap <= latest,
+      s"branch fork point $snap outside [1, $latest] at $root")
+    require(Files.exists(manifestPath(root, snap)),
+      s"branch fork point $snap is expired at $root")
+    val tmp = metaDir(root).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, s"""{"forkedAt":$snap}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    try {
+      try Files.createLink(branchMarkerPath(root, name), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"branch '$name' already exists at $root")
+      }
+    } finally Files.delete(tmp)
+  }
+
+  /** Drop the branch: marker + every unpublished branch manifest. The
+    * branch's data files become orphans (swept by a later vacuum) unless
+    * the branch was published first. */
+  def dropBranch(root: String, name: String): Boolean = {
+    val existed = Files.deleteIfExists(branchMarkerPath(root, name))
+    if (existed)
+      branchCommitIds(root, name).foreach(id =>
+        Files.deleteIfExists(branchManifestPath(root, name, id)))
+    existed
+  }
+
+  /** Ids of commits made ON the branch (ascending; empty = no writes
+    * since the fork). */
+  private[table] def branchCommitIds(root: String, name: String): Seq[Int] = {
+    val re = s"manifest-br-$name-([0-9]+)\\.json".r
+    Option(metaDir(root).toFile.list()).getOrElse(Array.empty[String])
+      .collect { case re(v) => v.toInt }.sorted.toSeq
+  }
+
+  private def forkedAtOf(root: String, name: String): Int =
+    branches(root).getOrElse(name,
+      throw new NoSuchElementException(s"no branch '$name' at $root"))
+
+  private def branchManifest(root: String, name: String, id: Int): Manifest =
+    org.json4s.jackson.Serialization.read[Manifest](new String(
+      Files.readAllBytes(branchManifestPath(root, name, id)), "UTF-8"))
+
+  /** Data/dv files referenced by UNPUBLISHED branch commits — live for
+    * every vacuum path until the branch is dropped or published. */
+  private def branchLiveFiles(root: String): Set[String] =
+    branches(root).keys.flatMap(b => branchCommitIds(root, b).flatMap(
+      id => branchManifest(root, b, id).files
+        .flatMap(f => f.path :: f.dv.toList))).toSet
+
+  /** The branch HEAD manifest: the newest branch commit, or the
+    * fork-point manifest when the branch has no writes yet. */
+  private[table] def branchHeadManifest(root: String,
+      name: String): Manifest = {
+    val forked = forkedAtOf(root, name)
+    branchCommitIds(root, name).lastOption match {
+      case Some(id) => branchManifest(root, name, id)
+      case None => manifest(root, forked)
+    }
+  }
+
+  /** The branch head's snapshot id (= the fork point until the first
+    * branch write) — what a branch-addressed guard pins. */
+  def branchHead(root: String, name: String): Int =
+    branchHeadManifest(root, name).snapshot
+
+  /** Read the branch head — the audit's input. */
+  def readBranch(spark: SparkSession, root: String,
+      name: String): DataFrame = {
+    val m = branchHeadManifest(root, name)
+    readEntries(spark, root, m, m.files)
+  }
+
+  /** Append-only commit ON the branch: parent = branch head, id = the
+    * next id in main's sequence (see the section comment), main
+    * untouched. Schema must match the branch head exactly (no evolution
+    * on branches — publish-time surprise schemas are the WAP
+    * anti-pattern). Optimistic like [[append]]. */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 8, bloomCols: Seq[String] = Nil,
+      baseHead: Option[Int] = None): Int = {
+    forkedAtOf(root, name) // loud before any write work
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols,
+      numFiles, bloomCols)
+    var attempts = 0
+    // a pinned base forgoes the rebase loop, same contract as append():
+    // the caller's guards were evaluated against that exact head
+    val maxAttempts = if (baseHead.isDefined) 1 else 20
+    while (attempts < maxAttempts) {
+      val head = branchHeadManifest(root, name)
+      baseHead.filter(_ != head.snapshot).foreach { b =>
+        throw new java.util.ConcurrentModificationException(
+          s"branch append derived against head $b but branch '$name' " +
+            s"head is ${head.snapshot} at $root")
+      }
+      require(shape(df.schema) == shape(
+        DataType.fromJson(head.schemaJson).asInstanceOf[StructType]),
+        s"branch append schema mismatch vs branch '$name' head at $root")
+      val m = Manifest(head.snapshot + 1, head.snapshot, "branch_append",
+        head.schemaJson, head.files ++ entries)
+      if (tryCommitAt(root, m,
+          branchManifestPath(root, name, m.snapshot),
+          head.committedAtMs.getOrElse(0L))) return m.snapshot
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"appendToBranch lost 20 commit races on '$name' at $root")
+  }
+
+  /** Fast-forward main onto the branch: hard-link each branch manifest
+    * to its main name in ascending id order. Loud when main advanced
+    * past the fork point (the first link collides — ids are contiguous)
+    * — divergence is never merged silently; re-create the branch from
+    * the new latest instead. Returns the new main latest. The branch
+    * stays in place (commits now shared with main) until dropped. */
+  def publishBranch(root: String, name: String): Int = {
+    val forked = forkedAtOf(root, name)
+    val ids = branchCommitIds(root, name)
+    require(ids.nonEmpty,
+      s"branch '$name' has no commits to publish at $root")
+    ids.foreach { id =>
+      try Files.createLink(manifestPath(root, id),
+        branchManifestPath(root, name, id))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"cannot fast-forward: main advanced to snapshot $id while " +
+              s"branch '$name' (forked at $forked) held unpublished " +
+              "commits — the branch diverged; re-create it from latest")
+      }
+    }
+    ids.last
   }
 
   /** Bits interleaved per dimension: 16 for 2–3 columns, 15 for 4 — a
@@ -949,9 +1142,10 @@ object GraftTable {
   def expireSnapshots(root: String, keepFrom: Int): Int = {
     val latest = latestSnapshot(root)
     require(keepFrom <= latest, s"keepFrom $keepFrom > latest $latest")
-    // tagged snapshots are retention roots (see [[tag]]): their manifests
-    // and files survive any keepFrom until the tag is removed
-    val tagged = tags(root).values.toSet
+    // tagged snapshots are retention roots (see [[tag]]); so are branch
+    // FORK POINTS (an unpublished branch's parent chain must stay
+    // resolvable) — both survive any keepFrom until released
+    val tagged = tags(root).values.toSet ++ branches(root).values
     val expired = (1 until keepFrom).filter(v =>
       !tagged(v) && Files.exists(manifestPath(root, v)))
     // existence-filter like history()/snapshotAsOf(): after an earlier
@@ -960,10 +1154,12 @@ object GraftTable {
     // dv sidecars are reference-counted exactly like data files: an
     // expired manifest's superseded sidecar is reclaimable, a sidecar any
     // surviving manifest still points at is not
-    val live = ((keepFrom to latest) ++ tagged.filter(_ < keepFrom))
+    val live = (((keepFrom to latest) ++ tagged.filter(_ < keepFrom))
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => manifest(root, v).files
-        .flatMap(f => f.path :: f.dv.toList)).toSet
+        .flatMap(f => f.path :: f.dv.toList)) ++
+      // unpublished branch commits keep their files live, like tags
+      branchLiveFiles(root)).toSet
     val dead = expired
       .flatMap(v => manifest(root, v).files
         .flatMap(f => f.path :: f.dv.toList)).toSet -- live
@@ -992,10 +1188,13 @@ object GraftTable {
     * deleted. */
   def removeOrphans(root: String, olderThanMs: Long): Int = {
     val latest = latestSnapshot(root)
-    val live = (1 to latest)
+    val live = ((1 to latest)
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => manifest(root, v).files
-        .flatMap(f => f.path :: f.dv.toList)).toSet
+        .flatMap(f => f.path :: f.dv.toList)) ++
+      // unpublished branch commits reference real files too — sweeping
+      // them would corrupt the branch before its audit ever ran
+      branchLiveFiles(root)).toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs

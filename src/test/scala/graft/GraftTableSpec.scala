@@ -2328,6 +2328,90 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("rencol_t")
   }
 
+  test("branches: writes land on the branch only, publish fast-forwards " +
+      "main, divergence is loud, retention roots hold") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.createBranch(root, "audit")
+    intercept[IllegalStateException] {
+      GraftTable.createBranch(root, "audit")
+    }
+    // two branch commits; main must not move
+    GraftTable.appendToBranch(spark, root, "audit",
+      Seq((100L, "b100")).toDF("id", "payload"), Seq("id"), Seq("id"))
+    GraftTable.appendToBranch(spark, root, "audit",
+      Seq((101L, "b101")).toDF("id", "payload"), Seq("id"), Seq("id"))
+    assert(GraftTable.latestSnapshot(root) == 1,
+      "branch writes must not advance main")
+    assert(GraftTable.read(spark, root).count() == 10)
+    assert(GraftTable.readBranch(spark, root, "audit").count() == 12)
+    assert(GraftTable.branchHead(root, "audit") == 3)
+    // the branch's unpublished files survive an aggressive orphan sweep
+    GraftTable.removeOrphans(root, olderThanMs = 0)
+    assert(GraftTable.readBranch(spark, root, "audit").count() == 12,
+      "orphan sweep must treat unpublished branch files as live")
+    // publish: main fast-forwards onto the branch chain
+    assert(GraftTable.publishBranch(root, "audit") == 3)
+    assert(GraftTable.latestSnapshot(root) == 3)
+    assert(GraftTable.read(spark, root).count() == 12)
+    // published history is a plain linear chain
+    val hist = GraftTable.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(hist == Seq((3, 2), (2, 1), (1, 0)))
+    assert(GraftTable.dropBranch(root, "audit"))
+    // divergence: main moves past a new branch's fork point → loud
+    GraftTable.createBranch(root, "late")
+    GraftTable.appendToBranch(spark, root, "late",
+      Seq((200L, "x")).toDF("id", "payload"), Seq("id"), Seq("id"))
+    GraftTable.append(spark, root,
+      Seq((300L, "main")).toDF("id", "payload"), Seq("id"), Seq("id"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftTable.publishBranch(root, "late")
+    }
+    assert(e.getMessage.contains("diverged"))
+    assert(GraftTable.read(spark, root).count() == 13,
+      "a failed publish must leave main exactly as the concurrent " +
+        "writer left it")
+  }
+
+  test("sql branches: write-audit-publish from pure SQL — INSERT INTO " +
+      "t@b, audit via graft_table_branch, PUBLISH BRANCH; guards loud") {
+    val root = sqlTable("wap_t", n = 5)
+    graft.functions.GraftTableFunctions.register(spark)
+    try {
+      GraftSql.exec(spark, "ALTER TABLE wap_t CREATE BRANCH staged")
+      GraftSql.exec(spark,
+        "INSERT INTO wap_t@staged SELECT id + 100, concat('s', id) " +
+          "FROM range(3) ")
+      // main unchanged; the audit reads the branch head through the TVF
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM wap_t").head().getLong(0) == 5L)
+      assert(GraftSql.sql(spark,
+        s"SELECT count(1) AS n FROM graft_table_branch('$root', 'staged')")
+        .head().getLong(0) == 8L)
+      // branch INSERT honors the key contract vs the BRANCH head
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "INSERT INTO wap_t@staged SELECT id + 100, 'dup' FROM range(1)")
+      }
+      val pub = GraftSql.sql(spark,
+        "ALTER TABLE wap_t PUBLISH BRANCH staged").head().getInt(0)
+      assert(pub == 2)
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM wap_t").head().getLong(0) == 8L,
+        "publish must make the audited batch visible to main readers")
+      GraftSql.exec(spark, "ALTER TABLE wap_t DROP BRANCH staged")
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "ALTER TABLE wap_t DROP BRANCH staged")
+      }
+      intercept[NoSuchElementException] {
+        GraftSql.exec(spark, "INSERT INTO wap_t@nope SELECT 1, 'x'")
+      }
+    } finally GraftSqlTables.unregister("wap_t")
+  }
+
   // ---- r11 DDL/registry surface: latent-divergence audits (r12 #5) ----
 
   test("alter vs time travel: a snapshot-1 read after ALTER ADD COLUMNS " +
