@@ -653,7 +653,214 @@ object Graph {
       .orderBy("label")
   }
 
+  // ---- directed family (r13): strongly connected components ----
+
+  /** (s, t) — the DIRECTED supplier graph (r12 verdict missing #6
+    * opener): each sparsified co-order pair from a mid-density (m=23)
+    * derivation is ORIENTED by a hash parity (reduced mod the large
+    * prime BEFORE the small modulus, the repo invariant), and a sparse
+    * hash slice of the pairs additionally contributes its REVERSE edge
+    * — without it every 2-cycle would vanish under single-orientation
+    * and SCCs would only form on odd cycles. Deterministic, both
+    * engines replay it exactly. */
+  private[graft] def directedSupplierEdges(s: SparkSession,
+      d: String): DataFrame = {
+    // m=23 picked by measurement: at sf0.01 it yields a giant SCC (39
+    // nodes), a second multi-node SCC and singletons — m=11 collapses
+    // to ONE all-node SCC (a trivially-passable fixture), m=59 to near-
+    // all singletons
+    val e = supplierEdges(s, d, 23)
+    val fwd = ((col("a") * lit(40503L) + col("b") * lit(2654435761L))
+      % lit(1000003L)) % lit(2L) === 0
+    val oriented = e.select(
+      when(fwd, col("a")).otherwise(col("b")).as("s"),
+      when(fwd, col("b")).otherwise(col("a")).as("t"))
+    val reversed = e
+      .where(((col("a") * lit(7L) + col("b") * lit(13L))
+        % lit(1000003L)) % lit(4L) === 0)
+      .select(
+        when(fwd, col("b")).otherwise(col("a")).as("s"),
+        when(fwd, col("a")).otherwise(col("b")).as("t"))
+    oriented.union(reversed).distinct()
+  }
+
+  /** Strongly connected components of the directed supplier graph:
+    * (node, scc) with scc = the smallest member id. Budget-dispatched
+    * like [[graph_cc]]: iterative Tarjan on the driver under
+    * [[Llm.CcDriverBudgetEdges]] (one linear pass — the right tool for
+    * any collected subgraph), min-label forward/backward matching
+    * above (see [[sccDistributed]]). The oracle replays mutual
+    * reachability as a recursive CTE. */
+  val graph_scc: Q = (s, d) =>
+    sccOf(s, directedSupplierEdges(s, d), Llm.CcDriverBudgetEdges)
+      .orderBy("node")
+
+  private[graft] def sccOf(s: SparkSession, edgesIn: DataFrame,
+      driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val edges = edgesIn.select(col("s").cast("long"), col("t").cast("long"))
+      .cache()
+    try {
+      val n = edges.count()
+      if (n <= driverBudgetEdges) {
+        val es = edges.as[(Long, Long)].collect()
+        s.createDataset(tarjanScc(es)).toDF("node", "scc")
+      } else sccDistributed(s, edges)
+    } finally edges.unpersist()
+  }
+
+  /** Iterative (explicit-stack) Tarjan — the driver arm. Linear in
+    * V + E; SCC label = the smallest member id, matching the
+    * distributed arm and the oracle. */
+  private[graft] def tarjanScc(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val adj = es.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      val frames = scala.collection.mutable.ArrayBuffer((root, 0))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      while (frames.nonEmpty) {
+        val (v, ci) = frames.last
+        val nbrs = adj.getOrElse(v, Array.empty[Long])
+        if (ci < nbrs.length) {
+          frames(frames.length - 1) = (v, ci + 1)
+          val w = nbrs(ci)
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            frames += ((w, 0))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          frames.remove(frames.length - 1)
+          if (frames.nonEmpty) {
+            val p = frames.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            var members = List.empty[Long]
+            var w = 0L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w
+              members ::= w
+            } while (w != v)
+            val label = members.min
+            members.foreach(m => comp(m) = label)
+          }
+        }
+      }
+    }
+    nodes.map(nd => nd -> comp(nd)).toSeq
+  }
+
+  /** Distributed SCC by min-label forward/backward matching (the
+    * FW-BW pivot family with the global structure done per ROUND, not
+    * per pivot): each round computes f(v) = min node forward-reachable
+    * from v and b(v) = min node backward-reachable, both restricted to
+    * the remaining subgraph; every node with f(v) = b(v) = m is in
+    * SCC(m) (m reaches v and v reaches m) and is emitted and removed.
+    * The SCC holding the remaining subgraph's global min always
+    * matches, so progress is guaranteed; real-world graphs shed most
+    * SCCs per round (the FW-BW observation), while an adversarially
+    * id-ordered chain degrades toward one SCC per round — the loud
+    * 128-round bound names that case instead of hanging. Per round:
+    * two min-propagation fixpoints (one hash-join + one aggregate per
+    * hop, O(longest chain) hops), every loop state localCheckpoint'd
+    * per the repo invariant. Nothing wider than (node, label) ever
+    * shuffles. */
+  private[graft] def sccDistributed(s: SparkSession,
+      edgesAll: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    var (edges, edgesR) = graft.util.Iterate.checkpoint(edgesAll)
+    var (remaining, remR) = graft.util.Iterate.checkpoint(
+      edges.select(col("s").as("node"))
+        .union(edges.select(col("t").as("node"))).distinct())
+    var (done, doneR) = graft.util.Iterate.checkpoint(
+      sp.emptyDataset[(Long, Long)].toDF("node", "scc"))
+    var round = 0
+    try {
+      while (remaining.limit(1).count() > 0) {
+        require(round < 128,
+          "sccDistributed exceeded 128 pivot rounds — adversarially " +
+            "chain-ordered ids; raise the driver budget for this graph")
+        val (f, fR) = minReach(sp, edges, remaining, forward = true, "fmin")
+        val (b, bR) = minReach(sp, edges, remaining, forward = false, "bmin")
+        val matched = f.join(b, "node")
+          .where(col("fmin") === col("bmin"))
+          .select(col("node"), col("fmin").as("scc"))
+        val (mChk, mR) = graft.util.Iterate.checkpoint(matched)
+        fR.unpersist(blocking = false)
+        bR.unpersist(blocking = false)
+        val (nextDone, nextDoneR) =
+          graft.util.Iterate.checkpoint(done.union(mChk))
+        val (nextRem, nextRemR) = graft.util.Iterate.checkpoint(
+          remaining.join(mChk, Seq("node"), "left_anti"))
+        val (nextEdges, nextEdgesR) = graft.util.Iterate.checkpoint(
+          edges.join(nextRem.select(col("node").as("s")), Seq("s"), "left_semi")
+            .join(nextRem.select(col("node").as("t")), Seq("t"), "left_semi")
+            .select("s", "t"))
+        mR.unpersist(blocking = false)
+        doneR.unpersist(blocking = false); done = nextDone; doneR = nextDoneR
+        remR.unpersist(blocking = false)
+        remaining = nextRem; remR = nextRemR
+        edgesR.unpersist(blocking = false)
+        edges = nextEdges; edgesR = nextEdgesR
+        round += 1
+      }
+      graft.util.Iterate.registerResult("graph_scc", doneR)
+      done
+    } finally {
+      remR.unpersist(blocking = false)
+      edgesR.unpersist(blocking = false)
+    }
+  }
+
+  /** Fixpoint of lbl(v) = min(v, min over v→u of lbl(u)) restricted to
+    * `nodes` — the min node reachable along the edge direction
+    * (`forward = false` flips the edges for backward reach). One
+    * equi-join + one aggregate per hop; converges in O(longest
+    * shortest-path chain) hops, loudly bounded. */
+  private def minReach(s: SparkSession, edgesIn: DataFrame,
+      nodes: DataFrame, forward: Boolean, out: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val e0 = if (forward) edgesIn
+      else edgesIn.select(col("t").as("s"), col("s").as("t"))
+    val (e, eR) = graft.util.Iterate.checkpoint(e0)
+    var (lbl, lblR) = graft.util.Iterate.checkpoint(
+      nodes.select(col("node"), col("node").as("m")))
+    try {
+      var changed = 1L
+      var hops = 0
+      while (changed > 0) {
+        require(hops < 256,
+          "minReach exceeded 256 hops — cycle bookkeeping broke")
+        val pulled = e
+          .join(lbl.select(col("node").as("t"), col("m").as("tm")), "t")
+          .groupBy(col("s").as("node")).agg(min(col("tm")).as("pm"))
+        val next = lbl.join(pulled, Seq("node"), "left")
+          .select(col("node"),
+            least(col("m"), coalesce(col("pm"), col("m"))).as("m"))
+        val (nChk, nR) = graft.util.Iterate.checkpoint(next)
+        changed = nChk.join(
+            lbl.select(col("node"), col("m").as("m0")), "node")
+          .where(col("m") < col("m0")).limit(1).count()
+        lblR.unpersist(blocking = false)
+        lbl = nChk; lblR = nR
+        hops += 1
+      }
+      (lbl.select(col("node"), col("m").as(out)), lblR)
+    } finally eR.unpersist(blocking = false)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "graph_scc" -> graph_scc,
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
     "graph_triangles" -> graph_triangles,
@@ -703,6 +910,35 @@ object Graph {
   }
 
   val oracle: Seq[(String, String)] = Seq(
+    // the directed derivation replayed (orientation parity + the sparse
+    // reverse slice), then mutual reachability as a recursive closure:
+    // scc(v) = min u with v→*u AND u→*v (v itself included via the
+    // reflexive seed)
+    "graph_scc" ->
+      s"""WITH RECURSIVE ${edgeCtes(23)},
+          dedges AS (
+            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN a ELSE b END AS s,
+                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN b ELSE a END AS t
+            FROM edges
+            UNION
+            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN b ELSE a END AS s,
+                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN a ELSE b END AS t
+            FROM edges
+            WHERE ((a * 7 + b * 13) % 1000003) % 4 = 0),
+          dnodes AS (
+            SELECT DISTINCT s AS node FROM
+              (SELECT s FROM dedges UNION ALL SELECT t AS s FROM dedges)),
+          reach(node, r) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT w.node, e.t FROM reach w JOIN dedges e ON w.r = e.s)
+          SELECT p.node, min(p.r) AS scc
+          FROM reach p JOIN reach q ON p.node = q.r AND p.r = q.node
+          GROUP BY p.node ORDER BY p.node""",
     // reachability closure as a recursive CTE; component = min reachable
     "graph_cc" ->
       s"""WITH RECURSIVE ${edgeCtes(59)},

@@ -82,6 +82,47 @@ class GraphSpec extends SparkTestBase {
     assert(driver == dist, "budget arms must be value-identical")
   }
 
+  test("graph_scc: driver Tarjan equals the distributed min-label " +
+      "matching on the fixture, planted topologies, and a random graph") {
+    import spark.implicits._
+    // fixture: both arms, value-identical
+    val driver = ops.Graph.graph_scc(spark, sf01)
+      .as[(Long, Long)].collect().toSeq
+    val dist = ops.Graph.sccOf(spark,
+        ops.Graph.directedSupplierEdges(spark, sf01), 0L)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(driver.nonEmpty, "sf0.01 directed graph must have nodes")
+    assert(driver == dist, "budget arms must be value-identical")
+    // the fixture is non-trivial: singletons AND a multi-node SCC
+    val sizes = driver.groupBy(_._2).map(_._2.size)
+    assert(sizes.exists(_ > 1), "fixture must hold a multi-node SCC")
+    assert(sizes.exists(_ == 1), "fixture must hold singleton SCCs")
+    def both(es: Seq[(Long, Long)]): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+      val df = es.toDF("s", "t")
+      (ops.Graph.sccOf(spark, df, Long.MaxValue)
+         .orderBy("node").as[(Long, Long)].collect().toSeq,
+       ops.Graph.sccOf(spark, df, 0L)
+         .orderBy("node").as[(Long, Long)].collect().toSeq)
+    }
+    // planted: a 3-cycle feeding a 2-cycle through a one-way bridge,
+    // plus an isolated chain (all singletons)
+    val planted = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, // SCC {1,2,3}
+      3L -> 10L, 10L -> 11L, 11L -> 10L, // bridge; SCC {10,11}
+      20L -> 21L, 21L -> 22L) // chain: singletons
+    val (pd, pp) = both(planted)
+    assert(pd == pp)
+    assert(pd.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L, 22L -> 22L))
+    // random graph (fixed LCG, n=30, ~70 edges): arms agree exactly
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val rnd = (1 to 70).map { _ =>
+      (math.floorMod(nxt(), 30L), math.floorMod(nxt(), 30L))
+    }.filter(e => e._1 != e._2).distinct
+    val (rd, rp) = both(rnd)
+    assert(rd == rp, "random-graph arms must be value-identical")
+  }
+
   test("graph_kcore: equals a driver-side peel; both arms agree; " +
       "adversarial path-into-cycle converges to exactly the cycle") {
     import spark.implicits._
