@@ -1208,6 +1208,28 @@ class OperatorSpec extends SparkTestBase {
       "no appended-batch vector ever surfaced as a neighbor")
   }
 
+  test("llm_ann_ivfpq_indexed equals the in-flight llm_ann_ivfpq on the " +
+      "merged corpus — base write + frozen-model append loses nothing") {
+    val inflight = ops.Llm.llm_ann_ivfpq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val indexed = ops.Llm.llm_ann_ivfpq_indexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(indexed == inflight,
+      "the persisted code index diverged from the in-flight traversal")
+    // the appended batch is findable: odd (appended) ids surface
+    assert(indexed.exists(_._1 % 2 == 1),
+      "no appended-batch vector ever surfaced in the top-10")
+    // storage contract: the index holds codes, not floats, and the
+    // merged corpus exactly once
+    val idx = spark.read.parquet(ops.Llm.ivfPqIndexDir(spark, sf))
+    assert(idx.schema.fieldNames.sorted.toSeq ==
+      Seq("cell", "codes", "vec_id"))
+    assert(idx.count() == idx.select("vec_id").distinct().count(),
+      "append duplicated or dropped vectors")
+  }
+
   test("agg_cms estimates respect the count-min one-sided bound") {
     val n = graft.util.Tables.events(spark, sf).count()
     val eps = 0.001

@@ -381,6 +381,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_ann_ivfpq_indexed probes the code index through partition " +
+      "pruning") {
+    // the persisted PQ index's point doubled: nprobe directories AND 16
+    // bytes of codes per candidate — the scan must prune on cell and
+    // must NOT read an emb column (the codes are the payload)
+    withStaticPlan {
+      val p = planOf(ops.Llm.ivfPqIndexShortlist(spark, sf))
+      assert(p.contains("PartitionFilters: ["), s"no partition filter:\n$p")
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+        s"partition filter does not prune on cell:\n$p")
+      assert(!"ReadSchema: [^\\n]*emb".r.findFirstIn(p).isDefined,
+        s"the code-index scan must not read raw vectors:\n$p")
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true in plan)") {
     // join_salted / win_*_salted are the manual skew recipes; AQE's
     // OptimizeSkewedJoin is the zero-code path for 100 TB hot keys.
