@@ -3582,6 +3582,74 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Candidate corpus×eval pairs from a band equi-join, exact-verified
+    * against the per-doc shingle arrays — the kernel under
+    * [[llm_decontaminate_fuzzy]], separated so the spec can drive it
+    * over planted paraphrases. `band` is a (doc_id, band_key) MinHash
+    * band relation, `sets` the (doc_id, shs) distinct-shingle arrays;
+    * docs with doc_id % evalMod == 0 form the eval side. Returns one
+    * row per CONTAMINATED corpus doc: (doc_id, n_fuzzy, max_jac_bp).
+    * Jaccard rides integer basis points (inter·10⁴ div union — both
+    * terms non-negative, so Spark's trunc ≡ DuckDB's floor) and the
+    * τ = 0.80 gate compares bp ≥ 8000, which is EXACTLY J ≥ 0.8 on
+    * integers — no float boundary can diverge. */
+  private[graft] def fuzzyContamHits(band: DataFrame, sets: DataFrame,
+      evalMod: Long): DataFrame = {
+    val s = band.sparkSession
+    import s.implicits._
+    val corpusB = band.where(col("doc_id") % evalMod =!= 0)
+      .select(col("band_key"), col("doc_id").as("doc"))
+    // the eval side is a benchmark suite — MBs at any corpus scale, so
+    // its band table broadcasts and the corpus side probes map-side
+    val evalB = band.where(col("doc_id") % evalMod === 0)
+      .select(col("band_key").as("bk"), col("doc_id").as("ev"))
+    val cand = corpusB.join(broadcast(evalB), col("band_key") === col("bk"))
+      .select("doc", "ev").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc"), col("shs").as("sa")),
+        "doc")
+      .join(sets.select(col("doc_id").as("ev"), col("shs").as("sb")),
+        "ev")
+      .select(col("doc"), col("sa"), col("sb"))
+      .as[(Long, Array[String], Array[String])]
+      .flatMap { case (doc, sa, sb) =>
+        val set = new java.util.HashSet[String](sa.length * 2)
+        sa.foreach(set.add)
+        val inter = sb.count(set.contains).toLong
+        val bp = inter * 10000L / (sa.length + sb.length - inter)
+        if (bp >= 8000L) Iterator.single((doc, bp)) else Iterator.empty
+      }
+      .toDF("doc_id", "jac_bp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fuzzy"), max(col("jac_bp")).as("max_jac_bp"))
+  }
+
+  /** FUZZY decontamination (r12 verdict directive #6): the exact
+    * 5-gram filter above misses PARAPHRASED eval contamination — a
+    * reworded benchmark answer shares almost no exact 5-grams but
+    * nearly all shingles. This is [[llm_dedup_incr]]'s cross-set shape
+    * aimed at the eval half: MinHash band candidates between the
+    * corpus and the eval docs (sub-quadratic; the eval band table
+    * BROADCASTS), exact shingle-Jaccard verify of only the candidates,
+    * flag at J ≥ 0.8. Reuses the persisted dedup band/set tables —
+    * the pay-layout-once story means decontamination rides the same
+    * artifacts dedup already built. The banding provably surfaces
+    * every fixture pair at τ 0.8 (the all-pairs llm_dedup_text oracle
+    * pins that every round); the oracle here replays the EXACT
+    * all-pairs corpus×eval Jaccard, so a banding miss would fail the
+    * row deterministically, never silently. */
+  val llm_decontaminate_fuzzy: Q = (s, d) => {
+    val (band, sets) = dedupTextTables(s, d)
+    val hits = fuzzyContamHits(band, sets, 37L)
+    documents(s, d).where(col("doc_id") % 37 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+        coalesce(col("max_jac_bp"), lit(0L)).as("max_jac_bp"),
+        (coalesce(col("n_fuzzy"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Intra-document repetition signals (Gopher-style quality filters):
     * per-doc duplicate-{2,3}-gram fraction and top-{2,3}-gram fraction,
     * in integer basis points (a float ratio here would hit the
@@ -4042,6 +4110,7 @@ object Llm {
     "llm_ngram_freq" -> llm_ngram_freq,
     "llm_chunk" -> llm_chunk,
     "llm_decontaminate" -> llm_decontaminate,
+    "llm_decontaminate_fuzzy" -> llm_decontaminate_fuzzy,
     "llm_repetition" -> llm_repetition,
     "llm_pii_scrub" -> llm_pii_scrub,
     "llm_mixture" -> llm_mixture,
@@ -5316,6 +5385,32 @@ object Llm {
              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
              coalesce(h.n_hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""",
+    // the EXACT all-pairs corpus×eval shingle Jaccard — a different
+    // candidate strategy than the engine's banding (the llm_dedup_text
+    // oracle discipline): a banding miss fails the row, never hides.
+    // Integer-bp gate: inter*10^4 // union >= 8000 ⟺ J >= 0.8 exactly
+    "llm_decontaminate_fuzzy" ->
+      s"""WITH sh AS ($duckShingles),
+         ex AS (SELECT doc_id, sz, unnest(shs) AS sh FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc, a.sz AS sz_a, b.sz AS sz_b,
+               count(1) AS inter
+           FROM ex a JOIN ex b ON a.sh = b.sh
+           WHERE a.doc_id % 37 <> 0 AND b.doc_id % 37 = 0
+           GROUP BY 1, a.sz, b.sz, b.doc_id),
+         vf AS (
+           SELECT doc, inter * 10000 // (sz_a + sz_b - inter) AS jac_bp
+           FROM pairs
+           WHERE inter * 10000 // (sz_a + sz_b - inter) >= 8000),
+         hits AS (
+           SELECT doc, count(1) AS n_fuzzy, max(jac_bp) AS max_jac_bp
+           FROM vf GROUP BY doc)
+         SELECT d.doc_id,
+             CAST(coalesce(h.n_fuzzy, 0) AS BIGINT) AS n_fuzzy,
+             CAST(coalesce(h.max_jac_bp, 0) AS BIGINT) AS max_jac_bp,
+             coalesce(h.n_fuzzy, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
          WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""",
     "llm_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

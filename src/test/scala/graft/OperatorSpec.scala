@@ -1230,6 +1230,30 @@ class OperatorSpec extends SparkTestBase {
       "append duplicated or dropped vectors")
   }
 
+  test("llm_decontaminate_fuzzy: a planted paraphrase of an eval doc is " +
+      "flagged through the band join; unrelated text is not") {
+    import spark.implicits._
+    // doc 0 (0 % 37 == 0) is the eval doc; doc 1 paraphrases it by one
+    // word (3-gram Jaccard ≈ 35/41 ≈ 0.85 > 0.8); doc 2 is unrelated.
+    // Crucially doc 1 shares almost NO exact 5-gram run with an exact
+    // filter seeded differently — the fuzzy family's reason to exist.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val para = ((1 to 20).map(i => s"w$i") ++ Seq("CHANGED") ++
+      (22 to 40).map(i => s"w$i")).mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, para), (2L, other))
+      .toDF("doc_id", "text")
+    val sh = ops.Llm.shingleRowsOf(docs)
+    val band = ops.Llm.minhashBandedOf(sh.select("doc_id", "sh"))
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"))
+    val hits = ops.Llm.fuzzyContamHits(band, sets, 37L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 1L, 8536L)),
+      s"expected exactly the paraphrase flagged at 35*10000/41 bp: " +
+        s"${hits.toSeq}")
+  }
+
   test("agg_cms estimates respect the count-min one-sided bound") {
     val n = graft.util.Tables.events(spark, sf).count()
     val eps = 0.001
