@@ -2512,6 +2512,198 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  // ---- trained unigram-LM tokenizer (SentencePiece-style, r13) -------------
+
+  /** max word length the unigram DP handles (and the oracle unrolls);
+    * longer words are excluded on BOTH engines. Fixture words are ≤ 8
+    * chars — 12 keeps headroom without bloating the unrolled SQL. */
+  private[graft] val UniMaxWord = 12
+  /** max piece length — SentencePiece's max_sentencepiece_length idea. */
+  private[graft] val UniMaxPiece = 6
+
+  /** Integer Viterbi value of the best segmentation of `word`: the
+    * packed (cost · 64 + n_pieces) minimum — Long-ordered, so the lex
+    * (cost, n_pieces) minimum — over all segmentations into vocab
+    * pieces of length ≤ [[UniMaxPiece]]. Costs are INTEGER micro-nats
+    * (round(−10⁶·ln p), computed once at training and dumped), so the
+    * DP is pure integer min/add and the DuckDB replay cannot drift by
+    * a ulp the way float log-sums would. Unknown single chars cost
+    * `unk` (the count-1 floor), so every word segments. */
+  private[graft] def unigramSegPack(word: String,
+      cost: collection.Map[String, Long], unk: Long): Long = {
+    val n = word.length
+    val b = new Array[Long](n + 1)
+    java.util.Arrays.fill(b, Long.MaxValue)
+    b(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(UniMaxPiece, i)
+      while (l <= maxL) {
+        if (b(i - l) != Long.MaxValue) {
+          val piece = word.substring(i - l, i)
+          val c = cost.get(piece) match {
+            case Some(x) => x
+            case None => if (l == 1) unk else -1L
+          }
+          if (c >= 0L) {
+            val cand = (b(i - l) / 64L + c) * 64L + (b(i - l) % 64L + 1L)
+            if (cand < b(i)) b(i) = cand
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    b(n)
+  }
+
+  /** The best segmentation's PIECES (training's E-step needs the path):
+    * same DP as [[unigramSegPack]], parent pointers kept, ties on the
+    * packed value broken toward the LONGEST piece — engine-side only
+    * (the oracle needs values, never paths), but still deterministic so
+    * training reproduces run-to-run. */
+  private[graft] def unigramSegment(word: String,
+      cost: collection.Map[String, Long], unk: Long): List[String] = {
+    val n = word.length
+    val b = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(b, Long.MaxValue)
+    b(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(UniMaxPiece, i)
+      while (l <= maxL) {
+        if (b(i - l) != Long.MaxValue) {
+          val piece = word.substring(i - l, i)
+          val c = cost.get(piece) match {
+            case Some(x) => x
+            case None => if (l == 1) unk else -1L
+          }
+          if (c >= 0L) {
+            val cand = (b(i - l) / 64L + c) * 64L + (b(i - l) % 64L + 1L)
+            if (cand < b(i) || (cand == b(i) && l > back(i))) {
+              b(i) = cand; back(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var p = n
+    while (p > 0) { out = word.substring(p - back(p), p) :: out; p -= back(p) }
+    out
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018's SentencePiece unigram
+    * model, public knowledge) in its deterministic Viterbi-EM form over
+    * an aggregated (word, freq) table — vocabulary-sized driver work,
+    * the [[bpeTrain]] discipline: seed = all substrings (length ≤
+    * [[UniMaxPiece]]) of the word table, single chars unconditionally
+    * plus the top `maxMultis` multi-char substrings by (freq desc,
+    * piece asc); each EM round Viterbi-segments every word under the
+    * current integer costs, re-estimates counts from piece usage
+    * (frequency-weighted), prunes pieces that went unused, and floors
+    * every seed CHAR at count 1 so coverage never breaks. Returns the
+    * final (piece → integer cost) map and the unknown-char cost. */
+  private[graft] def unigramTrain(wordFreq: Seq[(String, Long)],
+      iters: Int, maxMultis: Int = 2000)
+      : (Map[String, Long], Long) = {
+    val seed = scala.collection.mutable.HashMap[String, Long]()
+    for {
+      (w, f) <- wordFreq
+      if w.length <= UniMaxWord
+      i <- 0 until w.length
+      l <- 1 to math.min(UniMaxPiece, w.length - i)
+    } {
+      val p = w.substring(i, i + l)
+      seed(p) = seed.getOrElse(p, 0L) + f
+    }
+    val chars = seed.keysIterator.filter(_.length == 1).toSeq.sorted
+    val multis = seed.toSeq
+      .filter { case (p, c) => p.length > 1 && c >= 2 }
+      .sortBy { case (p, c) => (-c, p) }.take(maxMultis)
+    var counts: Map[String, Long] =
+      (chars.map(c => c -> seed(c)) ++ multis).toMap
+    def costsOf(cnt: Map[String, Long]): (Map[String, Long], Long) = {
+      val total = cnt.values.sum.toDouble
+      (cnt.map { case (p, c) =>
+        p -> math.round(-1e6 * math.log(c / total))
+      }, math.round(-1e6 * math.log(1.0 / total)))
+    }
+    var (costs, unk) = costsOf(counts)
+    var it = 0
+    while (it < iters) {
+      val used = scala.collection.mutable.HashMap[String, Long]()
+      for ((w, f) <- wordFreq if w.length >= 1 && w.length <= UniMaxWord)
+        unigramSegment(w, costs, unk).foreach(p =>
+          used(p) = used.getOrElse(p, 0L) + f)
+      chars.foreach(c => if (!used.contains(c)) used(c) = 1L)
+      counts = used.toMap
+      val cu = costsOf(counts)
+      costs = cu._1; unk = cu._2
+      it += 1
+    }
+    (costs, unk)
+  }
+
+  /** Token counting with the TRAINED unigram tokenizer — the
+    * SentencePiece-style sibling of [[llm_bpe]] (r12 verdict stretch
+    * #8): trained on the even-doc word-frequency table (the llm_bpe
+    * convention), applied corpus-wide through a broadcast vocab and a
+    * per-task word memo. FULL oracle, not rows-only: iterative EM is
+    * inexpressible in SQL, but the trained vocabulary is deterministic
+    * and tiny, so the query dumps (piece, integer cost) + the
+    * unknown-char cost and the oracle replays the Viterbi DP itself —
+    * position-unrolled CTEs over integer packed (cost·64 + n_pieces)
+    * minima, exactly the engine's arithmetic (the llm_bpe
+    * dumped-merges discipline applied to a DP instead of a rewrite
+    * chain). Words longer than [[UniMaxWord]] chars are excluded on
+    * both engines (none exist in the fixtures). */
+  val llm_unigram: Q = (s, d) => {
+    import s.implicits._
+    val freq = documents(s, d)
+      .where(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w"))
+      .limit(10000)
+      .as[(String, Long)].collect().toSeq
+    val (costs, unk) = unigramTrain(freq, iters = 3)
+    dumpForOracle(s, d, "univocab") {
+      (costs.toSeq.sortBy(_._1) :+ ("" -> unk)).toDF("piece", "cost")
+    }
+    val bc = s.sparkContext.broadcast((costs, unk))
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (cs, u) = bc.value
+        val memo = scala.collection.mutable.HashMap[String, Long]()
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ", -1)
+              .filter(w => w.nonEmpty && w.length <= UniMaxWord)
+          var nPieces = 0L
+          var cost = 0L
+          words.foreach { w =>
+            val pack = memo.getOrElseUpdate(w, unigramSegPack(w, cs, u))
+            nPieces += pack % 64L
+            cost += pack / 64L
+          }
+          (id, words.length.toLong, nPieces, cost,
+            nPieces * 10000L / math.max(1L, words.length.toLong))
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "total_cost",
+        "pieces_per_word_bp")
+      .orderBy("doc_id")
+  }
+
   /** tf-idf with the smoothed formula ln((N+1)/(df+1))+1 pinned identically
     * in the oracle; top-5 terms per doc for doc_id < 50.
     *
@@ -4097,6 +4289,7 @@ object Llm {
     "llm_tokenize" -> llm_tokenize,
     "llm_token_count" -> llm_token_count,
     "llm_bpe" -> llm_bpe,
+    "llm_unigram" -> llm_unigram,
     "llm_tfidf" -> llm_tfidf,
     "llm_bm25" -> llm_bm25,
     "llm_bleu" -> llm_bleu,
@@ -4270,6 +4463,65 @@ object Llm {
     * verify run wrote. */
   private def aux(name: String): String =
     graft.util.OracleAux.currentDir + "/" + name + "/*.parquet"
+
+  /** the unigram replay: the SAME integer Viterbi the engine runs,
+    * position-unrolled — b_i = min over piece lengths l of
+    * (b_{i-l}.cost + cost(piece)) packed as cost·64 + n_pieces, with
+    * the dumped unknown-char cost as the l = 1 fallback. Pure integer
+    * min/add on the dumped costs: no float ln is ever recomputed, so
+    * the two engines cannot diverge by a ulp. */
+  private def uniOracleSql: String = {
+    val bs = (1 to UniMaxWord).map { i =>
+      val branches = (1 to math.min(UniMaxPiece, i)).map { l =>
+        if (l == 1)
+          s"""SELECT p.w, p.n,
+              (p.pack // 64 + coalesce(v.cost, (SELECT uc FROM unk))) * 64
+                + (p.pack % 64 + 1) AS pack
+            FROM b${i - 1} p LEFT JOIN vocab v
+              ON v.piece = substr(p.w, $i, 1)
+            WHERE p.n >= $i"""
+        else
+          s"""SELECT p.w, p.n,
+              (p.pack // 64 + v.cost) * 64 + (p.pack % 64 + 1) AS pack
+            FROM b${i - l} p JOIN vocab v
+              ON v.piece = substr(p.w, ${i - l + 1}, $l)
+            WHERE p.n >= $i"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""b$i AS (
+            SELECT w, n, min(pack) AS pack FROM (
+            $branches) GROUP BY w, n)"""
+    }.mkString(",\n        ")
+    val segs = (1 to UniMaxWord)
+      .map(i => s"SELECT w, pack FROM b$i WHERE n = $i")
+      .mkString("\n            UNION ALL ")
+    s"""WITH vocab AS (SELECT piece, cost
+          FROM read_parquet('${aux("univocab")}') WHERE piece <> ''),
+        unk AS (SELECT cost AS uc
+          FROM read_parquet('${aux("univocab")}') WHERE piece = ''),
+        occ AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE len(w) BETWEEN 1 AND $UniMaxWord),
+        dw AS (SELECT DISTINCT w, len(w) AS n FROM occ),
+        b0 AS (SELECT w, n, CAST(0 AS BIGINT) AS pack FROM dw),
+        $bs,
+        seg AS ($segs),
+        per AS (
+          SELECT o.doc_id, count(1) AS n_words,
+              sum(s.pack % 64) AS n_pieces,
+              sum(s.pack // 64) AS total_cost
+          FROM occ o JOIN seg s ON s.w = o.w GROUP BY 1)
+        SELECT d.doc_id,
+            CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+            CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+            CAST(coalesce(p.total_cost, 0) AS BIGINT) AS total_cost,
+            CAST(coalesce(p.n_pieces, 0) * 10000
+                 // greatest(1, coalesce(p.n_words, 0)) AS BIGINT)
+              AS pieces_per_word_bp
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
 
   /** the shared IVF-PQ full replay: coarse assignment, residual
     * encode, per-probed-cell LUT, m-ordered ADC fold, shortlist and
@@ -4855,6 +5107,7 @@ object Llm {
     // fold, then shortlist-50 → exact rerank → top-10. Candidates are
     // implicitly restricted to probed cells by the enc⋈lut cell join —
     // the same pruning the Spark flatMap applies
+    "llm_unigram" -> uniOracleSql,
     "llm_ann_ivfpq" -> ivfPqOracleSql,
     // the indexed variant is row-identical by construction (same model,
     // same encode; base + frozen-append ≡ full encode) — the SAME full

@@ -1254,6 +1254,33 @@ class OperatorSpec extends SparkTestBase {
         s"${hits.toSeq}")
   }
 
+  test("llm_unigram: segmentation round-trips, the packed DP value " +
+      "matches the path, and training compresses vs the char baseline") {
+    val words = Seq("orchestra" -> 50L, "orchestral" -> 30L,
+      "orchid" -> 20L, "chest" -> 40L, "rat" -> 10L, "a" -> 5L)
+      .map { case (w, f) => (w.take(ops.Llm.UniMaxWord), f) }
+    val (costs, unk) = ops.Llm.unigramTrain(words, iters = 3)
+    // coverage: every training word segments and round-trips
+    words.foreach { case (w, _) =>
+      val seg = ops.Llm.unigramSegment(w, costs, unk)
+      assert(seg.mkString("") == w, s"round-trip broke for '$w': $seg")
+      // the value DP and the path DP agree on (cost, n_pieces)
+      val pack = ops.Llm.unigramSegPack(w, costs, unk)
+      assert(pack % 64 == seg.length,
+        s"packed n_pieces ${pack % 64} != path length ${seg.length} ($w)")
+      // trained pieces beat the single-char baseline
+      assert(seg.length <= w.length)
+    }
+    // the model learned multi-char pieces at all
+    assert(costs.keys.exists(_.length > 1),
+      "training kept no multi-char piece")
+    // compression is real: frequent words segment into FEW pieces
+    assert(ops.Llm.unigramSegment("orchestra", costs, unk).length <= 3)
+    // unknown chars fall back to the unk cost instead of failing
+    val oov = ops.Llm.unigramSegment("zzz", costs, unk)
+    assert(oov == List("z", "z", "z"))
+  }
+
   test("agg_cms estimates respect the count-min one-sided bound") {
     val n = graft.util.Tables.events(spark, sf).count()
     val eps = 0.001
