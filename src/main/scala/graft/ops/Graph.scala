@@ -785,19 +785,27 @@ object Graph {
     var (done, doneR) = graft.util.Iterate.checkpoint(
       sp.emptyDataset[(Long, Long)].toDF("node", "scc"))
     var round = 0
+    // registered flips only after the result RDD is handed to the
+    // result registry: every loud exit (the 128-round bound, a failed
+    // propagation) must release the accumulated done blocks too, per
+    // the unpersist-in-finally invariant (review finding, r13)
+    var registered = false
     try {
       while (remaining.limit(1).count() > 0) {
         require(round < 128,
           "sccDistributed exceeded 128 pivot rounds — adversarially " +
             "chain-ordered ids; raise the driver budget for this graph")
         val (f, fR) = minReach(sp, edges, remaining, forward = true, "fmin")
-        val (b, bR) = minReach(sp, edges, remaining, forward = false, "bmin")
-        val matched = f.join(b, "node")
-          .where(col("fmin") === col("bmin"))
-          .select(col("node"), col("fmin").as("scc"))
-        val (mChk, mR) = graft.util.Iterate.checkpoint(matched)
-        fR.unpersist(blocking = false)
-        bR.unpersist(blocking = false)
+        val mChkR = try {
+          val (b, bR) = minReach(sp, edges, remaining, forward = false,
+            "bmin")
+          try {
+            graft.util.Iterate.checkpoint(f.join(b, "node")
+              .where(col("fmin") === col("bmin"))
+              .select(col("node"), col("fmin").as("scc")))
+          } finally bR.unpersist(blocking = false)
+        } finally fR.unpersist(blocking = false)
+        val (mChk, mR) = mChkR
         val (nextDone, nextDoneR) =
           graft.util.Iterate.checkpoint(done.union(mChk))
         val (nextRem, nextRemR) = graft.util.Iterate.checkpoint(
@@ -815,10 +823,12 @@ object Graph {
         round += 1
       }
       graft.util.Iterate.registerResult("graph_scc", doneR)
+      registered = true
       done
     } finally {
       remR.unpersist(blocking = false)
       edgesR.unpersist(blocking = false)
+      if (!registered) doneR.unpersist(blocking = false)
     }
   }
 
@@ -830,9 +840,17 @@ object Graph {
   private def minReach(s: SparkSession, edgesIn: DataFrame,
       nodes: DataFrame, forward: Boolean, out: String)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val e0 = if (forward) edgesIn
-      else edgesIn.select(col("t").as("s"), col("s").as("t"))
-    val (e, eR) = graft.util.Iterate.checkpoint(e0)
+    // the forward direction reads the caller's already-checkpointed
+    // edges verbatim — re-checkpointing it would materialize a
+    // redundant full copy per round (review finding, r13); only the
+    // flipped set needs its own checkpoint
+    val (e, eR) =
+      if (forward) (edgesIn, None)
+      else {
+        val c = graft.util.Iterate.checkpoint(
+          edgesIn.select(col("t").as("s"), col("s").as("t")))
+        (c._1, Some(c._2))
+      }
     var (lbl, lblR) = graft.util.Iterate.checkpoint(
       nodes.select(col("node"), col("node").as("m")))
     try {
@@ -856,7 +874,7 @@ object Graph {
         hops += 1
       }
       (lbl.select(col("node"), col("m").as(out)), lblR)
-    } finally eR.unpersist(blocking = false)
+    } finally eR.foreach(_.unpersist(blocking = false))
   }
 
   val queries: Seq[(String, Q)] = Seq(

@@ -2215,6 +2215,22 @@ object Llm {
   private val ivfPqIndexBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** the standard vec_id-0 query vector, memoized per (application,
+    * sfDir): the shortlist probe and the rerank tail both need it, and
+    * re-collecting costs a full embeddings scan per call (review
+    * finding, r13). Deterministic over immutable fixtures, like every
+    * memo here. */
+  private val qv0Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Double]]()
+
+  private def queryVec0(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Double] =
+    qv0Cache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      import s.implicits._
+      embDouble(s, d).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    })
+
   /** The persisted index: the base (even-id) corpus coded and written
     * once as the cell-partitioned layout, then the odd-id batch coded
     * with the SAME frozen model and appended — the [[llm_ann_incr]]
@@ -2247,8 +2263,7 @@ object Llm {
     import s.implicits._
     val dir = ivfPqIndexDir(s, d)
     val (coarse, rbooks) = trainIvfPq(s, d)
-    val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    val qv = queryVec0(s, d)
     val probes: Array[Int] = coarse.zipWithIndex
       .map { case (cv, c) => (l2sqArr(qv, cv), c) }
       .sortBy { case (dd, c) => (dd, c) }.take(IvfPqProbes).map(_._2)
@@ -2296,8 +2311,7 @@ object Llm {
         cb.zipWithIndex.map { case (cv, code) => (m, code, cv.toSeq) }
       }.toSeq.toDF("m", "code", "cv")
     }
-    val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+    val qv = queryVec0(s, d)
     ivfPqIndexShortlist(s, d)
       .orderBy(asc("adc_raw"), asc("neighbor_id"))
       .limit(50)
@@ -4469,7 +4483,12 @@ object Llm {
     * (b_{i-l}.cost + cost(piece)) packed as cost·64 + n_pieces, with
     * the dumped unknown-char cost as the l = 1 fallback. Pure integer
     * min/add on the dumped costs: no float ln is ever recomputed, so
-    * the two engines cannot diverge by a ulp. */
+    * the two engines cannot diverge by a ulp. Every b_i (and the
+    * occ/dw feeders) is AS MATERIALIZED — each b_i references up to
+    * [[UniMaxPiece]] predecessors, and DuckDB's per-reference CTE
+    * inlining would otherwise expand the chain hexanacci-fashion into
+    * thousands of re-splits of every document (the graph_kcore oracle
+    * lesson; review finding, r13). */
   private def uniOracleSql: String = {
     val bs = (1 to UniMaxWord).map { i =>
       val branches = (1 to math.min(UniMaxPiece, i)).map { l =>
@@ -4487,7 +4506,7 @@ object Llm {
               ON v.piece = substr(p.w, ${i - l + 1}, $l)
             WHERE p.n >= $i"""
       }.mkString("\n            UNION ALL\n            ")
-      s"""b$i AS (
+      s"""b$i AS MATERIALIZED (
             SELECT w, n, min(pack) AS pack FROM (
             $branches) GROUP BY w, n)"""
     }.mkString(",\n        ")
@@ -4498,13 +4517,13 @@ object Llm {
           FROM read_parquet('${aux("univocab")}') WHERE piece <> ''),
         unk AS (SELECT cost AS uc
           FROM read_parquet('${aux("univocab")}') WHERE piece = ''),
-        occ AS (
+        occ AS MATERIALIZED (
           SELECT doc_id, w FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM documents)
           WHERE len(w) BETWEEN 1 AND $UniMaxWord),
-        dw AS (SELECT DISTINCT w, len(w) AS n FROM occ),
-        b0 AS (SELECT w, n, CAST(0 AS BIGINT) AS pack FROM dw),
+        dw AS MATERIALIZED (SELECT DISTINCT w, len(w) AS n FROM occ),
+        b0 AS MATERIALIZED (SELECT w, n, CAST(0 AS BIGINT) AS pack FROM dw),
         $bs,
         seg AS ($segs),
         per AS (

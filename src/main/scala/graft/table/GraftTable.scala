@@ -1332,15 +1332,23 @@ object GraftTable {
     * per file, so the plan stays O(epochs) at any file count; parquet
     * reads columns by name, so a single logical-schema scan over
     * pre-rename files would silently read the renamed column as
-    * all-NULL, exactly the failure this split exists to prevent. */
+    * all-NULL, exactly the failure this split exists to prevent.
+    *
+    * `project` runs on each epoch's physical-name scan BEFORE the
+    * positional relabel to `outNames` — the DV-aware read appends its
+    * metadata columns there. ONE copy of the epoch machinery for both
+    * read paths (review finding, r13). */
   private def readPhysical(spark: SparkSession, root: String,
-      schema: StructType, files: List[FileEntry]): DataFrame = {
+      schema: StructType, files: List[FileEntry],
+      project: DataFrame => DataFrame = identity,
+      extraNames: Seq[String] = Nil): DataFrame = {
+    val outNames = schema.fieldNames.toSeq ++ extraNames
     def scan(ph: Map[String, String], fs: List[FileEntry]): DataFrame = {
       val physSchema = StructType(schema.fields.map(f =>
         ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
-      val df = spark.read.schema(physSchema)
-        .parquet(fs.map(f => s"$root/${f.path}"): _*)
-      if (ph.isEmpty) df else df.toDF(schema.fieldNames.toSeq: _*)
+      val df = project(spark.read.schema(physSchema)
+        .parquet(fs.map(f => s"$root/${f.path}"): _*))
+      if (ph.isEmpty) df else df.toDF(outNames: _*)
     }
     val groups = files.groupBy(_.phys.getOrElse(Map.empty[String, String]))
     if (groups.size == 1) scan(groups.head._1, groups.head._2)
@@ -1367,25 +1375,17 @@ object GraftTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("__rel", "string").add("__ri", "long"))
-    // same rename-epoch grouping as readPhysical: a logical-schema scan
-    // over a pre-RENAME file would read the renamed column as all-NULL
-    def scanPos(ph: Map[String, String], fs: List[FileEntry]): DataFrame = {
-      val physSchema = StructType(schema.fields.map(f =>
-        ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
-      spark.read.schema(physSchema)
-        .parquet(fs.map(f => s"$root/${f.path}"): _*)
-        .select(col("*"),
-          // table-relative path derived IN the plan, so the match with
-          // FileEntry.path is scheme/root-form independent (file_path is
-          // a URI; the manifest stores data/c-<uuid>/<part> suffixes)
-          regexp_extract(col("_metadata.file_path"),
-            "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
-          col("_metadata.row_index").as("__ri"))
-        .toDF(schema.fieldNames.toSeq ++ Seq("__rel", "__ri"): _*)
-    }
-    val base = files.groupBy(_.phys.getOrElse(Map.empty[String, String]))
-      .toSeq.sortBy(_._1.size).map((scanPos _).tupled)
-      .reduce(_ unionByName _)
+    // the shared rename-epoch scan, with the positional provenance
+    // columns appended per epoch: table-relative path derived IN the
+    // plan, so the match with FileEntry.path is scheme/root-form
+    // independent (file_path is a URI; the manifest stores
+    // data/c-<uuid>/<part> suffixes)
+    val base = readPhysical(spark, root, schema, files,
+      project = df => df.select(col("*"),
+        regexp_extract(col("_metadata.file_path"),
+          "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
+        col("_metadata.row_index").as("__ri")),
+      extraNames = Seq("__rel", "__ri"))
     val dvd = files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) base
     else {
