@@ -877,8 +877,123 @@ object Graph {
     } finally eR.foreach(_.unpersist(blocking = false))
   }
 
+  /** Topological LAYERING of the SCC condensation — the directed
+    * family's scheduling primitive (what "which task batches can run in
+    * parallel" asks of a dependency graph): condense the directed graph
+    * to its SCC DAG (one node per component, distinct cross-component
+    * edges), then layer(c) = the longest path length from any source to
+    * c — the earliest parallel wave c can run in. Output one row per
+    * component: (scc, layer, n_members). Composes the shared
+    * [[sccOf]] labels with a budget-dispatched longest-path kernel
+    * ([[topoLayersOf]]); the condensed relation is components-sized,
+    * never edge-sized, and the label join broadcasts (labels ≪ edges).
+    * The oracle replays condensation + the layer as a recursive max-
+    * depth walk (finite BECAUSE the condensation is a DAG). */
+  val graph_topo: Q = (s, d) => {
+    val sp = s
+    val e = directedSupplierEdges(s, d).cache()
+    try {
+      val comp = sccOf(s, e, Llm.CcDriverBudgetEdges).cache()
+      try {
+        val labS = comp.select(col("node").as("s"), col("scc").as("cs"))
+        val labT = comp.select(col("node").as("t"), col("scc").as("ct"))
+        val ced = e.join(broadcast(labS), "s").join(broadcast(labT), "t")
+          .where(col("cs") =!= col("ct"))
+          .select("cs", "ct").distinct()
+        val comps = comp.select(col("scc")).distinct()
+        val members = comp.groupBy("scc")
+          .agg(count(lit(1)).as("n_members"))
+        topoLayersOf(sp, comps, ced, Llm.CcDriverBudgetEdges)
+          .join(members, "scc")
+          .select(col("scc"), col("layer"), col("n_members"))
+          .orderBy("scc")
+      } finally comp.unpersist()
+    } finally e.unpersist()
+  }
+
+  /** layer(c) = longest path from any source to c over a DAG, budget-
+    * dispatched: driver DP in reverse-topological (Kahn) order under
+    * the edge budget, distributed max-relaxation rounds above (each
+    * round one join + one max-aggregate, layer values only ever grow,
+    * fixpoint in O(longest path) rounds, loudly bounded — a cycle
+    * would relax forever, and the bound names that instead of
+    * hanging). Arm-equality is GraphSpec's. */
+  private[graft] def topoLayersOf(s: SparkSession, compsIn: DataFrame,
+      cedIn: DataFrame, driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val ced = cedIn.select(col("cs").cast("long"), col("ct").cast("long"))
+      .cache()
+    val comps = compsIn.select(col("scc").cast("long")).cache()
+    try {
+      val n = ced.count()
+      if (n <= driverBudgetEdges) {
+        val es = ced.as[(Long, Long)].collect()
+        val all = comps.as[Long].collect()
+        val indeg = scala.collection.mutable.HashMap[Long, Int]()
+        all.foreach(c => indeg(c) = 0)
+        es.foreach { case (_, t) => indeg(t) = indeg(t) + 1 }
+        val out = es.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val layer = scala.collection.mutable.HashMap[Long, Int]()
+        all.foreach(c => layer(c) = 0)
+        val queue = scala.collection.mutable.Queue(
+          all.filter(indeg(_) == 0).sorted: _*)
+        var seen = 0
+        while (queue.nonEmpty) {
+          val c = queue.dequeue(); seen += 1
+          out.getOrElse(c, Array.empty[Long]).foreach { t =>
+            if (layer(c) + 1 > layer(t)) layer(t) = layer(c) + 1
+            indeg(t) -= 1
+            if (indeg(t) == 0) queue.enqueue(t)
+          }
+        }
+        require(seen == all.length,
+          s"topoLayersOf: condensation is not a DAG ($seen of " +
+            s"${all.length} drained) — SCC labeling broke")
+        s.createDataset(all.toSeq.map(c => (c, layer(c))))
+          .toDF("scc", "layer")
+      } else topoLayersDistributed(s, comps, ced)
+    } finally { ced.unpersist(); comps.unpersist() }
+  }
+
+  private def topoLayersDistributed(s: SparkSession, comps: DataFrame,
+      ced: DataFrame): DataFrame = {
+    var (lay, layR) = graft.util.Iterate.checkpoint(
+      comps.select(col("scc"), lit(0).as("layer")))
+    var registered = false
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        require(rounds < 128,
+          "topoLayersDistributed exceeded 128 relaxation rounds — the " +
+            "condensation holds a cycle or a >128-layer chain")
+        val pushed = ced
+          .join(lay.select(col("scc").as("cs"), col("layer").as("ls")),
+            "cs")
+          .groupBy(col("ct").as("scc"))
+          .agg(max(col("ls") + 1).as("pushed"))
+        val next = lay.join(pushed, Seq("scc"), "left")
+          .select(col("scc"),
+            greatest(col("layer"), coalesce(col("pushed"), col("layer")))
+              .as("layer"))
+        val (nChk, nR) = graft.util.Iterate.checkpoint(next)
+        changed = nChk.join(
+            lay.select(col("scc"), col("layer").as("l0")), "scc")
+          .where(col("layer") > col("l0")).limit(1).count()
+        layR.unpersist(blocking = false)
+        lay = nChk; layR = nR
+        rounds += 1
+      }
+      graft.util.Iterate.registerResult("graph_topo", layR)
+      registered = true
+      lay
+    } finally if (!registered) layR.unpersist(blocking = false)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_scc" -> graph_scc,
+    "graph_topo" -> graph_topo,
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
     "graph_triangles" -> graph_triangles,
@@ -902,6 +1017,35 @@ object Graph {
         sym AS (SELECT a AS s, b AS t FROM edges
                 UNION ALL SELECT b AS s, a AS t FROM edges),
         nodes AS (SELECT DISTINCT s AS node FROM sym)"""
+
+  /** the SCC replay CTEs shared by graph_scc and graph_topo: the
+    * directed derivation (orientation parity + reverse slice), the
+    * reachability closure, and comp = per-node min mutual partner. */
+  private def sccCtes: String =
+    s"""dedges AS (
+            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN a ELSE b END AS s,
+                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN b ELSE a END AS t
+            FROM edges
+            UNION
+            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN b ELSE a END AS s,
+                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
+                             % 2 = 0 THEN a ELSE b END AS t
+            FROM edges
+            WHERE ((a * 7 + b * 13) % 1000003) % 4 = 0),
+          dnodes AS (
+            SELECT DISTINCT s AS node FROM
+              (SELECT s FROM dedges UNION ALL SELECT t AS s FROM dedges)),
+          reach(node, r) AS (
+            SELECT node, node FROM dnodes
+            UNION
+            SELECT w.node, e.t FROM reach w JOIN dedges e ON w.r = e.s),
+          comp AS (
+            SELECT p.node, min(p.r) AS scc
+            FROM reach p JOIN reach q ON p.node = q.r AND p.r = q.node
+            GROUP BY p.node)"""
 
   /** 8 unrolled PageRank iterations as chained CTEs — the same integer
     * arithmetic as the Spark loop (`//` is DuckDB's integer division;
@@ -934,29 +1078,30 @@ object Graph {
     // reflexive seed)
     "graph_scc" ->
       s"""WITH RECURSIVE ${edgeCtes(23)},
-          dedges AS (
-            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
-                             % 2 = 0 THEN a ELSE b END AS s,
-                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
-                             % 2 = 0 THEN b ELSE a END AS t
-            FROM edges
+          $sccCtes
+          SELECT node, scc FROM comp ORDER BY node""",
+    // condensation + longest-path layering: every component seeds the
+    // walk at 0, each condensed edge adds 1, layer = max depth reached
+    // — finite BECAUSE the condensation is a DAG (the recursion itself
+    // would loop on a mislabeled SCC, which is its own loud check)
+    "graph_topo" ->
+      s"""WITH RECURSIVE ${edgeCtes(23)},
+          $sccCtes,
+          cedges AS (
+            SELECT DISTINCT a.scc AS cs, b.scc AS ct
+            FROM dedges e JOIN comp a ON a.node = e.s
+              JOIN comp b ON b.node = e.t
+            WHERE a.scc <> b.scc),
+          walk(c, dep) AS (
+            SELECT scc, 0 FROM (SELECT DISTINCT scc FROM comp)
             UNION
-            SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
-                             % 2 = 0 THEN b ELSE a END AS s,
-                   CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
-                             % 2 = 0 THEN a ELSE b END AS t
-            FROM edges
-            WHERE ((a * 7 + b * 13) % 1000003) % 4 = 0),
-          dnodes AS (
-            SELECT DISTINCT s AS node FROM
-              (SELECT s FROM dedges UNION ALL SELECT t AS s FROM dedges)),
-          reach(node, r) AS (
-            SELECT node, node FROM dnodes
-            UNION
-            SELECT w.node, e.t FROM reach w JOIN dedges e ON w.r = e.s)
-          SELECT p.node, min(p.r) AS scc
-          FROM reach p JOIN reach q ON p.node = q.r AND p.r = q.node
-          GROUP BY p.node ORDER BY p.node""",
+            SELECT e.ct, w.dep + 1 FROM walk w JOIN cedges e ON e.cs = w.c),
+          lay AS (SELECT c AS scc, max(dep) AS layer FROM walk GROUP BY c),
+          mem AS (SELECT scc, count(1) AS n_members FROM comp GROUP BY scc)
+          SELECT l.scc, CAST(l.layer AS INT) AS layer,
+              CAST(m.n_members AS BIGINT) AS n_members
+          FROM lay l JOIN mem m ON m.scc = l.scc
+          ORDER BY l.scc""",
     // reachability closure as a recursive CTE; component = min reachable
     "graph_cc" ->
       s"""WITH RECURSIVE ${edgeCtes(59)},

@@ -1526,9 +1526,28 @@ object GraftTable {
           // content-invariant by construction: no change rows
           readEntries(spark, root, cur, Nil)
             .withColumn("_change_type", lit("insert")).limit(0)
-        case _ => // merge / delete: row-diff rewrites vs predecessors
-          val oldRows = readEntries(spark, root, prev, removed)
+        case op if op.startsWith("alter_") =>
+          // metadata-only commits (ADD COLUMNS, RENAME COLUMN) move no
+          // rows — without this arm the row-diff below would join
+          // structs whose FIELD NAMES differ across the commit and die
+          // at analysis (r13 latent-divergence audit)
+          readEntries(spark, root, cur, Nil)
+            .withColumn("_change_type", lit("insert")).limit(0)
+        case _ => // merge / delete / restore: row-diff vs predecessors
+          val oldRows0 = readEntries(spark, root, prev, removed)
           val newRows = readEntries(spark, root, cur, added)
+          // a RESTORE can cross schema evolution: same-width name drift
+          // (a rename) relabels positionally — rename is the identity
+          // on data, so the diff stays exact; a WIDTH change has no
+          // sound row diff (the struct comparison would compare
+          // different shapes) and fails loudly instead of guessing
+          require(oldRows0.columns.length == newRows.columns.length,
+            s"row-level CDC across commit $v of $root spans a schema-" +
+              "width change (restore across ADD COLUMNS); consume the " +
+              "history in two ranges split at that commit")
+          val oldRows =
+            if (oldRows0.columns.sameElements(newRows.columns)) oldRows0
+            else oldRows0.toDF(newRows.columns.toSeq: _*)
           val oldS = oldRows.select(col(keyCol).as("__k"),
             struct(oldRows.columns.map(col): _*).as("__old"))
           val newS = newRows.select(col(keyCol).as("__k"),
@@ -1550,6 +1569,20 @@ object GraftTable {
       }
       step.withColumn("_commit_snapshot", lit(v))
     }
-    steps.reduce(_.unionByName(_, allowMissingColumns = true))
+    // present the WHOLE history in the TO-snapshot's column names (the
+    // Delta CDF latest-schema convention): evolution is add-only +
+    // in-place rename, so column i at any earlier snapshot IS column i
+    // of the target's prefix — each step relabels positionally before
+    // the union, otherwise a rename would split the history into an
+    // old-name column and a new-name column, each half-null (r13
+    // latent-divergence audit). allowMissingColumns still null-fills
+    // columns added after a step's commit.
+    val targetNames = DataType.fromJson(manifest(root, toSnapshot)
+      .schemaJson).asInstanceOf[StructType].fieldNames.toSeq
+    steps.map { st =>
+      val n = st.columns.length - 2 // _change_type, _commit_snapshot
+      st.toDF(targetNames.take(n) ++
+        Seq("_change_type", "_commit_snapshot"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

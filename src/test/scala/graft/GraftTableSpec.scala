@@ -2297,6 +2297,37 @@ class GraftTableSpec extends SparkTestBase {
     assert(df.where(col("note") === "v8").count() == 1)
   }
 
+  test("rename column vs CDC: the alter commit emits zero change rows, " +
+      "the history reads in the TO-snapshot's names, and restore across " +
+      "the rename row-diffs positionally") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1) // v1
+    GraftTable.alterRenameColumn(root, "payload", "note") // v2
+    GraftTable.append(spark, root,
+      Seq((100L, "n100")).toDF("id", "note"), Seq("id"), Seq("id")) // v3
+    val cdc = GraftTable.changesBetweenRows(spark, root, 0, 3, "id")
+    assert(cdc.columns.toSeq ==
+      Seq("id", "note", "_change_type", "_commit_snapshot"),
+      "CDC must present the whole history in the LATEST names")
+    assert(cdc.where(col("_commit_snapshot") === 2).count() == 0,
+      "a metadata-only rename commit must emit zero change rows")
+    // the pre-rename create rows carry their data under the NEW name —
+    // a name split would leave 'note' null for them
+    assert(cdc.where(col("_commit_snapshot") === 1 &&
+      col("note").isNull).count() == 0)
+    assert(cdc.count() == 11)
+    // restore ACROSS the rename (v4 = back to v1's old-name schema):
+    // the row diff relabels positionally, so the appended row reads as
+    // a clean delete, nothing else changes
+    GraftTable.restore(root, 1) // v4
+    val r = GraftTable.changesBetweenRows(spark, root, 3, 4, "id")
+    assert(r.select("_change_type").as[String].collect().toSeq ==
+      Seq("delete"))
+    assert(r.head().getLong(0) == 100L)
+  }
+
   test("sql rename column: registered Ref follows a key rename so DML " +
       "keeps working; DROP/ALTER COLUMN stay loud") {
     val root = sqlTable("rencol_t", n = 5)

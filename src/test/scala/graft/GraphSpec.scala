@@ -123,6 +123,49 @@ class GraphSpec extends SparkTestBase {
     assert(rd == rp, "random-graph arms must be value-identical")
   }
 
+  test("graph_topo: layers hand-check on a planted condensation, both " +
+      "arms agree on fixture and planted DAGs, cycles are loud") {
+    import spark.implicits._
+    // fixture: driver arm (graph_topo) vs forced-distributed layering
+    val e = ops.Graph.directedSupplierEdges(spark, sf01).cache()
+    val comp = ops.Graph.sccOf(spark, e, Long.MaxValue).cache()
+    val labS = comp.select(col("node").as("s"), col("scc").as("cs"))
+    val labT = comp.select(col("node").as("t"), col("scc").as("ct"))
+    val ced = e.join(labS, "s").join(labT, "t")
+      .where(col("cs") =!= col("ct")).select("cs", "ct").distinct()
+    val comps = comp.select("scc").distinct()
+    val driver = ops.Graph.topoLayersOf(spark, comps, ced, Long.MaxValue)
+      .orderBy("scc").as[(Long, Int)].collect().toSeq
+    val dist = ops.Graph.topoLayersOf(spark, comps, ced, 0L)
+      .orderBy("scc").as[(Long, Int)].collect().toSeq
+    e.unpersist(); comp.unpersist()
+    assert(driver.nonEmpty && driver == dist,
+      "layer arms must be value-identical")
+    assert(driver.map(_._2).max >= 1, "fixture layering must be deep")
+    // planted DAG: diamond 1→{2,3}→4 plus a long tail 4→5→6 and an
+    // isolated node 9 — layers are the hand-computed longest paths
+    def layers(es: Seq[(Long, Long)], cs: Seq[Long],
+        budget: Long): Map[Long, Int] =
+      ops.Graph.topoLayersOf(spark, cs.toDF("scc"),
+        es.toDF("cs", "ct"), budget)
+        .as[(Long, Int)].collect().toMap
+    val des = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L)
+    val cs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L)
+    val want = Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3,
+      6L -> 4, 9L -> 0)
+    assert(layers(des, cs, Long.MaxValue) == want)
+    assert(layers(des, cs, 0L) == want)
+    // a cycle (impossible from a correct condensation) is loud, not a
+    // hang, on BOTH arms
+    intercept[IllegalArgumentException] {
+      layers(Seq(1L -> 2L, 2L -> 1L), Seq(1L, 2L), Long.MaxValue)
+    }
+    intercept[IllegalArgumentException] {
+      layers(Seq(1L -> 2L, 2L -> 1L), Seq(1L, 2L), 0L)
+    }
+  }
+
   test("graph_kcore: equals a driver-side peel; both arms agree; " +
       "adversarial path-into-cycle converges to exactly the cycle") {
     import spark.implicits._
