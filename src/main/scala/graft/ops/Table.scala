@@ -856,6 +856,54 @@ object Table {
       .orderBy("src", "o_orderpriority")
   }
 
+  /** `SHOW TAGS` / `SHOW BRANCHES` (r13 — the ref introspection beside
+    * SHOW TABLES: tags and branches are retention roots, so an
+    * unlistable ref pins storage invisibly): the story plants a pinned
+    * tag, a created-then-DROPPED tag, a written branch and an empty
+    * branch, then reads both verbs — SHOW TAGS lists the WHOLE ref
+    * namespace kind-tagged (tag pinned snapshot = head; branch fork
+    * point + current head), SHOW BRANCHES only branches, the dropped
+    * tag absent from both. Literal oracle like table_sql_show — every
+    * id is pinned by the fixture's commit recipe. */
+  val table_sql_refs: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_refs_orders")
+    val name = "sql_refs_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (o_orderkey BIGINT, o_year INT)
+            USING graft OPTIONS (key 'o_orderkey') LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, CAST(year(o_orderdate) AS INT)
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, CAST(year(o_orderdate) AS INT)
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1998""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name CREATE TAG archive AS OF SNAPSHOT 2")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name CREATE TAG doomed")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name DROP TAG doomed")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name CREATE BRANCH wip")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name@wip
+            SELECT o_orderkey, CAST(year(o_orderdate) AS INT)
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1999""")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name CREATE BRANCH idle")
+    }
+    def tagged(sql: String, src: String) =
+      graft.sql.GraftSql.sql(s, sql)
+        .select(lit(src).as("src"), col("name"), col("kind"),
+          col("snapshot"), col("head"))
+    tagged(s"SHOW TAGS $name", "show_tags")
+      .unionByName(tagged(s"SHOW BRANCHES $name", "show_branches"))
+      .orderBy("src", "name")
+  }
+
   /** `ALTER TABLE ... RENAME COLUMN` from pure SQL (r12 verdict missing
     * #4 — the most common evolution after add): a METADATA-ONLY commit
     * (zero data movement; the manifest re-keys the schema and stats and
@@ -1099,6 +1147,7 @@ object Table {
     "table_sql_show" -> table_sql_show,
     "table_sql_rename_col" -> table_sql_rename_col,
     "table_sql_branch" -> table_sql_branch,
+    "table_sql_refs" -> table_sql_refs,
     "table_scd2" -> table_scd2,
     "table_incr_agg" -> table_incr_agg,
     "table_time_travel" -> table_time_travel,
@@ -1256,6 +1305,19 @@ object Table {
            (4, 'o_band', 'string', true))
          t(ord, col_name, data_type, nullable)
          ORDER BY ord""",
+    // the literal surviving ref namespace: the pinned tag (snapshot 2 =
+    // head), the written branch (fork 3, head 4) and the idle branch
+    // (fork = head = 3); the dropped tag absent — an unlistable or
+    // undead ref IS the failure mode SHOW exists to surface
+    "table_sql_refs" ->
+      """SELECT * FROM (VALUES
+           ('show_branches', 'idle', 'branch', 3, 3),
+           ('show_branches', 'wip', 'branch', 3, 4),
+           ('show_tags', 'archive', 'tag', 2, 2),
+           ('show_tags', 'idle', 'branch', 3, 3),
+           ('show_tags', 'wip', 'branch', 3, 4))
+         t(src, name, kind, snapshot, head)
+         ORDER BY src, name""",
     // three truths replayed statically: pre-publish main = ≤1997 (the
     // branch write must NOT have leaked), the branch head = ≤1998 (the
     // staged batch on top of the fork), latest = everything (publish +

@@ -75,6 +75,12 @@ object GraftSqlMaint {
   private val PublishBranch =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+PUBLISH\s+BRANCH\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  private val ShowTags =
+    ("""(?is)^\s*SHOW\s+TAGS\s+(?:FROM\s+|IN\s+)?""" + Ident +
+      """\s*;?\s*$""").r
+  private val ShowBranches =
+    ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:FROM\s+|IN\s+)?""" + Ident +
+      """\s*;?\s*$""").r
   // `INSERT INTO t@b SELECT ...` — the branch-addressed write. Spark's
   // parser rejects the `@` form outright, so the text seam must own it
   // (like VACUUM/OPTIMIZE); the SELECT tail re-parses through the
@@ -135,6 +141,10 @@ object GraftSqlMaint {
     case InsertBranch(name, b, tail)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftInsertBranchCommand(partsOf(name), b, tail))
+    case ShowTags(name) =>
+      Some(GraftShowRefsCommand(partsOf(name), branchesOnly = false))
+    case ShowBranches(name) =>
+      Some(GraftShowRefsCommand(partsOf(name), branchesOnly = true))
     case _ => None
   }
 
@@ -449,5 +459,37 @@ case class GraftInsertBranchCommand(parts: Seq[String], branch: String,
         baseHead = Some(head))
     } finally aligned.unpersist()
     Seq.empty
+  }
+}
+
+/** `SHOW TAGS <name>` / `SHOW BRANCHES <name>`: enumerate the table's
+  * named refs as (name, kind, snapshot, head) rows sorted by name —
+  * the ref introspection beside the registry's SHOW TABLES (a tag or
+  * branch is addressable and retention-rooted, so it must be listable
+  * or dropped refs pin storage invisibly). For a tag, snapshot = head =
+  * the pinned id; for a branch, snapshot = the fork point and head =
+  * what a branch-addressed read sees right now. SHOW TAGS lists BOTH
+  * kinds (the whole ref namespace, kind-tagged — the SHOW TABLES
+  * one-surface discipline); SHOW BRANCHES only branches. Driver-side
+  * metadata listing; no job at any scale. */
+case class GraftShowRefsCommand(parts: Seq[String],
+    branchesOnly: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("snapshot", IntegerType, nullable = false)(),
+    AttributeReference("head", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    val tags =
+      if (branchesOnly) Nil
+      else GraftTable.tags(ref.root).toSeq.map { case (n, v) =>
+        (n, "tag", v, v)
+      }
+    val branches = GraftTable.branches(ref.root).toSeq.map { case (n, f) =>
+      (n, "branch", f, GraftTable.branchHead(ref.root, n))
+    }
+    (tags ++ branches).sortBy(_._1)
+      .map { case (n, k, v, h) => Row(n, k, v, h) }
   }
 }

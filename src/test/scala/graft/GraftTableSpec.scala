@@ -2433,12 +2433,26 @@ class GraftTableSpec extends SparkTestBase {
       assert(GraftSql.sql(spark,
         "SELECT count(1) AS n FROM wap_t").head().getLong(0) == 8L,
         "publish must make the audited batch visible to main readers")
+      // ref introspection: the published-then-kept branch lists with
+      // fork + head; SHOW TAGS covers the whole ref namespace
+      GraftSql.exec(spark, "ALTER TABLE wap_t CREATE TAG prod")
+      val refs = GraftSql.sql(spark, "SHOW TAGS wap_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(refs == Seq("prod" -> "tag", "staged" -> "branch"))
+      val brs = GraftSql.sql(spark, "SHOW BRANCHES wap_t").collect()
+        .map(r => (r.getString(0), r.getInt(2), r.getInt(3))).toSeq
+      assert(brs == Seq(("staged", 1, 2)),
+        s"published branch must list fork=1 head=2, got $brs")
       GraftSql.exec(spark, "ALTER TABLE wap_t DROP BRANCH staged")
       intercept[IllegalArgumentException] {
         GraftSql.exec(spark, "ALTER TABLE wap_t DROP BRANCH staged")
       }
+      assert(GraftSql.sql(spark, "SHOW BRANCHES wap_t").count() == 0)
       intercept[NoSuchElementException] {
         GraftSql.exec(spark, "INSERT INTO wap_t@nope SELECT 1, 'x'")
+      }
+      intercept[NoSuchElementException] {
+        GraftSql.sql(spark, "SHOW TAGS no_such_graft_tbl").collect()
       }
     } finally GraftSqlTables.unregister("wap_t")
   }
