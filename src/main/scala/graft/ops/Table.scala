@@ -1087,6 +1087,49 @@ object Table {
       .orderBy("src", "name")
   }
 
+  /** `SHOW CREATE TABLE` from pure SQL — the DDL round-trip closing the
+    * introspection set (SHOW TABLES = what exists, DESCRIBE = what it
+    * is, SHOW CREATE TABLE = how to recreate it). The statement is
+    * reconstructed from LIVE metadata: the story CREATEs with every
+    * knob (key/stats/cluster/bloom/num_files), then ALTERs a column in
+    * — the emitted DDL must show the EVOLVED schema (recreating the
+    * table as typed would silently lose the evolution; Spark's own
+    * semantics). A registered VIEW answers with its stored body. The
+    * oracle pins both statements LITERALLY (per-app prefix and LOCATION
+    * normalized, whitespace collapsed); GraftTableSpec proves the
+    * round-trip by re-executing the emitted DDL at a fresh location.
+    * Driver-side metadata reads; no job at any scale. */
+  val table_sql_show_create: Q = (s, d) => {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+      .toLowerCase(java.util.Locale.ROOT)
+    val p = s"sc_story_$tag"
+    val root = Sources.sinkDir(s, d, "sc_story_t")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE ${p}_sc (o_orderkey BIGINT, o_price DOUBLE)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey', bloom 'o_orderkey',
+                     num_files '2')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE ${p}_sc ADD COLUMNS (o_year INT)")
+      graft.sql.GraftSql.exec(s,
+        s"CREATE VIEW ${p}_scv AS SELECT o_orderkey FROM ${p}_sc")
+    }
+    def norm(src: String, stmt: String) =
+      graft.sql.GraftSql.sql(s, stmt)
+        .select(lit(src).as("src"),
+          regexp_replace(
+            expr(s"replace(replace(createtab_stmt, '$root', " +
+              s"'<location>'), '$p', 'x')"),
+            "\\s+", " ").as("stmt"))
+    norm("table", s"SHOW CREATE TABLE ${p}_sc")
+      .unionByName(norm("view", s"SHOW CREATE TABLE ${p}_scv"))
+      .orderBy("src")
+  }
+
   /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
     * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
     * bad-batch recovery story every snapshot format documents, driven
@@ -1213,6 +1256,7 @@ object Table {
     "table_sql_restore" -> table_sql_restore,
     "table_sql_describe" -> table_sql_describe,
     "table_sql_show" -> table_sql_show,
+    "table_sql_show_create" -> table_sql_show_create,
     "table_sql_rename_col" -> table_sql_rename_col,
     "table_sql_drop_col" -> table_sql_drop_col,
     "table_sql_branch" -> table_sql_branch,
@@ -1472,6 +1516,16 @@ object Table {
            ('show_views', 'v', 'view'))
          t(src, name, kind)
          ORDER BY src, name""",
+    // both DDL statements pinned LITERALLY: the table's must show the
+    // EVOLVED schema (o_year present — an as-typed reconstruction
+    // silently loses the ALTER) with every knob, the view's its stored
+    // body; prefix/location normalized, whitespace collapsed
+    "table_sql_show_create" ->
+      """SELECT * FROM (VALUES
+           ('table', 'CREATE TABLE `x_sc` ( o_orderkey BIGINT, o_price DOUBLE, o_year INT) USING graft OPTIONS (key ''o_orderkey'', stats ''o_orderkey'', cluster ''o_orderkey'', bloom ''o_orderkey'', num_files ''2'') LOCATION ''<location>'''),
+           ('view', 'CREATE VIEW `x_scv` AS SELECT o_orderkey FROM x_sc'))
+         t(src, stmt)
+         ORDER BY src""",
     // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
     // 1998 batch and the corrected reload re-added only 1999+ — latest
     // is "everything but 1998"; both replayed statically

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropColumns, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameColumn, RenameTable, ShowTables, ShowViews, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropColumns, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameColumn, RenameTable, ShowCreateTable, ShowTables, ShowViews, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -100,6 +100,15 @@ object GraftSqlDdl {
       case ShowViews(UnresolvedNamespace(Seq(ns), _), pattern, _)
           if ns.equalsIgnoreCase("graft") =>
         GraftShowCommand(viewsOnly = true, pattern)
+      // DDL round-trip introspection: only registered graft names are
+      // claimed — Spark's own SHOW CREATE TABLE keeps working
+      case ShowCreateTable(UnresolvedTableOrView(parts, _, _), asSerde, _)
+          if GraftSqlTables.lookup(parts).isDefined ||
+            GraftSqlViews.lookup(parts).isDefined =>
+        require(!asSerde,
+          s"SHOW CREATE TABLE ${parts.mkString(".")} AS SERDE: graft " +
+            "tables have no serde representation")
+        GraftShowCreateCommand(parts)
       // the first statement a SQL-first user types against a new name;
       // unregistered names stay Spark's (its catalog may own them)
       case d: DescribeRelation =>

@@ -356,6 +356,53 @@ case class GraftShowCommand(viewsOnly: Boolean, pattern: Option[String])
   }
 }
 
+/** `SHOW CREATE TABLE name` over a registered graft name: runnable DDL
+  * reconstructed from the LIVE metadata — the manifest's current schema
+  * (so evolution is included: the statement recreates the table as it
+  * is NOW, not as it was first typed — Spark's own semantics) plus the
+  * Ref's knobs, or `CREATE VIEW ... AS <body>` for a view (the registry
+  * stores body text verbatim). The round-trip is the contract: the
+  * emitted statement re-parses and re-executes through the same seam
+  * (GraftTableSpec pins create → evolve → SHOW CREATE → re-exec →
+  * identical DESCRIBE), so the introspection surface alone suffices to
+  * reproduce a table. Unregistered names fall through to Spark's own
+  * SHOW CREATE TABLE; `AS SERDE` is loudly rejected (graft has no serde
+  * representation). Output column matches Spark's (`createtab_stmt`).
+  * Driver-side metadata reads only; no job at any scale. */
+case class GraftShowCreateCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    // re-quote each part (the DESCRIBE-view lesson): a backticked
+    // registered name must round-trip through the emitted DDL
+    val name = parts.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    GraftSqlViews.lookup(parts) match {
+      case Some(body) =>
+        Seq(Row(s"CREATE VIEW $name AS $body"))
+      case None =>
+        val ref = GraftSqlMaint.refOf(parts)
+        val v = GraftTable.latestSnapshot(ref.root)
+        require(v > 0,
+          s"SHOW CREATE TABLE of non-existent table at ${ref.root}")
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(GraftTable.manifest(ref.root, v).schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cols = schema.fields
+          .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+        def listOpt(k: String, vs: Seq[String]) =
+          if (vs.isEmpty) Nil else Seq(s"$k '${vs.mkString(",")}'")
+        val opts = (Seq(s"key '${ref.keyCol}'") ++
+          listOpt("stats", ref.statsCols) ++
+          listOpt("cluster", ref.clusterCols) ++
+          listOpt("bloom", ref.bloomCols) ++
+          Seq(s"num_files '${ref.numFiles}'")).mkString(", ")
+        Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft\n" +
+          s"OPTIONS ($opts)\nLOCATION '${ref.root}'"))
+    }
+  }
+}
+
 /** `DESCRIBE HISTORY name`: the retained commit log, newest first —
   * snapshot id, parent, operation, commit stamp, file count, live row
   * count. Driver-side manifest reads only; no data scan at any scale. */

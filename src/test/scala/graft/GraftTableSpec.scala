@@ -2235,6 +2235,58 @@ class GraftTableSpec extends SparkTestBase {
     }
   }
 
+  test("sql show create table: emitted DDL reflects evolution, " +
+      "round-trips through re-execution, views answer their body, " +
+      "AS SERDE and Spark's own names stay out") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val root = freshRoot()
+    try {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE sc_rt (id BIGINT, payload STRING)
+            USING graft
+            OPTIONS (key 'id', stats 'id', cluster 'id', bloom 'id',
+                     num_files '2')
+            LOCATION '$root'""")
+      GraftSql.exec(spark, "ALTER TABLE sc_rt ADD COLUMNS (extra INT)")
+      GraftSql.exec(spark, "INSERT INTO sc_rt SELECT 1, 'a', 7")
+      val stmt = GraftSql.sql(spark, "SHOW CREATE TABLE sc_rt")
+        .head().getString(0)
+      assert(stmt.contains("extra INT"),
+        "the emitted DDL must show the EVOLVED schema")
+      assert(stmt.contains("USING graft") && stmt.contains("key 'id'") &&
+        stmt.contains("num_files '2'") && stmt.contains(s"LOCATION '$root'"))
+      // the round-trip: re-execute at a fresh location, identical shape
+      val root2 = freshRoot()
+      GraftSql.exec(spark, stmt
+        .replace("`sc_rt`", "sc_rt2").replace(s"'$root'", s"'$root2'"))
+      try {
+        val d1 = GraftSql.sql(spark, "DESCRIBE sc_rt").collect().toSeq
+        val d2 = GraftSql.sql(spark, "DESCRIBE sc_rt2").collect().toSeq
+        assert(d1 == d2, "re-executed DDL must reproduce the schema")
+        val r2 = GraftSqlTables.lookup(Seq("sc_rt2")).get
+        assert(r2.keyCol == "id" && r2.bloomCols == Seq("id") &&
+          r2.numFiles == 2)
+      } finally GraftSqlTables.unregister("sc_rt2")
+      // a view answers its stored body
+      GraftSql.exec(spark,
+        "CREATE VIEW sc_rtv AS SELECT id FROM sc_rt WHERE id > 0")
+      try {
+        val v = GraftSql.sql(spark, "SHOW CREATE TABLE sc_rtv")
+          .head().getString(0)
+        assert(v == "CREATE VIEW `sc_rtv` AS SELECT id FROM sc_rt " +
+          "WHERE id > 0")
+      } finally graft.sql.GraftSqlViews.unregister(Seq("sc_rtv"))
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "SHOW CREATE TABLE sc_rt AS SERDE").collect()
+      }
+      // unregistered names fall through to Spark's own surface
+      intercept[org.apache.spark.sql.AnalysisException] {
+        GraftSql.sql(spark, "SHOW CREATE TABLE no_such_graft_name")
+          .collect()
+      }
+    } finally GraftSqlTables.unregister("sc_rt")
+  }
+
   test("rename column: metadata-only commit — pre-rename files read by " +
       "the NEW name, chained renames compose, time travel keeps the old " +
       "name, stats/bloom re-key, guards loud") {
