@@ -1130,6 +1130,84 @@ object Table {
       .orderBy("src")
   }
 
+  /** CHECK constraints from pure SQL — the write-audit half the branch
+    * family was begging to compose with: a declared predicate every
+    * row-adding write must satisfy, validated BEFORE any file lands so
+    * a rejected batch strands nothing (the Delta CHECK-constraint
+    * model). The story: CREATE with an in-line CONSTRAINT, a good
+    * batch, ADD CONSTRAINT (validating existing rows — a constraint
+    * the data already violates is refused, proven in-build), a second
+    * good batch, then the audit moment: the 1998 batch VIOLATES
+    * year_range and must be rejected atomically — if any of its rows
+    * leaked into the table, the 1998 group's count/sum would double
+    * and the oracle row fails. DROP CONSTRAINT then admits the same
+    * batch (the fixture's years span 1995-2001, so the final state is
+    * the WHOLE source). Enforcement is one O(batch) aggregate per
+    * write; ADD pays one full scan (the cost of constraining late). */
+  val table_sql_constraint: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_con_orders")
+    val name = "sql_con_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT,
+              CONSTRAINT price_pos CHECK (o_totalprice >= 0))
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1996""")
+      graft.sql.GraftSql.exec(s,
+        s"""ALTER TABLE $name ADD CONSTRAINT year_range
+            CHECK (o_year BETWEEN 1992 AND 1997)""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1997""")
+      def mustReject(stmt: String, cname: String, what: String): Unit = {
+        val rejected =
+          try { graft.sql.GraftSql.exec(s, stmt); false }
+          catch { case e: Throwable =>
+            e.getMessage != null && e.getMessage.contains(cname) }
+        require(rejected, s"$what must be rejected by '$cname'")
+      }
+      mustReject(
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""",
+        "year_range", "the 1998 batch")
+      mustReject(
+        s"""ALTER TABLE $name ADD CONSTRAINT year_tight
+            CHECK (o_year >= 1996)""",
+        "year_tight", "constraining data that already violates it")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name DROP CONSTRAINT year_range")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) >= 1998""")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"SELECT o_year, o_totalprice FROM $name")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
   /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
     * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
     * bad-batch recovery story every snapshot format documents, driven
@@ -1257,6 +1335,7 @@ object Table {
     "table_sql_describe" -> table_sql_describe,
     "table_sql_show" -> table_sql_show,
     "table_sql_show_create" -> table_sql_show_create,
+    "table_sql_constraint" -> table_sql_constraint,
     "table_sql_rename_col" -> table_sql_rename_col,
     "table_sql_drop_col" -> table_sql_drop_col,
     "table_sql_branch" -> table_sql_branch,
@@ -1526,6 +1605,16 @@ object Table {
            ('view', 'CREATE VIEW `x_scv` AS SELECT o_orderkey FROM x_sc'))
          t(src, stmt)
          ORDER BY src""",
+    // the rejected 1998 batch landed NOTHING (atomic rejection): every
+    // year group matches the source exactly — a leaked partial batch
+    // doubles 1998's count and sum; the final state replays statically
+    // because the drop re-admitted the same slice
+    "table_sql_constraint" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders GROUP BY 1 ORDER BY o_year""",
     // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
     // 1998 batch and the corrected reload re-added only 1999+ — latest
     // is "everything but 1998"; both replayed statically

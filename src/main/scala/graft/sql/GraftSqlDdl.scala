@@ -2,10 +2,10 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropColumns, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameColumn, RenameTable, ShowCreateTable, ShowTables, ShowViews, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AddConstraint, AlterColumns, ColumnDefinition, CreateTable, CreateTableAsSelect, DescribeRelation, DropColumns, DropConstraint, DropTable, LogicalPlan, OptionList, QualifiedColType, RenameColumn, RenameTable, ShowCreateTable, ShowTables, ShowViews, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.SqlShim
@@ -48,12 +48,12 @@ object GraftSqlDdl {
           spec: UnresolvedTableSpec, ignoreIfExists)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
         GraftCreateTableCommand(parts, toSchema(cols), partitioning,
-          knobs(parts, spec), ignoreIfExists)
+          knobs(parts, spec), ignoreIfExists, specChecks(parts, spec))
       case CreateTableAsSelect(UnresolvedIdentifier(parts, _), partitioning,
           query, spec: UnresolvedTableSpec, _, ignoreIfExists, _)
           if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
         GraftCtasCommand(parts, query, partitioning, knobs(parts, spec),
-          ignoreIfExists)
+          ignoreIfExists, specChecks(parts, spec))
       case DropTable(UnresolvedIdentifier(parts, _), ifExists, purge)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftDropTableCommand(parts, ifExists, purge)
@@ -91,6 +91,32 @@ object GraftSqlDdl {
         throw new IllegalArgumentException(
           s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN is not " +
             "supported on graft tables — evolution is add/rename/drop")
+      case AddConstraint(UnresolvedTable(parts, _, _), tc)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftAddCheckCommand(parts, toCheck(parts, tc))
+      // CHECK parses to its own node whose child is Spark's validation
+      // scan, `Filter(NOT cond, UnresolvedRelation)` — left unspliced,
+      // the graft read rule resolves that relation and
+      // ResolveSessionCatalog then dies extracting a catalog identifier
+      // our relation doesn't have; graft runs its own validation scan
+      case AddCheckConstraint(child, c)
+          if child.collectFirst {
+            case r: UnresolvedRelation
+                if GraftSqlTables.lookup(r.multipartIdentifier).isDefined =>
+              r
+          }.isDefined =>
+        val parts = child.collectFirst {
+          case r: UnresolvedRelation
+              if GraftSqlTables.lookup(r.multipartIdentifier).isDefined =>
+            r.multipartIdentifier
+        }.get
+        GraftAddCheckCommand(parts, toCheck(parts, c))
+      case DropConstraint(UnresolvedTable(parts, _, _), cname, ifExists,
+          cascade) if GraftSqlTables.lookup(parts).isDefined =>
+        require(!cascade,
+          s"ALTER TABLE ${parts.mkString(".")} DROP CONSTRAINT " +
+            "... CASCADE: CHECK constraints have no dependents")
+        GraftDropCheckCommand(parts, cname, ifExists)
       // catalog introspection: only the literal pseudo-namespace
       // `graft` is claimed — Spark's own SHOW over its session catalog
       // (any other namespace, or none) keeps working untouched
@@ -172,6 +198,41 @@ object GraftSqlDdl {
         s"column '${c.name}': IDENTITY is not supported on graft tables")
     }
     StructType(cols.map(c => StructField(c.name, c.dataType, c.nullable)))
+  }
+
+  /** A parsed table constraint → (name, condition text), LOUDLY
+    * rejecting what graft cannot honor: non-CHECK kinds (PK/FK/UNIQUE
+    * need index machinery), unnamed constraints (Spark generates a
+    * RANDOM-suffix name — nondeterministic and undroppable by intent),
+    * and NOT ENFORCED (graft validates every write; silently storing an
+    * unenforced constraint is the droppable-clause bug). The command
+    * carries the condition as TEXT, never as an Expression field (the
+    * checkAnalysis lesson, CLAUDE.md) — writes re-parse it per batch. */
+  private[sql] def toCheck(parts: Seq[String],
+      tc: org.apache.spark.sql.catalyst.expressions.TableConstraint)
+      : (String, String) = {
+    val what = s"ALTER/CREATE TABLE ${parts.mkString(".")}"
+    tc match {
+      case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+        require(c.userProvidedName != null && c.userProvidedName.nonEmpty,
+          s"$what: graft requires NAMED constraints " +
+            "(CONSTRAINT <name> CHECK (...)) — an auto-generated name " +
+            "is nondeterministic and cannot be addressed by DROP")
+        require(c.userProvidedCharacteristic.enforced.forall(identity),
+          s"$what: NOT ENFORCED is not supported — graft validates " +
+            "every write")
+        c.userProvidedName -> c.condition
+      case other => throw new IllegalArgumentException(
+        s"$what: only CHECK constraints are supported on graft tables " +
+          s"(got ${other.getClass.getSimpleName})")
+    }
+  }
+
+  private[sql] def specChecks(parts: Seq[String],
+      spec: UnresolvedTableSpec): Map[String, String] = {
+    val cs = spec.constraints.map(toCheck(parts, _))
+    requireDistinctCols("the declared constraint names", cs.map(_._1))
+    cs.toMap
   }
 
   /** OPTIONS + LOCATION → a registry Ref. Loud on anything missing,
@@ -278,7 +339,8 @@ object GraftSqlDdl {
   * snapshot-0→1 table at the root and binds the name. */
 case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
     partitioning: Seq[Transform], ref: GraftSqlTables.Ref,
-    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+    ignoreIfExists: Boolean,
+    checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDdl.requireNoPartitioning(parts, partitioning)
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
@@ -291,7 +353,8 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
       GraftTable.create(spark, ref.root,
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], tableSchema),
-        ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols)
+        ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
+        checks = checks)
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind
       GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
@@ -307,7 +370,8 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
   * the table's first snapshot. */
 case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
     partitioning: Seq[Transform], ref: GraftSqlTables.Ref,
-    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+    ignoreIfExists: Boolean,
+    checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDdl.requireNoPartitioning(parts, partitioning)
     // claim BEFORE evaluating the (possibly long) query; any failure
@@ -335,7 +399,7 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
         require(bad == 0, s"CTAS output violates the key contract on " +
           s"'${ref.keyCol}' (NULL or duplicate keys)")
         GraftTable.create(spark, ref.root, df, ref.statsCols,
-          ref.clusterCols, ref.numFiles, ref.bloomCols)
+          ref.clusterCols, ref.numFiles, ref.bloomCols, checks = checks)
       } finally df.unpersist()
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind
@@ -447,6 +511,34 @@ case class GraftAlterDropColumnsCommand(parts: Seq[String],
           s"${names.mkString(", ")}; re-register the table with the " +
           "new column set")
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name ADD CONSTRAINT n CHECK (cond)` over a registered
+  * graft table: validates the EXISTING rows first (a constraint the
+  * current data violates is not addable — Delta's semantics), then one
+  * metadata commit; every later row-adding write pays one O(batch)
+  * aggregate. The condition rides as TEXT and re-parses per write. */
+case class GraftAddCheckCommand(parts: Seq[String],
+    check: (String, String)) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(
+        s"graft table '${parts.mkString(".")}' not found"))
+    GraftTable.addCheck(spark, ref.root, check._1, check._2)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name DROP CONSTRAINT [IF EXISTS] n`: pure metadata. */
+case class GraftDropCheckCommand(parts: Seq[String], name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(
+        s"graft table '${parts.mkString(".")}' not found"))
+    GraftTable.dropCheck(ref.root, name, ifExists)
     Seq.empty
   }
 }

@@ -385,11 +385,18 @@ case class GraftShowCreateCommand(parts: Seq[String])
         val v = GraftTable.latestSnapshot(ref.root)
         require(v > 0,
           s"SHOW CREATE TABLE of non-existent table at ${ref.root}")
+        val m = GraftTable.manifest(ref.root, v)
         val schema = org.apache.spark.sql.types.DataType
-          .fromJson(GraftTable.manifest(ref.root, v).schemaJson)
+          .fromJson(m.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val cols = schema.fields
-          .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+        // CHECK constraints ride in the emitted statement (name-sorted
+        // for determinism) — the round-trip must reproduce enforcement,
+        // not just the shape
+        val cols = (schema.fields
+          .map(f => s"  ${f.name} ${f.dataType.sql}") ++
+          m.checks.getOrElse(Map.empty).toSeq.sortBy(_._1)
+            .map { case (n, c) => s"  CONSTRAINT $n CHECK ($c)" })
+          .mkString(",\n")
         def listOpt(k: String, vs: Seq[String]) =
           if (vs.isEmpty) Nil else Seq(s"$k '${vs.mkString(",")}'")
         val opts = (Seq(s"key '${ref.keyCol}'") ++

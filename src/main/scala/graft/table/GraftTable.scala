@@ -97,9 +97,19 @@ object GraftTable {
     * timestamps relative to snapshot ids, so `snapshotAsOf` resolves by
     * scanning ids and taking the max eligible id, never binary-searching
     * timestamps. */
+  /** `checks` carries the table's CHECK constraints (name → boolean SQL
+    * condition text, enforced on every row-adding write — see
+    * [[addCheck]]). Part of the MANIFEST, not the registry: constraints
+    * are durable table metadata that must survive the JVM and travel
+    * with snapshots (time travel and RESTORE present each snapshot's
+    * own constraint set, like its schema). Every commit carries the
+    * parent's checks forward verbatim except the alter_*_check verbs;
+    * a commit path that forgot to would silently drop enforcement, so
+    * GraftTableSpec walks every verb over a constrained table. */
   case class Manifest(snapshot: Int, parent: Int, op: String,
       schemaJson: String, files: List[FileEntry],
-      committedAtMs: Option[Long] = None)
+      committedAtMs: Option[Long] = None,
+      checks: Option[Map[String, String]] = None)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -418,6 +428,15 @@ object GraftTable {
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
       baseHead: Option[Int] = None): Int = {
     forkedAtOf(root, name) // loud before any write work
+    // a branch write is exactly the audit point constraints exist for:
+    // enforce against the branch HEAD's constraint set before any file
+    // lands (re-validated in the loop if the set moved concurrently)
+    var validated = {
+      val cs = checksOf(branchHeadManifest(root, name))
+      enforceChecks(df, cs, s"in the batch appended to branch '$name' " +
+        s"at $root")
+      cs
+    }
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols)
     var attempts = 0
@@ -434,8 +453,13 @@ object GraftTable {
       require(shape(df.schema) == shape(
         DataType.fromJson(head.schemaJson).asInstanceOf[StructType]),
         s"branch append schema mismatch vs branch '$name' head at $root")
+      if (checksOf(head) != validated) {
+        enforceChecks(df, checksOf(head),
+          s"in the batch appended to branch '$name' at $root")
+        validated = checksOf(head)
+      }
       val m = Manifest(head.snapshot + 1, head.snapshot, "branch_append",
-        head.schemaJson, head.files ++ entries)
+        head.schemaJson, head.files ++ entries, checks = head.checks)
       if (tryCommitAt(root, m,
           branchManifestPath(root, name, m.snapshot),
           head.committedAtMs.getOrElse(0L))) return m.snapshot
@@ -613,17 +637,130 @@ object GraftTable {
   private def shape(s: StructType): Seq[(String, String)] =
     s.fields.toSeq.map(f => f.name -> f.dataType.sql)
 
-  /** Create snapshot 1. Fails loudly if the table already exists. */
+  /** Create snapshot 1. Fails loudly if the table already exists.
+    * `checks` seeds CHECK constraints (name → condition text) enforced
+    * from birth: the initial rows are validated BEFORE any file lands. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Int = {
+      zorderCols: Seq[String] = Nil,
+      checks: Map[String, String] = Map.empty): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
+    checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
+    enforceChecks(df, checks, s"in CREATE at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols, zorderCols)
-    val m = Manifest(1, 0, "create", df.schema.json, entries)
+    val m = Manifest(1, 0, "create", df.schema.json, entries,
+      checks = Option(checks).filter(_.nonEmpty))
     require(tryCommit(root, m), s"concurrent create at $root")
     1
+  }
+
+  /** Rows violating a CHECK constraint, SQL-standard semantics: a row
+    * fails only when the condition evaluates to exactly FALSE — NULL
+    * passes (`CHECK (x > 0)` admits NULL x; demand `x IS NOT NULL` to
+    * exclude it). One aggregate job counts every constraint's
+    * violations at once; O(rows validated), zero cost when no
+    * constraint exists. Loud BEFORE any file lands, so a rejected
+    * write strands nothing. */
+  private def enforceChecks(df: DataFrame,
+      checks: Map[String, String], ctx: String): Unit = {
+    if (checks.isEmpty) return
+    val ordered = checks.toSeq.sortBy(_._1)
+    val flags = ordered.map { case (n, c) =>
+      sum(when(not(coalesce(expr(c).cast("boolean"), lit(true))), 1L)
+        .otherwise(0L)).as(n)
+    }
+    val row = df.agg(flags.head, flags.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, c), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($c) violated by $bad row(s) $ctx")
+    }
+  }
+
+  private[graft] def checksOf(m: Manifest): Map[String, String] =
+    m.checks.getOrElse(Map.empty)
+
+  /** Top-level column names a stored condition references — parsed with
+    * the session-free CatalystSqlParser, so the driver-side DDL verbs
+    * can guard rename/drop without a SparkSession. */
+  private[graft] def checkRefs(cond: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(cond).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+
+  private def requireCheckRefsExist(schema: StructType, name: String,
+      cond: String): Unit = {
+    val have = schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = checkRefs(cond) -- have
+    require(missing.isEmpty,
+      s"CHECK constraint '$name' ($cond) references unknown column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** `ADD CONSTRAINT name CHECK (cond)` — a metadata commit that first
+    * VALIDATES the existing table (Delta's semantics: a constraint the
+    * current data already violates must not be addable — it would make
+    * every later read-modify-write fail for someone else's rows). The
+    * validation is one full-scan aggregate, the documented cost of
+    * adding a constraint late; every row-adding write thereafter pays
+    * one O(batch) aggregate. Names are unique case-insensitively;
+    * conditions must reference existing columns and evaluate to
+    * BOOLEAN (enforced by the validation scan's analysis). */
+  def addCheck(spark: SparkSession, root: String, name: String,
+      cond: String): Int = {
+    require(name.nonEmpty, s"empty constraint name at $root")
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"alter of non-existent table $root")
+      val parent = manifest(root, v)
+      val existing = checksOf(parent)
+      require(!existing.keys.exists(_.equalsIgnoreCase(name)),
+        s"constraint '$name' already exists at $root")
+      requireCheckRefsExist(DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[StructType], name, cond)
+      enforceChecks(readEntries(spark, root, parent, parent.files),
+        Map(name -> cond), s"among EXISTING rows at $root — a " +
+          "constraint the current data violates is not addable")
+      val m = Manifest(v + 1, v, s"alter_add_check($name)",
+        parent.schemaJson, parent.files,
+        checks = Some(existing + (name -> cond)))
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addCheck lost 20 commit races at $root")
+  }
+
+  /** `DROP CONSTRAINT name` — pure metadata commit. */
+  def dropCheck(root: String, name: String,
+      ifExists: Boolean = false): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"alter of non-existent table $root")
+      val parent = manifest(root, v)
+      val existing = checksOf(parent)
+      val key = existing.keys.find(_.equalsIgnoreCase(name))
+      if (key.isEmpty) {
+        if (ifExists) return v
+        throw new NoSuchElementException(
+          s"no constraint '$name' at $root " +
+            s"(have ${existing.keys.toSeq.sorted.mkString(", ")})")
+      }
+      val m = Manifest(v + 1, v, s"alter_drop_check(${key.get})",
+        parent.schemaJson, parent.files,
+        checks = Option(existing - key.get).filter(_.nonEmpty))
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropCheck lost 20 commit races at $root")
   }
 
   /** Append-only commit. Optimistic: on a concurrent-writer collision the
@@ -644,6 +781,16 @@ object GraftTable {
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
       allowEvolution: Boolean = false,
       baseSnapshot: Option[Int] = None): Int = {
+    // CHECK constraints validate BEFORE any file lands (a rejected
+    // batch strands nothing); re-validated inside the loop if a rebase
+    // lands on a parent whose constraint set moved concurrently
+    var validated = {
+      val v0 = latestSnapshot(root)
+      require(v0 > 0, s"append to non-existent table $root")
+      val cs = checksOf(manifest(root, v0))
+      enforceChecks(df, cs, s"in the appended batch at $root")
+      cs
+    }
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols)
     var attempts = 0
@@ -670,9 +817,14 @@ object GraftTable {
           s"schema evolution is add-only: existing columns $parentShape " +
             s"must prefix the new schema $newShape at $root"
         else s"append schema mismatch vs snapshot $v at $root")
+      if (checksOf(parent) != validated) {
+        enforceChecks(df, checksOf(parent),
+          s"in the appended batch at $root")
+        validated = checksOf(parent)
+      }
       val m = Manifest(v + 1, v, if (evolved) "append_evolve" else "append",
         if (evolved) df.schema.json else parent.schemaJson,
-        parent.files ++ entries)
+        parent.files ++ entries, checks = parent.checks)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -764,6 +916,11 @@ object GraftTable {
     require(shape(updates.schema) ==
       shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
       s"upsertDelete schema mismatch vs snapshot $v at $root")
+    // post-image enforcement on the NEW rows only: survivors were
+    // validated at their own write time and ADD CONSTRAINT validated
+    // the whole table, so induction covers them
+    enforceChecks(updates, checksOf(parent),
+      s"in the merge post-image at $root")
     val touched = updates.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol))).distinct()
     val candidates = prunableKeyRange(touched, keyCol, "upsertDelete") match {
@@ -797,7 +954,8 @@ object GraftTable {
     val entries = writeFiles(spark, root, survivors, statsCols,
       clusterCols, numFiles, bloomCols)
     val m = Manifest(v + 1, v, "merge", parent.schemaJson,
-      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries,
+      checks = parent.checks)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"upsertDelete derived from stale snapshot $v at $root")
@@ -849,7 +1007,8 @@ object GraftTable {
     val entries = writeFiles(spark, root, survivors, statsCols,
       clusterCols, numFiles, bloomCols)
     val m = Manifest(v + 1, v, "delete", parent.schemaJson,
-      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries,
+      checks = parent.checks)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"delete derived from stale snapshot $v at $root")
@@ -923,7 +1082,7 @@ object GraftTable {
     val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
     if (marks.isEmpty) return v // nothing matched; no empty commit
     val m = Manifest(v + 1, v, "delete_mor", parent.schemaJson,
-      applyDvMarks(root, parent, marks))
+      applyDvMarks(root, parent, marks), checks = parent.checks)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"delete_mor derived from stale snapshot $v at $root")
@@ -947,6 +1106,8 @@ object GraftTable {
     require(shape(updates.schema) ==
       shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
       s"merge schema mismatch vs snapshot $v at $root")
+    enforceChecks(updates, checksOf(parent),
+      s"in the merge post-image at $root")
     val keys = updates.select(col(keyCol)).distinct()
     val candidates = prunableKeyRange(updates, keyCol, "merge") match {
       case None => Nil
@@ -958,7 +1119,7 @@ object GraftTable {
     val entries = writeFiles(spark, root, updates, statsCols,
       clusterCols, numFiles, bloomCols)
     val m = Manifest(v + 1, v, "merge_mor", parent.schemaJson,
-      applyDvMarks(root, parent, marks) ++ entries)
+      applyDvMarks(root, parent, marks) ++ entries, checks = parent.checks)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"merge_mor derived from stale snapshot $v at $root")
@@ -1006,7 +1167,8 @@ object GraftTable {
       clusterCols, numFiles, bloomCols, zorderCols)
     val smallPaths = small.map(_.path).toSet
     val m = Manifest(v + 1, v, "compact", parent.schemaJson,
-      parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
+      parent.files.filterNot(f => smallPaths(f.path)) ++ entries,
+      checks = parent.checks)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"compact derived from stale snapshot $v at $root")
@@ -1035,7 +1197,7 @@ object GraftTable {
       require(toSnapshot <= v, s"restore target $toSnapshot > latest $v")
       if (toSnapshot == v) return v
       val m = Manifest(v + 1, v, s"restore($toSnapshot)",
-        target.schemaJson, target.files)
+        target.schemaJson, target.files, checks = target.checks)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1080,7 +1242,7 @@ object GraftTable {
       }
       val m = Manifest(v + 1, v,
         s"alter_add(${cols.map(_._1).mkString(",")})",
-        widened.json, parent.files)
+        widened.json, parent.files, checks = parent.checks)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1121,6 +1283,16 @@ object GraftTable {
             s"(have ${schema.fieldNames.mkString(", ")})"))
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column '$newName' already exists at $root")
+      // a stored CHECK condition addresses logical names as TEXT: after
+      // a rename it would fail analysis at the next write (or, worse,
+      // bind to a re-added namesake) — reject, like dropping the column
+      checksOf(parent).foreach { case (n, c) =>
+        require(!checkRefs(c).contains(
+          field.name.toLowerCase(java.util.Locale.ROOT)),
+          s"cannot RENAME COLUMN '${field.name}' at $root: CHECK " +
+            s"constraint '$n' ($c) references it — drop the " +
+            "constraint first")
+      }
       val renamed = StructType(schema.fields.map(f =>
         if (f.name == field.name) f.copy(name = newName) else f))
       def rekey[V](m: Map[String, V]): Map[String, V] =
@@ -1140,7 +1312,7 @@ object GraftTable {
           bloom = f.bloom.map(rekey), phys = Option(ph2).filter(_.nonEmpty))
       }
       val m = Manifest(v + 1, v, s"alter_rename($oldName->$newName)",
-        renamed.json, files2)
+        renamed.json, files2, checks = parent.checks)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1184,6 +1356,13 @@ object GraftTable {
       }.distinct
       if (fields.isEmpty) return v // IF EXISTS and nothing matched
       val dropNames = fields.map(_.name).toSet
+      checksOf(parent).foreach { case (n, c) =>
+        val hit = fields.map(_.name).find(f =>
+          checkRefs(c).contains(f.toLowerCase(java.util.Locale.ROOT)))
+        require(hit.isEmpty,
+          s"cannot DROP COLUMN '${hit.get}' at $root: CHECK constraint " +
+            s"'$n' ($c) references it — drop the constraint first")
+      }
       require(dropNames.size < schema.fields.length,
         s"cannot drop every column of $root " +
           s"(${names.mkString(", ")} leaves an empty schema)")
@@ -1201,7 +1380,7 @@ object GraftTable {
       }
       val m = Manifest(v + 1, v,
         s"alter_drop(${fields.map(_.name).mkString(",")})",
-        narrowed.json, files2)
+        narrowed.json, files2, checks = parent.checks)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }

@@ -2540,6 +2540,175 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("dropcol_t")
   }
 
+  test("check constraints: enforced on every row-adding verb, carried " +
+      "by every commit, SQL NULL semantics, add validates existing, " +
+      "rename/drop guards loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    // create-time enforcement: a violating initial frame strands nothing
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root,
+        Seq((1L, -5L)).toDF("id", "qty"), Seq("id"), Seq("id"),
+        numFiles = 1, checks = Map("qty_pos" -> "qty >= 0"))
+    }
+    assert(GraftTable.latestSnapshot(root) == 0,
+      "a rejected CREATE must not land a table")
+    GraftTable.create(spark, root,
+      Seq((1L, 5L), (2L, 0L)).toDF("id", "qty"), Seq("id"), Seq("id"),
+      numFiles = 1, checks = Map("qty_pos" -> "qty >= 0")) // v1
+    // append: violation loud and nothing stranded
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq((3L, -1L)).toDF("id", "qty"),
+        Seq("id"), Seq("id"))
+    }
+    assert(GraftTable.latestSnapshot(root) == 1)
+    // SQL standard NULL semantics: CHECK (qty >= 0) ADMITS a NULL qty
+    GraftTable.append(spark, root,
+      Seq((3L, Some(7L)), (4L, None))
+        .toDF("id", "qty"), Seq("id"), Seq("id")) // v2
+    assert(GraftTable.read(spark, root).count() == 4)
+    // ...while an IS NOT NULL constraint is how you exclude it: the
+    // planted NULL row makes this add fail its existing-data validation
+    intercept[IllegalArgumentException] {
+      GraftTable.addCheck(spark, root, "qty_req", "qty IS NOT NULL")
+    }
+    // merge post-image enforcement (CoW and MoR)
+    intercept[IllegalArgumentException] {
+      GraftTable.merge(spark, root, Seq((1L, -9L)).toDF("id", "qty"),
+        "id", Seq("id"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.mergeMor(spark, root, Seq((1L, -9L)).toDF("id", "qty"),
+        "id", Seq("id"), Seq("id"))
+    }
+    // every verb carries the constraint set forward
+    GraftTable.merge(spark, root, Seq((1L, 6L)).toDF("id", "qty"),
+      "id", Seq("id"), Seq("id")) // v3
+    GraftTable.delete(spark, root, Seq(4L).toDF("id"), "id",
+      Seq("id"), Seq("id")) // v4
+    GraftTable.compact(spark, root, Long.MaxValue, Seq("id"), Seq("id"),
+      numFiles = 1) // v5
+    val v5 = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+    assert(v5.checks.contains(Map("qty_pos" -> "qty >= 0")),
+      s"constraints must survive merge/delete/compact, got ${v5.checks}")
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq((9L, -2L)).toDF("id", "qty"),
+        Seq("id"), Seq("id"))
+    }
+    // ADD CONSTRAINT validates EXISTING rows (qty 0 violates > 0)
+    intercept[IllegalArgumentException] {
+      GraftTable.addCheck(spark, root, "qty_strict", "qty > 0")
+    }
+    GraftTable.addCheck(spark, root, "qty_cap", "qty <= 100") // v6
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq((9L, 200L)).toDF("id", "qty"),
+        Seq("id"), Seq("id"))
+    }
+    GraftTable.dropCheck(root, "qty_cap")
+    GraftTable.append(spark, root, Seq((9L, Some(200L))).toDF("id", "qty"),
+      Seq("id"), Seq("id"))
+    // rename/drop of a referenced column stays loud
+    intercept[IllegalArgumentException] {
+      GraftTable.alterRenameColumn(root, "qty", "quantity")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.alterDropColumns(root, Seq("qty"))
+    }
+    GraftTable.dropCheck(root, "qty_pos")
+    intercept[NoSuchElementException] {
+      GraftTable.dropCheck(root, "qty_pos")
+    }
+    assert(GraftTable.dropCheck(root, "qty_pos", ifExists = true) ==
+      GraftTable.latestSnapshot(root))
+    GraftTable.alterRenameColumn(root, "qty", "quantity")
+    // restore re-pins the TARGET's constraint set (snapshot semantics)
+    GraftTable.restore(root, 1)
+    val rm = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+    assert(rm.checks.contains(Map("qty_pos" -> "qty >= 0")),
+      "restore must resurrect the target snapshot's constraints")
+  }
+
+  test("check constraints on branches: a branch write is audited " +
+      "against the branch head's constraint set") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      Seq((1L, 5L)).toDF("id", "qty"), Seq("id"), Seq("id"),
+      numFiles = 1, checks = Map("qty_pos" -> "qty >= 0"))
+    GraftTable.createBranch(root, "audit")
+    intercept[IllegalArgumentException] {
+      GraftTable.appendToBranch(spark, root, "audit",
+        Seq((2L, -1L)).toDF("id", "qty"), Seq("id"), Seq("id"))
+    }
+    GraftTable.appendToBranch(spark, root, "audit",
+      Seq((2L, 9L)).toDF("id", "qty"), Seq("id"), Seq("id"))
+    assert(GraftTable.publishBranch(root, "audit") == 2)
+    assert(GraftTable.read(spark, root).count() == 2)
+    // the published commit still carries the constraint set
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root, Seq((3L, -1L)).toDF("id", "qty"),
+        Seq("id"), Seq("id"))
+    }
+  }
+
+  test("sql check constraints: CREATE with CONSTRAINT, violating " +
+      "INSERT/UPDATE loud, DROP CONSTRAINT, SHOW CREATE round-trip, " +
+      "unnamed/unenforced/non-check loud") {
+    val root = freshRoot()
+    try {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE con_t (id BIGINT, qty BIGINT,
+              CONSTRAINT qty_pos CHECK (qty >= 0))
+            USING graft OPTIONS (key 'id', num_files '1')
+            LOCATION '$root'""")
+      GraftSql.exec(spark, "INSERT INTO con_t SELECT 1, 5")
+      val e1 = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "INSERT INTO con_t SELECT 2, -3")
+      }
+      assert(e1.getMessage.contains("qty_pos"))
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "UPDATE con_t SET qty = -1 WHERE id = 1")
+      }
+      GraftSql.exec(spark,
+        "ALTER TABLE con_t ADD CONSTRAINT qty_cap CHECK (qty <= 100)")
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "INSERT INTO con_t SELECT 3, 200")
+      }
+      // the emitted DDL carries both constraints and round-trips
+      val stmt = GraftSql.sql(spark, "SHOW CREATE TABLE con_t")
+        .head().getString(0)
+      assert(stmt.contains("CONSTRAINT qty_pos CHECK (qty >= 0)") &&
+        stmt.contains("CONSTRAINT qty_cap CHECK (qty <= 100)"), stmt)
+      val root2 = freshRoot()
+      GraftSql.exec(spark, stmt
+        .replace("`con_t`", "con_t2").replace(s"'$root'", s"'$root2'"))
+      try intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "INSERT INTO con_t2 SELECT 1, -1")
+      } finally GraftSqlTables.unregister("con_t2")
+      GraftSql.exec(spark, "ALTER TABLE con_t DROP CONSTRAINT qty_cap")
+      GraftSql.exec(spark, "INSERT INTO con_t SELECT 3, 200")
+      GraftSql.exec(spark,
+        "ALTER TABLE con_t DROP CONSTRAINT IF EXISTS ghost")
+      intercept[NoSuchElementException] {
+        GraftSql.exec(spark, "ALTER TABLE con_t DROP CONSTRAINT ghost")
+      }
+      // guards: NOT ENFORCED (Spark's own grammar rejects it on CHECK
+      // at parse; the toCheck guard stays as belt-and-braces) and
+      // non-CHECK kinds
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE con_t ADD CONSTRAINT c2 CHECK (qty > 0) " +
+            "NOT ENFORCED")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE con_t ADD CONSTRAINT pk1 PRIMARY KEY (id)")
+      }
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM con_t").head().getLong(0) == 2L)
+    } finally GraftSqlTables.unregister("con_t")
+  }
+
   test("branches: writes land on the branch only, publish fast-forwards " +
       "main, divergence is loud, retention roots hold") {
     import spark.implicits._
