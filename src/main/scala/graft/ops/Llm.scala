@@ -4001,6 +4001,50 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style data selection via importance resampling weights (Xie
+    * et al. 2023, public knowledge) — the published method for skewing
+    * a raw corpus toward a target distribution: per-feature importance
+    * log-weights ln(p_target/p_raw) over add-one-smoothed unigram LMs
+    * (the target here is the English half, the curated-reference
+    * stand-in; raw is the whole corpus), a per-document score = Σ
+    * token weights, then the top-40 documents under a unique total
+    * order as the selected set. Determinism discipline (the
+    * llm_unigram lesson): each DISTINCT term's log-ratio is rounded
+    * ONCE to integer micro-nats — both engines build the same double
+    * from the same exact integer counts via the identical expression
+    * tree, so the rounded BIGINT agrees — and everything downstream
+    * (per-doc sums, the top-k order) is exact integer arithmetic,
+    * never a float comparison. 100 TB shape: two vocabulary-bounded
+    * partial-agg'd counts, a vocabulary-sized weight relation joined
+    * to the token stream (broadcast when small), one partial-agg'd
+    * per-doc sum, and a TakeOrderedAndProject top-40 — token-linear,
+    * no global sort, no window over the corpus. */
+  val llm_dsir: Q = (s, d) => {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("t"))
+    val raw = toks.groupBy("t").agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val w = raw.join(tgt, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("t"), expr(
+        """CAST(round(1e6 * (
+             ln((coalesce(ct, 0) + 1.0) / CAST(nt + v AS DOUBLE)) -
+             ln((cr + 1.0) / CAST(nr + v AS DOUBLE)))) AS BIGINT)""")
+        .as("wm"))
+    val scored = toks.join(w, Seq("t"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("wm")).as("score_micro"))
+    scored.orderBy(desc("score_micro"), asc("doc_id")).limit(40)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_tok"),
+        col("score_micro"))
+      .orderBy("rank")
+  }
+
   /** Source-mixture reweighting — the corpus-mix step that decides how
     * much of each source a training run consumes: per-source token
     * inventory → deterministic target weights (1 + src index mod 4,
@@ -4320,6 +4364,7 @@ object Llm {
     "llm_decontaminate_fuzzy" -> llm_decontaminate_fuzzy,
     "llm_repetition" -> llm_repetition,
     "llm_pii_scrub" -> llm_pii_scrub,
+    "llm_dsir" -> llm_dsir,
     "llm_mixture" -> llm_mixture,
     "llm_curriculum" -> llm_curriculum,
     "llm_sft_format" -> llm_sft_format,
@@ -5779,6 +5824,37 @@ object Llm {
                  '<CARD>', 'g')) AS clean
          FROM det ORDER BY doc_id"""
     },
+    // each distinct term's log-ratio is rounded ONCE to integer
+    // micro-nats from identical doubles (same exact integer counts,
+    // same expression tree); per-doc sums and the top-40 order are
+    // exact BIGINT arithmetic — no float ever crosses engines
+    "llm_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         r AS (SELECT t, CAST(count(1) AS BIGINT) AS cr
+               FROM toks GROUP BY 1),
+         g AS (SELECT t, CAST(count(1) AS BIGINT) AS ct
+               FROM toks WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT CAST((SELECT sum(cr) FROM r) AS BIGINT) AS nr,
+                        CAST((SELECT count(1) FROM r) AS BIGINT) AS v,
+                        CAST((SELECT sum(ct) FROM g) AS BIGINT) AS nt),
+         w AS (SELECT r.t, CAST(round(1e6 * (
+                   ln((coalesce(g.ct, 0) + 1.0) / CAST(nt + v AS DOUBLE)) -
+                   ln((r.cr + 1.0) / CAST(nr + v AS DOUBLE)))) AS BIGINT)
+                 AS wm
+               FROM r LEFT JOIN g USING (t) CROSS JOIN tot),
+         scored AS (
+           SELECT doc_id, any_value(lang) AS lang,
+               CAST(count(1) AS BIGINT) AS n_tok,
+               CAST(sum(wm) AS BIGINT) AS score_micro
+           FROM toks JOIN w USING (t) GROUP BY 1)
+         SELECT CAST(row_number() OVER
+                 (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+             doc_id, lang, n_tok, score_micro
+         FROM scored
+         ORDER BY score_micro DESC, doc_id
+         LIMIT 40""",
     "llm_mixture" ->
       """WITH per AS (
            SELECT source, count(1) AS n_docs,

@@ -1336,6 +1336,30 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.map(_.getLong(5)).distinct.length > 1)
   }
 
+  test("llm_dsir: the selected set skews toward the target language " +
+      "and scores are exact integers under a unique total order") {
+    val rows = ops.Llm.llm_dsir(spark, sf).collect()
+    assert(rows.length == 40)
+    // ranks are 1..40 in order (the unique total-order contract)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 40),
+      "rank must be the dense 1..40 sequence")
+    val scores = rows.map(r => (r.getLong(4), r.getLong(1)))
+    assert(scores.sameElements(scores.sortBy(t => (-t._1, t._2))),
+      "rows must be ordered by (score desc, doc_id asc)")
+    // importance resampling toward p(en)/p(raw) must actually select
+    // English at a rate that BEATS the corpus base rate (the fixture's
+    // languages share most of their token vocabulary, so the lift is
+    // real but bounded — ~39% base → 50% selected at sf0.001)
+    val en = rows.count(_.getString(2) == "en")
+    val corpusEn = graft.util.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("lang") === "en").count()
+    val corpusAll = graft.util.Tables.documents(spark, sf).count()
+    assert(en.toDouble / 40 > corpusEn.toDouble / corpusAll,
+      s"top-40 selected $en en docs — no lift over the " +
+        s"$corpusEn/$corpusAll base rate; the importance weights are " +
+        "not skewing toward the target")
+  }
+
   test("salted top-k escalation is row-identical to the direct window") {
     import spark.implicits._
     // the two dispatch arms of capSource/ngramFreq on the real fixture
