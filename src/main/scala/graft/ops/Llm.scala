@@ -504,6 +504,42 @@ object Llm {
       .orderBy(desc("sim"), asc("neighbor_id"))
   }
 
+  /** Contrastive hard-negative mining — the training-pair step every
+    * embedding/reranker pipeline runs (public contrastive-learning
+    * methodology, e.g. DPR/SimCSE): for each anchor, the hardest
+    * negatives are the most-similar vectors with a DIFFERENT label —
+    * near-misses that teach the margin, where random negatives are
+    * trivially separable. Anchors are a prime-strided ~1% slice
+    * (vec_id % 97 = 0); per anchor, top-5 by exact cosine among
+    * cross-label candidates under (sim desc, vec_id) — the llm_knn
+    * float discipline: the double is the identical fold on both
+    * engines, ordered with a unique integer tiebreak, emitted r4.
+    * 100 TB shape: the anchor slice is a broadcast build side, the
+    * corpus streams once against it (candidates = n_vec × n_anchors
+    * with n_anchors a small constant), and per-anchor top-5 rides
+    * [[topKByKey]]'s skew escalation — an anchor's candidate set is
+    * the WHOLE corpus, exactly the heavy-key shape the salted path
+    * exists for; above broadcast budget the scale path is the
+    * IVF/LSH-bucketed candidate join like every other ANN op. */
+  val llm_hard_negatives: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val anchors = e.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("av"),
+        col("label").as("a_label"))
+    val cand = e.crossJoin(broadcast(anchors))
+      .where(col("label") =!= col("a_label"))
+      .withColumn("sim_raw", dot(col("emb"), col("av")) /
+        (norm(col("emb")) * norm(col("av"))))
+    val nVec = memoProbe(s, d, "hardneg_n_vec")(e.count())
+    topKByKey(cand, Seq("anchor_id"),
+      Seq(desc("sim_raw"), asc("vec_id")), hash(col("vec_id")),
+      k = 5, maxPerKey = nVec)
+      .select(col("anchor_id"), col("__rk").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        r4(col("sim_raw")).as("sim"))
+      .orderBy("anchor_id", "rank")
+  }
+
   /** all-pairs cosine ≥ 0.35 (data max ≈ 0.48 — embeddings are isotropic
     * noise, verified).
     *
@@ -4322,6 +4358,7 @@ object Llm {
     "llm_minhash" -> llm_minhash,
     "llm_simhash" -> llm_simhash,
     "llm_knn" -> llm_knn,
+    "llm_hard_negatives" -> llm_hard_negatives,
     "llm_simjoin" -> llm_simjoin,
     "llm_simjoin_lsh" -> llm_simjoin_lsh,
     "llm_simjoin_lsh_bucketed" -> llm_simjoin_lsh_bucketed,
@@ -4887,6 +4924,21 @@ object Llm {
           top AS (SELECT * FROM sims ORDER BY sim_raw DESC, vec_id ASC LIMIT 10)
           SELECT vec_id AS neighbor_id, label, round(sim_raw, 4) AS sim
           FROM top ORDER BY sim DESC, neighbor_id ASC""",
+    // per-anchor replay: cross-label candidates, the identical cosine
+    // fold, row_number under the same (sim desc, vec_id) order
+    "llm_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+                label AS a_label
+            FROM embeddings WHERE vec_id % 97 = 0),
+          c AS (SELECT anchor_id, e.vec_id, e.label,
+                ${cos("e.embedding", "av")} AS sim_raw
+            FROM embeddings e CROSS JOIN a WHERE e.label <> a.a_label),
+          r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY sim_raw DESC, vec_id ASC) AS rk FROM c)
+          SELECT anchor_id, CAST(rk AS INT) AS rank,
+              vec_id AS neighbor_id, label AS n_label,
+              round(sim_raw, 4) AS sim
+          FROM r WHERE rk <= 5 ORDER BY anchor_id, rank""",
     // bit-identical to llm_knn by construction → same oracle
     "llm_knn_native" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -1360,6 +1360,39 @@ class OperatorSpec extends SparkTestBase {
         "not skewing toward the target")
   }
 
+  test("llm_hard_negatives: every negative crosses labels, ranks are " +
+      "dense, and the mined set matches a naive per-anchor recompute") {
+    val rows = ops.Llm.llm_hard_negatives(spark, sf).collect()
+    val e = graft.util.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val labels = e.map(t => t._1 -> t._3).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (aid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5),
+        s"anchor $aid ranks must be dense 1..5")
+      rs.foreach(r => assert(r.getInt(3) != labels(aid),
+        s"anchor $aid: negative ${r.getLong(2)} shares its label"))
+    }
+    // naive recompute for the smallest anchor: the mined ids must be
+    // exactly the 5 largest cross-label cosines under the same order
+    val aid = rows.map(_.getLong(0)).min
+    val av = e.find(_._1 == aid).get._2
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val naive = e.filter(_._3 != labels(aid))
+      .map(t => (cos(t._2, av), t._1))
+      .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSeq
+    val mined = rows.filter(_.getLong(0) == aid).sortBy(_.getInt(1))
+      .map(_.getLong(2)).toSeq
+    assert(mined == naive,
+      s"anchor $aid mined $mined but naive recompute says $naive")
+  }
+
   test("salted top-k escalation is row-identical to the direct window") {
     import spark.implicits._
     // the two dispatch arms of capSource/ngramFreq on the real fixture
