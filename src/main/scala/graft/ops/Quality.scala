@@ -465,6 +465,49 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** Financial reconciliation audit — does each order header's total
+    * reconcile with its lines' roll-up Σ extprice·(1−disc)·(1+tax)
+    * (the TPC-H identity)? Per priority bucket: header count, headers
+    * with NO lines at all, headers whose total misses the roll-up by
+    * more than a cent, and the total absolute drift in EXACT integer
+    * cents. The fixture deliberately does NOT honor the identity
+    * (verified: 0/1500 headers reconcile at sf0.001 and 27 have no
+    * lines) — which is the audit's value: it demonstrably FIRES on
+    * real drift instead of passing vacuously; QualitySpec plants a
+    * reconciled book to prove the clean side too. Every money step is
+    * DECIMAL (CLAUDE.md discipline): the per-line product is exact at
+    * scale 6, the diff exact, the cents via floor on a non-negative
+    * DECIMAL (trunc ≡ floor), so no float ever crosses engines.
+    * 100 TB shape: one partial-agg'd roll-up keyed like the join, one
+    * shuffle join header↔roll-up, one small groupBy. */
+  val dq_reconcile: Q = (s, d) =>
+    dqReconcileOf(orders(s, d), lineitem(s, d))
+
+  private[graft] def dqReconcileOf(
+      orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val roll = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr(
+        """CAST(l_extendedprice AS DECIMAL(12,2)) *
+           CAST(1 - l_discount AS DECIMAL(4,2)) *
+           CAST(1 + l_tax AS DECIMAL(4,2))""")).as("s"))
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val tol = "CAST(0.01 AS DECIMAL(4,2))"
+    orders.join(roll, Seq("o_orderkey"), "left")
+      .withColumn("ad",
+        expr("abs(CAST(o_totalprice AS DECIMAL(12,2)) - s)"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(expr(s"ad > $tol"), 1L).otherwise(0L)).as("n_mismatch"),
+        sum(when(expr(s"ad > $tol"),
+          expr("CAST(floor(ad * 100) AS BIGINT)")).otherwise(0L))
+          .as("drift_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dq_profile" -> dq_profile,
     "dq_check" -> dq_check,
@@ -475,9 +518,34 @@ object Quality {
     "dq_benford" -> dq_benford,
     "dq_freshness" -> dq_freshness,
     "dq_schema" -> dq_schema,
+    "dq_reconcile" -> dq_reconcile,
   )
 
   val oracle: Seq[(String, String)] = Seq(
+    // identical DECIMAL pipeline: exact scale-6 per-line product, exact
+    // diff, floor-to-cents on a non-negative decimal — every output an
+    // exact integer
+    "dq_reconcile" ->
+      """WITH roll AS (
+           SELECT l_orderkey AS o_orderkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   CAST(1 - l_discount AS DECIMAL(4,2)) *
+                   CAST(1 + l_tax AS DECIMAL(4,2))) AS s
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT o.o_orderpriority, r.s,
+               abs(CAST(o.o_totalprice AS DECIMAL(12,2)) - r.s) AS ad
+           FROM orders o LEFT JOIN roll r USING (o_orderkey))
+         SELECT o_orderpriority,
+             CAST(count(1) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_no_lines,
+             CAST(sum(CASE WHEN ad > CAST(0.01 AS DECIMAL(4,2))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+             CAST(sum(CASE WHEN ad > CAST(0.01 AS DECIMAL(4,2))
+                           THEN CAST(floor(ad * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS drift_cents
+         FROM j GROUP BY 1 ORDER BY o_orderpriority""",
     // the fixture recipe is deterministic, so the verdict replays
     // statically: statuses and types are literals, the null-rate bps
     // recompute from the source relation with the same truncating

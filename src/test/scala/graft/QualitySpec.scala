@@ -46,6 +46,32 @@ class QualitySpec extends SparkTestBase {
     assert(got("lineitem_ship_after_order") == ((1L, 5L)), s"temporal: $got")
   }
 
+  test("dq_reconcile kernel: a reconciled book is clean, drift counts " +
+      "in exact cents, headers without lines are flagged") {
+    import spark.implicits._
+    // order 10 reconciles exactly: 100.00·(1−0.10)·(1+0.05) = 94.50;
+    // order 20 is off by 2.37 (header 100.00 vs roll-up 97.63);
+    // order 30 has no lines at all
+    val od = Seq(
+      (10L, 94.50, "1-URGENT"),
+      (20L, 100.00, "1-URGENT"),
+      (30L, 55.00, "2-HIGH"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val li = Seq(
+      (10L, 100.00, 0.10, 0.05),
+      (20L, 97.63, 0.00, 0.00))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = ops.Quality.dqReconcileOf(od, li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("1-URGENT") == ((2L, 0L, 1L, 237L)),
+      s"urgent bucket: $got — order 10 must reconcile, order 20 must " +
+        "drift exactly 237 cents")
+    assert(got("2-HIGH") == ((1L, 1L, 0L, 0L)),
+      s"high bucket: $got — a header without lines is n_no_lines, " +
+        "not a mismatch")
+  }
+
   test("dq_check kernel: a clean dataset reports zero violations " +
       "with full checked counts") {
     import spark.implicits._
