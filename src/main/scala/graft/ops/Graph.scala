@@ -695,6 +695,40 @@ object Graph {
     sccOf(s, directedSupplierEdges(s, d), Llm.CcDriverBudgetEdges)
       .orderBy("node")
 
+  /** Bounded k-hop reachability over the directed supplier graph: per
+    * node, how many DISTINCT nodes its ≤3-step out-neighborhood holds —
+    * the per-entity influence/exposure feature directed graphs exist
+    * for (fraud blast radius, dependency fan-out). Exact and bounded:
+    * k is FIXED, so the plan is k−1 static join+distinct levels (each
+    * level dedups before the next expands — the semi-naive discipline;
+    * without the per-level distinct a dense level would multiply paths
+    * combinatorially), the frontier localCheckpointed between levels
+    * per the repo's iterative-plan invariant. Zero-out-degree nodes
+    * report 0 via the node-relation left join, never drop out. 100 TB:
+    * each level is one shuffle join keyed on the frontier's tail +
+    * one dedup — k·(join+distinct), no recursion, no driver loop. */
+  val graph_reach: Q = (s, d) =>
+    reachOf(s, directedSupplierEdges(s, d), 3).orderBy("node")
+
+  private[graft] def reachOf(s: SparkSession, edgesIn: DataFrame,
+      k: Int): DataFrame = {
+    // small, reused k+1 times: materialize once, truncate lineage
+    val e = edgesIn.select(col("s"), col("t")).distinct().localCheckpoint()
+    var walk = e
+    for (_ <- 2 to k) {
+      walk = walk.union(
+        walk.as("w").join(e.as("x"), col("w.t") === col("x.s"))
+          .select(col("w.s").as("s"), col("x.t").as("t")))
+        .distinct().localCheckpoint()
+    }
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node"))).distinct()
+    nodes.join(walk.groupBy("s").agg(count(lit(1)).as("n")),
+        nodes("node") === col("s"), "left")
+      .select(col("node"),
+        coalesce(col("n"), lit(0L)).as(s"n_reach$k"))
+  }
+
   private[graft] def sccOf(s: SparkSession, edgesIn: DataFrame,
       driverBudgetEdges: Long): DataFrame = {
     val sp = s
@@ -993,6 +1027,7 @@ object Graph {
 
   val queries: Seq[(String, Q)] = Seq(
     "graph_scc" -> graph_scc,
+    "graph_reach" -> graph_reach,
     "graph_topo" -> graph_topo,
     "graph_cc" -> graph_cc,
     "graph_bfs" -> graph_bfs,
@@ -1018,10 +1053,9 @@ object Graph {
                 UNION ALL SELECT b AS s, a AS t FROM edges),
         nodes AS (SELECT DISTINCT s AS node FROM sym)"""
 
-  /** the SCC replay CTEs shared by graph_scc and graph_topo: the
-    * directed derivation (orientation parity + reverse slice), the
-    * reachability closure, and comp = per-node min mutual partner. */
-  private def sccCtes: String =
+  /** the directed-derivation replay CTEs (orientation parity + the
+    * sparse reverse slice) shared by every directed-graph oracle. */
+  private def dirCtes: String =
     s"""dedges AS (
             SELECT CASE WHEN ((a * 40503 + b * 2654435761) % 1000003)
                              % 2 = 0 THEN a ELSE b END AS s,
@@ -1037,7 +1071,13 @@ object Graph {
             WHERE ((a * 7 + b * 13) % 1000003) % 4 = 0),
           dnodes AS (
             SELECT DISTINCT s AS node FROM
-              (SELECT s FROM dedges UNION ALL SELECT t AS s FROM dedges)),
+              (SELECT s FROM dedges UNION ALL SELECT t AS s FROM dedges))"""
+
+  /** the SCC replay CTEs shared by graph_scc and graph_topo: the
+    * directed derivation, the reachability closure, and comp = per-node
+    * min mutual partner. */
+  private def sccCtes: String =
+    s"""$dirCtes,
           reach(node, r) AS (
             SELECT node, node FROM dnodes
             UNION
@@ -1080,6 +1120,25 @@ object Graph {
       s"""WITH RECURSIVE ${edgeCtes(23)},
           $sccCtes
           SELECT node, scc FROM comp ORDER BY node""",
+    // bounded ≤3-step closure, unrolled (no recursion needed at fixed
+    // k): each level dedups before the next expands, exactly the
+    // engine's semi-naive levels
+    "graph_reach" ->
+      s"""WITH ${edgeCtes(23)},
+          $dirCtes,
+          w2 AS (SELECT DISTINCT s, t FROM (
+                   SELECT s, t FROM dedges
+                   UNION ALL
+                   SELECT w.s, e.t FROM dedges w
+                   JOIN dedges e ON w.t = e.s)),
+          w3 AS (SELECT DISTINCT s, t FROM (
+                   SELECT s, t FROM w2
+                   UNION ALL
+                   SELECT w.s, e.t FROM w2 w JOIN dedges e ON w.t = e.s)),
+          r AS (SELECT s, count(1) AS n FROM w3 GROUP BY 1)
+          SELECT d.node, CAST(coalesce(r.n, 0) AS BIGINT) AS n_reach3
+          FROM dnodes d LEFT JOIN r ON r.s = d.node
+          ORDER BY node""",
     // condensation + longest-path layering: every component seeds the
     // walk at 0, each condensed edge adds 1, layer = max depth reached
     // — finite BECAUSE the condensation is a DAG (the recursion itself

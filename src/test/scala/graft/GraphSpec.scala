@@ -123,6 +123,31 @@ class GraphSpec extends SparkTestBase {
     assert(rd == rp, "random-graph arms must be value-identical")
   }
 
+  test("graph_reach: hand-checked on a chain, a cycle, and a " +
+      "diamond with path multiplicity") {
+    import spark.implicits._
+    // chain a→b→c→d→e: within 3 steps a reaches {b,c,d}, e reaches {}
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val rc = ops.Graph.reachOf(spark, chain, 3).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(rc == Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 1L), (5L, 0L)),
+      s"chain: $rc")
+    // 3-cycle: every node reaches all three (itself via the cycle)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val rcy = ops.Graph.reachOf(spark, cyc, 3).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(rcy == Seq((1L, 3L), (2L, 3L), (3L, 3L)), s"cycle: $rcy")
+    // diamond 1→{2,3}→4→5: two paths to 4 must count ONCE (the
+    // per-level dedup — path multiplicity is the classic blow-up)
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val rd = ops.Graph.reachOf(spark, dia, 3).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(rd == Seq((1L, 4L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 0L)),
+      s"diamond: $rd")
+  }
+
   test("graph_topo: layers hand-check on a planted condensation, both " +
       "arms agree on fixture and planted DAGs, cycles are loud") {
     import spark.implicits._
