@@ -1208,6 +1208,66 @@ object Table {
       .orderBy("o_year")
   }
 
+  /** SHALLOW CLONE from pure SQL — the zero-copy dev/test-copy verb
+    * every lakehouse format ships (Delta CLONE): the clone's first
+    * snapshot BORROWS the source's live files (absolute paths, no byte
+    * moves — cloning 100 TB is one driver-side commit), after which
+    * the two tables diverge independently: the story INSERTs 1998 into
+    * the CLONE only and 1999 into the SOURCE only, then reads both —
+    * a clone that shared state with its source would show cross-
+    * contaminated year sets, a clone that missed the borrow would
+    * lose ≤1997 entirely. GraftTableSpec pins the zero-copy claim
+    * itself (no data files under the clone's root until its own
+    * write), DV isolation, vacuum never reaching borrowed files, and
+    * OPTIMIZE as the progressive materializer. */
+  val table_sql_clone: Q = (s, d) => {
+    import graft.util.Det._
+    val rootA = Sources.sinkDir(s, d, "sql_clone_src")
+    val rootB = Sources.sinkDir(s, d, "sql_clone_dst")
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    val src = s"sql_clone_src_$tag"
+    val dst = s"sql_clone_dst_$tag"
+    graft.util.AppCleanup.buildOnce(tableBuilt, rootA) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $src (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4')
+            LOCATION '$rootA'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $src
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"CREATE TABLE $dst SHALLOW CLONE $src LOCATION '$rootB'")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $dst
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1998""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $src
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1999""")
+    }
+    def slice(name: String, tagName: String) =
+      graft.sql.GraftSql.sql(s, s"SELECT o_year, o_totalprice FROM $name")
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(tagName).as("src"), col("o_year"), col("n_orders"),
+          col("sum_price"))
+    slice(src, "source").unionByName(slice(dst, "clone"))
+      .orderBy("src", "o_year")
+  }
+
   /** RESTORE + snapshot TAGS from PURE SQL (r12 — the last two DSL-only
     * lifecycle verbs after the VACUUM/OPTIMIZE/HISTORY wave): the
     * bad-batch recovery story every snapshot format documents, driven
@@ -1336,6 +1396,7 @@ object Table {
     "table_sql_show" -> table_sql_show,
     "table_sql_show_create" -> table_sql_show_create,
     "table_sql_constraint" -> table_sql_constraint,
+    "table_sql_clone" -> table_sql_clone,
     "table_sql_rename_col" -> table_sql_rename_col,
     "table_sql_drop_col" -> table_sql_drop_col,
     "table_sql_branch" -> table_sql_branch,
@@ -1615,6 +1676,26 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders GROUP BY 1 ORDER BY o_year""",
+    // independent divergence from a shared borrow: source = ≤1997 ∪
+    // 1999, clone = ≤1997 ∪ 1998 — cross-contamination or a lost
+    // borrow both break the year sets
+    "table_sql_clone" ->
+      """WITH sl AS (
+           SELECT 'source' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders
+           WHERE year(o_orderdate) <= 1997 OR year(o_orderdate) = 1999
+           GROUP BY 2),
+         cl AS (
+           SELECT 'clone' AS src, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1998 GROUP BY 2)
+         SELECT * FROM (SELECT * FROM sl UNION ALL SELECT * FROM cl)
+         ORDER BY src, o_year""",
     // the tag pins the pre-bad-batch slice (≤ 1997); RESTORE undid the
     // 1998 batch and the corrected reload re-added only 1999+ — latest
     // is "everything but 1998"; both replayed statically

@@ -85,6 +85,14 @@ object GraftSqlMaint {
   // parser rejects the `@` form outright, so the text seam must own it
   // (like VACUUM/OPTIMIZE); the SELECT tail re-parses through the
   // session parser inside the command.
+  // `CREATE TABLE new SHALLOW CLONE src [AS OF SNAPSHOT n] LOCATION
+  // 'p'` — zero-copy clone. Not in Spark's grammar (SHALLOW CLONE is a
+  // lakehouse-format verb), so the text seam owns it.
+  private val CloneTable =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident +
+      """(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?""" +
+      """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
   private val InsertBranch =
     ("""(?is)^\s*INSERT\s+INTO\s+""" + Ident +
       """\s*@\s*([A-Za-z0-9_]+)\s+(SELECT\b.*?|FROM\b.*?|TABLE\b.*?|VALUES\b.*?)\s*;?\s*$""").r
@@ -141,6 +149,9 @@ object GraftSqlMaint {
     case InsertBranch(name, b, tail)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftInsertBranchCommand(partsOf(name), b, tail))
+    case CloneTable(name, src, snap, loc) =>
+      Some(GraftCloneTableCommand(partsOf(name), partsOf(src),
+        Option(snap).map(_.toInt), loc))
     case ShowTags(name) =>
       Some(GraftShowRefsCommand(partsOf(name), branchesOnly = false))
     case ShowBranches(name) =>
@@ -407,6 +418,30 @@ case class GraftShowCreateCommand(parts: Seq[String])
         Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft\n" +
           s"OPTIONS ($opts)\nLOCATION '${ref.root}'"))
     }
+  }
+}
+
+/** `CREATE TABLE new SHALLOW CLONE src [AS OF SNAPSHOT n] LOCATION
+  * 'p'`: zero-copy clone — snapshot 1 of the new table borrows the
+  * source snapshot's live files as absolute paths; metadata-only at
+  * any scale ([[GraftTable.cloneTable]]). The new name is claimed
+  * under the one-namespace discipline BEFORE the clone commits (the
+  * CREATE/CTAS rollback lesson: any failure unbinds only our claim);
+  * the Ref copies the source's knobs with the new root, so every DML
+  * verb works on the clone immediately. Vacuuming the SOURCE strands
+  * borrowed references — the documented shallow-clone hazard. */
+case class GraftCloneTableCommand(parts: Seq[String], src: Seq[String],
+    snapshot: Option[Int], location: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRef = GraftSqlMaint.refOf(src)
+    val ref = srcRef.copy(root = location)
+    GraftSqlDdl.claim(parts, ref, ignoreIfExists = false)
+    try GraftTable.cloneTable(srcRef.root, location, snapshot)
+    catch { case t: Throwable =>
+      GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
+      throw t
+    }
+    Seq.empty
   }
 }
 

@@ -184,7 +184,8 @@ object GraftTable {
   }
 
   private[table] def readDvPositions(root: String, rel: String): Array[Long] = {
-    val bytes = Files.readAllBytes(Paths.get(root, rel))
+    val bytes = Files.readAllBytes(
+      if (rel.startsWith("/")) Paths.get(rel) else Paths.get(root, rel))
     val bb = java.nio.ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(bb.getLong)
   }
@@ -653,6 +654,40 @@ object GraftTable {
     val m = Manifest(1, 0, "create", df.schema.json, entries,
       checks = Option(checks).filter(_.nonEmpty))
     require(tryCommit(root, m), s"concurrent create at $root")
+    1
+  }
+
+  /** SHALLOW CLONE (the public Delta/Iceberg zero-copy semantic): the
+    * destination's snapshot 1 lists the SOURCE snapshot's live files —
+    * metadata only, no byte moves, so cloning a 100 TB table is one
+    * driver-side commit. Borrowed entries store ABSOLUTE paths (with
+    * their DV sidecars); everything the clone WRITES afterward is its
+    * own root-relative data, so the two tables diverge independently
+    * from birth, and a compact/OPTIMIZE on the clone progressively
+    * materializes it (rewrites land owned files). Schema, stats,
+    * blooms, rename/drop metadata and CHECK constraints all travel.
+    * Vacuum on the CLONE never deletes borrowed files (not owned);
+    * the documented shallow-clone hazard is the other direction —
+    * vacuuming or purging the SOURCE strands the clone's borrowed
+    * references, exactly Delta's contract. Cloning a clone re-borrows
+    * the same absolute paths (no chains to chase at read). */
+  def cloneTable(srcRoot: String, dstRoot: String,
+      snapshot: Option[Int] = None): Int = {
+    require(latestSnapshot(dstRoot) == 0,
+      s"table already exists at $dstRoot")
+    val v = snapshot.getOrElse(latestSnapshot(srcRoot))
+    require(v > 0, s"clone of non-existent table $srcRoot")
+    require(Files.exists(manifestPath(srcRoot, v)),
+      s"clone source snapshot $v of $srcRoot is expired")
+    val m = manifest(srcRoot, v)
+    val srcAbs = Paths.get(srcRoot).toAbsolutePath
+    def abs(p: String): String =
+      if (p.startsWith("/")) p else srcAbs.resolve(p).toString
+    val borrowed = m.files.map(f =>
+      f.copy(path = abs(f.path), dv = f.dv.map(abs)))
+    val c = Manifest(1, 0, s"clone($srcRoot@$v)", m.schemaJson,
+      borrowed, checks = m.checks)
+    require(tryCommit(dstRoot, c), s"concurrent create at $dstRoot")
     1
   }
 
@@ -1422,10 +1457,13 @@ object GraftTable {
       .flatMap(v => manifest(root, v).files
         .flatMap(f => f.path :: f.dv.toList)).toSet -- live
     expired.foreach(v => Files.delete(manifestPath(root, v)))
-    dead.foreach { p =>
+    // borrowed (absolute-path) entries of a shallow clone are NOT owned:
+    // vacuum on the clone must never reach into the source's storage
+    val owned = dead.filterNot(_.startsWith("/"))
+    owned.foreach { p =>
       Files.deleteIfExists(Paths.get(root, p)); ()
     }
-    dead.size
+    owned.size
   }
 
   /** Delete data files referenced by NO live manifest — the leftovers of
@@ -1615,7 +1653,7 @@ object GraftTable {
       val physSchema = StructType(schema.fields.map(f =>
         ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
       val df = project(spark.read.schema(physSchema)
-        .parquet(fs.map(f => s"$root/${f.path}"): _*))
+        .parquet(fs.map(f => dataPath(root, f.path)): _*))
       if (ph.isEmpty) df else df.toDF(outNames: _*)
     }
     val groups = files.groupBy { f =>
@@ -1634,6 +1672,20 @@ object GraftTable {
     else groups.toSeq.sortBy(_._1.size).map((scan _).tupled)
       .reduce(_ unionByName _)
   }
+
+  /** Resolve an entry's data path: a SHALLOW CLONE ([[cloneTable]])
+    * stores BORROWED files as absolute paths into the source root;
+    * everything else is root-relative. */
+  private[table] def dataPath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
+  private val RelSuffixRe = "(data/c-[^/]+/[^/]+)$".r
+
+  /** The `data/c-<uuid>/<file>` suffix of a stored path — what the
+    * positional read's `_metadata.file_path` regex yields; equals the
+    * stored path itself for owned (relative) entries. */
+  private[table] def relSuffix(p: String): String =
+    RelSuffixRe.findFirstIn(p).getOrElse(p)
 
   /** Prefix for read-side sentinel column names ([[readPhysical]]): never
     * a real physical name — [[alterAddColumns]]/[[alterRenameColumn]]
@@ -1665,12 +1717,26 @@ object GraftTable {
     // plan, so the match with FileEntry.path is scheme/root-form
     // independent (file_path is a URI; the manifest stores
     // data/c-<uuid>/<part> suffixes)
-    val base = readPhysical(spark, root, schema, files,
+    val base0 = readPhysical(spark, root, schema, files,
       project = df => df.select(col("*"),
         regexp_extract(col("_metadata.file_path"),
           "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
         col("_metadata.row_index").as("__ri")),
       extraNames = Seq("__rel", "__ri"))
+    // borrowed (clone) entries store ABSOLUTE paths while the regex
+    // yields the data/c- suffix: remap __rel to the STORED path so
+    // every downstream comparison against FileEntry.path keeps holding;
+    // guarded so owned-only reads keep their exact plan
+    val base =
+      if (files.forall(f => f.path == relSuffix(f.path))) base0
+      else {
+        val names = base0.columns.filter(_ != "__rel").toSeq
+        val mapDf = files.map(f => (relSuffix(f.path), f.path))
+          .toDF("__rel", "__stored")
+        base0.join(broadcast(mapDf), Seq("__rel"))
+          .select((names.map(col) :+ col("__stored").as("__rel")): _*)
+          .select(base0.columns.map(col): _*)
+      }
     val dvd = files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) base
     else {

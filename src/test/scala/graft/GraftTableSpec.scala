@@ -2540,6 +2540,64 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("dropcol_t")
   }
 
+  test("shallow clone: zero-copy borrow, independent divergence, DV " +
+      "isolation, vacuum safety, OPTIMIZE materializes, checks travel") {
+    import spark.implicits._
+    val src = freshRoot()
+    GraftTable.create(spark, src, idTable(20), Seq("id"), Seq("id"),
+      numFiles = 2, checks = Map("id_pos" -> "id > 0"))
+    GraftTable.deleteMor(spark, src, Seq(3L).toDF("id"), "id") // src v2: DV
+    val dst = freshRoot()
+    GraftTable.cloneTable(src, dst)
+    // zero copy: the clone owns NO data yet; every entry is absolute
+    val m1 = GraftTable.manifest(dst, 1)
+    assert(m1.files.forall(_.path.startsWith("/")),
+      "borrowed entries must store absolute paths")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dst, "data")),
+      "a shallow clone must move zero bytes")
+    // reads agree, including the borrowed DV
+    assert(GraftTable.read(spark, dst).count() == 19)
+    assert(GraftTable.read(spark, dst).where(col("id") === 3L).count() == 0,
+      "the borrowed deletion vector must keep applying")
+    // constraints travel
+    intercept[IllegalArgumentException] {
+      GraftTable.append(spark, dst, Seq((-5L, "bad")).toDF("id", "payload"),
+        Seq("id"), Seq("id"))
+    }
+    // divergence: writes and MoR deletes on the clone leave src intact
+    GraftTable.append(spark, dst, Seq((100L, "c")).toDF("id", "payload"),
+      Seq("id"), Seq("id"))
+    GraftTable.deleteMor(spark, dst, Seq(5L).toDF("id"), "id")
+    assert(GraftTable.read(spark, dst).count() == 19)
+    assert(GraftTable.read(spark, src).count() == 19,
+      "clone writes/deletes must not touch the source")
+    assert(GraftTable.read(spark, src).where(col("id") === 5L).count() == 1,
+      "a clone-side MoR delete must not mask source rows")
+    // vacuum on the clone never deletes borrowed files
+    GraftTable.expireSnapshots(dst, GraftTable.latestSnapshot(dst))
+    GraftTable.removeOrphans(dst, olderThanMs = 0)
+    assert(GraftTable.read(spark, src).count() == 19,
+      "clone-side vacuum must never reach the source's storage")
+    assert(GraftTable.read(spark, dst).count() == 19)
+    // OPTIMIZE materializes: a full compact rewrites borrowed files
+    // into owned, root-relative entries
+    GraftTable.compact(spark, dst, Long.MaxValue, Seq("id"), Seq("id"),
+      numFiles = 1)
+    val mAfter = GraftTable.manifest(dst, GraftTable.latestSnapshot(dst))
+    assert(mAfter.files.forall(f => !f.path.startsWith("/")),
+      "compact must materialize borrowed files into owned ones")
+    assert(GraftTable.read(spark, dst).count() == 19)
+    // clone-of-clone re-borrows; AS OF clones a pinned snapshot
+    val dst2 = freshRoot()
+    GraftTable.cloneTable(src, dst2, snapshot = Some(1))
+    assert(GraftTable.read(spark, dst2).count() == 20,
+      "AS OF SNAPSHOT 1 predates the MoR delete")
+    intercept[IllegalArgumentException] {
+      GraftTable.cloneTable(src, dst2)
+    }
+  }
+
   test("check constraints: enforced on every row-adding verb, carried " +
       "by every commit, SQL NULL semantics, add validates existing, " +
       "rename/drop guards loud") {
