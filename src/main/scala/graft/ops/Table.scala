@@ -450,6 +450,69 @@ object Table {
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** CDC REPLAY materialization — the CONSUMER side of the change feed
+    * the format's CDC exists for: fold the full row-level history
+    * (inserts, update pre/post pairs, deletes across CoW commits) back
+    * into a table state, per key keeping the LAST commit's post-image
+    * and dropping keys whose last touch is a delete. A downstream
+    * replica applies a CDC feed exactly this way; replay ≡ direct read
+    * is the completeness proof of the whole CDC surface — a missing
+    * post-image, a phantom delete, or a mis-ordered commit all break
+    * the equality (GraftTableSpec pins frame equality vs the direct
+    * read; the oracle pins the replayed values statically). The story
+    * walks all three change kinds: CREATE (inserts), a price-bump
+    * MERGE (update pairs), a DELETE slice. Precedence inside a commit
+    * is by change kind (post-image/insert over pre-image/delete),
+    * across commits by snapshot id — one window keyed on the row key,
+    * high-cardinality at any scale. */
+  val table_cdc_replay: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "cdc_replay_orders")
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      val src = orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .select("o_orderkey", "o_totalprice", "o_year")
+      GraftTable.create(s, root, src.where(col("o_year") <= 1997),
+        Seq("o_year", "o_orderkey"), Seq("o_year", "o_orderkey"),
+        numFiles = 4)
+      // +100.00 is exact in binary doubles at these magnitudes — both
+      // engines replay it bit-identically
+      GraftTable.merge(s, root,
+        GraftTable.read(s, root).where(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)),
+        "o_orderkey", Seq("o_year", "o_orderkey"),
+        Seq("o_year", "o_orderkey"))
+      GraftTable.delete(s, root,
+        GraftTable.read(s, root).where(col("o_orderkey") % 10 === 3)
+          .select("o_orderkey"),
+        "o_orderkey", Seq("o_year", "o_orderkey"),
+        Seq("o_year", "o_orderkey"))
+    }
+    replayOf(GraftTable.changesBetweenRows(s, root, 0,
+      GraftTable.latestSnapshot(root), "o_orderkey"), "o_orderkey")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** The CDC fold: last-touch-wins per key with post-image precedence
+    * inside a commit; a key whose last touch is a delete drops out.
+    * Handles delete-then-reinsert (the later insert wins by snapshot). */
+  private[graft] def replayOf(cdc: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val prec = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1).otherwise(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(desc("_commit_snapshot"), desc("__prec"))
+    cdc.withColumn("__prec", prec)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"))
+      .drop("__prec", "__rn", "_change_type", "_commit_snapshot")
+  }
+
   /** MERGE from PURE SQL (round-9 verdict missing #1, the WRITE side of
     * the TVF read surface): a four-arm `MERGE INTO` issued through
     * plain SQL over a registered graft table
@@ -1385,6 +1448,7 @@ object Table {
     "table_snapshot" -> table_snapshot,
     "table_sql_tt" -> table_sql_tt,
     "table_sql_cdc" -> table_sql_cdc,
+    "table_cdc_replay" -> table_cdc_replay,
     "table_sql_merge" -> table_sql_merge,
     "table_sql_dml" -> table_sql_dml,
     "table_sql_ddl" -> table_sql_ddl,
@@ -1666,6 +1730,19 @@ object Table {
            ('view', 'CREATE VIEW `x_scv` AS SELECT o_orderkey FROM x_sc'))
          t(src, stmt)
          ORDER BY src""",
+    // the replayed state statically: years ≤1997, +100.00 on %7 keys,
+    // minus the %10=3 slice — a lost post-image or phantom delete
+    // breaks count or sum
+    "table_cdc_replay" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 7 = 0
+                                THEN o_totalprice + 100.0
+                                ELSE o_totalprice END
+                      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE year(o_orderdate) <= 1997 AND o_orderkey % 10 <> 3
+         GROUP BY 1 ORDER BY o_year""",
     // the rejected 1998 batch landed NOTHING (atomic rejection): every
     // year group matches the source exactly — a leaked partial batch
     // doubles 1998's count and sum; the final state replays statically

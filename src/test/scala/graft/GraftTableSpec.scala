@@ -2540,6 +2540,30 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("dropcol_t")
   }
 
+  test("cdc replay: folding the change feed reproduces the table " +
+      "exactly, including delete-then-reinsert") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1) // v1
+    GraftTable.merge(spark, root,
+      Seq((3L, "u3"), (11L, "n11")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id")) // v2: update + insert
+    GraftTable.delete(spark, root, Seq(5L, 11L).toDF("id"), "id",
+      Seq("id"), Seq("id")) // v3
+    GraftTable.merge(spark, root, Seq((5L, "back")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id")) // v4: reinsert a deleted key
+    val cdc = GraftTable.changesBetweenRows(spark, root, 0, 4, "id")
+    val replayed = ops.Table.replayOf(cdc, "id")
+      .as[(Long, String)].collect().toMap
+    val direct = GraftTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(replayed == direct,
+      s"CDC replay must reproduce the table: ${replayed.toSeq.sorted} " +
+        s"vs ${direct.toSeq.sorted}")
+    assert(replayed(5L) == "back" && !replayed.contains(11L))
+  }
+
   test("shallow clone: zero-copy borrow, independent divergence, DV " +
       "isolation, vacuum safety, OPTIMIZE materializes, checks travel") {
     import spark.implicits._
