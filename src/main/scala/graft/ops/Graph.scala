@@ -712,18 +712,28 @@ object Graph {
 
   private[graft] def reachOf(s: SparkSession, edgesIn: DataFrame,
       k: Int): DataFrame = {
-    // small, reused k+1 times: materialize once, truncate lineage
-    val e = edgesIn.select(col("s"), col("t")).distinct().localCheckpoint()
+    // small, reused k+1 times: materialize once, truncate lineage;
+    // superseded frontiers release their blocks, the two relations the
+    // RESULT reads (edges + final walk) outlive the loop and are
+    // released by the NEXT invocation (the Iterate.registerResult
+    // contract every Graph loop follows — review finding, r13)
+    val e = graft.util.Iterate.checkpoint(
+      edgesIn.select(col("s"), col("t")).distinct())
     var walk = e
     for (_ <- 2 to k) {
-      walk = walk.union(
-        walk.as("w").join(e.as("x"), col("w.t") === col("x.s"))
-          .select(col("w.s").as("s"), col("x.t").as("t")))
-        .distinct().localCheckpoint()
+      val next = graft.util.Iterate.checkpoint(
+        walk._1.union(
+          walk._1.as("w").join(e._1.as("x"), col("w.t") === col("x.s"))
+            .select(col("w.s").as("s"), col("x.t").as("t")))
+          .distinct())
+      if (walk._2 ne e._2) walk._2.unpersist(blocking = false)
+      walk = next
     }
-    val nodes = e.select(col("s").as("node"))
-      .union(e.select(col("t").as("node"))).distinct()
-    nodes.join(walk.groupBy("s").agg(count(lit(1)).as("n")),
+    val nodes = e._1.select(col("s").as("node"))
+      .union(e._1.select(col("t").as("node"))).distinct()
+    graft.util.Iterate.registerResult("graph_reach_edges", e._2)
+    graft.util.Iterate.registerResult("graph_reach_walk", walk._2)
+    nodes.join(walk._1.groupBy("s").agg(count(lit(1)).as("n")),
         nodes("node") === col("s"), "left")
       .select(col("node"),
         coalesce(col("n"), lit(0L)).as(s"n_reach$k"))

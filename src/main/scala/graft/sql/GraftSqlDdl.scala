@@ -99,18 +99,15 @@ object GraftSqlDdl {
       // the graft read rule resolves that relation and
       // ResolveSessionCatalog then dies extracting a catalog identifier
       // our relation doesn't have; graft runs its own validation scan
-      case AddCheckConstraint(child, c)
-          if child.collectFirst {
-            case r: UnresolvedRelation
-                if GraftSqlTables.lookup(r.multipartIdentifier).isDefined =>
-              r
-          }.isDefined =>
-        val parts = child.collectFirst {
+      case AddCheckConstraint(child, c) =>
+        child.collectFirst {
           case r: UnresolvedRelation
               if GraftSqlTables.lookup(r.multipartIdentifier).isDefined =>
             r.multipartIdentifier
-        }.get
-        GraftAddCheckCommand(parts, toCheck(parts, c))
+        } match {
+          case Some(parts) => GraftAddCheckCommand(parts, toCheck(parts, c))
+          case None => plan // not a graft name: Spark's own constraint path
+        }
       case DropConstraint(UnresolvedTable(parts, _, _), cname, ifExists,
           cascade) if GraftSqlTables.lookup(parts).isDefined =>
         require(!cascade,

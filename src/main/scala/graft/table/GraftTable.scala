@@ -647,6 +647,10 @@ object GraftTable {
       zorderCols: Seq[String] = Nil,
       checks: Map[String, String] = Map.empty): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
+    df.schema.fieldNames.filter(_.startsWith(DeadSentinelPrefix))
+      .foreach(n => throw new IllegalArgumentException(
+        s"column name '$n' collides with the reserved " +
+          s"'$DeadSentinelPrefix' read-sentinel prefix"))
     checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
     enforceChecks(df, checks, s"in CREATE at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
@@ -803,6 +807,13 @@ object GraftTable {
     * parent-independent, so the commit simply rebases onto the new
     * latest and retries the link.
     *
+    * On a CHECK-constrained table, `df` is evaluated twice (the
+    * validation aggregate, then the write) and must therefore be
+    * DETERMINISTIC — the same contract [[merge]]/[[delete]] document;
+    * the SQL INSERT path persists its source first, so only direct DSL
+    * callers carry the obligation. Unconstrained appends evaluate once,
+    * exactly as before.
+    *
     * `allowEvolution` permits ADD-ONLY schema evolution: `df` must still
     * carry every existing column with its exact type, and its extra
     * columns become part of the table schema from this snapshot on.
@@ -847,6 +858,12 @@ object GraftTable {
       val newShape = shape(df.schema)
       val evolved = allowEvolution && newShape != parentShape &&
         newShape.startsWith(parentShape)
+      if (evolved)
+        newShape.drop(parentShape.length).map(_._1)
+          .filter(_.startsWith(DeadSentinelPrefix))
+          .foreach(n => throw new IllegalArgumentException(
+            s"column name '$n' collides with the reserved " +
+              s"'$DeadSentinelPrefix' read-sentinel prefix"))
       require(newShape == parentShape || evolved,
         if (allowEvolution)
           s"schema evolution is add-only: existing columns $parentShape " +
@@ -1854,6 +1871,44 @@ object GraftTable {
       Files.exists(manifestPath(root, v)),
       s"snapshot $v of $root expired; row-level CDC over $fromSnapshot.." +
         s"$toSnapshot is unreconstructible"))
+    // ---- op-derived column-name maps (never positional guessing) ----
+    // Evolution is tracked without field ids by replaying what each
+    // commit DID: renames come from the op record, add/drop from set
+    // intersection, and a RESTORE from the INVERSE of the composed map
+    // back to its target (recursion bounded — targets strictly
+    // precede). The earlier schema-shape heuristics mislabeled a
+    // restore across a same-width drop-then-add (r13 review finding).
+    val namesMemo = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    def namesAt(w: Int): Seq[String] = namesMemo.getOrElseUpdate(w,
+      DataType.fromJson(manifest(root, w).schemaJson)
+        .asInstanceOf[StructType].fieldNames.toSeq)
+    val renameRe = """alter_rename\((.+)->(.+)\)""".r
+    val restoreRe = """restore\((\d+)\)""".r
+    // names at w-1 -> names at w for ONE commit; absent = not
+    // presentable past w (dropped, or never existed at a restore target)
+    def stepNameMap(w: Int): Map[String, String] = {
+      val prev = namesAt(w - 1)
+      val cur = namesAt(w).toSet
+      manifest(root, w).op match {
+        case renameRe(o, n) =>
+          prev.flatMap(c => if (c == o) Some(c -> n)
+            else if (cur(c)) Some(c -> c) else None).toMap
+        case restoreRe(k) =>
+          require(Files.exists(manifestPath(root, k.toInt)),
+            s"row-level CDC across the restore at commit $w of $root " +
+              s"needs snapshot ${k.toInt}'s manifest (expired)")
+          mapBetween(k.toInt, w - 1).map(_.swap)
+        case _ => prev.filter(cur).map(c => c -> c).toMap
+      }
+    }
+    // composed names-at-a -> names-at-b map (a <= b); injective, so the
+    // restore inverse above is well-defined
+    def mapBetween(a: Int, b: Int): Map[String, String] =
+      ((a + 1) to b).foldLeft(namesAt(a).map(c => c -> c).toMap) {
+        (acc, w) =>
+          val pm = stepNameMap(w)
+          acc.flatMap { case (orig, cu) => pm.get(cu).map(orig -> _) }
+      }
     val steps = ((fromSnapshot + 1) to toSnapshot).map { v =>
       val cur = manifest(root, v)
       val prev =
@@ -1885,20 +1940,37 @@ object GraftTable {
           readEntries(spark, root, cur, Nil)
             .withColumn("_change_type", lit("insert")).limit(0)
         case _ => // merge / delete / restore: row-diff vs predecessors
-          val oldRows0 = readEntries(spark, root, prev, removed)
-          val newRows = readEntries(spark, root, cur, added)
-          // a RESTORE can cross schema evolution: same-width name drift
-          // (a rename) relabels positionally — rename is the identity
-          // on data, so the diff stays exact; a WIDTH change has no
-          // sound row diff (the struct comparison would compare
-          // different shapes) and fails loudly instead of guessing
-          require(oldRows0.columns.length == newRows.columns.length,
-            s"row-level CDC across commit $v of $root spans a schema-" +
-              "width change (restore across ADD/DROP COLUMNS); consume " +
-              "the history in two ranges split at that commit")
+          // a restore that CHANGES THE SCHEMA alters the logical
+          // content of carried-over files too (a resurrected column's
+          // values reappear with no file movement) — rediff EVERYTHING
+          // in that case, so those rows surface as update pairs and
+          // replay stays complete; rows equal under the mapping cancel
+          // in the full-outer join. Same-schema restores keep the cheap
+          // file-identity diff.
+          val rediffAll = cur.op.startsWith("restore(") &&
+            namesAt(v - 1) != namesAt(v)
+          val oldRows0 = readEntries(spark, root, prev,
+            if (rediffAll) prev.files else removed)
+          val newRows = readEntries(spark, root, cur,
+            if (rediffAll) cur.files else added)
+          // a RESTORE can cross schema evolution: relabel the pre-image
+          // side into THIS commit's names via the op-derived map —
+          // renames carry their data across, columns the current schema
+          // lacks (restore back across an ADD) drop out of the diff
+          // (they do not exist at cur; Delta CDF's latest-schema
+          // convention), and columns cur has that the pre-image side
+          // lacks (restore back across a DROP: the resurrected column)
+          // null-fill, so their resurrection surfaces as an update
+          val inv = stepNameMap(v).map(_.swap) // v names -> v-1 names
           val oldRows =
             if (oldRows0.columns.sameElements(newRows.columns)) oldRows0
-            else oldRows0.toDF(newRows.columns.toSeq: _*)
+            else oldRows0.select(newRows.columns.toSeq.map { n =>
+              inv.get(n) match {
+                case Some(o) => col(o).as(n)
+                case None =>
+                  lit(null).cast(newRows.schema(n).dataType).as(n)
+              }
+            }: _*)
           val oldS = oldRows.select(col(keyCol).as("__k"),
             struct(oldRows.columns.map(col): _*).as("__old"))
           val newS = newRows.select(col(keyCol).as("__k"),
@@ -1921,38 +1993,14 @@ object GraftTable {
       step.withColumn("_commit_snapshot", lit(v))
     }
     // present the WHOLE history in the TO-snapshot's column names (the
-    // Delta CDF latest-schema convention). Each step composes per-commit
-    // name maps, derived from consecutive manifest SCHEMAS (no field ids
-    // needed): equal schemas → identity; a name-superset commit (ADD) →
-    // identity on the survivors; a name-subset commit (DROP) → identity
-    // on the survivors, ERASING the dropped names (their change rows
-    // stop being presentable — Delta CDF's latest-schema convention
-    // drops them too); a same-width name change (RENAME, or a RESTORE
-    // across pure renames) maps positionally. A restore across a mixed
-    // width+rename history fails loudly rather than guessing. The old
-    // positional-prefix relabel silently MISLABELED a history containing
-    // a drop-then-add (column i of an old step is not column i of the
-    // target once a middle column vanished) — r13 drop work.
-    val schemaNames = ((fromSnapshot + 1).max(1) to toSnapshot).map(w =>
-      w -> DataType.fromJson(manifest(root, w).schemaJson)
-        .asInstanceOf[StructType].fieldNames.toSeq).toMap
-    def pairMap(prev: Seq[String], cur: Seq[String]): Map[String, String] =
-      if (prev == cur || prev.forall(cur.contains))
-        prev.map(c => c -> c).toMap
-      else if (cur.forall(prev.contains)) cur.map(c => c -> c).toMap
-      else if (prev.length == cur.length) prev.zip(cur).toMap
-      else throw new IllegalArgumentException(
-        s"row-level CDC over $root spans a restore across mixed " +
-          "width+rename evolution — no sound column mapping exists; " +
-          "consume the history in ranges split at that restore")
-    val targetNames = schemaNames(toSnapshot)
+    // Delta CDF latest-schema convention): each step relabels through
+    // the composed op-derived map; a name the map erases (dropped along
+    // the way) stops being presentable, a target column a step predates
+    // null-fills via unionByName.
+    val targetNames = namesAt(toSnapshot)
     steps.zipWithIndex.map { case (st, i) =>
       val v = fromSnapshot + 1 + i
-      val total = (v until toSnapshot).foldLeft(
-        schemaNames(v).map(c => c -> c).toMap) { (acc, w) =>
-        val pm = pairMap(schemaNames(w), schemaNames(w + 1))
-        acc.flatMap { case (orig, cur) => pm.get(cur).map(orig -> _) }
-      }
+      val total = mapBetween(v, toSnapshot)
       val inv = total.map(_.swap)
       st.select(targetNames.flatMap(t => inv.get(t).map(n =>
         col(n).as(t))) ++

@@ -2512,6 +2512,25 @@ class GraftTableSpec extends SparkTestBase {
     assert(cdc.where(col("_commit_snapshot") === 4 &&
       col("note") === "n9").count() == 1)
     assert(cdc.count() == 6)
+    // RESTORE back across the drop-then-add: same WIDTH at both ends,
+    // but 'note' and 'payload' are unrelated columns — the old
+    // positional relabel silently presented note data as payload
+    // (r13 review finding); the op-derived map resurfaces payload as
+    // itself and drops note
+    GraftTable.restore(root, 1) // v5: back to (id, payload)
+    val r = GraftTable.changesBetweenRows(spark, root, 4, 5, "id")
+    assert(r.columns.toSeq ==
+      Seq("id", "payload", "_change_type", "_commit_snapshot"))
+    // the appended (9, n9) row is deleted by the restore; the original
+    // 5 rows' payload values resurface as updates from NULL-projected
+    // pre-images — crucially NOTHING presents note data under payload
+    assert(r.where(col("_change_type") === "delete" &&
+      col("id") === 9L).count() == 1)
+    assert(r.where(col("_change_type") === "update_postimage" &&
+      col("payload").startsWith("v")).count() == 5,
+      "the restored payload values must resurface under their own name")
+    assert(r.where(col("payload") === "n9").count() == 0,
+      "note data must never appear under the payload column")
   }
 
   test("sql drop column: one commit, Ref sheds stats/bloom names, " +
