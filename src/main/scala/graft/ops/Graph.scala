@@ -696,19 +696,24 @@ object Graph {
       .orderBy("node")
 
   /** Bounded k-hop reachability over the directed supplier graph: per
-    * node, how many DISTINCT nodes its ≤3-step out-neighborhood holds —
-    * the per-entity influence/exposure feature directed graphs exist
-    * for (fraud blast radius, dependency fan-out). Exact and bounded:
-    * k is FIXED, so the plan is k−1 static join+distinct levels (each
-    * level dedups before the next expands — the semi-naive discipline;
-    * without the per-level distinct a dense level would multiply paths
-    * combinatorially), the frontier localCheckpointed between levels
-    * per the repo's iterative-plan invariant. Zero-out-degree nodes
-    * report 0 via the node-relation left join, never drop out. 100 TB:
-    * each level is one shuffle join keyed on the frontier's tail +
-    * one dedup — k·(join+distinct), no recursion, no driver loop. */
+    * node, how many DISTINCT nodes its ≤2-step out-neighborhood holds —
+    * the friend-of-friend influence/exposure feature directed graphs
+    * exist for (fraud blast radius, dependency fan-out). Exact and
+    * bounded: k is FIXED, so the plan is k−1 static join+distinct
+    * levels (each level dedups before the next expands — the
+    * semi-naive discipline; without the per-level distinct a dense
+    * level multiplies paths combinatorially), the frontier
+    * localCheckpointed between levels per the repo's iterative-plan
+    * invariant. Zero-out-degree nodes report 0 via the node-relation
+    * left join, never drop out. k is 2 BY MEASUREMENT: the m=23
+    * directed graph carries a giant SCC (24.7k edges at sf0.1), so the
+    * ≤3 closure is ~n·|reach| ≈ millions of pairs (measured ~4 s) for
+    * a feature whose signal saturates — the closure-y questions belong
+    * to [[graph_scc]]/[[graph_topo]]; ≤2 stays candidate-bounded by
+    * Σ in(t)·out(t). 100 TB: each level is one shuffle join keyed on
+    * the frontier's tail + one dedup — no recursion, no driver loop. */
   val graph_reach: Q = (s, d) =>
-    reachOf(s, directedSupplierEdges(s, d), 3).orderBy("node")
+    reachOf(s, directedSupplierEdges(s, d), 2).orderBy("node")
 
   private[graft] def reachOf(s: SparkSession, edgesIn: DataFrame,
       k: Int): DataFrame = {
@@ -1130,9 +1135,9 @@ object Graph {
       s"""WITH RECURSIVE ${edgeCtes(23)},
           $sccCtes
           SELECT node, scc FROM comp ORDER BY node""",
-    // bounded ≤3-step closure, unrolled (no recursion needed at fixed
-    // k): each level dedups before the next expands, exactly the
-    // engine's semi-naive levels
+    // bounded ≤2-step closure, unrolled (no recursion needed at fixed
+    // k): the level dedups before counting, exactly the engine's
+    // semi-naive levels
     "graph_reach" ->
       s"""WITH ${edgeCtes(23)},
           $dirCtes,
@@ -1141,12 +1146,8 @@ object Graph {
                    UNION ALL
                    SELECT w.s, e.t FROM dedges w
                    JOIN dedges e ON w.t = e.s)),
-          w3 AS (SELECT DISTINCT s, t FROM (
-                   SELECT s, t FROM w2
-                   UNION ALL
-                   SELECT w.s, e.t FROM w2 w JOIN dedges e ON w.t = e.s)),
-          r AS (SELECT s, count(1) AS n FROM w3 GROUP BY 1)
-          SELECT d.node, CAST(coalesce(r.n, 0) AS BIGINT) AS n_reach3
+          r AS (SELECT s, count(1) AS n FROM w2 GROUP BY 1)
+          SELECT d.node, CAST(coalesce(r.n, 0) AS BIGINT) AS n_reach2
           FROM dnodes d LEFT JOIN r ON r.s = d.node
           ORDER BY node""",
     // condensation + longest-path layering: every component seeds the

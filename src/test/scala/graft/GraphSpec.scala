@@ -124,27 +124,32 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("graph_reach: hand-checked on a chain, a cycle, and a " +
-      "diamond with path multiplicity") {
+      "diamond with path multiplicity; k=3 cycle self-reach") {
     import spark.implicits._
-    // chain a→b→c→d→e: within 3 steps a reaches {b,c,d}, e reaches {}
+    // chain a→b→c→d→e: within 2 steps a reaches {b,c}, e reaches {}
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("s", "t")
-    val rc = ops.Graph.reachOf(spark, chain, 3).orderBy("node")
+    val rc = ops.Graph.reachOf(spark, chain, 2).orderBy("node")
       .as[(Long, Long)].collect().toSeq
-    assert(rc == Seq((1L, 3L), (2L, 3L), (3L, 2L), (4L, 1L), (5L, 0L)),
+    assert(rc == Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 0L)),
       s"chain: $rc")
-    // 3-cycle: every node reaches all three (itself via the cycle)
+    // 3-cycle at k=2: each node reaches the other two, not yet itself;
+    // at k=3 the cycle closes and self-reach appears (the kernel stays
+    // generic in k — the query pins k=2 by measurement)
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
-    val rcy = ops.Graph.reachOf(spark, cyc, 3).orderBy("node")
+    val rcy = ops.Graph.reachOf(spark, cyc, 2).orderBy("node")
       .as[(Long, Long)].collect().toSeq
-    assert(rcy == Seq((1L, 3L), (2L, 3L), (3L, 3L)), s"cycle: $rcy")
-    // diamond 1→{2,3}→4→5: two paths to 4 must count ONCE (the
+    assert(rcy == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"cycle: $rcy")
+    val rcy3 = ops.Graph.reachOf(spark, cyc, 3).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(rcy3 == Seq((1L, 3L), (2L, 3L), (3L, 3L)), s"cycle k3: $rcy3")
+    // diamond 1→{2,3}→4→5: two 2-step paths to 4 must count ONCE (the
     // per-level dedup — path multiplicity is the classic blow-up)
     val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("s", "t")
-    val rd = ops.Graph.reachOf(spark, dia, 3).orderBy("node")
+    val rd = ops.Graph.reachOf(spark, dia, 2).orderBy("node")
       .as[(Long, Long)].collect().toSeq
-    assert(rd == Seq((1L, 4L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 0L)),
+    assert(rd == Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 0L)),
       s"diamond: $rd")
   }
 
