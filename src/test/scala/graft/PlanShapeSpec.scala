@@ -124,6 +124,58 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("llm_dsir ends in TakeOrderedAndProject — the top-40 never " +
+      "global-sorts the scored corpus") {
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_dsir(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-40 not a partial top-k:\n$p")
+    }
+  }
+
+  test("llm_hard_negatives streams the corpus against BROADCAST " +
+      "anchors and never shuffles the vectors") {
+    withStaticPlan {
+      val p = planOf(ops.Llm.llm_hard_negatives(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"anchors not broadcast:\n$p")
+    }
+  }
+
+  test("a shallow clone's plain read keeps the owned-table plan shape " +
+      "(no remap join), and only borrowed+DV reads add the remap") {
+    import spark.implicits._
+    withStaticPlan {
+      val src = java.nio.file.Files
+        .createTempDirectory("plan_clone_src").toString
+      val dst = java.nio.file.Files
+        .createTempDirectory("plan_clone_dst").toString + "/t"
+      graft.table.GraftTable.create(spark, src,
+        (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+        Seq("id"), Seq("id"), numFiles = 1)
+      graft.table.GraftTable.cloneTable(src, dst)
+      // a borrowed read WITHOUT DVs is one plain vectorized scan —
+      // zero joins, the exact owned-table fast path
+      val p0 = planOf(graft.table.GraftTable.read(spark, dst))
+      assert(!p0.contains("Join"), s"clone fast path grew a join:\n$p0")
+      // a DV'd read on the clone adds the DV anti-join AND the
+      // suffix→stored-path remap join (borrowed absolute paths); the
+      // same DV'd read on the OWNED source has only the anti-join
+      graft.table.GraftTable.deleteMor(spark, dst,
+        Seq(3L).toDF("id"), "id")
+      graft.table.GraftTable.deleteMor(spark, src,
+        Seq(4L).toDF("id"), "id")
+      def joins(p: String): Int =
+        p.linesIterator.count(_.contains("BroadcastHashJoin"))
+      val pSrc = planOf(graft.table.GraftTable.read(spark, src))
+      val pDst = planOf(graft.table.GraftTable.read(spark, dst))
+      assert(joins(pSrc) == 1,
+        s"owned DV read must keep exactly the anti-join:\n$pSrc")
+      assert(joins(pDst) == 2,
+        s"borrowed DV read must add exactly the remap join:\n$pDst")
+    }
+  }
+
   test("win_dist_salted joins its stats side as a broadcast") {
     // the skew-safe distribution plan must keep the per-bucket stats table
     // on the broadcast side — a shuffled join would reintroduce the very
