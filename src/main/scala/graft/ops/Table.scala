@@ -1271,6 +1271,43 @@ object Table {
       .orderBy("o_year")
   }
 
+  /** `DESCRIBE DETAIL` from pure SQL — the one-row operational summary
+    * beside HISTORY (what happened) and SHOW CREATE TABLE (how to
+    * recreate it): the live snapshot's id and op, file/live-row/DV-row
+    * counts, constraint count, named-ref counts, and the shallow-clone
+    * borrow flag. The story exercises every counter: CREATE + a
+    * 4-file INSERT + CREATE TAG + CREATE BRANCH + ADD CONSTRAINT —
+    * snapshot/op/file/check/ref counts pin literally, the live row
+    * count recomputes from the source slice. Driver-side metadata
+    * reads; no job at any scale. */
+  val table_sql_detail: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_detail_orders")
+    val name = "sql_detail_orders_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name (
+              o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING graft
+            OPTIONS (key 'o_orderkey', stats 'o_year,o_orderkey',
+                     cluster 'o_year,o_orderkey', num_files '4')
+            LOCATION '$root'""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s, s"ALTER TABLE $name CREATE TAG loaded")
+      graft.sql.GraftSql.exec(s,
+        s"ALTER TABLE $name CREATE BRANCH audit")
+      graft.sql.GraftSql.exec(s,
+        s"""ALTER TABLE $name ADD CONSTRAINT price_pos
+            CHECK (o_totalprice >= 0)""")
+    }
+    graft.sql.GraftSql.sql(s, s"DESCRIBE DETAIL $name")
+  }
+
   /** SHALLOW CLONE from pure SQL — the zero-copy dev/test-copy verb
     * every lakehouse format ships (Delta CLONE): the clone's first
     * snapshot BORROWS the source's live files (absolute paths, no byte
@@ -1461,6 +1498,7 @@ object Table {
     "table_sql_show_create" -> table_sql_show_create,
     "table_sql_constraint" -> table_sql_constraint,
     "table_sql_clone" -> table_sql_clone,
+    "table_sql_detail" -> table_sql_detail,
     "table_sql_rename_col" -> table_sql_rename_col,
     "table_sql_drop_col" -> table_sql_drop_col,
     "table_sql_branch" -> table_sql_branch,
@@ -1753,6 +1791,19 @@ object Table {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_price
          FROM orders GROUP BY 1 ORDER BY o_year""",
+    // every counter literal except the live row count, which
+    // recomputes from the source slice; single row, no ORDER BY needed
+    "table_sql_detail" ->
+      """SELECT CAST(3 AS INT) AS snapshot,
+             'alter_add_check(price_pos)' AS op,
+             CAST(4 AS BIGINT) AS n_files,
+             (SELECT CAST(count(1) AS BIGINT) FROM orders
+              WHERE year(o_orderdate) <= 1997) AS n_live_rows,
+             CAST(0 AS BIGINT) AS n_dv_rows,
+             CAST(1 AS INT) AS n_checks,
+             CAST(1 AS INT) AS n_tags,
+             CAST(1 AS INT) AS n_branches,
+             false AS is_clone""",
     // independent divergence from a shared borrow: source = ≤1997 ∪
     // 1999, clone = ≤1997 ∪ 1998 — cross-contamination or a lost
     // borrow both break the year sets

@@ -55,6 +55,8 @@ object GraftSqlMaint {
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val DescHistory =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val DescDetail =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Ident +
       """\s+TO\s+SNAPSHOT\s+(\d+)\s*;?\s*$""").r
@@ -132,6 +134,18 @@ object GraftSqlMaint {
         s"DESCRIBE HISTORY ${partsOf(name).mkString(".")}: graft views " +
           "have no commit history (they re-resolve their body per read); " +
           "DESCRIBE HISTORY addresses graft TABLES")
+    // DETAIL follows HISTORY's gating exactly: registered tables get
+    // the command, registered VIEWS answer loudly (one namespace), and
+    // unregistered names keep Spark's own reading of the text
+    case DescDetail(name)
+        if GraftSqlTables.lookup(partsOf(name)).isDefined =>
+      Some(GraftDescribeDetailCommand(partsOf(name)))
+    case DescDetail(name)
+        if GraftSqlViews.lookup(partsOf(name)).isDefined =>
+      throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL ${partsOf(name).mkString(".")}: graft views " +
+          "have no storage detail (they re-resolve their body per " +
+          "read); DESCRIBE DETAIL addresses graft TABLES")
     case Restore(name, snap) =>
       Some(GraftRestoreCommand(partsOf(name), snap.toInt))
     case CreateTag(name, tagName, snap) =>
@@ -442,6 +456,43 @@ case class GraftCloneTableCommand(parts: Seq[String], src: Seq[String],
       throw t
     }
     Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL name` — the one-row operational summary every
+  * lakehouse format ships beside HISTORY (Delta's verb): the LIVE
+  * snapshot's id, committing op, file count, live row count (DV-aware),
+  * deletion-vector'd row count, CHECK-constraint count, named-ref
+  * counts, and whether any file is still a shallow-clone BORROW
+  * (is_clone flips to false once OPTIMIZE materializes every borrowed
+  * file — the clone-maturity probe). Driver-side manifest/ref reads
+  * only; no job at any scale. */
+case class GraftDescribeDetailCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_live_rows", LongType, nullable = false)(),
+    AttributeReference("n_dv_rows", LongType, nullable = false)(),
+    AttributeReference("n_checks", IntegerType, nullable = false)(),
+    AttributeReference("n_tags", IntegerType, nullable = false)(),
+    AttributeReference("n_branches", IntegerType, nullable = false)(),
+    AttributeReference("is_clone", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    val v = GraftTable.latestSnapshot(ref.root)
+    require(v > 0,
+      s"DESCRIBE DETAIL of non-existent table at ${ref.root}")
+    val m = GraftTable.manifest(ref.root, v)
+    Seq(Row(v, m.op,
+      m.files.size.toLong,
+      m.files.map(_.liveRows).sum,
+      m.files.flatMap(_.dvRows).sum,
+      m.checks.map(_.size).getOrElse(0),
+      GraftTable.tags(ref.root).size,
+      GraftTable.branches(ref.root).size,
+      m.files.exists(_.path.startsWith("/"))))
   }
 }
 

@@ -2559,6 +2559,47 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("dropcol_t")
   }
 
+  test("sql describe detail: DV and clone counters live, views loud, " +
+      "unregistered names fall through") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftTable.deleteMor(spark, root, Seq(3L, 7L).toDF("id"), "id")
+    GraftSqlTables.register("detail_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), 2))
+    try {
+      val r = GraftSql.sql(spark, "DESCRIBE DETAIL detail_t").head()
+      assert(r.getInt(0) == 2 && r.getString(1) == "delete_mor")
+      assert(r.getLong(2) == 2 && r.getLong(3) == 8 && r.getLong(4) == 2,
+        s"2 files, 8 live rows, 2 DV'd rows: $r")
+      assert(!r.getBoolean(8))
+      // a clone reports its borrow until materialized
+      val dst = freshRoot() + "/c"
+      GraftTable.cloneTable(root, dst)
+      GraftSqlTables.register("detail_c",
+        GraftSqlTables.Ref(dst, "id", Seq("id"), Seq("id"), 2))
+      try {
+        val c = GraftSql.sql(spark, "DESCRIBE DETAIL detail_c").head()
+        assert(c.getBoolean(8), "borrowed files must flag is_clone")
+        assert(c.getLong(3) == 8, "clone detail must be DV-aware")
+        GraftTable.compact(spark, dst, Long.MaxValue, Seq("id"),
+          Seq("id"), numFiles = 1)
+        assert(!GraftSql.sql(spark, "DESCRIBE DETAIL detail_c")
+          .head().getBoolean(8),
+          "OPTIMIZE materialization must clear is_clone")
+      } finally GraftSqlTables.unregister("detail_c")
+      GraftSql.exec(spark,
+        "CREATE VIEW detail_v AS SELECT id FROM detail_t")
+      try intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "DESCRIBE DETAIL detail_v").collect()
+      } finally graft.sql.GraftSqlViews.unregister(Seq("detail_v"))
+      intercept[Exception] {
+        GraftSql.sql(spark, "DESCRIBE DETAIL no_such_name").collect()
+      }
+    } finally GraftSqlTables.unregister("detail_t")
+  }
+
   test("cdc replay: folding the change feed reproduces the table " +
       "exactly, including delete-then-reinsert") {
     import spark.implicits._
