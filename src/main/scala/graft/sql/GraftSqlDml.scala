@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -237,6 +237,39 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         SubqueryAlias(u.multipartIdentifier.mkString("."),
           session.sessionState.sqlParser.parseQuery(
             GraftSqlViews.lookup(u.multipartIdentifier).get))
+      // SQL time-travel sugar on registered names (r13 verdict missing
+      // #1): `SELECT ... FROM <name> VERSION AS OF n` / `TIMESTAMP AS
+      // OF ts` — Spark's own grammar parses both forms to
+      // RelationTimeTravel; resolve them against the manifest exactly
+      // like the root-path TVFs (graft_table / graft_table_asof),
+      // so a SQL-first user no longer needs the table's filesystem
+      // root to time travel. Unregistered names fall through to
+      // Spark's own (catalog) time-travel resolution untouched.
+      case RelationTimeTravel(u: UnresolvedRelation, tsOpt, verOpt)
+          if !shadowed(u, shadows) &&
+            GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
+        val ref = GraftSqlTables.lookup(u.multipartIdentifier).get
+        val name = u.multipartIdentifier.mkString(".")
+        val df = (verOpt, tsOpt) match {
+          case (Some(v), None) =>
+            val snap = try v.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF over graft table $name takes an " +
+                    s"integer snapshot id, got '$v'")
+            }
+            GraftTable.read(session, ref.root, Some(snap))
+          case (None, Some(ts)) =>
+            // readAsOf keeps the vacuumed-gap probe loud (snapshotAsOf
+            // rejects a timestamp inside an expired-commit gap)
+            GraftTable.readAsOf(session, ref.root,
+              GraftDml.tsMillisOf(name, ts,
+                session.sessionState.conf.sessionLocalTimeZone))
+          case _ => throw new IllegalStateException(
+            s"time travel over $name needs exactly one of VERSION AS " +
+              "OF / TIMESTAMP AS OF")
+        }
+        SubqueryAlias(name, df.queryExecution.logical)
       // READ path: any other reference to a registered name resolves to
       // its snapshot read plan (SubqueryAlias'd so qualified column
       // references keep working) — `SELECT ... FROM <registered>` from
@@ -345,6 +378,38 @@ object GraftSql {
 private[sql] object GraftDml {
 
   def c(e: Expression): Column = SqlShim.column(e)
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis at
+    * resolution time, the TVF literal discipline
+    * ([[graft.functions.GraftTableFunctions]]): integer literals are
+    * epoch millis verbatim (graft_table_asof's convention); anything
+    * else must be a resolved foldable expression castable to TIMESTAMP
+    * (string/date/timestamp literals — Cast of a resolved literal
+    * evaluates without an analyzer pass, so the rule never re-enters
+    * analysis). Non-literals (current_timestamp() etc.) are loudly
+    * rejected rather than silently evaluated at some other phase's
+    * clock. */
+  def tsMillisOf(name: String, ts: Expression, tz: String): Long = {
+    require(ts.resolved && ts.foldable,
+      s"TIMESTAMP AS OF over graft table $name must be a literal " +
+        s"(string / timestamp / epoch-millis integer), got ${ts.sql}")
+    ts.dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType =>
+        ts.eval().asInstanceOf[Number].longValue()
+      case _ =>
+        val cast = Cast(ts, org.apache.spark.sql.types.TimestampType,
+          Some(tz))
+        require(cast.resolved,
+          s"TIMESTAMP AS OF over graft table $name: cannot cast " +
+            s"${ts.sql} (${ts.dataType.sql}) to TIMESTAMP")
+        val micros = cast.eval()
+        require(micros != null,
+          s"TIMESTAMP AS OF over graft table $name: ${ts.sql} is not " +
+            "a valid timestamp")
+        micros.asInstanceOf[Long] / 1000L
+    }
+  }
 
   /** First-matching-action dispatch: the 0-based index of the first
     * action whose condition holds (absent = always), null if none —

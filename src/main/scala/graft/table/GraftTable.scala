@@ -651,6 +651,13 @@ object GraftTable {
       .foreach(n => throw new IllegalArgumentException(
         s"column name '$n' collides with the reserved " +
           s"'$DeadSentinelPrefix' read-sentinel prefix"))
+    // names unique case-insensitively at birth, mirroring addCheck's
+    // equalsIgnoreCase guard: a table born with 'A' and 'a' would make
+    // dropCheck's case-insensitive lookup nondeterministic (r14 ADVICE)
+    checks.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT)).values
+      .find(_.size > 1).foreach(dup => throw new IllegalArgumentException(
+        s"CHECK constraint names must be unique case-insensitively; " +
+          s"got ${dup.toSeq.sorted.mkString(", ")} at $root"))
     checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
     enforceChecks(df, checks, s"in CREATE at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
@@ -731,8 +738,32 @@ object GraftTable {
           a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
       }.toSet
 
+  /** Reject subquery expressions (`IN (SELECT ...)`, `EXISTS`, scalar
+    * subqueries) in CHECK conditions at definition time: [[checkRefs]]
+    * collects column references only from the expression tree, so
+    * references INSIDE a subquery's plan would be invisible to the
+    * RENAME/DROP COLUMN guards (a referenced column could be dropped and
+    * every later write would fail at analysis instead of the DDL being
+    * rejected up front — r14 ADVICE), and [[enforceChecks]]' single
+    * aggregate cannot evaluate a correlated subquery per row portably
+    * anyway. Delta's CHECK constraints carry the same restriction. */
+  private[graft] def requireCheckNoSubquery(name: String,
+      cond: String): Unit = {
+    val hasSub = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(cond).exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          => true
+        case _ => false
+      }
+    require(!hasSub,
+      s"CHECK constraint '$name' ($cond) contains a subquery — CHECK " +
+        "conditions must be row-local boolean expressions over this " +
+        "table's columns")
+  }
+
   private def requireCheckRefsExist(schema: StructType, name: String,
       cond: String): Unit = {
+    requireCheckNoSubquery(name, cond)
     val have = schema.fieldNames
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val missing = checkRefs(cond) -- have
@@ -1914,16 +1945,24 @@ object GraftTable {
       val prev =
         if (v == 1) cur.copy(snapshot = 0, files = Nil) // pre-create: empty
         else manifest(root, v - 1)
-      // identity is (path, dv), not path alone: a merge-on-read commit
-      // changes a file's ROW SET by repointing its deletion vector while
-      // the physical path stays put — the entry counts as removed (old DV
-      // state) and re-added (new DV state), and the row diff below then
-      // sees DV'd rows vanish. readEntries applies each side's own DV,
-      // so carried-over rows cancel in the full-outer join as before.
-      val prevIds = prev.files.map(f => (f.path, f.dv)).toSet
-      val curIds = cur.files.map(f => (f.path, f.dv)).toSet
-      val added = cur.files.filterNot(f => prevIds((f.path, f.dv)))
-      val removed = prev.files.filterNot(f => curIds((f.path, f.dv)))
+      // identity is (path, dv, phys, deadPhys), not path alone: a
+      // merge-on-read commit changes a file's ROW SET by repointing its
+      // deletion vector while the physical path stays put, and a RESTORE
+      // across DROP COLUMN + re-ADD of the SAME name changes a file's
+      // LOGICAL content by flipping its deadPhys (the resurrected
+      // column's values go NULL -> original bytes) while path, dv, AND
+      // the schema's name sequence are all unchanged — either way the
+      // entry counts as removed (old state) and re-added (new state) so
+      // the row diff below surfaces the difference (r14 ADVICE: the
+      // (path, dv) tuple missed the deadPhys flip and replayOf diverged
+      // from the direct read). readEntries applies each side's own
+      // DV/deadness, so genuinely carried-over rows cancel in the
+      // full-outer join as before.
+      def idOf(f: FileEntry) = (f.path, f.dv, f.phys, f.deadPhys)
+      val prevIds = prev.files.map(idOf).toSet
+      val curIds = cur.files.map(idOf).toSet
+      val added = cur.files.filterNot(f => prevIds(idOf(f)))
+      val removed = prev.files.filterNot(f => curIds(idOf(f)))
       val step: DataFrame = cur.op match {
         case "create" | "append" | "append_evolve" =>
           readEntries(spark, root, cur, added)

@@ -2533,6 +2533,131 @@ class GraftTableSpec extends SparkTestBase {
       "note data must never appear under the payload column")
   }
 
+  test("sql time travel on registered names: VERSION AS OF and " +
+      "TIMESTAMP AS OF resolve snapshots, literals only, unregistered " +
+      "names pass through, vacuumed gaps stay loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1) // v1
+    GraftTable.append(spark, root,
+      Seq((10L, "x10")).toDF("id", "payload"), Seq("id"), Seq("id")) // v2
+    GraftTable.append(spark, root,
+      Seq((11L, "x11")).toDF("id", "payload"), Seq("id"), Seq("id")) // v3
+    GraftSqlTables.register("tt_name_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id")))
+    try {
+      def n(sql: String): Long =
+        GraftSql.sql(spark, sql).head().getLong(0)
+      assert(n("SELECT count(1) AS n FROM tt_name_t VERSION AS OF 1") == 5L)
+      assert(n("SELECT count(1) AS n FROM tt_name_t VERSION AS OF 2") == 6L)
+      assert(n("SELECT count(1) AS n FROM tt_name_t") == 7L)
+      // TIMESTAMP AS OF: epoch-millis integer literal (the TVF
+      // convention) and a session-tz string literal both resolve
+      val v2ms = GraftTable.manifest(root, 2).committedAtMs.get
+      assert(n(s"SELECT count(1) AS n FROM tt_name_t " +
+        s"TIMESTAMP AS OF $v2ms") == 6L)
+      val tz = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val v2str = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(v2ms), tz).format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(n("SELECT count(1) AS n FROM tt_name_t " +
+        s"TIMESTAMP AS OF '$v2str'") == 6L)
+      // non-literal timestamps rejected loudly (no silent clock phase)
+      val e1 = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "SELECT count(1) AS n FROM tt_name_t " +
+          "TIMESTAMP AS OF current_timestamp()").collect()
+      }
+      assert(e1.getMessage.contains("literal"), e1.getMessage)
+      // unregistered names fall through to Spark's own resolution —
+      // the rule must not claim them
+      val e2 = intercept[Exception] {
+        GraftSql.sql(spark,
+          "SELECT * FROM no_such_graft_t VERSION AS OF 1").collect()
+      }
+      assert(!e2.getMessage.contains("graft table"),
+        s"unregistered time travel must stay Spark's: ${e2.getMessage}")
+      // a probe inside a vacuumed gap fails loudly through this path:
+      // tag v1 (retention root), expire v2, probe strictly inside
+      // (stamp(v1), stamp(v3)) — the historically-live state is
+      // unknowable, never silently a neighbor
+      GraftTable.tag(root, "keep1", 1)
+      GraftTable.expireSnapshots(root, keepFrom = 3)
+      val gapMs = GraftTable.manifest(root, 3).committedAtMs.get - 1
+      assert(gapMs > GraftTable.manifest(root, 1).committedAtMs.get,
+        "fixture: the gap probe must land strictly after v1")
+      val e3 = intercept[IllegalStateException] {
+        GraftSql.sql(spark, s"SELECT count(1) AS n FROM tt_name_t " +
+          s"TIMESTAMP AS OF $gapMs").collect()
+      }
+      assert(e3.getMessage.contains("expired"), e3.getMessage)
+    } finally GraftSqlTables.unregister("tt_name_t")
+  }
+
+  test("restore across drop + re-add of the SAME name: the resurrected " +
+      "values emit change rows and replay stays complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1) // v1: (id, payload)
+    GraftTable.alterDropColumns(root, Seq("payload")) // v2
+    GraftTable.alterAddColumn(root, "payload", StringType) // v3: same name!
+    GraftTable.restore(root, 1) // v4: pre-drop values resurrect
+    // the name SEQUENCE is identical at v3 and v4 and the restore moves
+    // no files — only the carried-over entries' deadPhys flips, so the
+    // resurrected payload (NULL -> original bytes) is invisible to a
+    // (path, dv) file identity (r14 ADVICE): the diff must treat the
+    // deadness flip as removed + re-added and emit update pairs
+    val step = GraftTable.changesBetweenRows(spark, root, 3, 4, "id")
+    assert(step.where(col("_change_type") === "update_postimage" &&
+      col("payload").startsWith("v")).count() == 5,
+      "the resurrected payload values must surface as update postimages")
+    assert(step.where(col("_change_type") === "update_preimage" &&
+      col("payload").isNull).count() == 5)
+    // completeness contract: replaying the FULL feed reproduces the
+    // direct read, payload values included
+    val replayed = ops.Table.replayOf(
+      GraftTable.changesBetweenRows(spark, root, 0, 4, "id"), "id")
+      .as[(Long, String)].collect().toMap
+    val direct = GraftTable.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(replayed == direct,
+      s"CDC replay diverged from the direct read: " +
+        s"${replayed.toSeq.sorted} vs ${direct.toSeq.sorted}")
+    assert(direct(3L) == "v3", "the restore must resurrect real values")
+  }
+
+  test("check constraint guards: subqueries rejected at definition " +
+      "time; create rejects names differing only in case") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a subquery's inner column refs are invisible to checkRefs, so the
+    // rename/drop guards could be silently bypassed — reject up front
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, idTable(3), Seq("id"), Seq("id"),
+        numFiles = 1,
+        checks = Map("sub" -> "id IN (SELECT id FROM somewhere)"))
+    }
+    assert(e1.getMessage.contains("subquery"), e1.getMessage)
+    assert(GraftTable.latestSnapshot(root) == 0)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, idTable(3), Seq("id"), Seq("id"),
+        numFiles = 1,
+        checks = Map("A" -> "id > 0", "a" -> "id < 100"))
+    }
+    assert(e2.getMessage.contains("case-insensitively"), e2.getMessage)
+    GraftTable.create(spark, root, idTable(3), Seq("id"), Seq("id"),
+      numFiles = 1) // guards reject before any table lands
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.addCheck(spark, root, "sub",
+        "EXISTS (SELECT 1 WHERE id > 0)")
+    }
+    assert(e3.getMessage.contains("subquery"), e3.getMessage)
+  }
+
   test("sql drop column: one commit, Ref sheds stats/bloom names, " +
       "IF EXISTS quiet, writes keep working") {
     val root = freshRoot()

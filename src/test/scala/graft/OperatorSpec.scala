@@ -1393,6 +1393,32 @@ class OperatorSpec extends SparkTestBase {
       s"anchor $aid mined $mined but naive recompute says $naive")
   }
 
+  test("llm_hard_negatives: the anchor ladder keeps the slice constant-" +
+      "size and the over-budget path fails loudly toward the IVF index") {
+    // ladder: every rung bounds the slice at AnchorTarget anchors; a
+    // corpus past the last rung's threshold keeps the last rung (the
+    // documented ladder bound, ~10^11 vectors)
+    assert(ops.Llm.anchorStrideFor(2000L) == 97L,
+      "the fixture-scale rung must stay 97 (oracle values unchanged)")
+    assert(ops.Llm.anchorStrideFor(1000000000L) == 25165843L)
+    ops.Llm.AnchorStrides.init.zip(ops.Llm.AnchorStrides.tail)
+      .foreach { case (p, q) =>
+        assert(ops.Llm.anchorStrideFor(ops.Llm.AnchorTarget * p) == p)
+        assert(ops.Llm.anchorStrideFor(ops.Llm.AnchorTarget * p + 1) == q)
+      }
+    // the SQL twin picks the identical rung: spot-replay the CASE text
+    val sql = ops.Llm.anchorStrideCaseSql("c")
+    assert(sql.contains(s"WHEN c <= ${64L * 97L} THEN 97") &&
+      sql.endsWith("ELSE 1610612741 END"), sql)
+    // planted over-budget: a row cap below the real anchor count drives
+    // the exact fitsBroadcastBudget guard the production call runs
+    val e = intercept[IllegalArgumentException] {
+      ops.Llm.hardNegativesQ(spark, sf, anchorRowCap = 1L)
+    }
+    assert(e.getMessage.contains("llm_ann_ivfpq_indexed"),
+      s"the loud path must name the scale alternative: ${e.getMessage}")
+  }
+
   test("salted top-k escalation is row-identical to the direct window") {
     import spark.implicits._
     // the two dispatch arms of capSource/ngramFreq on the real fixture
