@@ -286,12 +286,25 @@ object GraftSqlDdl {
     v.toString
   }
 
-  private[sql] def requireNoPartitioning(parts: Seq[String],
-      partitioning: Seq[Transform]): Unit =
-    require(partitioning.isEmpty,
-      s"CREATE TABLE ${parts.mkString(".")} USING graft does not take " +
-        "PARTITIONED BY/CLUSTERED BY clauses — clustering is the " +
-        "'cluster' table option")
+  /** `PARTITIONED BY (a[, b])` → the declared partition column names.
+    * Identity transforms only — bucket/days/truncate would need a
+    * transform registry in the manifest; LOUD rather than silently
+    * approximated. CLUSTERED BY and >2 columns stay rejected (the
+    * 'cluster' table option is the within-file layout knob). */
+  private[sql] def partitionColsOf(parts: Seq[String],
+      partitioning: Seq[Transform]): Seq[String] =
+    partitioning.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"CREATE TABLE ${parts.mkString(".")} USING graft supports only " +
+          s"identity PARTITIONED BY columns, got $t — time/bucket " +
+          "transforms belong to the 'cluster' option's layout")
+      t.references.head.fieldNames match {
+        case Array(one) => one
+        case other => throw new IllegalArgumentException(
+          s"CREATE TABLE ${parts.mkString(".")} USING graft: nested " +
+            s"partition column ${other.mkString(".")} is not supported")
+      }
+    }
 
   /** Atomically claim `name` BEFORE building: true → claimed (the
     * caller builds the table and must unregister on failure); false →
@@ -339,7 +352,7 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
     ignoreIfExists: Boolean,
     checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlDdl.requireNoPartitioning(parts, partitioning)
+    val partCols = GraftSqlDdl.partitionColsOf(parts, partitioning)
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
       s"key column '${ref.keyCol}' is not in the declared schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
@@ -351,7 +364,7 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], tableSchema),
         ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
-        checks = checks)
+        checks = checks, partitionCols = partCols)
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind
       GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
@@ -370,7 +383,7 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
     ignoreIfExists: Boolean,
     checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlDdl.requireNoPartitioning(parts, partitioning)
+    val partCols = GraftSqlDdl.partitionColsOf(parts, partitioning)
     // claim BEFORE evaluating the (possibly long) query; any failure
     // below unbinds the claim
     if (!GraftSqlDdl.claim(parts, ref, ignoreIfExists)) return Seq.empty
@@ -396,7 +409,8 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
         require(bad == 0, s"CTAS output violates the key contract on " +
           s"'${ref.keyCol}' (NULL or duplicate keys)")
         GraftTable.create(spark, ref.root, df, ref.statsCols,
-          ref.clusterCols, ref.numFiles, ref.bloomCols, checks = checks)
+          ref.clusterCols, ref.numFiles, ref.bloomCols, checks = checks,
+          partitionCols = partCols)
       } finally df.unpersist()
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind

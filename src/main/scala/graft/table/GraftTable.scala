@@ -80,12 +80,22 @@ object GraftTable {
     * field whose resolved physical name is dead (or is claimed as some
     * OTHER logical column's write-time name) reads as NULL via a
     * guaranteed-absent sentinel name. */
+  /** `parts` carries this file's DECLARED-PARTITION values (logical
+    * column → the raw `k=v` directory value) for files of a
+    * PARTITIONED table ([[Manifest.partitionCols]]): every file of a
+    * partitioned table holds exactly one partition tuple by
+    * construction (the write splits by value before any file lands),
+    * so manifest-level partition pruning is an exact string match —
+    * the Iceberg partition-tuple model, no directory listing needed.
+    * Numeric partition columns additionally get ordinary min==max
+    * range stats, so [[readWhere]] prunes them too. */
   case class FileEntry(path: String, rows: Long,
       mins: Map[String, Double], maxs: Map[String, Double],
       bloom: Option[Map[String, String]] = None,
       dv: Option[String] = None, dvRows: Option[Long] = None,
       phys: Option[Map[String, String]] = None,
-      deadPhys: Option[List[String]] = None) {
+      deadPhys: Option[List[String]] = None,
+      parts: Option[Map[String, String]] = None) {
     def liveRows: Long = rows - dvRows.getOrElse(0L)
   }
 
@@ -106,10 +116,50 @@ object GraftTable {
     * parent's checks forward verbatim except the alter_*_check verbs;
     * a commit path that forgot to would silently drop enforcement, so
     * GraftTableSpec walks every verb over a constrained table. */
+  /** `partitionCols` declares the table's partition columns (CREATE
+    * ... PARTITIONED BY / the DSL twin), fixed at create time for the
+    * table's lifetime: every later commit carries it forward verbatim
+    * (the checks discipline — GraftTableSpec walks every verb over a
+    * partitioned table), rename/drop of a partition column is loudly
+    * rejected, and time travel/RESTORE present each snapshot's own
+    * declaration. Data files of a partitioned table live under
+    * `data/<k=v>/c-<uuid>.parquet` (partition dirs directly under
+    * `data/`, commit identity in the FILE name — the inversion that
+    * lets one basePath cover every commit), so registered-name reads
+    * get genuine FileScan `PartitionFilters` and dynamic partition
+    * pruning from Spark itself, on top of the manifest-level pruning
+    * [[FileEntry.parts]] provides. */
+  /** `stream` records per-streaming-query batch watermarks (query id →
+    * highest batch id committed) — the exactly-once ledger of the
+    * streaming SINK ([[GraftTableSink]], the Delta txn-action model): a
+    * replayed micro-batch (crash between the batch and the engine's
+    * checkpoint commit) finds its id already recorded IN the same
+    * atomic manifest commit that landed its rows, and
+    * [[append]]'s `streamTxn` guard skips it. Carried forward by every
+    * commit (the checks discipline); watermarks only ever grow —
+    * RESTORE keeps the CURRENT map, never the target's older one,
+    * or a rollback would re-admit already-applied batches. */
   case class Manifest(snapshot: Int, parent: Int, op: String,
       schemaJson: String, files: List[FileEntry],
       committedAtMs: Option[Long] = None,
-      checks: Option[Map[String, String]] = None)
+      checks: Option[Map[String, String]] = None,
+      partitionCols: Option[List[String]] = None,
+      stream: Option[Map[String, Long]] = None)
+
+  private[graft] def partColsOf(m: Manifest): Seq[String] =
+    m.partitionCols.getOrElse(Nil)
+
+  /** The child-commit constructor every commit path routes through:
+    * copying the parent carries EVERY durable manifest field (schema,
+    * checks, partitionCols, stream watermarks) by construction — a
+    * path that built `Manifest(...)` positionally and forgot one field
+    * silently dropped durable metadata (three carried fields now;
+    * three chances to forget per new verb). Commits that change a
+    * carried field override via `.copy` on the result. */
+  private def child(parent: Manifest, op: String,
+      files: List[FileEntry]): Manifest =
+    parent.copy(snapshot = parent.snapshot + 1, parent = parent.snapshot,
+      op = op, files = files, committedAtMs = None)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -438,8 +488,10 @@ object GraftTable {
         s"at $root")
       cs
     }
+    // partitioning is fixed at create, so any head's declaration works
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols)
+      numFiles, bloomCols,
+      partCols = partColsOf(branchHeadManifest(root, name)))
     var attempts = 0
     // a pinned base forgoes the rebase loop, same contract as append():
     // the caller's guards were evaluated against that exact head
@@ -459,8 +511,7 @@ object GraftTable {
           s"in the batch appended to branch '$name' at $root")
         validated = checksOf(head)
       }
-      val m = Manifest(head.snapshot + 1, head.snapshot, "branch_append",
-        head.schemaJson, head.files ++ entries, checks = head.checks)
+      val m = child(head, "branch_append", head.files ++ entries)
       if (tryCommitAt(root, m,
           branchManifestPath(root, name, m.snapshot),
           head.committedAtMs.getOrElse(0L))) return m.snapshot
@@ -545,7 +596,8 @@ object GraftTable {
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): List[FileEntry] = {
+      zorderCols: Seq[String] = Nil,
+      partCols: Seq[String] = Nil): List[FileEntry] = {
     // string stats would silently read back as 0.0 bounds through the
     // double-typed min/max maps and mis-prune — strings get bloom
     // skipping (readWhereKeyInStr), never range stats
@@ -553,6 +605,9 @@ object GraftTable {
         df.schema(c).dataType == org.apache.spark.sql.types.StringType)
       .foreach(c => throw new IllegalArgumentException(
         s"statsCols must be numeric; '$c' is a string (use bloomCols)"))
+    if (partCols.nonEmpty)
+      return writeFilesPartitioned(spark, root, df, statsCols,
+        clusterCols, numFiles, bloomCols, zorderCols, partCols)
     val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
     val dir = s"$root/$sub"
     // Z-order clustering: one extra min/max agg over the commit (not the
@@ -632,6 +687,124 @@ object GraftTable {
       .sortBy(_.path)
   }
 
+  /** The partitioned-table write kernel: stage a dynamic-partition
+    * write OUTSIDE `data/`, then hard-move each staged file to
+    * `data/<k=v dirs>/c-<uuid>.parquet` — partition dirs directly
+    * under `data/`, commit identity in the FILE name. The inversion
+    * (vs the flat `data/c-<uuid>/` layout) is what makes Spark's own
+    * partition machinery work across commits: ONE `basePath = root/
+    * data` covers every commit's files, so a registered-name read is a
+    * single partition-aware FileScan with real `PartitionFilters` and
+    * DPP — a commit-dir level between `data/` and the `k=v` dirs would
+    * make Spark's partition discovery reject the mixed structure
+    * (verified empirically, CONFLICTING_DIRECTORY_STRUCTURES). Files
+    * stay immutable (moves land fresh uuid names; a crash mid-move
+    * strands invisible orphans, same contract as a crashed flat
+    * write). Every file holds exactly ONE partition tuple by
+    * construction, recorded in [[FileEntry.parts]]; numeric partition
+    * columns in `statsCols` get ordinary (min==max) range stats from
+    * the same stats job, since the basePath scan presents partition
+    * values like any other column. NULL partition values are rejected
+    * before any move (the `__HIVE_DEFAULT_PARTITION__` sentinel dir
+    * would round-trip as a string, silently corrupting the value). */
+  private def writeFilesPartitioned(spark: SparkSession, root: String,
+      df: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int, bloomCols: Seq[String], zorderCols: Seq[String],
+      partCols: Seq[String]): List[FileEntry] = {
+    require(zorderCols.isEmpty,
+      "zorderCols and declared partition columns cannot combine " +
+        "(z-order the within-partition layout via clusterCols)")
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the write schema " +
+        s"(${df.schema.fieldNames.mkString(", ")})"))
+    val stage = s"$root/.stage-${java.util.UUID.randomUUID().toString}"
+    // range-partition on (partition, cluster) so a task's rows mostly
+    // share one partition tuple — dynamic partitionBy then emits ~one
+    // file per (task, tuple) instead of numFiles × |tuples| shards
+    val orderCols = (partCols ++ clusterCols).distinct.map(col)
+    df.repartitionByRange(numFiles, orderCols: _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
+    val stagePath = Paths.get(
+      new org.apache.hadoop.fs.Path(stage).toUri.getPath)
+    import scala.jdk.CollectionConverters._
+    val staged = Files.walk(stagePath).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toList.sortBy(_.toString)
+    val partDirs = staged.map(p =>
+      stagePath.relativize(p.getParent).toString)
+    // loud BEFORE any move: a rejected batch strands only invisible
+    // staged files, never half a commit's worth of moved ones
+    partDirs.find(_.contains("__HIVE_DEFAULT_PARTITION__")).foreach(d =>
+      throw new IllegalArgumentException(
+        s"NULL value in partition column(s) (staged dir '$d') at " +
+          s"$root — partition columns must be non-null"))
+    partDirs.find(d =>
+        d.split('/').count(_.nonEmpty) != partCols.length).foreach(d =>
+      throw new IllegalStateException(
+        s"staged partition dir '$d' does not match declared partition " +
+          s"columns ${partCols.mkString(",")} at $root"))
+    val moved: List[String] =
+      try staged.zip(partDirs).map { case (p, dirs) =>
+        val rel =
+          s"data/$dirs/c-${java.util.UUID.randomUUID().toString}.parquet"
+        val dst = Paths.get(root, rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(p, dst)
+        rel
+      }
+      finally graft.util.AppCleanup.recursiveDelete(stagePath.toFile)
+    if (moved.isEmpty) return Nil
+    val scan = spark.read.schema(df.schema)
+      .option("basePath", s"$root/data")
+      .parquet(moved.map(r => s"$root/$r"): _*)
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    def rel(fileUri: String): String = {
+      val local = new org.apache.hadoop.fs.Path(fileUri).toUri.getPath
+      require(local.startsWith(rootUri), s"file outside table root: $local")
+      local.stripPrefix(rootUri).stripPrefix("/")
+    }
+    def partsOfRel(r: String): Map[String, String] =
+      r.split('/').iterator.filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> seg.substring(i + 1)
+        }.toMap
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val posUdf = udf((k: java.lang.Long) =>
+      if (k == null) Array.empty[Int] else bloomPositions(k.longValue()))
+    val posUdfStr = udf((k: String) =>
+      if (k == null) Array.empty[Int] else bloomPositionsStr(k))
+    val blooms: Map[String, Map[String, String]] = bloomCols.map { c =>
+      val probe = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => posUdfStr(col(c))
+        case _ => posUdf(col(c).cast("long"))
+      }
+      c -> scan
+        .select(input_file_name().as("f"), explode(probe).as("pos"))
+        .groupBy("f").agg(collect_set(col("pos")).as("ps"))
+        .collect()
+        .map(r => rel(r.getString(0)) -> packBloom(r.getSeq[Int](1)))
+        .toMap
+    }.toMap
+    scan.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toList
+      .map { r =>
+        val p = rel(r.getAs[String]("f"))
+        val perFile = bloomCols
+          .flatMap(c => blooms(c).get(p).map(c -> _)).toMap
+        FileEntry(p, r.getAs[Long]("rows"),
+          statsCols.map(c => c -> r.getAs[Double](s"min_$c")).toMap,
+          statsCols.map(c => c -> r.getAs[Double](s"max_$c")).toMap,
+          if (perFile.isEmpty) None else Some(perFile),
+          parts = Some(partsOfRel(p)))
+      }
+      .sortBy(_.path)
+  }
+
   /** Name→type shape of a schema, nullability excluded (parquet read-back
     * relaxes/tightens nullability freely; types and names are the
     * contract an append must honor). */
@@ -645,12 +818,24 @@ object GraftTable {
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
-      checks: Map[String, String] = Map.empty): Int = {
+      checks: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
     df.schema.fieldNames.filter(_.startsWith(DeadSentinelPrefix))
       .foreach(n => throw new IllegalArgumentException(
         s"column name '$n' collides with the reserved " +
           s"'$DeadSentinelPrefix' read-sentinel prefix"))
+    // partitioning is declared at birth for the table's lifetime;
+    // names must resolve to schema fields EXACTLY (dir names are
+    // case-sensitive on disk) and duplicates are meaningless
+    require(partitionCols.distinct.size == partitionCols.size,
+      s"duplicate partition column in ${partitionCols.mkString(", ")}")
+    require(partitionCols.size <= 2,
+      "at most 2 partition columns are supported (deeper layouts belong " +
+        "to clusterCols/zorderCols — per-value dirs explode past that)")
+    partitionCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"PARTITIONED BY column '$c' is not in the schema " +
+        s"(${df.schema.fieldNames.mkString(", ")})"))
     // names unique case-insensitively at birth, mirroring addCheck's
     // equalsIgnoreCase guard: a table born with 'A' and 'a' would make
     // dropCheck's case-insensitive lookup nondeterministic (r14 ADVICE)
@@ -661,9 +846,10 @@ object GraftTable {
     checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
     enforceChecks(df, checks, s"in CREATE at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols, zorderCols)
+      numFiles, bloomCols, zorderCols, partitionCols)
     val m = Manifest(1, 0, "create", df.schema.json, entries,
-      checks = Option(checks).filter(_.nonEmpty))
+      checks = Option(checks).filter(_.nonEmpty),
+      partitionCols = Option(partitionCols.toList).filter(_.nonEmpty))
     require(tryCommit(root, m), s"concurrent create at $root")
     1
   }
@@ -696,8 +882,12 @@ object GraftTable {
       if (p.startsWith("/")) p else srcAbs.resolve(p).toString
     val borrowed = m.files.map(f =>
       f.copy(path = abs(f.path), dv = f.dv.map(abs)))
+    // checks + partitioning travel; the STREAM watermark map does NOT —
+    // the clone is a new table, and inheriting the source's watermarks
+    // would make a streaming query that fed the source silently SKIP
+    // its replayed batches when pointed at the clone
     val c = Manifest(1, 0, s"clone($srcRoot@$v)", m.schemaJson,
-      borrowed, checks = m.checks)
+      borrowed, checks = m.checks, partitionCols = m.partitionCols)
     require(tryCommit(dstRoot, c), s"concurrent create at $dstRoot")
     1
   }
@@ -797,9 +987,8 @@ object GraftTable {
       enforceChecks(readEntries(spark, root, parent, parent.files),
         Map(name -> cond), s"among EXISTING rows at $root — a " +
           "constraint the current data violates is not addable")
-      val m = Manifest(v + 1, v, s"alter_add_check($name)",
-        parent.schemaJson, parent.files,
-        checks = Some(existing + (name -> cond)))
+      val m = child(parent, s"alter_add_check($name)", parent.files)
+        .copy(checks = Some(existing + (name -> cond)))
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -823,9 +1012,8 @@ object GraftTable {
           s"no constraint '$name' at $root " +
             s"(have ${existing.keys.toSeq.sorted.mkString(", ")})")
       }
-      val m = Manifest(v + 1, v, s"alter_drop_check(${key.get})",
-        parent.schemaJson, parent.files,
-        checks = Option(existing - key.get).filter(_.nonEmpty))
+      val m = child(parent, s"alter_drop_check(${key.get})", parent.files)
+        .copy(checks = Option(existing - key.get).filter(_.nonEmpty))
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -853,11 +1041,28 @@ object GraftTable {
     * time travel to pre-evolution snapshots serves the old shape
     * because each manifest pins its own schema. Drops/renames/retypes
     * stay loud errors: they would silently corrupt old-file reads. */
+  /** `streamTxn = Some((queryId, batchId))` makes the append an
+    * EXACTLY-ONCE streaming micro-batch commit: the batch id is
+    * recorded in the manifest's per-query watermark map atomically
+    * with the rows, and a replay of an already-recorded batch (crash
+    * between this commit and the engine's own checkpoint commit)
+    * returns the current snapshot WITHOUT writing — the Delta
+    * txn-action idempotence model, checked inside the optimistic loop
+    * so a concurrent duplicate writer loses cleanly too. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
       allowEvolution: Boolean = false,
-      baseSnapshot: Option[Int] = None): Int = {
+      baseSnapshot: Option[Int] = None,
+      streamTxn: Option[(String, Long)] = None): Int = {
+    // replay short-circuit BEFORE any file lands: the common restart
+    // case re-offers the last checkpointed batch immediately
+    streamTxn.foreach { case (qid, b) =>
+      val v0 = latestSnapshot(root)
+      require(v0 > 0, s"append to non-existent table $root")
+      if (manifest(root, v0).stream.exists(_.get(qid).exists(_ >= b)))
+        return v0
+    }
     // CHECK constraints validate BEFORE any file lands (a rejected
     // batch strands nothing); re-validated inside the loop if a rebase
     // lands on a parent whose constraint set moved concurrently
@@ -869,7 +1074,8 @@ object GraftTable {
       cs
     }
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols)
+      numFiles, bloomCols,
+      partCols = partColsOf(manifest(root, latestSnapshot(root))))
     var attempts = 0
     // a pinned base forgoes the rebase loop: the caller's guards (e.g.
     // SQL INSERT's key-clash check) were evaluated against that exact
@@ -905,9 +1111,19 @@ object GraftTable {
           s"in the appended batch at $root")
         validated = checksOf(parent)
       }
-      val m = Manifest(v + 1, v, if (evolved) "append_evolve" else "append",
-        if (evolved) df.schema.json else parent.schemaJson,
-        parent.files ++ entries, checks = parent.checks)
+      // re-check the watermark against THIS parent: a concurrent
+      // duplicate writer (two executors replaying one batch) must lose
+      // inside the loop, not stack a second copy on the winner
+      streamTxn.foreach { case (qid, b) =>
+        if (parent.stream.exists(_.get(qid).exists(_ >= b))) return v
+      }
+      val m = child(parent,
+        if (evolved) "append_evolve" else "append",
+        parent.files ++ entries).copy(
+        schemaJson = if (evolved) df.schema.json else parent.schemaJson,
+        stream = streamTxn.map { case (qid, b) =>
+          parent.stream.getOrElse(Map.empty[String, Long]) + (qid -> b)
+        }.orElse(parent.stream))
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1035,10 +1251,9 @@ object GraftTable {
           .unionByName(updates)
       }
     val entries = writeFiles(spark, root, survivors, statsCols,
-      clusterCols, numFiles, bloomCols)
-    val m = Manifest(v + 1, v, "merge", parent.schemaJson,
-      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries,
-      checks = parent.checks)
+      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+    val m = child(parent, "merge",
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"upsertDelete derived from stale snapshot $v at $root")
@@ -1088,10 +1303,9 @@ object GraftTable {
     val survivors = base.join(keys, Seq(keyCol), "left_anti")
       .select(base.columns.map(col): _*)
     val entries = writeFiles(spark, root, survivors, statsCols,
-      clusterCols, numFiles, bloomCols)
-    val m = Manifest(v + 1, v, "delete", parent.schemaJson,
-      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries,
-      checks = parent.checks)
+      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+    val m = child(parent, "delete",
+      parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"delete derived from stale snapshot $v at $root")
@@ -1164,8 +1378,7 @@ object GraftTable {
     }
     val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
     if (marks.isEmpty) return v // nothing matched; no empty commit
-    val m = Manifest(v + 1, v, "delete_mor", parent.schemaJson,
-      applyDvMarks(root, parent, marks), checks = parent.checks)
+    val m = child(parent, "delete_mor", applyDvMarks(root, parent, marks))
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"delete_mor derived from stale snapshot $v at $root")
@@ -1200,9 +1413,9 @@ object GraftTable {
     }
     val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
     val entries = writeFiles(spark, root, updates, statsCols,
-      clusterCols, numFiles, bloomCols)
-    val m = Manifest(v + 1, v, "merge_mor", parent.schemaJson,
-      applyDvMarks(root, parent, marks) ++ entries, checks = parent.checks)
+      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+    val m = child(parent, "merge_mor",
+      applyDvMarks(root, parent, marks) ++ entries)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"merge_mor derived from stale snapshot $v at $root")
@@ -1247,11 +1460,11 @@ object GraftTable {
     // Long.MaxValue reclusters the whole table into the multi-dim
     // layout as one commit, past snapshots untouched
     val entries = writeFiles(spark, root, rewritten, statsCols,
-      clusterCols, numFiles, bloomCols, zorderCols)
+      clusterCols, numFiles, bloomCols, zorderCols,
+      partCols = partColsOf(parent))
     val smallPaths = small.map(_.path).toSet
-    val m = Manifest(v + 1, v, "compact", parent.schemaJson,
-      parent.files.filterNot(f => smallPaths(f.path)) ++ entries,
-      checks = parent.checks)
+    val m = child(parent, "compact",
+      parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"compact derived from stale snapshot $v at $root")
@@ -1279,8 +1492,12 @@ object GraftTable {
       val v = latestSnapshot(root)
       require(toSnapshot <= v, s"restore target $toSnapshot > latest $v")
       if (toSnapshot == v) return v
-      val m = Manifest(v + 1, v, s"restore($toSnapshot)",
-        target.schemaJson, target.files, checks = target.checks)
+      // schema/files/checks/partitioning roll back to the target, but
+      // the STREAM watermark map keeps the current latest's (monotone:
+      // the target's older map would re-admit already-applied batches)
+      val m = child(manifest(root, v), s"restore($toSnapshot)",
+        target.files).copy(schemaJson = target.schemaJson,
+        checks = target.checks, partitionCols = target.partitionCols)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1323,9 +1540,9 @@ object GraftTable {
             s"'$DeadSentinelPrefix' read-sentinel prefix")
         s0.add(StructField(name, dt, nullable = true))
       }
-      val m = Manifest(v + 1, v,
-        s"alter_add(${cols.map(_._1).mkString(",")})",
-        widened.json, parent.files, checks = parent.checks)
+      val m = child(parent,
+        s"alter_add(${cols.map(_._1).mkString(",")})", parent.files)
+        .copy(schemaJson = widened.json)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1366,6 +1583,14 @@ object GraftTable {
             s"(have ${schema.fieldNames.mkString(", ")})"))
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"column '$newName' already exists at $root")
+      // partition column names live in the on-disk k=v directory layout
+      // of every immutable file — a metadata rename cannot re-key them,
+      // so it is rejected outright (Iceberg's identity-partition rule)
+      partColsOf(parent).find(_.equalsIgnoreCase(field.name)).foreach(pc =>
+        throw new IllegalArgumentException(
+          s"cannot RENAME COLUMN '$pc' at $root: it is a declared " +
+            "partition column (the k=v directory layout of immutable " +
+            "files carries the name)"))
       // a stored CHECK condition addresses logical names as TEXT: after
       // a rename it would fail analysis at the next write (or, worse,
       // bind to a re-added namesake) — reject, like dropping the column
@@ -1394,8 +1619,8 @@ object GraftTable {
         f.copy(mins = rekey(f.mins), maxs = rekey(f.maxs),
           bloom = f.bloom.map(rekey), phys = Option(ph2).filter(_.nonEmpty))
       }
-      val m = Manifest(v + 1, v, s"alter_rename($oldName->$newName)",
-        renamed.json, files2, checks = parent.checks)
+      val m = child(parent, s"alter_rename($oldName->$newName)", files2)
+        .copy(schemaJson = renamed.json)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1438,6 +1663,12 @@ object GraftTable {
         f
       }.distinct
       if (fields.isEmpty) return v // IF EXISTS and nothing matched
+      fields.map(_.name).find(n =>
+          partColsOf(parent).exists(_.equalsIgnoreCase(n))).foreach(pc =>
+        throw new IllegalArgumentException(
+          s"cannot DROP COLUMN '$pc' at $root: it is a declared " +
+            "partition column (every file's k=v directory layout and " +
+            "partition pruning depend on it)"))
       val dropNames = fields.map(_.name).toSet
       checksOf(parent).foreach { case (n, c) =>
         val hit = fields.map(_.name).find(f =>
@@ -1461,9 +1692,9 @@ object GraftTable {
           phys = Option(ph -- dropNames).filter(_.nonEmpty),
           deadPhys = Some(dead2))
       }
-      val m = Manifest(v + 1, v,
-        s"alter_drop(${fields.map(_.name).mkString(",")})",
-        narrowed.json, files2, checks = parent.checks)
+      val m = child(parent,
+        s"alter_drop(${fields.map(_.name).mkString(",")})", files2)
+        .copy(schemaJson = narrowed.json)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1665,7 +1896,7 @@ object GraftTable {
       // vectorized parquet scan, zero metadata-column or join overhead
       // (readPhysical collapses to ONE scan when no file carries a
       // rename map)
-      readPhysical(spark, root, schema, files)
+      readPhysical(spark, root, schema, files, partCols = partColsOf(m))
     else readEntriesWithPos(spark, root, m, files).drop("__rel", "__ri")
   }
 
@@ -1695,29 +1926,54 @@ object GraftTable {
   private def readPhysical(spark: SparkSession, root: String,
       schema: StructType, files: List[FileEntry],
       project: DataFrame => DataFrame = identity,
-      extraNames: Seq[String] = Nil): DataFrame = {
+      extraNames: Seq[String] = Nil,
+      partCols: Seq[String] = Nil): DataFrame = {
     val outNames = schema.fieldNames.toSeq ++ extraNames
-    def scan(ph: Map[String, String], fs: List[FileEntry]): DataFrame = {
+    // partitioned tables scan with basePath so Spark's partition
+    // discovery fills the k=v columns and the FileScan carries real
+    // PartitionFilters; the base is derived per FILE because a shallow
+    // clone's borrowed entries live under the SOURCE's data dir
+    def baseOf(f: FileEntry): String =
+      if (partCols.isEmpty) ""
+      else {
+        val full = dataPath(root, f.path)
+        full.substring(0, full.length - relSuffix(full).length) + "data"
+      }
+    def scan(key: (Map[String, String], String),
+        fs: List[FileEntry]): DataFrame = {
+      val (ph, base) = key
       val physSchema = StructType(schema.fields.map(f =>
         ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
-      val df = project(spark.read.schema(physSchema)
-        .parquet(fs.map(f => dataPath(root, f.path)): _*))
-      if (ph.isEmpty) df else df.toDF(outNames: _*)
+      val reader0 = spark.read.schema(physSchema)
+      val reader =
+        if (partCols.isEmpty) reader0 else reader0.option("basePath", base)
+      val projected = project(
+        reader.parquet(fs.map(f => dataPath(root, f.path)): _*))
+      // partition columns come back at the END of the scan output
+      // regardless of their declared position — reorder into schema
+      // order (plus the projected extras) BEFORE the positional relabel
+      val ordered =
+        if (partCols.isEmpty) projected
+        else projected.select(
+          (physSchema.fieldNames.toSeq ++ extraNames).map(col): _*)
+      if (ph.isEmpty && partCols.isEmpty) ordered
+      else ordered.toDF(outNames: _*)
     }
     val groups = files.groupBy { f =>
       val ph = f.phys.getOrElse(Map.empty[String, String])
       val dead = f.deadPhys.getOrElse(Nil).toSet
       val claimed = ph.values.toSet
-      schema.fieldNames.iterator.flatMap { n =>
+      (schema.fieldNames.iterator.flatMap { n =>
         val p = ph.getOrElse(n, n)
         if (dead(p) || (!ph.contains(n) && claimed(p)))
           Some(n -> (DeadSentinelPrefix + n))
         else if (p != n) Some(n -> p)
         else None
-      }.toMap
+      }.toMap, baseOf(f))
     }
     if (groups.size == 1) scan(groups.head._1, groups.head._2)
-    else groups.toSeq.sortBy(_._1.size).map((scan _).tupled)
+    else groups.toSeq.sortBy(g => (g._1._1.size, g._1._2))
+      .map((scan _).tupled)
       .reduce(_ unionByName _)
   }
 
@@ -1727,10 +1983,19 @@ object GraftTable {
   private[table] def dataPath(root: String, p: String): String =
     if (p.startsWith("/")) p else s"$root/$p"
 
-  private val RelSuffixRe = "(data/c-[^/]+/[^/]+)$".r
+  /** The table-relative tail of a stored/scanned path: a flat commit
+    * dir (`data/c-<uuid>/<file>`) or 1–2 partition dirs under data
+    * (`data/<k=v>[/<k=v>]/c-<uuid>.parquet`). The alternatives carry
+    * DISCRIMINATING shapes (`c-` file-dir prefix vs `=` in partition
+    * dirs), so a root that itself lives under a directory named `data`
+    * can never shift the match leftward — the same property the
+    * original fixed three-segment regex relied on. Shared verbatim
+    * with the positional read's in-plan `regexp_extract`. */
+  private[table] val RelSuffixPattern =
+    "(data/(?:c-[^/]+|[^/=]+=[^/]*(?:/[^/=]+=[^/]*)?)/[^/]+)$"
+  private val RelSuffixRe = RelSuffixPattern.r
 
-  /** The `data/c-<uuid>/<file>` suffix of a stored path — what the
-    * positional read's `_metadata.file_path` regex yields; equals the
+  /** The suffix of a stored path per [[RelSuffixPattern]]; equals the
     * stored path itself for owned (relative) entries. */
   private[table] def relSuffix(p: String): String =
     RelSuffixRe.findFirstIn(p).getOrElse(p)
@@ -1768,9 +2033,10 @@ object GraftTable {
     val base0 = readPhysical(spark, root, schema, files,
       project = df => df.select(col("*"),
         regexp_extract(col("_metadata.file_path"),
-          "(data/c-[^/]+/[^/]+)$", 1).as("__rel"),
+          RelSuffixPattern, 1).as("__rel"),
         col("_metadata.row_index").as("__ri")),
-      extraNames = Seq("__rel", "__ri"))
+      extraNames = Seq("__rel", "__ri"),
+      partCols = partColsOf(m))
     // borrowed (clone) entries store ABSOLUTE paths while the regex
     // yields the data/c- suffix: remap __rel to the STORED path so
     // every downstream comparison against FileEntry.path keeps holding;

@@ -25,4 +25,18 @@ object StreamShim {
     cds.sparkSession.internalCreateDataFrame(
       cds.queryExecution.toRdd, cds.schema, isStreaming = true)
   }
+
+  /** The inverse doorway, for the SINK side: the DataFrame a v1
+    * `Sink.addBatch` receives is planned by IncrementalExecution and is
+    * only safely consumable through its computed RDD — re-wrapping that
+    * RDD as a plain batch frame (exactly what Spark's own
+    * ForeachBatchSink does) lets [[graft.table.GraftTable.append]]
+    * evaluate it like any deterministic batch input (the CHECK
+    * validation aggregate may evaluate it a second time; an RDD-backed
+    * frame re-evaluates to the same rows by construction). */
+  def toBatch(df: DataFrame): DataFrame = {
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    cds.sparkSession.internalCreateDataFrame(
+      cds.queryExecution.toRdd, cds.schema, isStreaming = false)
+  }
 }

@@ -2533,6 +2533,126 @@ class GraftTableSpec extends SparkTestBase {
       "note data must never appear under the payload column")
   }
 
+  test("partitioned tables: k=v layout under data/, every verb carries " +
+      "the declaration, PartitionFilters prune, guards loud, clone and " +
+      "CDC read through") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (1 to 40).map(i => (i.toLong, (i % 4).toLong, s"v$i"))
+      .toDF("id", "p", "payload")
+    GraftTable.create(spark, root, df, Seq("id"), Seq("id"),
+      numFiles = 2, partitionCols = Seq("p")) // v1
+    val m1 = GraftTable.manifest(root, 1)
+    assert(m1.partitionCols.contains(List("p")))
+    assert(m1.files.nonEmpty && m1.files.forall(f =>
+      f.path.matches("data/p=\\d+/c-[-a-f0-9]+\\.parquet")), m1.files)
+    assert(m1.files.forall(f => f.parts.exists(pp =>
+      pp.keySet == Set("p") &&
+        f.path.contains(s"p=${pp("p")}"))),
+      "every file must record its own partition tuple")
+    val r = GraftTable.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "p", "payload"),
+      "partition columns must present in DECLARED schema position")
+    assert(r.count() == 40)
+    // real FileScan PartitionFilters + partition-wise row pruning
+    val q = r.where(col("p") === 1L)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty,
+      s"expected PartitionFilters in\n${q.queryExecution.executedPlan}")
+    assert(q.count() == 10)
+    assert(q.select("payload").distinct().count() == 10)
+    // the full verb story keeps the declaration and the layout
+    GraftTable.append(spark, root,
+      Seq((100L, 9L, "x100")).toDF("id", "p", "payload"),
+      Seq("id"), Seq("id")) // v2
+    GraftTable.merge(spark, root,
+      Seq((5L, 1L, "u5")).toDF("id", "p", "payload"),
+      "id", Seq("id"), Seq("id")) // v3
+    GraftTable.deleteMor(spark, root, Seq(6L).toDF("id"), "id") // v4
+    GraftTable.compact(spark, root, Long.MaxValue, Seq("id"), Seq("id"),
+      numFiles = 1, materializeDvs = true) // v5
+    GraftTable.restore(root, GraftTable.latestSnapshot(root) - 1) // v6
+    (1 to GraftTable.latestSnapshot(root)).foreach(v =>
+      assert(GraftTable.manifest(root, v).partitionCols
+        .contains(List("p")), s"commit $v dropped the declaration"))
+    assert(GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+      .files.forall(f => f.path.matches("data/p=\\d+/c-.+\\.parquet")),
+      "rewrites must keep the partitioned layout")
+    val after = GraftTable.read(spark, root)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    assert(after.size == 40 && after(5L) == "u5" &&
+      !after.contains(6L) && after(100L) == "x100")
+    // time travel presents v1 (pre-merge, pre-delete)
+    assert(GraftTable.read(spark, root, Some(1)).count() == 40)
+    // row-level CDC across the merge commit reads partitioned files
+    val cdc = GraftTable.changesBetweenRows(spark, root, 2, 3, "id")
+    assert(cdc.where(col("_change_type") === "update_postimage" &&
+      col("payload") === "u5").count() == 1)
+    // guards: NULL partition values, rename/drop of the partition col
+    val eNull = intercept[IllegalArgumentException] {
+      GraftTable.append(spark, root,
+        Seq((101L, None: Option[Long], "n")).toDF("id", "p", "payload"),
+        Seq("id"), Seq("id"))
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    val eRen = intercept[IllegalArgumentException] {
+      GraftTable.alterRenameColumn(root, "p", "q")
+    }
+    assert(eRen.getMessage.contains("partition column"), eRen.getMessage)
+    val eDrop = intercept[IllegalArgumentException] {
+      GraftTable.alterDropColumns(root, Seq("p"))
+    }
+    assert(eDrop.getMessage.contains("partition column"), eDrop.getMessage)
+    // shallow clone: borrowed absolute paths read through the SOURCE's
+    // own basePath; partition filters still prune on the clone
+    val dst = freshRoot()
+    GraftTable.cloneTable(root, dst)
+    assert(GraftTable.read(spark, dst).count() == 40)
+    assert(GraftTable.read(spark, dst).where(col("p") === 1L)
+      .count() ==
+      GraftTable.read(spark, root).where(col("p") === 1L).count())
+    // clone-side append lands OWNED partitioned files; the mixed
+    // borrowed+owned read needs per-base scans
+    GraftTable.append(spark, dst,
+      Seq((200L, 2L, "c200")).toDF("id", "p", "payload"),
+      Seq("id"), Seq("id"))
+    assert(GraftTable.read(spark, dst).count() == 41)
+    assert(GraftTable.read(spark, dst).where(col("p") === 2L).count() ==
+      GraftTable.read(spark, root).where(col("p") === 2L).count() + 1)
+  }
+
+  test("sql partitioned tables: CREATE ... PARTITIONED BY lands in the " +
+      "manifest, CTAS + INSERT route rows to partition dirs, non-" +
+      "identity transforms loud") {
+    val root = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE pt_spec (id BIGINT, p BIGINT, s STRING)
+          USING graft PARTITIONED BY (p)
+          LOCATION '$root' OPTIONS (key 'id', stats 'id')""")
+    try {
+      assert(GraftTable.manifest(root, 1).partitionCols
+        .contains(List("p")))
+      GraftSql.exec(spark,
+        "INSERT INTO pt_spec SELECT id, id % 3, concat('s', id) " +
+          "FROM range(30)")
+      val m = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+      assert(m.files.nonEmpty && m.files.forall(f =>
+        f.path.matches("data/p=\\d+/c-.+\\.parquet")), m.files)
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM pt_spec WHERE p = 1").head()
+        .getLong(0) == 10L)
+      val eTr = intercept[Exception] {
+        GraftSql.exec(spark,
+          s"""CREATE TABLE pt_bad (id BIGINT) USING graft
+              PARTITIONED BY (bucket(4, id))
+              LOCATION '${root}_bad' OPTIONS (key 'id')""")
+      }
+      assert(eTr.getMessage.contains("identity"), eTr.getMessage)
+    } finally GraftSqlTables.unregister("pt_spec")
+  }
+
   test("sql time travel on registered names: VERSION AS OF and " +
       "TIMESTAMP AS OF resolve snapshots, literals only, unregistered " +
       "names pass through, vacuumed gaps stay loud") {

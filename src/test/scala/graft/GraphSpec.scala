@@ -123,6 +123,65 @@ class GraphSpec extends SparkTestBase {
     assert(rd == rp, "random-graph arms must be value-identical")
   }
 
+  test("graph_sssp: hand-checked planted graph, arms value-identical " +
+      "on fixture and random graphs, hop bound loud") {
+    import spark.implicits._
+    def both(es: Seq[(Long, Long, Long)])
+        : (Seq[(Long, Option[Long])], Seq[(Long, Option[Long])]) = {
+      val df = es.toDF("s", "t", "w")
+      (ops.Graph.ssspOf(spark, df, Long.MaxValue)
+         .orderBy("node").as[(Long, Option[Long])].collect().toSeq,
+       ops.Graph.ssspOf(spark, df, 0L)
+         .orderBy("node").as[(Long, Option[Long])].collect().toSeq)
+    }
+    // planted: source is min node 1. 1→2 (w5), 1→3 (w1), 3→2 (w1):
+    // the 2-hop path beats the direct edge. 2→4 (w10); 5→1 unreachable
+    // FROM 1 but puts 5 in the node set; a cycle 4→1 (w1) must not
+    // loop the relaxation
+    val planted = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 10L), (5L, 1L, 100L), (4L, 1L, 1L))
+    val (pd, pp) = both(planted)
+    assert(pd == pp, "budget arms must be value-identical")
+    assert(pd == Seq(1L -> Some(0L), 2L -> Some(2L), 3L -> Some(1L),
+      4L -> Some(12L), 5L -> None), s"hand-check failed: $pd")
+    // fixture: both arms, value-identical, non-trivial
+    val fx = ops.Graph.graph_sssp(spark, sf01)
+      .as[(Long, Option[Long])].collect().toSeq
+    val fxDist = ops.Graph.ssspOf(spark,
+        ops.Graph.weightedDirectedEdges(spark, sf01), 0L)
+      .orderBy("node").as[(Long, Option[Long])].collect().toSeq
+    assert(fx == fxDist, "fixture arms must be value-identical")
+    assert(fx.exists(_._2.exists(_ > 0)), "some node must be reached")
+    assert(fx.count(_._2.isDefined) > 1, "fixture must reach > 1 node")
+    // weighted edge tuples are unique by construction (the oracle
+    // replays the relation without dedup — a duplicate would fork)
+    val wes = ops.Graph.weightedDirectedEdges(spark, sf01)
+      .select("s", "t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wes.distinct.length == wes.length,
+      "weighted directed edges must be unique (s, t) tuples")
+    // random weighted graph: arms agree exactly
+    var x = 98765L
+    def nxt(): Long = { x = (x * 6364136223846793005L +
+      1442695040888963407L); x }
+    val rnd = (1 to 80).map { _ =>
+      (math.floorMod(nxt(), 25L), math.floorMod(nxt(), 25L),
+        1L + math.floorMod(nxt(), 9L))
+    }.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val (rd, rp) = both(rnd)
+    assert(rd == rp, "random-graph arms must be value-identical")
+    // the unroll certification is loud: a 40-hop chain needs more
+    // rounds than SsspUnrollRounds on BOTH arms
+    val chain = (1L to 40L).map(i => (i, i + 1L, 1L))
+    intercept[IllegalArgumentException] {
+      ops.Graph.ssspOf(spark, chain.toDF("s", "t", "w"), Long.MaxValue)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ops.Graph.ssspOf(spark, chain.toDF("s", "t", "w"), 0L).collect()
+    }
+  }
+
   test("graph_reach: hand-checked on a chain, a cycle, and a " +
       "diamond with path multiplicity; k=3 cycle self-reach") {
     import spark.implicits._

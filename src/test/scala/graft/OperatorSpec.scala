@@ -1419,6 +1419,32 @@ class OperatorSpec extends SparkTestBase {
       s"the loud path must name the scale alternative: ${e.getMessage}")
   }
 
+  test("llm_phash: planted same-length twins dedup at small hamming, " +
+      "and the band formula matches a byte-level recompute") {
+    val rows = ops.Llm.llm_phash(spark, sf).collect()
+    assert(rows.nonEmpty, "the phash dedup must find pairs")
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
+    assert(planted.nonEmpty,
+      "at least one planted first-byte twin must land under the " +
+        "Hamming threshold")
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 6))
+    // the generated SQL band formula == a direct byte-level recompute
+    // (ASCII fixture: char code == byte value)
+    val doc = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").head()
+    val text = doc.getString(1)
+    def cell(i: Int): Int = text.charAt((i * 37) % text.length).toInt
+    def band(k: Int): Int = (0 until 16).map(j =>
+      if (cell(16 * k + j + 1) > cell(16 * k + j)) 1 << j else 0).sum
+    val got = graft.util.Tables.documents(spark, sf)
+      .where(col("doc_id") === doc.getLong(0))
+      .select((0 to 3).map(k =>
+        expr(ops.Llm.phashBandSql(k)).cast("int").as(s"b$k")): _*)
+      .head()
+    (0 to 3).foreach(k => assert(got.getInt(k) == band(k),
+      s"band $k: sql ${got.getInt(k)} vs recompute ${band(k)}"))
+  }
+
   test("salted top-k escalation is row-identical to the direct window") {
     import spark.implicits._
     // the two dispatch arms of capSource/ngramFreq on the real fixture

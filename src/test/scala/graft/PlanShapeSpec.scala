@@ -267,6 +267,36 @@ class PlanShapeSpec extends SparkTestBase {
     } finally rmRec(dir)
   }
 
+  test("table_sql_partitioned: the partition filter reaches the FileScan " +
+      "as PartitionFilters, and a dim join gets DPP on the graft table") {
+    withStaticPlan {
+      val df = ops.Table.table_sql_partitioned(spark, sf)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.exists(_.partitionFilters.nonEmpty),
+        s"no PartitionFilters on the graft partitioned read:\n" +
+          df.queryExecution.executedPlan)
+      // DPP: the dim-side predicate is invisible to the fact statically;
+      // the graft read must accept a dynamicpruningexpression exactly
+      // like a native partitioned parquet table (sink_dpp's contract)
+      import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+      val fact = graft.sql.GraftSql.sql(spark,
+        s"SELECT * FROM ${ops.Table.partOrdersName(spark, sf)}")
+      val dim = graft.util.Tables.orders(spark, sf)
+        .select(org.apache.spark.sql.functions.year(col("o_orderdate"))
+          .as("d_year")).distinct()
+        .withColumn("era",
+          when(col("d_year") <= lit(1997), "early").otherwise("late"))
+        .where(col("era") === "early")
+      val joined = fact.join(broadcast(dim),
+        col("o_year") === col("d_year"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruningexpression"),
+        s"no dynamic partition pruning on the graft fact scan:\n$p")
+    }
+  }
+
   test("sink_dpp read-back prunes fact partitions dynamically") {
     // the dim-side era predicate is invisible to the fact statically — the
     // executed plan must carry a dynamicpruningexpression on the fact

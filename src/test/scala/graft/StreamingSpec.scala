@@ -988,6 +988,78 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native graft-table sink: exactly-once ingest — one commit per " +
+      "batch, watermark in the manifest, a crash-replayed batch lands " +
+      "zero duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_table").toFile.getPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sink_ckpt").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_sink_table_$root") {
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root))
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(ckpt))
+    }
+    // the sink appends to an EXISTING table — create carries the schema
+    t.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("id", "payload")
+      .writeStream.format("graft-table") // short name via META-INF
+      .option("path", root)
+      .option("stats", "id").option("cluster", "id")
+      .option("num_files", "1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    val qid =
+      try {
+        mem.addData((1L, "a"), (2L, "b"))
+        q1.processAllAvailable()
+        mem.addData((3L, "c"))
+        q1.processAllAvailable()
+        q1.id.toString
+      } finally q1.stop()
+    assert(t.read(spark, root).count() == 4)
+    val mLast = t.manifest(root, t.latestSnapshot(root))
+    assert(mLast.stream.exists(_.get(qid).contains(1L)),
+      s"manifest must record the query's batch watermark: ${mLast.stream}")
+    // CRASH between the data commit and the engine's checkpoint commit:
+    // erase the last checkpoint commit marker so the restarted query
+    // REPLAYS batch 1 — the watermark guard must skip it, zero dupes
+    val lastCommit = new java.io.File(s"$ckpt/commits/1")
+    assert(lastCommit.exists, "fixture: expected checkpoint commit 1")
+    assert(lastCommit.delete())
+    // the local checksum FS refuses a rename onto a stale sidecar
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val vBefore = t.latestSnapshot(root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1 (rows (3, c))
+      assert(t.read(spark, root).count() == 4,
+        "a replayed batch must land ZERO duplicate rows")
+      assert(t.read(spark, root).where(col("id") === 3L).count() == 1)
+      // the replay committed NOTHING (idempotent skip, not a re-write)
+      assert(t.latestSnapshot(root) == vBefore,
+        "the replayed batch must not add a snapshot")
+      // and the stream keeps working past the replay
+      mem.addData((4L, "d"))
+      q2.processAllAvailable()
+      assert(t.read(spark, root).count() == 5)
+      assert(t.manifest(root, t.latestSnapshot(root)).stream
+        .exists(_.get(qid).contains(2L)))
+    } finally q2.stop()
+    // non-streaming misuse is loud
+    val e = intercept[Exception] {
+      Seq((9L, "x")).toDF("id", "payload")
+        .write.format("graft-table").save(root)
+    }
+    assert(e != null)
+  }
+
   test("maxSnapshotsPerTrigger rate-limits the GraftTable stream: a long " +
       "history drains in bounded batches, totals equal the batch read") {
     import spark.implicits._
