@@ -1060,6 +1060,53 @@ class StreamingSpec extends SparkTestBase {
     assert(e != null)
   }
 
+  test("graft-table sink into a PARTITIONED table: micro-batch commits " +
+      "honor the declared layout, partition pruning works on the result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_part").toFile.getPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sink_part_ckpt").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_sink_part_$root") {
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root))
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(ckpt))
+    }
+    // partitioning is a TABLE property — the sink must honor it with
+    // zero sink-side configuration (partitionBy on the sink is loud)
+    t.create(spark, root,
+      Seq((0L, 0L, "seed")).toDF("id", "p", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1, partitionCols = Seq("p"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = mem.toDF().toDF("id", "p", "payload")
+      .writeStream.format("graft-table")
+      .option("path", root).option("stats", "id")
+      .option("cluster", "id").option("num_files", "1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, 1L, "a"), (2L, 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, 1L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = t.manifest(root, t.latestSnapshot(root))
+    assert(m.partitionCols.contains(List("p")),
+      "stream commits must carry the partition declaration")
+    assert(m.files.forall(f =>
+      f.path.matches("data/p=\\d+/c-.+\\.parquet")), m.files)
+    val r = t.read(spark, root)
+    assert(r.count() == 4)
+    assert(r.where(col("p") === 1L).count() == 2)
+    val scans = r.where(col("p") === 1L)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "the stream-built table must partition-prune like a batch-built one")
+  }
+
   test("maxSnapshotsPerTrigger rate-limits the GraftTable stream: a long " +
       "history drains in bounded batches, totals equal the batch read") {
     import spark.implicits._
