@@ -514,6 +514,51 @@ object Table {
           ORDER BY o_year, o_orderpriority""")
   }
 
+  /** DYNAMIC PARTITION OVERWRITE from pure SQL — the incremental-rerun
+    * verb declared partitioning exists for (re-running one year
+    * replaces ONLY that partition, as ONE atomic commit): the fixture
+    * CTAS-creates a partitioned table with 1996 prices corrupted
+    * (halved), then `INSERT OVERWRITE` re-loads JUST the corrected
+    * 1996 slice — dynamic semantics from the batch's own partition
+    * values, no PARTITION clause. The oracle replays the final state
+    * from the source: an appended (not replaced) 1996 doubles that
+    * year; a static overwrite vanishes every other year — either way
+    * a hash mismatch. Keys of the replaced partition are deliberately
+    * REUSED (they are gone by definition); the clash guard checks
+    * survivors only. Scale: commit cost is O(batch + the replaced
+    * partition's file entries); untouched partitions carry over by
+    * reference. */
+  val table_sql_part_overwrite: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_part_ow_orders")
+    val name = "part_ow_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name USING graft PARTITIONED BY (o_year)
+            LOCATION '$root'
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey')
+            AS SELECT o_orderkey, o_orderpriority,
+                      CASE WHEN year(o_orderdate) = 1996
+                           THEN o_totalprice / 2
+                           ELSE o_totalprice END AS o_totalprice,
+                      year(o_orderdate) AS o_year
+               FROM parquet.`$d/orders.parquet`""")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT OVERWRITE $name
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   year(o_orderdate) AS o_year
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) = 1996""")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"""SELECT o_year, count(1) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+          FROM $name
+          GROUP BY o_year ORDER BY o_year""")
+  }
+
   /** NATIVE streaming sink end-to-end (r13 verdict missing #3): the
     * fixture drives a REAL `writeStream.format("graft-table")` — a
     * file-source stream over the orders parquet, drained
@@ -1616,6 +1661,7 @@ object Table {
     "table_sql_tt" -> table_sql_tt,
     "table_sql_asof_name" -> table_sql_asof_name,
     "table_sql_partitioned" -> table_sql_partitioned,
+    "table_sql_part_overwrite" -> table_sql_part_overwrite,
     "table_stream_sink" -> table_stream_sink,
     "table_sql_cdc" -> table_sql_cdc,
     "table_cdc_replay" -> table_cdc_replay,
@@ -1679,6 +1725,14 @@ object Table {
                  AS sum_price
          FROM orders WHERE year(o_orderdate) <= 1997
          GROUP BY 1 ORDER BY 1""",
+    // final state: the corrected 1996 replaces the corrupted one —
+    // an append doubles 1996, a static overwrite erases other years
+    "table_sql_part_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders GROUP BY 1 ORDER BY o_year""",
     // the streamed ingest must equal the source exactly — a lost or
     // replayed micro-batch breaks count and sum per status group
     "table_stream_sink" ->
@@ -1972,7 +2026,8 @@ object Table {
              CAST(1 AS INT) AS n_checks,
              CAST(1 AS INT) AS n_tags,
              CAST(1 AS INT) AS n_branches,
-             false AS is_clone""",
+             false AS is_clone,
+             '' AS partition_cols""",
     // independent divergence from a shared borrow: source = ≤1997 ∪
     // 1999, clone = ≤1997 ∪ 1998 — cross-contamination or a lost
     // borrow both break the year sets

@@ -212,15 +212,20 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           query, overwrite, _, byName)
           if GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
         require(part.isEmpty,
-          "graft INSERT does not take a PARTITION clause (clustering is " +
-            "a table property)")
-        require(!overwrite, "INSERT OVERWRITE a graft table is not " +
-          "supported; use DELETE + INSERT or MERGE")
+          "graft INSERT does not take a PARTITION clause (partitioning " +
+            "is a table property; OVERWRITE is dynamic per the batch's " +
+            "own partition values)")
         val iref = GraftSqlTables.lookup(u.multipartIdentifier).get
         // pin the snapshot the guards will run against, like every
         // other verb: an append rebased over a concurrent commit could
         // mint a key the clash guard never saw
-        GraftInsertCommand(iref, query, cols, byName,
+        if (overwrite)
+          // dynamic partition overwrite — only meaningful on a
+          // PARTITIONED table; the command validates that against the
+          // manifest and stays loud on flat tables
+          GraftInsertOverwriteCommand(iref, query, cols, byName,
+            GraftTable.latestSnapshot(iref.root))
+        else GraftInsertCommand(iref, query, cols, byName,
           GraftTable.latestSnapshot(iref.root))
       case d @ DeleteFromTable(Spliced(t), _) => d.copy(table = t)
       case up @ UpdateTable(Spliced(t), _, _) => up.copy(table = t)
@@ -379,6 +384,61 @@ private[sql] object GraftDml {
 
   def c(e: Expression): Column = SqlShim.column(e)
 
+  /** The INSERT source resolved, named and cast to the target schema —
+    * ONE implementation for INSERT and INSERT OVERWRITE (column-list /
+    * BY NAME / positional binding, the no-defaults and
+    * no-extra-columns guards), so the two verbs cannot drift. */
+  def alignedInsertFrame(spark: SparkSession, ref: GraftSqlTables.Ref,
+      query: LogicalPlan, userCols: Seq[String], byName: Boolean,
+      snapshot: Int): DataFrame = {
+    // re-apply the rule to the source: registered names in the INSERT's
+    // FROM clause must splice on sessions without the injected rule
+    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query))
+    val tgt = GraftTable.read(spark, ref.root, Some(snapshot)).schema
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.length == df.columns.length,
+          s"INSERT column list (${userCols.length}) does not match the " +
+            s"query width (${df.columns.length})")
+        df.toDF(userCols: _*)
+      } else if (byName) df
+      else {
+        require(df.columns.length == tgt.length,
+          s"positional INSERT width ${df.columns.length} != table width " +
+            s"${tgt.length}")
+        df.toDF(tgt.map(_.name): _*)
+      }
+    val missing = tgt.map(_.name).filterNot(n =>
+      named.columns.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"INSERT must cover every column (no defaults); missing: " +
+        missing.mkString(", "))
+    // BY NAME with columns the table lacks must fail, not silently drop
+    val extra = named.columns.filterNot(n =>
+      tgt.exists(_.name.equalsIgnoreCase(n)))
+    require(extra.isEmpty,
+      s"INSERT names columns the table does not have: " +
+        extra.mkString(", "))
+    // callers persist: the commit + the key guards each evaluate the
+    // frame, and a nondeterministic source must not change between them
+    named.select(
+      tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** The batch-local key contract shared by both INSERT verbs: unique
+    * and non-null (a NULL key is unaddressable forever — every later
+    * key-addressed statement equi-joins on the key and skips it). */
+  def requireKeyDiscipline(ref: GraftSqlTables.Ref, aligned: DataFrame,
+      what: String): Unit = {
+    val dup = aligned.groupBy(col(ref.keyCol)).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"$what batch carries duplicate '${ref.keyCol}' keys")
+    val nulls = aligned.where(col(ref.keyCol).isNull).limit(1).count()
+    require(nulls == 0,
+      s"$what batch carries a NULL '${ref.keyCol}' key")
+  }
+
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis at
     * resolution time, the TVF literal discipline
     * ([[graft.functions.GraftTableFunctions]]): integer literals are
@@ -521,49 +581,10 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
     snapshot: Int) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    // re-apply the rule to the source: registered names in the INSERT's
-    // FROM clause must splice on sessions without the injected rule
-    val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query))
-    val tgt = GraftTable.read(spark, ref.root, Some(snapshot)).schema
-    val named =
-      if (userCols.nonEmpty) {
-        require(userCols.length == df.columns.length,
-          s"INSERT column list (${userCols.length}) does not match the " +
-            s"query width (${df.columns.length})")
-        df.toDF(userCols: _*)
-      } else if (byName) df
-      else {
-        require(df.columns.length == tgt.length,
-          s"positional INSERT width ${df.columns.length} != table width " +
-            s"${tgt.length}")
-        df.toDF(tgt.map(_.name): _*)
-      }
-    val missing = tgt.map(_.name).filterNot(n =>
-      named.columns.exists(_.equalsIgnoreCase(n)))
-    require(missing.isEmpty,
-      s"INSERT must cover every column (no defaults); missing: " +
-        missing.mkString(", "))
-    // BY NAME with columns the table lacks must fail, not silently drop
-    val extra = named.columns.filterNot(n =>
-      tgt.exists(_.name.equalsIgnoreCase(n)))
-    require(extra.isEmpty,
-      s"INSERT names columns the table does not have: " +
-        extra.mkString(", "))
-    // persist: append + the two key guards each evaluate the frame, and
-    // a nondeterministic source must not change between them
-    val aligned = named.select(
-      tgt.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      .persist()
+    val aligned = GraftDml.alignedInsertFrame(spark, ref, query,
+      userCols, byName, snapshot).persist()
     try {
-      val dup = aligned.groupBy(col(ref.keyCol)).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"INSERT batch carries duplicate '${ref.keyCol}' keys")
-      // a NULL key would be unaddressable forever: every later
-      // key-addressed statement equi-joins on the key and skips it
-      val nulls = aligned.where(col(ref.keyCol).isNull).limit(1).count()
-      require(nulls == 0,
-        s"INSERT batch carries a NULL '${ref.keyCol}' key")
+      GraftDml.requireKeyDiscipline(ref, aligned, "INSERT")
       val clash = aligned.select(col(ref.keyCol))
         .join(GraftTable.read(spark, ref.root, Some(snapshot))
           .select(col(ref.keyCol)), ref.keyCol, "left_semi")
@@ -574,6 +595,48 @@ case class GraftInsertCommand(ref: GraftSqlTables.Ref, query: LogicalPlan,
       GraftTable.append(spark, ref.root, aligned, ref.statsCols,
         ref.clusterCols, ref.numFiles, ref.bloomCols,
         baseSnapshot = Some(snapshot))
+    } finally aligned.unpersist()
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE t SELECT ...` — DYNAMIC partition overwrite
+  * ([[GraftTable.overwritePartitions]]): partitions named by the
+  * batch's own partition values are replaced wholesale, untouched
+  * partitions carry over; one atomic commit. Only PARTITIONED graft
+  * tables (the verb validates against the manifest — on a flat table
+  * "the matching partition" has no meaning, use DELETE+INSERT/MERGE).
+  * Key discipline: the batch itself must be key-clean, and its keys
+  * must not collide with rows of SURVIVING partitions — rows of the
+  * replaced partitions are gone by definition and do not count. */
+case class GraftInsertOverwriteCommand(ref: GraftSqlTables.Ref,
+    query: LogicalPlan, userCols: Seq[String], byName: Boolean,
+    snapshot: Int) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pcols = GraftTable.partColsOf(
+      GraftTable.manifest(ref.root, snapshot))
+    require(pcols.nonEmpty,
+      s"INSERT OVERWRITE needs a PARTITIONED graft table (at " +
+        s"${ref.root} none is declared); use DELETE + INSERT or MERGE")
+    val aligned = GraftDml.alignedInsertFrame(spark, ref, query,
+      userCols, byName, snapshot).persist()
+    try {
+      GraftDml.requireKeyDiscipline(ref, aligned, "INSERT OVERWRITE")
+      // clash only vs SURVIVORS: rows in partitions this batch
+      // replaces are dropped by the commit and cannot collide
+      val touched = aligned.select(pcols.map(col): _*).distinct()
+      val survivors = GraftTable.read(spark, ref.root, Some(snapshot))
+        .join(touched, pcols, "left_anti")
+      val clash = aligned.select(col(ref.keyCol))
+        .join(survivors.select(col(ref.keyCol)), ref.keyCol, "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"INSERT OVERWRITE re-uses '${ref.keyCol}' keys held by " +
+          "partitions the batch does not replace")
+      GraftTable.overwritePartitions(spark, ref.root, aligned,
+        ref.statsCols, ref.clusterCols, ref.numFiles,
+        baseSnapshot = Some(snapshot), bloomCols = ref.bloomCols)
     } finally aligned.unpersist()
     Seq.empty
   }

@@ -429,7 +429,15 @@ case class GraftShowCreateCommand(parts: Seq[String])
           listOpt("cluster", ref.clusterCols) ++
           listOpt("bloom", ref.bloomCols) ++
           Seq(s"num_files '${ref.numFiles}'")).mkString(", ")
-        Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft\n" +
+        // PARTITIONED BY rides in the emitted DDL: the declaration is
+        // manifest metadata (not a Ref knob), and omitting it would
+        // round-trip a partitioned table into an UNPARTITIONED one —
+        // a silently lost layout, the droppable-clause bug inverted
+        val partBy = GraftTable.partColsOf(m) match {
+          case Nil => ""
+          case ps => s"\nPARTITIONED BY (${ps.mkString(", ")})"
+        }
+        Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$partBy\n" +
           s"OPTIONS ($opts)\nLOCATION '${ref.root}'"))
     }
   }
@@ -478,7 +486,10 @@ case class GraftDescribeDetailCommand(parts: Seq[String])
     AttributeReference("n_checks", IntegerType, nullable = false)(),
     AttributeReference("n_tags", IntegerType, nullable = false)(),
     AttributeReference("n_branches", IntegerType, nullable = false)(),
-    AttributeReference("is_clone", BooleanType, nullable = false)())
+    AttributeReference("is_clone", BooleanType, nullable = false)(),
+    // empty string for unpartitioned tables — a NULL would make every
+    // oracle row's sort key nullable for one optional feature
+    AttributeReference("partition_cols", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val ref = GraftSqlMaint.refOf(parts)
     val v = GraftTable.latestSnapshot(ref.root)
@@ -492,7 +503,8 @@ case class GraftDescribeDetailCommand(parts: Seq[String])
       m.checks.map(_.size).getOrElse(0),
       GraftTable.tags(ref.root).size,
       GraftTable.branches(ref.root).size,
-      m.files.exists(_.path.startsWith("/"))))
+      m.files.exists(_.path.startsWith("/")),
+      GraftTable.partColsOf(m).mkString(",")))
   }
 }
 

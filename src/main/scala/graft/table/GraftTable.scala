@@ -1260,6 +1260,52 @@ object GraftTable {
     v + 1
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the incremental-rerun verb a
+    * partitioned 100 TB table exists for (re-running one day/year
+    * replaces ONLY that partition's data, the
+    * partitionOverwriteMode=dynamic semantic as ONE atomic commit):
+    * every file whose partition tuple appears among the batch's tuples
+    * drops out of the manifest; the batch's files (written through the
+    * partitioned kernel, so each carries exactly one tuple) take their
+    * place; untouched partitions carry over by reference. Commit cost
+    * is O(batch + touched partitions' file entries) — zero reads of
+    * untouched data. An empty batch touches nothing and declines to
+    * commit (the [[delete]] no-empty-commit contract). Single-attempt
+    * optimistic like [[merge]] — the replacement set was derived
+    * against the pinned snapshot. `df` is evaluated more than once
+    * (checks aggregate + write) and must be deterministic, the
+    * [[merge]] contract. Only defined on PARTITIONED tables: on a flat
+    * table "overwrite the matching partition" has no meaning — loud,
+    * use merge/delete. */
+  def overwritePartitions(spark: SparkSession, root: String,
+      df: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4, baseSnapshot: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): Int = {
+    val v = baseSnapshot.getOrElse(latestSnapshot(root))
+    require(v > 0, s"overwritePartitions into non-existent table $root")
+    val parent = manifest(root, v)
+    val pcols = partColsOf(parent)
+    require(pcols.nonEmpty,
+      s"overwritePartitions on UNPARTITIONED table $root — dynamic " +
+        "partition overwrite needs declared partition columns; use " +
+        "merge/delete for row-level replacement")
+    require(shape(df.schema) ==
+      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
+      s"overwritePartitions schema mismatch vs snapshot $v at $root")
+    enforceChecks(df, checksOf(parent),
+      s"in the overwrite batch at $root")
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols,
+      numFiles, bloomCols, partCols = pcols)
+    if (entries.isEmpty) return v // empty batch: nothing touched
+    val touched = entries.flatMap(_.parts).toSet
+    val m = child(parent, "overwrite_partitions",
+      parent.files.filterNot(f => f.parts.exists(touched)) ++ entries)
+    if (!tryCommit(root, m))
+      throw new java.util.ConcurrentModificationException(
+        s"overwritePartitions derived from stale snapshot $v at $root")
+    v + 1
+  }
+
   /** Copy-on-write row-level DELETE: rows whose `keyCol` appears in
     * `deleteKeys` are removed. Same two-level pruning as [[merge]] —
     * stats-range overlap narrows to candidate files, an
@@ -1770,11 +1816,31 @@ object GraftTable {
       // unpublished branch commits reference real files too — sweeping
       // them would corrupt the branch before its audit ever ran
       branchLiveFiles(root)).toSet
-    val dataDir = Paths.get(root, "data")
-    if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val rootPath = Paths.get(root)
+    // a partitioned write that crashed between staging and the moves
+    // leaves a `.stage-<uuid>` directory OUTSIDE data/ — never
+    // referenced by any manifest (moves mint fresh names), so it is
+    // pure reclaimable space; the same age gate protects an in-flight
+    // writer's stage
     var removed = 0
+    val rootDir = Paths.get(root)
+    if (Files.isDirectory(rootDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(rootDir).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(".stage-") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toList.foreach { p =>
+          val n = Files.walk(p).iterator().asScala
+            .count(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet"))
+          graft.util.AppCleanup.recursiveDelete(p.toFile)
+          removed += n
+        }
+    }
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return removed
+    val rootPath = Paths.get(root)
     import scala.jdk.CollectionConverters._
     val commitDirs = Files.list(dataDir).iterator().asScala.toList
     for (cd <- commitDirs if Files.isDirectory(cd)) {

@@ -2650,7 +2650,157 @@ class GraftTableSpec extends SparkTestBase {
               LOCATION '${root}_bad' OPTIONS (key 'id')""")
       }
       assert(eTr.getMessage.contains("identity"), eTr.getMessage)
+      // SQL DML against the partitioned table: the CoW rewrite must
+      // keep the k=v layout and the declaration
+      GraftSql.exec(spark,
+        "UPDATE pt_spec SET s = 'upd' WHERE id = 7")
+      GraftSql.exec(spark, "DELETE FROM pt_spec WHERE id = 8")
+      assert(GraftSql.sql(spark,
+        "SELECT s FROM pt_spec WHERE id = 7").head().getString(0)
+        == "upd")
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM pt_spec").head().getLong(0) == 29L)
+      val mDml = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+      assert(mDml.partitionCols.contains(List("p")) &&
+        mDml.files.forall(f =>
+          f.path.matches("data/p=\\d+/c-.+\\.parquet")),
+        s"SQL DML must keep the partitioned layout: ${mDml.files}")
+      // SHOW CREATE TABLE emits PARTITIONED BY — omitting it would
+      // round-trip into an unpartitioned table (silently lost layout)
+      val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE pt_spec")
+        .head().getString(0)
+      assert(ddl.contains("PARTITIONED BY (p)"), ddl)
+      // DESCRIBE DETAIL surfaces the declaration
+      assert(GraftSql.sql(spark, "DESCRIBE DETAIL pt_spec")
+        .head().getString(9) == "p")
+      // the emitted DDL re-executes into a PARTITIONED table
+      val root2 = freshRoot()
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root2))
+      GraftSql.exec(spark, ddl
+        .replace("`pt_spec`", "pt_spec_rt")
+        .replace(s"LOCATION '$root'", s"LOCATION '$root2'"))
+      try assert(GraftTable.manifest(root2, 1).partitionCols
+        .contains(List("p")), "the round-tripped table lost partitioning")
+      finally GraftSqlTables.unregister("pt_spec_rt")
     } finally GraftSqlTables.unregister("pt_spec")
+  }
+
+  test("partitioned vacuum: expire reclaims replaced partitions' files, " +
+      "orphan sweep cleans stranded stage dirs and uncommitted moves") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      (1 to 20).map(i => (i.toLong, (i % 2).toLong, s"v$i"))
+        .toDF("id", "p", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1, partitionCols = Seq("p")) // v1
+    GraftTable.overwritePartitions(spark, root,
+      Seq((100L, 1L, "n")).toDF("id", "p", "payload"),
+      Seq("id"), Seq("id")) // v2: p=1 replaced
+    val replaced = GraftTable.manifest(root, 1).files
+      .filter(_.parts.exists(_("p") == "1")).map(_.path)
+    assert(replaced.nonEmpty)
+    // plant a crashed partitioned write: a stale stage dir + a moved
+    // but never-committed file inside a partition dir
+    val stage = new java.io.File(s"$root/.stage-deadbeef/p=1")
+    stage.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stage.getPath, "part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val orphan = java.nio.file.Paths.get(root,
+      "data/p=0/c-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1))
+    GraftTable.expireSnapshots(root, keepFrom = 2)
+    assert(replaced.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(root, p))),
+      "expire must reclaim the replaced partition's files")
+    val swept = GraftTable.removeOrphans(root, olderThanMs = 0)
+    assert(swept >= 2, s"stage + orphan must both sweep, got $swept")
+    assert(!new java.io.File(s"$root/.stage-deadbeef").exists)
+    assert(!java.nio.file.Files.exists(orphan))
+    // the table still reads exactly right after the cleanup
+    assert(GraftTable.read(spark, root).count() == 11)
+    assert(GraftTable.read(spark, root)
+      .where(col("p") === 1L).count() == 1)
+  }
+
+  test("overwritePartitions: replaces exactly the batch's partitions, " +
+      "declines empty commits, loud on flat tables, CDC diffs the " +
+      "replacement, SQL guards survivors only") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (1 to 30).map(i => (i.toLong, (i % 3).toLong, s"v$i"))
+      .toDF("id", "p", "payload")
+    GraftTable.create(spark, root, df, Seq("id"), Seq("id"),
+      numFiles = 1, partitionCols = Seq("p")) // v1
+    // replace partition p=1 wholesale: new rows, some keys reused,
+    // some keys dropped, one new key
+    val repl = (Seq((1L, 1L, "r1"), (4L, 1L, "r4"), (100L, 1L, "r100")))
+      .toDF("id", "p", "payload")
+    val v2 = GraftTable.overwritePartitions(spark, root, repl,
+      Seq("id"), Seq("id"))
+    assert(v2 == 2)
+    val after = GraftTable.read(spark, root)
+      .as[(Long, Long, String)].collect()
+    assert(after.count(_._2 == 1L) == 3, "p=1 must hold exactly the batch")
+    assert(after.count(_._2 != 1L) == 20,
+      "untouched partitions must carry over")
+    assert(after.exists(t => t._1 == 1L && t._3 == "r1"))
+    assert(!after.exists(t => t._1 == 7L), "old p=1 rows must be gone")
+    // untouched partitions carried over BY REFERENCE (no rewrite)
+    val f1 = GraftTable.manifest(root, 1).files.map(_.path).toSet
+    val f2 = GraftTable.manifest(root, 2).files
+    assert(f2.filter(f => f.parts.exists(_("p") != "1"))
+      .forall(f => f1(f.path)), "untouched partitions must not rewrite")
+    // row-level CDC across the overwrite: reused-key new values are
+    // update pairs, dropped keys deletes, the new key an insert
+    val cdc = GraftTable.changesBetweenRows(spark, root, 1, 2, "id")
+    assert(cdc.where(col("_change_type") === "update_postimage" &&
+      col("payload") === "r1").count() == 1)
+    assert(cdc.where(col("_change_type") === "insert" &&
+      col("id") === 100L).count() == 1)
+    assert(cdc.where(col("_change_type") === "delete" &&
+      col("id") === 7L).count() == 1)
+    // empty batch: no commit
+    assert(GraftTable.overwritePartitions(spark, root,
+      repl.limit(0), Seq("id"), Seq("id")) == 2)
+    // flat table: loud
+    val flat = freshRoot()
+    GraftTable.create(spark, flat, idTable(5), Seq("id"), Seq("id"),
+      numFiles = 1)
+    val eFlat = intercept[IllegalArgumentException] {
+      GraftTable.overwritePartitions(spark, flat,
+        idTable(3), Seq("id"), Seq("id"))
+    }
+    assert(eFlat.getMessage.contains("UNPARTITIONED"), eFlat.getMessage)
+    // SQL: INSERT OVERWRITE re-using a SURVIVOR partition's key is
+    // loud; re-using the replaced partition's own keys is fine (above)
+    GraftSqlTables.register("ow_spec_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id")))
+    try {
+      val eClash = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "INSERT OVERWRITE ow_spec_t SELECT 2, 1, 'steal'")
+      }
+      assert(eClash.getMessage.contains("partitions the batch does not"),
+        eClash.getMessage)
+      GraftSql.exec(spark,
+        "INSERT OVERWRITE ow_spec_t SELECT 200, 2, 'sql200'")
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS n FROM ow_spec_t WHERE p = 2").head()
+        .getLong(0) == 1L, "SQL overwrite must replace p=2 wholesale")
+      // flat table through SQL: loud
+      GraftSqlTables.register("ow_flat_t",
+        GraftSqlTables.Ref(flat, "id", Seq("id"), Seq("id")))
+      val eSqlFlat = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "INSERT OVERWRITE ow_flat_t SELECT 9, 'x'")
+      }
+      assert(eSqlFlat.getMessage.contains("PARTITIONED"),
+        eSqlFlat.getMessage)
+    } finally {
+      GraftSqlTables.unregister("ow_spec_t")
+      GraftSqlTables.unregister("ow_flat_t")
+    }
   }
 
   test("sql time travel on registered names: VERSION AS OF and " +
@@ -2819,6 +2969,7 @@ class GraftTableSpec extends SparkTestBase {
       assert(r.getLong(2) == 2 && r.getLong(3) == 8 && r.getLong(4) == 2,
         s"2 files, 8 live rows, 2 DV'd rows: $r")
       assert(!r.getBoolean(8))
+      assert(r.getString(9) == "", "flat table: empty partition_cols")
       // a clone reports its borrow until materialized
       val dst = freshRoot() + "/c"
       GraftTable.cloneTable(root, dst)
