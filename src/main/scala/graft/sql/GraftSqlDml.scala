@@ -257,13 +257,24 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val name = u.multipartIdentifier.mkString(".")
         val df = (verOpt, tsOpt) match {
           case (Some(v), None) =>
-            val snap = try v.toInt catch {
-              case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"VERSION AS OF over graft table $name takes an " +
-                    s"integer snapshot id, got '$v'")
+            // integer → snapshot id; otherwise a NAMED REF (Iceberg's
+            // VERSION AS OF semantics): tag first, then branch head,
+            // loud with both namespaces when neither holds the name
+            v.toIntOption match {
+              case Some(snap) =>
+                GraftTable.read(session, ref.root, Some(snap))
+              case None if GraftTable.tags(ref.root).contains(v) =>
+                GraftTable.readTag(session, ref.root, v)
+              case None if GraftTable.branches(ref.root).contains(v) =>
+                GraftTable.readBranch(session, ref.root, v)
+              case None => throw new NoSuchElementException(
+                s"VERSION AS OF over graft table $name: '$v' is " +
+                  "neither a snapshot id nor a tag/branch (tags: " +
+                  s"${GraftTable.tags(ref.root).keys.toSeq.sorted
+                    .mkString(", ")}; branches: " +
+                  s"${GraftTable.branches(ref.root).keys.toSeq.sorted
+                    .mkString(", ")})")
             }
-            GraftTable.read(session, ref.root, Some(snap))
           case (None, Some(ts)) =>
             // readAsOf keeps the vacuumed-gap probe loud (snapshotAsOf
             // rejects a timestamp inside an expired-commit gap)

@@ -2835,6 +2835,25 @@ class GraftTableSpec extends SparkTestBase {
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
       assert(n("SELECT count(1) AS n FROM tt_name_t " +
         s"TIMESTAMP AS OF '$v2str'") == 6L)
+      // VERSION AS OF a NAMED REF (Iceberg semantics): tag pins its
+      // snapshot, branch reads its head, unknown refs loud with both
+      // namespaces listed
+      GraftTable.tag(root, "v1tag", 1)
+      GraftTable.createBranch(root, "wip", at = Some(2))
+      assert(n("SELECT count(1) AS n FROM tt_name_t " +
+        "VERSION AS OF 'v1tag'") == 5L)
+      assert(n("SELECT count(1) AS n FROM tt_name_t " +
+        "VERSION AS OF 'wip'") == 6L)
+      val eRef = intercept[NoSuchElementException] {
+        GraftSql.sql(spark, "SELECT count(1) AS n FROM tt_name_t " +
+          "VERSION AS OF 'ghost'").collect()
+      }
+      assert(eRef.getMessage.contains("v1tag") &&
+        eRef.getMessage.contains("wip"), eRef.getMessage)
+      // release the refs: both are RETENTION ROOTS, and the vacuumed-
+      // gap scenario below needs v2 genuinely expired
+      assert(GraftTable.removeTag(root, "v1tag"))
+      assert(GraftTable.dropBranch(root, "wip"))
       // non-literal timestamps rejected loudly (no silent clock phase)
       val e1 = intercept[IllegalArgumentException] {
         GraftSql.sql(spark, "SELECT count(1) AS n FROM tt_name_t " +
