@@ -2685,6 +2685,43 @@ class GraftTableSpec extends SparkTestBase {
     } finally GraftSqlTables.unregister("pt_spec")
   }
 
+  test("partitioned tables x rename/drop epochs: pre-rename files read " +
+      "by the new name per epoch, dropped namesakes stay dead, the " +
+      "partition column rides every epoch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      (1 to 10).map(i => (i.toLong, (i % 2).toLong, s"v$i"))
+        .toDF("id", "p", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1, partitionCols = Seq("p")) // v1
+    GraftTable.alterRenameColumn(root, "payload", "note") // v2
+    GraftTable.append(spark, root,
+      Seq((11L, 1L, "n11")).toDF("id", "p", "note"),
+      Seq("id"), Seq("id")) // v3: post-rename epoch
+    // both epochs read by the NEW name, partition values intact
+    val r = GraftTable.read(spark, root)
+    assert(r.columns.toSeq == Seq("id", "p", "note"))
+    val got = r.as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 11 && got.head == ((1L, 1L, "v1")) &&
+      got.last == ((11L, 1L, "n11")),
+      s"rename-epoch read over partitions broke: $got")
+    // partition filter still prunes across MIXED epochs
+    assert(r.where(col("p") === 1L).count() == 6)
+    // drop + re-add of a DATA column: pre-drop bytes stay dead while
+    // the partition dirs keep resolving
+    GraftTable.alterDropColumns(root, Seq("note")) // v4
+    GraftTable.alterAddColumn(root, "note", StringType) // v5
+    val dead = GraftTable.read(spark, root)
+    assert(dead.where(col("note").isNotNull).count() == 0,
+      "dropped bytes must not resurrect under the partitioned layout")
+    assert(dead.where(col("p") === 0L).count() == 5)
+    // time travel presents v1's own names + values
+    val tt = GraftTable.read(spark, root, Some(1))
+    assert(tt.columns.toSeq == Seq("id", "p", "payload"))
+    assert(tt.where(col("payload") === "v3").count() == 1)
+  }
+
   test("partitioned vacuum: expire reclaims replaced partitions' files, " +
       "orphan sweep cleans stranded stage dirs and uncommitted moves") {
     import spark.implicits._
