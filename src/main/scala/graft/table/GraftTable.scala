@@ -586,6 +586,25 @@ object GraftTable {
         .cast("long")))
   }
 
+  /** The z-order range expression for a commit (one min/max agg over
+    * the COMMIT, not the table), or None when the commit is empty or
+    * degenerate — ONE implementation for the flat and partitioned write
+    * kernels. Bounds are commit-global even under partitioning: the
+    * normalization only needs monotonicity, and per-partition bounds
+    * would cost a bounds agg per partition for marginally tighter
+    * buckets. */
+  private def zOrderExpr(df: DataFrame, zs: Seq[String]): Option[Column] = {
+    require(zs.size >= 2 && zs.size <= 4,
+      s"zorderCols must name 2 to 4 columns, got $zs")
+    val aggs = zs.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (bounds.isNullAt(0)) None
+    else Some(zValue(zs.zipWithIndex.map { case (c, k) =>
+      norm(col(c), bounds.getDouble(2 * k),
+        bounds.getDouble(2 * k + 1), (1L << zBits(zs.size)) - 1) }))
+  }
+
   /** Write `df`'s rows as immutable parquet files under a fresh commit
     * subdirectory and return their manifest entries. One extra
     * distributed job computes per-file row counts and min/max stats via
@@ -617,24 +636,15 @@ object GraftTable {
     // predicate prunes. Falls back to plain range clustering when the
     // commit is empty or degenerate.
     val clustered = zorderCols match {
-      case zs if zs.size >= 2 && zs.size <= 4 =>
-        // one min/max agg over the commit; column k's bounds land at
-        // row positions (2k, 2k+1)
-        val aggs = zs.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        if (bounds.isNullAt(0)) df.repartition(numFiles)
-        else df.repartitionByRange(numFiles, zValue(
-          zs.zipWithIndex.map { case (c, k) =>
-            norm(col(c), bounds.getDouble(2 * k),
-              bounds.getDouble(2 * k + 1), (1L << zBits(zs.size)) - 1) }))
+      case zs if zs.nonEmpty =>
+        zOrderExpr(df, zs) match {
+          case None => df.repartition(numFiles)
+          case Some(zv) => df.repartitionByRange(numFiles, zv)
+        }
       case Nil =>
         if (clusterCols.nonEmpty)
           df.repartitionByRange(numFiles, clusterCols.map(col): _*)
         else df.repartition(numFiles)
-      case other =>
-        throw new IllegalArgumentException(
-          s"zorderCols must name 2 to 4 columns, got $other")
     }
     clustered.write.mode("overwrite").parquet(dir)
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
@@ -711,17 +721,26 @@ object GraftTable {
       df: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String], zorderCols: Seq[String],
       partCols: Seq[String]): List[FileEntry] = {
-    require(zorderCols.isEmpty,
-      "zorderCols and declared partition columns cannot combine " +
-        "(z-order the within-partition layout via clusterCols)")
     partCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"partition column '$c' is not in the write schema " +
         s"(${df.schema.fieldNames.mkString(", ")})"))
+    // z-order WITHIN partitions (Delta's OPTIMIZE ZORDER semantics on
+    // a partitioned table): range-partition by (partCols, zvalue) so
+    // each task holds ~one partition's compact z-rectangle; partition
+    // columns themselves are not z-orderable — the directory split
+    // already separates them perfectly
+    zorderCols.find(partCols.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"zorderCols must be data columns; '$c' is a partition column " +
+          "(the k=v directory split already separates it exactly)"))
     val stage = s"$root/.stage-${java.util.UUID.randomUUID().toString}"
-    // range-partition on (partition, cluster) so a task's rows mostly
-    // share one partition tuple — dynamic partitionBy then emits ~one
-    // file per (task, tuple) instead of numFiles × |tuples| shards
-    val orderCols = (partCols ++ clusterCols).distinct.map(col)
+    // range-partition on (partition, cluster|zvalue) so a task's rows
+    // mostly share one partition tuple — dynamic partitionBy then emits
+    // ~one file per (task, tuple) instead of numFiles × |tuples| shards
+    val orderCols = zorderCols match {
+      case Nil => (partCols ++ clusterCols).distinct.map(col)
+      case zs => partCols.map(col) ++ zOrderExpr(df, zs).toSeq
+    }
     df.repartitionByRange(numFiles, orderCols: _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(stage)
     val stagePath = Paths.get(

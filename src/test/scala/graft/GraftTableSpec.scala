@@ -2722,6 +2722,45 @@ class GraftTableSpec extends SparkTestBase {
     assert(tt.where(col("payload") === "v3").count() == 1)
   }
 
+  test("OPTIMIZE ZORDER within partitions: recluster keeps the k=v " +
+      "layout, both z-dims prune afterwards, partition columns are " +
+      "not z-orderable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = (0L until 1000L)
+      .map(i => (i, i % 2,
+        i % 1000003L * 2654435761L % 1000003L % 1000L, s"p$i"))
+      .toDF("x", "p", "y", "payload")
+    GraftTable.create(spark, root, rows, Seq("x", "y"), Seq("x"),
+      numFiles = 16, partitionCols = Seq("p"))
+    GraftSqlTables.register("maint_pzt",
+      GraftSqlTables.Ref(root, "x", Seq("x", "y"), Seq("x"), 16))
+    try {
+      val (_, keptBefore, totalBefore) =
+        GraftTable.readWhere(spark, root, "y", 0d, 99d)
+      assert(keptBefore == totalBefore,
+        "pre-optimize y-pruning should be blind")
+      GraftSql.sql(spark, "OPTIMIZE maint_pzt ZORDER BY (x, y)").collect()
+      val m = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+      assert(m.op == "compact" && m.partitionCols.contains(List("p")))
+      assert(m.files.forall(f =>
+        f.path.matches("data/p=\\d+/c-.+\\.parquet")),
+        s"ZORDER must keep the partitioned layout: ${m.files.map(_.path)}")
+      for (c <- Seq("x", "y")) {
+        val (_, kept, total) = GraftTable.readWhere(spark, root, c, 0d, 99d)
+        assert(kept < total,
+          s"post-OPTIMIZE $c-pruning kept $kept of $total")
+      }
+      assert(GraftTable.read(spark, root).count() == 1000)
+      assert(GraftTable.read(spark, root).where(col("p") === 1L)
+        .count() == 500, "partition reads must survive the recluster")
+      val eP = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark, "OPTIMIZE maint_pzt ZORDER BY (x, p)")
+      }
+      assert(eP.getMessage.contains("partition column"), eP.getMessage)
+    } finally GraftSqlTables.unregister("maint_pzt")
+  }
+
   test("partitioned vacuum: expire reclaims replaced partitions' files, " +
       "orphan sweep cleans stranded stage dirs and uncommitted moves") {
     import spark.implicits._
