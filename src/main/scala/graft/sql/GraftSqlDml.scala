@@ -478,7 +478,10 @@ private[sql] object GraftDml {
         require(micros != null,
           s"TIMESTAMP AS OF over graft table $name: ${ts.sql} is not " +
             "a valid timestamp")
-        micros.asInstanceOf[Long] / 1000L
+        // floorDiv, not /: truncating division rounds pre-1970 micros
+        // TOWARD zero, landing the probe 1 ms after the literal denotes
+        // (r14 ADVICE)
+        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
     }
   }
 

@@ -1423,7 +1423,8 @@ class OperatorSpec extends SparkTestBase {
       "and the band formula matches a byte-level recompute") {
     val rows = ops.Llm.llm_phash(spark, sf).collect()
     assert(rows.nonEmpty, "the phash dedup must find pairs")
-    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
+    val off = ops.Llm.phashTwinOffset(spark, sf)
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + off)
     assert(planted.nonEmpty,
       "at least one planted first-byte twin must land under the " +
         "Hamming threshold")
