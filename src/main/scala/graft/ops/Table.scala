@@ -514,6 +514,45 @@ object Table {
           ORDER BY o_year, o_orderpriority""")
   }
 
+  /** HIDDEN partitioning through pure SQL (r14 verdict missing #1 /
+    * next #2): CTAS with `PARTITIONED BY (months(o_orderdate))` lands a
+    * graft table whose files live under `data/o_orderdate_month=<yyyy-
+    * MM>/` while the LOGICAL schema carries only the raw timestamp —
+    * the Iceberg transform model, where the user never materializes a
+    * derived column. The measured read filters on the RAW timestamp
+    * and [[graft.sql.GraftPartPrune]] maps the range onto the derived
+    * partition column, so the FileScan plans real `PartitionFilters`
+    * and only the probed months' files (plus the conservative boundary
+    * month) are read — GraftTableSpec pins the plan and the exact
+    * planned-file set. The oracle replays the slice statically over
+    * the raw source; pruning is never correctness-load-bearing. */
+  val table_sql_part_transform: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_ptx_orders")
+    val name = "ptx_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name USING graft
+            PARTITIONED BY (months(o_orderdate))
+            LOCATION '$root'
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey')
+            AS SELECT o_orderkey, o_orderpriority, o_totalprice,
+                      o_orderdate
+               FROM parquet.`$d/orders.parquet`""")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+              count(1) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+          FROM $name
+          WHERE o_orderdate >= TIMESTAMP_NTZ '1995-03-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP_NTZ '1995-10-01 00:00:00'
+          GROUP BY date_format(o_orderdate, 'yyyy-MM')
+          ORDER BY o_month""")
+  }
+
   /** DYNAMIC PARTITION OVERWRITE from pure SQL — the incremental-rerun
     * verb declared partitioning exists for (re-running one year
     * replaces ONLY that partition, as ONE atomic commit): the fixture
@@ -1661,6 +1700,7 @@ object Table {
     "table_sql_tt" -> table_sql_tt,
     "table_sql_asof_name" -> table_sql_asof_name,
     "table_sql_partitioned" -> table_sql_partitioned,
+    "table_sql_part_transform" -> table_sql_part_transform,
     "table_sql_part_overwrite" -> table_sql_part_overwrite,
     "table_stream_sink" -> table_stream_sink,
     "table_sql_cdc" -> table_sql_cdc,
@@ -1750,6 +1790,18 @@ object Table {
          FROM orders
          WHERE year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""",
+    // the raw-timestamp slice replays statically; the hidden months()
+    // transform and its mapped PartitionFilters are engine-side layout,
+    // plan-pinned in GraftTableSpec, never correctness-load-bearing
+    "table_sql_part_transform" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+         GROUP BY 1 ORDER BY o_month""",
     // VERSION AS OF 1 = the pre-append slice; TIMESTAMP AS OF v2's own
     // commit stamp = the whole table at pre-merge prices — both replay
     // statically from the source (the fixture's commit recipe)

@@ -286,23 +286,52 @@ object GraftSqlDdl {
     v.toString
   }
 
-  /** `PARTITIONED BY (a[, b])` → the declared partition column names.
-    * Identity transforms only — bucket/days/truncate would need a
-    * transform registry in the manifest; LOUD rather than silently
-    * approximated. CLUSTERED BY and >2 columns stay rejected (the
-    * 'cluster' table option is the within-file layout knob). */
-  private[sql] def partitionColsOf(parts: Seq[String],
-      partitioning: Seq[Transform]): Seq[String] =
+  /** `PARTITIONED BY (a, months(b), bucket(8, c), ...)` → the declared
+    * partition spec. Identity columns partition on their own value;
+    * years/months/days derive a HIDDEN calendar-prefix column from a
+    * date/timestamp source and bucket(n, k) a hidden deterministic
+    * bucket from an integral key (the Iceberg hidden-partitioning
+    * model, [[graft.table.GraftTable.PartField]]) — predicates on the
+    * raw source column prune partitions via [[GraftPartPrune]].
+    * Unsupported transforms (hours, truncate, ...) stay LOUD rather
+    * than silently approximated. */
+  private[sql] def partitionSpecOf(parts: Seq[String],
+      partitioning: Seq[Transform]): Seq[GraftTable.PartField] =
     partitioning.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"CREATE TABLE ${parts.mkString(".")} USING graft supports only " +
-          s"identity PARTITIONED BY columns, got $t — time/bucket " +
-          "transforms belong to the 'cluster' option's layout")
-      t.references.head.fieldNames match {
-        case Array(one) => one
+      def srcOf: String = {
+        require(t.references.length == 1,
+          s"CREATE TABLE ${parts.mkString(".")} USING graft: partition " +
+            s"transform $t must reference exactly one column")
+        t.references.head.fieldNames match {
+          case Array(one) => one
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE ${parts.mkString(".")} USING graft: nested " +
+              s"partition column ${other.mkString(".")} is not supported")
+        }
+      }
+      t.name match {
+        case "identity" =>
+          GraftTable.PartField(srcOf, "identity", srcOf)
+        case tn @ ("years" | "months" | "days") =>
+          val src = srcOf
+          GraftTable.PartField(s"${src}_${tn.dropRight(1)}", tn, src)
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value match {
+                case i: java.lang.Number => i.intValue()
+                case v => throw new IllegalArgumentException(
+                  s"bucket count must be an integer literal, got $v")
+              }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"CREATE TABLE ${parts.mkString(".")} USING graft: " +
+              s"bucket transform $t carries no bucket count"))
+          val src = srcOf
+          GraftTable.PartField(s"${src}_bucket", "bucket", src, Some(n))
         case other => throw new IllegalArgumentException(
-          s"CREATE TABLE ${parts.mkString(".")} USING graft: nested " +
-            s"partition column ${other.mkString(".")} is not supported")
+          s"CREATE TABLE ${parts.mkString(".")} USING graft supports " +
+            s"identity / years / months / days / bucket PARTITIONED BY " +
+            s"transforms, got $other($t)")
       }
     }
 
@@ -352,7 +381,7 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
     ignoreIfExists: Boolean,
     checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val partCols = GraftSqlDdl.partitionColsOf(parts, partitioning)
+    val partSpec = GraftSqlDdl.partitionSpecOf(parts, partitioning)
     require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
       s"key column '${ref.keyCol}' is not in the declared schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
@@ -364,7 +393,7 @@ case class GraftCreateTableCommand(parts: Seq[String], tableSchema: StructType,
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], tableSchema),
         ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
-        checks = checks, partitionCols = partCols)
+        checks = checks, partitionSpec = partSpec)
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind
       GraftSqlTables.unregisterIfBoundTo(parts.mkString("."), ref)
@@ -383,7 +412,7 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
     ignoreIfExists: Boolean,
     checks: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val partCols = GraftSqlDdl.partitionColsOf(parts, partitioning)
+    val partSpec = GraftSqlDdl.partitionSpecOf(parts, partitioning)
     // claim BEFORE evaluating the (possibly long) query; any failure
     // below unbinds the claim
     if (!GraftSqlDdl.claim(parts, ref, ignoreIfExists)) return Seq.empty
@@ -410,7 +439,7 @@ case class GraftCtasCommand(parts: Seq[String], query: LogicalPlan,
           s"'${ref.keyCol}' (NULL or duplicate keys)")
         GraftTable.create(spark, ref.root, df, ref.statsCols,
           ref.clusterCols, ref.numFiles, ref.bloomCols, checks = checks,
-          partitionCols = partCols)
+          partitionSpec = partSpec)
       } finally df.unpersist()
     } catch { case t: Throwable =>
       // conditional: only undo OUR claim, never a concurrent rebind

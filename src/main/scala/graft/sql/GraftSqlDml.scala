@@ -86,6 +86,11 @@ object GraftSqlTables {
   def unregister(name: String): Boolean =
     reg.remove(keyOf(name.split('.').toSeq)).isDefined
 
+  /** Every registered table root — [[GraftPartPrune]] matches a scan's
+    * basePath against these to recover the owning table's partition
+    * transform spec (driver-side, a handful of entries). */
+  def allRoots: Seq[String] = reg.values.map(_.root).toSeq.distinct
+
   /** Atomic bind-if-absent — the CREATE/CTAS claim: two concurrent
     * CREATEs of one name must produce exactly one success, never two
     * "successes" with the loser's files silently orphaned. */
@@ -293,6 +298,10 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation if !shadowed(u, shadows) &&
           GraftSqlTables.lookup(u.multipartIdentifier).isDefined =>
         val ref = GraftSqlTables.lookup(u.multipartIdentifier).get
+        // hidden-partition pruning rides the session's extra optimizer
+        // batch (extension-free sessions included) — installed at the
+        // read seam so any session that can reference the name prunes
+        GraftPartPrune.ensure(session)
         SubqueryAlias(u.multipartIdentifier.mkString("."),
           GraftTable.read(session, ref.root).queryExecution.logical)
       // phase 2: collapse resolved statements into runnable commands.
@@ -628,9 +637,9 @@ case class GraftInsertOverwriteCommand(ref: GraftSqlTables.Ref,
     snapshot: Int) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val pcols = GraftTable.partColsOf(
+    val spec = GraftTable.partSpecOf(
       GraftTable.manifest(ref.root, snapshot))
-    require(pcols.nonEmpty,
+    require(spec.nonEmpty,
       s"INSERT OVERWRITE needs a PARTITIONED graft table (at " +
         s"${ref.root} none is declared); use DELETE + INSERT or MERGE")
     val aligned = GraftDml.alignedInsertFrame(spark, ref, query,
@@ -638,10 +647,17 @@ case class GraftInsertOverwriteCommand(ref: GraftSqlTables.Ref,
     try {
       GraftDml.requireKeyDiscipline(ref, aligned, "INSERT OVERWRITE")
       // clash only vs SURVIVORS: rows in partitions this batch
-      // replaces are dropped by the commit and cannot collide
-      val touched = aligned.select(pcols.map(col): _*).distinct()
-      val survivors = GraftTable.read(spark, ref.root, Some(snapshot))
-        .join(touched, pcols, "left_anti")
+      // replaces are dropped by the commit and cannot collide. The
+      // partition tuple is DERIVED on both sides for hidden transforms
+      // (the batch carries only source columns).
+      val pcols = spec.map(_.name)
+      def withParts(df: org.apache.spark.sql.DataFrame) =
+        spec.filter(_.transform != "identity").foldLeft(df)((acc, f) =>
+          acc.withColumn(f.name, GraftTable.derivedPartCol(f)))
+      val touched = withParts(aligned).select(pcols.map(col): _*).distinct()
+      val survivors =
+        withParts(GraftTable.read(spark, ref.root, Some(snapshot)))
+          .join(touched, pcols, "left_anti")
       val clash = aligned.select(col(ref.keyCol))
         .join(survivors.select(col(ref.keyCol)), ref.keyCol, "left_semi")
         .limit(1).count()

@@ -433,9 +433,19 @@ case class GraftShowCreateCommand(parts: Seq[String])
         // manifest metadata (not a Ref knob), and omitting it would
         // round-trip a partitioned table into an UNPARTITIONED one —
         // a silently lost layout, the droppable-clause bug inverted
-        val partBy = GraftTable.partColsOf(m) match {
-          case Nil => ""
-          case ps => s"\nPARTITIONED BY (${ps.mkString(", ")})"
+        val partBy = GraftTable.partSpecOf(m) match {
+          case Seq() => ""
+          case spec =>
+            // transforms round-trip in their DDL spelling — emitting
+            // the derived physical name would re-CREATE an identity
+            // layout over a column the schema doesn't even carry
+            val ps = spec.map {
+              case f if f.transform == "identity" => f.source
+              case f if f.transform == "bucket" =>
+                s"bucket(${f.n.get}, ${f.source})"
+              case f => s"${f.transform}(${f.source})"
+            }
+            s"\nPARTITIONED BY (${ps.mkString(", ")})"
         }
         Seq(Row(s"CREATE TABLE $name (\n$cols)\nUSING graft$partBy\n" +
           s"OPTIONS ($opts)\nLOCATION '${ref.root}'"))

@@ -139,15 +139,79 @@ object GraftTable {
     * commit (the checks discipline); watermarks only ever grow —
     * RESTORE keeps the CURRENT map, never the target's older one,
     * or a rollback would re-admit already-applied batches. */
+  /** `partitionSpec` carries the table's partition TRANSFORMS (hidden
+    * partitioning, the public Iceberg model): each [[PartField]]
+    * derives the physical directory value `name` from data column
+    * `source` via `transform` ∈ {identity, years, months, days,
+    * bucket(n)}. Present only when some transform is non-identity —
+    * identity-only tables (and every pre-r15 manifest) keep just
+    * `partitionCols`, so existing manifests read back unchanged and
+    * `partitionCols` stays the list of PHYSICAL partition column
+    * names in both worlds (partitionCols == partitionSpec.map(_.name)
+    * whenever both are present). */
   case class Manifest(snapshot: Int, parent: Int, op: String,
       schemaJson: String, files: List[FileEntry],
       committedAtMs: Option[Long] = None,
       checks: Option[Map[String, String]] = None,
       partitionCols: Option[List[String]] = None,
-      stream: Option[Map[String, Long]] = None)
+      stream: Option[Map[String, Long]] = None,
+      partitionSpec: Option[List[PartField]] = None)
 
   private[graft] def partColsOf(m: Manifest): Seq[String] =
     m.partitionCols.getOrElse(Nil)
+
+  /** One declared partition field: physical dir/column `name` derived
+    * from data column `source` by `transform`; `n` is bucket's modulus.
+    * Identity fields have name == source and the source IS a schema
+    * column (the pre-transform model); non-identity fields derive a
+    * HIDDEN column that exists only in directory names and the scan's
+    * partition schema, never in the logical table schema — readers see
+    * the raw source column and predicates on it prune partitions
+    * ([[graft.sql.GraftPartPrune]]). */
+  case class PartField(name: String, transform: String, source: String,
+      n: Option[Int] = None)
+
+  /** Transforms a PARTITIONED BY clause may declare. Time transforms
+    * format zero-padded calendar prefixes, so the derived STRING values
+    * order lexicographically exactly as the source orders
+    * chronologically — string range pruning is order-exact. */
+  private[graft] val PartTransforms =
+    Set("identity", "years", "months", "days", "bucket")
+
+  private[graft] def timePartFmt(transform: String): String =
+    transform match {
+      case "years" => "yyyy"
+      case "months" => "yyyy-MM"
+      case "days" => "yyyy-MM-dd"
+      case t => throw new IllegalArgumentException(
+        s"not a time partition transform: $t")
+    }
+
+  /** Deterministic bucket assignment, reduced mod a prime BEFORE the
+    * final small mod (the cross-engine bucketing invariant — the
+    * direct `k * a % n` form collapses to an affine map of k mod n). */
+  private[graft] val BucketP = 1000003L
+  private[graft] val BucketA = 387420489L
+  private[graft] def bucketValue(k: Long, n: Int): Long =
+    (((k % BucketP) + BucketP) % BucketP) * BucketA % BucketP % n
+
+  /** The write-side derivation of a partition field's value as a
+    * STRING column (directory values are strings; pinning the scan's
+    * partition schema to string keeps discovery from re-inferring a
+    * different type per partition population). */
+  private[graft] def derivedPartCol(f: PartField): Column = f.transform match {
+    case "identity" => col(f.source)
+    case "bucket" =>
+      (pmod(col(f.source).cast("long"), lit(BucketP)) * lit(BucketA)
+        % lit(BucketP) % lit(f.n.get.toLong)).cast("string")
+    case t => date_format(col(f.source), timePartFmt(t))
+  }
+
+  /** The full spec, synthesizing identity fields for pre-transform
+    * manifests (and identity-only tables, which never store a spec). */
+  private[graft] def partSpecOf(m: Manifest): Seq[PartField] =
+    m.partitionSpec.map(_.toSeq)
+      .getOrElse(partColsOf(m).map(c => PartField(c, "identity", c)))
 
   /** The child-commit constructor every commit path routes through:
     * copying the parent carries EVERY durable manifest field (schema,
@@ -491,7 +555,7 @@ object GraftTable {
     // partitioning is fixed at create, so any head's declaration works
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols,
-      partCols = partColsOf(branchHeadManifest(root, name)))
+      partSpec = partSpecOf(branchHeadManifest(root, name)))
     var attempts = 0
     // a pinned base forgoes the rebase loop, same contract as append():
     // the caller's guards were evaluated against that exact head
@@ -616,7 +680,7 @@ object GraftTable {
       statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
-      partCols: Seq[String] = Nil): List[FileEntry] = {
+      partSpec: Seq[PartField] = Nil): List[FileEntry] = {
     // string stats would silently read back as 0.0 bounds through the
     // double-typed min/max maps and mis-prune — strings get bloom
     // skipping (readWhereKeyInStr), never range stats
@@ -624,9 +688,9 @@ object GraftTable {
         df.schema(c).dataType == org.apache.spark.sql.types.StringType)
       .foreach(c => throw new IllegalArgumentException(
         s"statsCols must be numeric; '$c' is a string (use bloomCols)"))
-    if (partCols.nonEmpty)
+    if (partSpec.nonEmpty)
       return writeFilesPartitioned(spark, root, df, statsCols,
-        clusterCols, numFiles, bloomCols, zorderCols, partCols)
+        clusterCols, numFiles, bloomCols, zorderCols, partSpec)
     val sub = s"data/c-${java.util.UUID.randomUUID().toString}"
     val dir = s"$root/$sub"
     // Z-order clustering: one extra min/max agg over the commit (not the
@@ -718,12 +782,19 @@ object GraftTable {
     * before any move (the `__HIVE_DEFAULT_PARTITION__` sentinel dir
     * would round-trip as a string, silently corrupting the value). */
   private def writeFilesPartitioned(spark: SparkSession, root: String,
-      df: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
+      df0: DataFrame, statsCols: Seq[String], clusterCols: Seq[String],
       numFiles: Int, bloomCols: Seq[String], zorderCols: Seq[String],
-      partCols: Seq[String]): List[FileEntry] = {
-    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the write schema " +
-        s"(${df.schema.fieldNames.mkString(", ")})"))
+      partSpec: Seq[PartField]): List[FileEntry] = {
+    partSpec.foreach(f => require(df0.schema.fieldNames.contains(f.source),
+      s"partition source column '${f.source}' is not in the write " +
+        s"schema (${df0.schema.fieldNames.mkString(", ")})"))
+    // hidden-transform fields derive their STRING directory value here
+    // and exist only between this point and the staged write — the
+    // parquet files keep the raw source column, the directories carry
+    // the derived value (the Iceberg hidden-partitioning contract)
+    val df = partSpec.filter(_.transform != "identity")
+      .foldLeft(df0)((acc, f) => acc.withColumn(f.name, derivedPartCol(f)))
+    val partCols = partSpec.map(_.name)
     // z-order WITHIN partitions (Delta's OPTIMIZE ZORDER semantics on
     // a partitioned table): range-partition by (partCols, zvalue) so
     // each task holds ~one partition's compact z-rectangle; partition
@@ -838,23 +909,22 @@ object GraftTable {
       numFiles: Int = 8, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
       checks: Map[String, String] = Map.empty,
-      partitionCols: Seq[String] = Nil): Int = {
+      partitionCols: Seq[String] = Nil,
+      partitionSpec: Seq[PartField] = Nil): Int = {
     require(latestSnapshot(root) == 0, s"table already exists at $root")
     df.schema.fieldNames.filter(_.startsWith(DeadSentinelPrefix))
       .foreach(n => throw new IllegalArgumentException(
         s"column name '$n' collides with the reserved " +
           s"'$DeadSentinelPrefix' read-sentinel prefix"))
     // partitioning is declared at birth for the table's lifetime;
-    // names must resolve to schema fields EXACTLY (dir names are
-    // case-sensitive on disk) and duplicates are meaningless
-    require(partitionCols.distinct.size == partitionCols.size,
-      s"duplicate partition column in ${partitionCols.mkString(", ")}")
-    require(partitionCols.size <= 2,
-      "at most 2 partition columns are supported (deeper layouts belong " +
-        "to clusterCols/zorderCols — per-value dirs explode past that)")
-    partitionCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"PARTITIONED BY column '$c' is not in the schema " +
-        s"(${df.schema.fieldNames.mkString(", ")})"))
+    // partitionCols is the identity shorthand, partitionSpec the full
+    // transform form — exactly one may be given
+    require(partitionCols.isEmpty || partitionSpec.isEmpty,
+      "give partitionCols (identity shorthand) OR partitionSpec, not both")
+    val spec =
+      if (partitionSpec.nonEmpty) partitionSpec
+      else partitionCols.map(c => PartField(c, "identity", c))
+    validatePartSpec(df.schema, spec, root)
     // names unique case-insensitively at birth, mirroring addCheck's
     // equalsIgnoreCase guard: a table born with 'A' and 'a' would make
     // dropCheck's case-insensitive lookup nondeterministic (r14 ADVICE)
@@ -865,13 +935,71 @@ object GraftTable {
     checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
     enforceChecks(df, checks, s"in CREATE at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols, zorderCols, partitionCols)
+      numFiles, bloomCols, zorderCols, spec)
     val m = Manifest(1, 0, "create", df.schema.json, entries,
       checks = Option(checks).filter(_.nonEmpty),
-      partitionCols = Option(partitionCols.toList).filter(_.nonEmpty))
+      partitionCols = Option(spec.map(_.name).toList).filter(_.nonEmpty),
+      partitionSpec = Option(spec.toList)
+        .filter(_.exists(_.transform != "identity")))
     require(tryCommit(root, m), s"concurrent create at $root")
     1
   }
+
+  /** Birth-time validation of a partition spec: transforms known,
+    * names distinct, sources resolve, derived names don't collide with
+    * schema fields, source types admit the transform, identity layouts
+    * stay ≤2 deep (per-value dirs explode past that) while transform
+    * layouts — whose value cardinality the transform itself bounds —
+    * may go to 4. */
+  private def validatePartSpec(schema: StructType, spec: Seq[PartField],
+      root: String): Unit = {
+    require(spec.map(_.name).distinct.size == spec.size,
+      s"duplicate partition column in ${spec.map(_.name).mkString(", ")}")
+    val cap = if (spec.forall(_.transform == "identity")) 2 else 4
+    require(spec.size <= cap,
+      s"at most $cap partition columns are supported (deeper layouts " +
+        "belong to clusterCols/zorderCols — per-value dirs explode " +
+        "past that)")
+    spec.foreach { f =>
+      require(PartTransforms(f.transform),
+        s"unknown partition transform '${f.transform}' (supported: " +
+          s"${PartTransforms.toSeq.sorted.mkString(", ")})")
+      require(schema.fieldNames.contains(f.source),
+        s"PARTITIONED BY column '${f.source}' is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      f.transform match {
+        case "identity" =>
+          require(f.name == f.source,
+            s"identity partition field must be named after its source")
+        case "bucket" =>
+          require(f.n.exists(_ >= 2),
+            s"bucket(${f.n.getOrElse(0)}, ${f.source}) needs n >= 2")
+          require(Set[DataType](org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType)
+              .contains(schema(f.source).dataType),
+            s"bucket transform needs an integral source column; " +
+              s"'${f.source}' is ${schema(f.source).dataType.sql}")
+          requireHiddenName(schema, f, root)
+        case _ =>
+          val dt = schema(f.source).dataType
+          require(dt == org.apache.spark.sql.types.DateType ||
+              dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.TimestampNTZType,
+            s"${f.transform}(${f.source}) needs a date/timestamp " +
+              s"source column; got ${dt.sql}")
+          requireHiddenName(schema, f, root)
+      }
+    }
+  }
+
+  private def requireHiddenName(schema: StructType, f: PartField,
+      root: String): Unit =
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"derived partition column '${f.name}' collides with a schema " +
+        s"column at $root — rename the data column or the transform " +
+        "target")
 
   /** SHALLOW CLONE (the public Delta/Iceberg zero-copy semantic): the
     * destination's snapshot 1 lists the SOURCE snapshot's live files —
@@ -906,7 +1034,8 @@ object GraftTable {
     // would make a streaming query that fed the source silently SKIP
     // its replayed batches when pointed at the clone
     val c = Manifest(1, 0, s"clone($srcRoot@$v)", m.schemaJson,
-      borrowed, checks = m.checks, partitionCols = m.partitionCols)
+      borrowed, checks = m.checks, partitionCols = m.partitionCols,
+      partitionSpec = m.partitionSpec)
     require(tryCommit(dstRoot, c), s"concurrent create at $dstRoot")
     1
   }
@@ -1094,7 +1223,7 @@ object GraftTable {
     }
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols,
-      partCols = partColsOf(manifest(root, latestSnapshot(root))))
+      partSpec = partSpecOf(manifest(root, latestSnapshot(root))))
     var attempts = 0
     // a pinned base forgoes the rebase loop: the caller's guards (e.g.
     // SQL INSERT's key-clash check) were evaluated against that exact
@@ -1270,7 +1399,7 @@ object GraftTable {
           .unionByName(updates)
       }
     val entries = writeFiles(spark, root, survivors, statsCols,
-      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+      clusterCols, numFiles, bloomCols, partSpec = partSpecOf(parent))
     val m = child(parent, "merge",
       parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
     if (!tryCommit(root, m))
@@ -1314,7 +1443,7 @@ object GraftTable {
     enforceChecks(df, checksOf(parent),
       s"in the overwrite batch at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
-      numFiles, bloomCols, partCols = pcols)
+      numFiles, bloomCols, partSpec = partSpecOf(parent))
     if (entries.isEmpty) return v // empty batch: nothing touched
     val touched = entries.flatMap(_.parts).toSet
     val m = child(parent, "overwrite_partitions",
@@ -1368,7 +1497,7 @@ object GraftTable {
     val survivors = base.join(keys, Seq(keyCol), "left_anti")
       .select(base.columns.map(col): _*)
     val entries = writeFiles(spark, root, survivors, statsCols,
-      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+      clusterCols, numFiles, bloomCols, partSpec = partSpecOf(parent))
     val m = child(parent, "delete",
       parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
     if (!tryCommit(root, m))
@@ -1478,7 +1607,7 @@ object GraftTable {
     }
     val marks = dvMark(spark, root, parent, candidates, keys, keyCol)
     val entries = writeFiles(spark, root, updates, statsCols,
-      clusterCols, numFiles, bloomCols, partCols = partColsOf(parent))
+      clusterCols, numFiles, bloomCols, partSpec = partSpecOf(parent))
     val m = child(parent, "merge_mor",
       applyDvMarks(root, parent, marks) ++ entries)
     if (!tryCommit(root, m))
@@ -1526,7 +1655,7 @@ object GraftTable {
     // layout as one commit, past snapshots untouched
     val entries = writeFiles(spark, root, rewritten, statsCols,
       clusterCols, numFiles, bloomCols, zorderCols,
-      partCols = partColsOf(parent))
+      partSpec = partSpecOf(parent))
     val smallPaths = small.map(_.path).toSet
     val m = child(parent, "compact",
       parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
@@ -1562,7 +1691,8 @@ object GraftTable {
       // the target's older map would re-admit already-applied batches)
       val m = child(manifest(root, v), s"restore($toSnapshot)",
         target.files).copy(schemaJson = target.schemaJson,
-        checks = target.checks, partitionCols = target.partitionCols)
+        checks = target.checks, partitionCols = target.partitionCols,
+        partitionSpec = target.partitionSpec)
       if (tryCommit(root, m)) return v + 1
       attempts += 1
     }
@@ -1651,11 +1781,14 @@ object GraftTable {
       // partition column names live in the on-disk k=v directory layout
       // of every immutable file — a metadata rename cannot re-key them,
       // so it is rejected outright (Iceberg's identity-partition rule)
-      partColsOf(parent).find(_.equalsIgnoreCase(field.name)).foreach(pc =>
+      partSpecOf(parent)
+        .find(f => f.source.equalsIgnoreCase(field.name) ||
+          f.name.equalsIgnoreCase(field.name)).foreach(pc =>
         throw new IllegalArgumentException(
-          s"cannot RENAME COLUMN '$pc' at $root: it is a declared " +
-            "partition column (the k=v directory layout of immutable " +
-            "files carries the name)"))
+          s"cannot RENAME COLUMN '${field.name}' at $root: it is a " +
+            s"declared partition column or transform source " +
+            s"(${pc.transform}(${pc.source}) — the k=v directory " +
+            "layout of immutable files derives from the name)"))
       // a stored CHECK condition addresses logical names as TEXT: after
       // a rename it would fail analysis at the next write (or, worse,
       // bind to a re-added namesake) — reject, like dropping the column
@@ -1728,12 +1861,12 @@ object GraftTable {
         f
       }.distinct
       if (fields.isEmpty) return v // IF EXISTS and nothing matched
-      fields.map(_.name).find(n =>
-          partColsOf(parent).exists(_.equalsIgnoreCase(n))).foreach(pc =>
-        throw new IllegalArgumentException(
+      fields.map(_.name).find(n => partSpecOf(parent).exists(f =>
+          f.source.equalsIgnoreCase(n) || f.name.equalsIgnoreCase(n)))
+        .foreach(pc => throw new IllegalArgumentException(
           s"cannot DROP COLUMN '$pc' at $root: it is a declared " +
-            "partition column (every file's k=v directory layout and " +
-            "partition pruning depend on it)"))
+            "partition column or transform source (every file's k=v " +
+            "directory layout and partition pruning depend on it)"))
       val dropNames = fields.map(_.name).toSet
       checksOf(parent).foreach { case (n, c) =>
         val hit = fields.map(_.name).find(f =>
@@ -1981,7 +2114,7 @@ object GraftTable {
       // vectorized parquet scan, zero metadata-column or join overhead
       // (readPhysical collapses to ONE scan when no file carries a
       // rename map)
-      readPhysical(spark, root, schema, files, partCols = partColsOf(m))
+      readPhysical(spark, root, schema, files, partSpec = partSpecOf(m))
     else readEntriesWithPos(spark, root, m, files).drop("__rel", "__ri")
   }
 
@@ -2012,14 +2145,22 @@ object GraftTable {
       schema: StructType, files: List[FileEntry],
       project: DataFrame => DataFrame = identity,
       extraNames: Seq[String] = Nil,
-      partCols: Seq[String] = Nil): DataFrame = {
+      partSpec: Seq[PartField] = Nil): DataFrame = {
     val outNames = schema.fieldNames.toSeq ++ extraNames
+    // hidden-transform partition fields: present in directory names and
+    // the scan's partition schema (pinned to STRING — the written form —
+    // so per-population type inference can never drift), absent from the
+    // logical output. They ride through the scan so predicates mapped by
+    // GraftPartPrune land as real PartitionFilters, then drop at the
+    // `ordered` projection.
+    val hidden = partSpec.filter(f => !schema.fieldNames.contains(f.name))
+      .map(f => StructField(f.name, org.apache.spark.sql.types.StringType))
     // partitioned tables scan with basePath so Spark's partition
     // discovery fills the k=v columns and the FileScan carries real
     // PartitionFilters; the base is derived per FILE because a shallow
     // clone's borrowed entries live under the SOURCE's data dir
     def baseOf(f: FileEntry): String =
-      if (partCols.isEmpty) ""
+      if (partSpec.isEmpty) ""
       else {
         val full = dataPath(root, f.path)
         full.substring(0, full.length - relSuffix(full).length) + "data"
@@ -2027,21 +2168,23 @@ object GraftTable {
     def scan(key: (Map[String, String], String),
         fs: List[FileEntry]): DataFrame = {
       val (ph, base) = key
-      val physSchema = StructType(schema.fields.map(f =>
-        ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+      val physData = schema.fields.map(f =>
+        ph.get(f.name).map(p => f.copy(name = p)).getOrElse(f))
+      val physSchema = StructType(physData ++ hidden)
       val reader0 = spark.read.schema(physSchema)
       val reader =
-        if (partCols.isEmpty) reader0 else reader0.option("basePath", base)
+        if (partSpec.isEmpty) reader0 else reader0.option("basePath", base)
       val projected = project(
         reader.parquet(fs.map(f => dataPath(root, f.path)): _*))
       // partition columns come back at the END of the scan output
       // regardless of their declared position — reorder into schema
-      // order (plus the projected extras) BEFORE the positional relabel
+      // order (plus the projected extras) BEFORE the positional relabel,
+      // dropping hidden transform fields from the logical output
       val ordered =
-        if (partCols.isEmpty) projected
+        if (partSpec.isEmpty) projected
         else projected.select(
-          (physSchema.fieldNames.toSeq ++ extraNames).map(col): _*)
-      if (ph.isEmpty && partCols.isEmpty) ordered
+          (physData.map(_.name).toSeq ++ extraNames).map(col): _*)
+      if (ph.isEmpty && partSpec.isEmpty) ordered
       else ordered.toDF(outNames: _*)
     }
     val groups = files.groupBy { f =>
@@ -2077,7 +2220,7 @@ object GraftTable {
     * original fixed three-segment regex relied on. Shared verbatim
     * with the positional read's in-plan `regexp_extract`. */
   private[table] val RelSuffixPattern =
-    "(data/(?:c-[^/]+|[^/=]+=[^/]*(?:/[^/=]+=[^/]*)?)/[^/]+)$"
+    "(data/(?:c-[^/]+|[^/=]+=[^/]*(?:/[^/=]+=[^/]*){0,3})/[^/]+)$"
   private val RelSuffixRe = RelSuffixPattern.r
 
   /** The suffix of a stored path per [[RelSuffixPattern]]; equals the
@@ -2121,7 +2264,7 @@ object GraftTable {
           RelSuffixPattern, 1).as("__rel"),
         col("_metadata.row_index").as("__ri")),
       extraNames = Seq("__rel", "__ri"),
-      partCols = partColsOf(m))
+      partSpec = partSpecOf(m))
     // borrowed (clone) entries store ABSOLUTE paths while the regex
     // yields the data/c- suffix: remap __rel to the STORED path so
     // every downstream comparison against FileEntry.path keeps holding;
