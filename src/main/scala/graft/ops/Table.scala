@@ -553,6 +553,52 @@ object Table {
           ORDER BY o_month""")
   }
 
+  /** MERGE schema evolution (autoMerge) as a full-oracle row (r14
+    * verdict missing #3): the fixture CTAS-creates the pre-1996 slice
+    * WITHOUT `o_orderpriority`, then — behind the opt-in
+    * `spark.graft.schema.autoMerge` conf — MERGEs the 1996 batch whose
+    * source carries that NEW column: `INSERT *` widens the manifest in
+    * the same commit, the inserted rows carry their priorities, and
+    * every pre-evolution row reads NULL (the rows-that-never-received-
+    * the-column semantics; old files stay bytes-identical). The
+    * measured read aggregates per year with a count over the evolved
+    * column, so a lost widening, a dropped batch, or a resurrect-style
+    * misread each breaks the hash. The ingestion reality this encodes:
+    * upstream adds a field and the pipeline must not stop — nor
+    * silently drop the field. */
+  val table_evolution: Q = (s, d) => {
+    val root = Sources.sinkDir(s, d, "sql_evo_orders")
+    val name = "evo_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey')
+            AS SELECT o_orderkey, o_totalprice,
+                      year(o_orderdate) AS o_year
+               FROM parquet.`$d/orders.parquet`
+               WHERE year(o_orderdate) <= 1995""")
+      s.conf.set("spark.graft.schema.autoMerge", "true")
+      try graft.sql.GraftSql.exec(s,
+        s"""MERGE INTO $name t
+            USING (SELECT o_orderkey, o_totalprice,
+                          year(o_orderdate) AS o_year, o_orderpriority
+                   FROM parquet.`$d/orders.parquet`
+                   WHERE year(o_orderdate) = 1996) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN NOT MATCHED THEN INSERT *""")
+      finally s.conf.unset("spark.graft.schema.autoMerge")
+    }
+    graft.sql.GraftSql.sql(s,
+      s"""SELECT o_year, count(1) AS n_orders,
+              count(o_orderpriority) AS n_prio,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price
+          FROM $name
+          GROUP BY o_year ORDER BY o_year""")
+  }
+
   /** DYNAMIC PARTITION OVERWRITE from pure SQL — the incremental-rerun
     * verb declared partitioning exists for (re-running one year
     * replaces ONLY that partition, as ONE atomic commit): the fixture
@@ -1701,6 +1747,7 @@ object Table {
     "table_sql_asof_name" -> table_sql_asof_name,
     "table_sql_partitioned" -> table_sql_partitioned,
     "table_sql_part_transform" -> table_sql_part_transform,
+    "table_evolution" -> table_evolution,
     "table_sql_part_overwrite" -> table_sql_part_overwrite,
     "table_stream_sink" -> table_stream_sink,
     "table_sql_cdc" -> table_sql_cdc,
@@ -1790,6 +1837,18 @@ object Table {
          FROM orders
          WHERE year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY 1, 2 ORDER BY o_year, o_orderpriority""",
+    // the evolved final state replays statically: pre-1996 rows never
+    // received o_orderpriority (count = 0), the merged 1996 batch
+    // carries it — a lost widening or a resurrected column flips n_prio
+    "table_evolution" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             count(1) AS n_orders,
+             count(CASE WHEN year(o_orderdate) = 1996
+                        THEN o_orderpriority END) AS n_prio,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM orders WHERE year(o_orderdate) <= 1996
+         GROUP BY 1 ORDER BY o_year""",
     // the raw-timestamp slice replays statically; the hidden months()
     // transform and its mapped PartitionFilters are engine-side layout,
     // plan-pinned in GraftTableSpec, never correctness-load-bearing

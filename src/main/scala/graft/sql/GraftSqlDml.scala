@@ -508,10 +508,11 @@ private[sql] object GraftDml {
     * UPDATE arms; INSERT arms pass `orElseNull`). Top-level columns
     * only — nested-field assignment is a loud unsupported. */
   def assignedValue(ta: Attribute, assignments: Seq[Assignment],
-      orElseNull: Boolean): Column = {
+      orElseNull: Boolean, orKeep: Option[Column] = None): Column = {
     val hit = findAssignment(ta, assignments)
     hit.map(a => c(a.value).cast(ta.dataType))
-      .getOrElse(if (orElseNull) lit(null).cast(ta.dataType) else c(ta))
+      .getOrElse(orKeep.getOrElse(
+        if (orElseNull) lit(null).cast(ta.dataType) else c(ta)))
       .as(ta.name)
   }
 
@@ -739,8 +740,11 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
     * a new row's identity comes from the source, and the insert-clash
     * guard rejects live keys. */
   private def expanded(actions: Seq[MergeAction], tgtOut: Seq[Attribute],
-      srcOut: Seq[Attribute])
+      srcOut: Seq[Attribute], extras: Seq[Attribute] = Nil)
       : Seq[(Option[Expression], Option[Seq[Assignment]])] = {
+    // tgtOut may carry EVOLUTION extras (autoMerge) — synthetic
+    // attributes for source-only columns; star arms assign them from
+    // the source like any other column
     def star(skipKey: Boolean): Seq[Assignment] = tgtOut
       .filterNot(ta => skipKey && ta.name.equalsIgnoreCase(t.ref.keyCol))
       .map { ta =>
@@ -749,9 +753,46 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
             s"star action: source has no column '${ta.name}'"))
         Assignment(ta, sa)
       }
+    // the extras half of a star expansion — appended to arms the
+    // ANALYZER already expanded by-target (it rewrites `SET *` /
+    // `INSERT *` into full same-name source assignments before this
+    // command ever sees them, so the star-ness must be recovered from
+    // that exact shape: every target data column assigned its
+    // same-name source attribute). Hand-written assignments of that
+    // identical shape ARE a star for every existing column, so
+    // treating them as one only adds the evolution columns — the
+    // published autoMerge contract (evolution applies to star arms).
+    def supplement: Seq[Assignment] = extras.map { ea =>
+      Assignment(ea, srcOut.find(_.name.equalsIgnoreCase(ea.name)).get)
+    }
+    def strip(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        strip(c.child)
+      case x => x
+    }
+    def isStarShape(assigns: Seq[Assignment], skipKey: Boolean): Boolean =
+      extras.nonEmpty && {
+        val expect = tgtOut.filterNot(extras.contains)
+          .filterNot(ta => skipKey && ta.name.equalsIgnoreCase(t.ref.keyCol))
+          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+        val byName = assigns.flatMap { a =>
+          (a.key, strip(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference)
+                if v.name.equalsIgnoreCase(k.name) &&
+                  srcOut.exists(_.exprId == v.exprId) =>
+              Some(k.name.toLowerCase(java.util.Locale.ROOT))
+            case _ => None
+          }
+        }.toSet
+        expect.nonEmpty && expect.subsetOf(byName)
+      }
     actions.map {
-      case UpdateAction(cnd, assigns, _) => (cnd, Some(assigns))
-      case InsertAction(cnd, assigns) => (cnd, Some(assigns))
+      case UpdateAction(cnd, assigns, _) =>
+        (cnd, Some(if (isStarShape(assigns, skipKey = true))
+          assigns ++ supplement else assigns))
+      case InsertAction(cnd, assigns) =>
+        (cnd, Some(if (isStarShape(assigns, skipKey = false))
+          assigns ++ supplement else assigns))
       case DeleteAction(cnd) => (cnd, None)
       case UpdateStarAction(cnd) => (cnd, Some(star(skipKey = true)))
       case InsertStarAction(cnd) => (cnd, Some(star(skipKey = false)))
@@ -767,7 +808,8 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
     * into both (or neither) frame. */
   private def applyActions(rel: DataFrame,
       acts: Seq[(Option[Expression], Option[Seq[Assignment]])],
-      tgtOut: Seq[Attribute], keyAttr: Attribute, insertArm: Boolean)
+      tgtOut: Seq[Attribute], keyAttr: Attribute, insertArm: Boolean,
+      extraNames: Set[String] = Set.empty)
       : (DataFrame, DataFrame, DataFrame) = {
     val tagged = rel.withColumn(ActCol, disposition(acts.map(_._1)))
       .persist()
@@ -780,12 +822,20 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
       else Some(tagged
         .where(col(ActCol).isin(updIdx.map(Integer.valueOf): _*))
         .select(tgtOut.map { ta =>
-          updIdx.foldRight(
-            if (insertArm) lit(null).cast(ta.dataType) else c(ta)) {
-            (i, acc) =>
-              when(col(ActCol) === i,
-                assignedValue(ta, acts(i)._2.get, insertArm))
-                .otherwise(acc)
+          // evolution extras have no target column to carry forward —
+          // a matched row that an arm doesn't assign gets NULL (the
+          // rows-that-never-received-the-column semantics); their
+          // synthetic attribute must never reach c(ta)
+          val keep =
+            if (insertArm || extraNames(
+                ta.name.toLowerCase(java.util.Locale.ROOT)))
+              lit(null).cast(ta.dataType)
+            else c(ta)
+          updIdx.foldRight(keep) { (i, acc) =>
+            when(col(ActCol) === i,
+              assignedValue(ta, acts(i)._2.get, insertArm,
+                orKeep = Some(keep)))
+              .otherwise(acc)
           }.as(ta.name)
         }.toSeq: _*))
     val dels =
@@ -806,8 +856,28 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
       .toDF(t.ref.keyCol)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val tgtOut = t.child.output
+    val tgtOut0 = t.child.output
     val srcOut = source.output
+    // opt-in MERGE schema evolution (Delta's autoMerge model behind
+    // `spark.graft.schema.autoMerge`): source-only columns become NEW
+    // nullable table columns in the SAME commit — star arms assign
+    // them from the source, explicit arms (which cannot even name a
+    // not-yet-existing column) leave them NULL, survivors of other
+    // arms and files the statement never touches read NULL. Without
+    // the conf, star expansion stays by-target (extra source columns
+    // are ignored, the classic SQL star contract) and the table schema
+    // never moves.
+    val autoMerge = spark.conf
+      .getOption("spark.graft.schema.autoMerge").exists(_.toBoolean)
+    val extras: Seq[Attribute] =
+      if (!autoMerge) Nil
+      else srcOut.filterNot(sa =>
+          tgtOut0.exists(_.name.equalsIgnoreCase(sa.name)))
+        .map(sa => AttributeReference(sa.name, sa.dataType,
+          nullable = true)())
+    val extraNames =
+      extras.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val tgtOut = tgtOut0 ++ extras
     val keyAttr = keyAttrOf(t)
     require(hasKeyEquality(cond, keyAttr, srcOut),
       s"MERGE INTO a graft table requires `target.${t.ref.keyCol} = " +
@@ -887,14 +957,14 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
       }
 
       val (matchedUpd, matchedDel, tagM) = applyActions(matchedRel,
-        expanded(matchedActions, tgtOut, srcOut), tgtOut, keyAttr,
-        insertArm = false)
+        expanded(matchedActions, tgtOut, srcOut, extras), tgtOut,
+        keyAttr, insertArm = false, extraNames = extraNames)
       val (insRows, _, tagI) = applyActions(srcOnlyRel,
-        expanded(notMatchedActions, tgtOut, srcOut), tgtOut, keyAttr,
-        insertArm = true)
+        expanded(notMatchedActions, tgtOut, srcOut, extras), tgtOut,
+        keyAttr, insertArm = true, extraNames = extraNames)
       val (bySrcUpd, bySrcDel, tagS) = applyActions(tgtOnlyRel,
         expanded(notMatchedBySourceActions, tgtOut, srcOut), tgtOut,
-        keyAttr, insertArm = false)
+        keyAttr, insertArm = false, extraNames = extraNames)
       try {
         // an insert arm must not re-use a live key (the key-addressed
         // upsert would silently REPLACE the existing row) nor mint a
@@ -937,7 +1007,8 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
             GraftTable.upsertDelete(spark, t.ref.root, upserts, delKeys,
               t.ref.keyCol, t.ref.statsCols, t.ref.clusterCols,
               t.ref.numFiles, baseSnapshot = Some(t.snapshot),
-              bloomCols = t.ref.bloomCols)
+              bloomCols = t.ref.bloomCols,
+              allowEvolution = extras.nonEmpty)
         } finally {
           upserts.unpersist()
           delKeys.unpersist()

@@ -52,6 +52,7 @@ object GraftSqlMaint {
       """(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*$""").r
   private val Optimize =
     ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val DescHistory =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
@@ -118,9 +119,10 @@ object GraftSqlMaint {
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Vacuum(name, retain) =>
       Some(GraftVacuumCommand(partsOf(name), Option(retain).map(_.toInt)))
-    case Optimize(name, zorder) =>
+    case Optimize(name, where, zorder) =>
       Some(GraftOptimizeCommand(partsOf(name),
-        Option(zorder).map(z => partsOfList(z)).getOrElse(Nil)))
+        Option(zorder).map(z => partsOfList(z)).getOrElse(Nil),
+        Option(where).map(_.trim)))
     case DescHistory(name)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftDescribeHistoryCommand(partsOf(name)))
@@ -184,6 +186,112 @@ object GraftSqlMaint {
     GraftSqlTables.lookup(parts).getOrElse(
       throw new NoSuchElementException(
         s"graft table '${parts.mkString(".")}' not found"))
+
+  /** `OPTIMIZE ... WHERE` predicate → a per-file partition matcher over
+    * [[GraftTable.FileEntry.parts]]. Accepted conjuncts: `=` / `IN` /
+    * range comparisons against literals on an IDENTITY partition column,
+    * or on a transform's SOURCE column (the literal maps through the
+    * same derivation the write used — [[GraftPartPrune.derivedOf]] — so
+    * the matcher and the directory layout can never disagree; bucket is
+    * not order-preserving, so only `=`/`IN` map there). Anything else is
+    * LOUDLY rejected: a predicate this verb cannot bound exactly must
+    * never silently widen into a full-table rewrite. Time-transform
+    * bounds keep the boundary partition (superset rewrites are
+    * content-invariant). */
+  private[sql] def partMatcher(spark: SparkSession, root: String,
+      name: String, whereText: String): GraftTable.FileEntry => Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val m = GraftTable.manifest(root, GraftTable.latestSnapshot(root))
+    val spec = GraftTable.partSpecOf(m)
+    require(spec.nonEmpty,
+      s"OPTIMIZE $name WHERE needs a PARTITIONED table (none declared " +
+        s"at $root); plain OPTIMIZE rewrites the full table")
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def loud(c: Expression): Nothing = throw new IllegalArgumentException(
+      s"OPTIMIZE $name WHERE: '${c.sql}' is not an AND-ed literal " +
+        "comparison on a partition column or transform source (" +
+        spec.map(f => if (f.transform == "identity") f.name
+          else s"${f.transform}(${f.source})").mkString(", ") +
+        ") — refusing to widen to a full-table rewrite")
+    def matcherOf(c: Expression): GraftTable.FileEntry => Boolean = {
+      val (attr, op, lits) = c match {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => (a, "=", Seq(l))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => (a, "=", Seq(l))
+        case In(a: UnresolvedAttribute, ls)
+            if ls.forall(_.isInstanceOf[Literal]) =>
+          (a, "=", ls.map(_.asInstanceOf[Literal]))
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+          (a, ">=", Seq(l))
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+          (a, ">=", Seq(l)) // boundary partition may hold matching rows
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+          (a, "<=", Seq(l))
+        case LessThan(a: UnresolvedAttribute, l: Literal) =>
+          (a, "<=", Seq(l))
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+          (a, "<=", Seq(l))
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+          (a, "<=", Seq(l))
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+          (a, ">=", Seq(l))
+        case LessThan(l: Literal, a: UnresolvedAttribute) =>
+          (a, ">=", Seq(l))
+        case other => loud(other)
+      }
+      val aname = attr.nameParts.mkString(".")
+      val fld = spec.find(f =>
+        (f.transform == "identity" && f.name.equalsIgnoreCase(aname)) ||
+          (f.transform != "identity" && f.source.equalsIgnoreCase(aname)))
+        .getOrElse(loud(c))
+      if (fld.transform == "identity") {
+        // identity tuples store the raw k=v directory string: equality
+        // compares the literal's string form; ranges need a NUMERIC
+        // literal and parse the stored value
+        def dirStr(l: Literal): String = l.value match {
+          case null => loud(c)
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v.toString
+        }
+        op match {
+          case "=" =>
+            val wanted = lits.map(dirStr).toSet
+            f => f.parts.flatMap(_.get(fld.name)).forall(wanted)
+          case _ =>
+            val n = lits.head.value match {
+              case v: Number => v.doubleValue()
+              case _ => loud(c)
+            }
+            f => f.parts.flatMap(_.get(fld.name)).forall { s =>
+              s.toDoubleOption.forall(d =>
+                if (op == ">=") d >= n else d <= n)
+            }
+        }
+      } else {
+        if (op != "=" && fld.transform == "bucket") loud(c)
+        val mapped = lits.map(l =>
+          GraftPartPrune.derivedOf(l, fld, tz).getOrElse(loud(c)))
+        op match {
+          case "=" =>
+            val wanted = mapped.toSet
+            f => f.parts.flatMap(_.get(fld.name)).forall(wanted)
+          case _ =>
+            // zero-padded calendar prefixes: lexicographic == temporal
+            val b = mapped.head
+            f => f.parts.flatMap(_.get(fld.name)).forall(s =>
+              if (op == ">=") s >= b else s <= b)
+        }
+      }
+    }
+    val ms = conjuncts(
+      spark.sessionState.sqlParser.parseExpression(whereText))
+      .map(matcherOf)
+    f => ms.forall(_(f))
+  }
 }
 
 /** `VACUUM name [RETAIN n SNAPSHOTS]`: with RETAIN, expire everything
@@ -214,6 +322,7 @@ case class GraftVacuumCommand(parts: Seq[String],
       GraftTable.removeOrphans(ref.root, GraftVacuumCommand.OrphanAgeMs)
     Seq(Row(expired, swept))
   }
+
 }
 
 object GraftVacuumCommand {
@@ -221,22 +330,42 @@ object GraftVacuumCommand {
   val OrphanAgeMs: Long = 7L * 24 * 3600 * 1000
 }
 
-/** `OPTIMIZE name [ZORDER BY (c1, ...)]`: rewrite the live file set
-  * into the table's clustered layout as one compact commit — with
-  * ZORDER, into the multi-dimensional Z-order the DSL exposes as
-  * `compact(zorderCols)`. Content-invariant by construction; past
+/** `OPTIMIZE name [WHERE <partition predicate>] [ZORDER BY (c1, ...)]`:
+  * rewrite the live file set into the table's clustered layout as one
+  * compact commit — with ZORDER, into the multi-dimensional Z-order the
+  * DSL exposes as `compact(zorderCols)`; with WHERE, bounded to the
+  * files of MATCHING PARTITIONS (the Delta partition-scoped OPTIMIZE
+  * verb — at 100 TB the full-table rewrite is a non-starter, and the
+  * manifest's per-file partition tuples make the bound exact and
+  * driver-side). The predicate must be AND-ed comparisons on partition
+  * columns or transform SOURCE columns — anything else is loudly
+  * rejected, never silently widened to a full rewrite. Time-transform
+  * range bounds include the boundary partition (a superset rewrite is
+  * content-invariant and safe). Content-invariant by construction; past
   * snapshots keep referencing the old files until VACUUM. Returns the
-  * resulting snapshot id (unchanged when there was nothing to do). */
+  * resulting snapshot id (unchanged when there was nothing to do) plus
+  * a receipt bounded by the touched partitions: files rewritten away
+  * and files written. */
 case class GraftOptimizeCommand(parts: Seq[String],
-    zorderCols: Seq[String]) extends LeafRunnableCommand {
+    zorderCols: Seq[String], where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("snapshot", IntegerType, nullable = false)())
+    AttributeReference("snapshot", IntegerType, nullable = false)(),
+    AttributeReference("n_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("n_written", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val ref = GraftSqlMaint.refOf(parts)
+    val v0 = GraftTable.latestSnapshot(ref.root)
+    val matcher = where.map(w =>
+      GraftSqlMaint.partMatcher(spark, ref.root,
+        parts.mkString("."), w))
     val v = GraftTable.compact(spark, ref.root, Long.MaxValue,
       ref.statsCols, ref.clusterCols, ref.numFiles, ref.bloomCols,
-      zorderCols)
-    Seq(Row(v))
+      zorderCols, partFilter = matcher)
+    if (v == v0) return Seq(Row(v, 0, 0))
+    val before = GraftTable.manifest(ref.root, v0).files.map(_.path).toSet
+    val after = GraftTable.manifest(ref.root, v).files.map(_.path).toSet
+    Seq(Row(v, (before -- after).size, (after -- before).size))
   }
 }
 

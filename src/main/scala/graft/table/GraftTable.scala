@@ -80,13 +80,17 @@ object GraftTable {
     * field whose resolved physical name is dead (or is claimed as some
     * OTHER logical column's write-time name) reads as NULL via a
     * guaranteed-absent sentinel name. */
-  /** `parts` carries this file's DECLARED-PARTITION values (logical
-    * column → the raw `k=v` directory value) for files of a
+  /** `parts` carries this file's DECLARED-PARTITION values (physical
+    * partition column → the raw `k=v` directory value) for files of a
     * PARTITIONED table ([[Manifest.partitionCols]]): every file of a
     * partitioned table holds exactly one partition tuple by
-    * construction (the write splits by value before any file lands),
-    * so manifest-level partition pruning is an exact string match —
+    * construction (the write splits by value before any file lands) —
     * the Iceberg partition-tuple model, no directory listing needed.
+    * Consumed by [[overwritePartitions]]' replacement set and by
+    * `OPTIMIZE ... WHERE`'s exact driver-side rewrite bound
+    * ([[graft.sql.GraftSqlMaint.partMatcher]]); scan-time pruning rides
+    * Spark's own PartitionFilters instead ([[readPhysical]]'s basePath
+    * discovery + [[graft.sql.GraftPartPrune]]'s predicate mapping).
     * Numeric partition columns additionally get ordinary min==max
     * range stats, so [[readWhere]] prunes them too. */
   case class FileEntry(path: String, rows: Long,
@@ -1279,6 +1283,25 @@ object GraftTable {
       s"append lost 20 commit races at $root")
   }
 
+  /** Align an evolving batch for an add-only append/MERGE: the
+    * parent's columns first IN PARENT ORDER (they must all be present —
+    * evolution adds, never drops), then the batch's new columns in
+    * batch order. A source that merely REORDERS columns aligns to a
+    * plain append; one missing a parent column fails loudly here
+    * instead of as a confusing prefix-rule error downstream. */
+  def alignEvolved(df: DataFrame, root: String): DataFrame = {
+    val parent = DataType.fromJson(
+      manifest(root, latestSnapshot(root)).schemaJson)
+      .asInstanceOf[StructType]
+    parent.fieldNames.filterNot(n => df.schema.fieldNames.contains(n))
+      .headOption.foreach(n => throw new IllegalArgumentException(
+        s"mergeSchema batch is missing table column '$n' at $root — " +
+          "evolution is add-only"))
+    val extras = df.schema.fieldNames
+      .filterNot(n => parent.fieldNames.contains(n))
+    df.select((parent.fieldNames.toSeq ++ extras).map(col): _*)
+  }
+
   /** Key range of `df[keyCol]` for merge/delete stats pruning, guarded:
     * a string (or otherwise double-uncastable) key column would cast its
     * min/max to null and read as "no matching keys", silently turning
@@ -1356,13 +1379,35 @@ object GraftTable {
       deleteKeys: DataFrame, keyCol: String, statsCols: Seq[String],
       clusterCols: Seq[String], numFiles: Int = 4,
       baseSnapshot: Option[Int] = None,
-      bloomCols: Seq[String] = Nil, commitEmpty: Boolean = false): Int = {
+      bloomCols: Seq[String] = Nil, commitEmpty: Boolean = false,
+      allowEvolution: Boolean = false): Int = {
     val v = baseSnapshot.getOrElse(latestSnapshot(root))
     require(v > 0, s"upsertDelete into non-existent table $root")
     val parent = manifest(root, v)
-    require(shape(updates.schema) ==
-      shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
-      s"upsertDelete schema mismatch vs snapshot $v at $root")
+    val parentSchema =
+      DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+    // opt-in add-only schema evolution (append's mergeSchema contract,
+    // extended to MERGE): existing columns must PREFIX the new schema;
+    // the commit widens the manifest schema, rewritten survivors pad
+    // the new columns NULL, and carried files read them NULL through
+    // the ordinary absent-column path — same read shape as ALTER ADD
+    val evolved = allowEvolution &&
+      shape(updates.schema) != shape(parentSchema) &&
+      shape(updates.schema).startsWith(shape(parentSchema))
+    val extraFields =
+      if (evolved) updates.schema.fields.drop(parentSchema.fields.length)
+      else Array.empty[StructField]
+    if (evolved)
+      extraFields.map(_.name).filter(_.startsWith(DeadSentinelPrefix))
+        .foreach(n => throw new IllegalArgumentException(
+          s"column name '$n' collides with the reserved " +
+            s"'$DeadSentinelPrefix' read-sentinel prefix"))
+    require(shape(updates.schema) == shape(parentSchema) || evolved,
+      if (allowEvolution)
+        s"schema evolution is add-only: existing columns " +
+          s"${shape(parentSchema)} must prefix the new schema " +
+          s"${shape(updates.schema)} at $root"
+      else s"upsertDelete schema mismatch vs snapshot $v at $root")
     // post-image enforcement on the NEW rows only: survivors were
     // validated at their own write time and ADD CONSTRAINT validated
     // the whole table, so induction covers them
@@ -1393,15 +1438,23 @@ object GraftTable {
     val survivors =
       if (affected.isEmpty) updates
       else {
-        val base = readEntries(spark, root, parent, affected)
+        val base0 = readEntries(spark, root, parent, affected)
+        // evolved commit: rewritten survivors pad the new columns NULL
+        // (rows that never received the column — Delta's autoMerge
+        // semantics); untouched files stay bytes-identical and read
+        // NULL via the absent-column path
+        val base = extraFields.foldLeft(base0)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
         base.join(touched, Seq(keyCol), "left_anti")
           .select(base.columns.map(col): _*)
           .unionByName(updates)
       }
     val entries = writeFiles(spark, root, survivors, statsCols,
       clusterCols, numFiles, bloomCols, partSpec = partSpecOf(parent))
-    val m = child(parent, "merge",
+    val m = child(parent, if (evolved) "merge_evolve" else "merge",
       parent.files.filterNot(f => affectedPaths.contains(f.path)) ++ entries)
+      .copy(schemaJson =
+        if (evolved) updates.schema.json else parent.schemaJson)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(
         s"upsertDelete derived from stale snapshot $v at $root")
@@ -1630,7 +1683,8 @@ object GraftTable {
       numFiles: Int = 4, bloomCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
       baseSnapshot: Option[Int] = None,
-      materializeDvs: Boolean = false): Int = {
+      materializeDvs: Boolean = false,
+      partFilter: Option[FileEntry => Boolean] = None): Int = {
     // baseSnapshot pins the derivation for the race tests (merge's seam):
     // a compact derived against a superseded file set must fail loudly,
     // never silently resurrect rows a concurrent merge/delete rewrote
@@ -1642,8 +1696,13 @@ object GraftTable {
     // every DV'd file into the rewrite — the deferred-rewrite half of the
     // merge-on-read bargain ([[deleteMor]]): DVs accumulate read-side
     // anti-join cost until one compact commit folds them away.
+    // partFilter bounds the rewrite to matching PARTITIONS (OPTIMIZE ...
+    // WHERE): at 100 TB a full-table rewrite is a non-starter — the
+    // manifest's per-file partition tuples make the bound exact and
+    // driver-side, untouched partitions carry over by reference below
     val small = parent.files.filter(f =>
-      f.liveRows < minRows || (materializeDvs && f.dv.nonEmpty))
+      partFilter.forall(_(f)) &&
+        (f.liveRows < minRows || (materializeDvs && f.dv.nonEmpty)))
     if (small.size < 2 && !small.exists(_.dv.nonEmpty))
       return v // nothing to gain; no empty commit
     // read through readEntries, NOT a raw parquet scan: the rewrite must
@@ -1657,7 +1716,8 @@ object GraftTable {
       clusterCols, numFiles, bloomCols, zorderCols,
       partSpec = partSpecOf(parent))
     val smallPaths = small.map(_.path).toSet
-    val m = child(parent, "compact",
+    val m = child(parent,
+      if (partFilter.isDefined) "compact_where" else "compact",
       parent.files.filterNot(f => smallPaths(f.path)) ++ entries)
     if (!tryCommit(root, m))
       throw new java.util.ConcurrentModificationException(

@@ -126,11 +126,21 @@ class GraftTableSink(spark: SparkSession, root: String,
     // the incoming frame is IncrementalExecution-planned; re-wrap its
     // computed RDD as a plain batch frame (ForeachBatchSink's own
     // move) so append's CHECK validation may re-evaluate it safely
-    GraftTable.append(spark, root, StreamShim.toBatch(data),
+    val batch0 = StreamShim.toBatch(data)
+    // opt-in schema evolution (.option("mergeSchema", "true") — the
+    // Delta sink knob): a batch carrying NEW columns widens the
+    // manifest in the same exactly-once commit; add-only, loud by
+    // default (ingestion must not silently drop an upstream field,
+    // nor silently widen without being asked)
+    val evolve = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    val batch =
+      if (evolve) GraftTable.alignEvolved(batch0, root) else batch0
+    GraftTable.append(spark, root, batch,
       statsCols = csv("stats"), clusterCols = csv("cluster"),
       numFiles = parameters.get("num_files").map(_.trim.toInt)
         .getOrElse(2),
       bloomCols = csv("bloom"),
+      allowEvolution = evolve,
       streamTxn = Some((qid, batchId)))
     ()
   }

@@ -3782,6 +3782,134 @@ class GraftTableSpec extends SparkTestBase {
     } finally graft.sql.GraftSqlTables.unregister("bkt_t")
   }
 
+  test("MERGE autoMerge: source-only columns widen the table in one " +
+      "commit; star arms populate them, untouched rows read NULL, " +
+      "old snapshots keep the old schema; off by default") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 2)
+    GraftSqlTables.register("am_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      Seq((5L, "u5", 0.5), (6L, "u6", 0.6), (20L, "n20", 2.0))
+        .toDF("id", "payload", "score").createOrReplaceTempView("am_src")
+      // default: star expansion is by-target — extras ignored, schema
+      // pinned (the classic SQL star contract)
+      GraftSql.exec(spark,
+        """MERGE INTO am_t t USING am_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      assert(GraftTable.read(spark, root).columns.toSeq ==
+        Seq("id", "payload"))
+      // opt in: the same statement widens the schema in ONE commit
+      spark.conf.set("spark.graft.schema.autoMerge", "true")
+      try {
+        Seq((5L, "u5b", 0.55), (21L, "n21", 2.1))
+          .toDF("id", "payload", "score")
+          .createOrReplaceTempView("am_src")
+        GraftSql.exec(spark,
+          """MERGE INTO am_t t USING am_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+      } finally spark.conf.unset("spark.graft.schema.autoMerge")
+      val v = GraftTable.latestSnapshot(root)
+      assert(GraftTable.manifest(root, v).op == "merge_evolve")
+      val r = GraftTable.read(spark, root)
+      assert(r.columns.toSeq == Seq("id", "payload", "score"))
+      val byId = r.collect().map(x =>
+        x.getLong(0) -> (x.getString(1),
+          if (x.isNullAt(2)) null else x.getDouble(2))).toMap
+      assert(byId(5L) == (("u5b", 0.55)) && byId(21L) == (("n21", 2.1)))
+      // rows no arm touched — including rows in files the commit
+      // carried by reference — read NULL for the new column
+      assert(byId(1L) == (("v1", null)) && byId(20L) == (("n20", null)))
+      assert(byId.size == 12)
+      // snapshot isolation: the pre-evolution snapshot keeps its schema
+      assert(GraftTable.read(spark, root, Some(v - 1)).columns.toSeq ==
+        Seq("id", "payload"))
+      // the DSL strict path stays loud without the opt-in
+      val e = intercept[IllegalArgumentException] {
+        GraftTable.merge(spark, root,
+          Seq((1L, "x", 0.1, "extra2")).toDF("id", "payload", "score", "z"),
+          "id", Seq("id"), Seq("id"))
+      }
+      assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    } finally GraftSqlTables.unregister("am_t")
+  }
+
+  test("OPTIMIZE ... WHERE: rewrite bounded to matching partitions, " +
+      "untouched files carried by reference, receipt counts, loud on " +
+      "non-partition predicates") {
+    import spark.implicits._
+    val root = freshRoot()
+    // identity-partitioned, many small files per partition value
+    GraftTable.create(spark, root,
+      (1 to 300).map(i => (i.toLong, (i % 3).toLong, s"v$i"))
+        .toDF("id", "p", "payload"),
+      Seq("id"), Seq("id"), numFiles = 4, partitionCols = Seq("p"))
+    val before = GraftTable.manifest(root, 1).files
+    val inP1 = before.filter(_.parts.get("p") == "1").map(_.path).toSet
+    val outside = before.filterNot(f => inP1(f.path)).map(_.path).toSet
+    assert(inP1.size >= 2, s"fixture needs >=2 files in p=1: $before")
+    GraftSqlTables.register("ow_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      val r = GraftSql.sql(spark, "OPTIMIZE ow_t WHERE p = 1").head()
+      val m2 = GraftTable.manifest(root, 2)
+      assert(m2.op == "compact_where")
+      // every non-matching file carried BY REFERENCE; p=1's gone
+      val after = m2.files.map(_.path).toSet
+      assert(outside.subsetOf(after),
+        s"untouched partitions must carry by reference: lost " +
+          s"${outside -- after}")
+      assert(inP1.intersect(after).isEmpty,
+        s"matching partition files must be rewritten: kept " +
+          s"${inP1.intersect(after)}")
+      // receipt: exactly the touched partition's counts
+      assert(r.getInt(1) == inP1.size && r.getInt(2) >= 1,
+        s"receipt ${r} vs rewritten ${inP1.size}")
+      // rewritten files still live under p=1 dirs; content invariant
+      assert(m2.files.filter(f => f.parts.get("p") == "1")
+        .forall(f => f.path.startsWith("data/p=1/")))
+      assert(GraftTable.read(spark, root).count() == 300)
+      // loud: data-column predicate never widens to a full rewrite
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "OPTIMIZE ow_t WHERE payload = 'v1'").collect()
+      }
+      assert(e.getMessage.contains("refusing to widen"), e.getMessage)
+      // loud: OR is not a partition bound
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "OPTIMIZE ow_t WHERE p = 1 OR p = 2").collect()
+      }
+    } finally GraftSqlTables.unregister("ow_t")
+    // transform table: a raw-timestamp range bounds the rewrite to the
+    // boundary-inclusive months
+    val root2 = freshRoot()
+    GraftTable.create(spark, root2, tsTable(200), Seq("id"), Seq("id"),
+      numFiles = 3, partitionSpec = Seq(
+        GraftTable.PartField("ts_month", "months", "ts")))
+    GraftSqlTables.register("ow_tx",
+      GraftSqlTables.Ref(root2, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      val b2 = GraftTable.manifest(root2, 1).files
+      val touched = b2.filter(f =>
+        f.parts.get("ts_month") >= "2024-02" &&
+          f.parts.get("ts_month") <= "2024-04").map(_.path).toSet
+      val r2 = GraftSql.sql(spark,
+        """OPTIMIZE ow_tx WHERE ts >= TIMESTAMP_NTZ '2024-02-10 00:00:00'
+           AND ts < TIMESTAMP_NTZ '2024-04-01 00:00:00'""").head()
+      assert(r2.getInt(1) == touched.size,
+        s"transform-bounded rewrite: receipt $r2 vs touched " +
+          s"${touched.size}")
+      val a2 = GraftTable.manifest(root2,
+        GraftTable.latestSnapshot(root2)).files.map(_.path).toSet
+      assert(touched.intersect(a2).isEmpty)
+      assert(b2.map(_.path).filterNot(touched).forall(a2))
+      assert(GraftTable.read(spark, root2).count() == 200)
+    } finally GraftSqlTables.unregister("ow_tx")
+  }
+
   test("hidden-partition pruning: raw-timestamp range on a months() " +
       "table maps to PartitionFilters and skips non-matching files") {
     val root = freshRoot()

@@ -1060,6 +1060,58 @@ class StreamingSpec extends SparkTestBase {
     assert(e != null)
   }
 
+  test("graft-table sink mergeSchema: a batch with a NEW column widens " +
+      "the manifest in the exactly-once commit; loud without the option") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_evo").toFile.getPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sink_evo_ck").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_sink_evo_$root") {
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root))
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(ckpt))
+    }
+    t.create(spark, root,
+      Seq((0L, "seed")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    // the widened stream: upstream added `score` (and REORDERED the
+    // old columns — alignment is part of the contract)
+    val mem = MemoryStream[(String, Long, Double)]
+    val wide = mem.toDF().toDF("payload", "id", "score")
+    // loud without the opt-in: ingestion must not silently widen
+    val q0 = wide.writeStream.format("graft-table")
+      .option("path", root).option("num_files", "1")
+      .option("checkpointLocation", ckpt + "0").start()
+    try {
+      mem.addData(("a", 1L, 0.1))
+      val e = intercept[Exception] { q0.processAllAvailable() }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("schema mismatch"),
+        s"strict sink must reject the widened batch: $msgs")
+    } finally q0.stop()
+    assert(t.read(spark, root).count() == 1, "the rejected batch landed")
+    val q = wide.writeStream.format("graft-table")
+      .option("path", root).option("num_files", "1")
+      .option("mergeSchema", "true")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(("b", 2L, 0.2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = t.latestSnapshot(root)
+    assert(t.manifest(root, v).op == "append_evolve")
+    val r = t.read(spark, root).orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // pre-evolution rows read NULL for the new column; the aligned
+    // batch lands its reordered values in the right columns
+    assert(r(0).isNullAt(2) && r(2).getString(1) == "b" &&
+      r(2).getDouble(2) == 0.2)
+  }
+
   test("graft-table sink into a PARTITIONED table: micro-batch commits " +
       "honor the declared layout, partition pruning works on the result") {
     import spark.implicits._
