@@ -458,6 +458,61 @@ object Sources {
       .orderBy("team_gid")
   }
 
+  /** Incremental sync under the driver's hash check (r14 verdict missing
+    * #4): initial load + sync-token delta replay ≡ full re-extract — the
+    * defining ETL capability of the connector, previously unit-only. The
+    * fixture stages HALF the first page, drains the connector's
+    * MicroBatchStream once (AvailableNow), then lands the delta — the
+    * REST of that page (appended lines, the /events?sync=<token> shape)
+    * plus two whole new pages — and drains again FROM THE CHECKPOINTED
+    * SYNC TOKEN. The measured read is the synced store; the oracle is a
+    * full re-extract of the same page fixtures via read_json_auto, so a
+    * re-emitted record (duplicate gid) or a skipped one breaks rows +
+    * hash. Scale: each micro-batch reads only the new (file, line-range)
+    * slices — cost follows the delta, never the history. */
+  val asana_incr_sync: Q = (s, d) => {
+    val work = sinkDir(s, d, "asana_incr")
+    val out = s"$work/out"
+    graft.util.AppCleanup.buildOnce(binFixtureBuilt, work) {
+      import java.nio.charset.StandardCharsets.UTF_8
+      import scala.jdk.CollectionConverters._
+      val pages = new java.io.File(work, "pages/tasks")
+      pages.mkdirs()
+      val srcPages = new java.io.File(s"$fixtureDir/pages/tasks")
+        .listFiles().filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+      def lines(f: java.io.File) = java.nio.file.Files
+        .readAllLines(f.toPath, UTF_8).asScala.toSeq
+      def write(name: String, ls: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          new java.io.File(pages, name).toPath, ls.asJava, UTF_8)
+      val first = lines(srcPages.head)
+      write(srcPages.head.getName, first.take(first.size / 2))
+      val ckpt = s"$work/ckpt"
+      def drain(): Unit = {
+        val q = s.readStream.format("graft.asana.AsanaSource")
+          .option("entity", "tasks").option("fixtureDir", work).load()
+          .select(col("gid"), col("name"), col("completed"),
+            col("num_likes"), col("modified_at"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(120000),
+          s"asana_incr_sync drain did not finish at $work")
+      }
+      drain() // initial load, sync token checkpointed
+      // the delta: the first page GROWS (appended lines) and new pages
+      // appear — the resumable-stream shapes the per-file token covers
+      write(srcPages.head.getName, first)
+      srcPages.tail.foreach(f => write(f.getName, lines(f)))
+      drain() // delta replay from the checkpointed token
+    }
+    s.read.parquet(out)
+      .select("gid", "name", "completed", "num_likes", "modified_at")
+      .orderBy("gid")
+  }
+
   /** Dynamic partition pruning at the sink read-back — the 100 TB star-join
     * scan feature SURVEY §4 designs for: the fact is partitioned by o_year,
     * the dim row set is filtered on an attribute (`era`) the fact side
@@ -893,6 +948,7 @@ object Sources {
     "asana_portfolios" -> asana_portfolios,
     "asana_goals" -> asana_goals,
     "asana_teams" -> asana_teams,
+    "asana_incr_sync" -> asana_incr_sync,
     "scan_evolved" -> scan_evolved,
     "sink_partitioned" -> sink_partitioned,
     "sink_partition_overwrite" -> sink_partition_overwrite,
@@ -933,6 +989,14 @@ object Sources {
               CAST(modified_at AS TIMESTAMP) AS modified_at
           FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited')
           WHERE CAST(modified_at AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+          ORDER BY gid""",
+    // initial load + sync-token delta replay must equal the FULL
+    // re-extract of the same pages — a re-emitted or skipped record
+    // breaks rows + hash
+    "asana_incr_sync" ->
+      s"""SELECT gid, name, completed, num_likes,
+              CAST(modified_at AS TIMESTAMP) AS modified_at
+          FROM read_json_auto('$fixtureDir/pages/tasks/page_*.jsonl', format='newline_delimited')
           ORDER BY gid""",
     "asana_denorm" ->
       s"""SELECT u.name AS user_name, count(1) AS n_tasks,
