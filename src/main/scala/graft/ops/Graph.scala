@@ -1218,9 +1218,107 @@ object Graph {
     } finally if (!registered) distR.unpersist(blocking = false)
   }
 
+  /** Source-set size for [[graph_closeness]]: the S smallest node ids —
+    * deterministic in both engines (a total order, no sampling seed).
+    * Pivot-set harmonic centrality is the published scale shape
+    * (exact closeness is all-pairs); at 100 TB, S stays fixed while
+    * each source's frontier shares ONE multi-source relaxation. */
+  private[graft] val ClosenessSources = 8
+
+  /** Harmonic closeness centrality of the [[ClosenessSources]] smallest
+    * nodes over the weighted directed graph (r14 verdict missing #5 —
+    * the path-centrality member beyond PageRank): per source v,
+    * `n_reach` = |{u ≠ v reachable}| and `h_bp` = Σ (10000 div d(v,u))
+    * — the harmonic sum as EXACT integer basis points (per-term integer
+    * division; a float 1/d sum diverges cross-engine in the 4th
+    * decimal, the Det ratio rule). Budget-dispatched on the shared
+    * edge budget: per-source Dijkstra on the driver (the sssp kernel,
+    * hop-certifying the shared unroll bound), ONE multi-source
+    * Bellman–Ford above — (src, node) keyed state, so S sources cost
+    * one relaxation fixpoint, not S. Oracle: the sssp unrolled-CTE
+    * pattern keyed by (src, node). */
+  val graph_closeness: Q = (s, d) =>
+    closenessOf(s, weightedDirectedEdges(s, d), Llm.CcDriverBudgetEdges)
+      .orderBy("node")
+
+  private[graft] def closenessOf(s: SparkSession, edgesIn: DataFrame,
+      driverBudgetEdges: Long): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val edges = edgesIn.select(col("s").cast("long"),
+      col("t").cast("long"), col("w").cast("long")).cache()
+    try {
+      val n = edges.count()
+      val nodes = edges.select(col("s").as("node"))
+        .union(edges.select(col("t").as("node"))).distinct()
+      // S smallest ids — a bounded driver payload at any graph size
+      val srcs = nodes.orderBy("node").limit(ClosenessSources)
+        .as[Long].collect().toSeq
+      val dist: DataFrame =
+        if (n <= driverBudgetEdges) {
+          val es = edges.as[(Long, Long, Long)].collect()
+          s.createDataset(srcs.flatMap(src =>
+            dijkstra(es, src).map { case (node, dd) => (src, node, dd) }))
+            .toDF("src", "node", "dist")
+        } else closenessDistributed(s, edges, srcs)
+      val agg = dist.where(col("node") =!= col("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("nr"),
+          sum(expr("10000 div dist")).as("hb"))
+      srcs.toDF("node")
+        .join(agg, col("node") === col("src"), "left")
+        .select(col("node"),
+          coalesce(col("nr"), lit(0L)).as("n_reach"),
+          coalesce(col("hb"), lit(0L)).as("h_bp"))
+    } finally edges.unpersist()
+  }
+
+  /** Distributed arm: ONE Bellman–Ford min-relaxation fixpoint over
+    * (src, node)-keyed state — all sources relax together, each round
+    * one shuffle join + one min-aggregate, localCheckpointed per the
+    * iterative invariant, loudly bounded by the shared unroll constant. */
+  private def closenessDistributed(s: SparkSession, edges: DataFrame,
+      srcs: Seq[Long]): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    var (dist, distR) = graft.util.Iterate.checkpoint(
+      srcs.toDF("src").select(col("src"), col("src").as("node"),
+        lit(0L).as("dist")))
+    var registered = false
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        require(rounds < SsspUnrollRounds,
+          s"closenessDistributed exceeded $SsspUnrollRounds relaxation " +
+            "rounds — raise SsspUnrollRounds in lockstep with the oracle")
+        val relaxed = dist.join(edges, dist("node") === edges("s"))
+          .select(col("src"), col("t").as("node"),
+            (col("dist") + col("w")).as("nd"))
+        val next = dist.select(col("src"), col("node"),
+            col("dist").as("nd"))
+          .union(relaxed)
+          .groupBy("src", "node").agg(min(col("nd")).as("dist"))
+        val (nChk, nR) = graft.util.Iterate.checkpoint(next)
+        changed = nChk.join(
+            dist.select(col("src"), col("node"), col("dist").as("d0")),
+            Seq("src", "node"), "left")
+          .where(col("d0").isNull || col("dist") < col("d0"))
+          .limit(1).count()
+        distR.unpersist(blocking = false)
+        dist = nChk; distR = nR
+        rounds += 1
+      }
+      graft.util.Iterate.registerResult("graph_closeness", distR)
+      registered = true
+      dist
+    } finally if (!registered) distR.unpersist(blocking = false)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_scc" -> graph_scc,
     "graph_sssp" -> graph_sssp,
+    "graph_closeness" -> graph_closeness,
     "graph_reach" -> graph_reach,
     "graph_topo" -> graph_topo,
     "graph_cc" -> graph_cc,
@@ -1327,7 +1425,20 @@ object Graph {
             FROM d${i - 1} p JOIN wdedges e ON e.s = p.node)
           GROUP BY node)"""
     }.mkString(",\n        ")
-    s"""WITH wpairs AS MATERIALIZED (
+    s"""WITH $weightedCtes,
+        d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS dist
+               FROM wnodes),
+        $rounds
+        SELECT n.node, CAST(d.dist AS BIGINT) AS dist
+        FROM wnodes n LEFT JOIN d$SsspUnrollRounds d ON d.node = n.node
+        ORDER BY n.node"""
+  }
+
+  /** the weighted-directed-edge replay CTEs (distinct-order weights, the
+    * m=23 hash slice, orientation parity + the sparse reverse slice) —
+    * shared by the sssp and closeness oracles. */
+  private def weightedCtes: String =
+    s"""wpairs AS MATERIALIZED (
           SELECT x.l_suppkey AS a, y.l_suppkey AS b,
                  count(DISTINCT x.l_orderkey) AS w
           FROM lineitem x JOIN lineitem y
@@ -1350,17 +1461,39 @@ object Graph {
           WHERE ((a * 7 + b * 13) % 1000003) % 4 = 0),
         wnodes AS MATERIALIZED (
           SELECT DISTINCT s AS node FROM
-            (SELECT s FROM wdedges UNION ALL SELECT t AS s FROM wdedges)),
-        d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS dist
-               FROM wnodes),
+            (SELECT s FROM wdedges UNION ALL SELECT t AS s FROM wdedges))"""
+
+  /** [[graph_closeness]] replay: the sssp unroll keyed (src, node) over
+    * the [[ClosenessSources]] smallest nodes, then the exact-integer
+    * harmonic aggregate — `//` floors like Spark's `div` on the
+    * positive distances. */
+  private def closenessOracle: String = {
+    val rounds = (1 to SsspUnrollRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+          SELECT src, node, min(nd) AS dist FROM (
+            SELECT src, node, dist AS nd FROM d${i - 1}
+            UNION ALL
+            SELECT p.src, e.t AS node, p.dist + e.w AS nd
+            FROM d${i - 1} p JOIN wdedges e ON e.s = p.node)
+          GROUP BY 1, 2)"""
+    }.mkString(",\n        ")
+    s"""WITH $weightedCtes,
+        srcs AS MATERIALIZED (
+          SELECT node AS src FROM wnodes
+          ORDER BY node LIMIT $ClosenessSources),
+        d0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS dist
+               FROM srcs),
         $rounds
-        SELECT n.node, CAST(d.dist AS BIGINT) AS dist
-        FROM wnodes n LEFT JOIN d$SsspUnrollRounds d ON d.node = n.node
-        ORDER BY n.node"""
+        SELECT s.src AS node, count(d.node) AS n_reach,
+            CAST(coalesce(sum(10000 // d.dist), 0) AS BIGINT) AS h_bp
+        FROM srcs s LEFT JOIN d$SsspUnrollRounds d
+          ON d.src = s.src AND d.node <> s.src
+        GROUP BY 1 ORDER BY node"""
   }
 
   val oracle: Seq[(String, String)] = Seq(
     "graph_sssp" -> ssspOracle,
+    "graph_closeness" -> closenessOracle,
     // the directed derivation replayed (orientation parity + the sparse
     // reverse slice), then mutual reachability as a recursive closure:
     // scc(v) = min u with v→*u AND u→*v (v itself included via the

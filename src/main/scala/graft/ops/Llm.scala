@@ -4588,10 +4588,63 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Fill-in-middle training-data prep (the published FIM method:
+    * documents are split prefix/middle/suffix and reordered with
+    * sentinels so an autoregressive model learns infilling; PSM emits
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, SPM the
+    * suffix-first `<fim_suffix> S <fim_prefix> P <fim_middle> M`).
+    * Both cut points and the PSM/SPM choice derive from the
+    * span-corruption hash discipline (affine mod the prime BEFORE the
+    * small mod — the cross-engine bucketing invariant), so both
+    * engines pick identical splits with zero randomness. `text_md5`
+    * hashes the REASSEMBLED prefix++middle++suffix while the oracle
+    * hashes the ORIGINAL text — the hash check itself proves exact
+    * round-trip reassembly (split on single spaces with empties kept
+    * is a byte-exact inverse of single-space join). Token-linear, one
+    * narrow projection — the 100 TB shape is a map over documents. */
+  val llm_fim: Q = (s, d) => {
+    val p = lit(1000003L)
+    documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .where(col("toks").isNotNull)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("h1",
+        ((col("doc_id") % p) * lit(2654435761L) + lit(40503L)) % p
+          % (col("n") + 1))
+      .withColumn("h2",
+        ((col("doc_id") % p) * lit(40503L) + lit(2654435761L)) % p
+          % (col("n") + 1))
+      .withColumn("m",
+        ((col("doc_id") % p) * lit(2246822519L) + lit(7L)) % p % 2)
+      .withColumn("c1", least(col("h1"), col("h2")).cast("int"))
+      .withColumn("c2", greatest(col("h1"), col("h2")).cast("int"))
+      .withColumn("pre", expr("slice(toks, 1, c1)"))
+      .withColumn("mid", expr("slice(toks, c1 + 1, c2 - c1)"))
+      .withColumn("suf", expr("slice(toks, c2 + 1, cast(n as int) - c2)"))
+      .select(col("doc_id"),
+        when(col("m") === 0, lit("psm")).otherwise(lit("spm")).as("mode"),
+        size(col("pre")).as("n_prefix"),
+        size(col("mid")).as("n_middle"),
+        size(col("suf")).as("n_suffix"),
+        array_join(
+          when(col("m") === 0, concat(
+            array(lit("<fim_prefix>")), col("pre"),
+            array(lit("<fim_suffix>")), col("suf"),
+            array(lit("<fim_middle>")), col("mid")))
+          .otherwise(concat(
+            array(lit("<fim_suffix>")), col("suf"),
+            array(lit("<fim_prefix>")), col("pre"),
+            array(lit("<fim_middle>")), col("mid"))), " ").as("fim_text"),
+        md5(array_join(
+          concat(col("pre"), col("mid"), col("suf")), " ")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "llm_dedup_exact" -> llm_dedup_exact,
     "llm_dedup_url" -> llm_dedup_url,
     "llm_span_corruption" -> llm_span_corruption,
+    "llm_fim" -> llm_fim,
     "llm_chunk_cdc" -> llm_chunk_cdc,
     "llm_dedup_jaccard" -> llm_dedup_jaccard,
     "llm_dedup_keep_best" -> llm_dedup_keep_best,
@@ -5096,6 +5149,43 @@ object Llm {
                FILTER (WHERE tpiece IS NOT NULL), '') AS targets,
              CAST(sum(mflag) AS BIGINT) AS n_masked
          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
+    // the FIM splits replay from the same affine-mod-prime hashes; the
+    // oracle's text_md5 hashes the ORIGINAL text while the engine hashes
+    // its REASSEMBLED prefix++middle++suffix — equality IS the
+    // round-trip proof. DuckDB list slicing is 1-based inclusive; ||
+    // concatenates lists.
+    "llm_fim" ->
+      """WITH docs AS (
+           SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT doc_id, text, toks, len(toks) AS n,
+               ((doc_id % 1000003) * 2654435761 + 40503) % 1000003
+                 % (len(toks) + 1) AS h1,
+               ((doc_id % 1000003) * 40503 + 2654435761) % 1000003
+                 % (len(toks) + 1) AS h2,
+               ((doc_id % 1000003) * 2246822519 + 7) % 1000003 % 2 AS m
+           FROM docs),
+         parts AS (
+           SELECT doc_id, text, m,
+               toks[1 : CAST(least(h1, h2) AS INT)] AS pre,
+               toks[CAST(least(h1, h2) AS INT) + 1
+                    : CAST(greatest(h1, h2) AS INT)] AS mid,
+               toks[CAST(greatest(h1, h2) AS INT) + 1
+                    : CAST(n AS INT)] AS suf
+           FROM c)
+         SELECT doc_id,
+             CASE WHEN m = 0 THEN 'psm' ELSE 'spm' END AS mode,
+             CAST(len(pre) AS INT) AS n_prefix,
+             CAST(len(mid) AS INT) AS n_middle,
+             CAST(len(suf) AS INT) AS n_suffix,
+             array_to_string(CASE WHEN m = 0
+               THEN ['<fim_prefix>'] || pre || ['<fim_suffix>'] || suf
+                    || ['<fim_middle>'] || mid
+               ELSE ['<fim_suffix>'] || suf || ['<fim_prefix>'] || pre
+                    || ['<fim_middle>'] || mid END, ' ') AS fim_text,
+             md5(text) AS text_md5
+         FROM parts ORDER BY doc_id""",
     "llm_dedup_jaccard" ->
       s"""WITH $duckCappedPairs
           SELECT doc_a, doc_b,

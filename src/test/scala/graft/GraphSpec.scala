@@ -182,6 +182,55 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("graph_closeness: hand-checked planted graph, arms " +
+      "value-identical on fixture and random graphs") {
+    import spark.implicits._
+    def both(es: Seq[(Long, Long, Long)])
+        : (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) = {
+      val df = es.toDF("s", "t", "w")
+      (ops.Graph.closenessOf(spark, df, Long.MaxValue)
+         .orderBy("node").as[(Long, Long, Long)].collect().toSeq,
+       ops.Graph.closenessOf(spark, df, 0L)
+         .orderBy("node").as[(Long, Long, Long)].collect().toSeq)
+    }
+    // planted (sources = the 8 smallest ids = all 5 nodes here):
+    // 1→2 (w5), 1→3 (w1), 3→2 (w1), 2→4 (w10), 4→1 (w1), 5→1 (w100).
+    // From 1: d(2)=2, d(3)=1, d(4)=12 → h = 10000/2 + 10000/1
+    //   + 10000 div 12 = 5000 + 10000 + 833 = 15833, n_reach 3.
+    // From 2: d(4)=10, d(1)=11, d(3)=12 → 1000 + 909 + 833 = 2742.
+    // From 3: d(2)=1, d(4)=11, d(1)=12 → 10000 + 909 + 833 = 11742.
+    // From 4: d(1)=1, d(3)=2, d(2)=3 → 10000 + 5000 + 3333 = 18333.
+    // From 5: d(1)=100, d(3)=101, d(2)=102, d(4)=112
+    //   → 100 + 99 + 98 + 89 = 386, n_reach 4.
+    val planted = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 10L), (5L, 1L, 100L), (4L, 1L, 1L))
+    val (pd, pp) = both(planted)
+    assert(pd == pp, "budget arms must be value-identical")
+    assert(pd == Seq((1L, 3L, 15833L), (2L, 3L, 2742L),
+      (3L, 3L, 11742L), (4L, 3L, 18333L), (5L, 4L, 386L)),
+      s"hand-check failed: $pd")
+    // fixture: both arms value-identical and non-trivial
+    val fx = ops.Graph.graph_closeness(spark, sf01)
+      .as[(Long, Long, Long)].collect().toSeq
+    val fxDist = ops.Graph.closenessOf(spark,
+        ops.Graph.weightedDirectedEdges(spark, sf01), 0L)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    assert(fx == fxDist, "fixture arms must be value-identical")
+    assert(fx.size == ops.Graph.ClosenessSources)
+    assert(fx.exists(_._3 > 0), "some source must reach something")
+    // random weighted graph: arms agree exactly
+    var x = 424242L
+    def nxt(): Long = { x = (x * 6364136223846793005L +
+      1442695040888963407L); x }
+    val rnd = (1 to 80).map { _ =>
+      (math.floorMod(nxt(), 25L), math.floorMod(nxt(), 25L),
+        1L + math.floorMod(nxt(), 9L))
+    }.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    val (rd, rp) = both(rnd)
+    assert(rd == rp, "random-graph arms must be value-identical")
+  }
+
   test("graph_reach: hand-checked on a chain, a cycle, and a " +
       "diamond with path multiplicity; k=3 cycle self-reach") {
     import spark.implicits._

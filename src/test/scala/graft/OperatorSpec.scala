@@ -1419,6 +1419,37 @@ class OperatorSpec extends SparkTestBase {
       s"the loud path must name the scale alternative: ${e.getMessage}")
   }
 
+  test("llm_fim: split points deterministic, both modes present, " +
+      "sentinel order per mode, and reassembly is byte-exact") {
+    import spark.implicits._
+    val rows = ops.Llm.llm_fim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val modes = rows.map(_.getString(1)).toSet
+    assert(modes == Set("psm", "spm"),
+      s"both reorderings must occur on the fixture: $modes")
+    // the engine's text_md5 hashes the REASSEMBLED splits; equality
+    // with the original text's md5 is the byte-exact round-trip proof
+    val orig = graft.util.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("n"))
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val (h, n) = orig(r.getLong(0))
+      assert(r.getString(6) == h,
+        s"doc ${r.getLong(0)}: reassembly is not byte-exact")
+      assert(r.getInt(2) + r.getInt(3) + r.getInt(4) == n,
+        s"doc ${r.getLong(0)}: split sizes must cover every token")
+      val t = r.getString(5)
+      val (a, b, c) = (t.indexOf("<fim_prefix>"),
+        t.indexOf("<fim_suffix>"), t.indexOf("<fim_middle>"))
+      assert(a >= 0 && b >= 0 && c >= 0 && c > a && c > b)
+      if (r.getString(1) == "psm") assert(a < b, s"psm order broken: $t")
+      else assert(b < a, s"spm order broken: $t")
+    }
+  }
+
   test("llm_phash: planted same-length twins dedup at small hamming, " +
       "and the band formula matches a byte-level recompute") {
     val rows = ops.Llm.llm_phash(spark, sf).collect()
