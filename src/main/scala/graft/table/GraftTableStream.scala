@@ -135,6 +135,38 @@ class GraftTableSink(spark: SparkSession, root: String,
     val evolve = parameters.get("mergeSchema").exists(_.trim.toBoolean)
     val batch =
       if (evolve) GraftTable.alignEvolved(batch0, root) else batch0
+    // optional key discipline (.option("key", <col>) — r14 ADVICE): the
+    // raw append verb carries no key contract, so a table otherwise fed
+    // through SQL DML (whose INSERT enforces unique non-NULL keys)
+    // could silently accumulate duplicate or NULL keys via streamed
+    // ingest, making later key-addressed MERGE/DELETE ambiguous. With
+    // the option, each batch is checked batch-locally AND against the
+    // table's live keys BEFORE its commit; without it the sink stays
+    // the raw append (documented, for keyless event tables).
+    // a crash-REPLAYED batch's keys are already in the table by
+    // definition — the watermark makes append skip it, so the clash
+    // check must not fire first and fail a legitimate replay
+    val replayed = {
+      val v0 = GraftTable.latestSnapshot(root)
+      v0 > 0 && GraftTable.manifest(root, v0).stream
+        .exists(_.get(qid).exists(_ >= batchId))
+    }
+    parameters.get("key").map(_.trim).filter(_.nonEmpty)
+      .filter(_ => !replayed).foreach { k =>
+      val dup = batch.groupBy(col(k)).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"graft-table sink batch $batchId carries duplicate '$k' keys")
+      val nulls = batch.where(col(k).isNull).limit(1).count()
+      require(nulls == 0,
+        s"graft-table sink batch $batchId carries a NULL '$k' key")
+      val clash = batch.select(col(k))
+        .join(GraftTable.read(spark, root).select(col(k)), k, "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"graft-table sink batch $batchId re-uses a '$k' key the " +
+          "table already holds")
+    }
     GraftTable.append(spark, root, batch,
       statsCols = csv("stats"), clusterCols = csv("cluster"),
       numFiles = parameters.get("num_files").map(_.trim.toInt)

@@ -3782,6 +3782,72 @@ class GraftTableSpec extends SparkTestBase {
     } finally graft.sql.GraftSqlTables.unregister("bkt_t")
   }
 
+  test("cross-PROCESS commit race: two JVMs append concurrently to one " +
+      "root — linear snapshot chain, no lost update, every row exactly " +
+      "once") {
+    import spark.implicits._
+    val root = freshRoot()
+    val k = 6
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1)
+    // spawn a SECOND JVM running the ordinary optimistic append path on
+    // the same root: the in-JVM thread race (elsewhere in this suite)
+    // certifies createLink's atomicity under java.nio on one runtime;
+    // this one certifies it ACROSS PROCESSES — the multi-writer story a
+    // shared table format must actually support.
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val workDir = Files.createTempDirectory("graft_race_jvm").toFile
+    val log = new java.io.File(workDir, "child.log")
+    graft.util.AppCleanup.onExit(s"graft_race_jvm_$workDir")(
+      graft.util.AppCleanup.recursiveDelete(workDir))
+    val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+      "graft.RaceAppendMain", root, "2000", k.toString)
+    pb.directory(workDir)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val proc = pb.start()
+    try {
+      // wait for the child's session, then race it at maximum overlap
+      val ready = Paths.get(root, "_race_ready")
+      val t0 = System.nanoTime()
+      while (!Files.exists(ready) && proc.isAlive &&
+          (System.nanoTime() - t0) < 180e9.toLong) Thread.sleep(50)
+      assert(Files.exists(ready),
+        s"child JVM never came up; log:\n" + (if (log.exists)
+          new String(Files.readAllBytes(log.toPath)).takeRight(2000)
+        else "<no log>"))
+      (1 to k).foreach { i =>
+        GraftTable.append(spark, root,
+          Seq((1000L + i, s"p${1000 + i}")).toDF("id", "payload"),
+          Seq("id"), Seq("id"), numFiles = 1)
+      }
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(proc.exitValue() == 0,
+        s"child JVM failed; log tail:\n" +
+          new String(Files.readAllBytes(log.toPath)).takeRight(2000))
+    } finally if (proc.isAlive) proc.destroyForcibly()
+    // exactly one commit per append across BOTH writers: the loser of
+    // every publish race must have rebased and retried, never silently
+    // overwritten the winner (createLink is create-if-absent) nor
+    // given up under the 20-attempt bound
+    val v = GraftTable.latestSnapshot(root)
+    assert(v == 1 + 2 * k, s"expected ${1 + 2 * k} snapshots, got $v")
+    (2 to v).foreach { i =>
+      val m = GraftTable.manifest(root, i)
+      assert(m.parent == i - 1 && m.op == "append",
+        s"snapshot $i: parent ${m.parent}, op ${m.op}")
+    }
+    val ids = GraftTable.read(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq
+    val want = ((1L to 10L) ++ (1 to k).map(1000L + _) ++
+      (1 to k).map(2000L + _)).sorted
+    assert(ids == want,
+      s"lost or duplicated rows across the race: got ${ids.size}, " +
+        s"want ${want.size}")
+  }
+
   test("MERGE autoMerge: source-only columns widen the table in one " +
       "commit; star arms populate them, untouched rows read NULL, " +
       "old snapshots keep the old schema; off by default") {

@@ -1060,6 +1060,66 @@ class StreamingSpec extends SparkTestBase {
     assert(e != null)
   }
 
+  test("graft-table sink key option: batch-local dups, NULL keys and " +
+      "clashes with live table keys are loud; clean batches land") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink_key").toFile.getPath
+    val ckptBase = java.nio.file.Files
+      .createTempDirectory("graft_sink_key_ck").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_sink_key_$root") {
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root))
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(ckptBase))
+    }
+    t.create(spark, root, Seq((1L, "seed")).toDF("id", "payload"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    var n = 0
+    def run(rows: (Long, String)*): Either[String, Long] = {
+      n += 1
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(rows: _*)
+      val q = mem.toDF().toDF("id", "payload")
+        .writeStream.format("graft-table")
+        .option("path", root).option("key", "id")
+        .option("num_files", "1")
+        .option("checkpointLocation", s"$ckptBase/$n").start()
+      try { q.processAllAvailable(); Right(t.read(spark, root).count()) }
+      catch { case e: Exception =>
+        Left(Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+      } finally q.stop()
+    }
+    assert(run((2L, "a"), (3L, "b")) == Right(3L))
+    val dup = run((4L, "x"), (4L, "y"))
+    assert(dup.left.exists(_.contains("duplicate 'id' keys")), dup)
+    val clash = run((2L, "again"))
+    assert(clash.left.exists(_.contains("re-uses a 'id' key")), clash)
+    assert(run((0L, "n")) == Right(4L),
+      "a clean batch after rejected ones must land")
+    // NULL key via an explicit null row
+    val mem = MemoryStream[Long]
+    mem.addData(9L)
+    val qn = mem.toDF()
+      .select(when(col("value") === 9L, lit(null)).otherwise(col("value"))
+          .cast("long").as("id"),
+        lit("p").as("payload"))
+      .writeStream.format("graft-table")
+      .option("path", root).option("key", "id")
+      .option("checkpointLocation", s"$ckptBase/nul").start()
+    val msgs =
+      try { qn.processAllAvailable(); "" }
+      catch { case e: Exception =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      } finally qn.stop()
+    assert(msgs.contains("NULL 'id' key"), msgs)
+    // failures landed nothing
+    assert(t.read(spark, root).count() == 4) // seed + a + b + n(=0L ok)
+  }
+
   test("graft-table sink mergeSchema: a batch with a NEW column widens " +
       "the manifest in the exactly-once commit; loud without the option") {
     import spark.implicits._
