@@ -65,32 +65,32 @@ object GraftPartPrune extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** The non-identity partition fields of the graft table this relation
-    * scans, or empty: the scan must carry the basePath of a registered
-    * root and expose the derived partition column. */
+    * scans, or empty. The owning root is derived from the scan's own
+    * basePath (`<root>/data` — every graft partitioned read sets it,
+    * [[GraftTable.readPhysical]]), so the rule covers EVERY graft read
+    * of a transformed table — registered names, TVF root-path reads,
+    * DSL frames — not just the name registry. */
   private def hiddenSpecFor(
       rel: LogicalRelation): Seq[GraftTable.PartField] =
     rel.relation match {
       case hfs: HadoopFsRelation =>
-        hfs.options.get("basePath") match {
-          case Some(base) =>
-            val basePath =
-              new org.apache.hadoop.fs.Path(base).toUri.getPath
-            GraftSqlTables.allRoots.find(r =>
-                new org.apache.hadoop.fs.Path(s"$r/data")
-                  .toUri.getPath == basePath)
-              .toSeq.flatMap { root =>
-                // spec is fixed at create for the table's lifetime, so
-                // reading the LATEST manifest is correct for any
-                // snapshot's scan; a vanished root is simply unpruned
-                try {
-                  val v = GraftTable.latestSnapshot(root)
-                  if (v <= 0) Nil
-                  else GraftTable.partSpecOf(GraftTable.manifest(root, v))
-                    .filter(_.transform != "identity")
-                    .filter(f => rel.output.exists(_.name == f.name))
-                } catch { case scala.util.control.NonFatal(_) => Nil }
-              }
-          case None => Nil
+        hfs.options.get("basePath").toSeq.flatMap { base =>
+          val basePath = new org.apache.hadoop.fs.Path(base).toUri.getPath
+          if (!basePath.endsWith("/data")) Nil
+          else {
+            val root = basePath.stripSuffix("/data")
+            // spec is fixed at create for the table's lifetime, so
+            // reading the LATEST manifest is correct for any snapshot's
+            // scan; a non-graft basePath or vanished root is simply
+            // unpruned
+            try {
+              val v = GraftTable.latestSnapshot(root)
+              if (v <= 0) Nil
+              else GraftTable.partSpecOf(GraftTable.manifest(root, v))
+                .filter(_.transform != "identity")
+                .filter(f => rel.output.exists(_.name == f.name))
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          }
         }
       case _ => Nil
     }

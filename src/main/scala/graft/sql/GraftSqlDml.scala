@@ -86,11 +86,6 @@ object GraftSqlTables {
   def unregister(name: String): Boolean =
     reg.remove(keyOf(name.split('.').toSeq)).isDefined
 
-  /** Every registered table root — [[GraftPartPrune]] matches a scan's
-    * basePath against these to recover the owning table's partition
-    * transform spec (driver-side, a handful of entries). */
-  def allRoots: Seq[String] = reg.values.map(_.root).toSeq.distinct
-
   /** Atomic bind-if-absent — the CREATE/CTAS claim: two concurrent
     * CREATEs of one name must produce exactly one success, never two
     * "successes" with the loser's files silently orphaned. */

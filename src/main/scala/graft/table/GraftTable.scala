@@ -2215,6 +2215,10 @@ object GraftTable {
     // `ordered` projection.
     val hidden = partSpec.filter(f => !schema.fieldNames.contains(f.name))
       .map(f => StructField(f.name, org.apache.spark.sql.types.StringType))
+    // any read of a transform-partitioned table arms the predicate
+    // mapper in this session — TVF root-path and DSL reads included,
+    // not just registered names (the rule is a no-op on other plans)
+    if (hidden.nonEmpty) graft.sql.GraftPartPrune.ensure(spark)
     // partitioned tables scan with basePath so Spark's partition
     // discovery fills the k=v columns and the FileScan carries real
     // PartitionFilters; the base is derived per FILE because a shallow
