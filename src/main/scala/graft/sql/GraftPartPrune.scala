@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType}
 
 import graft.table.GraftTable
 
@@ -142,9 +142,9 @@ object GraftPartPrune extends Rule[LogicalPlan] with PredicateHelper {
   /** The derived partition value of a folded literal, exactly as the
     * write side derives it ([[GraftTable.derivedPartCol]]): date_format
     * over DATE formats the date, over TIMESTAMP_NTZ the wall-clock
-    * value, over TIMESTAMP the session-zone rendering — mirrored here
-    * with java.time so a mapped predicate can never disagree with a
-    * directory name. */
+    * value — both zone-independent (LTZ sources are rejected at
+    * CREATE), mirrored here with java.time so a mapped predicate can
+    * never disagree with a directory name. */
   private[graft] def derivedOf(l: Literal, fld: GraftTable.PartField,
       tz: String): Option[String] = {
     if (l.value == null) return None
@@ -175,13 +175,9 @@ object GraftPartPrune extends Rule[LogicalPlan] with PredicateHelper {
         Math.floorDiv(us, 1000000L),
         (Math.floorMod(us, 1000000L) * 1000L).toInt,
         java.time.ZoneOffset.UTC))
-    case TimestampType =>
-      val us = v.asInstanceOf[Number].longValue()
-      Some(java.time.LocalDateTime.ofInstant(
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(us, 1000000L),
-          Math.floorMod(us, 1000000L) * 1000L),
-        java.time.ZoneId.of(tz)))
+    // TimestampType (LTZ) sources are rejected at CREATE (the
+    // cross-zone shear guard), so a mapped literal of that type never
+    // occurs; anything else stays unmapped — unpruned, never wrong
     case _ => None
   }
 }

@@ -988,11 +988,21 @@ object GraftTable {
           requireHiddenName(schema, f, root)
         case _ =>
           val dt = schema(f.source).dataType
+          // DATE / TIMESTAMP_NTZ only: their calendar prefix is a pure
+          // function of the stored value. A zone-dependent TIMESTAMP
+          // would derive its directory through the WRITING session's
+          // zone while a reader's mapped predicate derives through its
+          // own — a silent cross-zone shear that loses rows at month
+          // boundaries. Loud here; store instants as TIMESTAMP_NTZ (or
+          // partition on a derived date column) instead.
           require(dt == org.apache.spark.sql.types.DateType ||
-              dt == org.apache.spark.sql.types.TimestampType ||
               dt == org.apache.spark.sql.types.TimestampNTZType,
-            s"${f.transform}(${f.source}) needs a date/timestamp " +
-              s"source column; got ${dt.sql}")
+            s"${f.transform}(${f.source}) needs a DATE or TIMESTAMP_NTZ " +
+              s"source column; got ${dt.sql}" +
+              (if (dt == org.apache.spark.sql.types.TimestampType)
+                " — a session-zone-dependent TIMESTAMP would shear the " +
+                  "calendar prefix between writer and reader sessions"
+              else ""))
           requireHiddenName(schema, f, root)
       }
     }

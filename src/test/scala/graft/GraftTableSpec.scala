@@ -3733,7 +3733,16 @@ class GraftTableSpec extends SparkTestBase {
         numFiles = 1, partitionSpec = spec.toSeq)
     assert(intercept[IllegalArgumentException] {
       create(GraftTable.PartField("name_day", "days", "name"))
-    }.getMessage.contains("date/timestamp"))
+    }.getMessage.contains("DATE or TIMESTAMP_NTZ"))
+    // session-zone-dependent TIMESTAMP sources shear the calendar
+    // prefix between writer and reader sessions — loud at CREATE
+    val ltz = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("id", "ts")
+    assert(intercept[IllegalArgumentException] {
+      GraftTable.create(spark, freshRoot(), ltz, Seq("id"), Seq("id"),
+        numFiles = 1, partitionSpec = Seq(
+          GraftTable.PartField("ts_month", "months", "ts")))
+    }.getMessage.contains("shear"))
     assert(intercept[IllegalArgumentException] {
       create(GraftTable.PartField("qty", "bucket", "qty", Some(4)))
     }.getMessage.contains("collides"))
