@@ -312,7 +312,7 @@ object GraftSqlDdl {
       t.name match {
         case "identity" =>
           GraftTable.PartField(srcOf, "identity", srcOf)
-        case tn @ ("years" | "months" | "days") =>
+        case tn @ ("years" | "months" | "days" | "hours") =>
           val src = srcOf
           GraftTable.PartField(s"${src}_${tn.dropRight(1)}", tn, src)
         case "bucket" =>
@@ -330,7 +330,8 @@ object GraftSqlDdl {
           GraftTable.PartField(s"${src}_bucket", "bucket", src, Some(n))
         case other => throw new IllegalArgumentException(
           s"CREATE TABLE ${parts.mkString(".")} USING graft supports " +
-            s"identity / years / months / days / bucket PARTITIONED BY " +
+            s"identity / years / months / days / hours / bucket " +
+            s"PARTITIONED BY " +
             s"transforms, got $other($t)")
       }
     }

@@ -180,13 +180,14 @@ object GraftTable {
     * order lexicographically exactly as the source orders
     * chronologically — string range pruning is order-exact. */
   private[graft] val PartTransforms =
-    Set("identity", "years", "months", "days", "bucket")
+    Set("identity", "years", "months", "days", "hours", "bucket")
 
   private[graft] def timePartFmt(transform: String): String =
     transform match {
       case "years" => "yyyy"
       case "months" => "yyyy-MM"
       case "days" => "yyyy-MM-dd"
+      case "hours" => "yyyy-MM-dd-HH"
       case t => throw new IllegalArgumentException(
         s"not a time partition transform: $t")
     }

@@ -2648,11 +2648,12 @@ class GraftTableSpec extends SparkTestBase {
       // partitioning tests)
       val eTr = intercept[Exception] {
         GraftSql.exec(spark,
-          s"""CREATE TABLE pt_bad (id BIGINT, ts TIMESTAMP_NTZ)
-              USING graft PARTITIONED BY (hours(ts))
+          s"""CREATE TABLE pt_bad (id BIGINT, s STRING)
+              USING graft PARTITIONED BY (truncate(4, s))
               LOCATION '${root}_bad' OPTIONS (key 'id')""")
       }
-      assert(eTr.getMessage.contains("years / months / days / bucket"),
+      assert(eTr.getMessage.contains(
+          "years / months / days / hours / bucket"),
         eTr.getMessage)
       // SQL DML against the partitioned table: the CoW rewrite must
       // keep the k=v layout and the declaration
@@ -3747,8 +3748,17 @@ class GraftTableSpec extends SparkTestBase {
       create(GraftTable.PartField("qty", "bucket", "qty", Some(4)))
     }.getMessage.contains("collides"))
     assert(intercept[IllegalArgumentException] {
-      create(GraftTable.PartField("id_hour", "hours", "id"))
+      create(GraftTable.PartField("id_trunc", "truncate", "id"))
     }.getMessage.contains("unknown partition transform"))
+    // hours is a first-class calendar transform; its dir value is the
+    // zero-padded hour prefix (lexicographic == chronological)
+    val hrRoot = freshRoot()
+    GraftTable.create(spark, hrRoot, tsTable(30), Seq("id"), Seq("id"),
+      numFiles = 1, partitionSpec = Seq(
+        GraftTable.PartField("ts_hour", "hours", "ts")))
+    GraftTable.manifest(hrRoot, 1).files.foreach(f =>
+      assert(f.parts.get("ts_hour")
+        .matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}"), f.parts))
     assert(intercept[IllegalArgumentException] {
       create(GraftTable.PartField("name_bucket", "bucket", "name", Some(4)))
     }.getMessage.contains("integral"))
