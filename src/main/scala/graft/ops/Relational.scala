@@ -440,6 +440,55 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  private val blowupBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** lineitem replicated 10×, persisted once per (application, sfDir):
+    * the DATA-DOMINATED flagship anchor (r15 verdict stretch #8) — at
+    * sf0.1 every other row's runtime is mostly fixed cost, so a plan
+    * regression that scales with DATA (a lost map-side combine, a
+    * broken pushdown) hides inside the flat profile; this relation is
+    * big enough that [[agg_pricing_10x]]'s runtime follows bytes
+    * scanned, the honest canary. Replication is a cross join with
+    * `range(10)` — deterministic, and the oracle replays the identical
+    * product. */
+  private def lineitem10x(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    val t = s"graft_li10x_$tag"
+    graft.util.AppCleanup.buildOnce(blowupBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_li10x")
+      graft.util.AppCleanup.resetTable(s, t)
+      lineitem(s, d)
+        .crossJoin(s.range(10).select(col("id").as("rep")))
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    s.table(t)
+  }
+
+  /** ★ the flagship aggregate over the 10× blow-up: same shape as
+    * [[agg_pricing]] (filter → partial/final hash agg → sort), runtime
+    * dominated by the scan+combine over real data volume. Counts and
+    * sums scale exactly 10×, averages are invariant — the oracle
+    * replays the same cross product. */
+  val agg_pricing_10x: Q = (s, d) =>
+    lineitem10x(s, d)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   val agg_distinct: Q = (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
@@ -1055,6 +1104,7 @@ object Relational {
     "join_salted" -> join_salted,
     "join_bucketed" -> join_bucketed,
     "agg_pricing" -> agg_pricing,
+    "agg_pricing_10x" -> agg_pricing_10x,
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
     "agg_hll_merge" -> agg_hll_merge,
@@ -1272,6 +1322,22 @@ object Relational {
              CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_disc,
              count(1) AS count_order
          FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    // the identical cross product replays in DuckDB: sums/counts 10×,
+    // averages invariant — the anchor's values are fully determined
+    "agg_pricing_10x" ->
+      """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_qty,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_price,
+             CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS DOUBLE) AS avg_disc,
+             count(1) AS count_order
+         FROM (SELECT l.* FROM lineitem l CROSS JOIN range(10))
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",

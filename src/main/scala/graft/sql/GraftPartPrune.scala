@@ -140,11 +140,13 @@ object GraftPartPrune extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The derived partition value of a folded literal, exactly as the
-    * write side derives it ([[GraftTable.derivedPartCol]]): date_format
-    * over DATE formats the date, over TIMESTAMP_NTZ the wall-clock
-    * value — both zone-independent (LTZ sources are rejected at
-    * CREATE), mirrored here with java.time so a mapped predicate can
-    * never disagree with a directory name. */
+    * write side derives it ([[GraftTable.derivedPartCol]]): the write
+    * side slices the CAST-to-STRING wall clock of the DATE /
+    * TIMESTAMP_NTZ source (zone-independent by definition; LTZ sources
+    * are rejected at CREATE), mirrored here with java.time over the
+    * same wall clock so a mapped predicate can never disagree with a
+    * directory name — including at DST-gap wall clocks in non-UTC
+    * sessions, where date_format would have sheared. */
   private[graft] def derivedOf(l: Literal, fld: GraftTable.PartField,
       tz: String): Option[String] = {
     if (l.value == null) return None

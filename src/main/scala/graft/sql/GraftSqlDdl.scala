@@ -83,14 +83,40 @@ object GraftSqlDdl {
               s"unsupported column reference $other")
         }
         GraftAlterDropColumnsCommand(parts, names, ifExists)
-      // type changes stay LOUDLY rejected, not fallen-through to a
-      // confusing session-catalog error: a silent type change is a
-      // silent data corruption
-      case AlterColumns(UnresolvedTable(parts, _, _), _)
+      // ALTER COLUMN ... TYPE within the safe widening matrix is a
+      // first-class metadata-only commit (GraftTable.alterWidenColumnType
+      // enforces the matrix loudly); every OTHER alteration — comments,
+      // nullability, position, defaults — stays loudly rejected, not
+      // fallen-through to a confusing session-catalog error
+      case AlterColumns(UnresolvedTable(parts, _, _), specs)
           if GraftSqlTables.lookup(parts).isDefined =>
-        throw new IllegalArgumentException(
-          s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN is not " +
-            "supported on graft tables — evolution is add/rename/drop")
+        val pureType = specs.collect {
+          case org.apache.spark.sql.catalyst.plans.logical.AlterColumnSpec(
+              fld, Some(dt), None, None, None, None, _)
+              if fld.name.length == 1 =>
+            fld.name.head -> dt
+        }
+        if (pureType.length == specs.length && specs.nonEmpty)
+          GraftAlterWidenTypeCommand(parts, pureType)
+        else throw new IllegalArgumentException(
+          s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN supports " +
+            "only TYPE widening on graft tables (INT -> BIGINT, " +
+            "FLOAT -> DOUBLE) — evolution is add/rename/drop/widen")
+      // ANALYZE TABLE over a registered name: table stats always
+      // (rowCount is free off the manifest), FOR COLUMNS adds
+      // NDV/min/max/nulls for the named columns (FOR ALL COLUMNS =
+      // every schema column); persisted into the manifest and surfaced
+      // at the read seam (GraftStats). Parser seam like the rest of
+      // the DDL — ResolveSessionCatalog converts AnalyzeTable/
+      // AnalyzeColumn to session-catalog commands otherwise.
+      case org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable(
+          UnresolvedTableOrView(parts, _, _), _, _)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftAnalyzeCommand(parts, Nil, allColumns = false)
+      case org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn(
+          UnresolvedTableOrView(parts, _, _), colOpt, all)
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftAnalyzeCommand(parts, colOpt.getOrElse(Nil), allColumns = all)
       case AddConstraint(UnresolvedTable(parts, _, _), tc)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftAddCheckCommand(parts, toCheck(parts, tc))
@@ -288,13 +314,13 @@ object GraftSqlDdl {
 
   /** `PARTITIONED BY (a, months(b), bucket(8, c), ...)` → the declared
     * partition spec. Identity columns partition on their own value;
-    * years/months/days derive a HIDDEN calendar-prefix column from a
-    * date/timestamp source and bucket(n, k) a hidden deterministic
-    * bucket from an integral key (the Iceberg hidden-partitioning
-    * model, [[graft.table.GraftTable.PartField]]) — predicates on the
-    * raw source column prune partitions via [[GraftPartPrune]].
-    * Unsupported transforms (hours, truncate, ...) stay LOUD rather
-    * than silently approximated. */
+    * years/months/days/hours derive a HIDDEN calendar-prefix column
+    * from a date/timestamp source and bucket(n, k) a hidden
+    * deterministic bucket from an integral key (the Iceberg
+    * hidden-partitioning model, [[graft.table.GraftTable.PartField]])
+    * — predicates on the raw source column prune partitions via
+    * [[GraftPartPrune]]. Unsupported transforms (truncate, ...) stay
+    * LOUD rather than silently approximated. */
   private[sql] def partitionSpecOf(parts: Seq[String],
       partitioning: Seq[Transform]): Seq[GraftTable.PartField] =
     partitioning.map { t =>
@@ -551,6 +577,53 @@ case class GraftAlterDropColumnsCommand(parts: Seq[String],
         s"'$name' was rebound concurrently during DROP COLUMN " +
           s"${names.mkString(", ")}; re-register the table with the " +
           "new column set")
+    }
+    Seq.empty
+  }
+}
+
+/** `ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS c, ... | FOR ALL
+  * COLUMNS]` over a registered graft table: one `analyze` commit
+  * persisting exact live rowCount + live-scaled byte size (and column
+  * NDV/min/max/null counts for the named columns) into the manifest
+  * ([[GraftTable.analyzeStats]]); every later registered-name read
+  * hands them to the optimizer ([[GraftStats]]). */
+case class GraftAnalyzeCommand(parts: Seq[String], cols: Seq[String],
+    allColumns: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$name' not found"))
+    val colNames =
+      if (!allColumns) cols
+      else org.apache.spark.sql.types.DataType.fromJson(
+          GraftTable.manifest(ref.root,
+            GraftTable.latestSnapshot(ref.root)).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq
+    GraftTable.analyzeStats(spark, ref.root, colNames)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE name ALTER COLUMN c TYPE t[, ...]` over a registered
+  * graft table, restricted to the safe widening matrix
+  * ([[GraftTable.alterWidenColumnType]] — INT -> BIGINT, FLOAT ->
+  * DOUBLE; ONE metadata-only commit per column, files untouched,
+  * pre-widen files read through the widened logical schema via the
+  * Parquet readers' native promotion). Multiple specs apply in
+  * statement order; a later spec failing leaves the earlier commits
+  * in place, each an honest snapshot (the ADD COLUMNS single-commit
+  * discipline doesn't apply — each widen is independently valid). */
+case class GraftAlterWidenTypeCommand(parts: Seq[String],
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$name' not found"))
+    cols.foreach { case (c, dt) =>
+      GraftTable.alterWidenColumnType(ref.root, c, dt)
     }
     Seq.empty
   }

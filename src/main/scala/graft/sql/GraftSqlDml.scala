@@ -68,9 +68,25 @@ object GraftSqlTables {
     * overwrites (last writer wins — pinned by a GraftTableSpec planted
     * test). Per-statement isolation still holds: each DML pins the
     * snapshot it analyzed against, so a rebind between analysis and
-    * run fails the optimistic commit loudly. */
+    * run fails the optimistic commit loudly.
+    *
+    * With a catalog root configured ([[GraftCatalog]]), this map is the
+    * CLIENT CACHE of a durable file-backed catalog: registers write
+    * through, lookups load on miss, and the CREATE claim is settled by
+    * an atomic create-if-absent file publish — so a name created in one
+    * JVM resolves in the next, and two PROCESSES racing one CREATE get
+    * exactly one success. Unset, the map is the whole catalog. */
   private val reg =
     new scala.collection.concurrent.TrieMap[String, Ref]
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def toJson(r: Ref): String =
+    org.json4s.jackson.Serialization.write(r)
+
+  private def fromJson(s: String): Option[Ref] =
+    try Some(org.json4s.jackson.JsonMethods.parse(s).extract[Ref])
+    catch { case _: Exception => None }
 
   private def keyOf(parts: Seq[String]): String =
     parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
@@ -78,42 +94,83 @@ object GraftSqlTables {
   /** Bind `name` (case-insensitive; dots separate parts, so `ns.t`
     * matches the SQL `ns.t`) to a table root. Idempotent;
     * re-registering overwrites. */
-  def register(name: String, ref: Ref): Unit =
-    reg.put(keyOf(name.split('.').toSeq), ref)
+  def register(name: String, ref: Ref): Unit = {
+    val k = keyOf(name.split('.').toSeq)
+    reg.put(k, ref)
+    GraftCatalog.writeThrough(GraftCatalog.Tables, k, toJson(ref))
+  }
 
   /** Unbind `name`; the table's files are untouched (external-table
     * semantics — DROP PURGE deletes them explicitly). */
-  def unregister(name: String): Boolean =
-    reg.remove(keyOf(name.split('.').toSeq)).isDefined
+  def unregister(name: String): Boolean = {
+    val k = keyOf(name.split('.').toSeq)
+    val inProc = reg.remove(k).isDefined
+    val onDisk = GraftCatalog.delete(GraftCatalog.Tables, k)
+    inProc || onDisk
+  }
 
   /** Atomic bind-if-absent — the CREATE/CTAS claim: two concurrent
     * CREATEs of one name must produce exactly one success, never two
-    * "successes" with the loser's files silently orphaned. */
-  def registerIfAbsent(name: String, ref: Ref): Boolean =
-    reg.putIfAbsent(keyOf(name.split('.').toSeq), ref).isEmpty
+    * "successes" with the loser's files silently orphaned. With a
+    * durable catalog the on-disk create-if-absent settles the
+    * cross-PROCESS race; a lost claim surfaces the winner's binding
+    * into the local cache before returning false. */
+  def registerIfAbsent(name: String, ref: Ref): Boolean = {
+    val k = keyOf(name.split('.').toSeq)
+    if (reg.putIfAbsent(k, ref).isDefined) false
+    else if (GraftCatalog.claim(GraftCatalog.Tables, k, toJson(ref))) true
+    else {
+      // a sibling process owns the name: undo our in-process claim
+      // (conditionally — never clobber a concurrent rebind) and cache
+      // the winner's entry so the caller's next lookup resolves it
+      reg.remove(k, ref)
+      GraftCatalog.load(GraftCatalog.Tables, k).flatMap(fromJson)
+        .foreach(winner => reg.putIfAbsent(k, winner))
+      false
+    }
+  }
 
   /** Conditional unbind: removes `name` only while it still points at
     * `ref` (TrieMap.remove(k, v) is atomic) — the ROLLBACK primitive.
     * Undoing our own claim through the unconditional unregister could
     * delete a binding a concurrent last-wins register() placed on the
     * same name in the claim window (review finding, r11). */
-  def unregisterIfBoundTo(name: String, ref: Ref): Boolean =
-    reg.remove(keyOf(name.split('.').toSeq), ref)
+  def unregisterIfBoundTo(name: String, ref: Ref): Boolean = {
+    val k = keyOf(name.split('.').toSeq)
+    val removed = reg.remove(k, ref)
+    if (removed) GraftCatalog.delete(GraftCatalog.Tables, k)
+    removed
+  }
 
   /** Conditional rebind: swap `name`'s binding from `from` to `to` only
     * while it still points at `from` (TrieMap.replace(k, old, new) is
     * atomic) — the RENAME COLUMN Ref update, same discipline as the
     * rollback primitive above. */
-  def rebindIfStill(name: String, from: Ref, to: Ref): Boolean =
-    reg.replace(keyOf(name.split('.').toSeq), from, to)
+  def rebindIfStill(name: String, from: Ref, to: Ref): Boolean = {
+    val k = keyOf(name.split('.').toSeq)
+    val swapped = reg.replace(k, from, to)
+    if (swapped)
+      GraftCatalog.writeThrough(GraftCatalog.Tables, k, toJson(to))
+    swapped
+  }
 
   def lookup(nameParts: Seq[String]): Option[Ref] =
-    if (nameParts.isEmpty) None else reg.get(keyOf(nameParts))
+    if (nameParts.isEmpty) None
+    else {
+      val k = keyOf(nameParts)
+      reg.get(k).orElse(
+        // load-on-miss from the durable catalog; cache the loaded
+        // binding (putIfAbsent — a concurrent register wins)
+        GraftCatalog.load(GraftCatalog.Tables, k).flatMap(fromJson)
+          .map(r => reg.putIfAbsent(k, r).getOrElse(r)))
+    }
 
   /** Every registered table name (normalized lowercase dotted form) —
-    * the `SHOW TABLES IN graft` enumeration. A TrieMap snapshot is
-    * weakly consistent under concurrent DDL, like any catalog listing. */
-  def names: Seq[String] = reg.keySet.toSeq
+    * the `SHOW TABLES IN graft` enumeration, cache ∪ durable catalog.
+    * A TrieMap snapshot is weakly consistent under concurrent DDL,
+    * like any catalog listing. */
+  def names: Seq[String] =
+    (reg.keySet ++ GraftCatalog.listKeys(GraftCatalog.Tables)).toSeq
 }
 
 /** Marker wrapping a DML target's snapshot read plan: carries the
@@ -297,8 +354,13 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         // batch (extension-free sessions included) — installed at the
         // read seam so any session that can reference the name prunes
         GraftPartPrune.ensure(session)
+        // ANALYZE-persisted statistics ride the relation leaf so
+        // broadcast/CBO decisions see live size + rowCount, not raw
+        // file bytes — plan shape untouched ([[GraftStats]])
         SubqueryAlias(u.multipartIdentifier.mkString("."),
-          GraftTable.read(session, ref.root).queryExecution.logical)
+          GraftStats.attach(
+            GraftTable.read(session, ref.root).queryExecution.logical,
+            ref.root, u.multipartIdentifier.mkString(".")))
       // phase 2: collapse resolved statements into runnable commands.
       // Conditions ride INSIDE plan-typed fields (the Filter / the
       // original MergeIntoTable), never as command expressions:
@@ -724,6 +786,35 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
 
   private val ActCol = "__graft_act"
 
+  /** Does this hand-written (or analyzer-pre-expanded) assignment list
+    * have the star shape — every column of `baseOut` (minus the key
+    * when `skipKey`) assigned its same-name SOURCE attribute? The
+    * analyzer rewrites `SET *` / `INSERT *` into exactly this shape
+    * before the command sees them, so star-ness must be recovered
+    * structurally; a hand-written list of the identical shape IS a
+    * star for every existing column. */
+  private def starShaped(assigns: Seq[Assignment], baseOut: Seq[Attribute],
+      srcOut: Seq[Attribute], skipKey: Boolean): Boolean = {
+    def strip(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        strip(c.child)
+      case x => x
+    }
+    val expect = baseOut
+      .filterNot(ta => skipKey && ta.name.equalsIgnoreCase(t.ref.keyCol))
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val byName = assigns.flatMap { a =>
+      (a.key, strip(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference)
+            if v.name.equalsIgnoreCase(k.name) &&
+              srcOut.exists(_.exprId == v.exprId) =>
+          Some(k.name.toLowerCase(java.util.Locale.ROOT))
+        case _ => None
+      }
+    }.toSet
+    expect.nonEmpty && expect.subsetOf(byName)
+  }
+
   /** (condition, update-assignments | None=delete) per action, star
     * actions expanded to full by-name assignment from the source.
     * UPDATE SET * deliberately SKIPS the key column: the table is
@@ -760,27 +851,9 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
     def supplement: Seq[Assignment] = extras.map { ea =>
       Assignment(ea, srcOut.find(_.name.equalsIgnoreCase(ea.name)).get)
     }
-    def strip(e: Expression): Expression = e match {
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        strip(c.child)
-      case x => x
-    }
     def isStarShape(assigns: Seq[Assignment], skipKey: Boolean): Boolean =
-      extras.nonEmpty && {
-        val expect = tgtOut.filterNot(extras.contains)
-          .filterNot(ta => skipKey && ta.name.equalsIgnoreCase(t.ref.keyCol))
-          .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-        val byName = assigns.flatMap { a =>
-          (a.key, strip(a.value)) match {
-            case (k: AttributeReference, v: AttributeReference)
-                if v.name.equalsIgnoreCase(k.name) &&
-                  srcOut.exists(_.exprId == v.exprId) =>
-              Some(k.name.toLowerCase(java.util.Locale.ROOT))
-            case _ => None
-          }
-        }.toSet
-        expect.nonEmpty && expect.subsetOf(byName)
-      }
+      extras.nonEmpty && starShaped(assigns,
+        tgtOut.filterNot(extras.contains), srcOut, skipKey)
     actions.map {
       case UpdateAction(cnd, assigns, _) =>
         (cnd, Some(if (isStarShape(assigns, skipKey = true))
@@ -864,8 +937,24 @@ case class GraftMergeCommand(t: GraftSqlTarget, merge: MergeIntoTable)
     // never moves.
     val autoMerge = spark.conf
       .getOption("spark.graft.schema.autoMerge").exists(_.toBoolean)
+    // Delta's published autoMerge contract applies evolution ONLY to
+    // `UPDATE SET *` / `INSERT *` arms: a MERGE whose every arm names
+    // its columns explicitly cannot assign a not-yet-existing column,
+    // so widening the table for it would commit an all-NULL column
+    // nobody asked for. Star-ness includes the analyzer-pre-expanded
+    // shape (see starShaped) — the analyzer rewrites `*` before this
+    // command runs.
+    val hasStarArm =
+      (matchedActions ++ notMatchedActions).exists {
+        case _: UpdateStarAction | _: InsertStarAction => true
+        case UpdateAction(_, assigns, _) =>
+          starShaped(assigns, tgtOut0, srcOut, skipKey = true)
+        case InsertAction(_, assigns) =>
+          starShaped(assigns, tgtOut0, srcOut, skipKey = false)
+        case _ => false
+      }
     val extras: Seq[Attribute] =
-      if (!autoMerge) Nil
+      if (!autoMerge || !hasStarArm) Nil
       else srcOut.filterNot(sa =>
           tgtOut0.exists(_.name.equalsIgnoreCase(sa.name)))
         .map(sa => AttributeReference(sa.name, sa.dataType,

@@ -78,6 +78,9 @@ object GraftSqlMaint {
   private val PublishBranch =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+PUBLISH\s+BRANCH\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  private val RebaseBranch =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+REBASE\s+BRANCH\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
   private val ShowTags =
     ("""(?is)^\s*SHOW\s+TAGS\s+(?:FROM\s+|IN\s+)?""" + Ident +
       """\s*;?\s*$""").r
@@ -162,6 +165,8 @@ object GraftSqlMaint {
       Some(GraftDropBranchCommand(partsOf(name), b))
     case PublishBranch(name, b) =>
       Some(GraftPublishBranchCommand(partsOf(name), b))
+    case RebaseBranch(name, b) =>
+      Some(GraftRebaseBranchCommand(partsOf(name), b))
     case InsertBranch(name, b, tail)
         if GraftSqlTables.lookup(partsOf(name)).isDefined =>
       Some(GraftInsertBranchCommand(partsOf(name), b, tail))
@@ -249,26 +254,52 @@ object GraftSqlMaint {
           (f.transform != "identity" && f.source.equalsIgnoreCase(aname)))
         .getOrElse(loud(c))
       if (fld.transform == "identity") {
-        // identity tuples store the raw k=v directory string: equality
-        // compares the literal's string form; ranges need a NUMERIC
-        // literal and parse the stored value
-        def dirStr(l: Literal): String = l.value match {
-          case null => loud(c)
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case v => v.toString
+        // identity tuples store the raw k=v directory string. Literals
+        // must be rendered to that CATALOG string form, never
+        // value.toString: a DateType literal's internal value is epoch
+        // DAYS ("19723"), so toString would match zero files — a
+        // silent no-op with a (v,0,0) receipt. Timestamp literals are
+        // rejected loudly: Spark escapes their dir strings (':' →
+        // '%3A', LTZ through the writing session's zone), so no
+        // faithful comparison exists — partition on DATE or a time
+        // transform instead.
+        def dirStr(l: Literal): String = (l.value, l.dataType) match {
+          case (null, _) => loud(c)
+          case (v: Number, org.apache.spark.sql.types.DateType) =>
+            java.time.LocalDate.ofEpochDay(v.longValue()).toString
+          case (_, org.apache.spark.sql.types.TimestampType) |
+              (_, org.apache.spark.sql.types.TimestampNTZType) => loud(c)
+          case (u: org.apache.spark.unsafe.types.UTF8String, _) =>
+            u.toString
+          case (v, _) => v.toString
         }
         op match {
           case "=" =>
             val wanted = lits.map(dirStr).toSet
             f => f.parts.flatMap(_.get(fld.name)).forall(wanted)
+          case _ if lits.head.dataType ==
+              org.apache.spark.sql.types.DateType =>
+            // identity DATE dirs store zero-padded 'yyyy-MM-dd':
+            // lexicographic comparison is order-exact
+            val b = dirStr(lits.head)
+            f => f.parts.flatMap(_.get(fld.name)).forall(s =>
+              if (op == ">=") s >= b else s <= b)
           case _ =>
             val n = lits.head.value match {
               case v: Number => v.doubleValue()
               case _ => loud(c)
             }
+            // a stored dir value that does not parse as a number is a
+            // predicate/partition TYPE mismatch — loud, never the old
+            // forall-true (which silently widened to a full rewrite)
             f => f.parts.flatMap(_.get(fld.name)).forall { s =>
-              s.toDoubleOption.forall(d =>
-                if (op == ">=") d >= n else d <= n)
+              val d = s.toDoubleOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"OPTIMIZE $name WHERE: numeric range on partition " +
+                    s"column '${fld.name}' but stored partition value " +
+                    s"'$s' is not numeric — refusing to widen to a " +
+                    "full-table rewrite"))
+              if (op == ">=") d >= n else d <= n
             }
         }
       } else {
@@ -703,6 +734,22 @@ case class GraftPublishBranchCommand(parts: Seq[String], branch: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val ref = GraftSqlMaint.refOf(parts)
     Seq(Row(GraftTable.publishBranch(ref.root, branch)))
+  }
+}
+
+/** `ALTER TABLE name REBASE BRANCH b`: re-derive the branch's
+  * unpublished commits onto an advanced main when the two sides'
+  * touched keys are disjoint ([[GraftTable.rebaseBranch]] — pure
+  * metadata, main never written, branch untouched on failure; key
+  * clash / schema drift / constraint violations all loud). Returns the
+  * rebased branch head, the auditable receipt. */
+case class GraftRebaseBranchCommand(parts: Seq[String], branch: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch_head", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ref = GraftSqlMaint.refOf(parts)
+    Seq(Row(GraftTable.rebaseBranch(spark, ref.root, branch, ref.keyCol)))
   }
 }
 

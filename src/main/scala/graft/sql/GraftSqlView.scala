@@ -43,21 +43,48 @@ object GraftSqlViews {
   private def keyOf(parts: Seq[String]): String =
     parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
 
-  def register(name: Seq[String], bodySql: String): Unit =
-    { reg.put(keyOf(name), bodySql); () }
+  /** With a catalog root configured ([[GraftCatalog]]) views persist
+    * like tables: the stored artifact is the BODY TEXT itself (views
+    * re-parse their body on every reference, so text is the complete
+    * durable state), written through on register, loaded on miss. */
+  def register(name: Seq[String], bodySql: String): Unit = {
+    val k = keyOf(name)
+    reg.put(k, bodySql)
+    GraftCatalog.writeThrough(GraftCatalog.Views, k, bodySql)
+  }
 
-  def registerIfAbsent(name: Seq[String], bodySql: String): Boolean =
-    reg.putIfAbsent(keyOf(name), bodySql).isEmpty
+  def registerIfAbsent(name: Seq[String], bodySql: String): Boolean = {
+    val k = keyOf(name)
+    if (reg.putIfAbsent(k, bodySql).isDefined) false
+    else if (GraftCatalog.claim(GraftCatalog.Views, k, bodySql)) true
+    else {
+      reg.remove(k, bodySql)
+      GraftCatalog.load(GraftCatalog.Views, k)
+        .foreach(winner => reg.putIfAbsent(k, winner))
+      false
+    }
+  }
 
-  def unregister(name: Seq[String]): Boolean =
-    reg.remove(keyOf(name)).isDefined
+  def unregister(name: Seq[String]): Boolean = {
+    val k = keyOf(name)
+    val inProc = reg.remove(k).isDefined
+    val onDisk = GraftCatalog.delete(GraftCatalog.Views, k)
+    inProc || onDisk
+  }
 
   def lookup(name: Seq[String]): Option[String] =
-    if (name.isEmpty) None else reg.get(keyOf(name))
+    if (name.isEmpty) None
+    else {
+      val k = keyOf(name)
+      reg.get(k).orElse(
+        GraftCatalog.load(GraftCatalog.Views, k)
+          .map(b => reg.putIfAbsent(k, b).getOrElse(b)))
+    }
 
   /** Every registered view name (normalized lowercase dotted form) —
-    * the `SHOW VIEWS IN graft` enumeration. */
-  def names: Seq[String] = reg.keySet.toSeq
+    * the `SHOW VIEWS IN graft` enumeration, cache ∪ durable catalog. */
+  def names: Seq[String] =
+    (reg.keySet ++ GraftCatalog.listKeys(GraftCatalog.Views)).toSeq
 
   /** Does `plan` reference any registered graft table or view name
     * (subquery expressions included)? — the claim test for the splice. */

@@ -273,4 +273,138 @@ class AsanaConnectorSpec extends SparkTestBase {
         AsanaRetryPolicy(), 150, () => 0L, _ => (), bad))
     assert(e.getMessage.contains("400"))
   }
+
+  test("loopback HTTP transport: pagination + retry policy + sync-token " +
+      "resume over REAL sockets (injected 429/503), non-retryable loud") {
+    import graft.asana._
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // ---- an in-suite Asana-shaped server: /tasks pages with opaque
+    // offset tokens, /events with a resumable sync token; the FIRST
+    // /tasks hit answers 429 + Retry-After, the second 503 — the live
+    // failure modes the retry policy exists for. No network egress:
+    // loopback only.
+    val srv = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val taskPages = Vector(
+      (Seq("""{"gid":"t1"}""", """{"gid":"t2"}"""), Some("off_b")),
+      (Seq("""{"gid":"t3"}"""), Some("off_c")),
+      (Seq("""{"gid":"t4"}""", """{"gid":"t5"}"""), None))
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def respond(x: HttpExchange, status: Int, body: String,
+        headers: Map[String, String] = Map.empty): Unit = {
+      headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) x.getResponseBody.write(b)
+      x.close()
+    }
+    srv.createContext("/api/1.0/tasks", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val n = hits.incrementAndGet()
+        if (n == 1) respond(x, 429, "", Map("Retry-After" -> "1"))
+        else if (n == 2) respond(x, 503, "")
+        else {
+          val q = Option(x.getRequestURI.getQuery).getOrElse("")
+          val off = q.split('&').map(_.split('=')).collectFirst {
+            case Array("offset", v) => v
+          }
+          val idx = off match {
+            case None => 0
+            case Some("off_b") => 1
+            case Some("off_c") => 2
+            case Some(other) => fail(s"unknown offset token $other")
+          }
+          val (rows, next) = taskPages(idx)
+          val nextJson = next
+            .map(t => s""","next_page":{"offset":"$t"}""").getOrElse("")
+          respond(x, 200,
+            s"""{"data":[${rows.mkString(",")}]$nextJson}""")
+        }
+      }
+    })
+    srv.createContext("/api/1.0/events", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        val sync = q.split('&').map(_.split('=')).collectFirst {
+          case Array("sync", v) => v.toInt
+        }.getOrElse(0)
+        import scala.jdk.CollectionConverters._
+        val pending = events.asScala.drop(sync)
+        respond(x, 200,
+          s"""{"data":[${pending.mkString(",")}],""" +
+            s""""sync":"${events.size}"}""")
+      }
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}/api/1.0"
+      // ---- the LIVE transport: one function at the documented seam —
+      // HTTP status line → AsanaOk/AsanaHttpError, exactly what the
+      // fixture transport fakes. Proves the seam's shape carries a
+      // real-socket implementation unchanged.
+      def httpFetch(url: String): AsanaFetch = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(5000)
+        val status = c.getResponseCode
+        if (status == 200) {
+          val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+          AsanaOk(Seq(body))
+        } else {
+          val retryAfter = Option(c.getHeaderField("Retry-After"))
+            .flatMap(_.toLongOption)
+          Option(c.getErrorStream).foreach(_.close())
+          AsanaHttpError(status, retryAfter)
+        }
+      }
+      val policy = AsanaRetryPolicy(maxRetries = 4, baseMs = 10L,
+        maxBackoffMs = 1000L)
+      var sleeps = List.empty[Long]
+      def page(url: String): String =
+        AsanaRetry.fetchWithRetry(policy, ms => sleeps :+= ms)(
+          _ => httpFetch(url)).head
+      // ---- pagination: walk opaque offset tokens to exhaustion
+      def offsetOf(body: String): Option[String] =
+        """"next_page":\{"offset":"([^"]+)"""".r
+          .findFirstMatchIn(body).map(_.group(1))
+      def gidsOf(body: String): Seq[String] =
+        """"gid":"([^"]+)"""".r.findAllMatchIn(body)
+          .map(_.group(1)).toSeq
+      var got = Vector.empty[String]
+      var url = s"$base/tasks?limit=2"
+      var done = false
+      while (!done) {
+        val body = page(url)
+        got ++= gidsOf(body)
+        offsetOf(body) match {
+          case Some(tok) => url = s"$base/tasks?limit=2&offset=$tok"
+          case None => done = true
+        }
+      }
+      assert(got == Vector("t1", "t2", "t3", "t4", "t5"),
+        s"every page exactly once, in order: $got")
+      // the injected failures went through the POLICY: Retry-After won
+      // for the 429 (1s, attempt 0), exponential for the 503 (attempt 1
+      // of the SAME page fetch → baseMs << 1 = 20ms)
+      assert(sleeps == List(1000L, 20L), s"sleeps: $sleeps")
+      // ---- sync-token resume over the same sockets: token t0 drains
+      // the backlog, new events arrive, resuming WITH t0's successor
+      // yields exactly the delta — the /events contract asana_incr_sync
+      // replays from fixtures
+      events.add("""{"gid":"e1"}"""); events.add("""{"gid":"e2"}""")
+      val b1 = page(s"$base/events?sync=0")
+      assert(gidsOf(b1) == Seq("e1", "e2"), b1)
+      val tok1 = """"sync":"(\d+)"""".r.findFirstMatchIn(b1).get.group(1)
+      events.add("""{"gid":"e3"}""")
+      val b2 = page(s"$base/events?sync=$tok1")
+      assert(gidsOf(b2) == Seq("e3"),
+        s"resume must yield ONLY the delta: $b2")
+      // ---- non-retryable status fails loudly through the same stack
+      val e = intercept[java.io.IOException] {
+        page(s"$base/nope")
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+    } finally srv.stop(0)
+  }
 }

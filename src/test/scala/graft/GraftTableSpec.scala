@@ -4044,4 +4044,401 @@ class GraftTableSpec extends SparkTestBase {
       graft.sql.GraftSqlTables.unregister("hp_t")
     }
   }
+
+  test("DST-gap derivation: hours() dirs come from the pure wall clock " +
+      "in a non-UTC session; pruning finds the gap-hour rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 02:30 on 2024-03-10 does not exist on the America/Los_Angeles
+    // clock (spring-forward gap): date_format over NTZ would shear it
+    // to hour 03 while the java.time pruning mirror says 02 — the
+    // mapped partition conjunct would then prune the file that holds
+    // the row. The CAST-to-STRING derivation is zone-independent.
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val rows = Seq(
+        (1L, java.time.LocalDateTime.of(2024, 3, 10, 1, 30)),
+        (2L, java.time.LocalDateTime.of(2024, 3, 10, 2, 30)),
+        (3L, java.time.LocalDateTime.of(2024, 3, 10, 3, 30))
+      ).toDF("id", "ts")
+      GraftTable.create(spark, root, rows, Seq("id"), Seq("id"),
+        numFiles = 1, partitionSpec = Seq(
+          GraftTable.PartField("ts_hour", "hours", "ts")))
+      val dirs = GraftTable.manifest(root, 1).files
+        .flatMap(_.parts.get.get("ts_hour")).toSet
+      assert(dirs == Set("2024-03-10-01", "2024-03-10-02",
+        "2024-03-10-03"), dirs.toString)
+      GraftSqlTables.register("dst_t",
+        GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id")))
+      try {
+        val got = GraftSql.sql(spark,
+          """SELECT id FROM dst_t
+             WHERE ts = TIMESTAMP_NTZ '2024-03-10 02:30:00'""")
+          .collect().map(_.getLong(0)).toSeq
+        assert(got == Seq(2L),
+          s"gap-hour row must survive partition pruning: $got")
+      } finally GraftSqlTables.unregister("dst_t")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("OPTIMIZE ... WHERE on an identity DATE partition: literals " +
+      "render to the catalog dir string; ranges compare lexicographic; " +
+      "timestamp / mistyped literals stay loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root,
+      (1 to 90).map(i => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate
+          .of(2024, 1, 1).plusDays(i % 3)), s"v$i"))
+        .toDF("id", "d", "payload"),
+      Seq("id"), Seq("id"), numFiles = 4, partitionCols = Seq("d"))
+    val before = GraftTable.manifest(root, 1).files
+    val inD2 = before.filter(_.parts.get("d") == "2024-01-02")
+      .map(_.path).toSet
+    assert(inD2.size >= 2, s"fixture needs >=2 files in d=2024-01-02")
+    GraftSqlTables.register("owd_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      // equality: the DateType literal must render '2024-01-02', never
+      // its epoch-days toString (which matched zero files — a silent
+      // no-op with a (v,0,0) receipt)
+      val r = GraftSql.sql(spark,
+        "OPTIMIZE owd_t WHERE d = DATE '2024-01-02'").head()
+      assert(r.getInt(1) == inD2.size && r.getInt(2) >= 1,
+        s"receipt $r vs rewritten ${inD2.size}")
+      val after2 = GraftTable.manifest(root, 2).files.map(_.path).toSet
+      assert(inD2.intersect(after2).isEmpty)
+      assert(before.filterNot(f => inD2(f.path))
+        .forall(f => after2(f.path)))
+      // range: zero-padded ISO dirs compare lexicographically; only
+      // d >= 2024-01-02 partitions rewrite
+      val m2 = GraftTable.manifest(root, 2).files
+      val hi = m2.filter(_.parts.get("d") >= "2024-01-02")
+        .map(_.path).toSet
+      val r2 = GraftSql.sql(spark,
+        "OPTIMIZE owd_t WHERE d >= DATE '2024-01-02'").head()
+      assert(r2.getInt(1) == hi.size, s"receipt $r2 vs ${hi.size}")
+      val after3 = GraftTable.manifest(root, 3).files.map(_.path).toSet
+      assert(hi.intersect(after3).isEmpty)
+      assert(m2.filterNot(f => hi(f.path)).forall(f => after3(f.path)))
+      assert(GraftTable.read(spark, root).count() == 90)
+      // loud: timestamp literals have no faithful dir-string form
+      val eTs = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark,
+          "OPTIMIZE owd_t WHERE d = TIMESTAMP_NTZ '2024-01-02 00:00:00'")
+          .collect()
+      }
+      assert(eTs.getMessage.contains("refusing to widen"), eTs.getMessage)
+      // loud: a numeric range against date dirs is a type mismatch,
+      // never the old forall-true full-table widening
+      val eNum = intercept[Exception] {
+        GraftSql.sql(spark, "OPTIMIZE owd_t WHERE d >= 5").collect()
+      }
+      assert(eNum.getMessage.contains("refusing to widen") ||
+        Option(eNum.getCause).exists(
+          _.getMessage.contains("refusing to widen")), eNum.getMessage)
+    } finally GraftSqlTables.unregister("owd_t")
+  }
+
+  test("MERGE autoMerge: evolution applies ONLY to star-shaped arms — " +
+      "explicit-assignment merges never widen the schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 3 data columns so a partial explicit arm is structurally
+    // distinguishable from an analyzer-expanded star (a full by-name
+    // assignment IS a star by the documented recovery rule)
+    GraftTable.create(spark, root,
+      (1 to 10).map(i => (i.toLong, s"v$i", i)).toDF("id", "payload", "qty"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    GraftSqlTables.register("ams_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      Seq((5L, "u5", 50, 0.5), (20L, "n20", 200, 2.0))
+        .toDF("id", "payload", "qty", "score")
+        .createOrReplaceTempView("ams_src")
+      spark.conf.set("spark.graft.schema.autoMerge", "true")
+      try {
+        // arms assign a strict SUBSET of the target's columns — not
+        // star-shaped; the conf must NOT widen the table with an
+        // all-NULL `score` column
+        GraftSql.exec(spark,
+          """MERGE INTO ams_t t USING ams_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET t.payload = s.payload
+             WHEN NOT MATCHED THEN INSERT (id, payload, qty)
+               VALUES (s.id, s.payload, 0)""")
+        assert(GraftTable.read(spark, root).columns.toSeq ==
+          Seq("id", "payload", "qty"))
+        val v = GraftTable.latestSnapshot(root)
+        assert(GraftTable.manifest(root, v).op != "merge_evolve",
+          GraftTable.manifest(root, v).op)
+        // a star arm in the SAME session still evolves
+        GraftSql.exec(spark,
+          """MERGE INTO ams_t t USING ams_src s ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *""")
+        assert(GraftTable.read(spark, root).columns.toSeq ==
+          Seq("id", "payload", "qty", "score"))
+      } finally spark.conf.unset("spark.graft.schema.autoMerge")
+    } finally GraftSqlTables.unregister("ams_t")
+  }
+
+  test("durable catalog: CREATE in JVM-1 resolves by name in JVM-2 " +
+      "(table, view, DML, cross-process collision); DROP removes the " +
+      "entry; unset dir keeps the in-process behavior") {
+    import spark.implicits._
+    val catDir = Files.createTempDirectory("graft_catalog").toFile
+    graft.util.AppCleanup.onExit(s"graft_catalog_${catDir.getName}")(
+      graft.util.AppCleanup.recursiveDelete(catDir))
+    val root = freshRoot()
+    sys.props("graft.catalog.dir") = catDir.getAbsolutePath
+    try {
+      GraftSql.exec(spark,
+        s"""CREATE TABLE cat_jvm_t (id BIGINT, payload STRING)
+            USING graft LOCATION '$root' OPTIONS (key 'id', stats 'id')""")
+      GraftSql.exec(spark,
+        "INSERT INTO cat_jvm_t SELECT id, concat('v', id) FROM range(1, 6)")
+      GraftSql.exec(spark,
+        "CREATE VIEW cat_jvm_v AS SELECT id, payload FROM cat_jvm_t")
+      // the durable entries exist where a second process will look
+      assert(Files.exists(Paths.get(catDir.getAbsolutePath,
+        "tables", "cat_jvm_t.entry")))
+      assert(Files.exists(Paths.get(catDir.getAbsolutePath,
+        "views", "cat_jvm_v.entry")))
+      // in-process duplicate CREATE stays loud (unchanged guard)
+      val eDup = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          s"""CREATE TABLE cat_jvm_t (id BIGINT, payload STRING)
+              USING graft LOCATION '${root}_x' OPTIONS (key 'id')""")
+      }
+      assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+      // a SECOND JVM with an empty registry: duplicate CREATE must lose
+      // the on-disk claim, then name-resolve the table AND the view
+      // purely from the catalog files, and commit an INSERT through the
+      // loaded Ref knobs
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val workDir = Files.createTempDirectory("graft_cat_jvm").toFile
+      val log = new java.io.File(workDir, "child.log")
+      graft.util.AppCleanup.onExit(s"graft_cat_jvm_$workDir")(
+        graft.util.AppCleanup.recursiveDelete(workDir))
+      val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+        s"-Dgraft.catalog.dir=${catDir.getAbsolutePath}",
+        "graft.CatalogSecondJvmMain", catDir.getAbsolutePath,
+        "cat_jvm_t", "cat_jvm_v", "999")
+      pb.directory(workDir)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val proc = pb.start()
+      try {
+        assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+          "catalog child JVM did not finish")
+        assert(proc.exitValue() == 0,
+          s"catalog child JVM failed; log tail:\n" +
+            new String(Files.readAllBytes(log.toPath)).takeRight(3000))
+      } finally if (proc.isAlive) proc.destroyForcibly()
+      // the child's INSERT is visible here by name — one shared table
+      val got = GraftSql.sql(spark,
+        "SELECT id, payload FROM cat_jvm_t ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got.size == 6 && got.last == ((999L, "from_jvm2")), got)
+      // DROP semantics: unregister removes the durable entry too
+      assert(GraftSqlTables.unregister("cat_jvm_t"))
+      assert(!Files.exists(Paths.get(catDir.getAbsolutePath,
+        "tables", "cat_jvm_t.entry")))
+      assert(graft.sql.GraftSqlViews.unregister(Seq("cat_jvm_v")))
+      assert(!Files.exists(Paths.get(catDir.getAbsolutePath,
+        "views", "cat_jvm_v.entry")))
+    } finally {
+      sys.props -= "graft.catalog.dir"
+      GraftSqlTables.unregister("cat_jvm_t")
+      graft.sql.GraftSqlViews.unregister(Seq("cat_jvm_v"))
+    }
+    // with no catalog configured, registration stays purely in-process
+    // (no stray files anywhere) — the pre-r16 contract
+    GraftSqlTables.register("cat_mem_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id")))
+    try {
+      assert(Files.list(Paths.get(catDir.getAbsolutePath, "tables"))
+        .count() == 0)
+    } finally GraftSqlTables.unregister("cat_mem_t")
+  }
+
+  test("ALTER COLUMN TYPE safe widening: metadata-only commit, mixed-" +
+      "epoch reads, stats/bloom survive, time travel keeps each " +
+      "snapshot's type, outside-matrix loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1rows = (1 to 50).map(i => (i.toLong, i, i.toFloat / 2, s"v$i"))
+      .toDF("id", "n", "x", "payload")
+    GraftTable.create(spark, root, v1rows, Seq("id", "n"), Seq("id"),
+      numFiles = 2, bloomCols = Seq("n"))
+    // widen n: INT -> BIGINT, one metadata-only commit, files untouched
+    assert(GraftTable.alterWidenColumnType(root, "n",
+      org.apache.spark.sql.types.LongType) == 2)
+    val m2 = GraftTable.manifest(root, 2)
+    assert(m2.op == "alter_widen(n:int->bigint)")
+    assert(m2.files == GraftTable.manifest(root, 1).files,
+      "widen must carry every file by reference")
+    val r2 = GraftTable.read(spark, root)
+    assert(r2.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(r2.agg(sum(col("n"))).head().getLong(0) == (1 to 50).sum)
+    // post-widen append holds values an INT cannot — the case the
+    // widening exists for
+    val big = Int.MaxValue.toLong + 7L
+    GraftTable.append(spark, root,
+      Seq((51L, big, 25.5f, "v51")).toDF("id", "n", "x", "payload"),
+      Seq("id", "n"), Seq("id"), numFiles = 1)
+    val mixed = GraftTable.read(spark, root)
+    assert(mixed.where(col("n") === big).count() == 1)
+    assert(mixed.agg(sum(col("n"))).head().getLong(0) ==
+      (1 to 50).sum.toLong + big)
+    // float -> double on the same table; mixed-epoch doubles exact
+    assert(GraftTable.alterWidenColumnType(root, "x",
+      org.apache.spark.sql.types.DoubleType) == 4)
+    val rx = GraftTable.read(spark, root)
+    assert(rx.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(rx.where(col("id") === 4L).head().getDouble(2) == 2.0)
+    // time travel presents each snapshot's OWN type
+    assert(GraftTable.read(spark, root, Some(1)).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(GraftTable.read(spark, root, Some(3)).schema("x").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    // stats pruning still prunes on the widened column: the narrow-
+    // epoch double-encoded min/max bounds are exact for both types
+    val probe = GraftTable.read(spark, root).where(col("n") === 7L)
+    assert(probe.count() == 1)
+    // outside the matrix: loud, with the matrix named
+    val eNarrow = intercept[IllegalArgumentException] {
+      GraftTable.alterWidenColumnType(root, "n",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    assert(eNarrow.getMessage.contains("safe widening matrix"),
+      eNarrow.getMessage)
+    intercept[IllegalArgumentException] {
+      GraftTable.alterWidenColumnType(root, "payload",
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.alterWidenColumnType(root, "id",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    // RESTORE across the widen resurrects the narrow schema wholesale
+    // (snapshot semantics — restore copies the target's schemaJson)
+    GraftTable.restore(root, 1)
+    assert(GraftTable.read(spark, root).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(GraftTable.read(spark, root).schema("x").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    // the SQL verb: widen via ALTER TABLE; non-type alterations loud
+    val root2 = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE wt_sql (id BIGINT, n INT) USING graft
+          LOCATION '$root2' OPTIONS (key 'id', stats 'id,n')""")
+    try {
+      GraftSql.exec(spark, "INSERT INTO wt_sql SELECT id, cast(id AS INT) " +
+        "FROM range(1, 11)")
+      GraftSql.exec(spark, "ALTER TABLE wt_sql ALTER COLUMN n TYPE BIGINT")
+      assert(GraftSql.sql(spark, "SELECT sum(n) AS s FROM wt_sql")
+        .head().getLong(0) == 55L)
+      assert(GraftTable.read(spark, root2).schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val eCmt = intercept[IllegalArgumentException] {
+        GraftSql.exec(spark,
+          "ALTER TABLE wt_sql ALTER COLUMN n COMMENT 'nope'")
+      }
+      assert(eCmt.getMessage.contains("TYPE widening"), eCmt.getMessage)
+    } finally GraftSqlTables.unregister("wt_sql")
+  }
+
+  test("REBASE BRANCH: key-disjoint branch commits re-derive onto an " +
+      "advanced main (pure metadata, per-commit chain kept); key clash " +
+      "loud with main untouched; empty branch re-points; publish works " +
+      "after rebase") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(10), Seq("id"), Seq("id"),
+      numFiles = 1) // v1
+    GraftTable.createBranch(root, "wap")
+    // two branch commits (ids 2, 3 in main's sequence)
+    GraftTable.appendToBranch(spark, root, "wap",
+      Seq((101L, "b101")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.appendToBranch(spark, root, "wap",
+      Seq((102L, "b102")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    // main advances past the fork with DISJOINT keys (ids 2, 3 on main)
+    GraftTable.append(spark, root,
+      Seq((201L, "m201")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.append(spark, root,
+      Seq((202L, "m202")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1) // main latest = 3
+    // publish now fails loudly (divergence) — the pre-rebase world
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.publishBranch(root, "wap")
+    }
+    // rebase: branch chain re-derives as ids 4, 5 on top of main's 3
+    val head = GraftTable.rebaseBranch(spark, root, "wap", "id")
+    assert(head == 5, s"rebased head: $head")
+    assert(GraftTable.branches(root)("wap") == 3,
+      "marker must re-point to main's latest")
+    // the rebased branch reads main's rows AND the branch's — per-
+    // commit granularity preserved (two branch manifests, ids 4 and 5)
+    val ids = GraftTable.readBranch(spark, root, "wap")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((1L to 10L) ++ Seq(101L, 102L, 201L, 202L)).sorted)
+    assert(GraftTable.branchHead(root, "wap") == 5)
+    // main itself never moved
+    assert(GraftTable.latestSnapshot(root) == 3)
+    assert(GraftTable.read(spark, root).count() == 12)
+    // publish after rebase fast-forwards cleanly
+    assert(GraftTable.publishBranch(root, "wap") == 5)
+    assert(GraftTable.read(spark, root).count() == 14)
+    GraftTable.dropBranch(root, "wap")
+
+    // key clash: branch writes a key main also touched since the fork
+    GraftTable.createBranch(root, "clash")
+    GraftTable.appendToBranch(spark, root, "clash",
+      Seq((300L, "b300")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    GraftTable.append(spark, root,
+      Seq((300L, "m300")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1)
+    val vBefore = GraftTable.latestSnapshot(root)
+    val headBefore = GraftTable.branchHead(root, "clash")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.rebaseBranch(spark, root, "clash", "id")
+    }
+    assert(e.getMessage.contains("300"), e.getMessage)
+    // loud AND untouched: main, the branch chain, and the marker
+    assert(GraftTable.latestSnapshot(root) == vBefore)
+    assert(GraftTable.branchHead(root, "clash") == headBefore)
+    assert(GraftTable.branches(root)("clash") == 5)
+    GraftTable.dropBranch(root, "clash")
+
+    // an unwritten branch rebases by marker re-point alone
+    GraftTable.createBranch(root, "idle", Some(5))
+    assert(GraftTable.rebaseBranch(spark, root, "idle", "id") ==
+      GraftTable.latestSnapshot(root))
+    assert(GraftTable.branches(root)("idle") ==
+      GraftTable.latestSnapshot(root))
+    GraftTable.dropBranch(root, "idle")
+
+    // the SQL verb returns the rebased head as its receipt
+    GraftSqlTables.register("rb_t",
+      GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id"), numFiles = 1))
+    try {
+      GraftSql.exec(spark, "ALTER TABLE rb_t CREATE BRANCH sqlb")
+      GraftSql.exec(spark,
+        "INSERT INTO rb_t@sqlb VALUES (400, 'b400')")
+      GraftSql.exec(spark, "INSERT INTO rb_t VALUES (500, 'm500')")
+      val r = GraftSql.sql(spark, "ALTER TABLE rb_t REBASE BRANCH sqlb")
+        .head()
+      assert(r.getInt(0) == GraftTable.branchHead(root, "sqlb"))
+      assert(GraftSql.sql(spark,
+        "ALTER TABLE rb_t PUBLISH BRANCH sqlb").head().getInt(0) ==
+        GraftTable.latestSnapshot(root))
+    } finally GraftSqlTables.unregister("rb_t")
+  }
 }

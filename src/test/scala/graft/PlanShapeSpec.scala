@@ -855,4 +855,67 @@ class PlanShapeSpec extends SparkTestBase {
       assert(exCount == 2, s"expected 2 exchanges, got $exCount:\n$p")
     }
   }
+
+  test("ANALYZE statistics drive join planning: a DV-eaten registered " +
+      "table broadcasts WITHOUT a hint only once its analyzed size is " +
+      "on the manifest (raw file bytes pick SMJ)") {
+    import spark.implicits._
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stats_pin").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_stats_pin_$root")(
+      graft.util.AppCleanup.recursiveDelete(new java.io.File(root)))
+    // a table whose FILES overstate its live data: 20k rows of
+    // incompressible payload in one file, then MOR-delete 999/1000 —
+    // deletion vectors leave the bytes in place, so the file-size
+    // heuristic sees ~1000× the live data
+    t.create(spark, root,
+      (1L to 20000L).map(i => (i, i)).toDF("id", "seed")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("seed").cast("string"))
+            .as("pay")),
+      Seq("id"), Seq("id"), numFiles = 1)
+    t.deleteMor(spark, root, (1L to 20000L).filter(_ % 1000 != 0)
+      .toDF("id"), "id")
+    graft.sql.GraftSqlTables.register("stats_pin_t",
+      graft.sql.GraftSqlTables.Ref(root, "id", Seq("id"), Seq("id")))
+    // sized between the live-scaled analyzed estimate (~0.1% of the
+    // ~700 KB file ≈ sub-KB) and BOTH sides' column-pruned raw
+    // estimates (single-bigint prunes of ~100 KB+ files ≈ 10 KB+), so
+    // pre-ANALYZE neither side may broadcast and post-ANALYZE only the
+    // graft side may
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      withStaticPlan {
+        def plan() = graft.sql.GraftSql.sql(spark,
+          s"""SELECT count(1) AS n
+              FROM parquet.`$sf/lineitem.parquet` l
+              JOIN stats_pin_t t ON l.l_orderkey = t.id""")
+          .queryExecution.executedPlan.toString
+        // BEFORE ANALYZE: no manifest stats → the leaf reports raw file
+        // bytes (pruned, still > threshold) → the l_orderkey=id join
+        // sort-merges (the DV anti-join's own hinted broadcast of the
+        // tiny ordinal list is a DIFFERENT join — pin the KEYS)
+        val before = plan()
+        assert(before.contains("SortMergeJoin [l_orderkey"),
+          s"pre-ANALYZE the raw-size estimate must refuse broadcast:\n" +
+            before)
+        // ANALYZE persists live-scaled bytes (~0.1% of the file) → the
+        // SAME query now broadcasts, hint-free, driven by the stats
+        graft.sql.GraftSql.exec(spark,
+          "ANALYZE TABLE stats_pin_t COMPUTE STATISTICS")
+        val after = plan()
+        assert(after.contains("BroadcastHashJoin [l_orderkey"),
+          s"post-ANALYZE the live-scaled size must broadcast:\n$after")
+        // the stats changed the ESTIMATE, never the rows
+        assert(graft.sql.GraftSql.sql(spark,
+          "SELECT count(1) AS n FROM stats_pin_t").head().getLong(0)
+          == 20L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      graft.sql.GraftSqlTables.unregister("stats_pin_t")
+    }
+  }
 }

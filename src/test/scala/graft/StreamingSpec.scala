@@ -1767,4 +1767,97 @@ class StreamingSpec extends SparkTestBase {
       rm(work)
     }
   }
+
+  test("graft-table sink mode=upsert: keyed micro-batches route through " +
+      "the MERGE kernel (streamed upserts = one-shot MERGE of final " +
+      "images), crash-replay applies NOTHING, guards loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = graft.table.GraftTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsink_table").toFile.getPath
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_upsink_twin").toFile.getPath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_upsink_ckpt").toFile.getPath
+    graft.util.AppCleanup.onExit(s"graft_upsink_$root") {
+      Seq(root, twin, ckpt).foreach(d =>
+        graft.util.AppCleanup.recursiveDelete(new java.io.File(d)))
+    }
+    def seed = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "payload")
+    t.create(spark, root, seed, Seq("id"), Seq("id"), numFiles = 2)
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("id", "payload")
+      .writeStream.format("graft-table")
+      .option("path", root)
+      .option("mode", "upsert").option("key", "id")
+      .option("stats", "id").option("cluster", "id")
+      .option("num_files", "1")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update") // Update maps to upsert — accepted
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((2L, "u2"), (7L, "n7")) // update a live key + insert
+      q1.processAllAvailable()
+      mem.addData((2L, "u2b"), (3L, "u3")) // re-update 2: cross-batch LWW
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // parity: streamed upserts == ONE MERGE of the per-key final images
+    t.create(spark, twin, seed, Seq("id"), Seq("id"), numFiles = 2)
+    t.merge(spark, twin,
+      Seq((2L, "u2b"), (3L, "u3"), (7L, "n7")).toDF("id", "payload"),
+      "id", Seq("id"), Seq("id"))
+    def state(r: String) = t.read(spark, r).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = state(twin)
+    assert(state(root) == want, s"streamed ${state(root)} vs merged $want")
+    // each batch landed as ONE merge commit carrying the watermark
+    val mLast = t.manifest(root, t.latestSnapshot(root))
+    assert(mLast.op == "merge", mLast.op)
+    val qid = mLast.stream.flatMap(_.keys.headOption).get
+    assert(mLast.stream.exists(_(qid) == 1L), mLast.stream)
+    // CRASH between the data commit and the checkpoint commit: the
+    // restarted query replays batch 1 — the kernel's watermark guard
+    // must apply NOTHING (no phantom snapshot, no re-fired CDC)
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val vBefore = t.latestSnapshot(root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(t.latestSnapshot(root) == vBefore,
+        "a replayed upsert batch must not add a snapshot")
+      assert(state(root) == want)
+      // the stream keeps working past the replay
+      mem.addData((7L, "u7"))
+      q2.processAllAvailable()
+      assert(t.read(spark, root).where(col("id") === 7L)
+        .head().getString(1) == "u7")
+    } finally q2.stop()
+    // guards: Update output mode NEEDS mode=upsert; upsert NEEDS key;
+    // in-batch duplicate keys are a cardinality violation
+    val eU = intercept[Exception] {
+      mem.toDF().toDF("id", "payload").writeStream.format("graft-table")
+        .option("path", root)
+        .option("checkpointLocation", s"${ckpt}_u")
+        .outputMode("update").start()
+    }
+    assert(eU.getMessage.contains("upsert"), eU.getMessage)
+    val eK = intercept[Exception] {
+      mem.toDF().toDF("id", "payload").writeStream.format("graft-table")
+        .option("path", root).option("mode", "upsert")
+        .option("checkpointLocation", s"${ckpt}_k")
+        .start()
+    }
+    assert(eK.getMessage.contains("key"), eK.getMessage)
+    val q3 = start()
+    try {
+      mem.addData((9L, "a"), (9L, "b"))
+      val eDup = intercept[Exception] { q3.processAllAvailable() }
+      assert(eDup.getMessage.contains("duplicate") ||
+        Option(eDup.getCause).exists(
+          _.getMessage.contains("duplicate")), eDup.getMessage)
+    } finally q3.stop()
+  }
 }
