@@ -3288,6 +3288,57 @@ object Llm {
     * the dq_schema convention). Counts and the first relevant rank
     * ride along. 100 TB shape: rides bm25's persisted scored relation
     * and the same top-10; one aggregate per side. */
+  /** HYBRID retrieval — lexical BM25 ∪ dense cosine fused with
+    * Reciprocal Rank Fusion (RRF, the Cormack/Clarke/Büttcher fusion
+    * every two-tower + keyword production stack ships): per query term,
+    * the lexical list is [[bm25Relations]]'s persisted top-10 ranking;
+    * the dense list ranks every embedding by cosine to the term's
+    * ANCHOR document (its BM25 rank-1 hit — the pseudo-relevance trick
+    * that gives a text query a vector without a text encoder, which an
+    * offline fixture cannot run); fusion scores each candidate
+    * `Σ_systems 1/(60+rank)` over the union of the two lists. Float
+    * discipline: each term is ONE IEEE division of exact integers and
+    * the sum is ONE addition — bit-identical cross-engine, ranked
+    * before any rounding, r4 on the way out. Scale: the lexical side
+    * reads a persisted pay-once relation; the dense side broadcasts 12
+    * anchor vectors and runs the codegen'd cosine kernel corpus-linear,
+    * top-10 via the skew-escalating [[topKByKey]]; fusion joins two
+    * ≤10-row-per-term lists. At 100 TB the dense list would come from
+    * the IVF/PQ index family instead of brute force — same fusion. */
+  val llm_hybrid_rrf: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val lex = bm25Relations(s, d)._2
+      .select(col("term"), col("doc_id"), col("__rk").cast("int").as("rk_lex"))
+    val anchors = lex.where(col("rk_lex") === 1)
+      .select(col("term"), col("doc_id").as("anchor_id"))
+    val e = embDouble(s, d)
+    val aVec = anchors.join(e, col("anchor_id") === col("vec_id"))
+      .select(col("term"), col("anchor_id"), col("emb").as("qv"))
+    val sims = e.crossJoin(broadcast(aVec))
+      .where(col("vec_id") =!= col("anchor_id"))
+      .withColumn("sim_raw",
+        call_function("graft_cosine", col("emb"), col("qv")))
+      .select(col("term"), col("vec_id").as("doc_id"), col("sim_raw"))
+    val nDocs = memoProbe(s, d, "hybrid_ndocs")(
+      documents(s, d).count())
+    val dense = topKByKey(sims, Seq("term"),
+      Seq(desc("sim_raw"), asc("doc_id")), hash(col("doc_id")),
+      k = 10, maxPerKey = nDocs)
+      .select(col("term"), col("doc_id"), col("__rk").cast("int").as("rk_cos"))
+    val w = Window.partitionBy("term")
+      .orderBy(desc("rrf_raw"), asc("doc_id"))
+    lex.join(dense, Seq("term", "doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk_cos")), lit(0.0)))
+      .withColumn("rk_fused", row_number().over(w).cast("int"))
+      .select(col("term"), col("doc_id"),
+        coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+        coalesce(col("rk_cos"), lit(0)).as("rk_cos"),
+        r4(col("rrf_raw")).as("rrf"), col("rk_fused"))
+      .orderBy("term", "rk_fused")
+  }
+
   val llm_mrr: Q = (s, d) => {
     val (scored, ranked, _) = bm25Relations(s, d)
     val totals = scored.where(col("tf") >= 2)
@@ -4791,6 +4842,7 @@ object Llm {
     "llm_unigram" -> llm_unigram,
     "llm_tfidf" -> llm_tfidf,
     "llm_bm25" -> llm_bm25,
+    "llm_hybrid_rrf" -> llm_hybrid_rrf,
     "llm_bleu" -> llm_bleu,
     "llm_rouge" -> llm_rouge,
     "llm_textstats" -> llm_textstats,
@@ -6009,6 +6061,71 @@ object Llm {
            FROM scored)
          SELECT term, doc_id, tf, dl, round(score_raw, 4) AS score, rk
          FROM ranked WHERE rk <= 10 ORDER BY term, rk""",
+    // the bm25 CTEs verbatim for the lexical list; the dense list ranks
+    // cosine to the term's rank-1 anchor doc (llm_knn's list_aggregate
+    // kernel); RRF per candidate = one CAST(1 AS DOUBLE) division per
+    // system + ONE addition — ranked raw, r4 on the way out
+    "llm_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY 1),
+         stats AS (SELECT count(1) AS n_docs,
+                       sum(dl) * 1.0 / count(1) AS avgdl FROM dl),
+         df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+         q AS (SELECT term AS qt, df FROM df
+               ORDER BY df DESC, term ASC LIMIT 12),
+         scored AS (
+           SELECT tf.term, tf.doc_id,
+               ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 AS score_raw
+           FROM tf JOIN q ON tf.term = q.qt
+           JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         lex AS (
+           SELECT * FROM (
+             SELECT term, doc_id, CAST(row_number() OVER (
+                 PARTITION BY term
+                 ORDER BY score_raw DESC, doc_id ASC) AS INT) AS rk_lex
+             FROM scored) WHERE rk_lex <= 10),
+         anchors AS (SELECT term, doc_id AS anchor_id
+                     FROM lex WHERE rk_lex = 1),
+         aq AS (SELECT a.term, a.anchor_id, e.embedding AS qv
+                FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id),
+         sims AS (
+           SELECT aq.term, e.vec_id AS doc_id,
+               list_aggregate(list_transform(range(1,65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(aq.qv[i] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1,65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1,65),
+                 i -> CAST(aq.qv[i] AS DOUBLE) * CAST(aq.qv[i] AS DOUBLE)), 'sum'))) AS sim_raw
+           FROM embeddings e, aq WHERE e.vec_id <> aq.anchor_id),
+         dense AS (
+           SELECT * FROM (
+             SELECT term, doc_id, CAST(row_number() OVER (
+                 PARTITION BY term
+                 ORDER BY sim_raw DESC, doc_id ASC) AS INT) AS rk_cos
+             FROM sims) WHERE rk_cos <= 10),
+         fused AS (
+           SELECT coalesce(l.term, c.term) AS term,
+                  coalesce(l.doc_id, c.doc_id) AS doc_id,
+                  l.rk_lex, c.rk_cos,
+                  coalesce(CAST(1 AS DOUBLE) / (60 + l.rk_lex),
+                    CAST(0 AS DOUBLE)) +
+                  coalesce(CAST(1 AS DOUBLE) / (60 + c.rk_cos),
+                    CAST(0 AS DOUBLE)) AS rrf_raw
+           FROM lex l FULL OUTER JOIN dense c
+             ON l.term = c.term AND l.doc_id = c.doc_id)
+         SELECT term, doc_id,
+             coalesce(rk_lex, 0) AS rk_lex,
+             coalesce(rk_cos, 0) AS rk_cos,
+             round(rrf_raw, 4) AS rrf,
+             CAST(row_number() OVER (PARTITION BY term
+               ORDER BY rrf_raw DESC, doc_id ASC) AS INT) AS rk_fused
+         FROM fused ORDER BY term, rk_fused""",
     // same scored CTEs as llm_bm25 (the eval scores the exact relation
     // the retrieval row ships); integer gains, identical ln(rk+1)/ln(2)
     // discount tree, and ORDER BY rk list folds keep both DCG doubles
