@@ -599,6 +599,48 @@ object Table {
           GROUP BY o_year ORDER BY o_year""")
   }
 
+  /** `TRUNCATE TABLE` end-to-end: CTAS the ≤1995 slice, TRUNCATE (one
+    * metadata-only commit, zero files), re-load 1996–97 — the
+    * full-reload pattern TRUNCATE exists for. The measured read emits
+    * BOTH worlds: the post-reload state by name and the pre-truncate
+    * snapshot through `VERSION AS OF` — proving the clear really
+    * landed (an un-truncated table doubles nothing: the 1996 slice
+    * would sit beside ≤1995 rows and flip every group) AND that
+    * history survived it (the logical-clear contract; a physical
+    * delete would break the v1 leg loudly). Oracle replays both
+    * slices statically. */
+  val table_truncate: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_truncate_orders")
+    val name = "trunc_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey')
+            AS SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM parquet.`$d/orders.parquet`
+               WHERE year(o_orderdate) <= 1995""")
+      graft.sql.GraftSql.exec(s, s"TRUNCATE TABLE $name")
+      graft.sql.GraftSql.exec(s,
+        s"""INSERT INTO $name
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM parquet.`$d/orders.parquet`
+            WHERE year(o_orderdate) BETWEEN 1996 AND 1997""")
+    }
+    def agg(df: org.apache.spark.sql.DataFrame, form: String) =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select(lit(form).as("form"), col("o_orderstatus"),
+          col("n_orders"), col("sum_price"))
+    val ref = graft.sql.GraftSqlTables.lookup(Seq(name)).get
+    agg(graft.sql.GraftSql.sql(s, s"SELECT * FROM $name"), "post")
+      .unionAll(agg(GraftTable.read(s, ref.root, Some(1)), "pre"))
+      .orderBy("form", "o_orderstatus")
+  }
+
   /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` end-to-end (r15
     * verdict missing #4): the fixture CTAS-creates a dedicated table
     * (never the shared orders fixture — an analyze commit would shift
@@ -1881,6 +1923,7 @@ object Table {
     "table_evolution" -> table_evolution,
     "table_widen" -> table_widen,
     "table_sql_analyze" -> table_sql_analyze,
+    "table_truncate" -> table_truncate,
     "table_sql_part_overwrite" -> table_sql_part_overwrite,
     "table_stream_sink" -> table_stream_sink,
     "table_stream_upsert" -> table_stream_upsert,
@@ -2016,6 +2059,21 @@ object Table {
                   o_custkey + 4000000000 AS cust
            FROM orders WHERE year(o_orderdate) = 1996
          ) GROUP BY o_year ORDER BY o_year""",
+    // both worlds replay statically: post = the reloaded 1996–97
+    // slice, pre = the ≤1995 slice the truncate cleared but history
+    // still serves
+    "table_truncate" ->
+      """SELECT form, o_orderstatus, count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+         FROM (
+           SELECT 'post' AS form, o_orderstatus, o_totalprice
+           FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+           UNION ALL
+           SELECT 'pre' AS form, o_orderstatus, o_totalprice
+           FROM orders WHERE year(o_orderdate) <= 1995
+         ) GROUP BY form, o_orderstatus
+         ORDER BY form, o_orderstatus""",
     // the deterministic stat subset recomputes from the source; the
     // sort key is the stat name, values rendered as strings
     "table_sql_analyze" ->

@@ -102,6 +102,13 @@ object GraftSqlDdl {
           s"ALTER TABLE ${parts.mkString(".")} ALTER COLUMN supports " +
             "only TYPE widening on graft tables (INT -> BIGINT, " +
             "FLOAT -> DOUBLE) — evolution is add/rename/drop/widen")
+      // TRUNCATE TABLE: one metadata-only commit dropping every live
+      // row; history/time-travel/CDC keep working (the lakehouse
+      // logical-clear contract). Parser seam like the rest of the DDL.
+      case org.apache.spark.sql.catalyst.plans.logical.TruncateTable(
+          UnresolvedTable(parts, _, _))
+          if GraftSqlTables.lookup(parts).isDefined =>
+        GraftTruncateTableCommand(parts)
       // ANALYZE TABLE over a registered name: table stats always
       // (rowCount is free off the manifest), FOR COLUMNS adds
       // NDV/min/max/nulls for the named columns (FOR ALL COLUMNS =
@@ -578,6 +585,22 @@ case class GraftAlterDropColumnsCommand(parts: Seq[String],
           s"${names.mkString(", ")}; re-register the table with the " +
           "new column set")
     }
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE name` over a registered graft table: one
+  * metadata-only commit with an empty file list
+  * ([[GraftTable.truncate]]) — schema/checks/partitioning carry, time
+  * travel and RESTORE keep every pre-truncate snapshot readable, CDC
+  * reports deletes, storage reclaims via snapshot expiry. */
+case class GraftTruncateTableCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val ref = GraftSqlTables.lookup(parts).getOrElse(
+      throw new NoSuchElementException(s"graft table '$name' not found"))
+    GraftTable.truncate(ref.root)
     Seq.empty
   }
 }

@@ -635,8 +635,11 @@ object GraftTable {
     *    (they were audited against the fork's).
     * Mechanics: the new chain stages invisibly (`.rebase-` names), old
     * branch manifests drop, the staged chain hard-links into place,
-    * the marker re-points to the new fork — so readers see the old
-    * chain or the new one, and publish can never interleave the two.
+    * the marker re-points to the new fork — publish can never
+    * interleave old and new ids (old names clear before new ones
+    * land), every pre-swap failure leaves the old chain fully intact,
+    * and a failure INSIDE the swap window keeps the staged `.rebase-`
+    * files on disk as the recovery copy instead of losing the branch.
     * Returns the rebased branch head id. A branch with no commits just
     * re-points its marker. */
   def rebaseBranch(spark: SparkSession, root: String, name: String,
@@ -705,17 +708,19 @@ object GraftTable {
         StandardOpenOption.CREATE_NEW)
       head.snapshot
     }
-    try {
-      // drop the old chain, link the staged one, re-point the marker:
-      // ids may numerically overlap (fork+k vs latest+k), so the old
-      // names must clear before the new ones land
-      oldIds.foreach(id =>
-        Files.deleteIfExists(branchManifestPath(root, name, id)))
-      staged.foreach(id =>
-        Files.createLink(branchManifestPath(root, name, id),
-          stagePath(id)))
-      swapMarker()
-    } finally staged.foreach(id => Files.deleteIfExists(stagePath(id)))
+    // drop the old chain, link the staged one, re-point the marker:
+    // ids may numerically overlap (fork+k vs latest+k), so the old
+    // names must clear before the new ones land. Staging is deleted
+    // ONLY on success — a failure (or crash) inside the swap window
+    // leaves the `.rebase-` files on disk as the recovery copy of the
+    // new chain rather than silently losing the branch's commits.
+    oldIds.foreach(id =>
+      Files.deleteIfExists(branchManifestPath(root, name, id)))
+    staged.foreach(id =>
+      Files.createLink(branchManifestPath(root, name, id),
+        stagePath(id)))
+    swapMarker()
+    staged.foreach(id => Files.deleteIfExists(stagePath(id)))
     head.snapshot
   }
 
@@ -2181,6 +2186,31 @@ object GraftTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"alterWidenColumnType lost 20 commit races at $root")
+  }
+
+  /** `TRUNCATE TABLE` — drop every live row as ONE metadata-only commit
+    * (files = none; schema, checks, partition spec and stream
+    * watermarks all carry — the table stays itself, just empty). The
+    * files remain on disk referenced by HISTORY: time travel to any
+    * pre-truncate snapshot still reads them, RESTORE resurrects them
+    * wholesale, and row-level CDC reports the truncate as deletes —
+    * storage is reclaimed by the ordinary snapshot-expiry path, never
+    * here (the lakehouse TRUNCATE contract: a logical clear, not an
+    * rm -rf). Optimistic like every verb; truncating an already-empty
+    * table declines to commit (the no-empty-commit rule). */
+  def truncate(root: String): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      require(v > 0, s"TRUNCATE of non-existent table $root")
+      val parent = manifest(root, v)
+      if (parent.files.isEmpty) return v
+      val m = child(parent, "truncate", Nil)
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"truncate lost 20 commit races at $root")
   }
 
   /** `ANALYZE TABLE` — persist optimizer statistics into the manifest

@@ -4441,4 +4441,34 @@ class GraftTableSpec extends SparkTestBase {
         GraftTable.latestSnapshot(root))
     } finally GraftSqlTables.unregister("rb_t")
   }
+
+  test("TRUNCATE TABLE: metadata-only clear — history/CDC/restore keep " +
+      "working, empty no-op, re-insert may reuse keys") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, idTable(20), Seq("id"), Seq("id"),
+      numFiles = 2) // v1
+    assert(GraftTable.truncate(root) == 2)
+    assert(GraftTable.read(spark, root).count() == 0)
+    assert(GraftTable.manifest(root, 2).op == "truncate")
+    assert(GraftTable.manifest(root, 2).files.isEmpty)
+    // schema and key discipline survive; old KEYS are reusable (gone
+    // by definition)
+    GraftTable.append(spark, root,
+      Seq((5L, "again5")).toDF("id", "payload"), Seq("id"), Seq("id"),
+      numFiles = 1) // v3
+    assert(GraftTable.read(spark, root).count() == 1)
+    // time travel reads the pre-truncate world; restore resurrects it
+    assert(GraftTable.read(spark, root, Some(1)).count() == 20)
+    // CDC across the truncate: 20 deletes, nothing else
+    val cdc = GraftTable.changesBetweenRows(spark, root, 1, 2, "id")
+    assert(cdc.count() == 20 &&
+      cdc.where(col("_change_type") =!= "delete").count() == 0)
+    // truncating an empty snapshot declines to commit
+    GraftTable.truncate(root) // v4: clears the re-insert
+    val v = GraftTable.latestSnapshot(root)
+    assert(GraftTable.truncate(root) == v, "empty truncate must no-op")
+    GraftTable.restore(root, 1)
+    assert(GraftTable.read(spark, root).count() == 20)
+  }
 }
