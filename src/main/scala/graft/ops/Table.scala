@@ -599,13 +599,60 @@ object Table {
           GROUP BY o_year ORDER BY o_year""")
   }
 
-  /** `TRUNCATE TABLE` end-to-end: CTAS the ≤1995 slice, TRUNCATE (one
+  /** `CREATE OR REPLACE TABLE` end-to-end: CTAS the raw ≤1995 order
+    * slice, then REPLACE it wholesale with a per-year AGGREGATE of the
+    * same source — the rebuild-a-derived-table pattern the verb exists
+    * for (a reporting table re-derives on schedule; drop+create would
+    * sever history and break readers mid-swap). The measured read
+    * emits the post-replace aggregate by name AND the pre-replace raw
+    * slice through `VERSION AS OF` — a replace that appended instead
+    * of swapping, dropped history, or lost the schema change breaks
+    * one leg or the other. Oracle replays both worlds statically. */
+  val table_sql_replace: Q = (s, d) => {
+    import graft.util.Det._
+    val root = Sources.sinkDir(s, d, "sql_replace_orders")
+    val name = "repl_" + graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    graft.util.AppCleanup.buildOnce(tableBuilt, root) {
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE TABLE $name USING graft LOCATION '$root'
+            OPTIONS (key 'o_orderkey', stats 'o_orderkey',
+                     cluster 'o_orderkey')
+            AS SELECT o_orderkey, o_orderdate, o_totalprice
+               FROM parquet.`$d/orders.parquet`
+               WHERE year(o_orderdate) <= 1997""")
+      graft.sql.GraftSql.exec(s,
+        s"""CREATE OR REPLACE TABLE $name USING graft
+            LOCATION '$root' OPTIONS (key 'o_year')
+            AS SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                      count(1) AS n_orders,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+               FROM parquet.`$d/orders.parquet`
+               WHERE year(o_orderdate) <= 1997
+               GROUP BY 1""")
+    }
+    val ref = graft.sql.GraftSqlTables.lookup(Seq(name)).get
+    val post = graft.sql.GraftSql.sql(s,
+        s"SELECT o_year, n_orders, sum_price FROM $name")
+      .select(lit("post").as("form"), col("o_year"),
+        col("n_orders"), col("sum_price"))
+    val pre = GraftTable.read(s, ref.root, Some(1))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .select(lit("pre_check").as("form"), col("o_year"),
+        col("n_orders"), col("sum_price"))
+    post.unionAll(pre).orderBy("form", "o_year")
+  }
+
+  /** `TRUNCATE TABLE` end-to-end: CTAS the ≤1997 slice, TRUNCATE (one
     * metadata-only commit, zero files), re-load 1996–97 — the
     * full-reload pattern TRUNCATE exists for. The measured read emits
     * BOTH worlds: the post-reload state by name and the pre-truncate
     * snapshot through `VERSION AS OF` — proving the clear really
     * landed (an un-truncated table doubles nothing: the 1996 slice
-    * would sit beside ≤1995 rows and flip every group) AND that
+    * would sit beside ≤1997 rows and flip every group) AND that
     * history survived it (the logical-clear contract; a physical
     * delete would break the v1 leg loudly). Oracle replays both
     * slices statically. */
@@ -1924,6 +1971,8 @@ object Table {
     "table_widen" -> table_widen,
     "table_sql_analyze" -> table_sql_analyze,
     "table_truncate" -> table_truncate,
+    "table_truncate" -> table_truncate,
+    "table_sql_replace" -> table_sql_replace,
     "table_sql_part_overwrite" -> table_sql_part_overwrite,
     "table_stream_sink" -> table_stream_sink,
     "table_stream_upsert" -> table_stream_upsert,
@@ -2059,6 +2108,21 @@ object Table {
                   o_custkey + 4000000000 AS cust
            FROM orders WHERE year(o_orderdate) = 1996
          ) GROUP BY o_year ORDER BY o_year""",
+    // both worlds replay statically: post = the per-year aggregate the
+    // replace installed, pre = the raw slice history still serves
+    "table_sql_replace" ->
+      """SELECT form, o_year, n_orders, sum_price FROM (
+           SELECT 'post' AS form, CAST(year(o_orderdate) AS INT) AS o_year,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2
+           UNION ALL
+           SELECT 'pre_check' AS form, CAST(year(o_orderdate) AS INT),
+               count(1), CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE)
+           FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2
+         ) ORDER BY form, o_year""",
     // both worlds replay statically: post = the reloaded 1996–97
     // slice, pre = the ≤1995 slice the truncate cleared but history
     // still serves

@@ -57,6 +57,21 @@ object GraftSqlDdl {
       case DropTable(UnresolvedIdentifier(parts, _), ifExists, purge)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftDropTableCommand(parts, ifExists, purge)
+      // [CREATE OR] REPLACE TABLE ... USING graft [AS SELECT]: one
+      // versioned redefinition commit — history survives (see
+      // GraftTable.replaceTable); parser seam like CREATE/CTAS
+      case org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect(
+          UnresolvedIdentifier(parts, _), partitioning, query,
+          spec: UnresolvedTableSpec, _, orCreate, _)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        GraftReplaceCtasCommand(parts, query, partitioning,
+          knobs(parts, spec), orCreate, specChecks(parts, spec))
+      case org.apache.spark.sql.catalyst.plans.logical.ReplaceTable(
+          UnresolvedIdentifier(parts, _), cols, partitioning,
+          spec: UnresolvedTableSpec, orCreate)
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) =>
+        GraftReplaceTableCommand(parts, toSchema(cols), partitioning,
+          knobs(parts, spec), orCreate, specChecks(parts, spec))
       case AddColumns(UnresolvedTable(parts, _, _), colsToAdd)
           if GraftSqlTables.lookup(parts).isDefined =>
         GraftAlterAddColumnsCommand(parts, toAddedFields(parts, colsToAdd))
@@ -586,6 +601,99 @@ case class GraftAlterDropColumnsCommand(parts: Seq[String],
           "new column set")
     }
     Seq.empty
+  }
+}
+
+/** Shared back half of the two REPLACE forms: bound-root identity
+  * guard, the CTAS key-contract guards, the replace commit, and the
+  * conditional knob rebind. `existing` is the binding the statement
+  * resolved against — a concurrent rebind fails the statement loudly
+  * rather than silently overwriting the other writer's knobs. */
+private[sql] object GraftReplace {
+  def replace(spark: SparkSession, parts: Seq[String],
+      existing: GraftSqlTables.Ref, ref: GraftSqlTables.Ref,
+      df: org.apache.spark.sql.DataFrame,
+      partSpec: Seq[GraftTable.PartField],
+      checks: Map[String, String]): Unit = {
+    val name = parts.mkString(".")
+    require(existing.root == ref.root,
+      s"REPLACE TABLE $name cannot move the storage root (bound " +
+        s"'${existing.root}', statement gave '${ref.root}') — DROP and " +
+        "CREATE to relocate")
+    require(df.schema.fieldNames.exists(_.equalsIgnoreCase(ref.keyCol)),
+      s"key column '${ref.keyCol}' is not in the REPLACE output " +
+        s"(${df.schema.fieldNames.mkString(", ")})")
+    GraftSqlDdl.requireDistinctCols("the REPLACE output",
+      df.schema.fieldNames.toSeq)
+    import org.apache.spark.sql.functions.col
+    val bad = df.groupBy(col(ref.keyCol)).count()
+      .where(col("count") > 1 || col(ref.keyCol).isNull)
+      .limit(1).count()
+    require(bad == 0, s"REPLACE output violates the key contract on " +
+      s"'${ref.keyCol}' (NULL or duplicate keys)")
+    GraftTable.replaceTable(spark, ref.root, df, ref.statsCols,
+      ref.clusterCols, ref.numFiles, ref.bloomCols,
+      checks = checks, partitionSpec = partSpec)
+    if (ref != existing)
+      require(GraftSqlTables.rebindIfStill(name, existing, ref),
+        s"'$name' was rebound concurrently during REPLACE — re-run " +
+          "against the current binding")
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE name USING graft ... AS SELECT ...`: the
+  * versioned full redefinition — new schema/rows/checks/partitioning in
+  * ONE commit, history intact ([[GraftTable.replaceTable]]). Plain
+  * `REPLACE TABLE` requires the name to exist; `CREATE OR REPLACE`
+  * falls through to ordinary CTAS when it doesn't. The statement
+  * restates its definition (LOCATION, key, knobs) exactly like CREATE;
+  * the given root must equal the bound one. */
+case class GraftReplaceCtasCommand(parts: Seq[String], query: LogicalPlan,
+    partitioning: Seq[Transform], ref: GraftSqlTables.Ref,
+    orCreate: Boolean, checks: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partSpec = GraftSqlDdl.partitionSpecOf(parts, partitioning)
+    GraftSqlTables.lookup(parts) match {
+      case None =>
+        require(orCreate, s"REPLACE TABLE ${parts.mkString(".")}: no " +
+          "such graft table (CREATE OR REPLACE creates it)")
+        GraftCtasCommand(parts, query, partitioning, ref,
+          ignoreIfExists = false, checks).run(spark)
+      case Some(existing) =>
+        val df = SqlShim.ofRows(spark, GraftDmlRule(spark)(query)).persist()
+        try {
+          df.count() // materialize once — the CTAS determinism guard
+          GraftReplace.replace(spark, parts, existing, ref, df,
+            partSpec, checks)
+        } finally df.unpersist()
+        Seq.empty
+    }
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE name (cols) USING graft ...` — the
+  * column-definition form: redefines to an EMPTY table of the new
+  * schema (the truncate-and-reshape verb). */
+case class GraftReplaceTableCommand(parts: Seq[String],
+    tableSchema: StructType, partitioning: Seq[Transform],
+    ref: GraftSqlTables.Ref, orCreate: Boolean,
+    checks: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partSpec = GraftSqlDdl.partitionSpecOf(parts, partitioning)
+    GraftSqlTables.lookup(parts) match {
+      case None =>
+        require(orCreate, s"REPLACE TABLE ${parts.mkString(".")}: no " +
+          "such graft table (CREATE OR REPLACE creates it)")
+        GraftCreateTableCommand(parts, tableSchema, partitioning, ref,
+          ignoreIfExists = false, checks).run(spark)
+      case Some(existing) =>
+        val empty = spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], tableSchema)
+        GraftReplace.replace(spark, parts, existing, ref, empty,
+          partSpec, checks)
+        Seq.empty
+    }
   }
 }
 

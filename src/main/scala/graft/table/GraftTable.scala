@@ -2188,6 +2188,52 @@ object GraftTable {
       s"alterWidenColumnType lost 20 commit races at $root")
   }
 
+  /** `CREATE OR REPLACE` — redefine the table WHOLESALE as ONE commit:
+    * new schema, new rows, new checks, new partition spec all land
+    * atomically (op `replace`), while HISTORY stays intact — every
+    * pre-replace snapshot keeps its own schema and files for time
+    * travel/RESTORE, and storage reclaims via ordinary snapshot expiry
+    * (the Delta CREATE OR REPLACE contract: a versioned redefinition,
+    * never a drop+create that severs history). The STREAM watermark
+    * map deliberately carries (monotone — the truncate/restore rule):
+    * a replaced table is still the same table to a checkpointed
+    * streaming query, which must not re-admit applied batches.
+    * Optimistic like every verb. */
+  def replaceTable(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 4, bloomCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil,
+      checks: Map[String, String] = Map.empty,
+      partitionSpec: Seq[PartField] = Nil): Int = {
+    require(latestSnapshot(root) > 0,
+      s"REPLACE of non-existent table $root — use create")
+    validatePartSpec(df.schema, partitionSpec, root)
+    checks.keys.groupBy(_.toLowerCase(java.util.Locale.ROOT)).values
+      .find(_.size > 1).foreach(dup => throw new IllegalArgumentException(
+        s"CHECK constraint names must be unique case-insensitively; " +
+          s"got ${dup.toSeq.sorted.mkString(", ")} at $root"))
+    checks.keys.foreach(n => requireCheckRefsExist(df.schema, n, checks(n)))
+    enforceChecks(df, checks, s"in REPLACE at $root")
+    val entries = writeFiles(spark, root, df, statsCols, clusterCols,
+      numFiles, bloomCols, zorderCols, partitionSpec)
+    var attempts = 0
+    while (attempts < 20) {
+      val v = latestSnapshot(root)
+      val parent = manifest(root, v)
+      val m = child(parent, "replace", entries).copy(
+        schemaJson = df.schema.json,
+        checks = Option(checks).filter(_.nonEmpty),
+        partitionCols =
+          Option(partitionSpec.map(_.name).toList).filter(_.nonEmpty),
+        partitionSpec = Option(partitionSpec.toList)
+          .filter(_.exists(_.transform != "identity")))
+      if (tryCommit(root, m)) return v + 1
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"replaceTable lost 20 commit races at $root")
+  }
+
   /** `TRUNCATE TABLE` — drop every live row as ONE metadata-only commit
     * (files = none; schema, checks, partition spec and stream
     * watermarks all carry — the table stays itself, just empty). The

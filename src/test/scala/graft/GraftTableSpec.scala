@@ -4471,4 +4471,67 @@ class GraftTableSpec extends SparkTestBase {
     GraftTable.restore(root, 1)
     assert(GraftTable.read(spark, root).count() == 20)
   }
+
+  test("CREATE OR REPLACE TABLE: one versioned redefinition — schema/" +
+      "rows/checks/partitioning swap wholesale, history intact; plain " +
+      "REPLACE needs an existing name; root move loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE rep_t (id BIGINT, payload STRING) USING graft
+          LOCATION '$root' OPTIONS (key 'id', stats 'id')""")
+    try {
+      GraftSql.exec(spark,
+        "INSERT INTO rep_t SELECT id, concat('v', id) FROM range(1, 21)")
+      // redefine wholesale: different schema, different rows, a CHECK
+      GraftSql.exec(spark,
+        s"""CREATE OR REPLACE TABLE rep_t USING graft
+            LOCATION '$root' OPTIONS (key 'grp')
+            AS SELECT id % 4 AS grp, count(1) AS n
+               FROM range(1, 21) GROUP BY 1""")
+      val r = GraftSql.sql(spark,
+        "SELECT grp, n FROM rep_t ORDER BY grp")
+        .as[(Long, Long)].collect().toSeq
+      assert(r == Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L)), r)
+      // ONE commit (op=replace) on the SAME chain; v2 still readable
+      val v = GraftTable.latestSnapshot(root)
+      assert(GraftTable.manifest(root, v).op == "replace")
+      assert(GraftTable.read(spark, root, Some(2)).columns.toSeq ==
+        Seq("id", "payload"))
+      assert(GraftTable.read(spark, root, Some(2)).count() == 20)
+      // DML against the new definition works under the new key
+      GraftSql.exec(spark, "INSERT INTO rep_t VALUES (9, 0)")
+      assert(GraftSql.sql(spark,
+        "SELECT count(1) AS c FROM rep_t").head().getLong(0) == 5)
+      // plain REPLACE of a MISSING name is loud; CREATE OR REPLACE of a
+      // missing name creates
+      val eMiss = intercept[Exception] {
+        GraftSql.exec(spark,
+          s"""REPLACE TABLE rep_missing USING graft
+              LOCATION '${root}_m' OPTIONS (key 'id')
+              AS SELECT 1L AS id""")
+      }
+      assert(eMiss.getMessage.contains("no such graft table") ||
+        Option(eMiss.getCause).exists(
+          _.getMessage.contains("no such graft table")), eMiss.getMessage)
+      GraftSql.exec(spark,
+        s"""CREATE OR REPLACE TABLE rep_new USING graft
+            LOCATION '${root}_n' OPTIONS (key 'id')
+            AS SELECT 1L AS id""")
+      try assert(GraftSql.sql(spark,
+        "SELECT count(1) AS c FROM rep_new").head().getLong(0) == 1)
+      finally GraftSqlTables.unregister("rep_new")
+      // moving the storage root through REPLACE is loud
+      val eMove = intercept[Exception] {
+        GraftSql.exec(spark,
+          s"""CREATE OR REPLACE TABLE rep_t USING graft
+              LOCATION '${root}_elsewhere' OPTIONS (key 'grp')
+              AS SELECT 1L AS grp, 1L AS n""")
+      }
+      assert(eMove.getMessage.contains("cannot move the storage root") ||
+        Option(eMove.getCause).exists(
+          _.getMessage.contains("cannot move the storage root")),
+        eMove.getMessage)
+    } finally GraftSqlTables.unregister("rep_t")
+  }
 }
