@@ -578,9 +578,10 @@ object GraftTable {
     // enforce against the branch HEAD's constraint set before any file
     // lands (re-validated in the loop if the set moved concurrently)
     var validated = {
-      val cs = checksOf(branchHeadManifest(root, name))
-      enforceChecks(df, cs, s"in the batch appended to branch '$name' " +
-        s"at $root")
+      val hm = branchHeadManifest(root, name)
+      val cs = checksOf(hm)
+      enforceChecks(df, withNotNull(schemaOf(hm), df, cs),
+        s"in the batch appended to branch '$name' at $root")
       cs
     }
     // partitioning is fixed at create, so any head's declaration works
@@ -602,7 +603,7 @@ object GraftTable {
         DataType.fromJson(head.schemaJson).asInstanceOf[StructType]),
         s"branch append schema mismatch vs branch '$name' head at $root")
       if (checksOf(head) != validated) {
-        enforceChecks(df, checksOf(head),
+        enforceChecks(df, withNotNull(schemaOf(head), df, checksOf(head)),
           s"in the batch appended to branch '$name' at $root")
         validated = checksOf(head)
       }
@@ -1196,6 +1197,25 @@ object GraftTable {
     * violations at once; O(rows validated), zero cost when no
     * constraint exists. Loud BEFORE any file lands, so a rejected
     * write strands nothing. */
+  /** NOT NULL enforcement (Delta's contract — a schema field declared
+    * non-nullable REJECTS null writes, it doesn't silently store them):
+    * synthesized as CHECK-shaped conditions over the TARGET schema's
+    * non-nullable fields, so nullability and user CHECKs validate in
+    * the SAME single aggregate per batch. Fields the batch doesn't
+    * carry (evolution pads them later) and nullable fields cost
+    * nothing. Induction covers carried files exactly like CHECKs:
+    * every row-adding path validates its own batch, ALTER ADD COLUMN
+    * only adds nullable fields, and evolution extras are nullable by
+    * construction. */
+  private def withNotNull(schema: StructType, df: DataFrame,
+      checks: Map[String, String]): Map[String, String] =
+    checks ++ schema.fields.iterator
+      .filter(f => !f.nullable && df.schema.fieldNames.contains(f.name))
+      .map(f => s"NOT NULL(${f.name})" -> s"`${f.name}` IS NOT NULL")
+
+  private def schemaOf(m: Manifest): StructType =
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+
   private def enforceChecks(df: DataFrame,
       checks: Map[String, String], ctx: String): Unit = {
     if (checks.isEmpty) return
@@ -1366,8 +1386,10 @@ object GraftTable {
     var validated = {
       val v0 = latestSnapshot(root)
       require(v0 > 0, s"append to non-existent table $root")
-      val cs = checksOf(manifest(root, v0))
-      enforceChecks(df, cs, s"in the appended batch at $root")
+      val m0 = manifest(root, v0)
+      val cs = checksOf(m0)
+      enforceChecks(df, withNotNull(schemaOf(m0), df, cs),
+        s"in the appended batch at $root")
       cs
     }
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
@@ -1404,8 +1426,8 @@ object GraftTable {
             s"must prefix the new schema $newShape at $root"
         else s"append schema mismatch vs snapshot $v at $root")
       if (checksOf(parent) != validated) {
-        enforceChecks(df, checksOf(parent),
-          s"in the appended batch at $root")
+        enforceChecks(df, withNotNull(schemaOf(parent), df,
+          checksOf(parent)), s"in the appended batch at $root")
         validated = checksOf(parent)
       }
       // re-check the watermark against THIS parent: a concurrent
@@ -1567,7 +1589,8 @@ object GraftTable {
     // post-image enforcement on the NEW rows only: survivors were
     // validated at their own write time and ADD CONSTRAINT validated
     // the whole table, so induction covers them
-    enforceChecks(updates, checksOf(parent),
+    enforceChecks(updates,
+      withNotNull(schemaOf(parent), updates, checksOf(parent)),
       s"in the merge post-image at $root")
     val touched = updates.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol))).distinct()
@@ -1652,7 +1675,7 @@ object GraftTable {
     require(shape(df.schema) ==
       shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
       s"overwritePartitions schema mismatch vs snapshot $v at $root")
-    enforceChecks(df, checksOf(parent),
+    enforceChecks(df, withNotNull(schemaOf(parent), df, checksOf(parent)),
       s"in the overwrite batch at $root")
     val entries = writeFiles(spark, root, df, statsCols, clusterCols,
       numFiles, bloomCols, partSpec = partSpecOf(parent))
@@ -1808,7 +1831,8 @@ object GraftTable {
     require(shape(updates.schema) ==
       shape(DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]),
       s"merge schema mismatch vs snapshot $v at $root")
-    enforceChecks(updates, checksOf(parent),
+    enforceChecks(updates,
+      withNotNull(schemaOf(parent), updates, checksOf(parent)),
       s"in the merge post-image at $root")
     val keys = updates.select(col(keyCol)).distinct()
     val candidates = prunableKeyRange(updates, keyCol, "merge") match {
@@ -2290,6 +2314,23 @@ object GraftTable {
     }.sum
     val liveBytes =
       math.ceil(diskBytes.toDouble * rows / rawRows).toLong
+    // min/max persist only for types whose catalog-string round-trip is
+    // the one Spark's own ANALYZE ships (numeric/boolean/date) —
+    // strings and timestamps get NDV/nulls only, exactly like Spark's
+    // column stats, so the read-side CatalogColumnStat can never choke
+    // parsing an external form Spark never emits
+    def rangeSafe(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.BooleanType |
+          org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
     val colStats: Map[String, String] =
       if (cols.isEmpty) Map.empty
       else {
@@ -2299,11 +2340,15 @@ object GraftTable {
           max(col(c)).cast("string").as(s"max.$c"),
           count(when(col(c).isNull, 1)).as(s"nulls.$c")))
         val r = read(spark, root).agg(aggs.head, aggs.tail: _*).head()
-        cols.flatMap(c => Seq(
-          s"ndv.$c" -> r.getAs[Long](s"ndv.$c").toString,
-          s"nulls.$c" -> r.getAs[Long](s"nulls.$c").toString) ++
-          Option(r.getAs[String](s"min.$c")).map(s"min.$c" -> _) ++
-          Option(r.getAs[String](s"max.$c")).map(s"max.$c" -> _)).toMap
+        cols.flatMap { c =>
+          val ranged = rangeSafe(schema(c).dataType)
+          Seq(
+            s"ndv.$c" -> r.getAs[Long](s"ndv.$c").toString,
+            s"nulls.$c" -> r.getAs[Long](s"nulls.$c").toString) ++
+            (if (!ranged) Nil
+             else Option(r.getAs[String](s"min.$c")).map(s"min.$c" -> _) ++
+               Option(r.getAs[String](s"max.$c")).map(s"max.$c" -> _))
+        }.toMap
       }
     val stats = Map(
       "rowCount" -> rows.toString,

@@ -584,7 +584,10 @@ class GraftTableSpec extends SparkTestBase {
       .toDF("id", "payload")
     val eNull = intercept[IllegalArgumentException](
       GraftTable.merge(spark, root2, nullKeys, "id", Seq("id"), Seq("id")))
-    assert(eNull.getMessage.contains("null"))
+    // the declared-schema NOT NULL enforcement (idTable's id is
+    // non-nullable) fires first since r16 — either loud path refuses
+    assert(eNull.getMessage.contains("null") ||
+      eNull.getMessage.contains("NOT NULL(id)"), eNull.getMessage)
   }
 
   test("tags: named refs read their snapshot, survive expiry as " +
@@ -2596,7 +2599,11 @@ class GraftTableSpec extends SparkTestBase {
         Seq((101L, None: Option[Long], "n")).toDF("id", "p", "payload"),
         Seq("id"), Seq("id"))
     }
-    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    // since r16 the declared-schema NOT NULL check (the create frame's
+    // p was non-nullable) rejects BEFORE the staged-write dir guard —
+    // both are loud, both land before any commit
+    assert(eNull.getMessage.contains("non-null") ||
+      eNull.getMessage.contains("NOT NULL(p)"), eNull.getMessage)
     val eRen = intercept[IllegalArgumentException] {
       GraftTable.alterRenameColumn(root, "p", "q")
     }
@@ -3191,8 +3198,13 @@ class GraftTableSpec extends SparkTestBase {
     }
     assert(GraftTable.latestSnapshot(root) == 0,
       "a rejected CREATE must not land a table")
+    // qty is declared NULLABLE (Option-typed frame) — the SQL-NULL-
+    // semantics walk below needs a column where NULL is legal; a
+    // non-nullable declaration would (correctly, since r16) reject the
+    // NULL before the CHECK ever evaluated
     GraftTable.create(spark, root,
-      Seq((1L, 5L), (2L, 0L)).toDF("id", "qty"), Seq("id"), Seq("id"),
+      Seq((1L, Some(5L)), (2L, Some(0L))).toDF("id", "qty"),
+      Seq("id"), Seq("id"),
       numFiles = 1, checks = Map("qty_pos" -> "qty >= 0")) // v1
     // append: violation loud and nothing stranded
     intercept[IllegalArgumentException] {
@@ -4533,5 +4545,44 @@ class GraftTableSpec extends SparkTestBase {
           _.getMessage.contains("cannot move the storage root")),
         eMove.getMessage)
     } finally GraftSqlTables.unregister("rep_t")
+  }
+
+  test("NOT NULL columns are ENFORCED on every row-adding write (one " +
+      "aggregate beside the CHECKs), not silently stored") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE nn_t (id BIGINT, v INT NOT NULL, note STRING)
+          USING graft LOCATION '$root' OPTIONS (key 'id')""")
+    try {
+      GraftSql.exec(spark, "INSERT INTO nn_t VALUES (1, 10, 'a')")
+      // INSERT of a NULL into the non-nullable column is loud
+      val eIns = intercept[Exception] {
+        GraftSql.exec(spark, "INSERT INTO nn_t VALUES (2, NULL, 'b')")
+      }
+      assert(eIns.getMessage.contains("NOT NULL(v)") ||
+        Option(eIns.getCause).exists(
+          _.getMessage.contains("NOT NULL(v)")), eIns.getMessage)
+      // UPDATE driving the column to NULL is the same violation
+      val eUpd = intercept[Exception] {
+        GraftSql.exec(spark, "UPDATE nn_t SET v = NULL WHERE id = 1")
+      }
+      assert(eUpd.getMessage.contains("NOT NULL(v)") ||
+        Option(eUpd.getCause).exists(
+          _.getMessage.contains("NOT NULL(v)")), eUpd.getMessage)
+      // nullable columns stay nullable; nothing leaked into the table
+      GraftSql.exec(spark, "INSERT INTO nn_t VALUES (3, 30, NULL)")
+      assert(GraftSql.sql(spark, "SELECT count(1) AS c FROM nn_t")
+        .head().getLong(0) == 2)
+      assert(GraftSql.sql(spark,
+        "SELECT v FROM nn_t WHERE id = 1").head().getInt(0) == 10)
+      // the DSL append path enforces too
+      val e3 = intercept[IllegalArgumentException] {
+        GraftTable.append(spark, root,
+          Seq((9L, None: Option[Int], Some("x")))
+            .toDF("id", "v", "note"), Seq("id"), Seq("id"), numFiles = 1)
+      }
+      assert(e3.getMessage.contains("NOT NULL(v)"), e3.getMessage)
+    } finally GraftSqlTables.unregister("nn_t")
   }
 }
