@@ -113,13 +113,17 @@ class PropertySpec extends SparkTestBase {
     case object Compact extends Op
     case object Vacuum extends Op
     case object Restore extends Op
+    case object Truncate extends Op
+    case class Replace(n: Int) extends Op
     val opGen: Gen[Op] = Gen.frequency(
       4 -> Gen.choose(1, 25).map(Append(_)),
       4 -> Gen.zip(Gen.choose(0, 8), Gen.choose(0, 6))
         .map { case (e, n) => Merge(e, n) },
       2 -> Gen.const(Compact),
       2 -> Gen.const(Vacuum),
-      2 -> Gen.const(Restore))
+      2 -> Gen.const(Restore),
+      1 -> Gen.const(Truncate),
+      2 -> Gen.choose(1, 10).map(Replace(_)))
     def df(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
     def readBack(root: String, v: Option[Int]): Map[Long, String] =
       graft.table.GraftTable.read(spark, root, v).collect()
@@ -182,6 +186,20 @@ class PropertySpec extends SparkTestBase {
             val v = graft.table.GraftTable.restore(root, target)
             model = history(target)
             v
+          case Truncate =>
+            // logical clear: one metadata commit, model empties; an
+            // already-empty table declines to commit (returns latest,
+            // whose recorded model is already the empty map)
+            model = Map.empty
+            graft.table.GraftTable.truncate(root)
+          case Replace(n) =>
+            // versioned redefinition: the table wholesale becomes the
+            // replacement rows; prior snapshots stay in history and the
+            // shared time-travel sweep below must still read them
+            val rows = freshKeys(n).map(k => k -> s"r$step-$k")
+            model = rows.toMap
+            graft.table.GraftTable.replaceTable(spark, root, df(rows),
+              Seq("id"), Seq("id"), numFiles = 2)
         }
         if (v > 0) history += (v -> model)
         assert(readBack(root, None) == model,
