@@ -2877,6 +2877,10 @@ object GraftTable {
     def namesAt(w: Int): Seq[String] = namesMemo.getOrElseUpdate(w,
       DataType.fromJson(manifest(root, w).schemaJson)
         .asInstanceOf[StructType].fieldNames.toSeq)
+    def fieldsAt(w: Int): Map[String, DataType] =
+      DataType.fromJson(manifest(root, w).schemaJson)
+        .asInstanceOf[StructType].fields
+        .map(f => f.name -> f.dataType).toMap
     val renameRe = """alter_rename\((.+)->(.+)\)""".r
     val restoreRe = """restore\((\d+)\)""".r
     // names at w-1 -> names at w for ONE commit; absent = not
@@ -2888,6 +2892,14 @@ object GraftTable {
         case renameRe(o, n) =>
           prev.flatMap(c => if (c == o) Some(c -> n)
             else if (cur(c)) Some(c -> c) else None).toMap
+        case "replace" =>
+          // a REDEFINITION carries a column across only when name AND
+          // type survive it — a same-name column of a different type is
+          // a new column wearing an old name, and presenting old values
+          // through it would union mismatched types downstream
+          val pt = fieldsAt(w - 1); val ct = fieldsAt(w)
+          prev.filter(c => ct.get(c).exists(t => pt.get(c).contains(t)))
+            .map(c => c -> c).toMap
         case restoreRe(k) =>
           require(Files.exists(manifestPath(root, k.toInt)),
             s"row-level CDC across the restore at commit $w of $root " +
@@ -2936,12 +2948,32 @@ object GraftTable {
           readEntries(spark, root, cur, Nil)
             .withColumn("_change_type", lit("insert")).limit(0)
         case op if op.startsWith("alter_") =>
-          // metadata-only commits (ADD COLUMNS, RENAME COLUMN) move no
-          // rows — without this arm the row-diff below would join
-          // structs whose FIELD NAMES differ across the commit and die
-          // at analysis (r13 latent-divergence audit)
+          // metadata-only commits (ADD COLUMNS, RENAME COLUMN, widen)
+          // move no rows — without this arm the row-diff below would
+          // join structs whose FIELD NAMES differ across the commit and
+          // die at analysis (r13 latent-divergence audit)
           readEntries(spark, root, cur, Nil)
             .withColumn("_change_type", lit("insert")).limit(0)
+        case "replace" =>
+          // full redefinition: every prior row is a DELETE and every
+          // new row an INSERT — never update pairs (key identity does
+          // not cross a redefinition; the key column itself may be
+          // gone). Old rows present under the NEW schema: name+type
+          // survivors carry their values, everything else null-fills —
+          // the same only-type-equal-survives rule stepNameMap applies
+          // when composing across this commit.
+          val curSchema =
+            DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+          val prevT = fieldsAt(v - 1)
+          val oldRows = readEntries(spark, root, prev, removed)
+          val oldProj = oldRows.select(curSchema.fields.toSeq.map { f =>
+            if (prevT.get(f.name).contains(f.dataType))
+              col(f.name).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          oldProj.withColumn("_change_type", lit("delete"))
+            .unionByName(readEntries(spark, root, cur, added)
+              .withColumn("_change_type", lit("insert")))
         case _ => // merge / delete / restore: row-diff vs predecessors
           // a restore that CHANGES THE SCHEMA alters the logical
           // content of carried-over files too (a resurrected column's

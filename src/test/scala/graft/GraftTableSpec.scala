@@ -4585,4 +4585,40 @@ class GraftTableSpec extends SparkTestBase {
       assert(e3.getMessage.contains("NOT NULL(v)"), e3.getMessage)
     } finally GraftSqlTables.unregister("nn_t")
   }
+
+  test("row-level CDC across a REPLACE commit: deletes + inserts, never " +
+      "update pairs; only name+type survivors carry values; full-history " +
+      "read unions cleanly across the boundary") {
+    import spark.implicits._
+    val root = freshRoot()
+    // v1: (id LONG, qty LONG, note STRING)
+    GraftTable.create(spark, root,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "qty", "note"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    // v2: REPLACE — id survives (same type), qty changes TYPE (long ->
+    // string: a new column wearing an old name), note dropped, score new
+    GraftTable.replaceTable(spark, root,
+      Seq((1L, "q1", 0.5), (3L, "q3", 0.7)).toDF("id", "qty", "score"),
+      Seq("id"), Seq("id"), numFiles = 1)
+    val cdc = GraftTable.changesBetweenRows(spark, root, 1, 2, "id")
+    val rows = cdc.select("id", "qty", "score", "_change_type")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.getString(3)))
+      .toSet
+    // deletes present old rows under the NEW schema: id carries, the
+    // re-typed qty and the new score null-fill
+    assert(rows == Set(
+      (1L, null, null, "delete"), (2L, null, null, "delete"),
+      (1L, "q1", 0.5, "insert"), (3L, "q3", 0.7, "insert")), rows)
+    assert(cdc.where(col("_change_type").startsWith("update")).count() == 0,
+      "a redefinition must never emit update pairs")
+    // full history from 0 crosses the boundary without a type clash;
+    // the v1 insert step presents only the name+type survivor (id)
+    val full = GraftTable.changesBetweenRows(spark, root, 0, 2, "id")
+    assert(full.count() == 6) // 2 creates + 2 deletes + 2 inserts
+    val v1ins = full.where(col("_commit_snapshot") === 1)
+      .select("id", "qty", "_change_type").collect()
+      .map(r => (r.get(0), r.get(1), r.getString(2))).toSet
+    assert(v1ins == Set((1L, null, "insert"), (2L, null, "insert")),
+      s"pre-replace steps must null-fill the re-typed column: $v1ins")
+  }
 }
