@@ -2009,4 +2009,40 @@ class OperatorSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(dist.toSeq == rows.toSeq, "budget arms must be value-identical")
   }
+
+  test("r16 persisted pay-once artifacts equal their live derivations: " +
+      "SCC labels vs a fresh sccOf pass, session spans vs win_session, " +
+      "embcos dedup via persisted pairs vs the live kernel") {
+    // the persistence discipline's safety argument is determinism over
+    // immutable inputs — these seams PROVE it per artifact instead of
+    // asserting it (the budget-arm-equality discipline applied to the
+    // r16 persisted relations)
+    val persisted = ops.Graph.sccLabels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = ops.Graph.sccOf(spark,
+        ops.Graph.directedSupplierEdges(spark, sf), ops.Llm.CcDriverBudgetEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == live, "persisted SCC labels diverged from live")
+    val spans = ops.Windows.sessionSpans(spark, sf)
+      .select(col("user_id"), col("session_id"),
+        col("start_ts"), col("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val winSess = ops.Windows.win_session(spark, sf)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(spans == winSess,
+      "persisted session spans diverged from the live win_session")
+    // default path reads the persisted pair relation; an explicit
+    // budget forces the live similarity kernel — same dedup verdicts
+    val viaPersisted = ops.Llm.dedupEmbcos(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaLive = ops.Llm.dedupEmbcos(spark, sf,
+        budget = Long.MaxValue - 1)
+      .collect().map(_.toSeq).toSet
+    assert(viaPersisted == viaLive,
+      "persisted embcos pairs diverged from the live kernel")
+  }
 }
