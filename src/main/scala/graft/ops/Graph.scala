@@ -305,8 +305,36 @@ object Graph {
     * link-prediction mitigation (GraphSpec proves both halves on a
     * planted-hub graph). */
   val graph_jaccard: Q = (s, d) =>
-    jaccardTopK(supplierEdges(s, d, 11), supplierDeg(s, d, 11),
-      JaccardDegreeCap)
+    jaccardFromCommon(jaccardCommonPersisted(s, d, 11),
+      supplierEdges(s, d, 11), supplierDeg(s, d, 11))
+
+  private val commonBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The hub-capped common-neighbor relation of [[graph_jaccard]],
+    * persisted once per (application, sfDir, m) — r16 optimization,
+    * one step past [[supplierDeg]] in the same pay-layout-once
+    * discipline (graph_topo's condensation edges set the precedent of
+    * persisting a deterministic join of already-persisted relations):
+    * the wedge self-join + count is ~10 M wedge rows at sf0.1 paid on
+    * every invocation for a relation bounded by node PAIRS (≤ 500 k),
+    * deterministic over the immutable edge table. The live kernel
+    * stays [[jaccardCommon]] (spec-driven; equality seam in
+    * OperatorSpec's persisted-artifact proofs). */
+  private[graft] def jaccardCommonPersisted(s: SparkSession, d: String,
+      m: Int): DataFrame = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d + "_m" + m)
+    val t = s"graft_graph_common_$tag"
+    graft.util.AppCleanup.buildOnce(commonBuilt, tag) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_graph_common")
+      graft.util.AppCleanup.resetTable(s, t)
+      jaccardCommon(supplierEdges(s, d, m), supplierDeg(s, d, m),
+        JaccardDegreeCap)
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    s.table(t)
+  }
 
   private val degBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -343,8 +371,14 @@ object Graph {
     jaccardTopK(e, jaccardDeg(e), degCap)
 
   private[graft] def jaccardTopK(e: DataFrame, deg: DataFrame,
-      degCap: Long): DataFrame = {
-    val common = jaccardCommon(e, deg, degCap)
+      degCap: Long): DataFrame =
+    jaccardFromCommon(jaccardCommon(e, deg, degCap), e, deg)
+
+  /** the finishing steps over a (live or persisted) common relation —
+    * shared so the persisted-artifact query provably runs the same
+    * anti-join / denominator / top-20 logic the spec-driven kernel does. */
+  private[graft] def jaccardFromCommon(common: DataFrame, e: DataFrame,
+      deg: DataFrame): DataFrame = {
     common.join(e, Seq("a", "b"), "left_anti")
       .where(col("common") >= 2)
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))),
@@ -732,19 +766,56 @@ object Graph {
     * a feature whose signal saturates — the closure-y questions belong
     * to [[graph_scc]]/[[graph_topo]]; ≤2 stays candidate-bounded by
     * Σ in(t)·out(t). 100 TB: each level is one shuffle join keyed on
-    * the frontier's tail + one dedup — no recursion, no driver loop. */
+    * the frontier's tail + one dedup — no recursion, no driver loop.
+    * Budget-dispatched like [[bfsOnSym]] (r16 optimization): under
+    * [[Llm.CcDriverBudgetEdges]] the k-level walk runs as per-source
+    * driver BFS over the collected edge list — the distributed loop is
+    * 2(k+1) checkpoint/shuffle jobs of pure overhead on a small graph
+    * (measured 1.24 s floor at sf0.1's 24.7k edges vs ~0.2 s collected);
+    * arm equality at budget 0 in GraphSpec. */
   val graph_reach: Q = (s, d) =>
     reachOf(s, directedSupplierEdges(s, d), 2).orderBy("node")
 
   private[graft] def reachOf(s: SparkSession, edgesIn: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      driverBudgetEdges: Long = Llm.CcDriverBudgetEdges): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    // probe-and-collect in ONE CollectLimit job (no distinct shuffle, no
+    // cache/count pair): if the raw edge list fits budget+1 rows we
+    // already hold the whole set — the driver BFS dedups edges itself
+    // (HashSet frontier/reached), so the distinct is only needed on the
+    // distributed arm. A raw count above budget+1 stops the collect
+    // early and falls through.
+    val raw = edgesIn.select(col("s"), col("t"))
+    val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
+    val es = raw.limit(limN).as[(Long, Long)].collect()
+    if (es.length <= driverBudgetEdges) {
+      val adj = es.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).distinct }
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val out = nodes.map { src =>
+        // min-dist BFS to depth k: reached = nodes with a ≥1-step path
+        // of length ≤ k (a cycle back to src counts src, same as the
+        // distributed walk's (s, s) pair)
+        val reached = scala.collection.mutable.HashSet.empty[Long]
+        var frontier: Array[Long] = Array(src)
+        var h = 0
+        while (h < k && frontier.nonEmpty) {
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+            .distinct.filterNot(reached.contains)
+          reached ++= frontier
+          h += 1
+        }
+        (src, reached.size.toLong)
+      }
+      return s.createDataset(out.toSeq).toDF("node", s"n_reach$k")
+    }
     // small, reused k+1 times: materialize once, truncate lineage;
     // superseded frontiers release their blocks, the two relations the
     // RESULT reads (edges + final walk) outlive the loop and are
     // released by the NEXT invocation (the Iterate.registerResult
     // contract every Graph loop follows — review finding, r13)
-    val e = graft.util.Iterate.checkpoint(
-      edgesIn.select(col("s"), col("t")).distinct())
+    val e = graft.util.Iterate.checkpoint(raw.distinct())
     var walk = e
     for (_ <- 2 to k) {
       val next = graft.util.Iterate.checkpoint(
@@ -990,17 +1061,39 @@ object Graph {
 
   val graph_topo: Q = (s, d) => {
     val sp = s
-    val comp = sccLabels(s, d).cache()
-    try {
-      val ced = condensedEdges(s, d)
-      val comps = comp.select(col("scc")).distinct()
-      val members = comp.groupBy("scc")
-        .agg(count(lit(1)).as("n_members"))
-      topoLayersOf(sp, comps, ced, Llm.CcDriverBudgetEdges)
-        .join(members, "scc")
-        .select(col("scc"), col("layer"), col("n_members"))
+    import sp.implicits._
+    // r16 optimization: both inputs are persisted, tiny relations (SCC
+    // labels, condensation edges) — under the shared budget the whole
+    // query is two CollectLimit jobs + the Kahn DP + one createDataset
+    // (was: cache + distinct + members agg + DP collects + join +
+    // unpersist, ~7 jobs). Same integer DP (topoLayersLocal is the
+    // exact driver-arm code), members counted off the same label rows.
+    val limN = (math.min(Llm.CcDriverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
+    val labels = sccLabels(s, d).limit(limN)
+      .as[(Long, Long)].collect()
+    val ces = condensedEdges(s, d).limit(limN).as[(Long, Long)].collect()
+    if (labels.length <= Llm.CcDriverBudgetEdges &&
+        ces.length <= Llm.CcDriverBudgetEdges) {
+      val members = labels.groupBy(_._2).map { case (c, xs) =>
+        c -> xs.length.toLong
+      }
+      val layers = topoLayersLocal(members.keys.toArray, ces)
+      s.createDataset(layers.map { case (c, l) => (c, l, members(c)) })
+        .toDF("scc", "layer", "n_members")
         .orderBy("scc")
-    } finally comp.unpersist()
+    } else {
+      val comp = sccLabels(s, d).cache()
+      try {
+        val ced = condensedEdges(s, d)
+        val comps = comp.select(col("scc")).distinct()
+        val members = comp.groupBy("scc")
+          .agg(count(lit(1)).as("n_members"))
+        topoLayersOf(sp, comps, ced, Llm.CcDriverBudgetEdges)
+          .join(members, "scc")
+          .select(col("scc"), col("layer"), col("n_members"))
+          .orderBy("scc")
+      } finally comp.unpersist()
+    }
   }
 
   /** layer(c) = longest path from any source to c over a DAG, budget-
@@ -1022,30 +1115,36 @@ object Graph {
       if (n <= driverBudgetEdges) {
         val es = ced.as[(Long, Long)].collect()
         val all = comps.as[Long].collect()
-        val indeg = scala.collection.mutable.HashMap[Long, Int]()
-        all.foreach(c => indeg(c) = 0)
-        es.foreach { case (_, t) => indeg(t) = indeg(t) + 1 }
-        val out = es.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-        val layer = scala.collection.mutable.HashMap[Long, Int]()
-        all.foreach(c => layer(c) = 0)
-        val queue = scala.collection.mutable.Queue(
-          all.filter(indeg(_) == 0).sorted: _*)
-        var seen = 0
-        while (queue.nonEmpty) {
-          val c = queue.dequeue(); seen += 1
-          out.getOrElse(c, Array.empty[Long]).foreach { t =>
-            if (layer(c) + 1 > layer(t)) layer(t) = layer(c) + 1
-            indeg(t) -= 1
-            if (indeg(t) == 0) queue.enqueue(t)
-          }
-        }
-        require(seen == all.length,
-          s"topoLayersOf: condensation is not a DAG ($seen of " +
-            s"${all.length} drained) — SCC labeling broke")
-        s.createDataset(all.toSeq.map(c => (c, layer(c))))
-          .toDF("scc", "layer")
+        s.createDataset(topoLayersLocal(all, es)).toDF("scc", "layer")
       } else topoLayersDistributed(s, comps, ced)
     } finally { ced.unpersist(); comps.unpersist() }
+  }
+
+  /** the pure Kahn longest-path DP — shared by [[topoLayersOf]]'s driver
+    * arm and [[graph_topo]]'s consolidated driver path (r16). */
+  private[graft] def topoLayersLocal(all: Array[Long],
+      es: Array[(Long, Long)]): Seq[(Long, Int)] = {
+    val indeg = scala.collection.mutable.HashMap[Long, Int]()
+    all.foreach(c => indeg(c) = 0)
+    es.foreach { case (_, t) => indeg(t) = indeg(t) + 1 }
+    val out = es.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val layer = scala.collection.mutable.HashMap[Long, Int]()
+    all.foreach(c => layer(c) = 0)
+    val queue = scala.collection.mutable.Queue(
+      all.filter(indeg(_) == 0).sorted: _*)
+    var seen = 0
+    while (queue.nonEmpty) {
+      val c = queue.dequeue(); seen += 1
+      out.getOrElse(c, Array.empty[Long]).foreach { t =>
+        if (layer(c) + 1 > layer(t)) layer(t) = layer(c) + 1
+        indeg(t) -= 1
+        if (indeg(t) == 0) queue.enqueue(t)
+      }
+    }
+    require(seen == all.length,
+      s"topoLayersOf: condensation is not a DAG ($seen of " +
+        s"${all.length} drained) — SCC labeling broke")
+    all.toSeq.map(c => (c, layer(c)))
   }
 
   private def topoLayersDistributed(s: SparkSession, comps: DataFrame,
@@ -1288,22 +1387,36 @@ object Graph {
       driverBudgetEdges: Long): DataFrame = {
     val sp = s
     import sp.implicits._
-    val edges = edgesIn.select(col("s").cast("long"),
-      col("t").cast("long"), col("w").cast("long")).cache()
+    val sel = edgesIn.select(col("s").cast("long"),
+      col("t").cast("long"), col("w").cast("long"))
+    // r16 optimization: probe-and-collect in ONE CollectLimit job (the
+    // reachOf pattern) and, on the driver arm, fold the harmonic
+    // aggregate on the driver too — src list, per-source Dijkstra,
+    // n_reach and the integer h_bp all derive from the collected edge
+    // list, so the arm is one job in, one createDataset out (was:
+    // cache+count+distinct+limit+agg+left-join, 6 jobs). Integer
+    // arithmetic (10000 div dist, dist > 0) — identical values; arm
+    // equality vs the distributed Bellman–Ford is GraphSpec's.
+    val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
+    val esProbe = sel.limit(limN).as[(Long, Long, Long)].collect()
+    if (esProbe.length <= driverBudgetEdges) {
+      val es = esProbe
+      val nodesL = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val srcsL = nodesL.take(ClosenessSources)
+      val out = srcsL.map { src =>
+        val dm = dijkstra(es, src).filter(_._1 != src)
+        (src, dm.size.toLong, dm.map { case (_, dd) => 10000L / dd }.sum)
+      }
+      return s.createDataset(out.toSeq).toDF("node", "n_reach", "h_bp")
+    }
+    val edges = sel.cache()
     try {
-      val n = edges.count()
       val nodes = edges.select(col("s").as("node"))
         .union(edges.select(col("t").as("node"))).distinct()
       // S smallest ids — a bounded driver payload at any graph size
       val srcs = nodes.orderBy("node").limit(ClosenessSources)
         .as[Long].collect().toSeq
-      val dist: DataFrame =
-        if (n <= driverBudgetEdges) {
-          val es = edges.as[(Long, Long, Long)].collect()
-          s.createDataset(srcs.flatMap(src =>
-            dijkstra(es, src).map { case (node, dd) => (src, node, dd) }))
-            .toDF("src", "node", "dist")
-        } else closenessDistributed(s, edges, srcs)
+      val dist: DataFrame = closenessDistributed(s, edges, srcs)
       val agg = dist.where(col("node") =!= col("src"))
         .groupBy("src")
         .agg(count(lit(1)).as("nr"),

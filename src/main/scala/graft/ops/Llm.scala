@@ -734,10 +734,28 @@ object Llm {
         "exceeds the broadcast budget — mine hard negatives through " +
         "the IVF-index candidate join (llm_ann_ivfpq_indexed's " +
         "cell-partitioned layout) instead of a broadcast cross join")
-    val cand = e.crossJoin(broadcast(anchors))
-      .where(col("label") =!= col("a_label"))
-      .withColumn("sim_raw", dot(col("emb"), col("av")) /
-        (norm(col("emb")) * norm(col("av"))))
+    // r16 optimization: the per-(vector, anchor) cosine ran as the
+    // interpreted HOF fold — the same shape rerankExact benched 18 s vs
+    // ~2 s for the primitive-array kernel. Same broadcast exposure (the
+    // anchor slice just passed fitsBroadcastBudget), same left-fold
+    // accumulation order and the same ne·na operand order, so sims are
+    // bit-identical to the HOF form; the label filter moves inside the
+    // loop unchanged.
+    val cand = {
+      val anchorSide = anchors
+        .select(col("anchor_id"), col("av"), col("a_label"))
+        .as[(Long, Array[Double], Int)].collect().sortBy(_._1)
+        .map { case (id, av, lb) => (id, av, lb, math.sqrt(dotArr(av, av))) }
+      val bc = s.sparkContext.broadcast(anchorSide)
+      e.select(col("vec_id"), col("emb"), col("label"))
+        .as[(Long, Array[Double], Int)]
+        .flatMap { case (vid, v, lb) =>
+          val ne = math.sqrt(dotArr(v, v))
+          bc.value.iterator.filter(_._3 != lb).map { case (aid, av, _, na) =>
+            (aid, vid, lb, dotArr(v, av) / (ne * na))
+          }
+        }.toDF("anchor_id", "vec_id", "label", "sim_raw")
+    }
     topKByKey(cand, Seq("anchor_id"),
       Seq(desc("sim_raw"), asc("vec_id")), hash(col("vec_id")),
       k = 5, maxPerKey = nVec)
@@ -1753,18 +1771,31 @@ object Llm {
   /** kNN (k=10) majority-vote label prediction: queries vec_id<20, corpus
     * vec_id≥20; vote ties broken by smallest label — fully deterministic. */
   val llm_knn_classify: Q = (s, d) => {
-    val e = embDouble(s, d).withColumn("nrm", norm(col("emb")))
-    val q = e.where(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("emb").as("qv"),
-        col("nrm").as("qn"))
-    val c = e.where(col("vec_id") >= 20)
-      .select(col("vec_id").as("cid"), col("label"), col("emb").as("cv"),
-        col("nrm").as("cn"))
+    import s.implicits._
+    val e = embDouble(s, d)
     val wSim = Window.partitionBy("qid").orderBy(desc("sim_raw"), asc("cid"))
     val wVote = Window.partitionBy("qid").orderBy(desc("votes"), asc("label"))
-    q.join(c, col("qid") =!= col("cid"))
-      .withColumn("sim_raw",
-        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // r16 optimization: the query×candidate cosine ran as the
+    // interpreted HOF fold under a nested-loop join; the 20-row query
+    // side broadcasts into the primitive-array kernel instead (the
+    // rerankExact/hard_negatives pattern). Same left-fold order and the
+    // same qn·cn operand order → bit-identical sims.
+    val cand = {
+      val qRows = e.where(col("vec_id") < 20).select(col("vec_id"), col("emb"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+        .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
+      val bc = s.sparkContext.broadcast(qRows)
+      e.where(col("vec_id") >= 20)
+        .select(col("vec_id"), col("emb"), col("label"))
+        .as[(Long, Array[Double], Int)]
+        .flatMap { case (cid, cv, lb) =>
+          val cn = math.sqrt(dotArr(cv, cv))
+          bc.value.iterator.filter(_._1 != cid).map { case (qid, qv, qn) =>
+            (qid, cid, lb, dotArr(qv, cv) / (qn * cn))
+          }
+        }.toDF("qid", "cid", "label", "sim_raw")
+    }
+    cand
       .withColumn("rn", row_number().over(wSim))
       .where(col("rn") <= 10)
       .groupBy("qid", "label")
@@ -3115,16 +3146,25 @@ object Llm {
   val llm_tfidf: Q = (s, d) => {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+    // r16 optimization (guide §2.3/§2.4): df was a count over
+    // Window.partitionBy(term) on the FULL (doc, term) relation — a
+    // corpus-wide exchange + sort just to attach a per-term constant —
+    // and the doc_id < 50 score slice was filtered only afterwards.
+    // df ≡ distinct docs containing the term (tf has one row per
+    // (doc, term)), so a term-grain countDistinct aggregate + broadcast
+    // join gives the identical integers, the sort disappears, and tf is
+    // now built from the sliced scan (doc_id < 50 reaches the parquet
+    // scan as a pushed filter). Scores: same float expression over the
+    // same per-row integers.
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.where(col("doc_id") < 50)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_raw"), asc("term"))
-    withDf
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("score_raw",
         col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
-      .where(col("doc_id") < 50)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select(col("doc_id"), col("term"), col("tf"),
@@ -3378,18 +3418,26 @@ object Llm {
     * 100 TB shape: token-linear — grams explode once per side, every
     * aggregate and the clip join key on (pair, n, gram); nothing is
     * quadratic in docs or pairs. */
-  val llm_bleu: Q = (s, d) => bleuOf(documents(s, d))
+  val llm_bleu: Q = (s, d) => bleuFromCounts(gramCountsPersisted(s, d))
 
-  /** kernel over any (doc_id, text) relation — OperatorSpec drives
-    * planted identical / disjoint / partial-overlap / short-candidate
-    * pairs against hand-computed scores. */
-  private[graft] def bleuOf(rel: DataFrame): DataFrame = {
+  /** The (pair_id, n, gram, c_cnt, r_cnt) pivot counts BOTH generation
+    * eval ops aggregate — r16 optimization (guide §2.4): the cand-vs-ref
+    * join recomputed the whole counts subtree per branch and the lens
+    * join recomputed `sides` (34/38 Exchanges, zero reuse —
+    * plans/r16/llm_{bleu,rouge}_before). ONE pivot-by-side aggregation
+    * yields the identical integer counts: a cand-only gram contributes
+    * least(c, 0) exactly as the old left join's NULL→0 did, a ref-only
+    * gram is skipped by the isNotNull guard exactly as the old
+    * inner-probe dropped it. The uni/bi explodes stay two plain
+    * Generates (a single n-tagged struct-array explode was tried and
+    * measured slower — struct allocation per token costs more than the
+    * overlapped second explode). */
+  private[graft] def gramCountsOf(rel: DataFrame): DataFrame = {
     val docs = rel
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .where(size(col("l")) >= 2)
       .select(expr("doc_id div 2").as("pair_id"),
-        (col("doc_id") % 2 === 1).as("is_cand"),
-        col("l"), size(col("l")).as("len"))
+        (col("doc_id") % 2 === 1).as("is_cand"), col("l"))
     val pairs = docs.groupBy("pair_id").agg(count(lit(1)).as("ns"))
       .where(col("ns") === 2).select("pair_id")
     val sides = docs.join(pairs, "pair_id")
@@ -3400,26 +3448,53 @@ object Llm {
         """transform(sequence(1, size(l) - 1),
              i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))"""))
         .as("gram"), lit(2).as("n"))
-    val counts = uni.unionByName(bi)
-      .groupBy("pair_id", "is_cand", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-    val cand = counts.where(col("is_cand"))
-      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("c_cnt"))
-    val ref = counts.where(!col("is_cand"))
-      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("r_cnt"))
-    val per = cand.join(ref, Seq("pair_id", "n", "gram"), "left")
-      .groupBy("pair_id")
+    uni.unionByName(bi)
+      .groupBy("pair_id", "n", "gram").agg(
+        sum(when(col("is_cand"), 1L)).as("c_cnt"),
+        sum(when(!col("is_cand"), 1L)).as("r_cnt"))
+  }
+
+  private val gramCountsBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[gramCountsOf]] over the documents pairing, persisted once per
+    * (application, sfDir) — bm25Relations' pay-once discipline applied
+    * to the generation-eval family: llm_bleu and llm_rouge aggregate
+    * the SAME tokenize+pivot relation, deterministic over the immutable
+    * corpus; equality seam in OperatorSpec's persisted-artifact proofs. */
+  private[graft] def gramCountsPersisted(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tag = graft.util.AppCleanup.tagOf(
+      s.sparkContext.applicationId + "_" + d)
+    val t = s"graft_gramcounts_$tag"
+    graft.util.AppCleanup.buildOnce(gramCountsBuilt, t) {
+      graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_gramcounts")
+      graft.util.AppCleanup.resetTable(s, t)
+      gramCountsOf(documents(s, d))
+        .write.mode("overwrite").saveAsTable(t)
+    }
+    s.table(t)
+  }
+
+  /** live kernel over any (doc_id, text) relation — OperatorSpec drives
+    * planted identical / disjoint / partial-overlap / short-candidate
+    * pairs against hand-computed scores; the query reads the persisted
+    * counts instead. */
+  private[graft] def bleuOf(rel: DataFrame): DataFrame =
+    bleuFromCounts(gramCountsOf(rel))
+
+  private[graft] def bleuFromCounts(counts: DataFrame): DataFrame = {
+    val per = counts.groupBy("pair_id")
       .agg(
-        sum(when(col("n") === 1,
+        sum(when(col("n") === 1 && col("c_cnt").isNotNull,
           least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))).as("m1"),
         sum(when(col("n") === 1, col("c_cnt"))).as("t1"),
-        sum(when(col("n") === 2,
+        sum(when(col("n") === 2 && col("c_cnt").isNotNull,
           least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L))))).as("m2"),
-        sum(when(col("n") === 2, col("c_cnt"))).as("t2"))
-    val lens = sides.groupBy("pair_id")
-      .agg(sum(when(col("is_cand"), col("len"))).as("cand_len"),
-        sum(when(!col("is_cand"), col("len"))).as("ref_len"))
-    per.join(lens, "pair_id")
+        sum(when(col("n") === 2, col("c_cnt"))).as("t2"),
+        sum(when(col("n") === 1, col("c_cnt"))).as("cand_len"),
+        sum(when(col("n") === 1, col("r_cnt"))).as("ref_len"))
+    per
       .select(col("pair_id"), col("cand_len"), col("ref_len"),
         col("m1"), col("t1"), col("m2"), col("t2"),
         r4(
@@ -3448,47 +3523,33 @@ object Llm {
     * side, the overlap is an equi-join on (pair, n, gram), totals are
     * one aggregate of the same counts relation; nothing is quadratic in
     * docs or pairs. */
-  val llm_rouge: Q = (s, d) => rougeOf(documents(s, d))
+  val llm_rouge: Q = (s, d) => rougeFromCounts(gramCountsPersisted(s, d))
 
   /** kernel over any (doc_id, text) relation — OperatorSpec drives
     * planted identical / disjoint / partial / repeated-gram-clipping
     * pairs against hand-computed scores. */
-  private[graft] def rougeOf(rel: DataFrame): DataFrame = {
-    val docs = rel
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .where(size(col("l")) >= 2)
-      .select(expr("doc_id div 2").as("pair_id"),
-        (col("doc_id") % 2 === 1).as("is_cand"), col("l"))
-    val pairs = docs.groupBy("pair_id").agg(count(lit(1)).as("ns"))
-      .where(col("ns") === 2).select("pair_id")
-    val sides = docs.join(pairs, "pair_id")
-    val uni = sides.select(col("pair_id"), col("is_cand"),
-      explode(col("l")).as("gram"), lit(1).as("n"))
-    val bi = sides.select(col("pair_id"), col("is_cand"),
-      explode(expr(
-        """transform(sequence(1, size(l) - 1),
-             i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1)))"""))
-        .as("gram"), lit(2).as("n"))
-    val counts = uni.unionByName(bi)
-      .groupBy("pair_id", "is_cand", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy("pair_id").agg(
-      sum(when(col("is_cand") && col("n") === 1, col("cnt"))).as("c1"),
-      sum(when(!col("is_cand") && col("n") === 1, col("cnt"))).as("r1"),
-      sum(when(col("is_cand") && col("n") === 2, col("cnt"))).as("c2"),
-      sum(when(!col("is_cand") && col("n") === 2, col("cnt"))).as("r2"))
-    val cand = counts.where(col("is_cand"))
-      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("c_cnt"))
-    val ref = counts.where(!col("is_cand"))
-      .select(col("pair_id"), col("n"), col("gram"), col("cnt").as("r_cnt"))
-    val overlap = cand.join(ref, Seq("pair_id", "n", "gram"))
-      .groupBy("pair_id")
+  private[graft] def rougeOf(rel: DataFrame): DataFrame =
+    rougeFromCounts(gramCountsOf(rel))
+
+  /** r16 optimization — bleuFromCounts' pivot aggregation (38 Exchanges
+    * before, plans/r16/llm_rouge_before): the totals/cand/ref branches
+    * each recomputed the counts subtree; one pivot count + one per-pair
+    * aggregate replace them. The old inner overlap join kept only grams
+    * present on BOTH sides; the both-non-null-guarded least contributes
+    * exactly those. All integers — values unchanged. */
+  private[graft] def rougeFromCounts(counts: DataFrame): DataFrame = {
+    counts.groupBy("pair_id")
       .agg(
-        sum(when(col("n") === 1, least(col("c_cnt"), col("r_cnt"))))
+        sum(when(col("n") === 1, col("c_cnt"))).as("c1"),
+        sum(when(col("n") === 1, col("r_cnt"))).as("r1"),
+        sum(when(col("n") === 2, col("c_cnt"))).as("c2"),
+        sum(when(col("n") === 2, col("r_cnt"))).as("r2"),
+        sum(when(col("n") === 1 && col("c_cnt").isNotNull &&
+          col("r_cnt").isNotNull, least(col("c_cnt"), col("r_cnt"))))
           .as("m1_raw"),
-        sum(when(col("n") === 2, least(col("c_cnt"), col("r_cnt"))))
+        sum(when(col("n") === 2 && col("c_cnt").isNotNull &&
+          col("r_cnt").isNotNull, least(col("c_cnt"), col("r_cnt"))))
           .as("m2_raw"))
-    totals.join(overlap, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("m1_raw"), lit(0L)).as("m1"), col("c1"), col("r1"),
         coalesce(col("m2_raw"), lit(0L)).as("m2"), col("c2"), col("r2"))
@@ -3522,6 +3583,12 @@ object Llm {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
     val train = tok.where(col("doc_id") % 2 === 0)
+    // r16 note: a single checkpointed (lang, token) model relation was
+    // tried (cuts 4 train explodes to 1) and MEASURED SLOWER at sf0.1
+    // (0.60 → 1.03 s isolated): the three model subtrees below are
+    // broadcast builds whose jobs run CONCURRENTLY on idle cores, so
+    // the duplicated explodes overlap, while the checkpoint serializes
+    // the critical path. Kept in the redundant-but-parallel form.
     val counts = train.groupBy(col("lang").as("cl"), col("tok").as("t"))
       .agg(count(lit(1)).as("cnt"))
     val totals = train.groupBy(col("lang").as("l"))
@@ -3655,6 +3722,12 @@ object Llm {
         .as("pr"))
       .select(col("doc_id"), col("pr.t").as("t"), col("pr.p").as("p"))
     val train = pairs.where(col("doc_id") % 2 === 0)
+    // r16 note: deriving uni from one checkpointed (p, t) model and
+    // broadcasting the model relations was tried and MEASURED SLOWER at
+    // sf0.1 (0.48 → 0.59 s isolated) — the independent model subtrees'
+    // jobs overlap on idle cores while a checkpoint serializes them,
+    // and the bigram-vocab broadcast build outweighs the saved 32-way
+    // shuffles at this scale. Kept in the redundant-but-parallel form.
     val uni = train.groupBy("t").agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum(col("cu")).cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
@@ -3743,30 +3816,52 @@ object Llm {
     * cross-engine-identical hash (the repo's dialect-safe choice — no
     * xxhash in DuckDB, no DuckDB hash() in Spark).
     *
-    * Shape: per-row md5 + one per-doc window (running cut count =
-    * chunk id, partitions bounded by document length) + one group-by
-    * with the ordered array_sort(collect_list) rebuild — linear in
-    * corpus tokens, one shuffle. */
+    * Shape (r16): fully row-local — cut positions, span bounds and span
+    * hashes compute inside the token array with codegen'd HOFs, so
+    * chunking is a pure map pass with ZERO shuffles (the former window
+    * + collect_list form shuffled the corpus twice at token grain). */
   val llm_chunk_cdc: Q = (s, d) =>
     chunkCdcOf(documents(s, d).select("doc_id", "text"))
 
   /** kernel over any (doc_id, text) relation — the shift-invariance
     * spec drives it on synthetic edit pairs. */
   private[graft] def chunkCdcOf(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // r16 optimization: chunk spans are CONTIGUOUS token ranges whose
+    // boundaries depend only on per-token content, so the whole
+    // derivation is row-local — cut positions, span bounds and span
+    // hashes all compute inside the token array with codegen'd HOFs,
+    // and the only Generate emits finished chunk rows. The old form
+    // posexploded every token, shuffled the corpus by doc_id for the
+    // running-cut window, and rebuilt chunk text via
+    // array_sort(collect_list) in a second aggregation exchange; at
+    // scale chunking is now a pure map pass (guide §2.4: remove the
+    // shuffle outright). Same cut rule, same span text, same md5 —
+    // values identical (the shift-invariance spec and the oracle pin
+    // it). Nested IF instead of OR: ANSI element_at on an empty cutpos
+    // must never evaluate.
     docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("cut",
-        when(expr("substr(md5(tok), 32, 1)").isin("0", "8"), 1L)
-          .otherwise(0L))
-      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_tok"),
-        md5(array_join(expr(
-          "transform(array_sort(collect_list(struct(pos, tok))), " +
-            "x -> x.tok)"), " ")).as("chunk_md5"))
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .withColumn("cutpos", expr(
+        """filter(transform(l, (t, i) ->
+             IF(substr(md5(t), 32, 1) IN ('0', '8'), i + 1, -1)),
+           x -> x > 0)"""))
+      .withColumn("ends", expr(
+        """IF(size(cutpos) = 0,
+            array(size(l)),
+            IF(element_at(cutpos, size(cutpos)) <> size(l),
+              concat(cutpos, array(size(l))), cutpos))"""))
+      .withColumn("starts", expr(
+        "concat(array(0), slice(ends, 1, size(ends) - 1))"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ends)), j -> struct(
+             CAST(j - 1 AS BIGINT) AS chunk_id,
+             CAST(element_at(ends, j) - element_at(starts, j) AS BIGINT)
+               AS n_tok,
+             md5(array_join(slice(l, element_at(starts, j) + 1,
+               element_at(ends, j) - element_at(starts, j)), ' '))
+               AS chunk_md5))""")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_tok").as("n_tok"), col("c.chunk_md5").as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -4458,12 +4553,16 @@ object Llm {
   val llm_dsir: Q = (s, d) => {
     val toks = documents(s, d).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("t"))
-    val raw = toks.groupBy("t").agg(count(lit(1)).as("cr"))
-    val tgt = toks.where(col("lang") === "en")
-      .groupBy("t").agg(count(lit(1)).as("ct"))
-    val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
-    val w = raw.join(tgt, Seq("t"), "left")
+    // ONE token aggregation computes raw and target counts together
+    // (opt guide §2.3 aggregate-before-shuffle: the separate tgt branch
+    // re-exploded the whole corpus for a conditional count); ct = 0 for
+    // never-in-en tokens feeds the same coalesce(ct, 0) the left join's
+    // NULL did, and nr/nt/v aggregate to the identical integers.
+    val raw = toks.groupBy("t").agg(count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"),
+      sum(col("ct")).as("nt"))
+    val w = raw
       .crossJoin(broadcast(tot))
       .select(col("t"), expr(
         """CAST(round(1e6 * (

@@ -176,11 +176,20 @@ object Windows {
   val win_topk: Q = (s, d) => {
     val w = Window.partitionBy("p_brand")
       .orderBy(desc("revenue"), asc("p_partkey"))
+    // aggregate BEFORE the join (opt guide §2.3/§3): p_brand is
+    // functionally determined by p_partkey, so grouping by l_partkey
+    // alone yields the identical groups while the partial agg hashes a
+    // single bigint key and the exchange carries 20 k rows, not the
+    // brand string per lineitem; the broadcast join then probes the
+    // aggregated relation instead of every lineitem row. revenue is
+    // DECIMAL-accumulated (moneySum6) — order-independent, so the sums
+    // are bit-identical to the join-first form.
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand", "p_partkey")
+      .groupBy(col("l_partkey"))
       .agg(moneySum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), col("revenue"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .orderBy("p_brand", "rn")
@@ -712,8 +721,12 @@ object Windows {
 
   val win_concurrent: Q = (s, d) => {
     val sess = sessionSpans(s, d)
-    val sweep = sess.select(col("start_ts").as("ts"), lit(1L).as("delta"))
-      .unionAll(sess.select(col("end_ts").as("ts"), lit(-1L).as("delta")))
+    // one scan, not a 2-branch union (r16: each union side re-read the
+    // span table); explode emits the same (ts, ±1) multiset per span
+    val sweep = sess.select(explode(array(
+        struct(col("start_ts").as("ts"), lit(1L).as("delta")),
+        struct(col("end_ts").as("ts"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.ts").as("ts"), col("x.delta").as("delta"))
       .withColumn("day", date_trunc("day", col("ts")))
     val wDays = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, -1)

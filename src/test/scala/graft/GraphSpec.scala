@@ -261,6 +261,25 @@ class GraphSpec extends SparkTestBase {
       s"diamond: $rd")
   }
 
+  test("graph_reach: driver arm ≡ forced-distributed walk (budget 0) " +
+      "on the fixture graph and the hand-check topologies") {
+    import spark.implicits._
+    val fx = ops.Graph.directedSupplierEdges(spark, sf01)
+    val planted = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),          // chain
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)),                    // cycle
+      Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)) // diamond
+    ).map(_.toDF("s", "t")) :+ fx
+    for ((g, i) <- planted.zipWithIndex; k <- Seq(2, 3)) {
+      val driver = ops.Graph.reachOf(spark, g, k).orderBy("node")
+        .as[(Long, Long)].collect().toSeq
+      val dist = ops.Graph.reachOf(spark, g, k, driverBudgetEdges = 0L)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(driver == dist, s"graph $i k=$k: $driver vs $dist")
+      assert(driver.nonEmpty)
+    }
+  }
+
   test("graph_topo: layers hand-check on a planted condensation, both " +
       "arms agree on fixture and planted DAGs, cycles are loud") {
     import spark.implicits._

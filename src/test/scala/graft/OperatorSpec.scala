@@ -821,6 +821,32 @@ class OperatorSpec extends SparkTestBase {
     assert(roots == Map("x" -> "x", "y" -> "x", "z" -> "z"))
   }
 
+  test("resolveRoots: driver arm ≡ forced-distributed doubling loop " +
+      "(budget 0) on chains, dangles, and a branchy forest") {
+    import spark.implicits._
+    val forest = Seq(("a", null), ("b", "a"), ("c", "b"), ("d", "b"),
+      ("e", "ghost"), ("f", "e"), ("g", null), ("h", "g"),
+      ("deep0", null)) ++ (1 to 17).map(i => (s"deep$i", s"deep${i - 1}"))
+    val chains = Seq(
+      forest,
+      (0 to 17).map(i => (s"t$i", if (i == 0) null else s"t${i - 1}")))
+    for (es <- chains) {
+      val df = es.toDF("gid", "parent")
+      val driver = ops.Sources.resolveRoots(df).collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val dist = ops.Sources.resolveRoots(df, driverBudgetRows = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(driver == dist, s"arms diverged: $driver vs $dist")
+      assert(driver.nonEmpty)
+    }
+    // the driver arm keeps the loud cycle contract
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("gid", "parent")
+    val e = intercept[IllegalArgumentException] {
+      ops.Sources.resolveRoots(cyc).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("agg_kll_merge: merged-sketch quantiles sit between the exact " +
       "quantiles at rank p ± 3% (the principled KLL bound — value " +
       "tolerance would conflate rank error with price spread)") {
@@ -2044,5 +2070,26 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(viaPersisted == viaLive,
       "persisted embcos pairs diverged from the live kernel")
+    // r16 optimization round: graph_jaccard's hub-capped common-neighbor
+    // relation (the wedge counts) — persisted vs a fresh jaccardCommon
+    // pass over the same persisted edge/degree relations
+    val commonPersisted = ops.Graph.jaccardCommonPersisted(spark, sf, 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val commonLive = ops.Graph.jaccardCommon(
+        ops.Graph.supplierEdges(spark, sf, 11),
+        ops.Graph.supplierDeg(spark, sf, 11), ops.Graph.JaccardDegreeCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(commonPersisted == commonLive,
+      "persisted jaccard common-neighbor counts diverged from live")
+    assert(commonPersisted.nonEmpty)
+    // r16: the bleu/rouge shared gram-count pivot — persisted vs a fresh
+    // gramCountsOf pass over the same documents pairing
+    val gcP = ops.Llm.gramCountsPersisted(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val gcL = ops.Llm.gramCountsOf(
+        graft.util.Tables.documents(spark, sf))
+      .collect().map(_.toSeq).toSet
+    assert(gcP == gcL, "persisted gram counts diverged from live")
+    assert(gcP.nonEmpty)
   }
 }

@@ -137,8 +137,16 @@ class PlanShapeSpec extends SparkTestBase {
       "anchors and never shuffles the vectors") {
     withStaticPlan {
       val p = planOf(ops.Llm.llm_hard_negatives(spark, sf))
-      assert(p.contains("BroadcastNestedLoopJoin"),
-        s"anchors not broadcast:\n$p")
+      // r16: the BroadcastNestedLoopJoin + per-pair HOF cosine became
+      // the typed primitive-array kernel (the rerankExact pattern) —
+      // anchors ride an sc.broadcast into a flatMap, so the plan must
+      // show the kernel (object boundary) and still no vector shuffle
+      // or join node anywhere below the top-k window
+      assert(p.contains("SerializeFromObject"),
+        s"typed anchor kernel missing:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+          && !p.contains("CartesianProduct"),
+        s"vector side got shuffled/joined:\n$p")
     }
   }
 
@@ -403,14 +411,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("llm_tfidf tokenizes once: a single Generate in the plan") {
-    // the round-5 fix pinned: df comes from a count window OVER tf, so
-    // the explode(split(text)) subtree must appear exactly once — the
-    // groupBy-join-back form planned it twice and doubled the query
+  test("llm_tfidf tokenizes the full corpus once; the tf pass reads " +
+      "only the scored doc slice (pushed to the scan)") {
+    // r5 pinned ONE full-corpus explode (the join-back form then planned
+    // it twice and doubled the query). r16 keeps that bound — df is the
+    // only full-corpus tokenize — but computes tf from the doc_id < 50
+    // slice with the predicate pushed into the parquet scan, so the
+    // second Generate runs over ~1% of the corpus and the corpus-wide
+    // window sort (Exchange + Sort by term) is gone.
     withStaticPlan {
       val p = planOf(ops.Llm.llm_tfidf(spark, sf))
       val n = p.linesIterator.count(_.contains("Generate explode"))
-      assert(n == 1, s"tokenize subtree appears $n times in:\n$p")
+      assert(n == 2, s"expected df + sliced-tf Generates, got $n in:\n$p")
+      assert(p.contains("LessThan(doc_id,50)"),
+        s"tf slice not pushed to the scan:\n$p")
     }
   }
 
