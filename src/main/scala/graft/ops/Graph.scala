@@ -1265,18 +1265,30 @@ object Graph {
       driverBudgetEdges: Long): DataFrame = {
     val sp = s
     import sp.implicits._
-    val edges = edgesIn.select(col("s").cast("long"),
-      col("t").cast("long"), col("w").cast("long")).cache()
+    val sel = edgesIn.select(col("s").cast("long"),
+      col("t").cast("long"), col("w").cast("long"))
+    // r16 optimization (the closenessOf treatment): probe-and-collect in
+    // ONE CollectLimit job; on the driver arm the node set, the min-id
+    // source and the unreachable-node NULLs all derive from the
+    // collected edges (was: cache + count + distinct + min-agg +
+    // collect + left join, ~6 jobs). Value-identical — dist is the same
+    // Dijkstra, absent nodes get NULL exactly as the left join gave.
+    val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
+    val esProbe = sel.limit(limN).as[(Long, Long, Long)].collect()
+    if (esProbe.length <= driverBudgetEdges) {
+      if (esProbe.isEmpty)
+        return Seq.empty[(Long, Option[Long])].toDF("node", "dist")
+      val nodesL = (esProbe.map(_._1) ++ esProbe.map(_._2)).distinct.sorted
+      val dm = dijkstra(esProbe, nodesL.min).toMap
+      return s.createDataset(nodesL.map(n => (n, dm.get(n))).toSeq)
+        .toDF("node", "dist")
+    }
+    val edges = sel.cache()
     try {
-      val n = edges.count()
       val nodes = edges.select(col("s").as("node"))
         .union(edges.select(col("t").as("node"))).distinct()
       val src = nodes.agg(min(col("node"))).head().getLong(0)
-      val dist: DataFrame =
-        if (n <= driverBudgetEdges) {
-          val es = edges.as[(Long, Long, Long)].collect()
-          s.createDataset(dijkstra(es, src)).toDF("node", "dist")
-        } else ssspDistributed(s, edges, src)
+      val dist: DataFrame = ssspDistributed(s, edges, src)
       nodes.join(dist, Seq("node"), "left")
         .select(col("node"), col("dist"))
     } finally edges.unpersist()
