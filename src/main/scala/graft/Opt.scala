@@ -39,10 +39,21 @@ object Opt {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
+    // r17, verdict #4: each query's steady-state Spark-job count is
+    // printed next to its wall time (jobs= below) so multi-job query
+    // paths (sizing counts, separate limit+collect pairs) are visible.
+    // Harness-only.
     for (n <- names) {
       val fn = all.getOrElse(n, sys.error(s"unknown query: $n"))
       spark.sparkContext.setJobDescription(s"opt:$n")
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      // NonFatal only (r17 ADVICE): a warmup that dies of OOM/linkage
+      // must not be silently swallowed, and a failed warmup is printed
+      // so uneven before/after codegen states are visible in the log.
+      try fn(spark, warmDir).count() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[opt] $n warmup FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       fn(spark, sfDir).count(); fn(spark, sfDir).count()
       planDir.foreach { dir =>
         new java.io.File(dir).mkdirs()
@@ -58,7 +69,16 @@ object Opt {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[opt] $n%-28s min=${ts.min}%6.3f  runs=" +
+      // steady-state job count: one extra invocation inside its own job
+      // group, counted via the public status tracker (listener updates
+      // are async — the short sleep lets the bus drain)
+      spark.sparkContext.setJobGroup(s"optjobs:$n", s"optjobs:$n")
+      fn(spark, sfDir).count()
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(200)
+      val jobs =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(s"optjobs:$n").length
+      println(f"[opt] $n%-28s min=${ts.min}%6.3f  jobs=$jobs%2d  runs=" +
         ts.map(t => f"$t%.3f").mkString(","))
     }
     spark.stop()

@@ -774,11 +774,13 @@ object Graph {
     * (measured 1.24 s floor at sf0.1's 24.7k edges vs ~0.2 s collected);
     * arm equality at budget 0 in GraphSpec. */
   val graph_reach: Q = (s, d) =>
-    reachOf(s, directedSupplierEdges(s, d), 2).orderBy("node")
+    reachOf(s, directedSupplierEdges(s, d), 2,
+      memoKey = s"graph_reach|$d").orderBy("node")
 
   private[graft] def reachOf(s: SparkSession, edgesIn: DataFrame,
       k: Int,
-      driverBudgetEdges: Long = Llm.CcDriverBudgetEdges): DataFrame = {
+      driverBudgetEdges: Long = Llm.CcDriverBudgetEdges,
+      memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
     // probe-and-collect in ONE CollectLimit job (no distinct shuffle, no
@@ -786,11 +788,20 @@ object Graph {
     // already hold the whole set — the driver BFS dedups edges itself
     // (HashSet frontier/reached), so the distinct is only needed on the
     // distributed arm. A raw count above budget+1 stops the collect
-    // early and falls through.
+    // early and falls through. An over-budget verdict is memoized per
+    // (application, memoKey, budget) — r17 ADVICE: at a 100 TB SF the
+    // budget is always exceeded and re-collecting budget+1 Rows per
+    // invocation is pure driver-allocation churn; null memoKey (the
+    // generic/test entry) never memoizes.
     val raw = edgesIn.select(col("s"), col("t"))
     val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
-    val es = raw.limit(limN).as[(Long, Long)].collect()
-    if (es.length <= driverBudgetEdges) {
+    val es =
+      if (graft.util.Probes.knownOverBudget(s, memoKey, driverBudgetEdges))
+        null
+      else raw.limit(limN).as[(Long, Long)].collect()
+    if (es != null && es.length > driverBudgetEdges)
+      graft.util.Probes.recordOverBudget(s, memoKey, driverBudgetEdges)
+    if (es != null && es.length <= driverBudgetEdges) {
       val adj = es.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).distinct }
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
       val out = nodes.map { src =>
@@ -1069,10 +1080,22 @@ object Graph {
     // unpersist, ~7 jobs). Same integer DP (topoLayersLocal is the
     // exact driver-arm code), members counted off the same label rows.
     val limN = (math.min(Llm.CcDriverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
-    val labels = sccLabels(s, d).limit(limN)
-      .as[(Long, Long)].collect()
-    val ces = condensedEdges(s, d).limit(limN).as[(Long, Long)].collect()
-    if (labels.length <= Llm.CcDriverBudgetEdges &&
+    // over-budget verdict memoized per (application, key, budget) —
+    // r17 ADVICE, see reachOf
+    val topoKey = s"graph_topo|$d"
+    val known = graft.util.Probes.knownOverBudget(
+      s, topoKey, Llm.CcDriverBudgetEdges)
+    val labels =
+      if (known) null
+      else sccLabels(s, d).limit(limN).as[(Long, Long)].collect()
+    val ces =
+      if (labels == null || labels.length > Llm.CcDriverBudgetEdges) null
+      else condensedEdges(s, d).limit(limN).as[(Long, Long)].collect()
+    if (!known && (labels.length > Llm.CcDriverBudgetEdges ||
+        ces.length > Llm.CcDriverBudgetEdges))
+      graft.util.Probes.recordOverBudget(s, topoKey, Llm.CcDriverBudgetEdges)
+    if (labels != null && ces != null &&
+        labels.length <= Llm.CcDriverBudgetEdges &&
         ces.length <= Llm.CcDriverBudgetEdges) {
       val members = labels.groupBy(_._2).map { case (c, xs) =>
         c -> xs.length.toLong
@@ -1258,11 +1281,12 @@ object Graph {
     * ≤k-hop paths, exact because the engine certifies every shortest
     * path settles within the unroll. */
   val graph_sssp: Q = (s, d) =>
-    ssspOf(s, weightedDirectedEdges(s, d), Llm.CcDriverBudgetEdges)
+    ssspOf(s, weightedDirectedEdges(s, d), Llm.CcDriverBudgetEdges,
+      memoKey = s"graph_sssp|$d")
       .orderBy("node")
 
   private[graft] def ssspOf(s: SparkSession, edgesIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
     val sel = edgesIn.select(col("s").cast("long"),
@@ -1274,8 +1298,15 @@ object Graph {
     // collect + left join, ~6 jobs). Value-identical — dist is the same
     // Dijkstra, absent nodes get NULL exactly as the left join gave.
     val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
-    val esProbe = sel.limit(limN).as[(Long, Long, Long)].collect()
-    if (esProbe.length <= driverBudgetEdges) {
+    // over-budget verdict memoized per (application, memoKey, budget) —
+    // r17 ADVICE, see reachOf
+    val esProbe =
+      if (graft.util.Probes.knownOverBudget(s, memoKey, driverBudgetEdges))
+        null
+      else sel.limit(limN).as[(Long, Long, Long)].collect()
+    if (esProbe != null && esProbe.length > driverBudgetEdges)
+      graft.util.Probes.recordOverBudget(s, memoKey, driverBudgetEdges)
+    if (esProbe != null && esProbe.length <= driverBudgetEdges) {
       if (esProbe.isEmpty)
         return Seq.empty[(Long, Option[Long])].toDF("node", "dist")
       val nodesL = (esProbe.map(_._1) ++ esProbe.map(_._2)).distinct.sorted
@@ -1392,11 +1423,12 @@ object Graph {
     * one relaxation fixpoint, not S. Oracle: the sssp unrolled-CTE
     * pattern keyed by (src, node). */
   val graph_closeness: Q = (s, d) =>
-    closenessOf(s, weightedDirectedEdges(s, d), Llm.CcDriverBudgetEdges)
+    closenessOf(s, weightedDirectedEdges(s, d), Llm.CcDriverBudgetEdges,
+      memoKey = s"graph_closeness|$d")
       .orderBy("node")
 
   private[graft] def closenessOf(s: SparkSession, edgesIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
     val sel = edgesIn.select(col("s").cast("long"),
@@ -1410,8 +1442,15 @@ object Graph {
     // arithmetic (10000 div dist, dist > 0) — identical values; arm
     // equality vs the distributed Bellman–Ford is GraphSpec's.
     val limN = (math.min(driverBudgetEdges, Int.MaxValue.toLong - 1) + 1).toInt
-    val esProbe = sel.limit(limN).as[(Long, Long, Long)].collect()
-    if (esProbe.length <= driverBudgetEdges) {
+    // over-budget verdict memoized per (application, memoKey, budget) —
+    // r17 ADVICE, see reachOf
+    val esProbe =
+      if (graft.util.Probes.knownOverBudget(s, memoKey, driverBudgetEdges))
+        null
+      else sel.limit(limN).as[(Long, Long, Long)].collect()
+    if (esProbe != null && esProbe.length > driverBudgetEdges)
+      graft.util.Probes.recordOverBudget(s, memoKey, driverBudgetEdges)
+    if (esProbe != null && esProbe.length <= driverBudgetEdges) {
       val es = esProbe
       val nodesL = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
       val srcsL = nodesL.take(ClosenessSources)

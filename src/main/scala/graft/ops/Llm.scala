@@ -1863,8 +1863,13 @@ object Llm {
     val assigned = rows.map { case (id, v) =>
       (nearestCellOf(bcCent.value, v), id, v)
     }
-    // queries = vec_id < 20, probing their 4 nearest cells
-    val queries = rows.filter(_._1 < 20).collect().sortBy(_._1).map {
+    // queries = vec_id < 20, probing their 4 nearest cells. Column
+    // filter, not a closure (r17, guide §6): the lambda form
+    // deserialized EVERY vector through the tuple encoder just to keep
+    // 20 — the predicate now reaches the parquet scan (PushedFilters)
+    // and the collect job reads ~20 rows.
+    val queries = rows.filter(col(rows.columns(0)) < 20)
+      .collect().sortBy(_._1).map {
       case (qid, qv) =>
         (qid, qv, probeCellsOf(bcCent.value, qv).toSet)
     }
@@ -1889,7 +1894,10 @@ object Llm {
   private[graft] def seedCentroidsVecs(
       rows: org.apache.spark.sql.Dataset[(Long, Array[Double])])
       : Array[(Long, Array[Double])] =
-    rows.filter(_._1 < 16).collect().sortBy(_._1)
+    // Column filter, not a closure (r17, guide §6): pushes vec_id < 16
+    // into the parquet scan instead of deserializing the whole corpus
+    // per quantizer fetch (shared by the seed/trained/q8 variants).
+    rows.filter(col(rows.columns(0)) < 16).collect().sortBy(_._1)
 
   /** deterministic untrained quantizer: the embeddings of vec_id 0..15. */
   private[graft] def ivfSeedCentroids(s: org.apache.spark.sql.SparkSession,
@@ -2051,7 +2059,8 @@ object Llm {
     val dir = ivfIndexDir(s, d)
     val cent = trainIvfCentroids(s, d)
     val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+      .where(col("vec_id") === 0L)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])].head()._2
     val probes = probeCellsOf(cent, qv)
     val bcQ = s.sparkContext.broadcast(qv)
     s.read.parquet(dir)
@@ -2085,7 +2094,8 @@ object Llm {
       d: String, parity: Int) = {
     import s.implicits._
     embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 % 2 == parity)
+      .where(col("vec_id") % 2 === parity)  // column filter (r17, guide §6)
+      .as[(Long, Array[Double])]
   }
 
   /** the incremental index's coarse quantizer: Lloyd's-trained on the
@@ -2106,7 +2116,8 @@ object Llm {
       _ => {
         val base = ivfIncrRows(s, d, 0)
         trainIvfVecs(base,
-          base.filter(_._1 < 32).collect().sortBy(_._1).map(_._2), 4)
+          base.filter(col("vec_id") < 32)  // pushed filter (r17, guide §6)
+            .collect().sortBy(_._1).map(_._2), 4)
       })
 
   private def assignCells(
@@ -2183,7 +2194,8 @@ object Llm {
     import s.implicits._
     val cent = trainIvfIncrCentroids(s, d)
     val queries = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 < 20)
+      .where(col("vec_id") < 20)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])]
       .collect().sortBy(_._1).map { case (qid, qv) =>
         (qid, qv, probeCellsOf(cent, qv).toSet)
       }
@@ -2347,7 +2359,8 @@ object Llm {
     import s.implicits._
     val books = trainPqCodebooks(s, d)
     val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+      .where(col("vec_id") === 0L)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])].head()._2
     val lut: Array[Array[Double]] = books.zipWithIndex.map {
       case (cb, m) =>
         cb.map(c => l2sqArr(qv.slice(m * PqSub, (m + 1) * PqSub), c))
@@ -2522,7 +2535,8 @@ object Llm {
       }.toSeq.toDF("m", "code", "cv")
     }
     val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+      .where(col("vec_id") === 0L)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])].head()._2
     val probes: Array[Int] = coarse.zipWithIndex
       .map { case (cv, c) => (l2sqArr(qv, cv), c) }
       .sortBy { case (dd, c) => (dd, c) }.take(IvfPqProbes).map(_._2)
@@ -2644,7 +2658,8 @@ object Llm {
     qv0Cache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       import s.implicits._
       embDouble(s, d).select(col("vec_id"), col("emb"))
-        .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+        .where(col("vec_id") === 0L)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])].head()._2
     })
 
   /** The persisted index: the base (even-id) corpus coded and written
@@ -2777,7 +2792,8 @@ object Llm {
       }.toSeq.toDF("m", "code", "cv")
     }
     val qv = embDouble(s, d).select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].filter(_._1 == 0L).head()._2
+      .where(col("vec_id") === 0L)  // pushed filter (r17, guide §6)
+      .as[(Long, Array[Double])].head()._2
     val shortlist = pqAdc(s, d)
       .toDF("neighbor_id", "adc_raw")
       .orderBy(asc("adc_raw"), asc("neighbor_id"))
@@ -3161,7 +3177,11 @@ object Llm {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_raw"), asc("term"))
-    tf.join(broadcast(df), "term")
+    // r17 (ADVICE): broadcast the BOUNDED side — tf is the doc_id < 50
+    // slice (~1% of docs), df the corpus-wide vocabulary, unbounded at
+    // 100 TB; broadcasting df risked a driver/executor OOM at scale.
+    // Inner join on term — identical rows either way.
+    df.join(broadcast(tf), "term")
       .crossJoin(broadcast(n))
       .withColumn("score_raw",
         col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
@@ -3583,17 +3603,19 @@ object Llm {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
     val train = tok.where(col("doc_id") % 2 === 0)
-    // r16 note: a single checkpointed (lang, token) model relation was
-    // tried (cuts 4 train explodes to 1) and MEASURED SLOWER at sf0.1
-    // (0.60 → 1.03 s isolated): the three model subtrees below are
-    // broadcast builds whose jobs run CONCURRENTLY on idle cores, so
-    // the duplicated explodes overlap, while the checkpoint serializes
-    // the critical path. Kept in the redundant-but-parallel form.
+    // r17 (verdict #1a; guide §2.4 share-one-exchange): totals and vocab
+    // are DERIVED from the (lang, tok) count relation instead of each
+    // re-exploding the train corpus — tot(l) = Σ_t cnt(l,t) and
+    // v = |distinct t of counts| are the identical integers, and the
+    // three model consumers now canonicalize to ONE explode+partial-agg
+    // exchange (ReusedExchange in the plan; 4 train explodes → 1).
+    // Unlike the r16 checkpoint attempt (0.60 → 1.03 s — a barrier that
+    // serialized the critical path), exchange reuse adds no barrier.
     val counts = train.groupBy(col("lang").as("cl"), col("tok").as("t"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = train.groupBy(col("lang").as("l"))
-      .agg(count(lit(1)).as("tot"))
-    val vocab = train.agg(countDistinct(col("tok")).as("v"))
+    val totals = counts.groupBy(col("cl").as("l"))
+      .agg(sum(col("cnt")).as("tot"))
+    val vocab = counts.agg(countDistinct(col("t")).as("v"))
     val test = tok.where(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_raw"), asc("l"))
@@ -3722,17 +3744,20 @@ object Llm {
         .as("pr"))
       .select(col("doc_id"), col("pr.t").as("t"), col("pr.p").as("p"))
     val train = pairs.where(col("doc_id") % 2 === 0)
-    // r16 note: deriving uni from one checkpointed (p, t) model and
-    // broadcasting the model relations was tried and MEASURED SLOWER at
-    // sf0.1 (0.48 → 0.59 s isolated) — the independent model subtrees'
-    // jobs overlap on idle cores while a checkpoint serializes them,
-    // and the bigram-vocab broadcast build outweighs the saved 32-way
-    // shuffles at this scale. Kept in the redundant-but-parallel form.
-    val uni = train.groupBy("t").agg(count(lit(1)).as("cu"))
+    // r17 (verdict #1a; guide §2.4 share-one-exchange): ONE (p, t) count
+    // relation — null p kept as its own group — is the whole model:
+    // cu(t) = Σ_p cpt(p,t) (every position has exactly one predecessor
+    // slot, null for position 1), bi = the p-non-null slice, tot from
+    // uni as before. The two train explodes canonicalize to one
+    // exchange (ReusedExchange), with NO checkpoint barrier — the r16
+    // attempt (0.48 → 0.59 s) failed on the barrier + forced broadcast
+    // builds, both absent here (join strategies stay Catalyst's).
+    val model = train.groupBy("p", "t").agg(count(lit(1)).as("cpt"))
+    val uni = model.groupBy("t").agg(sum(col("cpt")).as("cu"))
     val tot = uni.agg(sum(col("cu")).cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
-    val bi = train.where(col("p").isNotNull)
-      .groupBy("p", "t").agg(count(lit(1)).as("cb"))
+    val bi = model.where(col("p").isNotNull)
+      .select(col("p"), col("t"), col("cpt").as("cb"))
     val unip = uni.select(col("t").as("p"), col("cu").as("cup"))
     pairs
       .join(uni, Seq("t"), "left")

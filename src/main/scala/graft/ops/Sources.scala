@@ -208,7 +208,8 @@ object Sources {
     *    a parent CYCLE, which can never converge) it fails loudly instead
     *    of returning a non-root ancestor. */
   private[graft] def resolveRoots(tasks: DataFrame,
-      driverBudgetRows: Long = Llm.CcDriverBudgetEdges): DataFrame = {
+      driverBudgetRows: Long = Llm.CcDriverBudgetEdges,
+      memoKey: String = null): DataFrame = {
     // r16 optimization — budget dispatch (the graph_cc/bfs/reach
     // discipline): under the row budget the parent chase runs as a
     // driver walk with path memoization over the collected (gid,
@@ -222,8 +223,16 @@ object Sources {
       val sp = tasks.sparkSession
       import sp.implicits._
       val limN = (math.min(driverBudgetRows, Int.MaxValue.toLong - 1) + 1).toInt
-      val rows = tasks.select(col("gid"), col("parent")).limit(limN).collect()
-      if (rows.length <= driverBudgetRows) {
+      // over-budget verdict memoized per (application, memoKey, budget)
+      // — r17 ADVICE, see Graph.reachOf
+      val rows =
+        if (graft.util.Probes.knownOverBudget(tasks.sparkSession, memoKey,
+            driverBudgetRows)) null
+        else tasks.select(col("gid"), col("parent")).limit(limN).collect()
+      if (rows != null && rows.length > driverBudgetRows)
+        graft.util.Probes.recordOverBudget(tasks.sparkSession, memoKey,
+          driverBudgetRows)
+      if (rows != null && rows.length <= driverBudgetRows) {
         val par = rows.iterator.map { r =>
           r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))
         }.toMap
@@ -236,7 +245,11 @@ object Sources {
             root.get(g) match {
               case Some(x) => r = x
               case None =>
-                require(path.length < 4096,
+                // <= 4096 (r17 ADVICE): the distributed doubling loop
+                // resolves depth up to 2^12 HOPS (4097-node chains) —
+                // the strict < failed one node earlier than the arm it
+                // must mirror.
+                require(path.length <= 4096,
                   "root resolution did not converge within depth 2^12: " +
                     "parent cycle or pathological nesting")
                 path += g
@@ -318,7 +331,8 @@ object Sources {
       .select(col("gid"), col("parent"), col("name"), col("completed"),
         col("num_likes"))
     tasks.select(col("gid"), col("completed"), col("num_likes"))
-      .join(resolveRoots(tasks.select("gid", "parent")), "gid")
+      .join(resolveRoots(tasks.select("gid", "parent"),
+        memoKey = "asana_task_roots"), "gid")
       .groupBy("root")
       .agg(count(lit(1)).as("n_tasks"),
         sum(when(col("completed"), 1).otherwise(0)).as("n_done"),
@@ -947,6 +961,15 @@ object Sources {
     // a production clustering job rewrites every column; the query
     // clusters its read set so the bench measures layout mechanics,
     // not copy bandwidth
+    // r17 note (verdict #1c): persisting this projection so
+    // repartitionByRange's bounds-sampling job reads cache instead of
+    // re-scanning the parquet was tried and MEASURED SLOWER at sf0.1
+    // (0.70 → 0.92+ s isolated, 8 reps) — materializing 600 k rows into
+    // the cache store costs more than the cheap 3-column columnar scan
+    // it saves, at this SF and at any SF where the scan is
+    // bandwidth-bound (cache write ≈ scan cost, so pay-once only wins
+    // when ≥ 2 REuses follow; the sample pass is the only extra reader).
+    // Kept unpersisted: the range write IS the operator.
     lineitem(s, d)
       .select("l_shipdate", "l_orderkey", "l_extendedprice")
       .repartitionByRange(8, col("l_shipdate"))

@@ -15,4 +15,30 @@ object Probes {
     memo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d + "|" + id,
       _ => java.lang.Long.valueOf(run)).longValue()
+
+  /** Memoized OVER-BUDGET verdicts for the probe-and-collect dispatches
+    * (r17 ADVICE): the fixture relations are immutable for the
+    * application's lifetime, so once a probe has collected budget+1
+    * rows and fallen through to the distributed arm, re-paying that
+    * ~budget-sized driver allocation on every later invocation buys
+    * nothing — at a 100 TB SF the budget is ALWAYS exceeded and the
+    * probe would otherwise pull ~10 MB of Rows per call. Keys carry
+    * applicationId + sfDir + call site + the budget value, so a
+    * test-seam budget (0, MaxValue) never poisons the default-budget
+    * dispatch. Under-budget probes are NOT memoized — their collect IS
+    * the result. */
+  private val overBudget =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** key = call site + sfDir (or any input-identifying tag); a null key
+    * disables memoization (the generic/test entry points). */
+  def knownOverBudget(s: org.apache.spark.sql.SparkSession, key: String,
+      budget: Long): Boolean =
+    key != null && overBudget.contains(
+      s.sparkContext.applicationId + "|" + key + "|" + budget)
+
+  def recordOverBudget(s: org.apache.spark.sql.SparkSession, key: String,
+      budget: Long): Unit =
+    if (key != null) overBudget.add(
+      s.sparkContext.applicationId + "|" + key + "|" + budget)
 }
