@@ -601,18 +601,31 @@ object Llm {
         .write.mode("overwrite").saveAsTable(t)
     }
     val h = s.table(t)
-    val cand = (0 to 3).map { k =>
-        h.as("a").join(h.as("b"),
-          col(s"a.b$k") === col(s"b.b$k") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"))
-      }.reduce(_ union _).distinct()
-    val ha = h.toDF("doc_a", "ab0", "ab1", "ab2", "ab3")
-    val hb = h.toDF("doc_b", "bb0", "bb1", "bb2", "bb3")
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    // ONE self-join on the unpivoted (band index, band value) key instead
+    // of four per-band self-joins + union + two hash-table join-backs
+    // (r17, guide §2.4): a pair matches the union of per-k joins iff it
+    // matches on SOME (k, b_k) — the same candidate set — and each
+    // unpivoted row carries its side's FULL band vector, so the Hamming
+    // verify reads the join output directly and the two join-backs
+    // disappear. distinct() on the pair columns plus the carried bands is
+    // the same pair-distinct (bands are functionally dependent on
+    // doc_id). 7 joins → 1; the candidate equi-join keys stay (k, band).
+    val u = h.select(col("doc_id"),
+      array((0 to 3).map(k => col(s"b$k")): _*).as("bs"),
+      explode(array((0 to 3).map(k =>
+        struct(lit(k).as("k"), col(s"b$k").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("bs"),
+        col("e.k").as("k"), col("e.bv").as("bv"))
+    val ua = u.select(col("k"), col("bv"),
+      col("doc_id").as("doc_a"), col("bs").as("ab_v"))
+    val ub = u.select(col("k").as("kb"), col("bv").as("bvb"),
+      col("doc_id").as("doc_b"), col("bs").as("bb_v"))
+    ua.join(ub, col("k") === col("kb") && col("bv") === col("bvb") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ab_v"), col("bb_v"))
+      .distinct()
       .withColumn("hamming",
-        (0 to 3).map(k => expr(s"bit_count(ab$k ^ bb$k)"))
+        (0 to 3).map(k => expr(s"bit_count(ab_v[$k] ^ bb_v[$k])"))
           .reduce(_ + _).cast("int"))
       .where(col("hamming") <= 6)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

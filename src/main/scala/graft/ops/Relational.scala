@@ -489,6 +489,59 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Compute-bound scaling canary (r17 verdict #2): every other query at
+    * sf0.1 is Spark-job-floor-bound, so the driver's 8-vs-32-core run
+    * produced ratios ≈ 1 and proved nothing about plan scalability.
+    * This row is REGISTER-RESIDENT arithmetic: one whole-stage-codegen
+    * span (Range → modular-hash chain → single-group partial agg) with
+    * no join, no row materialization and no allocation, because on this
+    * box anything that moves rows through memory caps at ~6 GB/s
+    * regardless of core count (measured: the ×R cross-product form ran
+    * at the SAME 118 M rows/s total on 8 and 32 cores), while pure ALU
+    * scales with cores (measured 16.7× effective at 32 threads). Row
+    * count derives from the data (lineitem count × CanaryReps via a
+    * memoized probe), the range splits follow defaultParallelism —
+    * nothing is tuned to a fixed core count.
+    *
+    * Oracle: the chain hashes `i % CanaryPeriod`, so its values are
+    * PERIODIC and DuckDB verifies algebraically — one period sum
+    * (CanaryPeriod rows) plus the partial-period remainder — instead of
+    * replaying N rows (DuckDB's range() is single-threaded, ~13 M
+    * rows/s: a replay would cost minutes). Exact integers end to end:
+    * mod-a-prime-BEFORE-the-multiply keeps every intermediate < 2^52
+    * (no ANSI overflow) and every operand non-negative (Spark % ≡
+    * DuckDB % on non-negatives), and the full checksum is value-checked
+    * bit-exactly.
+    *
+    * Earlier forms, measured and abandoned: lineitem × range cross
+    * products (integer or DECIMAL payload) — the BNLJ row emission is
+    * memory-bound, ratio stuck at 1.2-1.5. */
+  private[graft] val CanaryReps = 4200L
+  private[graft] val CanaryPeriod = 1000003L
+  private def canaryChainSql(v: String): String =
+    s"(((((((($v % $CanaryPeriod) * 2654435761 + 7) % $CanaryPeriod) " +
+      s"* 2654435761 + 17) % $CanaryPeriod) " +
+      s"* 2654435761 + 29) % $CanaryPeriod) " +
+      s"* 2654435761 + 43) % $CanaryPeriod"
+
+  val agg_scaling_canary: Q = (s, d) => {
+    val n = graft.util.Probes.memoProbe(s, d, "scaling_canary_rows") {
+      lineitem(s, d).count()
+    } * CanaryReps
+    // the group key DERIVES FROM the chain: the bench times `.count()`,
+    // and count over an aggregate lets Catalyst prune every aggregate
+    // expression the count doesn't need — a groupless (or id-keyed)
+    // variant measured as "1.2e9 rows in 0.165 s" because the chain was
+    // never evaluated. Keying on h % 4 forces the full chain per row
+    // (group cardinality is data-dependent) while the result stays a
+    // 4-row total-ordered relation.
+    s.range(n)
+      .select(expr(canaryChainSql("id")).as("h"))
+      .groupBy(expr("h % 4").as("bucket"))
+      .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
   val agg_distinct: Q = (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
@@ -1040,23 +1093,33 @@ object Relational {
       driverBudgetEdges: Long): org.apache.spark.sql.DataFrame = {
     val sp = s
     import sp.implicits._
-    val edges = customer(s, d).where(col("c_custkey") >= 10)
-      .select(col("c_custkey").as("child"),
-        expr("c_custkey div 10").as("parent")).cache()
-    try {
-      val nEdges = edges.count()
-      if (nEdges <= driverBudgetEdges) {
-        // keys ≈ edges + the <10 roots, so the same budget covers both
-        val parent = edges.as[(Long, Long)].collect().toMap
-        val out = customer(s, d).select(col("c_custkey")).as[Long]
-          .collect().sorted.map { key =>
-            var node = key; var depth = 0
-            while (node >= 10) { node = parent(node); depth += 1 }
-            (key, node, depth)
-          }
-        s.createDataset(out.toSeq).toDF("key", "root", "depth")
-          .orderBy("key")
-      } else {
+    // r17 (verdict #4 probe-and-collect consolidation): the edge relation
+    // is DERIVED from the key column (parent = child div 10), so the
+    // driver arm needs exactly ONE bounded job — collect up to budget+11
+    // keys (≤ 10 possible sub-10 roots); an un-truncated probe proves the
+    // edge count ≤ budget and the parent map is rebuilt driver-side from
+    // the same values the old edge collect carried (keys positive where
+    // they walk, so `/` ≡ `div`). cache + count + two collects (4 jobs)
+    // → 1. A truncated probe dispatches distributed, which is always
+    // value-equal (arm-equality-tested), so the corner costs nothing.
+    val probeCap = math.min(driverBudgetEdges + 11, Int.MaxValue.toLong).toInt
+    val keys = customer(s, d).select(col("c_custkey")).as[Long]
+      .limit(probeCap).collect()
+    if (keys.length < probeCap &&
+        keys.count(_ >= 10).toLong <= driverBudgetEdges) {
+      val parent = keys.iterator.filter(_ >= 10).map(k => k -> k / 10).toMap
+      val out = keys.sorted.map { key =>
+        var node = key; var depth = 0
+        while (node >= 10) { node = parent(node); depth += 1 }
+        (key, node, depth)
+      }
+      s.createDataset(out.toSeq).toDF("key", "root", "depth")
+        .orderBy("key")
+    } else {
+      val edges = customer(s, d).where(col("c_custkey") >= 10)
+        .select(col("c_custkey").as("child"),
+          expr("c_custkey div 10").as("parent")).cache()
+      try {
         val base = customer(s, d).select(col("c_custkey").as("key"),
           col("c_custkey").as("node"), lit(0).as("depth"))
         var cur = graft.util.Iterate.checkpoint(base)
@@ -1075,8 +1138,8 @@ object Relational {
         graft.util.Iterate.registerResult("rel_recursive", cur._2)
         cur._1.select(col("key"), col("node").as("root"), col("depth"))
           .orderBy("key")
-      }
-    } finally edges.unpersist()
+      } finally edges.unpersist()
+    }
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -1105,6 +1168,7 @@ object Relational {
     "join_bucketed" -> join_bucketed,
     "agg_pricing" -> agg_pricing,
     "agg_pricing_10x" -> agg_pricing_10x,
+    "agg_scaling_canary" -> agg_scaling_canary,
     "agg_distinct" -> agg_distinct,
     "agg_approx" -> agg_approx,
     "agg_hll_merge" -> agg_hll_merge,
@@ -1341,6 +1405,28 @@ object Relational {
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    // the oracle verifies ALGEBRAICALLY: the chain is periodic in
+    // CanaryPeriod, so sum over range(N) = (N div P) * (one period's
+    // sum) + (the first N%P values' sum) — exact BIGINT algebra over
+    // P rows instead of an N-row replay (DuckDB's range() is
+    // single-threaded). N derives from the same lineitem count.
+    "agg_scaling_canary" ->
+      s"""WITH base AS (SELECT ${canaryChainSql("j")} AS h, j
+                        FROM range($CanaryPeriod) t(j)),
+              n AS (SELECT count(*) * $CanaryReps AS nn FROM lineitem),
+              parts AS (
+                SELECT h % 4 AS bucket,
+                       (SELECT nn FROM n) // $CanaryPeriod * sum(h) AS s,
+                       (SELECT nn FROM n) // $CanaryPeriod * count(*) AS c
+                FROM base GROUP BY 1
+                UNION ALL
+                SELECT h % 4 AS bucket, sum(h) AS s, count(*) AS c
+                FROM base WHERE j < (SELECT nn FROM n) % $CanaryPeriod
+                GROUP BY 1)
+          SELECT bucket AS bucket, CAST(sum(s) AS BIGINT) AS checksum,
+                 CAST(sum(c) AS BIGINT) AS n_rows
+          FROM parts GROUP BY bucket HAVING sum(c) > 0
+          ORDER BY bucket""",
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
              count(DISTINCT l_suppkey) AS nd_supps, count(1) AS n
