@@ -370,7 +370,14 @@ object Relational {
       .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
     val dim = orders(s, d)
       .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
-    fact.join(dim,
+    // r17 (guide §3): Catalyst broadcast the ×SALT-replicated dim (its
+    // pre-explode size estimate undershoots), which (a) built a 1.2M-row
+    // hash relation serially on the driver — the query's dominant cost —
+    // and (b) planned AWAY the salted shuffle the operator demonstrates.
+    // The SHUFFLE_HASH hint restores the distributed (key, salt)
+    // partitioning on both sides (the skew-spreading shape) without the
+    // sort SMJ would add; inner equi-join — rows identical either way.
+    fact.join(dim.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey") &&
           fact("salt") === dim("salt"))
       .groupBy("o_orderstatus")
