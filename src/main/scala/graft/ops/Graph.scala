@@ -85,7 +85,8 @@ object Graph {
     * The oracle replays reachability as a recursive CTE and takes the
     * per-node min. */
   val graph_cc: Q = (s, d) =>
-    Llm.connectedComponents(supplierEdges(s, d, 59), key = "graph_cc")
+    Llm.connectedComponents(supplierEdges(s, d, 59), key = "graph_cc",
+      memoKey = "graph_cc|" + d)
       .select(col("gid").as("node"), col("comp").as("component"))
       .orderBy("node")
 

@@ -298,7 +298,7 @@ object Llm {
     * budget-dispatched union-find). */
   val llm_dedup_keep_best: Q = (s, d) =>
     keepBestSurvivors(qualityScored(s, d).select("doc_id", "bp"),
-      jaccardEdges08(s, d))
+      jaccardEdges08(s, d), memoKey = "keep_best_cc|" + d)
 
   private val edges08Built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -332,8 +332,8 @@ object Llm {
     * (doc_id, bp) + (a, b) inputs: argmax-bp (tie → min doc_id) per
     * connected component; documents in no component keep themselves. */
   private[graft] def keepBestSurvivors(scored: DataFrame,
-      edges: DataFrame): DataFrame = {
-    val comp = connectedComponents(edges)
+      edges: DataFrame, memoKey: String = null): DataFrame = {
+    val comp = connectedComponents(edges, memoKey = memoKey)
       .select(col("gid").as("doc_id"), col("comp"))
     // first() over the (bp desc, doc_id asc) order reads the partition
     // head — the argmax — from every row's default running frame
@@ -1233,27 +1233,39 @@ object Llm {
 
   private[graft] def connectedComponents(edges: DataFrame,
       key: String = "llm_cc",
-      driverBudgetEdges: Long = CcDriverBudgetEdges): DataFrame = {
+      driverBudgetEdges: Long = CcDriverBudgetEdges,
+      memoKey: String = null): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // cache BEFORE the sizing count so the (possibly expensive) edge
-    // producer — e.g. the whole similarity kernel — materializes exactly
-    // once; the count then reads the cache
     val symAll = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
-      .distinct().cache()
-    try {
-      val nEdges = symAll.count()
-      if (nEdges <= driverBudgetEdges) {
-        // SMALL pair graph — the common case after a similarity
-        // threshold: the distributed loop below is pure per-job overhead
-        // here (~10 jobs for two rounds on a few hundred edges), so the
-        // closure runs as driver union-find over the collected edge
-        // list. Labels are re-assigned to each component's SMALLEST
-        // member after the union pass, so the output is independent of
-        // union order — identical to the distributed result (equality
-        // directly tested with driverBudgetEdges = 0 forcing the loop).
-        val es = symAll.as[(Long, Long)].collect()
+      .distinct()
+    // r17 (verdict #4): ONE bounded probe-and-collect replaces the
+    // cache + count + collect triple (3 jobs + a cache materialization
+    // → 1 job) — under budget the probe's rows ARE the union-find
+    // input, so the possibly-expensive edge producer still evaluates
+    // exactly once. Over budget the probe is discarded once per
+    // (application, memoKey, budget) — Probes.knownOverBudget skips it
+    // afterwards — and the distributed arm caches the edge set exactly
+    // as before. memoKey is null for the generic/test kernels (distinct
+    // synthetic inputs must not share a verdict), set at the four
+    // production call sites whose edge relation is fixed per run.
+    val probeCap = math.min(driverBudgetEdges, Int.MaxValue.toLong - 2L)
+    val probed =
+      if (graft.util.Probes.knownOverBudget(s, memoKey,
+          driverBudgetEdges)) null
+      else symAll.as[(Long, Long)].limit(probeCap.toInt + 1).collect()
+    if (probed != null && probed.length <= driverBudgetEdges) {
+      // SMALL pair graph — the common case after a similarity
+      // threshold: the distributed loop below is pure per-job overhead
+      // here (~10 jobs for two rounds on a few hundred edges), so the
+      // closure runs as driver union-find over the collected edge
+      // list. Labels are re-assigned to each component's SMALLEST
+      // member after the union pass, so the output is independent of
+      // union order — identical to the distributed result (equality
+      // directly tested with driverBudgetEdges = 0 forcing the loop).
+      {
+        val es = probed
         val parent = scala.collection.mutable.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -1277,8 +1289,16 @@ object Llm {
         }
         s.createDataset(nodes.toSeq.map(n => (n, minOfRoot(find(n)))))
           .toDF("gid", "comp")
-      } else distributedComponents(symAll, nEdges, key)
-    } finally symAll.unpersist()
+      }
+    } else {
+      if (probed != null)
+        graft.util.Probes.recordOverBudget(s, memoKey, driverBudgetEdges)
+      // cache BEFORE the sizing count so the (possibly expensive) edge
+      // producer materializes exactly once; the count reads the cache
+      val symC = symAll.cache()
+      try distributedComponents(symC, symC.count(), key)
+      finally symC.unpersist()
+    }
   }
 
   /** the beyond-budget closure: distributed hook + pointer-jump rounds
@@ -1404,7 +1424,8 @@ object Llm {
     val pairs =
       if (budget == Long.MaxValue) embcosPairsPersisted(s, d)
       else simjoinAuto(s, d, budget).where(col("sim") >= 0.45)
-    val comp = connectedComponents(pairs.select("a", "b"))
+    val comp = connectedComponents(pairs.select("a", "b"),
+      memoKey = if (budget == Long.MaxValue) "embcos_cc|" + d else null)
       .select(col("gid").as("vec_id"), col("comp").as("comp"))
     embeddings(s, d)
       .join(comp, Seq("vec_id"), "left")
@@ -1605,7 +1626,7 @@ object Llm {
     val verified = textVerifiedPairs(s, d)
     val comp = connectedComponents(
       verified.select(col("doc_a").as("a"), col("doc_b").as("b")),
-      key = "llm_text_cc")
+      key = "llm_text_cc", memoKey = "llm_text_cc|" + d)
       .select(col("gid").as("doc_id"), col("comp"))
     documents(s, d)
       .join(comp, Seq("doc_id"), "left")
