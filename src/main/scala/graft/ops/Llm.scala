@@ -1034,15 +1034,26 @@ object Llm {
     // branch's inner-join semantics (both branches must agree).
     val scored =
       if (fitsBroadcastBudgetTable(s, d)) {
-        val vecs = e.select(col("vec_id"), col("emb"))
-          .as[(Long, Array[Double])].collect().toMap
-        val bc = s.sparkContext.broadcast(vecs)
+        // r17 (expressions/codegen hygiene): the broadcast lookup table
+        // was a boxed Map[Long, Array[Double]] — every candidate pair
+        // paid two boxed-key hash lookups + two Option allocations.
+        // Sorted primitive id array + binary search does the same
+        // dropped-when-missing lookup with zero allocation per pair;
+        // same kernel, same fold → bit-identical sims.
+        val rows = e.select(col("vec_id"), col("emb"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        val bc = s.sparkContext.broadcast(
+          (rows.map(_._1), rows.map(_._2)))
         cand.select(col("a"), col("b")).as[(Long, Long)]
           .mapPartitions { it =>
-            val m = bc.value
+            val ids = bc.value._1; val vecs = bc.value._2
             it.flatMap { case (a, b) =>
-              for (va <- m.get(a); vb <- m.get(b))
-                yield (a, b, graft.functions.CosineSimilarity.cosine(va, vb))
+              val ia = java.util.Arrays.binarySearch(ids, a)
+              val ib = java.util.Arrays.binarySearch(ids, b)
+              if (ia >= 0 && ib >= 0)
+                Iterator.single((a, b,
+                  graft.functions.CosineSimilarity.cosine(vecs(ia), vecs(ib))))
+              else Iterator.empty
             }
           }
           .toDF("a", "b", "sim_raw")
@@ -3206,6 +3217,13 @@ object Llm {
     // now built from the sliced scan (doc_id < 50 reaches the parquet
     // scan as a pushed filter). Scores: same float expression over the
     // same per-row integers.
+    // r17 note: a §3 semi-join pre-filter of the df aggregate by the
+    // slice vocabulary (tok ⋉ broadcast(tf.terms) before countDistinct)
+    // was tried and MEASURED SLOWER at sf0.1 (0.42 → 0.69 s, 9 → 11
+    // jobs): the extra broadcast-subtree build over the sliced scan
+    // costs more than the vocabulary-sized exchange it trims here. At a
+    // 100 TB vocabulary the trade reverses — revisit if df's exchange
+    // ever dominates the profile.
     val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val tf = tok.where(col("doc_id") < 50)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
