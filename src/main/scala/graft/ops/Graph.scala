@@ -109,20 +109,21 @@ object Graph {
   private[graft] def bfsOf(s: SparkSession, d: String,
       driverBudgetEdges: Long): DataFrame =
     bfsOnSym(s, symmetrize(supplierEdges(s, d, 59)).select(col("v"), col("u")),
-      driverBudgetEdges)
+      driverBudgetEdges, memoKey = "graph_bfs|" + d)
 
   /** edge-parameterized kernel — PropertySpec drives both arms over
     * random graphs (cycles, stars, disconnected pieces) beyond the
     * fixture's single topology. */
   private[graft] def bfsOnSym(s: SparkSession, symIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sym = symIn.cache()
-    try {
-      val nEdges = sym.count()
-      if (nEdges <= driverBudgetEdges) {
-        val es = sym.as[(Long, Long)].collect()
+    // r17: ONE bounded probe replaces cache + count + collect
+    // (Probes.probeCollect); over budget the distributed arm caches and
+    // counts exactly as before.
+    graft.util.Probes.probeCollect(symIn.as[(Long, Long)],
+        driverBudgetEdges, memoKey).map { es =>
+      {
         if (es.isEmpty) Seq.empty[(Long, Int)].toDF("node", "hops")
         else {
           val adj = es.groupBy(_._1).map { case (v, xs) =>
@@ -140,8 +141,11 @@ object Graph {
           s.createDataset(hops.toSeq).toDF("node", "hops")
             .orderBy("node")
         }
-      } else bfsDistributed(s, sym, nEdges)
-    } finally sym.unpersist()
+      }
+    }.getOrElse {
+      val sym = symIn.cache()
+      try bfsDistributed(s, sym, sym.count()) finally sym.unpersist()
+    }
   }
 
   private def bfsDistributed(s: SparkSession, sym: DataFrame,
@@ -225,18 +229,17 @@ object Graph {
       driverBudgetEdges: Long): DataFrame =
     pagerankOnSym(s,
       symmetrize(supplierEdges(s, d, 11)).select(col("v"), col("u")),
-      driverBudgetEdges)
+      driverBudgetEdges, memoKey = "graph_pagerank|" + d)
 
   /** edge-parameterized kernel — see [[bfsOnSym]]. */
   private[graft] def pagerankOnSym(s: SparkSession, symIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sym = symIn.cache()
-    try {
-      val nEdges = sym.count()
-      if (nEdges <= driverBudgetEdges) {
-        val es = sym.as[(Long, Long)].collect()
+    // r17: probe-and-collect, see bfsOnSym
+    graft.util.Probes.probeCollect(symIn.as[(Long, Long)],
+        driverBudgetEdges, memoKey).map { es =>
+      {
         val deg = scala.collection.mutable.HashMap[Long, Long]()
         es.foreach { case (v, _) =>
           deg(v) = deg.getOrElse(v, 0L) + 1L
@@ -253,7 +256,11 @@ object Graph {
         }
         s.createDataset(rank.toSeq).toDF("node", "rank")
           .orderBy(desc("rank"), asc("node"))
-      } else {
+      }
+    }.getOrElse {
+      val sym = symIn.cache()
+      try {
+        val nEdges = sym.count()
         val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
         val deg = g.groupBy(col("v").as("node"))
           .agg(count(lit(1)).as("od"))
@@ -274,8 +281,8 @@ object Graph {
         }
         graft.util.Iterate.registerResult("graph_pagerank", cur._2)
         cur._1.orderBy(desc("rank"), asc("node"))
-      }
-    } finally sym.unpersist()
+      } finally sym.unpersist()
+    }
   }
 
   /** Link prediction by neighbor-set similarity on the dense (m=11)
@@ -434,20 +441,22 @@ object Graph {
     * degree aggregation + two semi-joins back onto the edge list, with
     * localCheckpoint + count per the repo's loop invariant. */
   val graph_kcore: Q = (s, d) =>
-    kcoreOf(s, supplierEdges(s, d, 59), Llm.CcDriverBudgetEdges)
+    kcoreOf(s, supplierEdges(s, d, 59), Llm.CcDriverBudgetEdges,
+      memoKey = "graph_kcore|" + d)
 
   private[graft] val KcoreMaxRounds = 24
 
   /** edge-parameterized kernel: e is an (a, b), a < b edge relation. */
   private[graft] def kcoreOf(s: SparkSession, e: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
-    val edges = e.select(col("a"), col("b")).cache()
-    try {
-      val n0 = edges.count()
-      if (n0 <= driverBudgetEdges) {
-        var es = edges.as[(Long, Long)].collect().toSet
+    // r17: probe-and-collect, see bfsOnSym
+    graft.util.Probes.probeCollect(
+        e.select(col("a"), col("b")).as[(Long, Long)],
+        driverBudgetEdges, memoKey).map { probed =>
+      {
+        var es = probed.toSet
         var rounds = 0
         var changed = true
         while (changed) {
@@ -465,8 +474,12 @@ object Graph {
         s.createDataset(degreesOf(es).toSeq.sortBy(_._1))
           .toDF("node", "core_deg")
           .orderBy("node")
-      } else kcoreDistributed(s, edges, n0)
-    } finally edges.unpersist()
+      }
+    }.getOrElse {
+      val edges = e.select(col("a"), col("b")).cache()
+      try kcoreDistributed(s, edges, edges.count())
+      finally edges.unpersist()
+    }
   }
 
   private def degreesOf(es: Set[(Long, Long)]): Map[Long, Long] =
@@ -548,7 +561,8 @@ object Graph {
     graft.util.AppCleanup.buildOnce(lpaBuilt, tag) {
       graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_graph_lpa")
       graft.util.AppCleanup.resetTable(s, t)
-      lpaOf(s, symmetrize(supplierEdges(s, d, m)), Llm.CcDriverBudgetEdges)
+      lpaOf(s, symmetrize(supplierEdges(s, d, m)), Llm.CcDriverBudgetEdges,
+        memoKey = "graph_lpa|" + d + "|" + m)
         .write.mode("overwrite").saveAsTable(t)
     }
     s.table(t)
@@ -557,14 +571,14 @@ object Graph {
   /** kernel over a symmetric (v, u) adjacency — GraphSpec hand-checks a
     * planted two-clique bridge graph and arm-equality-tests budget 0. */
   private[graft] def lpaOf(s: SparkSession, symIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sym = symIn.select(col("v"), col("u")).cache()
-    try {
-      val nEdges = sym.count()
-      if (nEdges <= driverBudgetEdges) {
-        val es = sym.as[(Long, Long)].collect()
+    // r17: probe-and-collect, see bfsOnSym
+    graft.util.Probes.probeCollect(
+        symIn.select(col("v"), col("u")).as[(Long, Long)],
+        driverBudgetEdges, memoKey).map { es =>
+      {
         // symmetric-input contract, guarded LOUDLY: the distributed arm
         // takes its node set from sources only, so a node appearing only
         // as a target would make the two arms silently diverge (here: a
@@ -589,7 +603,11 @@ object Graph {
           }
         }
         s.createDataset(lbl.toSeq).toDF("node", "label").orderBy("node")
-      } else {
+      }
+    }.getOrElse {
+      val sym = symIn.select(col("v"), col("u")).cache()
+      try {
+        val nEdges = sym.count()
         val g = if (nEdges < (1L << 20)) sym.coalesce(4) else sym
         val nodes = g.select(col("v").as("node")).distinct()
         // the SAME symmetric-input contract as the driver arm, enforced
@@ -619,8 +637,8 @@ object Graph {
         }
         graft.util.Iterate.registerResult("graph_lpa", cur._2)
         cur._1.select(col("node"), col("lbl").as("label")).orderBy("node")
-      }
-    } finally sym.unpersist()
+      } finally sym.unpersist()
+    }
   }
 
   /** Modularity of the LPA partition (Newman & Girvan, public
@@ -735,7 +753,8 @@ object Graph {
     graft.util.AppCleanup.buildOnce(sccBuilt, tag) {
       graft.util.AppCleanup.registerWarehouseCleanup(s, "graft_graph_scc")
       graft.util.AppCleanup.resetTable(s, t)
-      sccOf(s, directedSupplierEdges(s, d), Llm.CcDriverBudgetEdges)
+      sccOf(s, directedSupplierEdges(s, d), Llm.CcDriverBudgetEdges,
+          memoKey = "graph_scc|" + d)
         .write.mode("overwrite").saveAsTable(t)
     }
     s.table(t)
@@ -849,18 +868,20 @@ object Graph {
   }
 
   private[graft] def sccOf(s: SparkSession, edgesIn: DataFrame,
-      driverBudgetEdges: Long): DataFrame = {
+      driverBudgetEdges: Long, memoKey: String = null): DataFrame = {
     val sp = s
     import sp.implicits._
-    val edges = edgesIn.select(col("s").cast("long"), col("t").cast("long"))
-      .cache()
-    try {
-      val n = edges.count()
-      if (n <= driverBudgetEdges) {
-        val es = edges.as[(Long, Long)].collect()
-        s.createDataset(tarjanScc(es)).toDF("node", "scc")
-      } else sccDistributed(s, edges)
-    } finally edges.unpersist()
+    // r17: probe-and-collect, see bfsOnSym
+    graft.util.Probes.probeCollect(
+        edgesIn.select(col("s").cast("long"), col("t").cast("long"))
+          .as[(Long, Long)],
+        driverBudgetEdges, memoKey).map { es =>
+      s.createDataset(tarjanScc(es)).toDF("node", "scc")
+    }.getOrElse {
+      val edges = edgesIn.select(col("s").cast("long"), col("t").cast("long"))
+        .cache()
+      try sccDistributed(s, edges) finally edges.unpersist()
+    }
   }
 
   /** Iterative (explicit-stack) Tarjan — the driver arm. Linear in

@@ -41,4 +41,24 @@ object Probes {
       budget: Long): Unit =
     if (key != null) overBudget.add(
       s.sparkContext.applicationId + "|" + key + "|" + budget)
+
+  /** ONE bounded probe job for the budget-dispatched arms (r17 verdict
+    * #4): collect up to budget+1 rows — Some(rows) when the relation
+    * fits (the rows ARE the driver arm's input, so the producer is
+    * evaluated exactly once and the old cache + count + collect triple
+    * collapses to this single job); None when over budget, memoized per
+    * (application, memoKey, budget) so a 100 TB run pays the discarded
+    * probe once per call site, after which the caller's distributed arm
+    * caches and counts exactly as before. */
+  def probeCollect[T](ds: org.apache.spark.sql.Dataset[T], budget: Long,
+      memoKey: String): Option[Array[T]] = {
+    val s = ds.sparkSession
+    if (knownOverBudget(s, memoKey, budget)) None
+    else {
+      val cap = math.min(budget, Int.MaxValue.toLong - 2L)
+      val rows = ds.limit(cap.toInt + 1).collect()
+      if (rows.length <= budget) Some(rows)
+      else { recordOverBudget(s, memoKey, budget); None }
+    }
+  }
 }
