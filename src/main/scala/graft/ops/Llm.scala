@@ -1019,7 +1019,8 @@ object Llm {
     * eval here benched 18 s at sf0.1 vs ~2 s for the kernel, because the
     * noise fixtures make nearly every pair a candidate. */
   private[graft] def rerankExact(s: org.apache.spark.sql.SparkSession,
-      d: String, cand: DataFrame): DataFrame = {
+      d: String, cand: DataFrame,
+      dedupOutput: Boolean = false): DataFrame = {
     import s.implicits._
     val e = embDouble(s, d)
     // Under the exact kernel's byte budget the vector side broadcasts and
@@ -1070,9 +1071,18 @@ object Llm {
           }
           .toDF("a", "b", "sim_raw")
       }
-    scored
+    // r17 (verdict #1b, guide §2.3): dedupOutput callers pass the RAW
+    // candidate multiset and dedup AFTER the threshold — the sim kernel
+    // is deterministic per pair, so duplicate candidates produce
+    // identical rows and an output-sized distinct() (the filter passes
+    // ~0.2% of pairs) yields exactly the distinct-candidates result
+    // while the candidate-volume-sized pre-rerank distinct exchange
+    // disappears. Already-distinct callers skip it (the extra exchange
+    // measured +0.12 s on llm_simjoin_lsh).
+    val thresholded = scored
       .where(col("sim_raw") >= 0.35)
       .select(col("a"), col("b"), r4(col("sim_raw")).as("sim"))
+    (if (dedupOutput) thresholded.distinct() else thresholded)
       .orderBy("a", "b")
   }
 
@@ -1177,7 +1187,14 @@ object Llm {
     * the zero-Exchange candidate join is asserted in PlanShapeSpec. */
   val llm_simjoin_lsh_bucketed: Q = (s, d) => {
     dumpLshBands(s, d)
-    rerankExact(s, d, lshCandidatesBucketed(s, d))
+    // r17: feed the band join's RAW pair multiset — rerankExact dedups
+    // after its threshold (see note there), so the 1.2M-pair distinct
+    // exchange between the join and the kernel is gone; the band join
+    // pipelines straight into the rerank. lshCandidatesBucketed stays as
+    // the parity-test relation.
+    rerankExact(s, d,
+      bandSelfJoin(lshBandTable(s, d)).select("a", "b"),
+      dedupOutput = true)
   }
 
   /** Budget-dispatched similarity join: picks the exact broadcast kernel
